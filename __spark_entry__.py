@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin adapter over ``etl_pipeline_spark.queries`` — every operator from
+SURVEY.md §2 registers a named query (Spark callable) plus, where
+SQL-expressible, the equivalent DuckDB oracle SQL. The driver runs
+``entry(spark)`` as a smoke check, then each ``queries()[name]`` at
+sf=0.01 against ``oracle_sql()[name]``.
 """
 
 from __future__ import annotations
@@ -15,24 +15,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the TPC-H-Q1-style
+    pricing summary (scan -> filter -> grouped multi-aggregate)."""
+    from etl_pipeline_spark.queries.base import all_specs
+
+    return all_specs()["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from etl_pipeline_spark.queries.base import all_specs
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in all_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query; omitted for
+    engine-specific ops (MinHash/LSH hash families) which get the driver's
+    rows-only check, with an exact oracle-checked counterpart registered
+    alongside (e.g. q_dedup_ngram_jaccard verifies q_dedup_minhash_lsh)."""
+    from etl_pipeline_spark.queries.base import all_specs
+
+    return {
+        name: spec.oracle for name, spec in all_specs().items() if spec.oracle is not None
+    }

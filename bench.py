@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query set: the flagship scan-agg, the join-heavy TPC-H-style queries,
+windows, and one of each extension family (dedup / text / similarity) —
+the mix a 100 TB training-data pipeline would run. Expensive quadratic
+diagnostics (pairwise jaccard) are excluded by design: their scale path
+is MinHash-LSH, benchmarked separately.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q06_revenue_delta",
+    "q03_order_revenue_topk",
+    "q05_nation_revenue",
+    "q_join_outer_order_counts",
+    "q_join_semi_big_orders",
+    "q_window_rank_orders",
+    "q_window_tumbling_events",
+    "q_etl_clean_cast_filter",
+    "q_dedup_exact",
+    "q_text_quality_score",
+    "q_knn_bruteforce_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from etl_pipeline_spark.queries.base import all_specs
+    from etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    specs = all_specs()
+
+    # Warm the JVM + parquet footer caches with one cheap action so the
+    # first timed query doesn't pay session startup.
+    specs["q_etl_audit_row"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        # count() forces full execution without driver-side row transfer
+        specs[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Table catalog: load the shared parquet fixtures as DataFrames/views.
+
+The reference treats a SQL warehouse as its catalog (BigQuery datasets/
+tables, airflow.py:57-101); here the catalog is Spark's own — parquet
+scans registered as temp views so every operator can be expressed over
+``spark.table(name)`` / SQL. Parquet scans get predicate pushdown and
+column pruning from Catalyst for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Read each fixture table and register it as a temp view.
+
+    Views make the SQL and DataFrame surfaces equivalent — the same
+    Catalyst plan either way.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        df = _restore_nanos_timestamps(df)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+# Columns that are TIMESTAMP(NANOS) in the fixture parquet. With
+# spark.sql.legacy.parquet.nanosAsLong they arrive as long epoch-nanos;
+# integer-div by 1000 (``div`` — a double division would lose precision at
+# int64 magnitudes) restores a proper micros timestamp. The fixtures carry
+# no sub-microsecond components, so this is lossless and matches DuckDB's
+# native read of the same files.
+_NANOS_TS_COLUMNS = {"ts"}
+
+
+def _restore_nanos_timestamps(df: DataFrame) -> DataFrame:
+    for field in df.schema.fields:
+        if field.name in _NANOS_TS_COLUMNS and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+            )
+    return df

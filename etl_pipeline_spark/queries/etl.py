@@ -1,0 +1,220 @@
+"""ETL-pipeline-semantics queries — SURVEY.md §2.2 (P2-P8), §2.11 (Q5/Q6).
+
+The reference's core job is parse -> validate -> clean/type -> filter ->
+load-with-audit (dataflow_transform.py:163-214, airflow.py:104-122). These
+queries replay those exact semantics over the shared fixture tables so the
+oracle can check them value-by-value; the file-based pipeline (CSV in,
+quarantine + audit out) lives in etl_pipeline_spark.pipelines and is
+exercised by pytest with golden fixtures.
+
+The events table stands in for the raw staging table: ``event_type`` plays
+'entity', ``ts`` plays 'Day', ``value`` plays 'total_confirmed_deaths' —
+stringified first, like a CSV would deliver them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.functions.cleaning import (
+    non_empty,
+    parse_strict_date,
+    truncating_int_cast,
+)
+from etl_pipeline_spark.queries.base import query
+
+
+def _staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stringify events into the all-strings shape a CSV reader delivers
+    (S2 schema-on-read analog)."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return e.select(
+        "event_id",
+        F.col("event_type").cast("string").alias("entity"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_raw"),
+        F.col("value").cast("string").alias("deaths_raw"),
+    )
+
+
+_STAGED_SQL = """
+        SELECT event_id,
+               CAST(event_type AS VARCHAR)  AS entity,
+               STRFTIME(ts, '%Y-%m-%d')     AS day_raw,
+               CAST(value AS VARCHAR)       AS deaths_raw
+        FROM events
+"""
+
+
+@query(
+    "q_etl_clean_cast_filter",
+    oracle=f"""
+    WITH staged AS ({_STAGED_SQL}),
+    typed AS (
+        SELECT event_id,
+               TRIM(entity)                                          AS entity,
+               TRY_STRPTIME(day_raw, '%Y-%m-%d')::DATE               AS day,
+               CAST(TRUNC(TRY_CAST(deaths_raw AS DOUBLE)) AS BIGINT) AS total_confirmed_deaths
+        FROM staged
+        WHERE entity IS NOT NULL AND TRIM(entity) <> ''
+          AND day_raw IS NOT NULL AND TRIM(day_raw) <> ''
+          AND deaths_raw IS NOT NULL AND TRIM(deaths_raw) <> ''
+    )
+    SELECT event_id, entity, day, total_confirmed_deaths
+    FROM typed
+    WHERE day IS NOT NULL
+      AND total_confirmed_deaths IS NOT NULL
+      AND total_confirmed_deaths > 0
+    """,
+    tags=("etl", "P2", "P4", "P7", "P8", "P5"),
+)
+def q_etl_clean_cast_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole transform chain (P2 map ->
+    P4 required-fields -> P7 castability -> P8 date-validity -> P5
+    SQL WHERE) as one declarative plan:
+    dataflow_transform.py:32-73 + airflow.py:110-115.
+
+    Scale: narrow ops only — no shuffle; every predicate is a Column
+    expr eligible for pushdown/codegen. The reference ran this row-by-row
+    in Python dicts.
+    """
+    staged = _staged(spark, sf_dir)
+    typed = staged.filter(
+        non_empty(F.col("entity")) & non_empty(F.col("day_raw")) & non_empty(F.col("deaths_raw"))
+    ).select(
+        "event_id",
+        F.trim("entity").alias("entity"),
+        parse_strict_date(F.col("day_raw")).alias("day"),
+        truncating_int_cast(F.col("deaths_raw")).alias("total_confirmed_deaths"),
+    )
+    return typed.filter(
+        F.col("day").isNotNull()
+        & F.col("total_confirmed_deaths").isNotNull()
+        & (F.col("total_confirmed_deaths") > 0)
+    )
+
+
+@query(
+    "q_etl_quarantine_conservation",
+    oracle=f"""
+    WITH staged AS ({_STAGED_SQL}),
+    flagged AS (
+        SELECT CASE WHEN entity IS NOT NULL AND TRIM(entity) <> ''
+                     AND day_raw IS NOT NULL AND TRY_STRPTIME(day_raw, '%Y-%m-%d') IS NOT NULL
+                     AND TRY_CAST(deaths_raw AS DOUBLE) IS NOT NULL
+                     AND CAST(TRUNC(TRY_CAST(deaths_raw AS DOUBLE)) AS BIGINT) > 0
+               THEN 1 ELSE 0 END AS ok
+        FROM staged
+    )
+    SELECT COUNT(*)                  AS input_rows,
+           SUM(ok)                   AS output_rows,
+           COUNT(*) - SUM(ok)        AS quarantined_rows
+    FROM flagged
+    """,
+    tags=("etl", "Q6"),
+)
+def q_etl_quarantine_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine conservation law (Q6 <- dataflow_transform.py:40-61):
+    every input row is either output or quarantined — input = output +
+    quarantined. The reference silently drops invalid rows; the engine
+    keeps both sides countable in one pass with conditional aggregation."""
+    staged = _staged(spark, sf_dir)
+    ok = (
+        non_empty(F.col("entity"))
+        & parse_strict_date(F.col("day_raw")).isNotNull()
+        & F.col("deaths_raw").try_cast("double").isNotNull()
+        & (truncating_int_cast(F.col("deaths_raw")) > 0)
+    ).cast("long")
+    return staged.agg(
+        F.count("*").alias("input_rows"),
+        F.sum(ok).alias("output_rows"),
+        (F.count("*") - F.sum(ok)).alias("quarantined_rows"),
+    )
+
+
+@query(
+    "q_etl_audit_row",
+    oracle="""
+    SELECT 'events.parquet' AS file_name,
+           COUNT(*)         AS record_count,
+           'completed'      AS pipeline_status
+    FROM events
+    """,
+    tags=("etl", "Q5", "A1"),
+)
+def q_etl_audit_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-record synthesis (Q5 <- dataflow_transform.py:91-106): one row
+    of lineage metadata built from the global count (A1) + literals. The
+    timestamp fields of the real audit row are non-deterministic and are
+    covered by pytest, not the oracle."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return e.agg(
+        F.lit("events.parquet").alias("file_name"),
+        F.count("*").alias("record_count"),
+        F.lit("completed").alias("pipeline_status"),
+    )
+
+
+@query(
+    "q_etl_dirty_input_quarantine",
+    oracle="""
+    WITH dirty AS (
+        SELECT doc_id,
+               CASE doc_id % 5
+                 WHEN 0 THEN ''
+                 WHEN 1 THEN 'not-a-number'
+                 ELSE CAST(n_chars AS VARCHAR)
+               END AS deaths_raw,
+               CASE doc_id % 4
+                 WHEN 0 THEN '2024/01/15'
+                 WHEN 1 THEN '2024-1-15'
+                 ELSE '2024-01-15'
+               END AS day_raw
+        FROM documents
+    )
+    SELECT COUNT(*) AS input_rows,
+           COUNT(*) FILTER (
+             WHERE TRIM(deaths_raw) <> ''
+               AND TRY_CAST(deaths_raw AS DOUBLE) IS NOT NULL
+               AND LENGTH(day_raw) = 10
+               AND TRY_STRPTIME(day_raw, '%Y-%m-%d') IS NOT NULL
+           ) AS valid_rows,
+           COUNT(*) FILTER (WHERE TRIM(deaths_raw) = '') AS empty_field_rows,
+           COUNT(*) FILTER (
+             WHERE TRIM(deaths_raw) <> '' AND TRY_CAST(deaths_raw AS DOUBLE) IS NULL
+           ) AS bad_number_rows,
+           COUNT(*) FILTER (
+             WHERE LENGTH(day_raw) <> 10 OR TRY_STRPTIME(day_raw, '%Y-%m-%d') IS NULL
+           ) AS bad_date_rows
+    FROM dirty
+    """,
+    tags=("etl", "Q6", "P7", "P8"),
+)
+def q_etl_dirty_input_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized dirty input (empty fields, non-numeric numbers,
+    wrong-format dates incl. the '2024-1-15' short form the reference's
+    len==10 pre-check rejects, dataflow_transform.py:53-58) with per-cause
+    quarantine counts."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    dirty = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, "")
+        .when(F.col("doc_id") % 5 == 1, "not-a-number")
+        .otherwise(F.col("n_chars").cast("string"))
+        .alias("deaths_raw"),
+        F.when(F.col("doc_id") % 4 == 0, "2024/01/15")
+        .when(F.col("doc_id") % 4 == 1, "2024-1-15")
+        .otherwise("2024-01-15")
+        .alias("day_raw"),
+    )
+    num_ok = F.col("deaths_raw").try_cast("double").isNotNull()
+    not_blank = F.trim("deaths_raw") != ""
+    date_ok = parse_strict_date(F.col("day_raw")).isNotNull()
+    return dirty.agg(
+        F.count("*").alias("input_rows"),
+        F.count(F.when(not_blank & num_ok & date_ok, 1)).alias("valid_rows"),
+        F.count(F.when(~not_blank, 1)).alias("empty_field_rows"),
+        F.count(F.when(not_blank & ~num_ok, 1)).alias("bad_number_rows"),
+        F.count(F.when(~date_ok, 1)).alias("bad_date_rows"),
+    )

@@ -1,0 +1,306 @@
+"""Scalar-function queries — SURVEY.md §2.8 (F1-F17), oracle-checked.
+
+Each query exercises a family of scalar functions over the fixture tables
+so the DuckDB oracle verifies value-level semantics (not just plumbing):
+string cleaning, null-on-fail casts, truncating numeric casts, strict and
+multi-format date/timestamp parsing, JSON extraction, regex, math, and
+array functions. Everything is a built-in Column expression — zero Python
+UDFs — so the whole layer stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.functions.cleaning import (
+    clean_special_chars,
+    multi_format_timestamp,
+    non_empty,
+    strip_trailing_colons,
+    truncating_int_cast,
+)
+from etl_pipeline_spark.queries.base import query
+
+
+@query(
+    "q_scalar_string_cleaning",
+    oracle="""
+    SELECT doc_id,
+           TRIM(text)                                            AS trimmed,
+           UPPER(source)                                         AS source_uc,
+           REGEXP_REPLACE(source, ':+$', '')                     AS no_trailing_colons,
+           REGEXP_REPLACE(text, '[^0-9A-Za-z ,.-]', '', 'g')     AS cleaned,
+           LENGTH(text)                                          AS text_len,
+           SUBSTR(text, 1, 20)                                   AS prefix20,
+           CONCAT(lang, '/', source)                             AS lang_source
+    FROM documents
+    WHERE doc_id < 50
+    """,
+    tags=("scalar", "F1", "F2", "F3"),
+)
+def q_scalar_string_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String cleaning family (F1 trim <- dataflow_transform.py:65,
+    F3 trailing-colon/special-char strip <- README.md:34, plus
+    length/substr/concat). DuckDB regexp_replace needs the 'g' flag to
+    match Spark's replace-all semantics."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.trim("text").alias("trimmed"),
+        F.upper("source").alias("source_uc"),
+        strip_trailing_colons(F.col("source")).alias("no_trailing_colons"),
+        clean_special_chars(F.col("text")).alias("cleaned"),
+        F.length("text").alias("text_len"),
+        F.substring("text", 1, 20).alias("prefix20"),
+        F.concat_ws("/", "lang", "source").alias("lang_source"),
+    )
+
+
+@query(
+    "q_scalar_casts",
+    oracle="""
+    SELECT event_id,
+           CAST(TRUNC(value) AS BIGINT)                 AS value_int,
+           TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE)   AS value_roundtrip,
+           TRY_CAST(event_type AS DOUBLE)               AS bad_parse,
+           CAST(user_id AS VARCHAR)                     AS user_str
+    FROM events
+    WHERE event_id < 200
+    """,
+    tags=("scalar", "F4", "F5"),
+)
+def q_scalar_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast semantics: the reference's ``int(float(x))`` truncating cast
+    (F4 <- dataflow_transform.py:45 — Spark double->long truncates toward
+    zero; ANSI engines round, hence TRUNC in the oracle) and null-on-fail
+    numeric parse (F5 <- dataflow.py:317-321: 'event_type' never parses,
+    so ``bad_parse`` is all-NULL in both engines)."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return e.filter(F.col("event_id") < 200).select(
+        "event_id",
+        truncating_int_cast(F.col("value")).alias("value_int"),
+        F.col("value").cast("string").cast("double").alias("value_roundtrip"),
+        F.col("event_type").try_cast("double").alias("bad_parse"),
+        F.col("user_id").cast("string").alias("user_str"),
+    )
+
+
+@query(
+    "q_scalar_dates",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(YEAR FROM o_orderdate)                       AS order_year,
+           EXTRACT(MONTH FROM o_orderdate)                      AS order_month,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE)       AS month_start,
+           STRFTIME(o_orderdate, '%Y-%m-%d')                    AS order_day_str,
+           DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE)          AS due_date
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+    tags=("scalar", "F6", "F12"),
+)
+def q_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extraction, truncation, formatting (F6 <-
+    dataflow_transform.py:55), day arithmetic (F12 <- dataflow.py:178-180)."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return o.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day_str"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_y2k"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+    )
+
+
+@query(
+    "q_scalar_multiformat_ts",
+    oracle="""
+    WITH raw AS (
+        SELECT event_id,
+               CASE event_id % 5
+                 WHEN 0 THEN STRFTIME(ts, '%Y-%m-%dT%H:%M:%S.%fZ')
+                 WHEN 1 THEN STRFTIME(ts, '%Y-%m-%dT%H:%M:%SZ')
+                 WHEN 2 THEN STRFTIME(ts, '%Y-%m-%dT%H:%M:%S')
+                 WHEN 3 THEN STRFTIME(ts, '%Y-%m-%d %H:%M:%S')
+                 ELSE STRFTIME(ts, '%Y-%m-%d')
+               END AS ts_str
+        FROM events WHERE event_id < 1000
+    )
+    SELECT event_id, ts_str,
+           COALESCE(
+             TRY_STRPTIME(ts_str, '%Y-%m-%dT%H:%M:%S.%fZ'),
+             TRY_STRPTIME(ts_str, '%Y-%m-%dT%H:%M:%SZ'),
+             TRY_STRPTIME(ts_str, '%Y-%m-%dT%H:%M:%S'),
+             TRY_STRPTIME(ts_str, '%Y-%m-%d %H:%M:%S'),
+             TRY_STRPTIME(ts_str, '%Y-%m-%d')
+           ) AS parsed
+    FROM raw
+    """,
+    tags=("scalar", "F7"),
+)
+def q_scalar_multiformat_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format timestamp parse, first-match-wins (F7 <-
+    dataflow.py:367-382): serialize each event's ts into one of the five
+    accepted formats, then recover it with the coalesce-of-try-parses."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    raw = e.filter(F.col("event_id") < 1000).select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+        .when(F.col("event_id") % 5 == 1, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .when(F.col("event_id") % 5 == 2, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(F.col("event_id") % 5 == 3, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd"))
+        .alias("ts_str"),
+    )
+    return raw.select(
+        "event_id", "ts_str", multi_format_timestamp(F.col("ts_str")).alias("parsed")
+    )
+
+
+@query(
+    "q_scalar_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)                                               AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "F14"),
+)
+def q_scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (F14 <- dataflow.py:212
+    ``json.loads``): ``get_json_object`` keeps the parse JVM-side."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "q_scalar_regexp_extract",
+    oracle="""
+    SELECT source,
+           CAST(REGEXP_EXTRACT(source, 'src([0-9]+)', 1) AS BIGINT) AS src_num,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("scalar", "regex"),
+)
+def q_scalar_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex group extraction + cast (F10-style id-from-name parsing)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs")
+    ).select(
+        "source",
+        F.regexp_extract("source", r"src([0-9]+)", 1).cast("long").alias("src_num"),
+        "n_docs",
+    )
+
+
+@query(
+    "q_scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_extendedprice - l_quantity * 1000)         AS abs_gap,
+           ROUND(SQRT(l_extendedprice), 4)                  AS sqrt_price,
+           ROUND(LN(l_extendedprice + 1), 4)                AS ln_price,
+           ROUND(POW(1 - l_discount, 2), 4)                 AS disc_sq,
+           CAST(FLOOR(l_quantity / 10) AS BIGINT)           AS qty_decile,
+           CAST(CEIL(l_tax * 100) AS BIGINT)                AS tax_pct_ceil,
+           l_orderkey % 7                                   AS key_mod7
+    FROM lineitem
+    WHERE l_orderkey < 300
+    """,
+    tags=("scalar", "F17", "math"),
+)
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family (F17): abs/sqrt/ln/pow/floor/ceil/mod.
+    Transcendentals rounded to 4 decimals — libm implementations may
+    differ in the last ulp across engines."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.filter(F.col("l_orderkey") < 300).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000).alias("abs_gap"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("sqrt_price"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("ln_price"),
+        F.round(F.pow(1 - F.col("l_discount"), 2), 4).alias("disc_sq"),
+        F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_decile"),
+        F.ceil(F.col("l_tax") * 100).cast("long").alias("tax_pct_ceil"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+@query(
+    "q_scalar_arrays",
+    oracle="""
+    SELECT doc_id,
+           LEN(STRING_SPLIT(text, ' '))                               AS n_tokens,
+           ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(text, ' '), 1, 3), ' ') AS first3,
+           LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark')            AS has_spark,
+           LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))                AS n_distinct_tokens
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    tags=("scalar", "F17", "array"),
+)
+def q_scalar_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family (F17): split/size/slice/contains/distinct.
+    The JSON-array explode path (S4) is exercised in the source tests."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split("text", " ")
+    return d.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+@query(
+    "q_scalar_conditional_nonempty",
+    oracle="""
+    SELECT doc_id,
+           (text IS NOT NULL AND TRIM(text) <> '')  AS text_present,
+           CASE
+             WHEN n_chars >= 300 THEN 'long'
+             WHEN n_chars >= 100 THEN 'medium'
+             ELSE 'short'
+           END                                      AS size_class,
+           COALESCE(NULLIF(TRIM(source), ''), 'unknown') AS source_clean
+    FROM documents
+    """,
+    tags=("scalar", "P4", "case"),
+)
+def q_scalar_conditional_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: the required-field presence predicate (P4 <-
+    dataflow_transform.py:39-41), CASE bucketing, NULLIF/COALESCE defaults."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.select(
+        "doc_id",
+        non_empty(F.col("text")).alias("text_present"),
+        F.when(F.col("n_chars") >= 300, "long")
+        .when(F.col("n_chars") >= 100, "medium")
+        .otherwise("short")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.trim("source"), F.lit("")), F.lit("unknown")).alias(
+            "source_clean"
+        ),
+    )

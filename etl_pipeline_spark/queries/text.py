@@ -1,0 +1,199 @@
+"""Text-analysis operators — SURVEY.md §2.12 X4 + BASELINE.json extensions.
+
+Language-ID (marker-word heuristic), quality scoring (length/punct/stopword
+ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting (md5 of normalized text — md5 is bit-identical across
+engines, so fingerprints oracle-check exactly). All pure Column exprs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.queries.base import query
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbol
+# (the shape GPT-2-style pre-tokenization produces, minus byte fallback).
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny marker-word lists per language for the n-gram/stopword heuristic.
+LANG_MARKERS = {
+    "en": r"\b(the|a|and|of|to)\b",
+    "es": r"\b(el|la|de|que|y)\b",
+    "fr": r"\b(le|la|les|de|et)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+}
+
+
+@query(
+    "q_text_stats_by_lang",
+    oracle="""
+    SELECT lang,
+           COUNT(*)                                              AS n_docs,
+           ROUND(AVG(n_chars), 2)                                AS avg_chars,
+           ROUND(AVG(LEN(STRING_SPLIT(text, ' '))), 2)           AS avg_tokens,
+           MAX(LENGTH(text))                                     AS max_len,
+           COUNT(DISTINCT source)                                AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "X4"),
+)
+def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: doc counts, length and token-count
+    averages, source diversity."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " "))), 2).alias("avg_tokens"),
+        F.max(F.length("text")).alias("max_len"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "q_text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))            AS ws_tokens,
+           LEN(REGEXP_EXTRACT_ALL(text, '{TOKEN_RE}'))            AS bpe_ish_tokens,
+           LENGTH(text)                                           AS n_bytes_ascii
+    FROM documents
+    """,
+    tags=("text", "X4", "tokenize"),
+)
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    pre-tokenizer — the token-budget primitive of a training-data pipeline."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).cast("long").alias(
+            "bpe_ish_tokens"
+        ),
+        F.length("text").alias("n_bytes_ascii"),
+    )
+
+
+@query(
+    "q_text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               LEN(REGEXP_EXTRACT_ALL(LOWER(text), '{LANG_MARKERS["en"]}')) AS en_hits,
+               LEN(REGEXP_EXTRACT_ALL(LOWER(text), '{LANG_MARKERS["es"]}')) AS es_hits,
+               LEN(REGEXP_EXTRACT_ALL(LOWER(text), '{LANG_MARKERS["fr"]}')) AS fr_hits,
+               LEN(REGEXP_EXTRACT_ALL(LOWER(text), '{LANG_MARKERS["de"]}')) AS de_hits
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE
+                 WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits
+                      AND en_hits > 0 THEN 'en'
+                 WHEN es_hits >= fr_hits AND es_hits >= de_hits AND es_hits > 0 THEN 'es'
+                 WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+                 WHEN de_hits > 0 THEN 'de'
+                 ELSE 'unknown'
+               END AS predicted_lang
+        FROM scored
+    )
+    SELECT lang, predicted_lang, COUNT(*) AS n_docs
+    FROM pred
+    GROUP BY lang, predicted_lang
+    """,
+    tags=("text", "X4", "langid"),
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: count stopword hits per language,
+    argmax with a fixed priority order (en > es > fr > de) for ties, then
+    cross-tab predicted vs labeled language."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    low = F.lower(F.col("text"))
+    hits = {
+        k: F.size(F.regexp_extract_all(low, F.lit(pat))) for k, pat in LANG_MARKERS.items()
+    }
+    predicted = (
+        F.when(
+            (hits["en"] >= hits["es"])
+            & (hits["en"] >= hits["fr"])
+            & (hits["en"] >= hits["de"])
+            & (hits["en"] > 0),
+            "en",
+        )
+        .when((hits["es"] >= hits["fr"]) & (hits["es"] >= hits["de"]) & (hits["es"] > 0), "es")
+        .when((hits["fr"] >= hits["de"]) & (hits["fr"] > 0), "fr")
+        .when(hits["de"] > 0, "de")
+        .otherwise("unknown")
+    )
+    return (
+        d.select("lang", predicted.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "q_text_quality_score",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id,
+               LENGTH(text)                                                    AS n,
+               LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))                     AS n_tok,
+               LEN(REGEXP_EXTRACT_ALL(text, '[^A-Za-z0-9\\s]'))                AS n_punct,
+               LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\\b(the|a|and|of|to)\\b')) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(CAST(n_punct AS DOUBLE) / GREATEST(n, 1), 4)     AS punct_ratio,
+           ROUND(CAST(n_stop AS DOUBLE) / GREATEST(n_tok, 1), 4)  AS stopword_ratio,
+           ROUND(CAST(n AS DOUBLE) / GREATEST(n_tok, 1), 4)       AS avg_token_len,
+           (n_tok BETWEEN 10 AND 1000
+            AND CAST(n_punct AS DOUBLE) / GREATEST(n, 1) < 0.2)   AS passes_quality
+    FROM feat
+    """,
+    tags=("text", "X4", "quality"),
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality features (Gopher-rule style): punctuation
+    density, stopword ratio, mean token length, and a pass/fail gate."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n = F.length("text")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0))
+    n_stop = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\b(the|a|and|of|to)\b")))
+    punct_ratio = n_punct.cast("double") / F.greatest(n, F.lit(1))
+    return d.select(
+        "doc_id",
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(n.cast("double") / F.greatest(n_tok, F.lit(1)), 4).alias("avg_token_len"),
+        (n_tok.between(10, 1000) & (punct_ratio < 0.2)).alias("passes_quality"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           SUBSTR(MD5(text), 1, 8)                                  AS raw_prefix
+    FROM documents
+    """,
+    tags=("text", "X4", "fingerprint"),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized, lowercased
+    text. md5 is bit-identical across engines, so this oracle-checks
+    exactly — the anchor for exact dedup (X1)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.substring(F.md5(F.col("text")), 1, 8).alias("raw_prefix"),
+    )

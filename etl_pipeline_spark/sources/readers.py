@@ -1,0 +1,124 @@
+"""Multi-format validated sources — SURVEY.md §2.1 (S1-S10).
+
+The reference reads CSV line-by-line with hardcoded headers
+(dataflow_transform.py:14-30), whole-file JSON (dataflow.py:209-234),
+JSONL (dataflow.py:269-285) and plain text (dataflow.py:287-294), always
+in a single worker process. Here every format is a distributed Spark read
+with explicit schema and PERMISSIVE corrupt-record capture, so malformed
+rows land in a quarantine DataFrame instead of being silently dropped
+(the Q6 upgrade) — and the read scales with the cluster, fixing the
+reference's single-process validation hotspot (dataflow.py:184).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt_field(schema: T.StructType) -> T.StructType:
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return T.StructType([*schema.fields, T.StructField(CORRUPT_COL, T.StringType(), True)])
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a PERMISSIVE-read DataFrame into (clean, quarantine).
+
+    Quarantined rows keep the raw record text for later repair — the
+    reference logged a warning and dropped them (dataflow_transform.py:26-30).
+    Spark requires caching the raw frame before filtering on the corrupt
+    column (it is populated at parse time).
+    """
+    df = df.cache()
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull())
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return good, bad
+
+
+def read_csv_with_schema(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV scan with declared schema (S1+S2): header skipped like
+    ``skip_header_lines=1`` (dataflow_transform.py:170), malformed lines
+    captured PERMISSIVE-ly. Returns (clean, quarantine).
+
+    Schema-on-read with supplied fieldnames matches the reference's
+    hardcoded-headers parser (dataflow_transform.py:22); pass
+    ``header=False`` for headerless files.
+    """
+    reader = (
+        spark.read.schema(_with_corrupt_field(schema))
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return split_quarantine(reader.csv(path))
+
+
+def read_csv_autodetect(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """Bulk CSV load with schema inference (S3 <- airflow.py:87-101:
+    ``autodetect=True, skip_leading_rows=1, allow_quoted_newlines=True``).
+    multiLine covers quoted newlines; inference costs an extra pass, so
+    prefer declared schemas in production paths."""
+    reader = (
+        spark.read.option("header", "true")
+        .option("inferSchema", "true")
+        .option("multiLine", "true")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json_records(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Whole-file JSON source (S4 <- dataflow.py:209-234): accepts both an
+    array of records (rows via Spark's native multiLine array handling)
+    and a single object (one row)."""
+    reader = spark.read.option("multiLine", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL/NDJSON source (S5 <- dataflow.py:269-285) with corrupt-line
+    quarantine. Returns (clean, quarantine)."""
+    if schema is None:
+        inferred = spark.read.json(path).schema
+        schema = T.StructType([f for f in inferred.fields if f.name != CORRUPT_COL])
+    reader = (
+        spark.read.schema(_with_corrupt_field(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    return split_quarantine(reader.json(path))
+
+
+def read_text_nonempty(spark: SparkSession, path: str) -> DataFrame:
+    """Plain-text source keeping non-empty lines (S6 <- dataflow.py:287-294)."""
+    return spark.read.text(path).filter(F.length(F.trim(F.col("value"))) > 0)
+
+
+def with_file_metadata(df: DataFrame) -> DataFrame:
+    """Attach source-file lineage columns (S9/S10 <- dataflow.py:154-180):
+    path, size, modification time from the hidden ``_metadata`` struct."""
+    return df.select(
+        "*",
+        F.col("_metadata.file_path").alias("_file_path"),
+        F.col("_metadata.file_size").alias("_file_size"),
+        F.col("_metadata.file_modification_time").alias("_file_mtime"),
+    )

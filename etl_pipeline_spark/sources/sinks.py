@@ -1,0 +1,84 @@
+"""Warehouse sinks + audit trail — SURVEY.md §2.1 (S12-S17), §2.11 (Q5).
+
+The reference writes a main table (WRITE_TRUNCATE) and appends an audit
+row per ingest (dataflow_transform.py:180-214). Spark equivalents:
+``mode("overwrite")`` / ``mode("append")`` saveAsTable, plus a one-row
+audit DataFrame synthesized from the load's own count — the multi-sink
+fan-out (S16) reuses one cached DataFrame for both writes.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+AUDIT_SCHEMA = (
+    "file_name string, ingestion_time timestamp, record_count long, "
+    "input_path string, pipeline_status string, processed_timestamp timestamp"
+)
+
+
+def create_table_if_not_exists(spark: SparkSession, table: str, ddl_cols: str) -> None:
+    """Idempotent DDL (S14 <- airflow.py:57-84 ``exists_ok=True``)."""
+    spark.sql(f"CREATE TABLE IF NOT EXISTS {table} ({ddl_cols})")
+
+
+def create_database_if_not_exists(spark: SparkSession, db: str) -> None:
+    """Namespace DDL (S15 <- dataflow.py:452-460)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+
+
+def overwrite_table(df: DataFrame, table: str) -> None:
+    """Truncate-and-load sink (S12 <- dataflow_transform.py:180-189
+    WRITE_TRUNCATE + CREATE_IF_NEEDED)."""
+    df.write.mode("overwrite").saveAsTable(table)
+
+
+def append_table(df: DataFrame, table: str) -> None:
+    """Append sink (S13 <- dataflow_transform.py:205-214 WRITE_APPEND)."""
+    df.write.mode("append").saveAsTable(table)
+
+
+def audit_record(
+    spark: SparkSession,
+    input_path: str,
+    record_count: int,
+    status: str = "completed",
+) -> DataFrame:
+    """One-row audit entry (Q5 <- dataflow_transform.py:91-106): basename,
+    ingestion time, the load's record count, full input path, status."""
+    now = datetime.now(timezone.utc).replace(tzinfo=None)
+    row = [
+        (
+            os.path.basename(input_path),
+            now,
+            record_count,
+            input_path,
+            status,
+            now,
+        )
+    ]
+    return spark.createDataFrame(row, AUDIT_SCHEMA)
+
+
+def write_with_audit(
+    df: DataFrame,
+    main_table: str,
+    audit_table: str,
+    input_path: str,
+    mode: str = "overwrite",
+) -> int:
+    """Multi-sink fan-out (S16 <- dataflow_transform.py:166-214): one
+    processed DataFrame feeds the main table and the audit log. The frame
+    is cached so the audit count does not recompute the pipeline; at scale
+    ``df.observe`` metrics could replace the extra count action entirely."""
+    spark = df.sparkSession
+    df = df.cache()
+    df.write.mode(mode).saveAsTable(main_table)
+    n = df.count()
+    append_table(audit_record(spark, input_path, n), audit_table)
+    df.unpersist()
+    return n

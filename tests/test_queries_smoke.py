@@ -1,0 +1,46 @@
+"""Smoke tests over the driver contract: entry() runs, every registered
+query has a callable + (usually) an oracle, and a representative sample
+executes at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as contract
+
+SF = "/root/testdata/sf0.001"
+
+SAMPLE = [
+    "q01_pricing_summary",
+    "q05_nation_revenue",
+    "q_join_outer_order_counts",
+    "q_window_rank_orders",
+    "q_setop_except_nations",
+    "q_etl_clean_cast_filter",
+    "q_text_quality_score",
+    "q_dedup_exact",
+    "q_knn_bruteforce_cosine",
+]
+
+
+def test_entry_smoke(spark):
+    df = contract.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns
+
+
+def test_registry_shape():
+    qs = contract.queries()
+    oracles = contract.oracle_sql()
+    assert len(qs) >= 30
+    assert set(oracles) <= set(qs)
+    # the vast majority must be oracle-checkable
+    assert len(oracles) >= len(qs) - 5
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_runs(spark, name):
+    df = contract.queries()[name](spark, SF)
+    assert df.columns  # has a schema
+    df.limit(5).collect()  # executes without error

@@ -1,0 +1,88 @@
+"""Structured Streaming tests (SURVEY.md §2.9): file-source ingest with
+foreachBatch dual sink, and event-time windowed aggregations."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.streaming.ingest import start_file_ingest
+from etl_pipeline_spark.streaming.windows import sessionized_counts, tumbling_counts
+
+CSV1 = """entity,Day,total_confirmed_deaths
+A,2021-01-01,10
+B,2021-01-01,bad
+"""
+CSV2 = """entity,Day,total_confirmed_deaths
+C,2021-01-02,20.9
+"""
+
+
+def test_file_ingest_end_to_end(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    inp, out, ckpt = base / "in", base / "out", base / "ckpt"
+    inp.mkdir()
+    (inp / "f1.csv").write_text(CSV1)
+    (inp / "f2.csv").write_text(CSV2)
+    q = start_file_ingest(spark, str(inp), str(out), str(ckpt))
+    q.awaitTermination(120)
+    main = spark.read.parquet(str(out / "main"))
+    quarantine = spark.read.parquet(str(out / "quarantine"))
+    audit = spark.read.parquet(str(out / "audit"))
+    assert {r["entity"] for r in main.collect()} == {"A", "C"}
+    assert main.filter(F.col("entity") == "C").collect()[0]["total_confirmed_deaths"] == 20
+    assert quarantine.count() == 1
+    assert audit.agg(F.sum("record_count")).collect()[0][0] == 2
+
+    # restart with no new files: checkpoint prevents reprocessing
+    q2 = start_file_ingest(spark, str(inp), str(out), str(ckpt))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(out / "main")).count() == 2
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_src")
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:05:00", 1, "click", 1.0),
+            ("2024-01-01 00:20:00", 1, "click", 2.0),
+            ("2024-01-01 00:50:00", 2, "view", 3.0),
+            ("2024-01-01 01:10:00", 2, "view", 4.0),
+        ],
+        "ts_s string, user_id long, event_type string, value double",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "value")
+    df.write.parquet(str(d / "data"))
+    return spark.readStream.schema(df.schema).parquet(str(d / "data"))
+
+
+def _run_complete(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_counts(spark, event_stream):
+    res = _run_complete(spark, tumbling_counts(event_stream), "t_tumbling")
+    rows = {(str(r["window_start"]), r["event_type"]): r for r in res.collect()}
+    assert rows[("2024-01-01 00:00:00", "click")]["n_events"] == 2
+    assert rows[("2024-01-01 00:00:00", "view")]["n_events"] == 1
+    assert rows[("2024-01-01 01:00:00", "view")]["sum_value"] == 4.0
+
+
+def test_session_windows(spark, event_stream):
+    res = _run_complete(spark, sessionized_counts(event_stream), "t_sessions")
+    by_user = {}
+    for r in res.collect():
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 1: events 15 min apart -> beyond 5-min gap -> two sessions
+    assert len(by_user[1]) == 2
+    # user 2: 20 min apart -> two sessions
+    assert len(by_user[2]) == 2
