@@ -1,0 +1,313 @@
+"""Advanced relational surface, batch 2 — as-of join, grouping sets,
+RANGE window frames, first/last/nth, ordered string aggregation,
+deterministic hash sampling, posexplode, union-by-name with missing
+columns. Fills the remaining SURVEY.md §2.5-2.7 / custom-operator rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.queries.base import query
+
+
+@query(
+    "q_asof_last_signup",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           MAX(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_signup_ts
+    FROM events
+    """,
+    tags=("asof", "window", "custom-op"),
+)
+def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (an operator Spark lacks natively), expressed as a
+    composition of built-ins (SURVEY custom-op preference (a)): for every
+    event, the most recent at-or-before 'signup' of the same user — a
+    running filtered-max window instead of a per-row lookup join.
+
+    Scale: one shuffle on user_id; state is one timestamp per partition
+    row — strictly better than the sort-merge-with-lookback an as-of
+    join would otherwise need. (DuckDB's native ASOF JOIN is the oracle's
+    alternative spelling; the window form is used for both here.)
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_signup = F.max(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    return e.select("event_id", "user_id", "event_type", last_signup.alias("last_signup_ts"))
+
+
+@query(
+    "q_grouping_sets_revenue",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL')  AS returnflag,
+           COALESCE(l_linestatus, 'ALL')  AS linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-flag, per-status,
+    and grand-total rows in one pass."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL')  AS returnflag,
+               COALESCE(l_linestatus, 'ALL')  AS linestatus,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice, 2) AS totalprice,
+           COUNT(*) OVER (
+               ORDER BY o_totalprice
+               RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
+           ) AS n_within_1000
+    FROM orders
+    WHERE o_custkey < 50
+    """,
+    tags=("window", "range-frame"),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) window frame — peers counted by price distance,
+    not row position. Unpartitioned global ordering kept small by the
+    filter; at scale a partition key bounds the sort. (SQL form: the
+    DataFrame ``rangeBetween`` API only accepts integer offsets through
+    py4j, so fractional-capable RANGE frames go through Spark SQL.)"""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               ROUND(o_totalprice, 2) AS totalprice,
+               COUNT(*) OVER (
+                   ORDER BY o_totalprice
+                   RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
+               ) AS n_within_1000
+        FROM orders
+        WHERE o_custkey < 50
+        """
+    )
+
+
+@query(
+    "q_window_first_last_nth",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER w AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (
+        PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+    tags=("window", "first-last"),
+)
+def q_window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth_value over a full-partition frame —
+    deterministic because the frame is UNBOUNDED..UNBOUNDED and the
+    ordering is total (orderkey tie-break)."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        o.filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "q_ordered_string_agg",
+    oracle="""
+    SELECT n_regionkey AS regionkey,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("agg", "collect"),
+)
+def q_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is unordered in a
+    distributed engine, so determinism comes from array_sort before the
+    join — equivalent to STRING_AGG(... ORDER BY)."""
+    n = load_tables(spark, sf_dir, ("nation",))["nation"]
+    return n.groupBy(F.col("n_regionkey").alias("regionkey")).agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count("*").alias("n_nations"),
+    )
+
+
+@query(
+    "q_sample_hash_10pct",
+    oracle="""
+    SELECT COUNT(*) AS n_sampled,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders
+    WHERE SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+    tags=("sample",),
+)
+def q_sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% hash sample (first md5 nibble in {0,1}) — the
+    reproducible, engine-portable alternative to df.sample(), which draws
+    from engine-specific RNG streams. Hash sampling also survives
+    re-partitioning and incremental loads (same rows always sampled)."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    nibble = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    return o.filter(nibble.isin("0", "1")).agg(
+        F.count("*").alias("n_sampled"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+@query(
+    "q_posexplode_tokens",
+    oracle="""
+    SELECT doc_id, i - 1 AS pos, STRING_SPLIT(text, ' ')[i] AS token
+    FROM documents, UNNEST(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')))) AS t(i)
+    WHERE doc_id < 20
+    """,
+    tags=("explode", "S4"),
+)
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (UDTF surface, SURVEY §2.10): token stream with
+    positions — the row-per-element form the JSON-array source (S4)
+    needs after a multiLine read."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        d.filter(F.col("doc_id") < 20)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+    )
+
+
+@query(
+    "q_union_by_name_missing",
+    oracle="""
+    SELECT party_key, acctbal, segment FROM (
+        SELECT c_custkey AS party_key, ROUND(c_acctbal, 2) AS acctbal,
+               c_mktsegment AS segment
+        FROM customer WHERE c_acctbal > 9990
+        UNION ALL
+        SELECT s_suppkey AS party_key, ROUND(s_acctbal, 2) AS acctbal,
+               CAST(NULL AS VARCHAR) AS segment
+        FROM supplier WHERE s_acctbal > 9990
+    )
+    """,
+    tags=("setop", "union-by-name"),
+)
+def q_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): schema-mismatched sources
+    conformed by name, absent columns null-filled — the schema-drift-safe
+    union for evolving sources."""
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    c = t["customer"].filter(F.col("c_acctbal") > 9990).select(
+        F.col("c_custkey").alias("party_key"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    s = t["supplier"].filter(F.col("s_acctbal") > 9990).select(
+        F.col("s_suppkey").alias("party_key"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@query(
+    "q_embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(LEN(embedding) AS BIGINT) AS n_dims,
+           ROUND(SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4)
+               AS l2_norm,
+           ROUND(list_max(list_transform(embedding::DOUBLE[], x -> ABS(x))), 4)
+               AS max_abs
+    FROM embeddings
+    """,
+    tags=("similarity", "X3", "array"),
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector hygiene stats (norm, max component) — the pre-flight checks
+    of an embedding pipeline, as pure array expressions."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(emb_d, emb_d, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.round(F.sqrt(dot), 4).alias("l2_norm"),
+        F.round(F.array_max(F.transform(emb_d, lambda x: F.abs(x))), 4).alias("max_abs"),
+    )
+
+
+# Block-matrix kNN (operators/similarity.py): Pandas-UDF numpy path whose
+# exact results must equal the pure-expression brute force — same oracle.
+from etl_pipeline_spark.operators.similarity import knn_block_matrix  # noqa: E402
+from etl_pipeline_spark.queries.similarity import N_QUERIES, TOP_K  # noqa: E402
+
+
+@query(
+    "q_knn_block_matrix",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+               ROUND(
+                 list_dot_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) /
+                 (SQRT(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[])) *
+                  SQRT(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                 4) AS cos_sim
+        FROM q, embeddings e
+        WHERE e.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id ASC
+        ) AS rnk
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, neighbor_label, cos_sim, rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "X3", "pandas-udf"),
+    doc=knn_block_matrix.__doc__ or "",
+)
+def q_knn_block_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_block_matrix(spark, sf_dir, n_queries=N_QUERIES, top_k=TOP_K)

@@ -49,6 +49,7 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 def all_specs() -> dict[str, QuerySpec]:
     # Import sides register themselves; keep imports here to avoid cycles.
     from etl_pipeline_spark.queries import (  # noqa: F401
+        advanced,
         dedup,
         etl,
         multimodal,
