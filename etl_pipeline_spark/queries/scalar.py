@@ -304,3 +304,29 @@ def q_scalar_conditional_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame
             "source_clean"
         ),
     )
+
+
+@query(
+    "q_scalar_file_lineage",
+    oracle="""
+    SELECT doc_id,
+           'documents.parquet' AS source_file,
+           TRUE                AS has_lineage
+    FROM documents
+    WHERE doc_id < 30
+    """,
+    tags=("scalar", "F9", "F10", "lineage"),
+)
+def q_scalar_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit/lineage columns (F9/F10 <- dataflow_transform.py:64-69,93):
+    source file basename from input_file_name() — checked end-to-end
+    because the oracle pins the expected basename."""
+    from etl_pipeline_spark.catalog import load_tables
+    from etl_pipeline_spark.functions.cleaning import basename
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.filter(F.col("doc_id") < 30).select(
+        "doc_id",
+        basename(F.input_file_name()).alias("source_file"),
+        F.input_file_name().isNotNull().alias("has_lineage"),
+    )

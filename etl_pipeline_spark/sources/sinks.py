@@ -82,3 +82,42 @@ def write_with_audit(
     append_table(audit_record(spark, input_path, n), audit_table)
     df.unpersist()
     return n
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed table sink: co-locates future joins/aggs on the bucket key
+    so they run with NO exchange (the 100 TB answer to repeated fact-fact
+    joins — shuffle once at write time, never again at read time).
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def write_with_observed_audit(
+    df: DataFrame,
+    main_table: str,
+    audit_table: str,
+    input_path: str,
+    mode: str = "overwrite",
+) -> int:
+    """Single-pass variant of write_with_audit: the record count is
+    captured by ``df.observe`` DURING the write (A3's accumulator pattern,
+    SURVEY §2.4 <- CountRecords DoFn dataflow_transform.py:75-89), so the
+    pipeline is executed exactly once — no cache, no second count job."""
+    from pyspark.sql import Observation
+
+    spark = df.sparkSession
+    obs = Observation("load_metrics")
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    observed.write.mode(mode).saveAsTable(main_table)
+    n = int(obs.get["n"])
+    append_table(audit_record(spark, input_path, n), audit_table)
+    return n

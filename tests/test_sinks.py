@@ -1,0 +1,59 @@
+"""Sink tests (S12-S16): bucketed co-located joins (no exchange in the
+plan), observe-based single-pass audit, DDL idempotency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.sources.sinks import (
+    create_database_if_not_exists,
+    create_table_if_not_exists,
+    write_bucketed,
+    write_with_observed_audit,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        ["o_orderkey"],
+        8,
+        sort_cols=["o_orderkey"],
+    )
+    # disable broadcast so the planner must choose sort-merge — at real
+    # scale both sides are too big to broadcast, which is when bucketing
+    # pays off
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # bucket co-location: the join must run without any SHUFFLE exchange
+        assert "Exchange hashpartitioning" not in plan, plan[:800]
+        assert "SortMergeJoin" in plan, plan[:400]
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+
+def test_write_with_observed_audit_single_pass(spark):
+    df = spark.read.parquet(f"{SF}/region.parquet")
+    n = write_with_observed_audit(df, "obs_main", "obs_audit", "/data/region.parquet")
+    assert n == 5
+    audit = spark.table("obs_audit").collect()[-1]
+    assert audit["record_count"] == 5
+    assert audit["file_name"] == "region.parquet"
+    assert spark.table("obs_main").count() == 5
+
+
+def test_ddl_idempotent(spark):
+    create_database_if_not_exists(spark, "etl_meta")
+    create_database_if_not_exists(spark, "etl_meta")  # second call: no error
+    create_table_if_not_exists(spark, "etl_meta.t1", "id BIGINT, name STRING")
+    create_table_if_not_exists(spark, "etl_meta.t1", "id BIGINT, name STRING")
+    assert spark.table("etl_meta.t1").columns == ["id", "name"]
