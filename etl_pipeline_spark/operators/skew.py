@@ -1,0 +1,67 @@
+"""Skew mitigation — salting for hot keys (SURVEY.md scale mandate).
+
+AQE's skew-join splitting (enabled in session.py) is the first line of
+defense; explicit salting is the deterministic fallback when a single key
+dominates (the classic null-key / power-law case in a 100 TB join or
+aggregation).
+
+- ``salted_aggregate``: two-phase aggregation — partial agg on
+  (key, salt), final agg on key. Spark's hash aggregate already does
+  map-side partials, so this matters when the DISTINCT or collect-ish
+  aggregate defeats partial aggregation.
+- ``salted_join``: replicate the small side n_salts times, salt the big
+  side with a deterministic pmod(hash(row-id)), join on (key, salt) — the
+  hot key's rows spread over n_salts reducers instead of one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key: str,
+    agg_col: str,
+    n_salts: int = 16,
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """SUM(agg_col) GROUP BY key, computed as partial sums over
+    (key, salt) then a final sum over key. Deterministic salt from a
+    row-level hash keeps re-runs identical."""
+    salt = (
+        F.pmod(F.xxhash64(salt_source if salt_source is not None else F.col(agg_col)), n_salts)
+        if n_salts > 1
+        else F.lit(0)
+    )
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.sum(agg_col).alias("_partial"))
+    )
+    return partial.groupBy(key).agg(F.sum("_partial").alias(f"sum_{agg_col}"))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Inner equi-join with the big side salted and the small side
+    replicated n_salts times. Output equals ``big.join(small, key)``;
+    the difference is purely physical — the hot key's shuffle partition
+    splits n_salts ways."""
+    salt = F.pmod(
+        F.xxhash64(salt_source if salt_source is not None else F.monotonically_increasing_id()),
+        n_salts,
+    )
+    big_s = big.withColumn("_salt", salt)
+    # explode cannot be nested inside another expression (e.g. a cast) —
+    # generate first, cast in a separate projection
+    small_r = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    return big_s.join(small_r, [key, "_salt"]).drop("_salt")

@@ -311,3 +311,16 @@ from etl_pipeline_spark.queries.similarity import N_QUERIES, TOP_K  # noqa: E402
 )
 def q_knn_block_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_block_matrix(spark, sf_dir, n_queries=N_QUERIES, top_k=TOP_K)
+
+
+# IVF ANN (operators/ivf.py): deterministic coarse-quantized search whose
+# full pipeline — centroids, cell routing, in-cell exact top-k — the
+# DuckDB oracle reproduces.
+from etl_pipeline_spark.operators.ivf import IVF_ORACLE, ivf_topk  # noqa: E402
+
+query(
+    "q_knn_ivf",
+    oracle=IVF_ORACLE,
+    tags=("similarity", "X3", "ivf", "ann"),
+    doc=ivf_topk.__doc__ or "IVF-style ANN with nprobe=2 over label cells.",
+)(ivf_topk)

@@ -1,0 +1,54 @@
+"""Custom stateful streaming operator — SURVEY.md §2.10: the reference's
+DoFn-with-state (CountRecords, dataflow_transform.py:75-89) generalized
+to a keyed running profile via ``applyInPandasWithState``.
+
+Per user_id the state holds (n_events, total_value, last_ts); each
+micro-batch folds its rows into the state and emits the updated profile.
+State is bounded by key cardinality and checkpointed — the streaming
+equivalent of a running GROUP BY that never re-reads history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts timestamp"
+STATE_SCHEMA = "n long, total double, last_ts timestamp"
+
+
+def _update_profile(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    n, total, last_ts = state.get if state.exists else (0, 0.0, None)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        batch_max = pdf["ts"].max()
+        last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+    state.update((n, total, last_ts))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+            "last_ts": [last_ts],
+        }
+    )
+
+
+def running_user_profiles(events: DataFrame) -> DataFrame:
+    """Streaming keyed state: events(ts, user_id, value) -> continuously
+    updated per-user profile rows."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_profile,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,65 @@
+"""Salted-skew operators match their unsalted plans; stateful streaming
+keeps running per-key profiles across micro-batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.operators.skew import salted_aggregate, salted_join
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_aggregate_equals_plain(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plain = {
+        r["l_returnflag"]: round(r["s"], 2)
+        for r in li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s")).collect()
+    }
+    salted = {
+        r["l_returnflag"]: round(r["sum_l_quantity"], 2)
+        for r in salted_aggregate(li, "l_returnflag", "l_quantity", n_salts=8).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_equals_plain(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_totalprice")
+    plain = li.join(orders, "o_orderkey")
+    salted = salted_join(li, orders, "o_orderkey", n_salts=8)
+    assert salted.count() == plain.count()
+    a = plain.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0]["s"]
+    b = salted.agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()[0]["s"]
+    assert a == b
+
+
+def test_stateful_running_profiles(spark, tmp_path_factory):
+    from etl_pipeline_spark.streaming.stateful import running_user_profiles
+
+    d = tmp_path_factory.mktemp("state_src")
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:05:00", 1, 1.0),
+            ("2024-01-01 00:20:00", 1, 2.5),
+            ("2024-01-01 00:50:00", 2, 3.0),
+        ],
+        "ts_s string, user_id long, value double",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "user_id", "value")
+    df.write.parquet(str(d / "data"))
+    stream = spark.readStream.schema(df.schema).parquet(str(d / "data"))
+    q = (
+        running_user_profiles(stream)
+        .writeStream.format("memory")
+        .queryName("t_profiles")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["user_id"]: r for r in spark.table("t_profiles").collect()}
+    assert rows[1]["n_events"] == 2 and rows[1]["total_value"] == 3.5
+    assert rows[2]["n_events"] == 1 and rows[2]["total_value"] == 3.0
+    assert str(rows[1]["last_ts"]) == "2024-01-01 00:20:00"
