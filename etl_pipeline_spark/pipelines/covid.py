@@ -87,7 +87,7 @@ class CovidPipelineResult:
 
 def run_covid_pipeline(
     spark: SparkSession,
-    input_csv: str,
+    input_csv: str | list[str],
     main_table: str = "covid_clean",
     audit_table: str = "covid_audit_log",
     quarantine_table: str = "covid_quarantine",
@@ -95,6 +95,7 @@ def run_covid_pipeline(
     """End-to-end: CSV -> quarantine-split parse -> transform -> overwrite
     main + quarantine tables -> append audit row (pipeline A+B complete)."""
     raw, corrupt = read_csv_with_schema(spark, input_csv, RAW_SCHEMA)
+    audit_path = input_csv if isinstance(input_csv, str) else ",".join(input_csv)
     clean, quarantine = transform_covid(raw)
     clean = clean.cache()
     overwrite_table(clean, main_table)
@@ -102,7 +103,7 @@ def run_covid_pipeline(
     n_out = clean.count()
     n_quar = quarantine.count()
     n_corrupt = corrupt.count()
-    append_table(audit_record(spark, input_csv, n_out), audit_table)
+    append_table(audit_record(spark, audit_path, n_out), audit_table)
     clean.unpersist()
     return CovidPipelineResult(
         input_rows=n_out + n_quar + n_corrupt,

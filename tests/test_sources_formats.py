@@ -1,0 +1,37 @@
+"""S3 autodetect read and S10 file-metadata columns."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.sources.readers import read_csv_autodetect, with_file_metadata
+
+CSV = 'entity,Day,total_confirmed_deaths\n"Uni,ted",2021-03-01,1500\nFrance,2021-03-02,250\n'
+
+
+@pytest.fixture(scope="module")
+def csv_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("autodetect")
+    p = d / "data.csv"
+    p.write_text(CSV)
+    return str(p)
+
+
+def test_autodetect_infers_schema(spark, csv_path):
+    df = read_csv_autodetect(spark, csv_path)
+    # inference: deaths become a numeric type, Day a timestamp/date-like
+    types = dict(df.dtypes)
+    assert types["total_confirmed_deaths"] in ("int", "bigint", "double")
+    assert df.count() == 2
+    # quoted comma survives (allow_quoted_newlines analog: multiLine+quotes)
+    assert df.filter(F.col("entity") == "Uni,ted").count() == 1
+
+
+def test_file_metadata_columns(spark, csv_path):
+    df = with_file_metadata(spark.read.option("header", "true").csv(csv_path))
+    row = df.limit(1).collect()[0]
+    assert row["_file_path"].endswith("data.csv")
+    assert row["_file_size"] == len(CSV)
+    assert row["_file_mtime"] is not None
