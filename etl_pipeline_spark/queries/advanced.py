@@ -324,3 +324,90 @@ query(
     tags=("similarity", "X3", "ivf", "ann"),
     doc=ivf_topk.__doc__ or "IVF-style ANN with nprobe=2 over label cells.",
 )(ivf_topk)
+
+
+@query(
+    "q_window_sliding_events",
+    oracle="""
+    WITH offsets AS (SELECT UNNEST([0, 1]) AS k),
+    assigned AS (
+        SELECT DATE_TRUNC('hour', e.ts) - TO_HOURS(o.k) AS window_start,
+               e.value
+        FROM events e CROSS JOIN offsets o
+        WHERE e.ts >= DATE_TRUNC('hour', e.ts) - TO_HOURS(o.k)
+          AND e.ts <  DATE_TRUNC('hour', e.ts) - TO_HOURS(o.k) + INTERVAL 2 HOUR
+    )
+    SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM assigned
+    GROUP BY window_start
+    """,
+    tags=("window", "streaming", "sliding"),
+)
+def q_window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2h window, 1h slide): every event lands
+    in two overlapping frames — Spark's window(ts, '2 hours', '1 hour')
+    operator; the oracle reproduces the assignment by exploding the two
+    hour-aligned candidate starts per event (§2.9)."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "q_session_windows_batch",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) > INTERVAL 5 MINUTE OR LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("window", "streaming", "session", "gaps-islands"),
+)
+def q_session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute inactivity gap) in batch form — the
+    gaps-and-islands pattern: flag gap-starts with LAG, number sessions
+    with a running sum, aggregate per island. Semantically the batch twin
+    of session_window()/streaming sessionization (§2.9), and fully
+    oracle-checkable."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    worder = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ts = F.lag("ts").over(worder)
+    new_session = (
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 300)
+    ).cast("long")
+    sessions = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(new_session).over(
+            worder.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
