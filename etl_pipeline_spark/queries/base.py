@@ -57,6 +57,7 @@ def all_specs() -> dict[str, QuerySpec]:
         scalar,
         similarity,
         text,
+        tpch,
     )
 
     return REGISTRY

@@ -1,0 +1,219 @@
+"""TPC-H-shaped deep-relational batch — correlated and scalar subqueries,
+disjunctive pushdown, having-gated semijoins, percentile aggregates.
+
+Adapted to the fixture schema (no partsupp table; p_retailprice*0.6
+stands in for ps_supplycost, p_type values are single words). These rows
+extend SURVEY §2.3-2.4 with the subquery shapes the reference's warehouse
+(BigQuery) would have handled — now Catalyst's job: correlated scalar
+subqueries decorrelate into aggregated joins, IN/EXISTS become semijoins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.queries.base import query
+
+
+def _sql(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], text: str) -> DataFrame:
+    load_tables(spark, sf_dir, tables)
+    return spark.sql(text)
+
+
+_Q07 = """
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns   ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc   ON c.c_nationkey = nc.n_nationkey
+    WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY ns.n_name, nc.n_name, EXTRACT(YEAR FROM l.l_shipdate)
+"""
+
+
+@query("q07_nation_volume", oracle=_Q07, tags=("join", "tpch"))
+def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    year — double nation join with a symmetric pair predicate.
+
+    Scale: nation broadcasts twice under different aliases; the fact-side
+    shuffles are the usual orderkey/custkey pair.
+    """
+    return _sql(
+        spark, sf_dir, ("lineitem", "orders", "customer", "supplier", "nation"), _Q07
+    )
+
+
+_Q09 = """
+    SELECT n.n_name AS nation,
+           EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - p.p_retailprice * 0.6 * l.l_quantity), 2) AS profit
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%o%'
+    GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+"""
+
+
+@query("q09_product_profit", oracle=_Q09, tags=("join", "tpch"))
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per nation per year over a 5-way join with a
+    LIKE filter on part names (cost proxied at 60% of retail — the
+    fixtures carry no partsupp table)."""
+    return _sql(spark, sf_dir, ("lineitem", "orders", "part", "supplier", "nation"), _Q09)
+
+
+_Q14 = """
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+"""
+
+
+@query("q14_promo_revenue", oracle=_Q14, tags=("join", "tpch"))
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotional revenue share — conditional aggregation over
+    a broadcast part join within one shipdate month."""
+    return _sql(spark, sf_dir, ("lineitem", "part"), _Q14)
+
+
+_Q17 = """
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+          SELECT 0.5 * AVG(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey
+      )
+"""
+
+
+@query("q17_small_quantity_revenue", oracle=_Q17, tags=("subquery", "tpch"))
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: CORRELATED scalar subquery (per-part average
+    quantity) gating the outer scan — Catalyst decorrelates it into an
+    aggregate + join, which is exactly the plan you would hand-write at
+    scale."""
+    return _sql(spark, sf_dir, ("lineitem", "part"), _Q17)
+
+
+_Q18 = """
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           ROUND(o.o_totalprice, 2) AS totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 180
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 20
+"""
+
+
+@query("q18_large_orders", oracle=_Q18, tags=("subquery", "tpch", "topk"))
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: IN-subquery with HAVING — an aggregate-filtered semijoin
+    feeding a grouped top-k."""
+    return _sql(spark, sf_dir, ("customer", "orders", "lineitem"), _Q18)
+
+
+_Q19 = """
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 15 AND 35)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 25 AND 50)
+"""
+
+
+@query("q19_disjunctive_predicates", oracle=_Q19, tags=("join", "tpch", "pushdown"))
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs across both join sides — the classic test of
+    disjunctive predicate handling (Catalyst derives the common
+    brand/size IN-bounds and pushes them below the join)."""
+    return _sql(spark, sf_dir, ("lineitem", "part"), _Q19)
+
+
+_Q22 = """
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_balance
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+    GROUP BY c.c_mktsegment
+"""
+
+
+@query("q22_idle_high_balance", oracle=_Q22, tags=("subquery", "tpch"))
+def q22_idle_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global positive-balance average)
+    + anti-joined NOT EXISTS with a date filter — sales-opportunity
+    analysis for rich-but-recently-idle customers."""
+    return _sql(spark, sf_dir, ("customer", "orders"), _Q22)
+
+
+@query(
+    "q_agg_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(MEDIAN(c_acctbal), 2)              AS median_bal,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.9), 2)  AS p90_bal,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.1), 2)  AS p10_bal,
+           ROUND(CORR(c_acctbal, c_custkey), 4)     AS corr_bal_key,
+           ROUND(COVAR_SAMP(c_acctbal, c_custkey), 2) AS covar_bal_key
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "percentile", "stats"),
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p10/p90) and bivariate stats
+    (corr, covar_samp) per segment — Spark's percentile() and DuckDB's
+    quantile_cont share linear-interpolation semantics, verified
+    bit-equal after rounding."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 2).alias("median_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 2).alias("p90_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.1)"), 2).alias("p10_bal"),
+        F.round(F.corr("c_acctbal", "c_custkey"), 4).alias("corr_bal_key"),
+        F.round(F.covar_samp("c_acctbal", "c_custkey"), 2).alias("covar_bal_key"),
+    )
