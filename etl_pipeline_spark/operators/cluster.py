@@ -1,0 +1,103 @@
+"""Connected-components clustering of near-duplicate pairs — the step
+that turns pairwise dedup output into dedup GROUPS (keep one doc per
+component), completing the X2 dedup pipeline.
+
+Spark side: iterative min-label propagation to fixpoint (the simple,
+robust form of large-star/small-star) — each round every node adopts the
+smallest label among itself and its neighbors; lineage is truncated with
+localCheckpoint each round so the plan doesn't grow with iterations.
+
+Oracle side: a recursive transitive-closure CTE. Both converge to the
+same unique fixpoint (component id = min doc_id in the component), so an
+ITERATIVE distributed algorithm is still value-hash-checked exactly.
+
+Scale: each round is one shuffle join edges-to-labels; rounds needed =
+graph diameter (near-dup components are shallow). At 100 TB the
+large-star/small-star variant halves round count; the fixpoint is
+identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.queries.dedup import q_dedup_ngram_jaccard
+
+MAX_ITER = 20
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = MAX_ITER) -> DataFrame:
+    """nodes(node), edges(src, dst) undirected -> (node, cluster_id) with
+    cluster_id = min node id reachable."""
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select(F.col("node"), F.col("node").alias("label"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left_outer")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster documents by near-dup (n-gram Jaccard) pairs; emit one row
+    per document with its cluster id and whether it is the keeper."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    nodes = d.select(F.col("doc_id").alias("node"))
+    comp = connected_components(nodes, pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+# Recursive transitive-closure oracle: cluster_id = min reachable doc_id.
+# The edge set is the same jaccard-pairs SQL used by q_dedup_ngram_jaccard.
+def clusters_oracle(pairs_sql: str) -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT doc_id AS node FROM documents),
+    reach AS (
+        SELECT node AS a, node AS b FROM nodes
+        UNION
+        SELECT r.a, e.dst AS b
+        FROM reach r JOIN edges e ON r.b = e.src
+    )
+    SELECT a AS doc_id,
+           MIN(b) AS cluster_id,
+           (a = MIN(b)) AS is_keeper
+    FROM reach
+    GROUP BY a
+    """

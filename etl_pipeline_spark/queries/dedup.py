@@ -213,3 +213,20 @@ query(
     tags=("dedup", "X2", "simhash", "lsh"),
     doc="Banded Hamming-LSH candidate pairs filtered by popcount distance.",
 )(simhash_near_dup_pairs)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (operators/cluster.py): iterative connected
+# components on Spark, recursive-CTE transitive closure as the oracle —
+# both converge to the same unique fixpoint (cluster id = min doc_id).
+# ---------------------------------------------------------------------------
+
+from etl_pipeline_spark.operators.cluster import clusters_oracle, dedup_clusters  # noqa: E402
+from etl_pipeline_spark.queries.base import REGISTRY  # noqa: E402
+
+query(
+    "q_dedup_clusters",
+    oracle=clusters_oracle(REGISTRY["q_dedup_ngram_jaccard"].oracle),
+    tags=("dedup", "X2", "clustering", "iterative"),
+    doc=dedup_clusters.__doc__ or "Connected-components dedup groups.",
+)(dedup_clusters)
