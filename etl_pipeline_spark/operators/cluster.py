@@ -31,9 +31,11 @@ MAX_ITER = 20
 def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = MAX_ITER) -> DataFrame:
     """nodes(node), edges(src, dst) undirected -> (node, cluster_id) with
     cluster_id = min node id reachable."""
+    from pyspark.sql import Observation
+
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
     for _ in range(max_iter):
         neighbor_min = (
@@ -41,23 +43,25 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = MAX
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # one action per round: the eager localCheckpoint materializes the
+        # new labels AND fills the changed-count observation
+        obs = Observation()
         new_labels = (
-            labels.join(neighbor_min, "node", "left_outer")
+            labels.withColumnRenamed("label", "_old")
+            .join(neighbor_min, "node", "left_outer")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                F.least(F.col("_old"), F.coalesce("nbr_label", "_old")).alias("label"),
+                "_old",
             )
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            .observe(
+                obs, F.sum((F.col("label") != F.col("_old")).cast("long")).alias("changed")
+            )
+            .drop("_old")
+            .localCheckpoint(eager=True)
         )
         labels = new_labels
-        if changed == 0:
+        if int(obs.get["changed"] or 0) == 0:
             break
     return labels.select("node", F.col("label").alias("cluster_id"))
 
@@ -66,8 +70,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster documents by near-dup (n-gram Jaccard) pairs; emit one row
     per document with its cluster id and whether it is the keeper."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    # materialize the edge list once — the propagation loop joins it every
+    # round and must not re-run the shingle self-join each time
+    pairs = (
+        q_dedup_ngram_jaccard(spark, sf_dir)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint(eager=True)
     )
     nodes = d.select(F.col("doc_id").alias("node"))
     comp = connected_components(nodes, pairs)

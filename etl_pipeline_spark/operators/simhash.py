@@ -117,5 +117,28 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark plans WITH-CTEs by inlining, so the 4-branch band UNION would
+    recompute the signature build 8 times; materialize signatures once
+    (cache + temp view), then run the banded join SQL over the view."""
+    from pyspark.sql import functions as F
+
     load_tables(spark, sf_dir, ("documents",))
-    return spark.sql(simhash_pairs_sql("spark"))
+    sig = spark.sql(simhash_sql("spark")).cache()
+    sig.createOrReplaceTempView("sim_signatures")
+    sig.count()  # force materialization before the self-joins
+    band_joins = "\n        UNION\n        ".join(
+        f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sim_a, b.simhash AS sim_b
+            FROM sim_signatures a JOIN sim_signatures b
+              ON (a.simhash & CAST({((1 << BAND_BITS) - 1) << (i * BAND_BITS)} AS BIGINT)) =
+                 (b.simhash & CAST({((1 << BAND_BITS) - 1) << (i * BAND_BITS)} AS BIGINT))
+             AND a.doc_id < b.doc_id"""
+        for i in range(N_BANDS)
+    )
+    return spark.sql(
+        f"""
+        SELECT doc_a, doc_b, CAST(bit_count(sim_a ^ sim_b) AS BIGINT) AS hamming
+        FROM ({band_joins})
+        WHERE bit_count(sim_a ^ sim_b) <= {MAX_HAMMING}
+        """
+    )
