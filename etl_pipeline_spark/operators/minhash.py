@@ -1,0 +1,130 @@
+"""Cross-engine-checkable MinHash-LSH — SURVEY.md §2.12 X2.
+
+Unlike Spark ML's MinHashLSH (engine-specific hash family → rows-only
+check), this MinHash is built from md5 like operators/simhash.py, so the
+signatures, the banded candidate join AND the estimated Jaccard are all
+bit-identical in DuckDB and value-hash-checked:
+
+  h_i(s)       = first 12 hex chars of md5('<i>|' + shingle) as 48-bit int
+  sig_i(doc)   = min over the doc's distinct shingles of h_i(s),  i < 16
+  band_j(doc)  = (sig_{4j}, .., sig_{4j+3}) as one string key,    j < 4
+  candidates   = pairs sharing ANY band (union of 4 equi-joins)
+  est_jaccard  = (# of matching signature components) / 16,  kept >= 0.4
+
+Scale: the signature build is one groupBy(doc) over the shingle explode
+(16 mins computed as parallel aggregates, no extra explode); the banded
+join is the standard sub-quadratic LSH candidate generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_pipeline_spark.catalog import load_tables
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+HEX_CHARS = 12  # 48-bit values
+EST_JACCARD_MIN = 0.4
+SHINGLE_WIDTH = 3
+
+_DIGIT = "(INSTR('0123456789abcdef', SUBSTR({md5}, {pos}, 1)) - 1)"
+
+
+def _hex48(md5_expr: str) -> str:
+    terms = [
+        f"{_DIGIT.format(md5=md5_expr, pos=i + 1)} * CAST({16 ** (HEX_CHARS - 1 - i)} AS BIGINT)"
+        for i in range(HEX_CHARS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_SPARK_SHINGLES = f"""
+    SELECT doc_id, explode(array_distinct(transform(
+        sequence(0, size(split(text, ' ')) - {SHINGLE_WIDTH}),
+        i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1],
+                       split(text, ' ')[i+2])
+    ))) AS shingle
+    FROM documents
+    WHERE size(split(text, ' ')) >= {SHINGLE_WIDTH}
+"""
+
+_DUCK_SHINGLES = f"""
+    SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+        GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - {SHINGLE_WIDTH - 1}),
+        i -> STRING_SPLIT(text, ' ')[i] || ' ' || STRING_SPLIT(text, ' ')[i+1]
+             || ' ' || STRING_SPLIT(text, ' ')[i+2]
+    ))) AS shingle
+    FROM documents
+    WHERE LEN(STRING_SPLIT(text, ' ')) >= {SHINGLE_WIDTH}
+"""
+
+
+def _sig_cte(engine: str) -> str:
+    shingles = _SPARK_SHINGLES if engine == "spark" else _DUCK_SHINGLES
+    min_exprs = []
+    for i in range(N_HASHES):
+        md5_expr = f"md5(CONCAT('{i}|', shingle))"
+        min_exprs.append(f"MIN({_hex48(md5_expr)}) AS m{i}")
+    mins = ",\n           ".join(min_exprs)
+    return f"""
+    shingles AS ({shingles}),
+    sig AS (
+        SELECT doc_id,
+           {mins}
+        FROM shingles GROUP BY doc_id
+    )
+    """
+
+
+def minhash_signatures_sql(engine: str) -> str:
+    cols = ", ".join(f"m{i}" for i in range(N_HASHES))
+    return f"WITH {_sig_cte(engine)} SELECT doc_id, {cols} FROM sig"
+
+
+def _pairs_over_sig(sig_table: str) -> str:
+    """Banded join + estimated-jaccard filter over a signatures relation
+    (engine-independent text)."""
+    band_joins = "\n        UNION\n        ".join(
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        + ", ".join(
+            f"a.m{i} AS am{i}, b.m{i} AS bm{i}" for i in range(N_HASHES)
+        )
+        + f"""
+            FROM {sig_table} a JOIN {sig_table} b
+              ON """
+        + " AND ".join(
+            f"a.m{4 * j + r} = b.m{4 * j + r}" for r in range(ROWS_PER_BAND)
+        )
+        + "\n             AND a.doc_id < b.doc_id"
+        for j in range(N_BANDS)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN am{i} = bm{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+    )
+    return f"""
+    SELECT doc_a, doc_b,
+           ROUND(({matches}) / CAST({N_HASHES} AS DOUBLE), 4) AS est_jaccard
+    FROM ({band_joins})
+    WHERE ({matches}) / CAST({N_HASHES} AS DOUBLE) >= {EST_JACCARD_MIN}
+    """
+
+
+def minhash_pairs_sql_duckdb() -> str:
+    return f"WITH {_sig_cte('duckdb')} {_pairs_over_sig('sig')}"
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.sql(minhash_signatures_sql("spark"))
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side materializes signatures once (cache + view) so the
+    4-band UNION does not rebuild them per branch."""
+    load_tables(spark, sf_dir, ("documents",))
+    sig = spark.sql(minhash_signatures_sql("spark")).cache()
+    sig.createOrReplaceTempView("minhash_sig")
+    sig.count()
+    return spark.sql(_pairs_over_sig("minhash_sig"))

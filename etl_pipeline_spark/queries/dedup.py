@@ -230,3 +230,32 @@ query(
     tags=("dedup", "X2", "clustering", "iterative"),
     doc=dedup_clusters.__doc__ or "Connected-components dedup groups.",
 )(dedup_clusters)
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checkable MinHash (operators/minhash.py): md5-based hash family
+# shared bit-for-bit with DuckDB — signatures, banded candidates, and
+# estimated Jaccard are all value-hash-checked (upgrades X2 from the
+# rows-only Spark ML variant).
+# ---------------------------------------------------------------------------
+
+from etl_pipeline_spark.operators.minhash import (  # noqa: E402
+    minhash_pairs,
+    minhash_pairs_sql_duckdb,
+    minhash_signatures,
+    minhash_signatures_sql,
+)
+
+query(
+    "q_dedup_minhash_signatures",
+    oracle=minhash_signatures_sql("duckdb"),
+    tags=("dedup", "X2", "minhash"),
+    doc="16-component md5-based MinHash signatures per document.",
+)(minhash_signatures)
+
+query(
+    "q_dedup_minhash_pairs",
+    oracle=minhash_pairs_sql_duckdb(),
+    tags=("dedup", "X2", "minhash", "lsh"),
+    doc=minhash_pairs.__doc__ or "Banded MinHash-LSH candidate pairs.",
+)(minhash_pairs)
