@@ -58,6 +58,7 @@ def all_specs() -> dict[str, QuerySpec]:
         similarity,
         text,
         tpch,
+        training_pipeline,
     )
 
     return REGISTRY
