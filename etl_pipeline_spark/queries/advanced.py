@@ -411,3 +411,54 @@ def q_session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "q_embedding_quantization",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_max(list_transform(embedding::DOUBLE[], x -> ABS(x))) / 127.0 AS scale
+        FROM embeddings
+    ),
+    err AS (
+        SELECT e.vec_id, e.label, q.scale,
+               list_sum(list_transform(
+                   e.embedding::DOUBLE[],
+                   x -> POW(x - FLOOR(x / q.scale + 0.5) * q.scale, 2)
+               )) / LEN(e.embedding) AS mse
+        FROM embeddings e JOIN q ON e.vec_id = q.vec_id
+    )
+    SELECT vec_id, label,
+           ROUND(scale, 6)       AS int8_scale,
+           ROUND(mse * 1e6, 4)   AS mse_ppm
+    FROM err
+    """,
+    tags=("similarity", "X3", "quantization"),
+)
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization accounting: per-vector scale
+    (max|x|/127) and reconstruction MSE of round-trip quantization — the
+    pre-flight check before shipping a quantized ANN index. Rounding is an
+    explicit FLOOR(x/scale + 0.5) so both engines quantize identically
+    (library 'round' functions disagree on half-way ties)."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(emb_d, lambda x: F.abs(x))) / 127.0
+    with_scale = e.select("vec_id", "label", emb_d.alias("emb"), scale.alias("scale"))
+    sq_err = F.aggregate(
+        F.transform(
+            F.col("emb"),
+            lambda x: F.pow(
+                x - F.floor(x / F.col("scale") + 0.5) * F.col("scale"), F.lit(2)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return with_scale.select(
+        "vec_id",
+        "label",
+        F.round("scale", 6).alias("int8_scale"),
+        F.round(sq_err / F.size("emb") * 1e6, 4).alias("mse_ppm"),
+    )
