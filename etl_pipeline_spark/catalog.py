@@ -35,6 +35,23 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Session confs the engine's correctness depends on, applied defensively
+# on every load: the harness may hand us a vanilla SparkSession (without
+# session.py's settings), and both confs are runtime-settable.
+# - nanosAsLong: events.parquet is TIMESTAMP(NANOS), unreadable otherwise
+# - UTC timezone: timestamp formatting/arithmetic must match the oracle
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
@@ -43,6 +60,7 @@ def load_tables(
     Views make the SQL and DataFrame surfaces equivalent — the same
     Catalyst plan either way.
     """
+    ensure_session_confs(spark)
     out: dict[str, DataFrame] = {}
     for name in names:
         df = spark.read.parquet(table_path(sf_dir, name))

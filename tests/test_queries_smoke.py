@@ -46,3 +46,16 @@ def test_query_runs(spark, name):
     df = contract.queries()[name](spark, SF)
     assert df.columns  # has a schema
     df.limit(5).collect()  # executes without error
+
+
+def test_contract_survives_vanilla_session_confs(spark):
+    """The harness hands queries a session WITHOUT session.py's configs;
+    catalog.load_tables must self-heal the required confs (nanos parquet
+    reads, UTC timezone) at call time."""
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    # events.parquet is TIMESTAMP(NANOS): unreadable unless load_tables
+    # restores the conf
+    df = contract.queries()["q_etl_audit_row"](spark, SF)
+    assert df.collect()[0]["record_count"] == 1000
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
