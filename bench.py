@@ -44,9 +44,13 @@ def main() -> None:
     spark = get_spark("bench")
     specs = all_specs()
 
-    # Warm the JVM + parquet footer caches with one cheap action so the
-    # first timed query doesn't pay session startup.
-    specs["q_etl_audit_row"].fn(spark, sf_dir).collect()
+    # Warm the JVM + parquet footer caches so timed queries measure query
+    # execution, not session startup or first-touch file listing: one
+    # trivial action per table the bench set reads.
+    from etl_pipeline_spark.catalog import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
