@@ -462,3 +462,23 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale", 6).alias("int8_scale"),
         F.round(sq_err / F.size("emb") * 1e6, 4).alias("mse_ppm"),
     )
+
+
+@query(
+    "q_approx_aggregates",
+    oracle=None,  # HLL / quantile-sketch internals differ per engine; the
+    # exact counterparts (q_agg_stats_acctbal, q_agg_percentiles) are the
+    # oracle-checked ground truth.
+    tags=("agg", "approx", "sketch"),
+)
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates — the 100 TB substitutes for exact distinct
+    counts and percentiles: approx_count_distinct (HyperLogLog++) and
+    approx_percentile (KLL-style). Registered rows-only: sketch estimates
+    are engine-specific by design; their exact twins are oracle-checked."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    )

@@ -197,3 +197,61 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.substring(F.md5(F.col("text")), 1, 8).alias("raw_prefix"),
     )
+
+
+@query(
+    "q_text_top_bigrams",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS t FROM documents
+        WHERE LEN(STRING_SPLIT(text, ' ')) >= 2
+    ),
+    bigrams AS (
+        SELECT lang,
+               UNNEST(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, LEN(t) - 1),
+                   i -> t[i] || ' ' || t[i+1]
+               )) AS bigram
+        FROM toks
+    ),
+    counted AS (
+        SELECT lang, bigram, COUNT(*) AS n
+        FROM bigrams GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, n, rnk FROM (
+        SELECT lang, bigram, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY n DESC, bigram ASC
+               ) AS rnk
+        FROM counted
+    ) WHERE rnk <= 5
+    """,
+    tags=("text", "X4", "ngram"),
+)
+def q_text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram frequency table: top-5 bigrams per language —
+    explode -> count -> per-group top-k, the building block of n-gram LM
+    stats and contamination checks.
+
+    Scale: shuffle on (lang, bigram) with map-side partial counts; the
+    top-k is a bounded window per language."""
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split("text", " ")
+    bigram_arr = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    counted = (
+        d.filter(F.size(toks) >= 2)
+        .select("lang", F.explode(bigram_arr).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "bigram", "n", "rnk")
+    )

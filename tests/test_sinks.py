@@ -57,3 +57,18 @@ def test_ddl_idempotent(spark):
     create_table_if_not_exists(spark, "etl_meta.t1", "id BIGINT, name STRING")
     create_table_if_not_exists(spark, "etl_meta.t1", "id BIGINT, name STRING")
     assert spark.table("etl_meta.t1").columns == ["id", "name"]
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
+    """Hive-style partitioned layout: a filter on the partition column
+    must prune at planning time (PartitionFilters in the scan), reading
+    only the matching directory — the layout that makes 100 TB scans
+    selective."""
+    out = str(tmp_path_factory.mktemp("part") / "docs")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan, plan[:600]
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert back.count() == n_en
