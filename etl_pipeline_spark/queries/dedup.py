@@ -259,3 +259,85 @@ query(
     tags=("dedup", "X2", "minhash", "lsh"),
     doc=minhash_pairs.__doc__ or "Banded MinHash-LSH candidate pairs.",
 )(minhash_pairs)
+
+
+DF_CAP = 50  # stop-shingle cutoff: document frequency above this is noise
+
+
+@query(
+    "q_dedup_ngram_jaccard_capped",
+    oracle=f"""
+    WITH shingles_all AS ({_SHINGLES_SQL}),
+    df AS (
+        SELECT shingle, COUNT(*) AS doc_freq FROM shingles_all GROUP BY shingle
+    ),
+    shingles AS (
+        SELECT s.doc_id, s.shingle
+        FROM shingles_all s JOIN df ON s.shingle = df.shingle
+        WHERE df.doc_freq <= {DF_CAP}
+    ),
+    sizes AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+    ),
+    pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(p.n_inter AS DOUBLE) /
+                 (sa.n_shingles + sb.n_shingles - p.n_inter), 4) AS jaccard
+    FROM pair_inter p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.n_inter AS DOUBLE) /
+          (sa.n_shingles + sb.n_shingles - p.n_inter) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "X2", "jaccard", "skew"),
+)
+def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-resistant Jaccard variant: shingles appearing in more than
+    DF_CAP documents are dropped before the inverted-index self-join
+    (stop-shingle removal — the posting-list cap that bounds the join's
+    worst case at 100 TB). Similarity is then computed over informative
+    shingles only; the oracle applies the identical cap.
+
+    Scale: the cap turns the quadratic hot-shingle blowup into a bounded
+    O(cap^2) per shingle; combined with MinHash banding this is the
+    production near-dup path."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - SHINGLE_WIDTH)
+    shingle_arr = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            ),
+        )
+    )
+    shingles_all = d.filter(F.size(toks) >= SHINGLE_WIDTH).select(
+        "doc_id", F.explode(shingle_arr).alias("shingle")
+    )
+    dfreq = shingles_all.groupBy("shingle").agg(F.count("*").alias("doc_freq"))
+    shingles = (
+        shingles_all.join(dfreq.filter(F.col("doc_freq") <= DF_CAP), "shingle")
+        .select("doc_id", "shingle")
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    pair_inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        pair_inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
