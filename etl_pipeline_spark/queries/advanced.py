@@ -482,3 +482,41 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
     )
+
+
+@query(
+    "q_unpivot_balance_metrics",
+    oracle="""
+    WITH wide AS (
+        SELECT c_mktsegment,
+               ROUND(MIN(c_acctbal), 2) AS min_bal,
+               ROUND(AVG(c_acctbal), 2) AS avg_bal,
+               ROUND(MAX(c_acctbal), 2) AS max_bal
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, metric, value FROM (
+        SELECT c_mktsegment, 'min_bal' AS metric, min_bal AS value FROM wide
+        UNION ALL
+        SELECT c_mktsegment, 'avg_bal', avg_bal FROM wide
+        UNION ALL
+        SELECT c_mktsegment, 'max_bal', max_bal FROM wide
+    )
+    """,
+    tags=("unpivot", "melt"),
+)
+def q_unpivot_balance_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of pivot): wide per-segment balance
+    metrics into (segment, metric, value) long form via DataFrame.unpivot
+    — the oracle spells it as the portable UNION ALL."""
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    wide = c.groupBy("c_mktsegment").agg(
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+    return wide.unpivot(
+        ids=["c_mktsegment"],
+        values=["min_bal", "avg_bal", "max_bal"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -330,3 +330,46 @@ def q_scalar_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         basename(F.input_file_name()).alias("source_file"),
         F.input_file_name().isNotNull().alias("has_lineage"),
     )
+
+
+@query(
+    "q_scalar_string_extras",
+    oracle="""
+    SELECT doc_id,
+           TRANSLATE(source, 'src', 'SRC')     AS translated,
+           LPAD(CAST(doc_id AS VARCHAR), 6, '0') AS padded_id,
+           REVERSE(lang)                       AS lang_rev,
+           REPEAT(lang, 2)                     AS lang_x2,
+           LEFT(text, 10)                      AS head10,
+           RIGHT(text, 10)                     AS tail10,
+           SPLIT_PART(source, 'c', 2)          AS after_c,
+           LEVENSHTEIN(lang, 'en')             AS dist_to_en,
+           STARTS_WITH(text, 'the')            AS starts_the,
+           CONTAINS(text, 'spark')             AS has_spark,
+           ASCII(lang)                         AS first_cp
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    tags=("scalar", "F17", "string"),
+)
+def q_scalar_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string family (F17): translate, padding, reverse, repeat,
+    left/right, split_part, Levenshtein edit distance, prefix/containment
+    predicates, codepoints — all cross-engine built-ins."""
+    from etl_pipeline_spark.catalog import load_tables
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return d.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.translate("source", "src", "SRC").alias("translated"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded_id"),
+        F.reverse("lang").alias("lang_rev"),
+        F.repeat("lang", 2).alias("lang_x2"),
+        F.substring("text", 1, 10).alias("head10"),
+        F.expr("right(text, 10)").alias("tail10"),
+        F.split_part("source", F.lit("c"), F.lit(2)).alias("after_c"),
+        F.levenshtein("lang", F.lit("en")).cast("long").alias("dist_to_en"),
+        F.startswith("text", F.lit("the")).alias("starts_the"),
+        F.contains("text", F.lit("spark")).alias("has_spark"),
+        F.ascii("lang").cast("long").alias("first_cp"),
+    )

@@ -255,3 +255,44 @@ def q_text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("lang", "bigram", "n", "rnk")
     )
+
+
+@query(
+    "q_text_edit_distance_pairs",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(LEVENSHTEIN(LEFT(a.text, 80), LEFT(b.text, 80)) AS BIGINT)
+               AS prefix_edit_distance
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE ABS(a.n_chars - b.n_chars) <= 10
+      AND LEVENSHTEIN(LEFT(a.text, 80), LEFT(b.text, 80)) <= 40
+    """,
+    tags=("text", "dedup", "X2", "fuzzy"),
+)
+def q_text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup via Levenshtein on 80-char prefixes — the
+    edit-distance modality of dedup, blocked by (lang, source, length
+    proximity) so the quadratic distance computation only runs inside
+    small candidate blocks (the classic blocking strategy at scale)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    a = d.alias("a")
+    b = d.alias("b")
+    dist = F.levenshtein(
+        F.substring(F.col("a.text"), 1, 80), F.substring(F.col("b.text"), 1, 80)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 10)
+        .filter(dist <= 40)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("long").alias("prefix_edit_distance"),
+        )
+    )
