@@ -1,0 +1,195 @@
+"""Public library API — the operator surface as plain functions over YOUR
+DataFrames (the query registry binds the same operators to the shared
+fixture tables; this module is what a user imports to run them on their
+own data).
+
+    from etl_pipeline_spark import api
+
+    kept      = api.dedupe_exact(docs, text_col="text", id_col="doc_id")
+    pairs     = api.jaccard_near_dup_pairs(docs, threshold=0.8)
+    clusters  = api.cluster_near_dups(docs, pairs)
+    feats     = api.text_quality_features(docs)
+    topk      = api.knn_cosine_topk(embeddings, n_queries=10, k=5)
+    profiles  = api.quantize_int8_stats(embeddings)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Dedup family (X1/X2)
+# ---------------------------------------------------------------------------
+
+
+def normalized_fingerprint(text_col: Column) -> Column:
+    """md5 of whitespace-normalized, lowercased text (exact-dedup key)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text_col), r"\s+", " ")))
+
+
+def dedupe_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per normalized-text fingerprint
+    (deterministic dropDuplicates)."""
+    w = W.partitionBy(normalized_fingerprint(F.col(text_col))).orderBy(id_col)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", width: int = 3) -> DataFrame:
+    """(id, shingle) distinct word n-gram pairs."""
+    toks = F.split(text_col, " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - width)
+    arr = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(width)]
+            ),
+        )
+    )
+    return df.filter(F.size(toks) >= width).select(
+        F.col(id_col).alias("id"), F.explode(arr).alias("shingle")
+    )
+
+
+def jaccard_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_width: int = 3,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= threshold via inverted-index
+    self-join; ``df_cap`` drops stop-shingles (document frequency above
+    the cap) to bound posting-list blowup at scale."""
+    sh = shingles(df, text_col, id_col, shingle_width)
+    if df_cap is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sh = sh.join(freq.filter(F.col("_df") <= df_cap), "shingle").select("id", "shingle")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .filter(jac >= threshold)
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+def cluster_near_dups(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, cluster_id,
+    is_keeper)."""
+    from etl_pipeline_spark.operators.cluster import connected_components
+
+    nodes = df.select(F.col(id_col).alias("node"))
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(nodes, edges.localCheckpoint(eager=True), max_iter)
+    return comp.select(
+        F.col("node").alias(id_col),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (X4)
+# ---------------------------------------------------------------------------
+
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def text_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds token counts, punctuation/stopword ratios and a pass flag."""
+    t = F.col(text_col)
+    n = F.length(t)
+    n_tok = F.size(F.split(F.trim(t), r"\s+"))
+    n_punct = F.size(F.regexp_extract_all(text_col, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(r"\b(the|a|and|of|to)\b"))
+    )
+    punct_ratio = n_punct.cast("double") / F.greatest(n, F.lit(1))
+    return df.select(
+        "*",
+        F.size(F.regexp_extract_all(text_col, F.lit(TOKEN_RE), 0)).alias("n_tokens"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / F.greatest(n_tok, F.lit(1)), 4).alias(
+            "stopword_ratio"
+        ),
+        (n_tok.between(10, 1000) & (punct_ratio < 0.2)).alias("passes_quality"),
+    )
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction_16ths: int = 8) -> DataFrame:
+    """Deterministic sampling: keep rows whose md5(id) first nibble <
+    fraction_16ths (8 -> 50%). Survives repartitioning and reruns."""
+    nibble = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 1), 16, 10)
+    return df.filter(nibble.cast("int") < fraction_16ths)
+
+
+# ---------------------------------------------------------------------------
+# Similarity (X3)
+# ---------------------------------------------------------------------------
+
+
+def knn_cosine_topk(
+    df: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k (query set = lowest n ids)."""
+    emb = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    q = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
+    )
+    cos = dot(emb("q_emb"), emb(vec_col)) / (
+        F.sqrt(dot(emb("q_emb"), emb("q_emb"))) * F.sqrt(dot(emb(vec_col), emb(vec_col)))
+    )
+    scored = (
+        df.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", F.col(id_col).alias("neighbor_id"), F.round(cos, 4).alias("cos_sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def quantize_int8_stats(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8 scale and reconstruction MSE (ppm)."""
+    emb_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(emb_d, lambda x: F.abs(x))) / 127.0
+    with_scale = df.select(F.col(id_col), emb_d.alias("_e"), scale.alias("int8_scale"))
+    sq = F.aggregate(
+        F.transform(
+            F.col("_e"),
+            lambda x: F.pow(x - F.floor(x / F.col("int8_scale") + 0.5) * F.col("int8_scale"), F.lit(2)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return with_scale.select(
+        id_col,
+        F.round("int8_scale", 6).alias("int8_scale"),
+        F.round(sq / F.size("_e") * 1e6, 4).alias("mse_ppm"),
+    )

@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_spark.catalog import load_tables
-from etl_pipeline_spark.queries.dedup import q_dedup_ngram_jaccard
 
 MAX_ITER = 20
 
@@ -69,6 +68,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = MAX
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster documents by near-dup (n-gram Jaccard) pairs; emit one row
     per document with its cluster id and whether it is the keeper."""
+    # imported here, not at module top: queries.dedup imports this
+    # module's oracle builder, so a top-level import would be circular
+    from etl_pipeline_spark.queries.dedup import q_dedup_ngram_jaccard
+
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     # materialize the edge list once — the propagation loop joins it every
     # round and must not re-run the shingle self-join each time
