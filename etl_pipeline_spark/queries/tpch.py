@@ -217,3 +217,152 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("c_acctbal", "c_custkey"), 4).alias("corr_bal_key"),
         F.round(F.covar_samp("c_acctbal", "c_custkey"), 2).alias("covar_bal_key"),
     )
+
+
+_Q08 = """
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 4) AS mkt_share
+    FROM (
+        SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               ns.n_name AS nation
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+        JOIN region r   ON nc.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) AS shares
+    GROUP BY o_year
+"""
+
+
+@query("q08_market_share", oracle=_Q08, tags=("join", "tpch"))
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier-nation's revenue share of a region's
+    market per year — ratio of conditional sums over a 7-way join."""
+    return _sql(
+        spark, sf_dir,
+        ("lineitem", "orders", "customer", "nation", "region", "supplier"),
+        _Q08,
+    )
+
+
+_Q10 = """
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           n.n_name AS nation,
+           ROUND(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+"""
+
+
+@query("q10_returned_revenue", oracle=_Q10, tags=("join", "tpch", "topk"))
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers who returned the most value in a half-year —
+    returned-lineitem join + grouped top-20 with full customer detail."""
+    return _sql(spark, sf_dir, ("customer", "orders", "lineitem", "nation"), _Q10)
+
+
+_Q12 = """
+    SELECT o.o_orderpriority,
+           COUNT(*) FILTER (
+               WHERE DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) > 90
+           ) AS late_count,
+           COUNT(*) AS total_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+"""
+
+_Q12_SPARK = """
+    SELECT o.o_orderpriority,
+           COUNT(CASE WHEN DATEDIFF(CAST(l.l_shipdate AS DATE),
+                                    CAST(o.o_orderdate AS DATE)) > 90
+                      THEN 1 END) AS late_count,
+           COUNT(*) AS total_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+"""
+
+
+@query("q12_late_shipments", oracle=_Q12, tags=("join", "tpch"))
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-shipment counts per priority class (ship
+    date more than 90 days after order date) — conditional counting over
+    a date-arithmetic predicate. DuckDB spells day deltas DATE_DIFF('day',
+    a, b); Spark DATEDIFF(b, a)."""
+    return _sql(spark, sf_dir, ("orders", "lineitem"), _Q12_SPARK)
+
+
+_Q15 = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("q15_top_supplier", oracle=_Q15, tags=("subquery", "tpch"))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the quarter's top revenue supplier via a CTE reused in
+    both the join and a scalar-subquery MAX over it."""
+    return _sql(spark, sf_dir, ("lineitem", "supplier"), _Q15)
+
+
+_Q16 = """
+    SELECT p.p_brand, p.p_type,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 10, 15, 20, 25)
+    GROUP BY p.p_brand, p.p_type
+"""
+
+
+@query("q16_supplier_diversity", oracle=_Q16, tags=("join", "tpch"))
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part attribute
+    bucket with exclusion filters (partsupp replaced by observed
+    lineitem supply relationships)."""
+    return _sql(spark, sf_dir, ("part", "lineitem"), _Q16)
+
+
+_Q11 = """
+    WITH value_by_part AS (
+        SELECT l.l_partkey,
+               ROUND(SUM(p.p_retailprice * l.l_quantity), 2) AS part_value
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM value_by_part
+    WHERE part_value > (SELECT SUM(part_value) * 0.0008 FROM value_by_part)
+"""
+
+
+@query("q11_value_concentration", oracle=_Q11, tags=("subquery", "tpch"))
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose flowed value exceeds a fraction of
+    the total — HAVING-against-scalar-subquery over the same aggregate."""
+    return _sql(spark, sf_dir, ("lineitem", "part"), _Q11)
