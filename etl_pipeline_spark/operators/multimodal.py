@@ -134,3 +134,73 @@ def extract_media_features(media: DataFrame, batch_limit: int = 1024) -> DataFra
         "media_id", F.col("meta.kind").alias("kind"), "payload"
     )
     return flat.mapInPandas(process, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, frame_bytes binary, frame_md5 string, "
+    "width int, height int"
+)
+
+
+def _fake_decode_frames(payload: bytes, frame_size: int = 64) -> list[bytes]:
+    """STUB video decode: chunk the payload into fixed-size 'frames'.
+    Replace with a real demuxer (av/ffmpeg) keeping the signature."""
+    if not payload:
+        return []
+    return [payload[i : i + frame_size] for i in range(0, len(payload), frame_size)]
+
+
+def _fake_resize(frame: bytes, width: int, height: int) -> bytes:
+    """STUB resize: deterministic truncation/padding to width*height//64
+    bytes stands in for a pixel resample; a real implementation swaps in
+    Pillow's Image.resize with the same signature."""
+    target = max(1, width * height // 64)
+    return (frame * (target // max(len(frame), 1) + 1))[:target]
+
+
+def sample_frames(
+    media: DataFrame,
+    every_kth: int = 4,
+    frame_size: int = 64,
+    out_width: int = 32,
+    out_height: int = 32,
+) -> DataFrame:
+    """Frame-sampling pipeline over ``mapInPandas``: decode (stub) each
+    payload into frames, keep every k-th, resize (stub), and emit one row
+    per kept frame with content hashes — the batch shape a real
+    video-frame extractor runs in (payloads never leave executors; output
+    rows are small and columnar).
+    """
+    import hashlib
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = _fake_decode_frames(payload, frame_size)
+                for idx in range(0, len(frames), every_kth):
+                    resized = _fake_resize(frames[idx], out_width, out_height)
+                    out_rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": idx,
+                            "frame_bytes": resized,
+                            "frame_md5": hashlib.md5(resized).hexdigest(),
+                            "width": out_width,
+                            "height": out_height,
+                        }
+                    )
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "media_id",
+                    "frame_idx",
+                    "frame_bytes",
+                    "frame_md5",
+                    "width",
+                    "height",
+                ],
+            )
+
+    flat = media.select("media_id", "payload")
+    return flat.mapInPandas(process, schema=FRAME_SCHEMA)

@@ -218,3 +218,46 @@ def q_etl_dirty_input_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(not_blank & ~num_ok, 1)).alias("bad_number_rows"),
         F.count(F.when(~date_ok, 1)).alias("bad_date_rows"),
     )
+
+
+@query(
+    "q_dq_outlier_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT c_mktsegment,
+               AVG(c_acctbal)          AS mu,
+               STDDEV_SAMP(c_acctbal)  AS sigma
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           ROUND(c.c_acctbal, 2) AS acctbal,
+           ROUND((c.c_acctbal - s.mu) / s.sigma, 4) AS zscore,
+           ABS((c.c_acctbal - s.mu) / s.sigma) > 1.8 AS is_outlier
+    FROM customer c JOIN stats s ON c.c_mktsegment = s.c_mktsegment
+    WHERE ABS((c.c_acctbal - s.mu) / s.sigma) > 1.6
+    """,
+    tags=("etl", "dq", "anomaly"),
+)
+def q_dq_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional data-quality check: per-segment z-scores flag
+    anomalous balances (the statistical upgrade of the reference's
+    static range checks, dataflow.py:317-321).
+
+    Scale: group stats are a tiny broadcast; the scoring pass is narrow.
+    """
+    c = load_tables(spark, sf_dir, ("customer",))["customer"]
+    stats = c.groupBy("c_mktsegment").agg(
+        F.avg("c_acctbal").alias("mu"), F.stddev_samp("c_acctbal").alias("sigma")
+    )
+    z = (F.col("c_acctbal") - F.col("mu")) / F.col("sigma")
+    return (
+        c.join(F.broadcast(stats), "c_mktsegment")
+        .filter(F.abs(z) > 1.6)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.round(z, 4).alias("zscore"),
+            (F.abs(z) > 1.8).alias("is_outlier"),
+        )
+    )

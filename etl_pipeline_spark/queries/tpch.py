@@ -366,3 +366,80 @@ def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose flowed value exceeds a fraction of
     the total — HAVING-against-scalar-subquery over the same aggregate."""
     return _sql(spark, sf_dir, ("lineitem", "part"), _Q11)
+
+
+_Q02 = """
+    SELECT p.p_partkey, p.p_name, l.l_suppkey,
+           ROUND(l.l_extendedprice / l.l_quantity, 2) AS unit_price
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_size BETWEEN 40 AND 50
+      AND l.l_extendedprice / l.l_quantity = (
+          SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey
+      )
+"""
+
+
+@query("q02_min_cost_supplier", oracle=_Q02, tags=("subquery", "tpch"))
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each part, the supplier(s) offering the minimal
+    observed unit price — a correlated MIN subquery that Catalyst
+    decorrelates into an aggregate joined back to the outer query."""
+    return _sql(spark, sf_dir, ("part", "lineitem"), _Q02)
+
+
+_Q20 = """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'red%'
+        GROUP BY l.l_suppkey
+        HAVING SUM(l.l_quantity) > (
+            SELECT 0.012 * SUM(l3.l_quantity)
+            FROM lineitem l3 JOIN part p3 ON l3.l_partkey = p3.p_partkey
+            WHERE p3.p_name LIKE 'red%'
+        )
+    )
+"""
+
+
+@query("q20_excess_shippers", oracle=_Q20, tags=("subquery", "tpch"))
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subquery whose HAVING compares a
+    per-supplier aggregate against a scalar subquery over the same
+    filtered universe (suppliers moving an outsized share of 'red'
+    parts)."""
+    return _sql(spark, sf_dir, ("supplier", "lineitem", "part"), _Q20)
+
+
+_Q21 = """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s.s_name
+"""
+
+
+@query("q21_sole_late_shipper", oracle=_Q21, tags=("subquery", "tpch"))
+def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: double-correlated EXISTS + NOT EXISTS — suppliers
+    who were the ONLY late shipper (>90 days after order) in
+    multi-supplier finished orders. Both subqueries correlate on the
+    outer lineitem's order AND reference the outer order's date."""
+    return _sql(spark, sf_dir, ("supplier", "lineitem", "orders"), _Q21)
