@@ -520,3 +520,107 @@ def q_unpivot_balance_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "q_funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+               MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    ),
+    staged AS (
+        SELECT user_id,
+               CASE
+                 WHEN t_signup IS NOT NULL AND t_click > t_signup
+                      AND t_purchase > t_click THEN 'signup>click>purchase'
+                 WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 'signup>click'
+                 WHEN t_signup IS NOT NULL THEN 'signup'
+                 ELSE 'no_signup'
+               END AS funnel_stage
+        FROM firsts
+    )
+    SELECT funnel_stage, COUNT(*) AS n_users
+    FROM staged GROUP BY funnel_stage
+    """,
+    tags=("events", "funnel", "analytics"),
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: users' furthest ordered stage
+    (signup -> later click -> later purchase), computed from per-type
+    first-occurrence timestamps — one shuffle on user_id, conditional-min
+    aggregation, no self-joins."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    stage = (
+        F.when(
+            F.col("t_signup").isNotNull()
+            & (F.col("t_click") > F.col("t_signup"))
+            & (F.col("t_purchase") > F.col("t_click")),
+            "signup>click>purchase",
+        )
+        .when(
+            F.col("t_signup").isNotNull() & (F.col("t_click") > F.col("t_signup")),
+            "signup>click",
+        )
+        .when(F.col("t_signup").isNotNull(), "signup")
+        .otherwise("no_signup")
+    )
+    return (
+        firsts.select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, CAST(MIN(DATE_TRUNC('day', ts)) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               DATE_DIFF('day', f.cohort_day, CAST(DATE_TRUNC('day', e.ts) AS DATE))
+                   AS day_offset
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, day_offset, COUNT(*) AS n_active
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+    tags=("events", "retention", "analytics"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen day, counted
+    as active per day-offset within the first week — the standard cohort
+    triangle, one agg for cohorts + one distinct-join pass."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).cast("date").alias("cohort_day")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"), F.col("cohort_day")
+            ).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
