@@ -29,7 +29,7 @@ N_BITS = 48
 HEX_CHARS = N_BITS // 4  # 12
 N_BANDS = 4
 BAND_BITS = N_BITS // N_BANDS  # 12
-MAX_HAMMING = 3
+MAX_HAMMING = 6
 
 # digit value of one lowercase hex char — identical wording in both engines
 _DIGIT = "(INSTR('0123456789abcdef', SUBSTR(md5(token), {pos}, 1)) - 1)"
@@ -67,13 +67,31 @@ def _simhash_cte(tokens_select: str) -> str:
     """
 
 
-_SPARK_TOKENS = (
-    "SELECT doc_id, explode(array_distinct(split(lower(text), ' '))) AS token FROM documents"
-)
-_DUCK_TOKENS = (
-    "SELECT doc_id, UNNEST(list_distinct(string_split(lower(text), ' '))) AS token "
-    "FROM documents"
-)
+# Feature set: distinct word 3-gram shingles (NOT unigrams — on low-vocab
+# corpora unigram token sets collide massively and SimHash loses all
+# discriminative power; shingles carry word order and local context).
+_SHINGLE_WIDTH = 3
+
+_SPARK_TOKENS = f"""
+    SELECT doc_id, explode(array_distinct(transform(
+        sequence(0, size(split(lower(text), ' ')) - {_SHINGLE_WIDTH}),
+        i -> concat_ws(' ', split(lower(text), ' ')[i],
+                       split(lower(text), ' ')[i+1],
+                       split(lower(text), ' ')[i+2])
+    ))) AS token
+    FROM documents
+    WHERE size(split(lower(text), ' ')) >= {_SHINGLE_WIDTH}
+"""
+_DUCK_TOKENS = f"""
+    SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+        GENERATE_SERIES(1, LEN(STRING_SPLIT(LOWER(text), ' ')) - {_SHINGLE_WIDTH - 1}),
+        i -> STRING_SPLIT(LOWER(text), ' ')[i] || ' ' ||
+             STRING_SPLIT(LOWER(text), ' ')[i+1] || ' ' ||
+             STRING_SPLIT(LOWER(text), ' ')[i+2]
+    ))) AS token
+    FROM documents
+    WHERE LEN(STRING_SPLIT(LOWER(text), ' ')) >= {_SHINGLE_WIDTH}
+"""
 
 
 def simhash_sql(engine: str) -> str:
