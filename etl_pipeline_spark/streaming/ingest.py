@@ -60,3 +60,28 @@ def start_file_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def idempotent_batch_writer(output_dir: str, ledger_dir: str):
+    """Wrap a foreachBatch body with a batch-id ledger so re-delivered
+    micro-batches (restart after write-but-before-checkpoint) are skipped:
+    exactly-once for non-transactional sinks.
+
+    Spark's checkpoint guarantees each batch_id is re-delivered until
+    committed; the ledger makes the WRITE side idempotent, closing the
+    at-least-once gap for plain-parquet/append sinks.
+    """
+    import os
+
+    def process(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.isdir(ledger_dir):
+            seen = spark.read.parquet(ledger_dir)
+            if seen.filter(seen.batch_id == batch_id).limit(1).count() > 0:
+                return  # replay of an already-written batch
+        batch_df.write.mode("append").parquet(output_dir)
+        spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
+            "append"
+        ).parquet(ledger_dir)
+
+    return process

@@ -86,3 +86,18 @@ def test_session_windows(spark, event_stream):
     assert len(by_user[1]) == 2
     # user 2: 20 min apart -> two sessions
     assert len(by_user[2]) == 2
+
+
+def test_idempotent_batch_writer_skips_replays(spark, tmp_path_factory):
+    from etl_pipeline_spark.streaming.ingest import idempotent_batch_writer
+
+    base = tmp_path_factory.mktemp("idemp")
+    out, ledger = str(base / "out"), str(base / "ledger")
+    process = idempotent_batch_writer(out, ledger)
+    df = spark.range(5)
+    process(df, 0)
+    process(df, 0)  # replay of the same batch id -> must be skipped
+    process(df, 1)
+    total = spark.read.parquet(out).count()
+    assert total == 10  # 2 distinct batches x 5 rows, replay ignored
+    assert spark.read.parquet(ledger).count() == 2
