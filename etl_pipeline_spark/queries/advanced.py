@@ -624,3 +624,76 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count("*").alias("n_active"))
     )
+
+
+@query(
+    "q_window_distribution_ranks",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER w                      AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 4)      AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 4)         AS cume,
+           DENSE_RANK() OVER (
+               ORDER BY CAST(FLOOR(o_totalprice / 100000) AS BIGINT) DESC
+           )                                     AS price_band_rank
+    FROM orders
+    WHERE o_custkey < 40
+    WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    tags=("window", "ranking"),
+)
+def q_window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-ranking functions: NTILE quartiles, percent_rank,
+    cume_dist, and dense_rank over a derived banding — completing the
+    ranking-function family (§2.5)."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               NTILE(4) OVER w                      AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 4)      AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 4)         AS cume,
+               DENSE_RANK() OVER (
+                   ORDER BY CAST(FLOOR(o_totalprice / 100000) AS BIGINT) DESC
+               )                                     AS price_band_rank
+        FROM orders
+        WHERE o_custkey < 40
+        WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+        """
+    )
+
+
+@query(
+    "q_scalar_dates_extended",
+    oracle="""
+    SELECT o_orderkey,
+           LAST_DAY(CAST(o_orderdate AS DATE))                        AS month_end,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)               AS plus_3_months,
+           ROUND(DATE_DIFF('day', CAST(o_orderdate AS DATE),
+                           DATE '2000-01-01') / 30.4375, 2)           AS approx_months_to_y2k,
+           EXTRACT(QUARTER FROM o_orderdate)                          AS qtr,
+           EXTRACT(DOW FROM o_orderdate)                              AS dow_sun0,
+           CAST(EXTRACT(EPOCH FROM o_orderdate) AS BIGINT)            AS epoch_s
+    FROM orders
+    WHERE o_orderkey < 300
+    """,
+    tags=("scalar", "F6", "F12", "dates"),
+)
+def q_scalar_dates_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended date family: last_day, add_months, quarter, day-of-week
+    (normalized to DuckDB's Sunday=0 convention — Spark's dayofweek is
+    Sunday=1), and epoch seconds."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return o.filter(F.col("o_orderkey") < 300).select(
+        "o_orderkey",
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.add_months(F.col("o_orderdate").cast("date"), 3).alias("plus_3_months"),
+        F.round(
+            F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+            / 30.4375,
+            2,
+        ).alias("approx_months_to_y2k"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow_sun0"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
