@@ -54,10 +54,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        # count() forces full execution without driver-side row transfer
-        specs[name].fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-two: the first run can absorb one-off JIT/scheduling
+        # noise on a shared host; the min is the query's real cost.
+        # count() forces full execution without driver-side row transfer.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
