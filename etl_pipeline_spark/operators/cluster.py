@@ -112,3 +112,61 @@ def clusters_oracle(pairs_sql: str) -> str:
     FROM reach
     GROUP BY a
     """
+
+
+def connected_components_two_phase(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = MAX_ITER
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — converges in
+    O(log n) rounds even on long path graphs, where plain min-label
+    propagation needs O(diameter) rounds. Same fixpoint: every node maps
+    to the minimum node id in its component.
+
+    Each round:
+      large-star: every node connects its strictly-larger neighbors to
+                  the minimum of its closed neighborhood;
+      small-star: every node connects its smaller-or-equal neighbors
+                  (and itself) to that minimum.
+    Edges shrink toward a star centered on each component's minimum.
+    """
+    # parent(u) starts as u; edge list is kept as parent pointers (u -> p)
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # include self-loops so isolated nodes survive the iterations
+    e = sym.union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
+    e = e.distinct().localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # large-star: group by src over symmetric edges, m = min(dst, src)
+        sym_e = e.select("src", "dst").union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m = sym_e.groupBy("src").agg(F.min("dst").alias("m"))
+        m = m.select("src", F.least("src", "m").alias("m"))
+        large = (
+            sym_e.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        # small-star: neighbors <= src (and self) link to m
+        small = (
+            sym_e.join(m, "src")
+            .filter(F.col("dst") <= F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(m.select(F.col("src"), F.col("m").alias("dst")))
+        )
+        new_e = large.union(small).distinct().localCheckpoint(eager=True)
+        # converged when every node's min neighbor is stable (edge set fixed)
+        if new_e.exceptAll(e).limit(1).count() == 0 and e.exceptAll(new_e).limit(1).count() == 0:
+            e = new_e
+            break
+        e = new_e
+    comp = (
+        e.select("src", "dst")
+        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("m"))
+        .select("node", F.least("node", "m").alias("cluster_id"))
+    )
+    return comp

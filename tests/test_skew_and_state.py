@@ -63,3 +63,35 @@ def test_stateful_running_profiles(spark, tmp_path_factory):
     assert rows[1]["n_events"] == 2 and rows[1]["total_value"] == 3.5
     assert rows[2]["n_events"] == 1 and rows[2]["total_value"] == 3.0
     assert str(rows[1]["last_ts"]) == "2024-01-01 00:20:00"
+
+
+def test_two_phase_cc_matches_propagation(spark):
+    """large-star/small-star must reach the same fixpoint as min-label
+    propagation on an adversarial long-path graph plus random components."""
+    import random
+
+    from etl_pipeline_spark.operators.cluster import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    rng = random.Random(7)
+    # long path 0-1-2-...-19 (depth stress) + a few random small comps
+    edges = [(i, i + 1) for i in range(19)]
+    extra_nodes = list(range(100, 140))
+    for _ in range(25):
+        a, b = rng.sample(extra_nodes, 2)
+        edges.append((min(a, b), max(a, b)))
+    all_nodes = sorted({n for e in edges for n in e} | {999})  # 999 isolated
+    nodes = spark.createDataFrame([(n,) for n in all_nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    simple = {
+        r["node"]: r["cluster_id"] for r in connected_components(nodes, edf).collect()
+    }
+    two_phase = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_two_phase(nodes, edf).collect()
+    }
+    assert simple == two_phase
+    assert simple[19] == 0          # whole path collapses to node 0
+    assert simple[999] == 999       # isolated node keeps its own cluster
