@@ -121,3 +121,40 @@ def write_with_observed_audit(
     n = int(obs.get["n"])
     append_table(audit_record(spark, input_path, n), audit_table)
     return n
+
+
+def compact_parquet(
+    spark, path: str, target_file_mb: int = 128, partition_col: str | None = None
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files of
+    ~target_file_mb (the operational fix for streaming/append sinks that
+    accumulate thousands of tiny files and throttle scan planning at
+    scale). Returns the output file count.
+
+    Sizing uses the current on-disk bytes; coalesce avoids a shuffle when
+    shrinking the file count. Partitioned layouts are preserved.
+    """
+    import glob as globlib
+    import os
+
+    files = [
+        f
+        for f in globlib.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    writer = df.coalesce(n_out).write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(tmp)
+    # atomic-ish swap: move old out, tmp in (single-filesystem rename)
+    import shutil
+
+    old = path.rstrip("/") + "__old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return n_out

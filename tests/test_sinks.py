@@ -72,3 +72,21 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
     assert "PartitionFilters" in plan and "lang" in plan, plan[:600]
     n_en = docs.filter(F.col("lang") == "en").count()
     assert back.count() == n_en
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path_factory):
+    from etl_pipeline_spark.sources.sinks import compact_parquet
+
+    out = str(tmp_path_factory.mktemp("compact") / "many")
+    # simulate a streaming sink's tiny-file accumulation: 16 appends
+    for i in range(16):
+        spark.range(i * 100, (i + 1) * 100).write.mode("append").parquet(out)
+    import glob as g
+    n_before = len(g.glob(f"{out}/*.parquet"))
+    assert n_before >= 16
+    compact_parquet(spark, out, target_file_mb=128)
+    n_after = len(g.glob(f"{out}/*.parquet"))
+    assert n_after < n_before
+    df = spark.read.parquet(out)
+    assert df.count() == 1600
+    assert df.agg({"id": "min"}).collect()[0][0] == 0
