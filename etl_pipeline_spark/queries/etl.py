@@ -107,9 +107,9 @@ def q_etl_clean_cast_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                THEN 1 ELSE 0 END AS ok
         FROM staged
     )
-    SELECT COUNT(*)                  AS input_rows,
-           SUM(ok)                   AS output_rows,
-           COUNT(*) - SUM(ok)        AS quarantined_rows
+    SELECT COUNT(*)                           AS input_rows,
+           CAST(SUM(ok) AS BIGINT)            AS output_rows,
+           CAST(COUNT(*) - SUM(ok) AS BIGINT) AS quarantined_rows
     FROM flagged
     """,
     tags=("etl", "Q6"),

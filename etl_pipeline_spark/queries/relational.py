@@ -273,7 +273,7 @@ def q_distinct_nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l.l_orderkey AS orderkey,
            ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           o.o_orderdate AS orderdate
+           CAST(o.o_orderdate AS DATE) AS orderdate
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -306,7 +306,10 @@ def q03_order_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+        )
         .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
         .select("orderkey", "revenue", "orderdate")
         .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
@@ -604,7 +607,8 @@ def q_window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_topk_expensive_orders",
     oracle="""
-    SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice, o_orderdate
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+           CAST(o_orderdate AS DATE) AS o_orderdate
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey ASC
     LIMIT 10
@@ -618,7 +622,11 @@ def q_topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(10)
-        .select("o_orderkey", _r2(F.col("o_totalprice")).alias("totalprice"), "o_orderdate")
+        .select(
+            "o_orderkey",
+            _r2(F.col("o_totalprice")).alias("totalprice"),
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
     )
 
 
@@ -702,7 +710,7 @@ def q_setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_window_tumbling_events",
     oracle="""
-    SELECT DATE_TRUNC('hour', ts)  AS window_start,
+    SELECT strftime(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*)                AS n_events,
            ROUND(SUM(value), 2)    AS sum_value
@@ -721,7 +729,7 @@ def q_window_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), _r2(F.sum("value")).alias("sum_value"))
         .select(
-            F.col("w.start").alias("window_start"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",

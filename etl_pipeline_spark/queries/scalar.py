@@ -134,13 +134,13 @@ def q_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_id < 1000
     )
     SELECT event_id, ts_str,
-           COALESCE(
+           epoch_us(COALESCE(
              TRY_STRPTIME(ts_str, '%Y-%m-%dT%H:%M:%S.%fZ'),
              TRY_STRPTIME(ts_str, '%Y-%m-%dT%H:%M:%SZ'),
              TRY_STRPTIME(ts_str, '%Y-%m-%dT%H:%M:%S'),
              TRY_STRPTIME(ts_str, '%Y-%m-%d %H:%M:%S'),
              TRY_STRPTIME(ts_str, '%Y-%m-%d')
-           ) AS parsed
+           )) AS parsed_us
     FROM raw
     """,
     tags=("scalar", "F7"),
@@ -160,7 +160,9 @@ def q_scalar_multiformat_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ts_str"),
     )
     return raw.select(
-        "event_id", "ts_str", multi_format_timestamp(F.col("ts_str")).alias("parsed")
+        "event_id",
+        "ts_str",
+        F.unix_micros(multi_format_timestamp(F.col("ts_str"))).alias("parsed_us"),
     )
 
 
@@ -169,7 +171,7 @@ def q_scalar_multiformat_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*)                                               AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events

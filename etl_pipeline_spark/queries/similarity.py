@@ -105,37 +105,81 @@ def q_knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_knn_lsh_approx",
-    oracle=None,  # LSH hash family is engine-specific; ground truth is
-    # q_knn_bruteforce_cosine (rows-only check here).
+    # Self-verifying form (round 2): LSH generates CANDIDATES only; the
+    # exact cosine re-rank of candidates is what gets emitted, so the
+    # exact-kNN SQL is the oracle. A candidate miss (recall < 1) would
+    # surface as a hash mismatch — the check IS the recall assertion.
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+               ROUND(
+                 list_dot_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) /
+                 (SQRT(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[])) *
+                  SQRT(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                 4) AS cos_sim
+        FROM q, embeddings e
+        WHERE e.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id ASC
+        ) AS rnk
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, neighbor_label, cos_sim, rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
     tags=("similarity", "X3", "lsh", "approx"),
 )
 def q_knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate kNN via bucketed random projections (Spark ML LSH,
-    seeded): the sub-linear path when the corpus no longer fits a
-    broadcast-and-scan.
+    """Approximate kNN, candidate-generation + exact re-rank: bucketed
+    random projections (Spark ML LSH, seeded) produce the candidate set,
+    then candidates are re-scored with exact cosine and top-k'd with the
+    same rounding/tie-break as the brute-force twin. Output therefore
+    equals exact kNN whenever candidate recall is 1.0 — which the oracle
+    (the exact-kNN SQL) verifies directly.
 
     Scale: candidates come from hash-bucket joins instead of the full
-    cross product; recall tunes with numHashTables/bucketLength.
+    cross product; recall tunes with numHashTables/bucketLength. The
+    re-rank touches only candidates, so the exact-cosine cost stays
+    sub-linear in the corpus.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    vecs = e.select("vec_id", "label", array_to_vector("embedding").alias("features"))
+    vecs = e.select("vec_id", "label", "embedding", array_to_vector("embedding").alias("features"))
     lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", numHashTables=6, bucketLength=2.0, seed=42
+        inputCol="features", outputCol="hashes", numHashTables=12, bucketLength=4.0, seed=42
     )
     model = lsh.fit(vecs)
-    q = vecs.filter(F.col("vec_id") < N_QUERIES)
-    pairs = model.approxSimilarityJoin(q, vecs, 10.0, distCol="l2_dist")
-    w = W.partitionBy("q_id").orderBy(F.col("l2_dist").asc(), F.col("neighbor_id").asc())
-    return (
-        pairs.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "features"
+    )
+    cand = (
+        model.approxSimilarityJoin(q, vecs, 15.0, distCol="l2_dist")
+        .filter(F.col("datasetA.q_id") != F.col("datasetB.vec_id"))
         .select(
-            F.col("datasetA.vec_id").alias("q_id"),
+            F.col("datasetA.q_id").alias("q_id"),
+            F.col("datasetA.q_emb").alias("q_emb"),
             F.col("datasetB.vec_id").alias("neighbor_id"),
-            F.round(F.col("l2_dist"), 4).alias("l2_dist"),
+            F.col("datasetB.label").alias("neighbor_label"),
+            F.col("datasetB.embedding").alias("emb"),
         )
-        .withColumn("rnk", F.row_number().over(w))
+    )
+    rescored = cand.select(
+        "q_id",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(_cosine(F.col("q_emb"), F.col("emb")), 4).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "neighbor_id", "neighbor_label", "cos_sim", "rnk")
     )

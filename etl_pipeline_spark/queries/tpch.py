@@ -120,7 +120,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q18 = """
-    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+    SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
            ROUND(o.o_totalprice, 2) AS totalprice,
            ROUND(SUM(l.l_quantity), 2) AS total_qty
     FROM customer c

@@ -64,7 +64,7 @@ def _oracle() -> str:
     )
     SELECT lang,
            COUNT(*)                      AS n_docs,
-           SUM(bpe_tokens)               AS total_tokens,
+           CAST(SUM(bpe_tokens) AS BIGINT) AS total_tokens,
            ROUND(AVG(bpe_tokens), 2)     AS avg_tokens,
            ROUND(AVG(punct_ratio), 4)    AS avg_punct_ratio
     FROM final

@@ -5,11 +5,22 @@ given scale factor, then compares row count, schema (column names), and an
 order-insensitive value hash. Usage:
 
     python tools/check_oracle.py [--sf-dir /root/testdata/sf0.01] [names...]
+
+The DuckDB side is fetched through Arrow (``fetch_arrow_table``) rather than
+``fetchall()`` on purpose: the driver's fetch path is Arrow-based, so HUGEINT
+(int128) sums surface as ``Decimal`` and TIMESTAMP_NS keeps nanoseconds —
+exactly the representations that made round-1's two hash failures invisible
+to a ``fetchall()``-based replica. Any oracle whose output includes a
+HUGEINT/DECIMAL/ns-timestamp column is additionally flagged by the type lint
+so it gets rewritten (CAST ... AS BIGINT, date_format) before the driver
+ever sees it.
 """
 
 from __future__ import annotations
 
 import argparse
+import datetime
+import decimal
 import hashlib
 import math
 import sys
@@ -17,6 +28,7 @@ import time
 import traceback
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, "/root/repo")
 
@@ -36,7 +48,26 @@ def normalize_cell(v) -> str:
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
+    # Deliberately NOT coerced to look like int/str twins: the driver's
+    # normalization treats these as distinct, so the replica must too.
+    if isinstance(v, decimal.Decimal):
+        return f"Decimal({v})"
+    if isinstance(v, datetime.datetime):
+        return f"ts({v.isoformat()})"
     return str(v)
+
+
+# Arrow types that hash differently under the driver's fetch path than their
+# logically-equal Spark twins. Oracles must never emit these.
+def risky_oracle_types(schema: pa.Schema) -> list[str]:
+    flagged = []
+    for f in schema:
+        t = f.type
+        if pa.types.is_decimal(t):
+            flagged.append(f"{f.name}: {t} (use CAST(... AS BIGINT/DOUBLE))")
+        elif pa.types.is_timestamp(t):
+            flagged.append(f"{f.name}: {t} (emit date_format(...) or epoch seconds)")
+    return flagged
 
 
 def value_hash(rows: list[tuple], cols: list[str]) -> str:
@@ -82,14 +113,27 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(spec.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            tbl = con.execute(spec.oracle).fetch_arrow_table()
+            ocols = tbl.column_names
+            ocolumns = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+            orows = list(zip(*ocolumns)) if ocolumns else []
+            if tbl.num_rows and not ocolumns:
+                orows = [()] * tbl.num_rows
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {exc}")
             n_fail += 1
             continue
         problems = []
+        flagged = risky_oracle_types(tbl.schema)
+        if flagged:
+            problems.append(f"risky oracle types: {flagged}")
+        sflagged = [
+            f"{fname}: {ftype}"
+            for fname, ftype in sdf.dtypes
+            if ftype.startswith("timestamp") or ftype.startswith("decimal")
+        ]
+        if sflagged:
+            problems.append(f"risky spark types: {sflagged}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
