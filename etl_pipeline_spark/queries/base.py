@@ -46,6 +46,76 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
     return wrap
 
 
+# The round driver samples the FIRST 50 registered queries (r01 checked
+# registry indices 0-49 exactly), so ordering is coverage policy: queries the
+# driver has not yet hash-verified come first, already-proven ones last.
+# This prefix = round-1's two hash-fixes, then the 47 queries r01 never
+# sampled (tpch, scalar, text, training, relational leftovers), then the
+# three rows-only->self-verifying conversions. Everything not listed keeps
+# registration (import) order after the prefix.
+CHECK_PRIORITY: tuple[str, ...] = (
+    # round-1 driver hash failures, fixed this round — must be re-checked
+    "q_etl_quarantine_conservation",
+    "q_session_windows_batch",
+    # tpch family (unchecked in r01)
+    "q07_nation_volume",
+    "q09_product_profit",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q22_idle_high_balance",
+    "q_agg_percentiles",
+    "q08_market_share",
+    "q10_returned_revenue",
+    "q12_late_shipments",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q11_value_concentration",
+    "q02_min_cost_supplier",
+    "q20_excess_shippers",
+    "q21_sole_late_shipper",
+    # scalar family (unchecked in r01)
+    "q_scalar_string_cleaning",
+    "q_scalar_casts",
+    "q_scalar_dates",
+    "q_scalar_multiformat_ts",
+    "q_scalar_json_props",
+    "q_scalar_regexp_extract",
+    "q_scalar_math",
+    "q_scalar_arrays",
+    "q_scalar_conditional_nonempty",
+    "q_scalar_file_lineage",
+    "q_scalar_string_extras",
+    # text family (unchecked in r01)
+    "q_text_stats_by_lang",
+    "q_text_token_counts",
+    "q_text_lang_id",
+    "q_text_quality_score",
+    "q_text_fingerprint",
+    "q_text_top_bigrams",
+    "q_text_edit_distance_pairs",
+    # flagship composition (unchecked in r01)
+    "q_training_data_prep",
+    # relational / window / setop leftovers (unchecked in r01)
+    "q_join_anti_idle_customers",
+    "q_join_cross_region_nation",
+    "q_join_range_value_buckets",
+    "q_window_rank_orders",
+    "q_window_running_spend",
+    "q_window_lag_events",
+    "q_topk_expensive_orders",
+    "q_setop_union_parties",
+    "q_setop_intersect_nations",
+    "q_setop_except_nations",
+    "q_window_tumbling_events",
+    # rows-only -> self-verifying conversions (err rows in r01)
+    "q_approx_aggregates",
+    "q_dedup_minhash_lsh",
+    "q_knn_lsh_approx",
+)
+
+
 def all_specs() -> dict[str, QuerySpec]:
     # Import sides register themselves; keep imports here to avoid cycles.
     from etl_pipeline_spark.queries import (  # noqa: F401
@@ -61,4 +131,9 @@ def all_specs() -> dict[str, QuerySpec]:
         training_pipeline,
     )
 
-    return REGISTRY
+    missing = [n for n in CHECK_PRIORITY if n not in REGISTRY]
+    if missing:
+        raise KeyError(f"CHECK_PRIORITY names not registered: {missing}")
+    ordered = {n: REGISTRY[n] for n in CHECK_PRIORITY}
+    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    return ordered
