@@ -8,6 +8,7 @@ jobs over the files) instead of downloading every file into one worker
 
 from __future__ import annotations
 
+import datetime as _dt
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,17 +81,122 @@ class FileValidationSummary:
     def all_valid(self) -> bool:
         return self.valid_files == self.total_files and self.total_records > 0
 
+    @property
+    def warnings(self) -> list[str]:
+        """S10 threshold findings — advisory, never invalidate the set
+        (the reference logs and continues, dataflow.py:174-180)."""
+        return [e for e in self.errors if e.startswith("warning: ")]
+
+
+LARGE_FILE_MB = 100.0
+OLD_FILE_DAYS = 7
+
+
+def probe_file_metadata(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Distributed file-metadata probe (S10 <- dataflow.py:154-167): path,
+    size (bytes and MB — F13's unit conversion, dataflow.py:165), and
+    modification time per file, WITHOUT reading file contents — the
+    binaryFile source prunes its ``content`` column when only metadata
+    columns are selected, so this stays a listing-only job even over a
+    100 TB prefix."""
+    return (
+        spark.read.format("binaryFile")
+        .load(paths)
+        .select(
+            F.col("path"),
+            F.col("length").alias("size_bytes"),
+            (F.col("length") / F.lit(1024.0 * 1024.0)).alias("size_mb"),
+            F.col("modificationTime").alias("mtime"),
+        )
+    )
+
+
+def file_metadata_checks(
+    spark: SparkSession,
+    paths: list[str],
+    max_size_mb: float = LARGE_FILE_MB,
+    max_age_days: int = OLD_FILE_DAYS,
+    now: _dt.datetime | None = None,
+) -> list[str]:
+    """Threshold probes over file metadata (S10 <- dataflow.py:169-180):
+    empty files are hard errors; files larger than ``max_size_mb`` or older
+    than ``max_age_days`` produce ``warning:``-prefixed entries — same
+    keep-going semantics as the reference's ``logging.warning``. The checks
+    aggregate executor-side; only the flagged rows reach the driver."""
+    now = now or _dt.datetime.now(_dt.timezone.utc)
+    meta = probe_file_metadata(spark, paths)
+    age_days = (F.lit(now) - F.col("mtime")).cast("long") / F.lit(86400.0)
+    flagged = (
+        meta.select("path", "size_mb", "size_bytes", age_days.alias("age_days"))
+        .filter((F.col("size_mb") > max_size_mb) | (F.col("age_days") > max_age_days))
+        .collect()
+    )
+    # The binaryFile source omits 0-byte files from its listing, so "empty"
+    # is detected as input paths absent from the probe (dataflow.py:170-171
+    # raises on 0 bytes; here it's a hard error entry).
+    seen_names = {r["path"].rsplit("/", 1)[-1] for r in meta.select("path").collect()}
+    findings: list[str] = []
+    for p in paths:
+        if p.rsplit("/", 1)[-1] not in seen_names:
+            findings.append(f"{p}: empty file (0 bytes)")
+    for r in flagged:
+        if r["size_mb"] > max_size_mb:
+            findings.append(f"warning: {r['path']}: large file {r['size_mb']:.2f} MB")
+        if r["age_days"] > max_age_days:
+            findings.append(f"warning: {r['path']}: old file {int(r['age_days'])} days")
+    return findings
+
+
+def format_for_path(path: str) -> str:
+    """Extension -> format dispatch (Q2 <- dataflow.py:189-199): json, csv,
+    jsonl/ndjson, anything else plain text."""
+    name = path.rsplit("/", 1)[-1].lower()
+    ext = name.rsplit(".", 1)[-1] if "." in name else ""
+    if ext == "json":
+        return "json"
+    if ext == "csv":
+        return "csv"
+    if ext in ("jsonl", "ndjson"):
+        return "jsonl"
+    return "text"
+
 
 def file_gate(
-    spark: SparkSession, paths: list[str], fmt: str = "json", min_records: int = 1
+    spark: SparkSession,
+    paths: list[str],
+    fmt: str | None = "json",
+    min_records: int = 1,
+    check_metadata: bool = False,
 ) -> FileValidationSummary:
     """File-set validation gate (Q1 <- check_input_files, dataflow.py:62-134):
     count records per file distributed (input_file_name groupBy — one Spark
     job for the whole file set, vs the reference's sequential downloads),
     fail when any file is empty or the total is below ``min_records``.
+
+    ``fmt=None`` routes each file by extension (Q2 <- dataflow.py:189-199),
+    handling mixed-format directories by running one gate per format group
+    and merging the summaries. ``check_metadata=True`` adds the S10
+    size/age threshold probes to the summary's errors list.
     """
     if not paths:
         raise FileGateError("no input files")
+    if fmt is None:
+        groups: dict[str, list[str]] = {}
+        for p in paths:
+            groups.setdefault(format_for_path(p), []).append(p)
+        merged = FileValidationSummary(0, 0, 0)
+        for gfmt, gpaths in sorted(groups.items()):
+            part = file_gate(spark, gpaths, fmt=gfmt, min_records=0)
+            merged.total_files += part.total_files
+            merged.valid_files += part.valid_files
+            merged.total_records += part.total_records
+            merged.per_file.update(part.per_file)
+            merged.errors.extend(part.errors)
+        if merged.total_records < min_records:
+            merged.errors.append(f"total records {merged.total_records} < {min_records}")
+        if check_metadata:
+            merged.errors.extend(file_metadata_checks(spark, paths))
+        return merged
     if fmt == "json":
         df = spark.read.option("multiLine", "true").json(paths)
     elif fmt == "jsonl":
@@ -126,4 +232,6 @@ def file_gate(
     )
     if seen_total < min_records:
         summary.errors.append(f"total records {seen_total} < {min_records}")
+    if check_metadata:
+        summary.errors.extend(file_metadata_checks(spark, paths))
     return summary

@@ -87,3 +87,64 @@ def test_file_gate(spark, datadir):
     assert summary.total_files == 2
     assert summary.total_records == 3
     assert summary.all_valid
+
+
+def test_file_gate_extension_dispatch_mixed_dir(spark, datadir):
+    """Q2 <- dataflow.py:189-199: fmt=None routes json/jsonl/text by
+    extension, one gate per format group, merged summary."""
+    paths = [
+        str(datadir / "array.json"),
+        str(datadir / "single.json"),
+        str(datadir / "records.jsonl"),
+        str(datadir / "lines.txt"),
+    ]
+    summary = file_gate(spark, paths, fmt=None)
+    assert summary.total_files == 4
+    # 2 + 1 json records, 3 jsonl lines (the corrupt line still counts as a
+    # read record pre-quarantine), 2 non-empty text lines
+    assert summary.total_records == 3 + 3 + 2
+    assert summary.all_valid
+
+
+def test_format_for_path():
+    from etl_pipeline_spark.quality.checks import format_for_path
+
+    assert format_for_path("a/b/data.JSON") == "json"
+    assert format_for_path("x.csv") == "csv"
+    assert format_for_path("x.jsonl") == "jsonl"
+    assert format_for_path("x.ndjson") == "jsonl"
+    assert format_for_path("notes.txt") == "text"
+    assert format_for_path("no_extension") == "text"
+
+
+def test_file_metadata_threshold_probes(spark, tmp_path):
+    """S10 <- dataflow.py:169-180: 0-byte error, >max_size warning,
+    >max_age warning; F13's MB conversion feeds the size warning text."""
+    import datetime as dt
+    import os
+
+    big = tmp_path / "big.json"
+    big.write_text('[{"id": 1, "name": "a", "value": 1}]' + " " * 2048)
+    empty = tmp_path / "empty.json"
+    empty.write_text("")
+    old = tmp_path / "old.json"
+    old.write_text('[{"id": 2, "name": "b", "value": 2}]')
+    ancient = dt.datetime.now().timestamp() - 30 * 86400
+    os.utime(old, (ancient, ancient))
+
+    from etl_pipeline_spark.quality.checks import file_metadata_checks
+
+    findings = file_metadata_checks(
+        spark,
+        [str(big), str(empty), str(old)],
+        max_size_mb=0.001,  # ~1 KB so the 2 KB file trips the threshold
+        max_age_days=7,
+    )
+    text = "\n".join(findings)
+    assert "empty.json: empty file (0 bytes)" in text
+    assert "warning: " in text and "large file" in text and "MB" in text
+    assert "old file" in text and "days" in text
+
+    summary = file_gate(spark, [str(big), str(old)], fmt="json", check_metadata=True)
+    assert summary.all_valid  # warnings never invalidate (reference parity)
+    assert len(summary.warnings) >= 1
