@@ -29,13 +29,20 @@ MAX_ITER = 20
 
 def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = MAX_ITER) -> DataFrame:
     """nodes(node), edges(src, dst) undirected -> (node, cluster_id) with
-    cluster_id = min node id reachable."""
+    cluster_id = min node id reachable.
+
+    Min-label propagation needs O(diameter) rounds; if the loop exhausts
+    ``max_iter`` with labels still changing (a component deeper than
+    max_iter), the partial labels would be silently wrong — so that case
+    falls back to :func:`connected_components_two_phase`, which converges
+    in O(log n) rounds on any topology and has the same fixpoint."""
     from pyspark.sql import Observation
 
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -61,7 +68,18 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = MAX
         )
         labels = new_labels
         if int(obs.get["changed"] or 0) == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); falling back to "
+            "large-star/small-star",
+            stacklevel=2,
+        )
+        return connected_components_two_phase(nodes, edges)
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

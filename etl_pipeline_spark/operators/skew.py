@@ -28,10 +28,23 @@ def salted_aggregate(
     salt_source: Column | None = None,
 ) -> DataFrame:
     """SUM(agg_col) GROUP BY key, computed as partial sums over
-    (key, salt) then a final sum over key. Deterministic salt from a
-    row-level hash keeps re-runs identical."""
+    (key, salt) then a final sum over key.
+
+    The default salt hashes ROW IDENTITY (partition id + row position),
+    not the aggregated value: the motivating skew case is a hot key whose
+    rows all carry the same (or null) value, and a value-derived salt
+    would send every one of those rows to the same reducer — a no-op
+    mitigation. Pass ``salt_source`` for a deterministic column-derived
+    override when re-run-identical partials matter more."""
     salt = (
-        F.pmod(F.xxhash64(salt_source if salt_source is not None else F.col(agg_col)), n_salts)
+        F.pmod(
+            F.xxhash64(
+                salt_source
+                if salt_source is not None
+                else F.spark_partition_id() + F.monotonically_increasing_id()
+            ),
+            n_salts,
+        )
         if n_salts > 1
         else F.lit(0)
     )

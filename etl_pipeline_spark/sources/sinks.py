@@ -133,10 +133,22 @@ def compact_parquet(
 
     Sizing uses the current on-disk bytes; coalesce avoids a shuffle when
     shrinking the file count. Partitioned layouts are preserved.
+
+    Concurrency contract: SINGLE WRITER, NO CONCURRENT READERS during the
+    swap — the two renames are not jointly atomic, so a reader hitting the
+    path between them sees a missing directory. (An atomic swap needs a
+    transactional table format; plain parquet directories only get
+    single-rename atomicity.) A crash between the renames is recoverable:
+    the data survives at ``<path>__old`` and :func:`recover_compaction`
+    (also called on the next compact_parquet of the same path) restores
+    it. The old copy is only deleted after the new path is verified
+    readable.
     """
     import glob as globlib
     import os
+    import shutil
 
+    recover_compaction(path)
     files = [
         f
         for f in globlib.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
@@ -150,11 +162,35 @@ def compact_parquet(
     if partition_col:
         writer = writer.partitionBy(partition_col)
     writer.parquet(tmp)
-    # atomic-ish swap: move old out, tmp in (single-filesystem rename)
-    import shutil
-
     old = path.rstrip("/") + "__old"
     shutil.move(path, old)
     shutil.move(tmp, path)
+    # verify the swapped-in copy is a readable parquet dataset before
+    # destroying the old one; any failure here leaves __old for recovery
+    spark.read.parquet(path).limit(1).collect()
     shutil.rmtree(old)
     return n_out
+
+
+def recover_compaction(path: str) -> bool:
+    """Crash recovery for :func:`compact_parquet`: if a previous run died
+    between its two renames, the dataset lives at ``<path>__old`` and
+    ``path`` is missing — move it back. Returns True if a restore
+    happened. Leftover ``__compacting`` temp dirs are removed either way."""
+    import os
+    import shutil
+
+    old = path.rstrip("/") + "__old"
+    tmp = path.rstrip("/") + "__compacting"
+    restored = False
+    if os.path.isdir(old):
+        if not os.path.isdir(path):
+            # died between the renames: restore
+            shutil.move(old, path)
+            restored = True
+        else:
+            # died after the swap but before cleanup: new data is live
+            shutil.rmtree(old)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    return restored

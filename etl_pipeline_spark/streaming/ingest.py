@@ -46,13 +46,26 @@ def start_file_ingest(
     raw = reader.csv(input_dir)
 
     def process_batch(batch_df, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
         clean, quarantine = transform_covid(batch_df)
-        clean.write.mode("append").parquet(f"{output_dir}/main")
-        quarantine.write.mode("append").parquet(f"{output_dir}/quarantine")
-        n = clean.count()
+        # observe captures the clean count DURING the main write (A3), so
+        # the covid transform and the batch read run exactly once — no
+        # second count() job recomputing the whole micro-batch.
+        obs = Observation()
+        observed = clean.observe(obs, F.count(F.lit(1)).alias("n"))
+        # batch_id-keyed overwrite subdirectories make every sink write
+        # idempotent under foreachBatch replay (restart between write and
+        # checkpoint commit re-delivers the same batch_id — the overwrite
+        # replaces, never duplicates; same for the audit row).
+        observed.write.mode("overwrite").parquet(f"{output_dir}/main/batch_id={batch_id}")
+        n = int(obs.get["n"] or 0)
+        quarantine.write.mode("overwrite").parquet(
+            f"{output_dir}/quarantine/batch_id={batch_id}"
+        )
         audit_record(spark, f"{input_dir} (batch {batch_id})", n).write.mode(
-            "append"
-        ).parquet(f"{output_dir}/audit")
+            "overwrite"
+        ).parquet(f"{output_dir}/audit/batch_id={batch_id}")
 
     writer = raw.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -62,26 +75,29 @@ def start_file_ingest(
     return writer.start()
 
 
-def idempotent_batch_writer(output_dir: str, ledger_dir: str):
-    """Wrap a foreachBatch body with a batch-id ledger so re-delivered
-    micro-batches (restart after write-but-before-checkpoint) are skipped:
-    exactly-once for non-transactional sinks.
+def idempotent_batch_writer(output_dir: str):
+    """Wrap a foreachBatch body so re-delivered micro-batches (restart
+    after write-but-before-checkpoint) cannot duplicate data: each batch
+    writes to a ``batch_id=<id>`` subdirectory with mode('overwrite'), so
+    the write itself is the ledger — a replay overwrites the same
+    directory instead of appending a second copy. There is no separate
+    data-then-ledger step and therefore no crash window between them
+    (the flaw in the round-1 two-step design: dying after the data append
+    but before the ledger append meant the replay appended again).
 
-    Spark's checkpoint guarantees each batch_id is re-delivered until
-    committed; the ledger makes the WRITE side idempotent, closing the
-    at-least-once gap for plain-parquet/append sinks.
+    A completed write is marked by Spark's ``_SUCCESS`` file; replays of
+    fully-committed batches are skipped as a fast path, and partially
+    written directories (crash mid-write) are simply overwritten.
+
+    Downstream reads ``spark.read.parquet(output_dir)`` and sees batch_id
+    as a partition column.
     """
     import os
 
     def process(batch_df, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        if os.path.isdir(ledger_dir):
-            seen = spark.read.parquet(ledger_dir)
-            if seen.filter(seen.batch_id == batch_id).limit(1).count() > 0:
-                return  # replay of an already-written batch
-        batch_df.write.mode("append").parquet(output_dir)
-        spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
-            "append"
-        ).parquet(ledger_dir)
+        dest = os.path.join(output_dir, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(dest, "_SUCCESS")):
+            return  # replay of a fully-committed batch
+        batch_df.write.mode("overwrite").parquet(dest)
 
     return process

@@ -90,3 +90,28 @@ def test_compact_parquet_reduces_files(spark, tmp_path_factory):
     df = spark.read.parquet(out)
     assert df.count() == 1600
     assert df.agg({"id": "min"}).collect()[0][0] == 0
+
+
+def test_compact_parquet_crash_recovery(spark, tmp_path_factory):
+    """A crash between compact_parquet's two renames strands the data at
+    <path>__old with nothing at <path>; recover_compaction restores it,
+    and the next compact_parquet call self-heals before compacting."""
+    import shutil
+
+    from etl_pipeline_spark.sources.sinks import compact_parquet, recover_compaction
+
+    out = str(tmp_path_factory.mktemp("recover") / "data")
+    spark.range(100).write.parquet(out)
+    # simulate the crash window: old moved out, new never moved in
+    shutil.move(out, out + "__old")
+    assert recover_compaction(out) is True
+    assert spark.read.parquet(out).count() == 100
+
+    # and the in-API path: a stale __old plus a live path (crash after
+    # swap, before cleanup) is cleaned up by the next compaction
+    spark.range(50).write.mode("overwrite").parquet(out + "__old")
+    compact_parquet(spark, out, target_file_mb=128)
+    import os
+
+    assert not os.path.exists(out + "__old")
+    assert spark.read.parquet(out).count() == 100

@@ -92,12 +92,29 @@ def test_idempotent_batch_writer_skips_replays(spark, tmp_path_factory):
     from etl_pipeline_spark.streaming.ingest import idempotent_batch_writer
 
     base = tmp_path_factory.mktemp("idemp")
-    out, ledger = str(base / "out"), str(base / "ledger")
-    process = idempotent_batch_writer(out, ledger)
+    out = str(base / "out")
+    process = idempotent_batch_writer(out)
     df = spark.range(5)
     process(df, 0)
     process(df, 0)  # replay of the same batch id -> must be skipped
     process(df, 1)
     total = spark.read.parquet(out).count()
     assert total == 10  # 2 distinct batches x 5 rows, replay ignored
-    assert spark.read.parquet(ledger).count() == 2
+    assert {r["batch_id"] for r in spark.read.parquet(out).select("batch_id").collect()} == {0, 1}
+
+
+def test_idempotent_batch_writer_overwrites_partial_batch(spark, tmp_path_factory):
+    """Crash window regression: a batch directory without _SUCCESS (died
+    mid-write) must be fully overwritten on replay, not appended to."""
+    import os
+
+    from etl_pipeline_spark.streaming.ingest import idempotent_batch_writer
+
+    base = tmp_path_factory.mktemp("idemp_partial")
+    out = str(base / "out")
+    process = idempotent_batch_writer(out)
+    process(spark.range(5), 0)
+    # simulate a crash that committed data but lost the _SUCCESS marker
+    os.remove(os.path.join(out, "batch_id=0", "_SUCCESS"))
+    process(spark.range(5), 0)  # replay must overwrite, yielding 5 rows
+    assert spark.read.parquet(out).count() == 5
