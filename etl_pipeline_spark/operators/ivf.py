@@ -89,6 +89,91 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
+    """Materialize the on-disk IVF layout: the embedding table written
+    partitioned by cell (Hive ``cell=<label>`` directories), so a probed
+    search scans ONLY the probed cells' files — partition pruning turns
+    the 'scan within probed cells' claim into a physical fact at any
+    scale. One shuffle at build time buys pruned scans on every query."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    (
+        e.withColumnRenamed("label", "cell")
+        .repartition("cell")  # one output file per cell, not files*cells
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(index_path)
+    )
+
+
+def ivf_topk_indexed(spark: SparkSession, sf_dir: str, index_path: str) -> DataFrame:
+    """IVF search against the partitioned index: identical semantics (and
+    results) to :func:`ivf_topk`, but the in-cell candidate scan reads the
+    ``cell=...`` partitions of ``index_path`` with an ``isin`` filter over
+    the probed cells — a partition-pruned scan (assertable via
+    ``plans.assert_partition_pruned``) instead of a full-corpus read.
+
+    The probed-cell list is (N_QUERIES x N_PROBE) rows — a bounded,
+    driver-side collect by design, like the query vectors themselves."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    exploded = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("pos", "val"),
+    )
+    centroids = exploded.groupBy("label", "pos").agg(
+        F.round(F.avg("val"), CENTROID_ROUND).alias("cval")
+    )
+    qv = exploded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "pos", "val"
+    )
+    dists = (
+        qv.join(centroids.withColumnRenamed("label", "cell"), "pos")
+        .groupBy("q_id", "cell")
+        .agg(F.round(F.sum((F.col("val") - F.col("cval")) ** 2), DIST_ROUND).alias("d2"))
+    )
+    wprobe = W.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    probed = dists.withColumn("cell_rank", F.row_number().over(wprobe)).filter(
+        F.col("cell_rank") <= N_PROBE
+    )
+    probed_pairs = probed.select("q_id", "cell").collect()
+    probe_cells = sorted({r["cell"] for r in probed_pairs})
+
+    # the partition-pruned scan: only cell=<probed> directories are read
+    index = spark.read.parquet(index_path).filter(F.col("cell").isin(probe_cells))
+
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    emb_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(emb_d(a), emb_d(b), lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    cand = (
+        index.join(probed.select("q_id", "cell"), "cell")
+        .join(F.broadcast(q), "q_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    scored = cand.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell").alias("neighbor_cell"),
+        F.round(
+            dot(F.col("q_emb"), F.col("embedding"))
+            / (
+                F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+                * F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+            ),
+            DIST_ROUND,
+        ).alias("cos_sim"),
+    )
+    wk = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "neighbor_id", "neighbor_cell", "cos_sim", "rnk")
+    )
+
+
 IVF_ORACLE = f"""
 WITH exploded AS (
     SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val

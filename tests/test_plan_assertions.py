@@ -28,3 +28,25 @@ def test_topk_is_take_ordered(spark):
 def test_narrow_etl_chain_has_no_shuffle(spark):
     df = contract.queries()["q_etl_clean_cast_filter"](spark, SF)
     plans.assert_no_shuffle(df)
+
+
+def test_ivf_index_scan_is_partition_pruned(spark, tmp_path_factory):
+    """The IVF scale claim as an asserted fact: searching the cell-
+    partitioned index reads only probed ``cell=...`` partitions
+    (PartitionFilters on cell), and returns exactly what the
+    unpartitioned oracle-checked ivf_topk returns."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_spark.operators.ivf import ivf_topk, ivf_topk_indexed, write_ivf_index
+
+    idx = str(tmp_path_factory.mktemp("ivf") / "index")
+    write_ivf_index(spark, SF, idx)
+    # the probed-cell scan itself prunes partitions
+    cells = [r["cell"] for r in spark.read.parquet(idx).select("cell").distinct().limit(2).collect()]
+    pruned_scan = spark.read.parquet(idx).filter(F.col("cell").isin(cells))
+    plans.assert_partition_pruned(pruned_scan, "cell")
+
+    got = ivf_topk_indexed(spark, SF, idx)
+    plans.assert_partition_pruned(got, "cell")
+    want = {tuple(r) for r in ivf_topk(spark, SF).collect()}
+    assert {tuple(r) for r in got.collect()} == want

@@ -88,6 +88,94 @@ def test_session_windows(spark, event_stream):
     assert len(by_user[2]) == 2
 
 
+def test_watermark_drops_late_events(spark, tmp_path_factory):
+    """§2.9 late-data semantics: an event arriving behind the watermark is
+    DROPPED from the windowed aggregation. Two micro-batches (one file
+    each via maxFilesPerTrigger=1): batch 1's max ts advances the
+    watermark; batch 2 carries an event older than it. In append mode the
+    late event's window must never be emitted."""
+    import os
+    import time
+
+    d = tmp_path_factory.mktemp("late_events")
+    src = d / "src"
+    src.mkdir()
+    schema = "ts timestamp, user_id long, event_type string, value double"
+
+    def write_file(name, rows, mtime):
+        # single-FILE parquet (not a directory) so the file stream's
+        # maxFilesPerTrigger=1 maps one file -> one micro-batch, with
+        # mtime controlling batch order
+        import glob as g
+        import shutil
+
+        df = spark.createDataFrame(rows, "ts_s string, user_id long, event_type string, value double")
+        df = df.select(F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "value")
+        tmp = str(d / f"_tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = g.glob(f"{tmp}/part-*.parquet")[0]
+        path = str(src / name)
+        shutil.move(part, path)
+        shutil.rmtree(tmp)
+        os.utime(path, (mtime, mtime))
+        return path
+
+    t0 = time.time() - 1000
+    # batch 0: window W=[10:00,10:15) gets 2 events; max ts 10:59
+    write_file(
+        "a.parquet",
+        [
+            ("2024-01-01 10:00:00", 1, "click", 1.0),
+            ("2024-01-01 10:05:00", 1, "click", 1.0),
+            ("2024-01-01 10:59:00", 2, "view", 1.0),
+        ],
+        t0,
+    )
+    # batch 1: watermark in effect is now 10:49 (> W.end) -> W is
+    # finalized, emitted, and evicted at the end of this batch
+    write_file("b.parquet", [("2024-01-01 11:00:00", 2, "view", 1.0)], t0 + 60)
+    # batch 2: a LATE event inside the finalized W — must be dropped at
+    # the watermark, never re-opening or re-emitting W
+    write_file(
+        "c.parquet",
+        [
+            ("2024-01-01 10:05:00", 3, "click", 1.0),
+            ("2024-01-01 11:30:00", 2, "view", 1.0),
+        ],
+        t0 + 120,
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = tumbling_counts(stream, window="15 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1  # exactly the late 10:05 arrival
+    out = [
+        r
+        for r in spark.table("t_late").collect()
+        if str(r["window_start"]) == "2024-01-01 10:00:00"
+    ]
+    # W emitted exactly once, with only its on-time events — the late row
+    # neither re-opened the window nor produced a duplicate emission
+    assert len(out) == 1
+    assert out[0]["n_events"] == 2
+
+
 def test_idempotent_batch_writer_skips_replays(spark, tmp_path_factory):
     from etl_pipeline_spark.streaming.ingest import idempotent_batch_writer
 
