@@ -113,6 +113,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_approx_aggregates",
     "q_dedup_minhash_lsh",
     "q_knn_lsh_approx",
+    # new in round 2
+    "q_dedup_embedding_cosine",
 )
 
 

@@ -23,6 +23,7 @@ from etl_pipeline_spark.queries.base import query
 
 SHINGLE_WIDTH = 3
 JACCARD_THRESHOLD = 0.5
+EMB_TOPK_PER_BLOCK = 3
 
 
 @query(
@@ -372,4 +373,80 @@ def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@query(
+    "q_dedup_embedding_cosine",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.label,
+               a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(
+                 list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 4) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY label ORDER BY cos_sim DESC, vec_a ASC, vec_b ASC
+        ) AS rnk
+        FROM pairs
+    )
+    SELECT label, vec_a, vec_b, cos_sim, rnk
+    FROM ranked WHERE rnk <= {EMB_TOPK_PER_BLOCK}
+    """,
+    tags=("dedup", "X2", "embedding", "cosine"),
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (X2's semantic-dedup family): the most
+    similar embedding pairs WITHIN each block, here the label column —
+    the blocked comparison pattern. A fixed cosine threshold also works
+    (`.filter(cos >= t)`); the fixture's embeddings are near-orthogonal
+    (max pair cosine ~0.51), so the canonical query ranks instead of
+    thresholding to stay non-degenerate.
+
+    Scale: the self-join is BLOCKED — pairs form only within a block
+    (shuffle key = label), never across the whole corpus. At 100 TB the
+    block key becomes an LSH bucket or IVF cell (operators/ivf.py) so
+    block sizes stay bounded; the within-block quadratic cost is then
+    (corpus/cells) x cell_size, not corpus squared.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    a = e.select("label", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select("label", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.join(b, ["label"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "label",
+            "vec_a",
+            "vec_b",
+            F.round(
+                dot(F.col("emb_a"), F.col("emb_b"))
+                / (
+                    F.sqrt(dot(F.col("emb_a"), F.col("emb_a")))
+                    * F.sqrt(dot(F.col("emb_b"), F.col("emb_b")))
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wr = W.partitionBy("label").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_a").asc(), F.col("vec_b").asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= EMB_TOPK_PER_BLOCK)
+        .select("label", "vec_a", "vec_b", "cos_sim", "rnk")
     )
