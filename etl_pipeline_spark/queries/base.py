@@ -115,6 +115,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_knn_lsh_approx",
     # new in round 2
     "q_dedup_embedding_cosine",
+    "q_contamination_check",
+    "q_pii_scrub",
+    "q_stratified_sample",
+    "q_sequence_packing",
+    "q_repetition_score",
 )
 
 
@@ -124,6 +129,7 @@ def all_specs() -> dict[str, QuerySpec]:
         advanced,
         dedup,
         etl,
+        llm_ops,
         multimodal,
         relational,
         scalar,

@@ -1,0 +1,324 @@
+"""LLM training-data pipeline operators beyond the X1-X5 core — the
+operations a 100 TB corpus build runs between dedup and tokenization:
+eval-set contamination checking, PII scrubbing, stratified (per-language)
+hash sampling for data mixing, fixed-token-budget sequence packing, and
+repetition scoring. All pure Column expressions (JVM-side, no UDFs), each
+oracle-checked against DuckDB on the shared fixture tables.
+
+Scale notes per operator are on the docstrings; the common theme: every
+shuffle key here is either a shingle/fingerprint (uniform by
+construction) or a low-cardinality (lang, source) pair whose group sizes
+are bounded by the corpus mix, never by a hot join key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.queries.base import query
+from etl_pipeline_spark.queries.text import TOKEN_RE
+
+CONTAM_NGRAM = 5  # word n-gram width for contamination fingerprints
+EVAL_MOD = 10  # doc_id % EVAL_MOD == EVAL_REMAINDER -> held-out eval doc
+EVAL_REMAINDER = 9
+PACK_BUDGET = 256  # tokens per packed sequence
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def _ngram_sql(width: int, who: str) -> str:
+    """DuckDB word-n-gram shingle extraction for the train/eval split."""
+    terms = " || ' ' || ".join(f"STRING_SPLIT(text, ' ')[i+{k}]" for k in range(width))
+    cond = (
+        f"doc_id % {EVAL_MOD} = {EVAL_REMAINDER}"
+        if who == "eval"
+        else f"doc_id % {EVAL_MOD} <> {EVAL_REMAINDER}"
+    )
+    return f"""
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id,
+                   UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                       GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - {width - 1}),
+                       i -> {terms}
+                   ))) AS shingle
+            FROM documents
+            WHERE {cond} AND LEN(STRING_SPLIT(text, ' ')) >= {width}
+        ) s
+    """
+
+
+def _ngrams(df: DataFrame, width: int) -> DataFrame:
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - width)
+    arr = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k + 1) for k in range(width)]
+            ),
+        )
+    )
+    return df.filter(F.size(toks) >= width).select(
+        "doc_id", F.explode(arr).alias("shingle")
+    )
+
+
+@query(
+    "q_contamination_check",
+    oracle=f"""
+    WITH train AS ({_ngram_sql(CONTAM_NGRAM, "train")}),
+    eval_s AS ({_ngram_sql(CONTAM_NGRAM, "eval")}),
+    hits AS (
+        SELECT e.doc_id AS eval_doc_id, e.shingle, t.doc_id AS train_doc_id
+        FROM eval_s e JOIN train t ON e.shingle = t.shingle
+    )
+    SELECT eval_doc_id,
+           COUNT(DISTINCT shingle)      AS n_shared_ngrams,
+           COUNT(DISTINCT train_doc_id) AS n_contaminating_docs
+    FROM hits
+    GROUP BY eval_doc_id
+    """,
+    tags=("llm", "contamination", "X4"),
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check — the pre-training hygiene step: for
+    every held-out eval document (doc_id % 10 == 9), how many of its word
+    5-grams also appear in the training split, and in how many distinct
+    training documents. Nonzero rows are the contamination report a real
+    pipeline would act on (drop the train docs or re-draw the eval set).
+
+    Scale: the join key is the n-gram itself — an inverted-index join like
+    the Jaccard dedup, but one side (eval set) is tiny by construction, so
+    Spark broadcast-joins it; at 100 TB the eval shingle set (millions of
+    rows, not billions) still broadcasts or bucket-joins cheaply. No
+    all-pairs product anywhere.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    train = _ngrams(d.filter(F.col("doc_id") % EVAL_MOD != EVAL_REMAINDER), CONTAM_NGRAM)
+    evals = _ngrams(d.filter(F.col("doc_id") % EVAL_MOD == EVAL_REMAINDER), CONTAM_NGRAM)
+    hits = train.alias("t").join(
+        F.broadcast(evals.alias("e")), F.col("t.shingle") == F.col("e.shingle")
+    )
+    return (
+        hits.groupBy(F.col("e.doc_id").alias("eval_doc_id"))
+        .agg(
+            F.countDistinct("t.shingle").alias("n_shared_ngrams"),
+            F.countDistinct("t.doc_id").alias("n_contaminating_docs"),
+        )
+    )
+
+
+@query(
+    "q_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact user' || doc_id ||
+                         '@example.com or 555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE text END AS text
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT doc_id, lang,
+               LEN(REGEXP_EXTRACT_ALL(text, '{_EMAIL_RE}'))  AS n_emails,
+               LEN(REGEXP_EXTRACT_ALL(text, '{_PHONE_RE}'))  AS n_phones,
+               REGEXP_REPLACE(REGEXP_REPLACE(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+        FROM seeded
+    )
+    SELECT lang,
+           CAST(SUM(n_emails) AS BIGINT) AS emails_redacted,
+           CAST(SUM(n_phones) AS BIGINT) AS phones_redacted,
+           CAST(SUM(CASE WHEN REGEXP_MATCHES(clean, '{_EMAIL_RE}')
+                          OR REGEXP_MATCHES(clean, '{_PHONE_RE}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS residual_pii_docs
+    FROM scrubbed
+    GROUP BY lang
+    """,
+    tags=("llm", "pii", "X4"),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing with audit counts: redact emails and phone numbers
+    to placeholder tokens and report per-language how many were removed —
+    plus a residual check proving the scrub left none behind (the fixture
+    has no natural PII, so a deterministic seeding step plants one email
+    and one phone in every 7th document on BOTH engines).
+
+    Scale: a narrow regexp_replace map — no shuffle except the final
+    per-lang aggregate; at 100 TB this pipelines with the quality gate in
+    one pass over the corpus.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    seeded = d.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    scrubbed = seeded.select(
+        "lang",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        clean.alias("clean"),
+    )
+    residual = (
+        F.regexp_extract("clean", _EMAIL_RE, 0) != ""
+    ) | (F.regexp_extract("clean", _PHONE_RE, 0) != "")
+    return scrubbed.groupBy("lang").agg(
+        F.sum("n_emails").alias("emails_redacted"),
+        F.sum("n_phones").alias("phones_redacted"),
+        F.sum(residual.cast("long")).alias("residual_pii_docs"),
+    )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    WITH rates AS (
+        SELECT lang, CASE WHEN lang = 'en' THEN 8 ELSE 3 END AS keep_16ths
+        FROM (SELECT DISTINCT lang FROM documents)
+    ),
+    kept AS (
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE CAST(('0x' || SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 1)) AS INTEGER)
+              < r.keep_16ths
+    )
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM kept
+    GROUP BY lang
+    """,
+    tags=("llm", "sample", "mixing"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling — the data-mixing primitive: keep
+    8/16 of English documents and 3/16 of every other language, selected
+    by the first md5 nibble of doc_id (reproducible across engines, runs,
+    and re-partitioning — unlike sampleBy's RNG streams). Reports the
+    per-language kept counts and character mass the mixture produces.
+
+    Scale: a per-row hash filter (no shuffle) plus one bounded aggregate;
+    the rates table is a broadcast of one row per language.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    keep_16ths = F.when(F.col("lang") == "en", F.lit(8)).otherwise(F.lit(3))
+    nibble = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10).cast("int")
+    return (
+        d.filter(nibble < keep_16ths)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("chars_kept"))
+    )
+
+
+@query(
+    "q_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               LEN(REGEXP_EXTRACT_ALL(text, '{TOKEN_RE}')) AS n_tok
+        FROM documents
+    ),
+    packed AS (
+        SELECT lang, doc_id, n_tok,
+               CAST(FLOOR(
+                   (SUM(n_tok) OVER (
+                        PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) - n_tok) / {PACK_BUDGET}
+               ) AS BIGINT) AS chunk_id
+        FROM toks
+    )
+    SELECT lang, chunk_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+    FROM packed
+    GROUP BY lang, chunk_id
+    """,
+    tags=("llm", "packing", "X4"),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: stream documents (per language, in doc_id order)
+    into fixed token-budget chunks — each doc joins the chunk its running
+    token offset falls in (greedy stream packing; a doc landing on a
+    boundary overflows its chunk rather than splitting, the standard
+    approximation when documents must stay contiguous). Emits per-chunk
+    document counts and token mass — the shape a packed-pretraining
+    dataloader consumes.
+
+    Scale: one shuffle on lang for the running sum, one aggregate on
+    (lang, chunk_id). For petabyte corpora the partition key becomes
+    (lang, shard) so each window stays executor-sized; chunk ids then
+    offset by shard.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).cast("long")
+    toks = d.select("doc_id", "lang", n_tok.alias("n_tok"))
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offset = F.sum("n_tok").over(w) - F.col("n_tok")
+    packed = toks.withColumn("chunk_id", F.floor(offset / PACK_BUDGET))
+    return packed.groupBy("lang", "chunk_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("sum_tokens")
+    )
+
+
+@query(
+    "q_repetition_score",
+    oracle="""
+    WITH scored AS (
+        SELECT lang, source,
+               1.0 - CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                     / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1) AS rep
+        FROM documents
+    )
+    SELECT lang, source,
+           ROUND(AVG(rep), 4) AS avg_repetition,
+           ROUND(MAX(rep), 4) AS max_repetition
+    FROM scored
+    GROUP BY lang, source
+    """,
+    tags=("llm", "quality", "X4"),
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring — the boilerplate/spam quality signal: fraction
+    of repeated words per document (1 - distinct/total), aggregated per
+    (lang, source) so a pipeline can drop or down-weight sources whose
+    repetition is pathological.
+
+    Scale: per-row array math + one bounded aggregate on the
+    low-cardinality (lang, source) key.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split("text", " ")
+    rep = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    return (
+        d.select("lang", "source", rep.alias("rep"))
+        .groupBy("lang", "source")
+        .agg(
+            F.round(F.avg("rep"), 4).alias("avg_repetition"),
+            F.round(F.max("rep"), 4).alias("max_repetition"),
+        )
+    )
