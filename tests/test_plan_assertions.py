@@ -30,6 +30,22 @@ def test_narrow_etl_chain_has_no_shuffle(spark):
     plans.assert_no_shuffle(df)
 
 
+def test_contamination_broadcasts_eval_side(spark):
+    """The train/eval n-gram join must broadcast the (small) eval shingle
+    set — a shuffle join here would move the full training shingle set."""
+    df = contract.queries()["q_contamination_check"](spark, SF)
+    plans.assert_broadcast_join(df)
+
+
+def test_stratified_sample_filter_before_agg(spark):
+    """The md5-nibble filter is a narrow map: the only exchange in the
+    plan is the final per-lang aggregate (and AQE coalescing), never a
+    pre-filter shuffle of the corpus."""
+    df = contract.queries()["q_stratified_sample"](spark, SF)
+    plan = plans.executed(df)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:800]
+
+
 def test_ivf_index_scan_is_partition_pruned(spark, tmp_path_factory):
     """The IVF scale claim as an asserted fact: searching the cell-
     partitioned index reads only probed ``cell=...`` partitions
