@@ -193,3 +193,103 @@ def quantize_int8_stats(
         F.round("int8_scale", 6).alias("int8_scale"),
         F.round(sq / F.size("_e") * 1e6, 4).alias("mse_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-build operators (round 2): contamination, PII scrub, mixing,
+# packing, repetition, incremental dedup
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def contamination_report(
+    train: DataFrame,
+    evals: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_width: int = 5,
+) -> DataFrame:
+    """Per eval-document n-gram collision report against the training
+    corpus: (eval_doc_id, n_shared_ngrams, n_contaminating_docs). The
+    eval shingle set broadcasts — it is small by construction."""
+    t = shingles(train, text_col, id_col, ngram_width)
+    e = shingles(evals, text_col, id_col, ngram_width)
+    hits = t.alias("t").join(F.broadcast(e.alias("e")), F.col("t.shingle") == F.col("e.shingle"))
+    return hits.groupBy(F.col("e.id").alias("eval_doc_id")).agg(
+        F.countDistinct("t.shingle").alias("n_shared_ngrams"),
+        F.countDistinct("t.id").alias("n_contaminating_docs"),
+    )
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails/phones to placeholder tokens; adds redaction counts
+    per row so the caller can audit-aggregate them."""
+    t = F.col(text_col)
+    return df.withColumn(
+        "_n_emails", F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), 0))
+    ).withColumn(
+        "_n_phones", F.size(F.regexp_extract_all(text_col, F.lit(PHONE_RE), 0))
+    ).withColumn(
+        text_col,
+        F.regexp_replace(F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"),
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame, id_col: str, strata_col: str, rates_16ths: dict[str, int], default_16ths: int = 0
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``rates_16ths`` maps a stratum
+    value to how many md5 nibbles (of 16) to keep — the data-mixing
+    primitive (reproducible across runs/engines, unlike sampleBy)."""
+    rate = F.lit(default_16ths)
+    for value, r in rates_16ths.items():
+        rate = F.when(F.col(strata_col) == value, F.lit(r)).otherwise(rate)
+    nibble = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 1), 16, 10).cast("int")
+    return df.filter(nibble < rate)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    order_col: str = "doc_id",
+    partition_col: str | None = "lang",
+    budget: int = 256,
+) -> DataFrame:
+    """Greedy stream packing: assign each row the chunk its running token
+    offset falls in (rows stay contiguous; a boundary row overflows its
+    chunk rather than splitting). Adds a ``chunk_id`` column."""
+    w = (
+        (W.partitionBy(partition_col) if partition_col else W.partitionBy())
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offset = F.sum(token_col).over(w) - F.col(token_col)
+    return df.withColumn("chunk_id", F.floor(offset / budget))
+
+
+def repetition_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``repetition`` = 1 - distinct_words/total_words (the
+    boilerplate/spam quality signal)."""
+    toks = F.split(text_col, " ")
+    rep = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    return df.withColumn("repetition", F.round(rep, 4))
+
+
+def dedupe_incremental(
+    batch: DataFrame, corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental corpus build: split an incoming batch into (fresh,
+    dups) against the EXISTING corpus by normalized fingerprint — the
+    anti-join form of exact dedup that a continuously-ingesting pipeline
+    runs per batch. Returns (fresh, dups); fresh is itself exact-deduped
+    within the batch (keep-lowest-id)."""
+    fp = normalized_fingerprint(F.col(text_col))
+    seen = corpus.select(fp.alias("_fp")).distinct()
+    keyed = dedupe_exact(batch, text_col, id_col).withColumn("_fp", fp)
+    fresh = keyed.join(seen, "_fp", "left_anti").drop("_fp")
+    dups = keyed.join(seen, "_fp", "left_semi").drop("_fp")
+    return fresh, dups

@@ -90,3 +90,84 @@ def test_quantize_stats(spark):
     row = stats.limit(1).collect()[0]
     assert row["int8_scale"] > 0
     assert row["mse_ppm"] >= 0
+
+
+def test_scrub_pii_and_audit(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "write to alice@example.org or call 555-1234 now"),
+            (2, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in api.scrub_pii(df).collect()}
+    assert "<EMAIL>" in out[1]["text"] and "<PHONE>" in out[1]["text"]
+    assert "alice@" not in out[1]["text"] and "555-1234" not in out[1]["text"]
+    assert out[1]["_n_emails"] == 1 and out[1]["_n_phones"] == 1
+    assert out[2]["text"] == "no pii here" and out[2]["_n_emails"] == 0
+
+
+def test_stratified_hash_sample_rates(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    kept = api.stratified_hash_sample(df, "doc_id", "lang", {"en": 8, "fr": 2})
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # 1000 per stratum; md5 nibbles are uniform: expect ~500 en, ~125 fr
+    assert 400 < counts["en"] < 600
+    assert 60 < counts["fr"] < 190
+    # determinism: the same call yields the same rows
+    again = api.stratified_hash_sample(df, "doc_id", "lang", {"en": 8, "fr": 2})
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_contamination_report_detects_overlap(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"), (2, "completely different text body here with words")],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy dog"), (101, "nothing shared at all whatsoever in this one")],
+        "doc_id long, text string",
+    )
+    rep = {r["eval_doc_id"]: r for r in api.contamination_report(train, evals).collect()}
+    assert 100 in rep and rep[100]["n_contaminating_docs"] == 1
+    assert rep[100]["n_shared_ngrams"] >= 4  # shared 5-gram run
+    assert 101 not in rep
+
+
+def test_pack_sequences_and_repetition(spark):
+    docs = spark.createDataFrame(
+        [(i, "en", 100) for i in range(10)], "doc_id long, lang string, n_tok long"
+    )
+    packed = api.pack_sequences(docs, "n_tok", budget=250)
+    chunks = {r["doc_id"]: r["chunk_id"] for r in packed.collect()}
+    # offsets 0,100,...,900 / 250 -> chunks 0,0,0,1,1,2,2,2,3,3
+    assert [chunks[i] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+
+    rep = api.repetition_score(
+        spark.createDataFrame([(1, "a a a a"), (2, "w x y z")], "doc_id long, text string")
+    )
+    vals = {r["doc_id"]: r["repetition"] for r in rep.collect()}
+    assert vals[1] == 0.75 and vals[2] == 0.0
+
+
+def test_dedupe_incremental_splits_batch(spark):
+    corpus = spark.createDataFrame(
+        [(1, "existing document one"), (2, "existing document two")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "existing  DOCUMENT one"),   # dup of corpus doc 1 (normalized)
+            (11, "a brand new document"),
+            (12, "a brand new document"),     # intra-batch dup of 11
+        ],
+        "doc_id long, text string",
+    )
+    fresh, dups = api.dedupe_incremental(batch, corpus)
+    assert [r["doc_id"] for r in fresh.collect()] == [11]
+    assert [r["doc_id"] for r in dups.collect()] == [10]

@@ -46,3 +46,44 @@ def test_conservation_law(spark, rows):
         assert r["entity"] is not None and r["entity"].strip() != ""
         assert r["Day"] is not None
         assert r["total_confirmed_deaths"] > 0
+
+
+@given(
+    toks=st.lists(st.integers(1, 400), min_size=1, max_size=40),
+    budget=st.integers(50, 500),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sequence_packing_properties(spark, toks, budget):
+    """Greedy stream packing invariants for ANY doc/token distribution:
+    (1) token conservation — every doc lands in exactly one chunk;
+    (2) chunk ids are dense and monotone in doc order;
+    (3) a chunk only opens when the previous one reached the budget
+        (offset-based packing: doc's chunk = its running offset / budget).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "xx", t) for i, t in enumerate(toks)], "doc_id long, lang string, n_tok long"
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offset = F.sum("n_tok").over(w) - F.col("n_tok")
+    packed = df.withColumn("chunk_id", F.floor(offset / budget)).collect()
+    packed.sort(key=lambda r: r["doc_id"])
+    assert sum(r["n_tok"] for r in packed) == sum(toks)  # conservation
+    chunk_ids = [r["chunk_id"] for r in packed]
+    assert chunk_ids == sorted(chunk_ids)  # monotone in stream order
+    # every chunk boundary is justified: the previous chunk's token mass
+    # (by construction of the offset) reached its budget multiple
+    by_chunk = {}
+    for r in packed:
+        by_chunk.setdefault(r["chunk_id"], []).append(r["n_tok"])
+    for cid, sizes in by_chunk.items():
+        first_offset = sum(
+            r["n_tok"] for r in packed if r["chunk_id"] < cid
+        )
+        assert first_offset // budget == cid or not sizes
