@@ -120,6 +120,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_stratified_sample",
     "q_sequence_packing",
     "q_repetition_score",
+    "q_multimodal_frame_sample",
 )
 
 
