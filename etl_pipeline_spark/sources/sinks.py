@@ -194,3 +194,42 @@ def recover_compaction(path: str) -> bool:
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
     return restored
+
+
+def upsert_parquet(
+    spark, path: str, updates: DataFrame, key_cols: list[str]
+) -> int:
+    """Keyed upsert (MERGE) for a plain-parquet table: rows in ``updates``
+    replace existing rows with the same key; all other existing rows are
+    kept. Implemented as anti-join + union + atomic-as-possible rewrite
+    (the same verified swap + crash recovery as compact_parquet — plain
+    parquet has no transaction log, so the single-writer/no-reader window
+    documented there applies).
+
+    At scale the rewrite cost is bounded by partitioning the table on a
+    key prefix and rewriting ONLY partitions containing updated keys (the
+    pattern in operators/rollup_maintenance.py); this whole-table form is
+    the portable fallback. Returns the resulting row count.
+    """
+    import os
+    import shutil
+
+    recover_compaction(path)
+    updates = updates.localCheckpoint(eager=True)  # sever lineage from `path` reads
+    if os.path.isdir(path):
+        existing = spark.read.parquet(path)
+        kept = existing.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
+        merged = kept.unionByName(updates)
+    else:
+        merged = updates
+    tmp = path.rstrip("/") + "__compacting"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(path):
+        old = path.rstrip("/") + "__old"
+        shutil.move(path, old)
+        shutil.move(tmp, path)
+        spark.read.parquet(path).limit(1).collect()
+        shutil.rmtree(old)
+    else:
+        shutil.move(tmp, path)
+    return spark.read.parquet(path).count()

@@ -115,3 +115,25 @@ def test_compact_parquet_crash_recovery(spark, tmp_path_factory):
 
     assert not os.path.exists(out + "__old")
     assert spark.read.parquet(out).count() == 100
+
+
+def test_upsert_parquet_merges_by_key(spark, tmp_path_factory):
+    from etl_pipeline_spark.sources.sinks import upsert_parquet
+
+    out = str(tmp_path_factory.mktemp("upsert") / "tbl")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, v long"
+    ).write.parquet(out)
+    updates = spark.createDataFrame(
+        [(2, "b2", 21), (4, "d", 40)], "id long, name string, v long"
+    )
+    n = upsert_parquet(spark, out, updates, ["id"])
+    assert n == 4
+    rows = {r["id"]: (r["name"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert rows[1] == ("a", 10)      # untouched survives
+    assert rows[2] == ("b2", 21)     # updated in place
+    assert rows[4] == ("d", 40)      # new key inserted
+
+    # upsert into a not-yet-existing table just writes it
+    out2 = str(tmp_path_factory.mktemp("upsert") / "fresh")
+    assert upsert_parquet(spark, out2, updates, ["id"]) == 2
