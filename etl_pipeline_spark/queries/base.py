@@ -121,6 +121,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_sequence_packing",
     "q_repetition_score",
     "q_multimodal_frame_sample",
+    "q04_order_priority",
 )
 
 

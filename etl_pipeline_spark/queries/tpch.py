@@ -443,3 +443,27 @@ def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-supplier finished orders. Both subqueries correlate on the
     outer lineitem's order AND reference the outer order's date."""
     return _sql(spark, sf_dir, ("supplier", "lineitem", "orders"), _Q21)
+
+
+_Q04 = """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+"""
+
+
+@query("q04_order_priority", oracle=_Q04, tags=("subquery", "tpch", "exists"))
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS whose predicate compares columns
+    across the outer and inner tables (lineitem shipped >60 days after its
+    order's date — the fixture has no commit/receipt dates, so ship-lag
+    stands in for the late-delivery test). Catalyst rewrites the EXISTS
+    into a left-semi join on orderkey with the lag filter above it."""
+    return _sql(spark, sf_dir, ("orders", "lineitem"), _Q04)
