@@ -2,9 +2,11 @@
 
 Exact dedup (hash-groupBy on a normalized fingerprint), n-gram Jaccard
 near-dup (shingle inverted-index self-join — fully SQL-expressible, so
-oracle-checked), and MinHash-LSH (Spark ML, seeded; rows-only check since
-its hash family is engine-specific). SimHash lives in
-etl_pipeline_spark.operators.simhash and registers its own query.
+oracle-checked), MinHash-LSH (Spark ML, seeded) in candidate-generation +
+exact-verify form so the exact-Jaccard SQL is its oracle too, and
+embedding-cosine near-dup (blocked within-label top-k pairs). SimHash
+lives in etl_pipeline_spark.operators.simhash and registers its own
+query.
 
 Scale notes: the shingle join is the classic inverted-index pattern — the
 shuffle key is the shingle, so posting-list skew (stop-shingles) is the

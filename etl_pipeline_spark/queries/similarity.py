@@ -2,8 +2,9 @@
 
 Brute-force cosine top-k as the exact baseline (oracle-checked against
 DuckDB's list functions), and a bucketed-random-projection LSH variant as
-the sub-linear scale path (rows-only check — hash family is
-engine-specific).
+the sub-linear scale path, in candidate-generation + exact-re-rank form
+so the exact-kNN SQL is its oracle as well (a candidate-recall miss
+fails the hash).
 
 Numeric determinism: cosine is computed in DOUBLE with a strictly
 sequential left-to-right fold over the array in both engines, then rounded
