@@ -731,3 +731,66 @@ def q_scalar_dates_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow_sun0"),
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
     )
+
+
+@query(
+    "q_timeseries_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type,
+               DATE_TRUNC('hour', MIN(ts)) AS h_min,
+               DATE_TRUNC('hour', MAX(ts)) AS h_max
+        FROM events GROUP BY event_type
+    ),
+    grid AS (
+        SELECT b.event_type, t.h AS hour
+        FROM bounds b, UNNEST(GENERATE_SERIES(b.h_min, b.h_max, INTERVAL 1 HOUR)) AS t(h)
+    ),
+    actual AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS hour, COUNT(*) AS n
+        FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+    )
+    SELECT g.event_type,
+           strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           COALESCE(a.n, 0) AS n_events,
+           CASE WHEN a.n IS NULL THEN TRUE ELSE FALSE END AS gap_filled
+    FROM grid g LEFT JOIN actual a
+      ON g.event_type = a.event_type AND g.hour = a.hour
+    """,
+    tags=("timeseries", "gapfill", "custom-op"),
+)
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill — an operator Spark lacks natively (SURVEY
+    custom-op preference (a): composition of built-ins): densify each
+    event_type's hourly series between its first and last event, zero-
+    filling missing hours and flagging them. The dense grid is generated
+    with sequence() + explode from per-group bounds — no driver loop, no
+    UDF.
+
+    Scale: bounds is one tiny aggregate (rows = event types); the grid
+    explode is proportional to OUTPUT size (hours x types), not input;
+    the left join shuffles on (type, hour) — both sides already
+    aggregated. This is the continuous-aggregate densification a
+    dashboard/rollup layer runs at any scale.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = e.groupBy("event_type").agg(
+        F.min(hour).alias("h_min"), F.max(hour).alias("h_max")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("h_min", "h_max", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    actual = e.groupBy("event_type", hour.alias("hour")).agg(F.count("*").alias("n"))
+    return (
+        grid.join(actual, ["event_type", "hour"], "left_outer")
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.col("n").isNull().alias("gap_filled"),
+        )
+    )

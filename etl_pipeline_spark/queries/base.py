@@ -122,6 +122,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_repetition_score",
     "q_multimodal_frame_sample",
     "q04_order_priority",
+    "q_timeseries_gapfill",
 )
 
 
