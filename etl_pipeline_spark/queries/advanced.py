@@ -794,3 +794,42 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().alias("gap_filled"),
         )
     )
+
+
+@query(
+    "q_udaf_trimmed_mean",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.1) AS lo,
+               quantile_cont(l_extendedprice, 0.9) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           ROUND(AVG(l.l_extendedprice), 2) AS trimmed_mean_price,
+           CAST(COUNT(*) AS BIGINT)         AS n_kept
+    FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+    WHERE l.l_extendedprice BETWEEN q.lo AND q.hi
+    GROUP BY l.l_returnflag
+    """,
+    tags=("udaf", "pandas-udf", "agg"),
+)
+def q_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate as a GROUPED_AGG Pandas UDAF — the §2.10 UDF
+    flavor beyond mapInPandas/applyInPandasWithState: per-group 10-90%
+    trimmed mean of extended price, computed vectorized in Arrow batches.
+    pandas' linear-interpolation quantile matches DuckDB quantile_cont,
+    so the oracle replays the trim exactly.
+
+    Scale: grouped-agg pandas UDAFs get a full shuffle of the group's
+    values (no partial aggregation) — acceptable for bounded groups like
+    returnflag; for high-cardinality keys prefer the two-pass built-in
+    percentile_approx + filtered AVG, which keeps map-side combine.
+    """
+    from etl_pipeline_spark.operators.udafs import trimmed_count_10_90, trimmed_mean_10_90
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(trimmed_mean_10_90("l_extendedprice"), 2).alias("trimmed_mean_price"),
+        trimmed_count_10_90("l_extendedprice").alias("n_kept"),
+    )

@@ -123,6 +123,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_multimodal_frame_sample",
     "q04_order_priority",
     "q_timeseries_gapfill",
+    "q_udaf_trimmed_mean",
 )
 
 
