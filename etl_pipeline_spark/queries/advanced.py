@@ -833,3 +833,56 @@ def q_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(trimmed_mean_10_90("l_extendedprice"), 2).alias("trimmed_mean_price"),
         trimmed_count_10_90("l_extendedprice").alias("n_kept"),
     )
+
+
+@query(
+    "q_ratio_to_report",
+    oracle="""
+    WITH nat AS (
+        SELECT n.n_regionkey AS regionkey, n.n_name AS nation,
+               ROUND(SUM(o.o_totalprice), 2) AS nation_total
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_regionkey, n.n_name
+    )
+    SELECT regionkey, nation, nation_total,
+           ROUND(nation_total / SUM(nation_total) OVER (PARTITION BY regionkey), 4)
+               AS region_share,
+           ROUND(nation_total / SUM(nation_total) OVER (), 4) AS global_share
+    FROM nat
+    """,
+    tags=("window", "ratio-to-report", "agg"),
+)
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report — a window OVER an aggregate (each nation's share
+    of its region's and of global order value): the grouped total feeds
+    two windowed sums with no second scan of the fact table.
+
+    Scale: the expensive part is the grouped aggregate (one fact
+    shuffle); the share windows then run over nation-level rows (tiny).
+    The region partition window shuffles only those aggregate rows; the
+    global window coalesces them to one partition — both bounded by
+    |nations|, never by |orders|.
+    """
+    t = load_tables(spark, sf_dir, ("customer", "nation", "orders"))
+    nat = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), t["customer"].c_nationkey == t["nation"].n_nationkey)
+        .join(t["orders"], t["orders"].o_custkey == t["customer"].c_custkey)
+        .groupBy(F.col("n_regionkey").alias("regionkey"), F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("nation_total"))
+    )
+    w_region = W.partitionBy("regionkey")
+    w_global = W.partitionBy()
+    return nat.select(
+        "regionkey",
+        "nation",
+        "nation_total",
+        F.round(F.col("nation_total") / F.sum("nation_total").over(w_region), 4).alias(
+            "region_share"
+        ),
+        F.round(F.col("nation_total") / F.sum("nation_total").over(w_global), 4).alias(
+            "global_share"
+        ),
+    )

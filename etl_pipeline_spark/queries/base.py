@@ -124,6 +124,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q04_order_priority",
     "q_timeseries_gapfill",
     "q_udaf_trimmed_mean",
+    "q_ratio_to_report",
 )
 
 
