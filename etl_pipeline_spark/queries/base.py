@@ -46,74 +46,18 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
     return wrap
 
 
-# The round driver samples the FIRST 50 registered queries (r01 checked
-# registry indices 0-49 exactly), so ordering is coverage policy: queries the
-# driver has not yet hash-verified come first, already-proven ones last.
-# This prefix = round-1's two hash-fixes, then the 47 queries r01 never
-# sampled (tpch, scalar, text, training, relational leftovers), then the
-# three rows-only->self-verifying conversions. Everything not listed keeps
+# The round driver samples the FIRST 50 registered queries (r01/r02 each
+# checked the head-50 of the then-current order verbatim), so ordering is
+# coverage policy: queries the driver has never hash-verified come first.
+# Round-3 prefix = the 13 queries with no green driver row yet (the 11
+# round-2 additions + the two r01-err LSH conversions), then queries NEW in
+# round 3, then backfill from the oldest r1-checked queries so the first-50
+# window re-attests them on current code. Everything not listed keeps
 # registration (import) order after the prefix.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # round-1 driver hash failures, fixed this round — must be re-checked
-    "q_etl_quarantine_conservation",
-    "q_session_windows_batch",
-    # tpch family (unchecked in r01)
-    "q07_nation_volume",
-    "q09_product_profit",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q22_idle_high_balance",
-    "q_agg_percentiles",
-    "q08_market_share",
-    "q10_returned_revenue",
-    "q12_late_shipments",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q11_value_concentration",
-    "q02_min_cost_supplier",
-    "q20_excess_shippers",
-    "q21_sole_late_shipper",
-    # scalar family (unchecked in r01)
-    "q_scalar_string_cleaning",
-    "q_scalar_casts",
-    "q_scalar_dates",
-    "q_scalar_multiformat_ts",
-    "q_scalar_json_props",
-    "q_scalar_regexp_extract",
-    "q_scalar_math",
-    "q_scalar_arrays",
-    "q_scalar_conditional_nonempty",
-    "q_scalar_file_lineage",
-    "q_scalar_string_extras",
-    # text family (unchecked in r01)
-    "q_text_stats_by_lang",
-    "q_text_token_counts",
-    "q_text_lang_id",
-    "q_text_quality_score",
-    "q_text_fingerprint",
-    "q_text_top_bigrams",
-    "q_text_edit_distance_pairs",
-    # flagship composition (unchecked in r01)
-    "q_training_data_prep",
-    # relational / window / setop leftovers (unchecked in r01)
-    "q_join_anti_idle_customers",
-    "q_join_cross_region_nation",
-    "q_join_range_value_buckets",
-    "q_window_rank_orders",
-    "q_window_running_spend",
-    "q_window_lag_events",
-    "q_topk_expensive_orders",
-    "q_setop_union_parties",
-    "q_setop_intersect_nations",
-    "q_setop_except_nations",
-    "q_window_tumbling_events",
-    # rows-only -> self-verifying conversions (err rows in r01)
-    "q_approx_aggregates",
+    # --- driver-unattested as of r02 (judge-verified only) ---
     "q_dedup_minhash_lsh",
     "q_knn_lsh_approx",
-    # new in round 2
     "q_dedup_embedding_cosine",
     "q_contamination_check",
     "q_pii_scrub",
@@ -125,6 +69,46 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_timeseries_gapfill",
     "q_udaf_trimmed_mean",
     "q_ratio_to_report",
+    # --- new in round 3 (must stay inside the first-50 window) ---
+    # (names appended here as they are built)
+    # --- backfill: oldest r1-checked, re-attested on current code ---
+    "q_asof_last_signup",
+    "q_grouping_sets_revenue",
+    "q_window_range_frame",
+    "q_window_first_last_nth",
+    "q_ordered_string_agg",
+    "q_sample_hash_10pct",
+    "q_posexplode_tokens",
+    "q_union_by_name_missing",
+    "q_embedding_norms",
+    "q_knn_bruteforce_cosine",
+    "q_knn_block_matrix",
+    "q_knn_ivf",
+    "q_window_sliding_events",
+    "q_embedding_quantization",
+    "q_unpivot_balance_metrics",
+    "q_funnel_conversion",
+    "q_retention_cohorts",
+    "q_window_distribution_ranks",
+    "q_scalar_dates_extended",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
+    "q_dedup_clusters",
+    "q_dedup_minhash_signatures",
+    "q_dedup_minhash_pairs",
+    "q_dedup_ngram_jaccard_capped",
+    "q_etl_clean_cast_filter",
+    "q_etl_audit_row",
+    "q_etl_dirty_input_quarantine",
+    "q_dq_outlier_zscore",
+    "q_multimodal_binary_meta",
+    "q_multimodal_features",
+    "q01_pricing_summary",
+    "q06_revenue_delta",
+    "q_agg_stats_acctbal",
+    "q_rollup_returns",
 )
 
 
