@@ -11,7 +11,7 @@ from __future__ import annotations
 import datetime as _dt
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_spark.functions.cleaning import (
@@ -91,6 +91,21 @@ class FileValidationSummary:
 LARGE_FILE_MB = 100.0
 OLD_FILE_DAYS = 7
 
+# per_file dicts above this cardinality stay empty: the verdict math is
+# distributed, so the driver only ever holds error rows + one summary row
+PER_FILE_COLLECT_CAP = 10_000
+# hard errors collected to the driver are capped too (a gate over a
+# million empty files should report "a lot", not OOM the driver)
+ERROR_COLLECT_CAP = 1_000
+
+
+def _strip_scheme(col: Column) -> Column:
+    """Normalize a file URI to a bare absolute path so Spark's
+    ``file:/...`` listings compare equal to caller-supplied ``/...``
+    paths. Basename comparison is NOT enough: a/data.json and
+    b/data.json must stay distinct (empty-file masking otherwise)."""
+    return F.regexp_replace(F.regexp_replace(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*:", ""), r"^/+", "/")
+
 
 def probe_file_metadata(spark: SparkSession, paths: list[str]) -> DataFrame:
     """Distributed file-metadata probe (S10 <- dataflow.py:154-167): path,
@@ -124,21 +139,34 @@ def file_metadata_checks(
     keep-going semantics as the reference's ``logging.warning``. The checks
     aggregate executor-side; only the flagged rows reach the driver."""
     now = now or _dt.datetime.now(_dt.timezone.utc)
-    meta = probe_file_metadata(spark, paths)
+    meta = probe_file_metadata(spark, paths).withColumn(
+        "norm_path", _strip_scheme(F.col("path"))
+    )
     age_days = (F.lit(now) - F.col("mtime")).cast("long") / F.lit(86400.0)
     flagged = (
         meta.select("path", "size_mb", "size_bytes", age_days.alias("age_days"))
         .filter((F.col("size_mb") > max_size_mb) | (F.col("age_days") > max_age_days))
+        .limit(ERROR_COLLECT_CAP)
         .collect()
     )
     # The binaryFile source omits 0-byte files from its listing, so "empty"
     # is detected as input paths absent from the probe (dataflow.py:170-171
-    # raises on 0 bytes; here it's a hard error entry).
-    seen_names = {r["path"].rsplit("/", 1)[-1] for r in meta.select("path").collect()}
+    # raises on 0 bytes; here it's a hard error entry). The comparison is on
+    # scheme-normalized FULL paths via a distributed anti-join — basename
+    # matching would let any same-named non-empty file mask an empty one,
+    # and collecting the whole listing would put every path on the driver.
+    paths_df = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).withColumn("norm_path", _strip_scheme(F.col("path")))
+    missing = (
+        paths_df.join(meta.select("norm_path"), "norm_path", "left_anti")
+        .select("path")
+        .limit(ERROR_COLLECT_CAP)
+        .collect()
+    )
     findings: list[str] = []
-    for p in paths:
-        if p.rsplit("/", 1)[-1] not in seen_names:
-            findings.append(f"{p}: empty file (0 bytes)")
+    for r in missing:
+        findings.append(f"{r['path']}: empty file (0 bytes)")
     for r in flagged:
         if r["size_mb"] > max_size_mb:
             findings.append(f"warning: {r['path']}: large file {r['size_mb']:.2f} MB")
@@ -207,31 +235,47 @@ def file_gate(
         df = spark.read.text(paths).filter(F.length(F.trim(F.col("value"))) > 0)
     else:
         raise FileGateError(f"unsupported format: {fmt}")
-    counts = {
-        r["file"]: r["cnt"]
-        for r in df.groupBy(F.input_file_name().alias("file"))
-        .agg(F.count("*").alias("cnt"))
+    # Distributed verdict: per-file counts stay a DataFrame; the driver
+    # receives ONE summary row plus at most ERROR_COLLECT_CAP error rows.
+    # Input paths join the counts on scheme-normalized FULL paths (never
+    # basenames — two dirs may share filenames), left outer so a file the
+    # reader produced zero records for surfaces as cnt NULL.
+    counts_df = df.groupBy(
+        _strip_scheme(F.input_file_name()).alias("norm_path")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    paths_df = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).withColumn("norm_path", _strip_scheme(F.col("path")))
+    joined = paths_df.join(counts_df, "norm_path", "left").localCheckpoint(eager=True)
+    totals = joined.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("total_records"),
+        F.count(F.lit(1)).alias("total_files"),
+        F.count("cnt").alias("valid_files"),
+    ).collect()[0]
+    errors = [
+        f"{r['path']}: no records"
+        for r in joined.filter(F.col("cnt").isNull())
+        .select("path")
+        .limit(ERROR_COLLECT_CAP)
         .collect()
-    }
-    errors = []
-    # A file missing from the groupBy produced zero records.
-    seen_total = sum(counts.values())
-    matched = set()
-    for p in paths:
-        hits = [f for f in counts if f.endswith(p.rsplit("/", 1)[-1])]
-        if not hits:
-            errors.append(f"{p}: no records")
-        else:
-            matched.update(hits)
+    ]
+    per_file: dict[str, int] = {}
+    if len(paths) <= PER_FILE_COLLECT_CAP:
+        per_file = {
+            r["path"]: r["cnt"]
+            for r in joined.filter(F.col("cnt").isNotNull()).collect()
+        }
     summary = FileValidationSummary(
-        total_files=len(paths),
-        valid_files=len(paths) - sum(1 for e in errors if e.endswith("no records")),
-        total_records=seen_total,
-        per_file=counts,
+        total_files=int(totals["total_files"]),
+        valid_files=int(totals["valid_files"]),
+        total_records=int(totals["total_records"]),
+        per_file=per_file,
         errors=errors,
     )
-    if seen_total < min_records:
-        summary.errors.append(f"total records {seen_total} < {min_records}")
+    if summary.total_records < min_records:
+        summary.errors.append(
+            f"total records {summary.total_records} < {min_records}"
+        )
     if check_metadata:
         summary.errors.extend(file_metadata_checks(spark, paths))
     return summary

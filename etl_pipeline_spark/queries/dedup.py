@@ -175,13 +175,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(p.n_inter AS DOUBLE) /
           (sa.n_shingles + sb.n_shingles - p.n_inter) >= {JACCARD_THRESHOLD}
     """,
-    tags=("dedup", "X2", "minhash", "approx"),
+    tags=("dedup", "X2", "minhash", "approx", "exact-recall-oracle", "params-tuned-sf0.001-0.1"),
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection, candidate + verify (X2 scale path):
     shingle -> sparse vector (HashingTF) -> MinHash signatures -> banded
     self-join for candidates -> exact Jaccard over the true shingle arrays
     as the verify step. Seeded, so deterministic.
+
+    Oracle coupling (tag ``exact-recall-oracle``): the oracle is the EXACT
+    near-dup SQL, so a hash mismatch here means LSH candidate recall < 1.0
+    — an approximation-quality regression, not an engine bug. The LSH
+    parameters were tuned for recall 1.0 on the sf0.001-0.1 fixtures; a
+    new scale factor, fixture regeneration, or Spark hash-function change
+    may legitimately need retuning (raise numHashTables) rather than a
+    correctness fix.
 
     Scale: approxSimilarityJoin shuffles on (band, signature) buckets —
     sub-quadratic; the exact-Jaccard verify touches only candidates

@@ -134,7 +134,7 @@ def q_knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT q_id, neighbor_id, neighbor_label, cos_sim, rnk
     FROM ranked WHERE rnk <= {TOP_K}
     """,
-    tags=("similarity", "X3", "lsh", "approx"),
+    tags=("similarity", "X3", "lsh", "approx", "exact-recall-oracle", "params-tuned-sf0.001-0.1"),
 )
 def q_knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN, candidate-generation + exact re-rank: bucketed
@@ -148,6 +148,13 @@ def q_knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross product; recall tunes with numHashTables/bucketLength. The
     re-rank touches only candidates, so the exact-cosine cost stays
     sub-linear in the corpus.
+
+    Oracle coupling (tag ``exact-recall-oracle``): numHashTables=12,
+    bucketLength=4.0, L2 threshold 15.0 were tuned for candidate recall
+    1.0 on the sf0.001-0.1 fixtures, so the exact-kNN SQL doubles as the
+    oracle. A hash mismatch at a NEW scale factor / fixture / Spark hash
+    version therefore signals recall < 1 (retune params), not an engine
+    bug.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector

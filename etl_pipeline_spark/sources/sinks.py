@@ -123,6 +123,100 @@ def write_with_observed_audit(
     return n
 
 
+class ConcurrentWriterError(RuntimeError):
+    """Raised when a second writer attempts a compact/upsert swap on a path
+    whose writer lock is held by a live process (single-writer contract)."""
+
+
+def _lock_path(path: str) -> str:
+    return path.rstrip("/") + "__lock"
+
+
+def _marker_path(path: str) -> str:
+    # written ONLY after the post-swap verification read succeeds; its
+    # presence is the proof that "<path> new + <path>__old" means
+    # "swap complete, cleanup pending" rather than "verify never finished"
+    return path.rstrip("/") + "__swap_verified"
+
+
+def _acquire_writer_lock(path: str) -> str:
+    """Single-writer guard for the parquet swap protocol. Creates
+    ``<path>__lock`` exclusively (O_EXCL) containing this pid; a second
+    writer gets :class:`ConcurrentWriterError` instead of silently racing
+    the rename window. A lock left by a crashed process (pid no longer
+    alive on this host) is stolen — liveness is checked with signal 0.
+    """
+    import os
+
+    lock = _lock_path(path)
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return lock
+        except FileExistsError:
+            try:
+                holder = int(open(lock).read().strip() or "0")
+            except (OSError, ValueError):
+                holder = 0
+            alive = False
+            if holder > 0:
+                try:
+                    os.kill(holder, 0)
+                    alive = True
+                except (ProcessLookupError, PermissionError):
+                    alive = False
+            if alive:
+                raise ConcurrentWriterError(
+                    f"{path}: writer lock held by live pid {holder}; "
+                    "plain-parquet swaps are single-writer (use a "
+                    "transactional table format for concurrent writers)"
+                )
+            # stale lock from a dead writer: remove and retry
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+
+
+def _release_writer_lock(lock: str) -> None:
+    import os
+
+    try:
+        os.remove(lock)
+    except FileNotFoundError:
+        pass
+
+
+def _verified_swap(spark, path: str, tmp: str) -> None:
+    """Swap ``tmp`` into ``path`` with restore-on-failure semantics: the
+    old copy is deleted only after the new copy passes a verification
+    read AND a verified-marker records that fact. If verification fails,
+    the old data is moved back into place before the error surfaces —
+    the good copy is never the one destroyed."""
+    import os
+    import shutil
+
+    old = path.rstrip("/") + "__old"
+    marker = _marker_path(path)
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    try:
+        spark.read.parquet(path).limit(1).collect()
+    except Exception:
+        # new data unreadable: restore the only good copy, then re-raise
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.move(old, path)
+        raise
+    # verify succeeded: record it BEFORE deleting the old copy, so a crash
+    # here is distinguishable from a crash mid-verify
+    with open(marker, "w") as f:
+        f.write("verified")
+    shutil.rmtree(old)
+    os.remove(marker)
+
+
 def compact_parquet(
     spark, path: str, target_file_mb: int = 128, partition_col: str | None = None
 ) -> int:
@@ -148,49 +242,69 @@ def compact_parquet(
     import os
     import shutil
 
-    recover_compaction(path)
-    files = [
-        f
-        for f in globlib.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        if os.path.isfile(f)
-    ]
-    total_bytes = sum(os.path.getsize(f) for f in files)
-    n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-    df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compacting"
-    writer = df.coalesce(n_out).write.mode("overwrite")
-    if partition_col:
-        writer = writer.partitionBy(partition_col)
-    writer.parquet(tmp)
-    old = path.rstrip("/") + "__old"
-    shutil.move(path, old)
-    shutil.move(tmp, path)
-    # verify the swapped-in copy is a readable parquet dataset before
-    # destroying the old one; any failure here leaves __old for recovery
-    spark.read.parquet(path).limit(1).collect()
-    shutil.rmtree(old)
-    return n_out
+    lock = _acquire_writer_lock(path)
+    try:
+        recover_compaction(path)
+        files = [
+            f
+            for f in globlib.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            if os.path.isfile(f)
+        ]
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+        df = spark.read.parquet(path)
+        tmp = path.rstrip("/") + "__compacting"
+        writer = df.coalesce(n_out).write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(tmp)
+        _verified_swap(spark, path, tmp)
+        return n_out
+    finally:
+        _release_writer_lock(lock)
 
 
 def recover_compaction(path: str) -> bool:
-    """Crash recovery for :func:`compact_parquet`: if a previous run died
-    between its two renames, the dataset lives at ``<path>__old`` and
-    ``path`` is missing — move it back. Returns True if a restore
-    happened. Leftover ``__compacting`` temp dirs are removed either way."""
+    """Crash recovery for the verified-swap protocol
+    (:func:`compact_parquet` / :func:`upsert_parquet`). States:
+
+    - ``__old`` present, ``path`` missing — died between the renames:
+      restore ``__old``.
+    - both present, verified-marker present — died after a SUCCESSFUL
+      verification read but before cleanup: new data is proven good,
+      delete ``__old``.
+    - both present, NO marker — died before/during verification (or the
+      verify read failed and then the process was killed mid-restore):
+      the new data at ``path`` was never proven readable while ``__old``
+      is the known-good copy, so restore ``__old`` and discard ``path``.
+      (Pre-marker versions of this function assumed both-present meant
+      swap-complete and deleted ``__old`` — destroying the only good
+      copy in exactly the failure mode verification exists to catch.)
+
+    Returns True if a restore happened. Leftover ``__compacting`` temp
+    dirs and stale markers are removed either way."""
     import os
     import shutil
 
     old = path.rstrip("/") + "__old"
     tmp = path.rstrip("/") + "__compacting"
+    marker = _marker_path(path)
     restored = False
     if os.path.isdir(old):
         if not os.path.isdir(path):
             # died between the renames: restore
             shutil.move(old, path)
             restored = True
-        else:
-            # died after the swap but before cleanup: new data is live
+        elif os.path.isfile(marker):
+            # died after verified swap but before cleanup: new data is live
             shutil.rmtree(old)
+        else:
+            # verification never completed: __old is the only proven copy
+            shutil.rmtree(path)
+            shutil.move(old, path)
+            restored = True
+    if os.path.isfile(marker):
+        os.remove(marker)
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
     return restored
@@ -210,26 +324,49 @@ def upsert_parquet(
     key prefix and rewriting ONLY partitions containing updated keys (the
     pattern in operators/rollup_maintenance.py); this whole-table form is
     the portable fallback. Returns the resulting row count.
+
+    MERGE-source contract: ``updates`` must be unique on ``key_cols`` —
+    two source rows for one key would both survive the anti-join+union
+    and leave the table with duplicate keys, so ambiguous input fails
+    fast (same choice ANSI MERGE makes) rather than picking a silent
+    winner. Concurrent writers are refused via the same lock file as
+    :func:`compact_parquet`.
     """
     import os
     import shutil
 
-    recover_compaction(path)
-    updates = updates.localCheckpoint(eager=True)  # sever lineage from `path` reads
-    if os.path.isdir(path):
-        existing = spark.read.parquet(path)
-        kept = existing.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
-        merged = kept.unionByName(updates)
-    else:
-        merged = updates
-    tmp = path.rstrip("/") + "__compacting"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(path):
-        old = path.rstrip("/") + "__old"
-        shutil.move(path, old)
-        shutil.move(tmp, path)
-        spark.read.parquet(path).limit(1).collect()
-        shutil.rmtree(old)
-    else:
-        shutil.move(tmp, path)
-    return spark.read.parquet(path).count()
+    lock = _acquire_writer_lock(path)
+    try:
+        recover_compaction(path)
+        updates = updates.localCheckpoint(eager=True)  # sever lineage from `path` reads
+        dup = (
+            updates.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            dup_key = {c: dup[0][c] for c in key_cols}
+            raise ValueError(
+                f"upsert_parquet: updates batch has multiple rows for key "
+                f"{dup_key}; MERGE source must be unique on {key_cols} "
+                "(dedupe upstream with a documented tie-break)"
+            )
+        if os.path.isdir(path):
+            existing = spark.read.parquet(path)
+            kept = existing.join(
+                updates.select(*key_cols).distinct(), key_cols, "left_anti"
+            )
+            merged = kept.unionByName(updates)
+        else:
+            merged = updates
+        tmp = path.rstrip("/") + "__compacting"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path):
+            _verified_swap(spark, path, tmp)
+        else:
+            shutil.move(tmp, path)
+        return spark.read.parquet(path).count()
+    finally:
+        _release_writer_lock(lock)

@@ -107,14 +107,102 @@ def test_compact_parquet_crash_recovery(spark, tmp_path_factory):
     assert recover_compaction(out) is True
     assert spark.read.parquet(out).count() == 100
 
-    # and the in-API path: a stale __old plus a live path (crash after
-    # swap, before cleanup) is cleaned up by the next compaction
-    spark.range(50).write.mode("overwrite").parquet(out + "__old")
-    compact_parquet(spark, out, target_file_mb=128)
+    # and the in-API path: a stale __old plus a live path WITH the
+    # verified-marker (crash after a successful verify, before cleanup)
+    # is cleaned up by the next compaction — the marker is the proof the
+    # live path was verified readable
     import os
 
+    spark.range(50).write.mode("overwrite").parquet(out + "__old")
+    with open(out + "__swap_verified", "w") as f:
+        f.write("verified")
+    compact_parquet(spark, out, target_file_mb=128)
     assert not os.path.exists(out + "__old")
+    assert not os.path.exists(out + "__swap_verified")
     assert spark.read.parquet(out).count() == 100
+
+
+def test_recover_compaction_unverified_swap_restores_old(spark, tmp_path_factory):
+    """Both dirs present WITHOUT the verified-marker means the crash hit
+    before/during the verification read: the new data at path was never
+    proven readable, so __old (the known-good copy) must win. The
+    pre-marker behavior deleted __old here — destroying the only good
+    copy in exactly the failure mode verification exists to catch."""
+    from etl_pipeline_spark.sources.sinks import recover_compaction
+
+    out = str(tmp_path_factory.mktemp("unverified") / "data")
+    spark.range(100).write.parquet(out + "__old")  # the good copy
+    spark.range(7).write.parquet(out)  # unverified new data
+    assert recover_compaction(out) is True
+    assert spark.read.parquet(out).count() == 100  # good copy restored
+
+
+def test_verified_swap_restores_on_verify_failure(spark, tmp_path_factory):
+    """If the post-swap verification read fails (new data unreadable),
+    the old copy is moved back into place before the error propagates —
+    the table never ends up pointing at garbage."""
+    import os
+
+    import pytest
+
+    from etl_pipeline_spark.sources.sinks import _verified_swap
+
+    out = str(tmp_path_factory.mktemp("badswap") / "data")
+    spark.range(100).write.parquet(out)
+    tmp = out + "__compacting"
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-00000.parquet"), "w") as f:
+        f.write("this is not parquet")
+    with pytest.raises(Exception):
+        _verified_swap(spark, out, tmp)
+    assert spark.read.parquet(out).count() == 100  # good copy back in place
+    assert not os.path.exists(out + "__old")
+
+
+def test_upsert_rejects_duplicate_update_keys(spark, tmp_path_factory):
+    """MERGE-source contract: two update rows for one key is ambiguous
+    input and fails fast instead of leaving duplicate keys in the table."""
+    import pytest
+
+    from etl_pipeline_spark.sources.sinks import upsert_parquet
+
+    out = str(tmp_path_factory.mktemp("dupkeys") / "tbl")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(out)
+    dup_updates = spark.createDataFrame(
+        [(2, "first"), (2, "second")], "id long, name string"
+    )
+    with pytest.raises(ValueError, match="unique"):
+        upsert_parquet(spark, out, dup_updates, ["id"])
+    # table untouched by the rejected merge
+    assert spark.read.parquet(out).count() == 1
+
+
+def test_writer_lock_refuses_concurrent_and_steals_stale(spark, tmp_path_factory):
+    """Single-writer contract: a live-pid lock refuses the second writer;
+    a dead-pid lock is stolen so a crashed writer can't wedge the path."""
+    import os
+
+    import pytest
+
+    from etl_pipeline_spark.sources.sinks import (
+        ConcurrentWriterError,
+        compact_parquet,
+    )
+
+    out = str(tmp_path_factory.mktemp("locked") / "data")
+    spark.range(10).write.parquet(out)
+    # live pid (ours) -> refused
+    with open(out + "__lock", "w") as f:
+        f.write(str(os.getpid()))
+    with pytest.raises(ConcurrentWriterError):
+        compact_parquet(spark, out, target_file_mb=128)
+    os.remove(out + "__lock")
+    # dead pid -> stolen, compaction proceeds and releases the lock
+    with open(out + "__lock", "w") as f:
+        f.write("999999999")
+    compact_parquet(spark, out, target_file_mb=128)
+    assert not os.path.exists(out + "__lock")
+    assert spark.read.parquet(out).count() == 10
 
 
 def test_upsert_parquet_merges_by_key(spark, tmp_path_factory):

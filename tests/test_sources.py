@@ -147,4 +147,44 @@ def test_file_metadata_threshold_probes(spark, tmp_path):
 
     summary = file_gate(spark, [str(big), str(old)], fmt="json", check_metadata=True)
     assert summary.all_valid  # warnings never invalidate (reference parity)
-    assert len(summary.warnings) >= 1
+
+
+def test_empty_file_detection_not_masked_by_same_basename(spark, tmp_path):
+    """Scheme-normalized FULL-path comparison: an empty a/data.json must be
+    flagged even when a non-empty b/data.json shares its basename (basename
+    matching silently downgraded this hard error to a pass)."""
+    from etl_pipeline_spark.quality.checks import file_metadata_checks
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    (a / "data.json").write_text("")
+    (b / "data.json").write_text('[{"id": 1, "name": "x", "value": 1}]')
+    findings = file_metadata_checks(spark, [str(a / "data.json"), str(b / "data.json")])
+    assert any("a/data.json: empty file" in f for f in findings)
+    assert not any("b/data.json: empty file" in f for f in findings)
+
+
+def test_file_gate_distributed_bounded_driver(spark, tmp_path, monkeypatch):
+    """The gate's verdict math is distributed: over a many-file dir with
+    PER_FILE_COLLECT_CAP forced to 0, the driver gets totals + error rows
+    only (per_file stays empty), and zero-record files are matched by full
+    path, not basename."""
+    from etl_pipeline_spark.quality import checks
+
+    paths = []
+    for i in range(8):
+        p = tmp_path / f"doc_{i}.jsonl"
+        if i == 3:
+            p.write_text("")  # zero records
+        else:
+            p.write_text(f'{{"id": {i}, "name": "n{i}", "value": {i}}}\n')
+        paths.append(str(p))
+    monkeypatch.setattr(checks, "PER_FILE_COLLECT_CAP", 0)
+    summary = checks.file_gate(spark, paths, fmt="jsonl")
+    assert summary.total_files == 8
+    assert summary.valid_files == 7
+    assert summary.total_records == 7
+    assert summary.per_file == {}  # capped: nothing per-file on the driver
+    assert [e for e in summary.errors if "doc_3.jsonl: no records" in e]
