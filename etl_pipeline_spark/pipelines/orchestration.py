@@ -51,14 +51,48 @@ def validate_and_prepare(
     )
 
 
+def archive_to_processed(
+    paths: list[str], processed_dir: str | None = None
+) -> list[str]:
+    """Batch move-to-processed lifecycle (S11 <- reference README.md:67,132:
+    inputs relocate to a processed/ prefix after a successful load; the
+    streaming twin is ``cleanSource=archive``, streaming/ingest.py:43).
+
+    Each file moves into ``processed_dir`` (default: a ``processed/``
+    sibling inside the file's own directory). Idempotent: a file already
+    archived (destination exists) or already gone (source missing —
+    e.g. a rerun after a partial crash) is skipped, so re-running after
+    any failure point never errors and never double-moves. Returns the
+    list of destination paths actually moved this call."""
+    import os
+    import shutil
+
+    moved: list[str] = []
+    for p in paths:
+        dest_dir = processed_dir or os.path.join(os.path.dirname(p), "processed")
+        dest = os.path.join(dest_dir, os.path.basename(p))
+        if not os.path.exists(p):
+            continue  # already relocated by a previous (partial) run
+        if os.path.exists(dest):
+            continue  # already archived; don't clobber the archive copy
+        os.makedirs(dest_dir, exist_ok=True)
+        shutil.move(p, dest)
+        moved.append(dest)
+    return moved
+
+
 def run_validated_ingest(
     spark: SparkSession,
     input_glob: str,
     database: str = "etl",
     min_records: int = 1,
+    archive: bool = False,
 ) -> CovidPipelineResult:
     """The full Entry-3 flow: validate -> create namespace (S15) ->
-    run pipeline -> reconcile counts against the contract (Q7)."""
+    run pipeline -> reconcile counts against the contract (Q7) ->
+    optionally archive inputs to processed/ (S11, batch path). Archiving
+    runs strictly AFTER reconciliation so a failed load leaves inputs in
+    place for the retry."""
     params = validate_and_prepare(spark, input_glob, fmt="csv", min_records=min_records)
     create_database_if_not_exists(spark, database)
     result = run_covid_pipeline(
@@ -74,4 +108,6 @@ def run_validated_ingest(
             f"count reconciliation failed: gate promised "
             f"{params.expected_record_count}, pipeline saw {result.input_rows}"
         )
+    if archive:
+        archive_to_processed(params.input_paths)
     return result

@@ -35,3 +35,32 @@ def test_gate_blocks_empty_fileset(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("ingest_empty")
     with pytest.raises(FileGateError):
         run_validated_ingest(spark, str(d / "*.csv"))
+
+
+def test_archive_to_processed_moves_once_idempotent(spark, tmp_path_factory):
+    """S11 batch path: after a successful validated ingest with
+    archive=True, inputs live under processed/ exactly once; re-running
+    the archive step (crash-retry shape) moves nothing and errors
+    nothing."""
+    import os
+
+    from etl_pipeline_spark.pipelines.orchestration import archive_to_processed
+
+    d = tmp_path_factory.mktemp("ingest_arch")
+    (d / "a.csv").write_text(GOOD)
+    (d / "b.csv").write_text(MORE)
+    res = run_validated_ingest(
+        spark, str(d / "*.csv"), database="etl_t_arch", archive=True
+    )
+    assert res.output_rows == 3
+    assert not os.path.exists(d / "a.csv") and not os.path.exists(d / "b.csv")
+    assert sorted(os.listdir(d / "processed")) == ["a.csv", "b.csv"]
+    # idempotent rerun: sources gone, destinations present -> no-op
+    assert archive_to_processed([str(d / "a.csv"), str(d / "b.csv")]) == []
+    assert sorted(os.listdir(d / "processed")) == ["a.csv", "b.csv"]
+    # partial-crash shape: one file restored, its twin already archived ->
+    # only the restored one moves, the archive copy is never clobbered
+    (d / "a.csv").write_text(GOOD)
+    moved = archive_to_processed([str(d / "a.csv"), str(d / "b.csv")])
+    assert moved == []  # dest exists: keep the archive copy, skip
+    assert os.path.exists(d / "a.csv")
