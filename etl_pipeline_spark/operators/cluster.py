@@ -175,8 +175,12 @@ def connected_components_two_phase(
             .union(m.select(F.col("src"), F.col("m").alias("dst")))
         )
         new_e = large.union(small).distinct().localCheckpoint(eager=True)
-        # converged when every node's min neighbor is stable (edge set fixed)
-        if new_e.exceptAll(e).limit(1).count() == 0 and e.exceptAll(new_e).limit(1).count() == 0:
+        # converged when the edge set is fixed: ONE symmetric-difference
+        # job per round (both sides are distinct sets, so the union of the
+        # two exceptAlls is empty iff the sets are equal) instead of two
+        # separate probe jobs
+        sym_diff = new_e.exceptAll(e).union(e.exceptAll(new_e))
+        if sym_diff.limit(1).count() == 0:
             e = new_e
             break
         e = new_e

@@ -61,6 +61,19 @@ def assert_partition_pruned(df: DataFrame, partition_col: str) -> None:
     )
 
 
+def assert_partitioned_window(df: DataFrame, partition_col: str) -> None:
+    """Fails unless every Window node in the plan partitions on the given
+    column — i.e. no single-partition WindowExec ("No Partition Defined"
+    warning), the sort is bounded per key and scales with the data."""
+    plan = executed(df)
+    window_lines = [line for line in plan.splitlines() if "Window " in line]
+    assert window_lines, "no Window node in plan:\n" + plan[:800]
+    for line in window_lines:
+        assert partition_col in line, (
+            f"Window node not partitioned by {partition_col!r}: {line[:300]}"
+        )
+
+
 def assert_take_ordered(df: DataFrame) -> None:
     """Fails unless a global ORDER BY + LIMIT compiled to the heap-based
     TakeOrderedAndProject (no full sort)."""

@@ -109,6 +109,46 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_range_frame_partitioned",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           ROUND(o_totalprice, 2) AS totalprice,
+           COUNT(*) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice
+               RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
+           ) AS n_within_1000
+    FROM orders
+    WHERE o_custkey < 500
+    """,
+    tags=("window", "range-frame", "partitioned", "new-r3"),
+)
+def q_window_range_frame_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped twin of q_window_range_frame: the same value-based
+    RANGE frame, but PARTITION BY o_custkey bounds each sort to one
+    customer's orders — no single-partition WindowExec, so the plan holds
+    at any scale (the global variant needs its selective filter to stay
+    viable; this one needs nothing). Plan-asserted partitioned in
+    tests/test_plan_assertions.py."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               o_orderkey,
+               ROUND(o_totalprice, 2) AS totalprice,
+               COUNT(*) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice
+                   RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
+               ) AS n_within_1000
+        FROM orders
+        WHERE o_custkey < 500
+        """
+    )
+
+
+@query(
     "q_window_first_last_nth",
     oracle="""
     SELECT DISTINCT o_custkey,
@@ -693,6 +733,41 @@ def q_window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         WHERE o_custkey < 40
         WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+        """
+    )
+
+
+@query(
+    "q_window_distribution_ranks_partitioned",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           NTILE(4) OVER w                  AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 4)  AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 4)     AS cume
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    tags=("window", "ranking", "partitioned", "new-r3"),
+)
+def q_window_distribution_ranks_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped twin of q_window_distribution_ranks: NTILE /
+    percent_rank / cume_dist computed within each customer's own orders
+    (PARTITION BY o_custkey) — the distribution-rank semantics without the
+    global single-partition sort, scaling with customer cardinality.
+    Plan-asserted partitioned in tests/test_plan_assertions.py."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               o_orderkey,
+               NTILE(4) OVER w                  AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 4)  AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 4)     AS cume
+        FROM orders
+        WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
         """
     )
 

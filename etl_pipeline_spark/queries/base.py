@@ -70,7 +70,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_udaf_trimmed_mean",
     "q_ratio_to_report",
     # --- new in round 3 (must stay inside the first-50 window) ---
-    # (names appended here as they are built)
+    "q_window_range_frame_partitioned",
+    "q_window_distribution_ranks_partitioned",
     # --- backfill: oldest r1-checked, re-attested on current code ---
     "q_asof_last_signup",
     "q_grouping_sets_revenue",

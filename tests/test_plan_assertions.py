@@ -66,3 +66,12 @@ def test_ivf_index_scan_is_partition_pruned(spark, tmp_path_factory):
     plans.assert_partition_pruned(got, "cell")
     want = {tuple(r) for r in ivf_topk(spark, SF).collect()}
     assert {tuple(r) for r in got.collect()} == want
+
+
+def test_partitioned_window_twins_have_no_global_sort(spark):
+    """The round-3 partition-scoped window twins must plan every Window
+    node with a partition spec (no 'No Partition Defined' WindowExec)."""
+    df = contract.queries()["q_window_range_frame_partitioned"](spark, SF)
+    plans.assert_partitioned_window(df, "o_custkey")
+    df2 = contract.queries()["q_window_distribution_ranks_partitioned"](spark, SF)
+    plans.assert_partitioned_window(df2, "o_custkey")
