@@ -35,6 +35,14 @@ BENCH_QUERIES = [
     "q_knn_bruteforce_cosine",
 ]
 
+# Second reported group (round 3+): the scale-representative composites.
+# Kept OUT of the frozen core set above so round-over-round deltas on
+# "value" stay comparable; reported separately as scale_value/scale_queries.
+SCALE_QUERIES = [
+    "q_dedup_minhash_lsh",
+    "q_training_data_prep",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,17 +60,22 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).count()
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        # best-of-two: the first run can absorb one-off JIT/scheduling
-        # noise on a shared host; the min is the query's real cost.
-        # count() forces full execution without driver-side row transfer.
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    def time_set(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            # best-of-two: the first run can absorb one-off JIT/scheduling
+            # noise on a shared host; the min is the query's real cost.
+            # count() forces full execution without driver-side row transfer.
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                specs[name].fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        return timings
+
+    timings = time_set(BENCH_QUERIES)
+    scale_timings = time_set(SCALE_QUERIES)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -73,6 +86,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in timings.items()},
+                "scale_value": round(sum(scale_timings.values()), 3),
+                "scale_queries": {k: round(v, 3) for k, v in scale_timings.items()},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
