@@ -559,6 +559,57 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_hll_sketch_union",
+    # Same self-verifying pattern as q_approx_aggregates: the sketch bytes
+    # are engine-specific, so the query asserts its own error bound
+    # in-engine and the oracle recomputes the exact side + TRUE verdicts.
+    oracle="""
+    SELECT n.n_regionkey AS n_regionkey,
+           COUNT(*) AS exact_customers,
+           TRUE AS hll_union_within_tol
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_regionkey
+    """,
+    tags=("agg", "approx", "sketch", "mergeable"),
+)
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via hll_sketch_agg /
+    hll_union_agg) — the 100 TB distinct-count pattern the scalar
+    approx_count_distinct can't do: build per-nation sketch PARTIALS once,
+    then re-aggregate them to any coarser grain (here region) by sketch
+    UNION without touching the raw data again. At scale the partials are a
+    few KB per group and live in a rollup table; every downstream
+    distinct-count over any group-by subset is a driver-light merge.
+
+    Exact twin: custkeys are unique, so per-region COUNT(*) is the true
+    distinct count. Default lgConfigK=12 gives rsd ~1.6%; the verdict
+    allows 3 sigma (+2 absolute for tiny groups)."""
+    t = load_tables(spark, sf_dir, ("customer", "nation"))
+    per_nation = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(
+            F.hll_sketch_agg("c_custkey").alias("sketch"),
+            F.count("*").alias("exact_in_nation"),
+        )
+    )
+    per_region = per_nation.groupBy("n_regionkey").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
+        F.sum("exact_in_nation").alias("exact_customers"),
+    )
+    tol_ok = (
+        F.abs(F.col("est") - F.col("exact_customers"))
+        <= 3 * 0.016 * F.col("exact_customers") + F.lit(2)
+    )
+    return per_region.select(
+        "n_regionkey",
+        F.col("exact_customers").cast("long").alias("exact_customers"),
+        tol_ok.alias("hll_union_within_tol"),
+    )
+
+
+@query(
     "q_unpivot_balance_metrics",
     oracle="""
     WITH wide AS (

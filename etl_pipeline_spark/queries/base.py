@@ -72,6 +72,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     # --- new in round 3 (must stay inside the first-50 window) ---
     "q_window_range_frame_partitioned",
     "q_window_distribution_ranks_partitioned",
+    "q13_order_count_distribution",
+    "q_join_salted_skew",
+    "q_dedup_canonical_docs",
+    "q_hll_sketch_union",
+    "q_corpus_domain_cap",
     # --- backfill: oldest r1-checked, re-attested on current code ---
     "q_asof_last_signup",
     "q_grouping_sets_revenue",

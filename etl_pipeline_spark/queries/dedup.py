@@ -275,6 +275,68 @@ query(
 )(dedup_clusters)
 
 
+@query(
+    "q_dedup_canonical_docs",
+    # the CC fixpoint SQL nests as a plain subquery-CTE (DuckDB allows a
+    # WITH RECURSIVE inside a CTE body)
+    oracle=f"""
+    WITH comp AS (
+        {clusters_oracle(REGISTRY["q_dedup_ngram_jaccard"].oracle)}
+    ),
+    m AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars
+        FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+    ),
+    ranked AS (
+        SELECT cluster_id, doc_id, n_chars,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, doc_id
+               ) AS rn
+        FROM m
+    )
+    SELECT cluster_id,
+           doc_id AS canonical_doc,
+           n_chars AS canonical_chars,
+           n_members
+    FROM ranked
+    WHERE rn = 1 AND n_members > 1
+    """,
+    tags=("dedup", "X2", "clustering", "canonical"),
+)
+def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the step AFTER near-dup clustering
+    in a corpus build: within each multi-doc cluster keep the best
+    representative (longest text, doc_id tie-break), not the min-label
+    keeper the CC algorithm happens to produce. Cluster identity stays
+    the min doc_id (the CC fixpoint); the canonical member is a quality
+    argmax over the cluster — the two are independent axes.
+
+    Scale: one join of the CC labels against the docs table on doc_id,
+    then a window partitioned by cluster_id — cluster sizes are bounded
+    by near-dup semantics, so no single window partition is hot."""
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    comp = dedup_clusters(spark, sf_dir)
+    m = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+    ranked = m.withColumn(
+        "n_members", F.count("*").over(W.partitionBy("cluster_id"))
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        ),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("n_members") > 1)).select(
+        "cluster_id",
+        F.col("doc_id").alias("canonical_doc"),
+        F.col("n_chars").alias("canonical_chars"),
+        "n_members",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checkable MinHash (operators/minhash.py): md5-based hash family
 # shared bit-for-bit with DuckDB — signatures, banded candidates, and

@@ -322,3 +322,49 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("rep"), 4).alias("max_repetition"),
         )
     )
+
+
+DOMAIN_CAP = 10  # max docs kept per source domain
+
+
+@query(
+    "q_corpus_domain_cap",
+    oracle=f"""
+    SELECT source, doc_id, n_chars
+    FROM (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) t
+    WHERE rn <= {DOMAIN_CAP}
+    """,
+    tags=("llm-ops", "sampling", "domain-cap"),
+)
+def q_corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the anti-overrepresentation step of a
+    corpus build (no single source domain may contribute more than
+    DOMAIN_CAP docs). Selection within a domain is by md5(doc_id) order:
+    a deterministic pseudo-random draw both engines compute identically,
+    deliberately NOT quality-ordered — capping is a diversity control,
+    and ordering by length/quality here would bias the kept subset
+    (quality pruning is its own upstream gate).
+
+    Scale: one window partitioned by source. Domain cardinality is huge
+    in a real corpus (millions of hosts) so partitions are small; a hot
+    mega-domain is exactly what the cap truncates, and rank-then-filter
+    short-circuits via the window's running row_number."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= DOMAIN_CAP)
+        .drop("rn")
+    )

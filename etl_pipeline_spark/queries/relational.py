@@ -501,6 +501,62 @@ def q_join_range_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SALT_BUCKETS = 8
+
+
+@query(
+    "q_join_salted_skew",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT event_type, LENGTH(event_type) * 1.5 AS weight
+        FROM events
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value * d.weight), 2) AS weighted_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+    tags=("join", "skew", "salting"),
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on a pathologically skewed key: events.event_type has
+    only 5 distinct values, so a plain shuffle join sends each key's
+    entire fact volume to one reducer. The salted form spreads each key
+    across _SALT_BUCKETS partitions — fact rows get salt =
+    pmod(xxhash64(event_id), S) (row-derived, NOT value-derived: salting
+    on a value column would re-concentrate equal rows), the dim side is
+    replicated S times, and the join key becomes (event_type, salt).
+
+    The oracle is the UNSALTED join — salting must be a pure physical
+    rewrite with identical semantics. At this fixture size the dim would
+    broadcast; the shuffle_hash hint forces the shuffle path so the
+    technique is the one actually exercised. Use when the dim is too big
+    to broadcast AND AQE's skew-join split (enabled in session.py) isn't
+    available or the skew is in a single key value.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type") * F.lit(1.5))
+    )
+    salted_fact = e.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(_SALT_BUCKETS))
+    )
+    salted_dim = dim.crossJoin(
+        spark.range(_SALT_BUCKETS).select(F.col("id").alias("salt"))
+    )
+    return (
+        salted_fact.join(salted_dim.hint("shuffle_hash"), ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _r2(F.sum(F.col("value") * F.col("weight"))).alias("weighted_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions (§2.5), sorts/limits (§2.6)
 # ---------------------------------------------------------------------------

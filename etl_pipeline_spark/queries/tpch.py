@@ -467,3 +467,35 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     stands in for the late-delivery test). Catalyst rewrites the EXISTS
     into a left-semi join on orderkey with the lag filter above it."""
     return _sql(spark, sf_dir, ("orders", "lineitem"), _Q04)
+
+
+_Q13 = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey AS c_custkey,
+               COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+"""
+
+
+@query("q13_order_count_distribution", oracle=_Q13, tags=("join", "tpch", "outer"))
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (the last of the 22): customer order-count
+    distribution — LEFT OUTER join with a predicate INSIDE the join
+    condition (non-urgent orders only; the fixture has no o_comment, so
+    priority stands in for the comment anti-pattern), then a two-level
+    aggregate. The outer join must preserve zero-order customers, so the
+    filter cannot be pushed below the join as a WHERE.
+
+    Scale: one shuffle on custkey for the join+first groupBy (Catalyst
+    reuses the partitioning), then a tiny second agg over ~distinct
+    counts; no broadcast (both sides are fact-sized at 100 TB, orders
+    side map-side-filtered by the join predicate).
+    """
+    return _sql(spark, sf_dir, ("customer", "orders"), _Q13)
