@@ -64,25 +64,35 @@ def load_tables(
     out: dict[str, DataFrame] = {}
     for name in names:
         df = spark.read.parquet(table_path(sf_dir, name))
-        df = _restore_nanos_timestamps(df)
+        df = _normalize_timestamps(df)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
 
 
-# Columns that are TIMESTAMP(NANOS) in the fixture parquet. With
-# spark.sql.legacy.parquet.nanosAsLong they arrive as long epoch-nanos;
-# integer-div by 1000 (``div`` — a double division would lose precision at
-# int64 magnitudes) restores a proper micros timestamp. The fixtures carry
-# no sub-microsecond components, so this is lossless and matches DuckDB's
-# native read of the same files.
-_NANOS_TS_COLUMNS = {"ts"}
+# Timestamp columns whose physical parquet encoding has varied across
+# fixture generations; the engine contract is a plain session-UTC TIMESTAMP
+# either way:
+# - TIMESTAMP(NANOS) (pandas ns precision): with
+#   spark.sql.legacy.parquet.nanosAsLong they arrive as long epoch-nanos;
+#   integer-div by 1000 (``div`` — a double division would lose precision
+#   at int64 magnitudes) restores a proper micros timestamp. The fixtures
+#   carry no sub-microsecond components, so this is lossless.
+# - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads it as
+#   TIMESTAMP_NTZ, which unix_micros/watermarks reject; with the session
+#   timezone pinned to UTC a cast to TIMESTAMP is a bit-identical
+#   reinterpretation and matches DuckDB's naive read of the same files.
+_TS_COLUMNS = {"ts"}
 
 
-def _restore_nanos_timestamps(df: DataFrame) -> DataFrame:
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
     for field in df.schema.fields:
-        if field.name in _NANOS_TS_COLUMNS and isinstance(field.dataType, T.LongType):
+        if field.name not in _TS_COLUMNS:
+            continue
+        if isinstance(field.dataType, T.LongType):
             df = df.withColumn(
                 field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
             )
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     return df
