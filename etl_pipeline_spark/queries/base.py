@@ -77,6 +77,14 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_dedup_canonical_docs",
     "q_hll_sketch_union",
     "q_corpus_domain_cap",
+    "q_agg_regression",
+    "q_agg_extrema_by",
+    "q_agg_bitwise",
+    "q_histogram_values",
+    "q_doc_chunking",
+    "q_token_entropy",
+    "q_mix_weights",
+    "q_vocab_coverage",
     # --- backfill: oldest r1-checked, re-attested on current code ---
     "q_asof_last_signup",
     "q_grouping_sets_revenue",
@@ -122,6 +130,7 @@ def all_specs() -> dict[str, QuerySpec]:
     # Import sides register themselves; keep imports here to avoid cycles.
     from etl_pipeline_spark.queries import (  # noqa: F401
         advanced,
+        aggregates,
         dedup,
         etl,
         llm_ops,

@@ -324,6 +324,229 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE = 128  # tokens per chunk
+CHUNK_STRIDE = 112  # chunk start spacing (CHUNK_SIZE - CHUNK_STRIDE = 16 overlap)
+
+
+@query(
+    "q_doc_chunking",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tok FROM documents
+    )
+    SELECT doc_id, chunk_id,
+           chunk_id * {CHUNK_STRIDE} AS start_tok,
+           LEAST({CHUNK_SIZE}, n_tok - chunk_id * {CHUNK_STRIDE}) AS len_tok
+    FROM (
+        SELECT doc_id, n_tok,
+               UNNEST(GENERATE_SERIES(
+                   0,
+                   CAST(CEIL(GREATEST(n_tok - {CHUNK_SIZE}, 0) / {CHUNK_STRIDE}.0) AS BIGINT)
+               )) AS chunk_id
+        FROM toks
+    ) c
+    """,
+    tags=("llm", "chunking", "X4"),
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the long-context prep step:
+    each document yields overlapping CHUNK_SIZE-token windows spaced
+    CHUNK_STRIDE apart (16-token overlap so no boundary context is lost),
+    the final window truncated to the document end. Emits one row per
+    (doc, chunk) with its token offset and length — the unit a
+    tokenizer/packer consumes downstream.
+
+    Scale: explode(sequence(...)) is a narrow per-row op — no shuffle at
+    all; output size is sum(ceil(n_tok/stride)) rows, linear in corpus
+    token count. The chunk arithmetic never materializes the token array
+    beyond the already-needed split.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    toks = d.select("doc_id", n_tok.alias("n_tok"))
+    last_chunk = F.ceil(F.greatest(F.col("n_tok") - CHUNK_SIZE, F.lit(0)) / CHUNK_STRIDE)
+    chunked = toks.select(
+        "doc_id",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0).cast("long"), last_chunk)).alias("chunk_id"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * CHUNK_STRIDE).alias("start_tok"),
+        F.least(
+            F.lit(CHUNK_SIZE).cast("long"), F.col("n_tok") - F.col("chunk_id") * CHUNK_STRIDE
+        ).alias("len_tok"),
+    )
+
+
+@query(
+    "q_token_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+    ),
+    with_n AS (
+        SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM counts
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT)   AS n_tok,
+           COUNT(*)                 AS distinct_tok,
+           ROUND(-SUM((c / CAST(n AS DOUBLE)) * LN(c / CAST(n AS DOUBLE))), 4)
+                                    AS entropy_nats
+    FROM with_n
+    GROUP BY doc_id
+    """,
+    tags=("llm", "quality", "entropy", "X4"),
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy per document — the cheap perplexity proxy a
+    quality gate uses before any model-based scoring: low-entropy docs
+    are repetitive/boilerplate, suspiciously-high-entropy docs are noise.
+    H = -sum p ln p over whitespace tokens, in nats.
+
+    Scale: one shuffle on (doc_id, token) for the counts, one on doc_id
+    for the entropy fold — both uniform keys (doc_id is unique, tokens
+    are spread across docs). The window-over-groupBy form computes n and
+    the entropy in the same aggregation pass.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c").over(W.partitionBy("doc_id")).cast("double")
+    p = F.col("c") / n
+    return (
+        counts.withColumn("plogp", p * F.log(p))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.count("*").alias("distinct_tok"),
+            F.round(-F.sum("plogp"), 4).alias("entropy_nats"),
+        )
+    )
+
+
+@query(
+    "q_mix_weights",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*)                                   AS n_docs,
+           CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '{TOKEN_RE}'))) AS BIGINT) AS sum_tokens,
+           ROUND(SUM(LEN(REGEXP_EXTRACT_ALL(text, '{TOKEN_RE}')))
+                 / CAST(SUM(SUM(LEN(REGEXP_EXTRACT_ALL(text, '{TOKEN_RE}')))) OVER () AS DOUBLE),
+                 6)                                   AS actual_share,
+           ROUND((1.0 / COUNT(*) OVER ())
+                 / (SUM(LEN(REGEXP_EXTRACT_ALL(text, '{TOKEN_RE}')))
+                    / CAST(SUM(SUM(LEN(REGEXP_EXTRACT_ALL(text, '{TOKEN_RE}')))) OVER () AS DOUBLE)),
+                 4)                                   AS sample_weight
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("llm", "mixing", "X4"),
+)
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture reweighting — compute per-language sampling weights
+    that would equalize token mass across languages (uniform target
+    mixture): weight = target_share / actual_share. Weights > 1 mean
+    upsample (epochs over that slice), < 1 mean downsample — the number a
+    mixture-aware dataloader consumes.
+
+    Scale: one aggregate on lang plus window totals over the 5-row
+    aggregate output — the expensive pass (token counting) happens once,
+    map-side combined.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).cast("long")
+    per_lang = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum(n_tok).alias("sum_tokens")
+    )
+    total = F.sum("sum_tokens").over(W.partitionBy()).cast("double")
+    n_langs = F.count("*").over(W.partitionBy())
+    actual = F.col("sum_tokens") / total
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "sum_tokens",
+        F.round(actual, 6).alias("actual_share"),
+        F.round((F.lit(1.0) / n_langs) / actual, 4).alias("sample_weight"),
+    )
+
+
+VOCAB_COVERAGE = 0.9  # corpus token-mass fraction the head vocabulary must cover
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, tok, COUNT(*) AS c
+        FROM (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+        GROUP BY lang, tok
+    ),
+    ranked AS (
+        SELECT lang, c,
+               SUM(c) OVER (PARTITION BY lang ORDER BY c DESC, tok
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rk,
+               SUM(c) OVER (PARTITION BY lang) AS total,
+               COUNT(*) OVER (PARTITION BY lang) AS n_distinct
+        FROM counts
+    )
+    SELECT lang,
+           CAST(MAX(total) AS BIGINT)  AS total_tokens,
+           MAX(n_distinct)             AS distinct_tokens,
+           MIN(rk)                     AS vocab_{int(VOCAB_COVERAGE * 100)}
+    FROM ranked
+    WHERE cum >= {VOCAB_COVERAGE} * total
+    GROUP BY lang
+    """,
+    tags=("llm", "vocab", "X4"),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head-coverage per language: the smallest
+    frequency-ranked vocabulary (ties broken lexically) whose cumulative
+    token mass reaches 90% of the corpus — the tokenizer-sizing /
+    OOV-rate question asked before training a BPE model.
+
+    Scale: token counting shuffles on (lang, token) — uniform by
+    construction; the ranked cumulative sum partitions by lang over the
+    *aggregated* counts (vocabulary-sized, not corpus-sized). At 100 TB
+    the per-lang vocabulary still fits a partition (vocab grows ~log of
+    corpus); if a mega-lang vocabulary didn't, the rank window would
+    shard by count-bucket first.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    counts = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w_ord = W.partitionBy("lang").orderBy(F.col("c").desc(), F.col("tok"))
+    w_all = W.partitionBy("lang")
+    ranked = counts.select(
+        "lang",
+        F.sum("c").over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+        F.row_number().over(w_ord).alias("rk"),
+        F.sum("c").over(w_all).alias("total"),
+        F.count("*").over(w_all).alias("n_distinct"),
+    )
+    return (
+        ranked.filter(F.col("cum") >= F.lit(VOCAB_COVERAGE) * F.col("total"))
+        .groupBy("lang")
+        .agg(
+            F.max("total").alias("total_tokens"),
+            F.max("n_distinct").alias("distinct_tokens"),
+            F.min("rk").alias(f"vocab_{int(VOCAB_COVERAGE * 100)}"),
+        )
+    )
+
+
 DOMAIN_CAP = 10  # max docs kept per source domain
 
 

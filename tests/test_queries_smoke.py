@@ -22,6 +22,8 @@ SAMPLE = [
     "q_knn_bruteforce_cosine",
     "q17_small_quantity_revenue",
     "q_session_windows_batch",
+    "q_agg_regression",
+    "q_doc_chunking",
 ]
 
 
