@@ -293,3 +293,118 @@ def dedupe_incremental(
     fresh = keyed.join(seen, "_fp", "left_anti").drop("_fp")
     dups = keyed.join(seen, "_fp", "left_semi").drop("_fp")
     return fresh, dups
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 128,
+    stride: int = 112,
+) -> DataFrame:
+    """Sliding-window chunking: one row per (doc, chunk) with
+    ``chunk_id``, ``start_tok``, ``len_tok`` over whitespace tokens;
+    windows are ``size`` tokens spaced ``stride`` apart (``size-stride``
+    overlap), final window truncated. Shuffle-free (explode of a
+    per-row sequence)."""
+    if not 0 < stride <= size:
+        raise ValueError(f"need 0 < stride <= size, got size={size} stride={stride}")
+    n_tok = F.size(F.split(text_col, " ")).cast("long")
+    last_chunk = F.ceil(F.greatest(F.col("_n_tok") - size, F.lit(0)) / stride)
+    return (
+        df.select(id_col, n_tok.alias("_n_tok"))
+        .select(
+            id_col,
+            "_n_tok",
+            F.explode(F.sequence(F.lit(0).cast("long"), last_chunk)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            (F.col("chunk_id") * stride).alias("start_tok"),
+            F.least(F.lit(size).cast("long"), F.col("_n_tok") - F.col("chunk_id") * stride).alias(
+                "len_tok"
+            ),
+        )
+    )
+
+
+def token_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document unigram token entropy (nats) — the cheap perplexity
+    proxy for quality gating. Returns (id, n_tok, distinct_tok,
+    entropy_nats)."""
+    counts = (
+        df.select(id_col, F.explode(F.split(text_col, " ")).alias("_tok"))
+        .groupBy(id_col, "_tok")
+        .agg(F.count("*").alias("_c"))
+    )
+    n = F.sum("_c").over(W.partitionBy(id_col)).cast("double")
+    p = F.col("_c") / n
+    return (
+        counts.withColumn("_plogp", p * F.log(p))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_tok"),
+            F.count("*").alias("distinct_tok"),
+            F.round(-F.sum("_plogp"), 4).alias("entropy_nats"),
+        )
+    )
+
+
+def mixture_weights(
+    df: DataFrame, strata_col: str = "lang", token_col: str | None = None, text_col: str = "text"
+) -> DataFrame:
+    """Per-stratum sampling weights that equalize token mass across
+    strata (uniform target): weight = (1/n_strata) / actual_share.
+    ``token_col`` may name a precomputed token-count column; otherwise
+    tokens are counted by whitespace split of ``text_col``."""
+    n_tok = (
+        F.col(token_col).cast("long")
+        if token_col
+        else F.size(F.split(text_col, " ")).cast("long")
+    )
+    per = df.groupBy(strata_col).agg(
+        F.count("*").alias("n_rows"), F.sum(n_tok).alias("sum_tokens")
+    )
+    total = F.sum("sum_tokens").over(W.partitionBy()).cast("double")
+    n_strata = F.count("*").over(W.partitionBy())
+    actual = F.col("sum_tokens") / total
+    return per.select(
+        strata_col,
+        "n_rows",
+        "sum_tokens",
+        F.round(actual, 6).alias("actual_share"),
+        F.round((F.lit(1.0) / n_strata) / actual, 4).alias("sample_weight"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str = "text", strata_col: str = "lang", coverage: float = 0.9
+) -> DataFrame:
+    """Smallest frequency-ranked vocabulary (ties broken lexically) whose
+    cumulative token mass reaches ``coverage`` of each stratum's corpus —
+    tokenizer sizing / OOV-rate estimation. Returns (stratum,
+    total_tokens, distinct_tokens, vocab_size)."""
+    counts = (
+        df.select(strata_col, F.explode(F.split(text_col, " ")).alias("_tok"))
+        .groupBy(strata_col, "_tok")
+        .agg(F.count("*").alias("_c"))
+    )
+    w_ord = W.partitionBy(strata_col).orderBy(F.col("_c").desc(), F.col("_tok"))
+    w_all = W.partitionBy(strata_col)
+    ranked = counts.select(
+        strata_col,
+        F.sum("_c").over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("_cum"),
+        F.row_number().over(w_ord).alias("_rk"),
+        F.sum("_c").over(w_all).alias("_total"),
+        F.count("*").over(w_all).alias("_n_distinct"),
+    )
+    return (
+        ranked.filter(F.col("_cum") >= F.lit(coverage) * F.col("_total"))
+        .groupBy(strata_col)
+        .agg(
+            F.max("_total").alias("total_tokens"),
+            F.max("_n_distinct").alias("distinct_tokens"),
+            F.min("_rk").alias("vocab_size"),
+        )
+    )

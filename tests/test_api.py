@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_pipeline_spark import api
@@ -171,3 +172,81 @@ def test_dedupe_incremental_splits_batch(spark):
     fresh, dups = api.dedupe_incremental(batch, corpus)
     assert [r["doc_id"] for r in fresh.collect()] == [11]
     assert [r["doc_id"] for r in dups.collect()] == [10]
+
+
+def test_chunk_documents_covers_every_token(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 5)), (2, " ".join(["w"] * 128)),
+         (3, " ".join(["w"] * 129)), (4, " ".join(["w"] * 300))],
+        "doc_id long, text string",
+    )
+    chunks = api.chunk_documents(docs, size=128, stride=112).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n_tok = {1: 5, 2: 128, 3: 129, 4: 300}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        n = n_tok[doc_id]
+        # chunk ids contiguous from 0; starts spaced by stride
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+        for r in rows:
+            assert r["start_tok"] == r["chunk_id"] * 112
+            assert 1 <= r["len_tok"] <= 128
+            assert r["start_tok"] + r["len_tok"] <= n
+        # every token index is inside at least one chunk (full coverage)
+        covered = max(r["start_tok"] + r["len_tok"] for r in rows)
+        assert covered == n
+        # consecutive chunks overlap by size - stride (except a short tail)
+        for a, b in zip(rows, rows[1:]):
+            assert b["start_tok"] < a["start_tok"] + a["len_tok"]
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1
+    assert len(by_doc[3]) == 2 and len(by_doc[4]) == 3
+
+
+def test_chunk_documents_rejects_bad_stride(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        api.chunk_documents(docs, size=10, stride=0)
+    with pytest.raises(ValueError):
+        api.chunk_documents(docs, size=10, stride=11)
+
+
+def test_token_entropy_known_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in api.token_entropy(docs).collect()}
+    # all-same tokens -> zero entropy; uniform over 4 -> ln 4
+    assert rows[1]["entropy_nats"] == 0.0
+    assert abs(rows[2]["entropy_nats"] - 1.3863) < 1e-4
+    assert rows[1]["n_tok"] == 4 and rows[1]["distinct_tok"] == 1
+    assert rows[2]["n_tok"] == 4 and rows[2]["distinct_tok"] == 4
+
+
+def test_mixture_weights_equalizes(spark):
+    docs = spark.createDataFrame(
+        [("en", "w " * 29 + "w"), ("fr", "w " * 9 + "w")],  # 30 vs 10 tokens
+        "lang string, text string",
+    )
+    rows = {r["lang"]: r for r in api.mixture_weights(docs).collect()}
+    assert rows["en"]["actual_share"] == 0.75
+    # uniform target 0.5 -> en downweighted to 2/3, fr upweighted to 2x
+    assert abs(rows["en"]["sample_weight"] - 0.6667) < 1e-4
+    assert abs(rows["fr"]["sample_weight"] - 2.0) < 1e-4
+    # reweighted mass is equal across strata
+    en = rows["en"]["sum_tokens"] * rows["en"]["sample_weight"]
+    fr = rows["fr"]["sum_tokens"] * rows["fr"]["sample_weight"]
+    assert abs(en - fr) < 0.01
+
+
+def test_vocab_coverage_head(spark):
+    # 'a' x 9, 'b' x 1: vocab of 1 token covers 90%
+    docs = spark.createDataFrame(
+        [("en", "a a a a a a a a a b")], "lang string, text string"
+    )
+    r = api.vocab_coverage(docs, coverage=0.9).collect()[0]
+    assert r["vocab_size"] == 1 and r["total_tokens"] == 10 and r["distinct_tokens"] == 2
+    # full coverage needs both
+    r2 = api.vocab_coverage(docs, coverage=1.0).collect()[0]
+    assert r2["vocab_size"] == 2
