@@ -1012,3 +1012,114 @@ def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "global_share"
         ),
     )
+
+
+@query(
+    "q_scd2_user_values",
+    oracle="""
+    SELECT user_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           STRFTIME(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S')     AS valid_to,
+           ROUND(value, 2)                   AS value,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN TRUE ELSE FALSE END     AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    tags=("window", "scd2", "dimension"),
+)
+def q_scd2_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build — turn a change stream into
+    validity intervals: each user's purchase event opens a version row
+    valid from its timestamp until the next purchase (LEAD), the last
+    version flagged current with an open end. This is the standard
+    dimension-table construction a warehouse runs from CDC feeds.
+
+    Scale: one shuffle on user_id for the LEAD window — per-user
+    partitions are change-stream sized (bounded), never corpus-sized. A
+    continuously-maintained SCD2 would run the same plan per batch over
+    the delta plus each key's current row.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+            F.round("value", 2).alias("value"),
+            nxt.isNull().alias("is_current"),
+        )
+    )
+
+
+@query(
+    "q_kll_quantile_merge",
+    # Self-verifying sketch pattern (see q_approx_aggregates): sketch
+    # bytes are engine-specific, so Spark computes its own rank-band
+    # verdict against the exact percentile twins and the oracle
+    # recomputes the exact side + TRUE verdicts.
+    oracle="""
+    SELECT n.n_regionkey AS n_regionkey,
+           COUNT(*) AS exact_customers,
+           -- 3 decimals: medians of 2-decimal data are exact at 3dp (midpoint
+           -- interpolation), so 3dp rounding never lands on a tie boundary
+           ROUND(QUANTILE_CONT(c.c_acctbal, 0.5), 3) AS exact_median_bal,
+           TRUE AS kll_median_within_band
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_regionkey
+    """,
+    tags=("agg", "approx", "sketch", "mergeable", "quantile"),
+)
+def q_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (Apache DataSketches KLL via
+    kll_sketch_agg_double / kll_sketch_merge_double) — the 100 TB
+    percentile pattern exact sorts can't do: build per-nation sketch
+    PARTIALS once, merge them to any coarser grain (here region) without
+    touching raw data again, then read any quantile off the merged
+    sketch. The rollup-table twin of q_hll_sketch_union, for
+    distributions instead of distinct counts.
+
+    Verdict: the default-k KLL normalized rank error is ~1.7%, so the
+    merged median estimate must land between the exact 45th and 55th
+    percentiles of the region's balance distribution (3x margin).
+    """
+    t = load_tables(spark, sf_dir, ("customer", "nation"))
+    joined = t["customer"].join(
+        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    per_nation = joined.groupBy("n_regionkey", "n_nationkey").agg(
+        F.kll_sketch_agg_double("c_acctbal").alias("sketch"),
+        F.count("*").alias("n_in_nation"),
+    )
+    # kll_sketch_merge_double is a binary scalar merge, so the per-region
+    # union folds the collected nation partials (bounded: nations/region)
+    merged = per_nation.groupBy("n_regionkey").agg(
+        F.collect_list("sketch").alias("sks"),
+        F.sum("n_in_nation").alias("exact_customers"),
+    ).select(
+        "n_regionkey",
+        "exact_customers",
+        F.expr(
+            "kll_sketch_get_quantile_double("
+            "  aggregate(slice(sks, 2, size(sks) - 1), sks[0],"
+            "            (acc, x) -> kll_sketch_merge_double(acc, x)),"
+            "  0.5)"
+        ).alias("est_median"),
+    )
+    exact = joined.groupBy("n_regionkey").agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal)").alias("exact_median"),
+        F.expr("percentile_cont(0.45) WITHIN GROUP (ORDER BY c_acctbal)").alias("p45"),
+        F.expr("percentile_cont(0.55) WITHIN GROUP (ORDER BY c_acctbal)").alias("p55"),
+    )
+    out = merged.join(exact, "n_regionkey")
+    band_ok = F.col("est_median").between(F.col("p45"), F.col("p55"))
+    return out.select(
+        "n_regionkey",
+        F.col("exact_customers").cast("long").alias("exact_customers"),
+        F.round("exact_median", 3).alias("exact_median_bal"),
+        band_ok.alias("kll_median_within_band"),
+    )

@@ -85,6 +85,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_token_entropy",
     "q_mix_weights",
     "q_vocab_coverage",
+    "q_join_full_outer_reconcile",
+    "q_scd2_user_values",
+    "q_kll_quantile_merge",
     # --- backfill: oldest r1-checked, re-attested on current code ---
     "q_asof_last_signup",
     "q_grouping_sets_revenue",

@@ -791,3 +791,91 @@ def q_window_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "q_join_full_outer_reconcile",
+    oracle="""
+    WITH recent_orders AS (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    ),
+    -- revenue in exact integer 1/10000ths: price and discount each have
+    -- 2 decimals, so every product is an exact 4-decimal value — summing
+    -- it as an integer and half-up rounding to cents IN INTEGER MATH is
+    -- deterministic, where ROUND(double, 2) flips on true .xx50 ties
+    -- whose double representation differs by summation order
+    shipped AS (
+        SELECT l_orderkey,
+               FLOOR((SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                      + 50) / 100) AS shipped_cents
+        FROM lineitem
+        GROUP BY l_orderkey
+    ),
+    joined AS (
+        SELECT o.o_orderkey, o.o_totalprice, s.l_orderkey, s.shipped_cents,
+               CASE WHEN o.o_orderkey IS NULL THEN 'ledger_only'
+                    WHEN s.l_orderkey IS NULL THEN 'book_only'
+                    ELSE 'both' END AS match_status
+        FROM recent_orders o
+        FULL OUTER JOIN shipped s ON o.o_orderkey = s.l_orderkey
+    )
+    SELECT match_status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(COALESCE(o_totalprice, 0) * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS book_total,
+           CAST(SUM(COALESCE(shipped_cents, 0)) AS DOUBLE) / 100 AS ledger_total
+    FROM joined
+    GROUP BY match_status
+    """,
+    tags=("join", "J2", "full-outer", "reconciliation"),
+)
+def q_join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system reconciliation via FULL OUTER join — the audit query
+    every warehouse runs between two systems of record: the recent order
+    book (headers from 1997 on) against the full shipment ledger
+    (lineitem revenue per order). Rows classify as ``both`` (in both
+    systems), ``book_only`` (ordered but nothing shipped), or
+    ``ledger_only`` (shipments whose header falls outside the book's
+    window), with per-class row counts and money totals.
+
+    Scale: the ledger side pre-aggregates per orderkey BEFORE the join
+    (shuffle on uniform orderkey), so the full-outer joins two
+    one-row-per-key sides — no row explosion; the final 3-row aggregate
+    is map-side combined. Money is carried as exact integer 1/10000ths
+    through the per-order sum (price x discount products are exact
+    4-decimal values) and half-up rounded to cents in integer math —
+    ROUND(double, 2) would flip on true .xx50 ties whose double
+    representation depends on summation order.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_totalprice")
+    e4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    shipped = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.floor((F.sum(e4) + 50) / 100).alias("shipped_cents"))
+    )
+    joined = recent.join(shipped, recent.o_orderkey == shipped.l_orderkey, "full_outer")
+    status = (
+        F.when(F.col("o_orderkey").isNull(), F.lit("ledger_only"))
+        .when(F.col("l_orderkey").isNull(), F.lit("book_only"))
+        .otherwise(F.lit("both"))
+    )
+    book_cents = F.round(F.coalesce(F.col("o_totalprice"), F.lit(0.0)) * 100).cast("long")
+    return (
+        joined.select(
+            status.alias("match_status"),
+            book_cents.alias("book_cents"),
+            F.coalesce("shipped_cents", F.lit(0)).alias("ledger_cents"),
+        )
+        .groupBy("match_status")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum("book_cents").cast("double") / 100).alias("book_total"),
+            (F.sum("ledger_cents").cast("double") / 100).alias("ledger_total"),
+        )
+    )
