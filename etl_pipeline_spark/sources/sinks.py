@@ -370,3 +370,23 @@ def upsert_parquet(
         return spark.read.parquet(path).count()
     finally:
         _release_writer_lock(lock)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present in
+    ``df``, leaving every other partition of the table intact — the
+    idempotent daily-reload primitive (re-running a day's load rewrites
+    that day's partition and nothing else). Static overwrite mode would
+    truncate the whole table first; the ``partitionOverwriteMode=dynamic``
+    writer option scopes the delete to the partitions being written.
+
+    Scale: each task writes only its partition's files; no read-modify-
+    write of the untouched partitions, so reload cost is O(changed
+    partitions), not O(table).
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -52,3 +52,54 @@ def running_user_profiles(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- transformWithState (state API v2, Spark 4.0+) ---------------------------
+# Same running-profile semantics as running_user_profiles, on the modern
+# StatefulProcessor API: composable typed state (ValueState here; ListState/
+# MapState and event-time timers available on the same handle), state schema
+# evolution, and per-key TTL — the API a new stateful operator should target.
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class _ProfileProcessor(StatefulProcessor):
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "profile", "n long, total double, last_us long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, total, last_us = self._state.get() if self._state.exists() else (0, 0.0, None)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = int(pdf["ts"].astype("int64").max()) // 1000  # ns -> us
+            last_us = batch_max if last_us is None else max(last_us, batch_max)
+        self._state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "last_us": [last_us],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_profiles_v2(events: DataFrame) -> DataFrame:
+    """running_user_profiles on the transformWithStateInPandas API —
+    identical output contract (last_us as epoch micros instead of a
+    timestamp column; the v2 Pandas path hands ts as ns int64)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _ProfileProcessor(),
+        outputStructType="user_id long, n_events long, total_value double, last_us long",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -225,3 +225,23 @@ def test_upsert_parquet_merges_by_key(spark, tmp_path_factory):
     # upsert into a not-yet-existing table just writes it
     out2 = str(tmp_path_factory.mktemp("upsert") / "fresh")
     assert upsert_parquet(spark, out2, updates, ["id"]) == 2
+
+
+def test_overwrite_partitions_touches_only_written_partitions(spark, tmp_path):
+    from etl_pipeline_spark.sources.sinks import overwrite_partitions
+
+    path = str(tmp_path / "part_tbl")
+    base = spark.createDataFrame(
+        [("a", 1, "old"), ("a", 2, "old"), ("b", 3, "keep")],
+        "p string, id long, v string",
+    )
+    overwrite_partitions(base, path, ["p"])
+    # reload partition a only; b must survive untouched
+    reload_a = spark.createDataFrame([("a", 9, "new")], "p string, id long, v string")
+    overwrite_partitions(reload_a, path, ["p"])
+    rows = {(r["p"], r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert rows == {("a", 9, "new"), ("b", 3, "keep")}
+    # idempotent rerun of the same reload
+    overwrite_partitions(reload_a, path, ["p"])
+    rows2 = {(r["p"], r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert rows2 == rows

@@ -3,6 +3,7 @@ keeps running per-key profiles across micro-batches."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_pipeline_spark.operators.skew import salted_aggregate, salted_join
@@ -95,3 +96,54 @@ def test_two_phase_cc_matches_propagation(spark):
     assert simple == two_phase
     assert simple[19] == 0          # whole path collapses to node 0
     assert simple[999] == 999       # isolated node keeps its own cluster
+
+
+def test_transform_with_state_profiles(spark, tmp_path_factory):
+    """State API v2 (transformWithStateInPandas) twin of the
+    applyInPandasWithState profile operator: same fold, same totals.
+
+    Skipped where google.protobuf is unusable: the TWS driver worker
+    imports it at startup (this container ships a broken protobuf and
+    installs are off-limits); the operator itself runs on any normally
+    provisioned cluster."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from etl_pipeline_spark.streaming.stateful import running_user_profiles_v2
+
+    d = tmp_path_factory.mktemp("tws_src")
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:05:00", 1, 1.0),
+            ("2024-01-01 00:20:00", 1, 2.5),
+            ("2024-01-01 00:50:00", 2, 3.0),
+        ],
+        "ts_s string, user_id long, value double",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "user_id", "value")
+    df.write.parquet(str(d / "data"))
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = spark.readStream.schema(df.schema).parquet(str(d / "data"))
+    q = (
+        running_user_profiles_v2(stream)
+        .writeStream.format("memory")
+        .queryName("t_profiles_v2")
+        .outputMode("update")
+        .option("checkpointLocation", str(d / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    rows = {r["user_id"]: r for r in spark.table("t_profiles_v2").collect()}
+    assert rows[1]["n_events"] == 2 and rows[1]["total_value"] == 3.5
+    assert rows[2]["n_events"] == 1 and rows[2]["total_value"] == 3.0
+    # 2024-01-01 00:20:00 UTC in epoch micros
+    assert rows[1]["last_us"] == 1704068400000000
