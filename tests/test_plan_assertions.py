@@ -75,3 +75,31 @@ def test_partitioned_window_twins_have_no_global_sort(spark):
     plans.assert_partitioned_window(df, "o_custkey")
     df2 = contract.queries()["q_window_distribution_ranks_partitioned"](spark, SF)
     plans.assert_partitioned_window(df2, "o_custkey")
+
+
+def test_doc_chunking_is_shuffle_free(spark):
+    """Chunk explosion is a narrow per-row op: the whole plan must run
+    without a single exchange — the property that makes chunking free at
+    100 TB."""
+    df = contract.queries()["q_doc_chunking"](spark, SF)
+    plans.assert_no_shuffle(df)
+
+
+def test_agg_families_single_exchange(spark):
+    """The aggregate-family queries are one map-side-combined shuffle on
+    a low-cardinality key (regression adds a 3-row broadcast for the
+    mode subaggregate, never a second hash exchange of the fact table)."""
+    for name in ("q_agg_extrema_by", "q_agg_bitwise", "q_histogram_values"):
+        plan = plans.executed(contract.queries()[name](spark, SF))
+        assert plan.count("Exchange hashpartitioning") <= 1, (name, plan[:800])
+
+
+def test_full_outer_reconcile_preaggregates_ledger(spark):
+    """The ledger side must aggregate per orderkey BEFORE the full-outer
+    join (one-row-per-key sides, no row explosion): the plan joins two
+    aggregates rather than joining raw lineitem."""
+    plan = plans.executed(contract.queries()["q_join_full_outer_reconcile"](spark, SF))
+    assert "FullOuter" in plan, plan[:800]
+    # two aggregation levels: per-orderkey ledger rollup (below the join)
+    # plus the final per-status fold — raw lineitem never reaches the join
+    assert plan.count("HashAggregate") >= 4, plan[:800]  # partial+final x2

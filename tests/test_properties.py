@@ -87,3 +87,39 @@ def test_sequence_packing_properties(spark, toks, budget):
             r["n_tok"] for r in packed if r["chunk_id"] < cid
         )
         assert first_offset // budget == cid or not sizes
+
+
+@given(sizes=st.lists(st.integers(1, 400), min_size=1, max_size=8))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunking_covers_all_tokens(spark, sizes):
+    """chunk_documents invariants for arbitrary doc lengths: chunk ids are
+    contiguous from 0, starts are stride-spaced, every token index falls
+    in >= 1 chunk, lengths stay in [1, size], and consecutive chunks
+    overlap (except a final chunk that begins exactly at the previous
+    end)."""
+    from etl_pipeline_spark import api
+
+    CH, STRIDE = 64, 48
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(sizes)],
+        "doc_id long, text string",
+    )
+    out = api.chunk_documents(docs, size=CH, stride=STRIDE).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(len(sizes)))
+    for i, n in enumerate(sizes):
+        rows = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+        for r in rows:
+            assert r["start_tok"] == r["chunk_id"] * STRIDE
+            assert 1 <= r["len_tok"] <= CH
+            assert r["start_tok"] + r["len_tok"] <= n
+        assert max(r["start_tok"] + r["len_tok"] for r in rows) == n
+        for a, b in zip(rows, rows[1:]):
+            assert b["start_tok"] <= a["start_tok"] + a["len_tok"]
