@@ -1076,12 +1076,12 @@ def q_scd2_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketches (Apache DataSketches KLL via
-    kll_sketch_agg_double / kll_sketch_merge_double) — the 100 TB
+    kll_sketch_agg_double / kll_merge_agg_double) — the 100 TB
     percentile pattern exact sorts can't do: build per-nation sketch
-    PARTIALS once, merge them to any coarser grain (here region) without
-    touching raw data again, then read any quantile off the merged
-    sketch. The rollup-table twin of q_hll_sketch_union, for
-    distributions instead of distinct counts.
+    PARTIALS once, re-aggregate them to any coarser grain (here region)
+    by sketch-merge without touching raw data again, then read any
+    quantile off the merged sketch. The rollup-table twin of
+    q_hll_sketch_union, for distributions instead of distinct counts.
 
     Verdict: the default-k KLL normalized rank error is ~1.7%, so the
     merged median estimate must land between the exact 45th and 55th
@@ -1095,20 +1095,11 @@ def q_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kll_sketch_agg_double("c_acctbal").alias("sketch"),
         F.count("*").alias("n_in_nation"),
     )
-    # kll_sketch_merge_double is a binary scalar merge, so the per-region
-    # union folds the collected nation partials (bounded: nations/region)
     merged = per_nation.groupBy("n_regionkey").agg(
-        F.collect_list("sketch").alias("sks"),
-        F.sum("n_in_nation").alias("exact_customers"),
-    ).select(
-        "n_regionkey",
-        "exact_customers",
         F.expr(
-            "kll_sketch_get_quantile_double("
-            "  aggregate(slice(sks, 2, size(sks) - 1), sks[0],"
-            "            (acc, x) -> kll_sketch_merge_double(acc, x)),"
-            "  0.5)"
+            "kll_sketch_get_quantile_double(kll_merge_agg_double(sketch), 0.5)"
         ).alias("est_median"),
+        F.sum("n_in_nation").alias("exact_customers"),
     )
     exact = joined.groupBy("n_regionkey").agg(
         F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal)").alias("exact_median"),
@@ -1122,4 +1113,91 @@ def q_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_customers").cast("long").alias("exact_customers"),
         F.round("exact_median", 3).alias("exact_median_bal"),
         band_ok.alias("kll_median_within_band"),
+    )
+
+
+@query(
+    "q_theta_set_ops",
+    # Self-verifying sketch pattern: theta sketch bytes are
+    # engine-specific; Spark asserts its own error-bound verdicts against
+    # exact set counts and the oracle recomputes the exact side + TRUEs.
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+    b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT (SELECT COUNT(*) FROM a) AS exact_1996,
+           (SELECT COUNT(*) FROM b) AS exact_1997,
+           (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS exact_union,
+           (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS exact_both,
+           (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS exact_only_1996,
+           TRUE AS union_within_tol,
+           TRUE AS intersection_within_tol,
+           TRUE AS difference_within_tol
+    """,
+    tags=("agg", "approx", "sketch", "set-ops"),
+)
+def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Apache DataSketches) — distinct-set ALGEBRA at
+    sketch cost, the operation HLL fundamentally can't do: estimate the
+    union, intersection, and difference of the 1996 vs 1997 active
+    customer sets from two per-slice sketches, no re-scan of the raw
+    data. At 100 TB this answers "how many customers overlap between any
+    two segments" from a sketch rollup table in milliseconds.
+
+    Verdicts: theta union error matches HLL-class bounds (~2% at default
+    lgK plus slack for small sets); intersection/difference error grows
+    with the Jaccard distance of the operands, so those get a wider
+    relative band (5%) anchored on the exact counts.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    y96 = F.col("o_orderdate").between(
+        F.lit("1996-01-01").cast("timestamp"), F.lit("1996-12-31 23:59:59").cast("timestamp")
+    )
+    y97 = F.col("o_orderdate").between(
+        F.lit("1997-01-01").cast("timestamp"), F.lit("1997-12-31 23:59:59").cast("timestamp")
+    )
+    sketches = o.agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' THEN o_custkey END)"
+        ).alias("sk_a"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' THEN o_custkey END)"
+        ).alias("sk_b"),
+        F.countDistinct(F.when(y96, F.col("o_custkey"))).alias("exact_1996"),
+        F.countDistinct(F.when(y97, F.col("o_custkey"))).alias("exact_1997"),
+    )
+    ests = sketches.select(
+        "exact_1996",
+        "exact_1997",
+        F.expr("theta_sketch_estimate(theta_union(sk_a, sk_b))").alias("est_union"),
+        F.expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))").alias("est_both"),
+        F.expr("theta_sketch_estimate(theta_difference(sk_a, sk_b))").alias("est_only_a"),
+    )
+    # exact set counts for the verdicts (one distinct-pair aggregate)
+    keys = o.select(
+        "o_custkey",
+        F.max(y96.cast("int")).over(W.partitionBy("o_custkey")).alias("in_a"),
+        F.max(y97.cast("int")).over(W.partitionBy("o_custkey")).alias("in_b"),
+    ).distinct()
+    exact = keys.agg(
+        F.sum(((F.col("in_a") == 1) | (F.col("in_b") == 1)).cast("long")).alias("exact_union"),
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")).alias("exact_both"),
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 0)).cast("long")).alias(
+            "exact_only_1996"
+        ),
+    )
+    out = ests.crossJoin(exact)
+    tol = lambda est, ex, rel: F.abs(F.col(est) - F.col(ex)) <= rel * F.col(ex) + 2  # noqa: E731
+    return out.select(
+        "exact_1996",
+        "exact_1997",
+        "exact_union",
+        "exact_both",
+        F.col("exact_only_1996").cast("long").alias("exact_only_1996"),
+        tol("est_union", "exact_union", 0.06).alias("union_within_tol"),
+        tol("est_both", "exact_both", 0.06).alias("intersection_within_tol"),
+        tol("est_only_a", "exact_only_1996", 0.06).alias("difference_within_tol"),
     )

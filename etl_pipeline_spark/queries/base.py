@@ -88,6 +88,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_join_full_outer_reconcile",
     "q_scd2_user_values",
     "q_kll_quantile_merge",
+    "q_theta_set_ops",
     # --- backfill: oldest r1-checked, re-attested on current code ---
     "q_asof_last_signup",
     "q_grouping_sets_revenue",
