@@ -89,6 +89,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_scd2_user_values",
     "q_kll_quantile_merge",
     "q_theta_set_ops",
+    "q_hof_array_pipeline",
     # --- backfill: oldest r1-checked, re-attested on current code ---
     "q_asof_last_signup",
     "q_grouping_sets_revenue",

@@ -375,3 +375,56 @@ def q_scalar_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.contains("text", F.lit("spark")).alias("has_spark"),
         F.ascii("lang").cast("long").alias("first_cp"),
     )
+
+
+@query(
+    "q_hof_array_pipeline",
+    oracle="""
+    SELECT vec_id,
+           LEN(list_filter(embedding, x -> x > 0))                    AS n_pos,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> ABS(CAST(x AS DOUBLE)))), 4)                    AS l1_norm,
+           ROUND(list_max(list_transform(embedding,
+                 x -> ABS(CAST(x AS DOUBLE)))), 4)                    AS max_abs,
+           ROUND(list_sum(list_transform(
+                 list_zip(embedding, list_reverse(embedding)),
+                 s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), 4) AS self_rev_dot,
+           LEN(list_filter(embedding, x -> ABS(x) > 2)) > 0           AS any_big,
+           LEN(list_filter(embedding, x -> NOT ABS(x) < 10)) = 0      AS all_small
+    FROM embeddings
+    """,
+    tags=("scalar", "F17", "higher-order", "arrays"),
+)
+def q_hof_array_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a vector-math pipeline — the F17
+    lambda family (filter / transform / aggregate / zip_with / exists /
+    forall) applied to the embedding column without ever exploding it:
+    positive-component count, L1 norm, max magnitude, dot product with
+    the reversed self (zip_with), and magnitude predicates.
+
+    Scale: all lambdas run inside codegen per row — no explode, no
+    shuffle, no UDF; this is the idiomatic Spark form for elementwise
+    vector work and the reason the engine's similarity ops stay JVM-side.
+    Both engines fold the array left-to-right (float->double per element),
+    so 4-decimal rounding is exact-stable.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    emb = F.col("embedding")
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    abs_arr = F.transform(emb, lambda x: F.abs(dbl(x)))
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.aggregate(abs_arr, F.lit(0.0), lambda a, x: a + x), 4).alias("l1_norm"),
+        F.round(F.array_max(abs_arr), 4).alias("max_abs"),
+        F.round(
+            F.aggregate(
+                F.zip_with(emb, F.reverse(emb), lambda a, b: dbl(a) * dbl(b)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("self_rev_dot"),
+        F.exists(emb, lambda x: F.abs(x) > 2).alias("any_big"),
+        F.forall(emb, lambda x: F.abs(x) < 10).alias("all_small"),
+    )
