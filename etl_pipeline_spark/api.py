@@ -408,3 +408,26 @@ def vocab_coverage(
             F.min("_rk").alias("vocab_size"),
         )
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a change stream (one row
+    per change event) into validity intervals — adds ``valid_from`` (the
+    row's own timestamp), ``valid_to`` (the key's next change, open/NULL
+    for the current row), and ``is_current``. ``tie_col`` breaks
+    same-timestamp ordering deterministically.
+
+    Scale: one shuffle on the key; partitions are change-stream sized."""
+    order = [F.col(ts_col).asc()] + ([F.col(tie_col).asc()] if tie_col else [])
+    w = W.partitionBy(key_col).orderBy(*order)
+    nxt = F.lead(ts_col).over(w)
+    return (
+        df.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", nxt)
+        .withColumn("is_current", nxt.isNull())
+    )

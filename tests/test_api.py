@@ -250,3 +250,20 @@ def test_vocab_coverage_head(spark):
     # full coverage needs both
     r2 = api.vocab_coverage(docs, coverage=1.0).collect()[0]
     assert r2["vocab_size"] == 2
+
+
+def test_scd2_intervals_partition_chain(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "a"), (1, "2024-01-02 00:00:00", "b"),
+         (2, "2024-01-05 00:00:00", "x")],
+        "k long, ts_s string, v string",
+    ).select("k", F.to_timestamp("ts_s").alias("ts"), "v")
+    rows = sorted(
+        ((r["k"], r["v"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+         for r in api.scd2_intervals(df, "k").collect())
+    )
+    assert rows == [
+        (1, "a", "2024-01-01 00:00:00", "2024-01-02 00:00:00", False),
+        (1, "b", "2024-01-02 00:00:00", "None", True),
+        (2, "x", "2024-01-05 00:00:00", "None", True),
+    ]
