@@ -124,8 +124,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    shingles = d.filter(F.size(toks) >= SHINGLE_WIDTH).select(
-        "doc_id", F.explode(shingle_arr).alias("shingle")
+    # Materialized once: the inverted index feeds BOTH self-join sides
+    # plus the size table — without this the shingle explosion runs 3x.
+    shingles = (
+        d.filter(F.size(toks) >= SHINGLE_WIDTH)
+        .select("doc_id", F.explode(shingle_arr).alias("shingle"))
+        .localCheckpoint(eager=True)
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = shingles.alias("a")
@@ -211,7 +215,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = d.filter(F.size(toks) >= SHINGLE_WIDTH).select("doc_id", shingle_arr.alias("shingles"))
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
-    feat = tf.transform(docs)
+    # Materialize the featurized docs ONCE: the self-join otherwise
+    # re-evaluates the shingle+HashingTF transform for each side (2.5x
+    # wall-clock at sf0.1). localCheckpoint doubles as lineage
+    # truncation; a cluster run would use persist(DISK) or a reliable
+    # checkpoint for the same single-materialization property.
+    feat = tf.transform(docs).localCheckpoint(eager=True)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feat)
     pairs = model.approxSimilarityJoin(feat, feat, 1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist")

@@ -160,7 +160,11 @@ def q_knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    vecs = e.select("vec_id", "label", "embedding", array_to_vector("embedding").alias("features"))
+    # One materialization (see q_dedup_minhash_lsh): fit, the query side,
+    # and the corpus side otherwise each re-run the vectorization.
+    vecs = e.select(
+        "vec_id", "label", "embedding", array_to_vector("embedding").alias("features")
+    ).localCheckpoint(eager=True)
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", numHashTables=12, bucketLength=4.0, seed=42
     )
