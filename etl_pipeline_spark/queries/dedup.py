@@ -431,13 +431,19 @@ def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    shingles_all = d.filter(F.size(toks) >= SHINGLE_WIDTH).select(
-        "doc_id", F.explode(shingle_arr).alias("shingle")
+    # Materialized once each (see q_dedup_ngram_jaccard): the raw index
+    # feeds the doc-frequency pass AND the cap join; the capped index
+    # feeds both self-join sides and the size table.
+    shingles_all = (
+        d.filter(F.size(toks) >= SHINGLE_WIDTH)
+        .select("doc_id", F.explode(shingle_arr).alias("shingle"))
+        .localCheckpoint(eager=True)
     )
     dfreq = shingles_all.groupBy("shingle").agg(F.count("*").alias("doc_freq"))
     shingles = (
         shingles_all.join(dfreq.filter(F.col("doc_freq") <= DF_CAP), "shingle")
         .select("doc_id", "shingle")
+        .localCheckpoint(eager=True)
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = shingles.alias("a"), shingles.alias("b")
