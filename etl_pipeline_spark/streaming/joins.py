@@ -47,3 +47,19 @@ def clicks_to_purchases(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def enrich_with_dimension(
+    stream: DataFrame, dim: DataFrame, stream_key: str, dim_key: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join — the dimension-lookup half of every
+    streaming pipeline (events joined to a slowly-changing reference
+    table). The static side is broadcast per micro-batch, so the stream
+    never shuffles; Spark re-plans the join each batch, which also picks
+    up dimension-table refreshes between batches for file-based dims.
+
+    Scale: state-free (unlike stream-stream joins) — the only cost is
+    the broadcast, bounded by the dimension size."""
+    return stream.join(
+        F.broadcast(dim), F.col(stream_key) == F.col(dim_key), how
+    )

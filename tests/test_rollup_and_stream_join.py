@@ -90,3 +90,32 @@ def test_stream_stream_join(spark, tmp_path_factory):
     rows = spark.table("t_ssj").collect()
     assert len(rows) == 1
     assert rows[0]["user_id"] == 1 and rows[0]["purchase_value"] == 9.99
+
+
+def test_stream_static_enrichment(spark, tmp_path_factory):
+    """Stream-static join: each micro-batch broadcasts the dimension;
+    rows with no dimension match survive a left join with nulls."""
+    from etl_pipeline_spark.streaming.joins import enrich_with_dimension
+
+    d = tmp_path_factory.mktemp("ss_src")
+    events = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1, 10.0), ("2024-01-01 00:01:00", 2, 20.0),
+         ("2024-01-01 00:02:00", 99, 5.0)],
+        "ts_s string, user_id long, value double",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "user_id", "value")
+    events.write.parquet(str(d / "data"))
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "dim_user long, tier string"
+    )
+    stream = spark.readStream.schema(events.schema).parquet(str(d / "data"))
+    q = (
+        enrich_with_dimension(stream, dim, "user_id", "dim_user")
+        .writeStream.format("memory")
+        .queryName("t_enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["user_id"]: r["tier"] for r in spark.table("t_enriched").collect()}
+    assert rows == {1: "gold", 2: "silver", 99: None}
