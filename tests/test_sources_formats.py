@@ -35,3 +35,17 @@ def test_file_metadata_columns(spark, csv_path):
     assert row["_file_path"].endswith("data.csv")
     assert row["_file_size"] == len(CSV)
     assert row["_file_mtime"] is not None
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution on read: parts written before/after a column was
+    added unify under mergeSchema, with nulls for the missing column."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(p + "/part=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(p + "/part=2")
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert {"id", "v", "score", "part"} <= set(df.columns)
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
