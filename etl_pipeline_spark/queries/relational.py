@@ -511,9 +511,14 @@ _SALT_BUCKETS = 8
         SELECT DISTINCT event_type, LENGTH(event_type) * 1.5 AS weight
         FROM events
     )
+    -- weighted value summed as exact integer thousandths (value has 2
+    -- decimals, weight 1: products are exact 3-decimal values), half-up
+    -- rounded to 2dp in integer math: ROUND(SUM(double), 2) flips on
+    -- true .xx5 ties whose double representation depends on sum order
     SELECT e.event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(e.value * d.weight), 2) AS weighted_value
+           FLOOR((SUM(CAST(ROUND(e.value * d.weight * 1000) AS BIGINT)) + 5) / 10) / 100.0
+               AS weighted_value
     FROM events e JOIN dim d ON e.event_type = d.event_type
     GROUP BY e.event_type
     """,
@@ -547,12 +552,13 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted_dim = dim.crossJoin(
         spark.range(_SALT_BUCKETS).select(F.col("id").alias("salt"))
     )
+    milli = F.round(F.col("value") * F.col("weight") * 1000).cast("long")
     return (
         salted_fact.join(salted_dim.hint("shuffle_hash"), ["event_type", "salt"])
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            _r2(F.sum(F.col("value") * F.col("weight"))).alias("weighted_value"),
+            (F.floor((F.sum(milli) + 5) / 10) / 100.0).alias("weighted_value"),
         )
     )
 
