@@ -24,6 +24,27 @@ def _r2(c):
     return F.round(c, 2)
 
 
+def _exact_sum(expr, decimals: int):
+    """Order-independent sum of an exact-decimal expression: each row's
+    value is an exact ``decimals``-place decimal (prices/discounts/taxes
+    are 2dp, so their products are 4dp/6dp), so scaling to an integer and
+    summing as DECIMAL(38,0) is exact regardless of partition/summation
+    order. The result is cast back to double — both engines then round
+    the SAME double, so ROUND(...,2) can no longer flip on true .xx5
+    ties (which double-order drift turned into cross-engine hash
+    mismatches after fixture regenerations).
+    """
+    scale = 10 ** decimals
+    scaled = F.round(expr * scale).cast("decimal(38,0)")
+    return F.sum(scaled).cast("double") / scale
+
+
+def _exact_sum_sql(expr: str, decimals: int) -> str:
+    """DuckDB spelling of :func:`_exact_sum` (HUGEINT-safe via DECIMAL)."""
+    scale = 10 ** decimals
+    return f"(CAST(SUM(CAST(ROUND(({expr}) * {scale}) AS DECIMAL(38,0))) AS DOUBLE) / {scale})"
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (A1/A5) and sorts
 # ---------------------------------------------------------------------------
@@ -31,15 +52,17 @@ def _r2(c):
 
 @query(
     "q01_pricing_summary",
-    oracle="""
+    # money sums/avgs via exact integer-scaled decimal sums (see
+    # _exact_sum): immune to summation-order .xx5 rounding ties
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND({_exact_sum_sql('l_extendedprice', 2)}, 2)                 AS sum_base_price,
+           ROUND({_exact_sum_sql('l_extendedprice * (1 - l_discount)', 4)}, 2) AS sum_disc_price,
+           ROUND({_exact_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}, 2) AS sum_charge,
            ROUND(AVG(l_quantity), 2)                                        AS avg_qty,
-           ROUND(AVG(l_extendedprice), 2)                                   AS avg_price,
-           ROUND(AVG(l_discount), 2)                                        AS avg_disc,
+           ROUND({_exact_sum_sql('l_extendedprice', 2)} / COUNT(*), 2)      AS avg_price,
+           ROUND({_exact_sum_sql('l_discount', 2)} / COUNT(*), 2)           AS avg_disc,
            COUNT(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -61,12 +84,12 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _r2(F.sum("l_quantity")).alias("sum_qty"),
-            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r2(F.sum(disc_price)).alias("sum_disc_price"),
-            _r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            _r2(_exact_sum(F.col("l_extendedprice"), 2)).alias("sum_base_price"),
+            _r2(_exact_sum(disc_price, 4)).alias("sum_disc_price"),
+            _r2(_exact_sum(disc_price * (1 + F.col("l_tax")), 6)).alias("sum_charge"),
             _r2(F.avg("l_quantity")).alias("avg_qty"),
-            _r2(F.avg("l_extendedprice")).alias("avg_price"),
-            _r2(F.avg("l_discount")).alias("avg_disc"),
+            _r2(_exact_sum(F.col("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
+            _r2(_exact_sum(F.col("l_discount"), 2) / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -74,8 +97,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q06_revenue_delta",
-    oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_delta,
+    oracle=f"""
+    SELECT ROUND({_exact_sum_sql('l_extendedprice * l_discount', 4)}, 2) AS revenue_delta,
            COUNT(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -102,7 +125,9 @@ def q06_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            _r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue_delta"),
+            _r2(_exact_sum(F.col("l_extendedprice") * F.col("l_discount"), 4)).alias(
+                "revenue_delta"
+            ),
             F.count("*").alias("n_rows"),
         )
     )
@@ -270,9 +295,9 @@ def q_distinct_nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q03_order_revenue_topk",
-    oracle="""
+    oracle=f"""
     SELECT l.l_orderkey AS orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND({_exact_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)}, 2) AS revenue,
            CAST(o.o_orderdate AS DATE) AS orderdate
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -310,7 +335,11 @@ def q03_order_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").alias("orderkey"),
             F.col("o_orderdate").cast("date").alias("orderdate"),
         )
-        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(
+            _r2(_exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).alias(
+                "revenue"
+            )
+        )
         .select("orderkey", "revenue", "orderdate")
         .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
         .limit(10)
@@ -319,9 +348,9 @@ def q03_order_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q05_nation_revenue",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name AS nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           ROUND({_exact_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)}, 2) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -362,7 +391,11 @@ def q05_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(
+            _r2(_exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).alias(
+                "revenue"
+            )
+        )
     )
 
 
