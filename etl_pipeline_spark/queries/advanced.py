@@ -52,7 +52,7 @@ def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COALESCE(l_returnflag, 'ALL')  AS returnflag,
            COALESCE(l_linestatus, 'ALL')  AS linestatus,
-           ROUND(SUM(l_extendedprice), 2) AS sum_price
+           ROUND((CAST(SUM(CAST(ROUND((l_extendedprice) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100), 2) AS sum_price
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -66,7 +66,7 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT COALESCE(l_returnflag, 'ALL')  AS returnflag,
                COALESCE(l_linestatus, 'ALL')  AS linestatus,
-               ROUND(SUM(l_extendedprice), 2) AS sum_price
+               ROUND((CAST(SUM(CAST(ROUND((l_extendedprice) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100), 2) AS sum_price
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -378,7 +378,7 @@ query(
           AND e.ts <  DATE_TRUNC('hour', e.ts) - TO_HOURS(o.k) + INTERVAL 2 HOUR
     )
     SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
-           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+           COUNT(*) AS n_events, ROUND((CAST(SUM(CAST(ROUND((value) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100), 2) AS sum_value
     FROM assigned
     GROUP BY wstart
     """,
@@ -392,7 +392,12 @@ def q_window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, ("events",))["events"]
     return (
         e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).cast("double") / 100, 2
+            ).alias("sum_value"),
+        )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "n_events",
@@ -966,7 +971,7 @@ def q_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH nat AS (
         SELECT n.n_regionkey AS regionkey, n.n_name AS nation,
-               ROUND(SUM(o.o_totalprice), 2) AS nation_total
+               ROUND((CAST(SUM(CAST(ROUND((o.o_totalprice) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100), 2) AS nation_total
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN orders o ON o.o_custkey = c.c_custkey
@@ -997,7 +1002,13 @@ def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), t["customer"].c_nationkey == t["nation"].n_nationkey)
         .join(t["orders"], t["orders"].o_custkey == t["customer"].c_custkey)
         .groupBy(F.col("n_regionkey").alias("regionkey"), F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("nation_total"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")).cast("double")
+                / 100,
+                2,
+            ).alias("nation_total")
+        )
     )
     w_region = W.partitionBy("regionkey")
     w_global = W.partitionBy()

@@ -201,7 +201,7 @@ def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COALESCE(o_orderstatus, 'ALL')   AS orderstatus,
            COALESCE(o_orderpriority, 'ALL') AS orderpriority,
-           ROUND(SUM(o_totalprice), 2)      AS sum_price,
+           ROUND((CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100), 2)      AS sum_price,
            COUNT(*)                         AS cnt
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -213,7 +213,7 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
     return (
         o.cube("o_orderstatus", "o_orderpriority")
-        .agg(_r2(F.sum("o_totalprice")).alias("sum_price"), F.count("*").alias("cnt"))
+        .agg(_r2(_exact_sum(F.col("o_totalprice"), 2)).alias("sum_price"), F.count("*").alias("cnt"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
@@ -229,7 +229,7 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*)                                                    AS total_orders,
            COUNT(*) FILTER (WHERE o_orderstatus = 'F')                 AS delivered_count,
            COUNT(*) FILTER (WHERE o_orderstatus <> 'F')                AS other_status_count,
-           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS delivered_value
+           ROUND((CAST(SUM(CAST(ROUND((CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100), 2) AS delivered_value
     FROM orders
     """,
     tags=("agg", "A2", "P6"),
@@ -248,7 +248,7 @@ def q_conditional_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("total_orders"),
         F.count(F.when(delivered, 1)).alias("delivered_count"),
         F.count(F.when(~delivered, 1)).alias("other_status_count"),
-        _r2(F.sum(F.when(delivered, F.col("o_totalprice")))).alias("delivered_value"),
+        _r2(_exact_sum(F.when(delivered, F.col("o_totalprice")).otherwise(F.lit(0.0)), 2)).alias("delivered_value"),
     )
 
 
@@ -505,7 +505,7 @@ def q_join_cross_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_join_range_value_buckets",
     oracle="""
-    SELECT b.bucket, COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS sum_value
+    SELECT b.bucket, COUNT(*) AS n_events, ROUND((CAST(SUM(CAST(ROUND((e.value) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100), 2) AS sum_value
     FROM events e
     JOIN (VALUES ('low', 0.0, 25.0), ('mid', 25.0, 75.0), ('high', 75.0, 1e18))
          AS b(bucket, lo, hi)
@@ -530,7 +530,7 @@ def q_join_range_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.join(F.broadcast(buckets), (e.value >= buckets.lo) & (e.value < buckets.hi))
         .groupBy("bucket")
-        .agg(F.count("*").alias("n_events"), _r2(F.sum("value")).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), _r2(_exact_sum(F.col("value"), 2)).alias("sum_value"))
     )
 
 
@@ -808,7 +808,7 @@ def q_setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*)                AS n_events,
-           ROUND(SUM(value), 2)    AS sum_value
+           ROUND((CAST(SUM(CAST(ROUND((value) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100), 2)    AS sum_value
     FROM events
     GROUP BY DATE_TRUNC('hour', ts), event_type
     """,
@@ -822,7 +822,7 @@ def q_window_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, ("events",))["events"]
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), _r2(F.sum("value")).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), _r2(_exact_sum(F.col("value"), 2)).alias("sum_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",

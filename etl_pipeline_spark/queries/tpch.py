@@ -26,7 +26,7 @@ _Q07 = """
     SELECT ns.n_name AS supp_nation,
            nc.n_name AS cust_nation,
            EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           ROUND((CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000), 2) AS revenue
     FROM lineitem l
     JOIN orders o    ON l.l_orderkey = o.o_orderkey
     JOIN customer c  ON o.o_custkey = c.c_custkey
@@ -57,8 +57,7 @@ def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q09 = """
     SELECT n.n_name AS nation,
            EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
-                     - p.p_retailprice * 0.6 * l.l_quantity), 2) AS profit
+           ROUND((CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount) - p.p_retailprice * 0.6 * l.l_quantity) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000), 2) AS profit
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN part p     ON l.l_partkey = p.p_partkey
@@ -79,10 +78,8 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q14 = """
     SELECT ROUND(
-             100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
-                              THEN l.l_extendedprice * (1 - l.l_discount)
-                              ELSE 0 END)
-             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+             100.0 * (CAST(SUM(CAST(ROUND((CASE WHEN p.p_type LIKE 'PROMO%' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000)
+             / (CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000), 4) AS promo_revenue_pct
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -98,7 +95,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q17 = """
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT ROUND((CAST(SUM(CAST(ROUND((l.l_extendedprice) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100) / 7.0, 2) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#1'
@@ -144,7 +141,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q19 = """
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT ROUND((CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000), 2) AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -168,7 +165,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q22 = """
     SELECT c.c_mktsegment AS segment,
            COUNT(*) AS n_customers,
-           ROUND(SUM(c.c_acctbal), 2) AS total_balance
+           ROUND((CAST(SUM(CAST(ROUND((c.c_acctbal) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100), 2) AS total_balance
     FROM customer c
     WHERE c.c_acctbal > (
         SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
@@ -221,8 +218,8 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q08 = """
     SELECT o_year,
-           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / SUM(volume), 4) AS mkt_share
+           ROUND((CAST(SUM(CAST(ROUND((CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000)
+                 / (CAST(SUM(CAST(ROUND((volume) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000), 4) AS mkt_share
     FROM (
         SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
                l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -255,7 +252,7 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q10 = """
     SELECT c.c_custkey, c.c_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND((CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000), 2) AS revenue,
            n.n_name AS nation,
            ROUND(c.c_acctbal, 2) AS acctbal
     FROM customer c
@@ -312,7 +309,7 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q15 = """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               ROUND((CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000) AS DECIMAL(38,0))) AS DOUBLE) / 10000), 2) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -351,7 +348,7 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q11 = """
     WITH value_by_part AS (
         SELECT l.l_partkey,
-               ROUND(SUM(p.p_retailprice * l.l_quantity), 2) AS part_value
+               ROUND((CAST(SUM(CAST(ROUND((p.p_retailprice * l.l_quantity) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100), 2) AS part_value
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY l.l_partkey
     )
