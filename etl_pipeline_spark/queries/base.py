@@ -90,9 +90,34 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_kll_quantile_merge",
     "q_theta_set_ops",
     "q_hof_array_pipeline",
-    # --- backfill: oldest r1-checked, re-attested on current code ---
-    "q_asof_last_signup",
+    # --- backfill, risk-ordered: queries whose CODE changed this round
+    # (exact-decimal money-sum hardening) come first so the driver
+    # re-attests them on current code; prior attestations are from the
+    # pre-hardening implementations (values verified identical locally
+    # at 3 SFs, but the driver row should match the shipped code) ---
+    "q03_order_revenue_topk",
+    "q05_nation_revenue",
+    "q01_pricing_summary",
+    "q06_revenue_delta",
+    "q_window_tumbling_events",
+    "q07_nation_volume",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_revenue",
+    "q11_value_concentration",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q22_idle_high_balance",
+    "q_cube_orders",
+    "q_conditional_split_counts",
+    "q_join_range_value_buckets",
     "q_grouping_sets_revenue",
+    "q_window_sliding_events",
+    # --- unchanged-code re-attestation pool (past the 50 window as the
+    # changed set above takes precedence this round) ---
+    "q_asof_last_signup",
     "q_window_range_frame",
     "q_window_first_last_nth",
     "q_ordered_string_agg",
@@ -103,7 +128,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_knn_bruteforce_cosine",
     "q_knn_block_matrix",
     "q_knn_ivf",
-    "q_window_sliding_events",
     "q_embedding_quantization",
     "q_unpivot_balance_metrics",
     "q_funnel_conversion",
