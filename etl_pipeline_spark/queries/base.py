@@ -90,6 +90,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_kll_quantile_merge",
     "q_theta_set_ops",
     "q_hof_array_pipeline",
+    "q_shingle_novelty",
     # --- backfill, risk-ordered: queries whose CODE changed this round
     # (exact-decimal money-sum hardening) come first so the driver
     # re-attests them on current code; prior attestations are from the

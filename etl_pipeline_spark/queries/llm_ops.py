@@ -591,3 +591,74 @@ def q_corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= DOMAIN_CAP)
         .drop("rn")
     )
+
+
+NOVELTY_NGRAM = 3  # word n-gram width for the novelty index
+
+
+@query(
+    "q_shingle_novelty",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id,
+                   UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                       GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')) - {NOVELTY_NGRAM - 1}),
+                       i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+2]
+                   ))) AS shingle
+            FROM documents
+            WHERE LEN(STRING_SPLIT(text, ' ')) >= {NOVELTY_NGRAM}
+        ) s
+    ),
+    first_seen AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS novelty
+    FROM sh JOIN first_seen f ON sh.shingle = f.shingle
+    GROUP BY sh.doc_id
+    """,
+    tags=("llm", "novelty", "X4"),
+)
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle novelty scoring — the curriculum/freshness signal of a
+    streaming corpus build: for each document (doc_id as ingest order),
+    the fraction of its word 3-grams that no earlier document contains.
+    Low-novelty docs are recombinations of already-seen text (drop or
+    down-weight); the per-doc score also tracks corpus saturation over
+    time.
+
+    Scale: the same inverted index the Jaccard dedup builds — one
+    shuffle on the shingle to find each shingle's first occurrence
+    (min(doc_id), map-side combinable), one join back, one per-doc
+    aggregate. In an incremental build first_seen is the persistent
+    index and each batch anti-joins against it.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - NOVELTY_NGRAM)
+    arr = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k + 1) for k in range(NOVELTY_NGRAM)]
+            ),
+        )
+    )
+    sh = d.filter(F.size(toks) >= NOVELTY_NGRAM).select(
+        "doc_id", F.explode(arr).alias("shingle")
+    )
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    joined = sh.join(first_seen, "shingle")
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(novel).alias("n_novel"),
+        F.round(F.sum(novel) / F.count("*").cast("double"), 4).alias("novelty"),
+    )
