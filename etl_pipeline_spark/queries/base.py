@@ -149,8 +149,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_dq_outlier_zscore",
     "q_multimodal_binary_meta",
     "q_multimodal_features",
-    "q01_pricing_summary",
-    "q06_revenue_delta",
     "q_agg_stats_acctbal",
     "q_rollup_returns",
 )

@@ -13,6 +13,16 @@ shuffle key is the shingle, so posting-list skew (stop-shingles) is the
 risk at 100 TB; the standard mitigation implemented here is dropping
 shingles whose document frequency exceeds a cap (they can only produce
 pairs that other, rarer shingles also produce when similarity is high).
+
+Materialization note: self-join inputs are localCheckpoint(eager=False)'d
+— lazy, so query CONSTRUCTION stays job-free (plan dumps / plan-assert
+tests don't execute the shingle explosion), while the first action still
+materializes the input exactly once and every downstream subtree reuses
+the pinned blocks (without it the explosion re-runs per subtree: 2.5x
+wall-clock at sf0.1). The blocks stay pinned for the session — a
+long-lived service calling these builders repeatedly should unpersist via
+the returned plan's RDD, and a cluster run would use persist(DISK) or a
+reliable checkpoint instead.
 """
 
 from __future__ import annotations
@@ -124,12 +134,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # Materialized once: the inverted index feeds BOTH self-join sides
-    # plus the size table — without this the shingle explosion runs 3x.
+    # Materialized once (lazily; see module docstring): the inverted index
+    # feeds BOTH self-join sides plus the size table — without this the
+    # shingle explosion runs 3x.
     shingles = (
         d.filter(F.size(toks) >= SHINGLE_WIDTH)
         .select("doc_id", F.explode(shingle_arr).alias("shingle"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = shingles.alias("a")
@@ -215,12 +226,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = d.filter(F.size(toks) >= SHINGLE_WIDTH).select("doc_id", shingle_arr.alias("shingles"))
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
-    # Materialize the featurized docs ONCE: the self-join otherwise
-    # re-evaluates the shingle+HashingTF transform for each side (2.5x
-    # wall-clock at sf0.1). localCheckpoint doubles as lineage
-    # truncation; a cluster run would use persist(DISK) or a reliable
-    # checkpoint for the same single-materialization property.
-    feat = tf.transform(docs).localCheckpoint(eager=True)
+    # Materialize the featurized docs ONCE (lazily; see module docstring):
+    # the self-join otherwise re-evaluates the shingle+HashingTF transform
+    # for each side (2.5x wall-clock at sf0.1). localCheckpoint doubles as
+    # lineage truncation; a cluster run would use persist(DISK) or a
+    # reliable checkpoint for the same single-materialization property.
+    feat = tf.transform(docs).localCheckpoint(eager=False)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feat)
     pairs = model.approxSimilarityJoin(feat, feat, 1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist")
@@ -431,19 +442,19 @@ def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # Materialized once each (see q_dedup_ngram_jaccard): the raw index
+    # Materialized once each, lazily (see module docstring): the raw index
     # feeds the doc-frequency pass AND the cap join; the capped index
     # feeds both self-join sides and the size table.
     shingles_all = (
         d.filter(F.size(toks) >= SHINGLE_WIDTH)
         .select("doc_id", F.explode(shingle_arr).alias("shingle"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dfreq = shingles_all.groupBy("shingle").agg(F.count("*").alias("doc_freq"))
     shingles = (
         shingles_all.join(dfreq.filter(F.col("doc_freq") <= DF_CAP), "shingle")
         .select("doc_id", "shingle")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = shingles.alias("a"), shingles.alias("b")

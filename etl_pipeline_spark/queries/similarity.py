@@ -160,11 +160,12 @@ def q_knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    # One materialization (see q_dedup_minhash_lsh): fit, the query side,
-    # and the corpus side otherwise each re-run the vectorization.
+    # One materialization, lazy (see dedup module docstring): fit, the
+    # query side, and the corpus side otherwise each re-run the
+    # vectorization; eager=False keeps query construction job-free.
     vecs = e.select(
         "vec_id", "label", "embedding", array_to_vector("embedding").alias("features")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", numHashTables=12, bucketLength=4.0, seed=42
     )

@@ -60,6 +60,7 @@ def enrich_with_dimension(
 
     Scale: state-free (unlike stream-stream joins) — the only cost is
     the broadcast, bounded by the dimension size."""
-    return stream.join(
-        F.broadcast(dim), F.col(stream_key) == F.col(dim_key), how
-    )
+    # Frame-qualified references: an unqualified F.col(key) == F.col(key)
+    # raises AMBIGUOUS_REFERENCE whenever the two sides share the column
+    # name (the common case: joining on the same-named key).
+    return stream.join(F.broadcast(dim), stream[stream_key] == dim[dim_key], how)

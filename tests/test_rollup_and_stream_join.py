@@ -119,3 +119,30 @@ def test_stream_static_enrichment(spark, tmp_path_factory):
     q.awaitTermination(120)
     rows = {r["user_id"]: r["tier"] for r in spark.table("t_enriched").collect()}
     assert rows == {1: "gold", 2: "silver", 99: None}
+
+
+def test_stream_static_enrichment_same_key_name(spark, tmp_path_factory):
+    """Regression (r4 ADVICE): stream and dimension sharing the join
+    column NAME must not raise an ambiguous-reference error — the join
+    condition is frame-qualified, not name-resolved."""
+    from etl_pipeline_spark.streaming.joins import enrich_with_dimension
+
+    d = tmp_path_factory.mktemp("ss_samekey")
+    events = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (99, 5.0)], "user_id long, value double"
+    )
+    events.write.parquet(str(d / "data"))
+    dim = spark.createDataFrame([(1, "gold"), (2, "silver")], "user_id long, tier string")
+    stream = spark.readStream.schema(events.schema).parquet(str(d / "data"))
+    q = (
+        enrich_with_dimension(stream, dim, "user_id", "user_id")
+        .select(stream["user_id"].alias("uid"), "tier")
+        .writeStream.format("memory")
+        .queryName("t_enriched_samekey")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["uid"]: r["tier"] for r in spark.table("t_enriched_samekey").collect()}
+    assert rows == {1: "gold", 2: "silver", 99: None}
