@@ -1,24 +1,46 @@
 """Multimodal columns — SURVEY.md §2.12 X5 + BASELINE.json.
 
 Images/audio/video are opaque ``binary`` payloads with a typed metadata
-struct. The Spark-side plumbing is real and tested: schema, binaryFile
-source, Arrow-batched ``mapInPandas`` feature extraction with correct
-batch shapes and partitioning. The actual media decode is STUBBED (the
-container ships no image/audio libraries): ``decode_stub=True`` computes
-deterministic fake features from the bytes; a real deployment swaps
-``_extract_features`` for a Pillow/torchaudio implementation with the
-SAME signature — nothing else changes.
+struct, processed by REAL decoders (operators/media_codecs.py): PPM and
+24-bit BMP images, PCM-16 WAV audio, and concatenated-PPM streams for
+video — formats chosen because they decode end-to-end with numpy+struct
+alone (the container ships no Pillow/av/torchaudio). The decode path is
+Arrow-batched ``mapInPandas``: payloads stay executor-local, batches are
+bounded, and the output schema is fixed so Catalyst can prune.
+
+Since the shared fixture tables contain no media files, payloads are
+SYNTHESIZED deterministically from ``documents.text`` (md5-derived pixel
+and sample patterns) and then decoded for real — header parsing, row
+de-padding, BGR/bottom-up flips, RIFF chunk walking all execute on every
+row, and the DuckDB oracle reproduces the decoded statistics (including
+the md5 of the full decoded RGB array) analytically. A deployment with
+JPEG/MP4 data swaps the codec dispatch in ``_extract_features``; the
+plumbing — schema, partitioning, batch shape — is unchanged.
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from etl_pipeline_spark.operators.media_codecs import (
+    decode_bmp,
+    decode_ppm,
+    decode_ppm_stream,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_ppm_stream,
+    encode_wav,
+    resize_nearest,
+)
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -36,11 +58,6 @@ MEDIA_SCHEMA = T.StructType(
             True,
         ),
     ]
-)
-
-FEATURE_SCHEMA = (
-    "media_id long, kind string, n_bytes long, payload_md5 string, "
-    "width int, height int, duration_ms long"
 )
 
 
@@ -65,7 +82,7 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
 
 def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture adapter: treat document text bytes as opaque payloads so the
-    multimodal plumbing is exercised on shared test data."""
+    binary-column plumbing is exercised on shared test data."""
     from etl_pipeline_spark.catalog import load_tables
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -80,34 +97,131 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _extract_features(payload: bytes | None, kind: str | None) -> dict:
-    """STUB decode: deterministic fake features derived from the payload
-    bytes. Replace with a real decoder (Pillow / av / torchaudio) keeping
-    this exact signature; raise NotImplementedError paths are marked."""
-    import hashlib
+# --------------------------------------------------------- media synthesis
+#
+# Deterministic payload construction — the bridge between the shared text
+# fixtures and the real decoders. Every parameter below is mirrored by the
+# q_multimodal_* oracle SQL, so keep them in sync:
+#   format:  doc_id % 3 -> 0 = PPM, 1 = BMP, 2 = WAV
+#   images:  16 x (8 + 2*(doc_id % 8)), pixels = md5-hex ASCII bytes tiled
+#            row-major (48*h bytes; h even => exact multiple of 32)
+#   audio:   8000 Hz, 800*(1 + doc_id % 5) samples, sample values = the 32
+#            hex-char codes tiled
+#   video:   (2 + doc_id % 5) frames of 8x4 constant-valued pixels, frame
+#            j's value = byte j%32 of the hex digest, as a PPM stream
 
+IMG_W = 16
+WAV_RATE = 8000
+
+
+def _synth_payload(doc_id: int, text: str) -> bytes:
+    hexd = hashlib.md5(text.encode("utf-8")).hexdigest().encode("ascii")  # 32 bytes
+    fmt = doc_id % 3
+    if fmt == 2:
+        n = 800 * (1 + doc_id % 5)
+        samples = np.tile(np.frombuffer(hexd, dtype=np.uint8).astype("<i2"), n // 32)
+        return encode_wav(samples, WAV_RATE)
+    h = 8 + 2 * (doc_id % 8)
+    pixels = np.tile(np.frombuffer(hexd, dtype=np.uint8), (IMG_W * 3 * h) // 32).reshape(h, IMG_W, 3)
+    return encode_ppm(pixels) if fmt == 0 else encode_bmp(pixels)
+
+
+def _synth_video(doc_id: int, text: str) -> bytes:
+    hexd = hashlib.md5(text.encode("utf-8")).hexdigest().encode("ascii")
+    n_frames = 2 + doc_id % 5
+    frames = [np.full((4, 8, 3), hexd[j % 32], dtype=np.uint8) for j in range(n_frames)]
+    return encode_ppm_stream(frames)
+
+
+def _synth_media_df(spark: SparkSession, sf_dir: str, synth, kind_col, mime: str) -> DataFrame:
+    from etl_pipeline_spark.catalog import load_tables
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+
+    @F.pandas_udf(T.BinaryType())
+    def build(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [synth(int(i), t) for i, t in zip(doc_id, text)], dtype=object
+        )
+
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        build("doc_id", "text").alias("payload"),
+        F.struct(
+            kind_col.alias("kind"),
+            F.lit(mime).alias("mime"),
+            F.concat(F.lit("synth://"), F.col("doc_id")).alias("source_uri"),
+        ).alias("meta"),
+    )
+
+
+def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PPM/BMP/WAV payloads from the documents fixture —
+    real encoded files, ready for the real decoders."""
+    kind = F.when(F.col("doc_id") % 3 == 2, F.lit("audio")).otherwise(F.lit("image"))
+    return _synth_media_df(spark, sf_dir, _synth_payload, kind, "application/octet-stream")
+
+
+def synthesize_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic concatenated-PPM 'video' streams from documents."""
+    return _synth_media_df(spark, sf_dir, _synth_video, F.lit("video"), "video/x-ppm-stream")
+
+
+# ------------------------------------------------------- feature extraction
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, format string, n_bytes long, width int, "
+    "height int, duration_ms long, content_sum long, content_md5 string"
+)
+
+_NULL_FEATURES = {
+    "format": None,
+    "n_bytes": 0,
+    "width": None,
+    "height": None,
+    "duration_ms": None,
+    "content_sum": None,
+    "content_md5": None,
+}
+
+
+def _extract_features(payload: bytes | None, kind: str | None) -> dict:
+    """REAL decode, dispatched on magic bytes: P6 -> PPM, BM -> BMP,
+    RIFF -> WAV. Emits decoded statistics — dimensions from the parsed
+    header, the integer sum of all decoded pixel bytes / sample values,
+    and (images) the md5 of the decoded RGB array, so a wrong de-pad,
+    row flip, or channel order changes the output. Unknown formats raise
+    NotImplementedError (JPEG/MP4 need native libs this container lacks;
+    a real deployment extends this dispatch)."""
     if payload is None:
-        return {"n_bytes": 0, "payload_md5": None, "width": None, "height": None, "duration_ms": None}
-    md5 = hashlib.md5(payload).hexdigest()
+        return dict(_NULL_FEATURES)
     n = len(payload)
-    if kind == "image":
-        # fake: pretend dimensions derive from content hash (deterministic)
+    if payload[:2] == b"P6" or payload[:2] == b"BM":
+        img = decode_ppm(payload) if payload[:2] == b"P6" else decode_bmp(payload)
+        h, w, _ = img.shape
         return {
+            "format": "ppm" if payload[:2] == b"P6" else "bmp",
             "n_bytes": n,
-            "payload_md5": md5,
-            "width": 64 + int(md5[:2], 16),
-            "height": 64 + int(md5[2:4], 16),
+            "width": w,
+            "height": h,
             "duration_ms": None,
+            "content_sum": int(img.astype(np.int64).sum()),
+            "content_md5": hashlib.md5(img.tobytes()).hexdigest(),
         }
-    if kind in ("audio", "video"):
+    if payload[:4] == b"RIFF":
+        rate, samples = decode_wav(payload)
         return {
+            "format": "wav",
             "n_bytes": n,
-            "payload_md5": md5,
             "width": None,
             "height": None,
-            "duration_ms": n * 8,  # fake: bytes -> "duration"
+            "duration_ms": len(samples) * 1000 // rate,
+            "content_sum": int(samples.astype(np.int64).sum()),
+            "content_md5": None,
         }
-    raise NotImplementedError(f"decode for kind={kind!r} not implemented")
+    raise NotImplementedError(
+        f"no decoder for payload magic {payload[:4]!r} (kind={kind!r})"
+    )
 
 
 def extract_media_features(media: DataFrame, batch_limit: int = 1024) -> DataFrame:
@@ -136,58 +250,44 @@ def extract_media_features(media: DataFrame, batch_limit: int = 1024) -> DataFra
     return flat.mapInPandas(process, schema=FEATURE_SCHEMA)
 
 
+# ----------------------------------------------------------- frame sampling
+
 FRAME_SCHEMA = (
     "media_id long, frame_idx int, frame_bytes binary, frame_md5 string, "
-    "width int, height int"
+    "width int, height int, pixel_sum long"
 )
-
-
-def _fake_decode_frames(payload: bytes, frame_size: int = 64) -> list[bytes]:
-    """STUB video decode: chunk the payload into fixed-size 'frames'.
-    Replace with a real demuxer (av/ffmpeg) keeping the signature."""
-    if not payload:
-        return []
-    return [payload[i : i + frame_size] for i in range(0, len(payload), frame_size)]
-
-
-def _fake_resize(frame: bytes, width: int, height: int) -> bytes:
-    """STUB resize: deterministic truncation/padding to width*height//64
-    bytes stands in for a pixel resample; a real implementation swaps in
-    Pillow's Image.resize with the same signature."""
-    target = max(1, width * height // 64)
-    return (frame * (target // max(len(frame), 1) + 1))[:target]
 
 
 def sample_frames(
     media: DataFrame,
-    every_kth: int = 4,
-    frame_size: int = 64,
-    out_width: int = 32,
-    out_height: int = 32,
+    every_kth: int = 2,
+    out_width: int = 4,
+    out_height: int = 2,
 ) -> DataFrame:
-    """Frame-sampling pipeline over ``mapInPandas``: decode (stub) each
-    payload into frames, keep every k-th, resize (stub), and emit one row
-    per kept frame with content hashes — the batch shape a real
-    video-frame extractor runs in (payloads never leave executors; output
-    rows are small and columnar).
-    """
-    import hashlib
+    """Frame-sampling pipeline over ``mapInPandas``: REAL decode of each
+    concatenated-PPM payload into frames, keep every k-th, REAL
+    nearest-neighbor resize (media_codecs.resize_nearest), one output row
+    per kept frame with the resized bytes, their md5, and pixel sum — the
+    batch shape a video-frame extractor runs in (payloads never leave
+    executors; output rows are small and columnar)."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                frames = _fake_decode_frames(payload, frame_size)
+                frames = decode_ppm_stream(payload) if payload else []
                 for idx in range(0, len(frames), every_kth):
-                    resized = _fake_resize(frames[idx], out_width, out_height)
+                    resized = resize_nearest(frames[idx], out_width, out_height)
+                    raw = resized.tobytes()
                     out_rows.append(
                         {
                             "media_id": media_id,
                             "frame_idx": idx,
-                            "frame_bytes": resized,
-                            "frame_md5": hashlib.md5(resized).hexdigest(),
+                            "frame_bytes": raw,
+                            "frame_md5": hashlib.md5(raw).hexdigest(),
                             "width": out_width,
                             "height": out_height,
+                            "pixel_sum": int(resized.astype(np.int64).sum()),
                         }
                     )
             yield pd.DataFrame(
@@ -199,6 +299,7 @@ def sample_frames(
                     "frame_md5",
                     "width",
                     "height",
+                    "pixel_sum",
                 ],
             )
 

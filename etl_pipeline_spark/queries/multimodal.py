@@ -1,10 +1,14 @@
 """Multimodal-column queries — SURVEY.md §2.12 X5.
 
 The feature-extraction path runs through an Arrow-batched ``mapInPandas``
-(operators/multimodal.py) yet is still oracle-checked: the stub decoder's
-features are deterministic functions of the payload bytes (md5-derived),
-so DuckDB can reproduce them in SQL. This validates the UDF plumbing
-itself — batch shapes, schema, null handling — not just built-in exprs.
+(operators/multimodal.py) with REAL decoders (PPM / 24-bit BMP / PCM WAV
+/ concatenated-PPM video — operators/media_codecs.py) yet is still
+oracle-checked byte-exactly: payloads are synthesized deterministically
+from document text (md5-derived pixel/sample patterns, dimensions from
+doc_id), so DuckDB can reproduce the decoded statistics analytically —
+including the md5 of the full decoded RGB array, which catches any
+de-padding, row-order, or channel-order mistake in the decoder. This
+validates the decode + UDF plumbing end to end, not just built-in exprs.
 """
 
 from __future__ import annotations
@@ -16,10 +20,10 @@ from etl_pipeline_spark.operators.multimodal import (
     documents_as_media,
     extract_media_features,
     sample_frames,
+    synthesize_media,
+    synthesize_video,
 )
 from etl_pipeline_spark.queries.base import query
-
-_HEXVAL = "(INSTR('0123456789abcdef', SUBSTR(md5(text), {pos}, 1)) - 1)"
 
 
 @query(
@@ -48,63 +52,81 @@ def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_multimodal_features",
-    oracle=f"""
+    # The oracle replays the deterministic synthesis (operators/
+    # multimodal.py keeps the parameters in sync): format = doc_id%3,
+    # images are 16 x (8+2*(doc_id%8)) with the 32 md5-hex ASCII bytes
+    # tiled (h even => w*h*3 is an exact multiple of 32, so the decoded
+    # RGB array is literally repeat(md5_hex, 3*h/2) and its md5 is
+    # computable in SQL), audio is 800*(1+doc_id%5) samples at 8 kHz with
+    # the same 32 codes tiled. content_sum is the exact integer sum of
+    # decoded pixel bytes / sample values — any decode defect (padding,
+    # BGR, bottom-up, chunk walk) changes it.
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               md5(text) AS hx,
+               doc_id % 3 AS fmt,
+               8 + 2 * (doc_id % 8) AS h,
+               800 * (1 + doc_id % 5) AS n_samp,
+               list_aggregate(list_transform(split(md5(text), ''), x -> unicode(x)), 'sum') AS tile_sum
+        FROM documents
+    )
     SELECT doc_id AS media_id,
-           'image'                    AS kind,
-           OCTET_LENGTH(ENCODE(text)) AS n_bytes,
-           MD5(text)                  AS payload_md5,
-           64 + {_HEXVAL.format(pos=1)} * 16 + {_HEXVAL.format(pos=2)} AS width,
-           64 + {_HEXVAL.format(pos=3)} * 16 + {_HEXVAL.format(pos=4)} AS height,
-           CAST(NULL AS BIGINT)       AS duration_ms
-    FROM documents
+           CASE WHEN fmt = 2 THEN 'audio' ELSE 'image' END AS kind,
+           CASE fmt WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
+           CAST(CASE fmt WHEN 0 THEN 11 + LENGTH(CAST(h AS VARCHAR)) + 48 * h
+                         WHEN 1 THEN 54 + 48 * h
+                         ELSE 44 + 2 * n_samp END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN fmt = 2 THEN NULL ELSE 16 END AS INTEGER) AS width,
+           CAST(CASE WHEN fmt = 2 THEN NULL ELSE h END AS INTEGER) AS height,
+           CAST(CASE WHEN fmt = 2 THEN n_samp // 8 ELSE NULL END AS BIGINT) AS duration_ms,
+           CAST(tile_sum * (CASE WHEN fmt = 2 THEN n_samp ELSE 48 * h END) // 32 AS BIGINT) AS content_sum,
+           CASE WHEN fmt = 2 THEN NULL ELSE md5(repeat(hx, (3 * h) // 2)) END AS content_md5
+    FROM m
     """,
-    tags=("multimodal", "X5", "pandas-udf"),
+    tags=("multimodal", "X5", "pandas-udf", "real-decode"),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction (stub decoder) whose
-    deterministic output the SQL oracle reproduces — checks the whole
-    Pandas-UDF path end to end."""
-    return extract_media_features(documents_as_media(spark, sf_dir))
+    """Arrow-batched mapInPandas feature extraction with REAL decoders:
+    synthesized PPM/BMP/WAV payloads are header-parsed and fully decoded
+    (numpy/struct), and the oracle reproduces dimensions, duration, the
+    exact content sum, and the md5 of the decoded RGB array."""
+    return extract_media_features(synthesize_media(spark, sf_dir))
 
 
 @query(
     "q_multimodal_frame_sample",
-    # The stub decode/resize is pure byte arithmetic on the (all-ASCII)
-    # payload, so the oracle replays it in SQL: 64-byte frames, keep every
-    # 4th, "resize" = repeat-then-truncate to 32*32//64 = 16 bytes, md5
-    # the result. This hash-checks the whole mapInPandas frame pipeline —
-    # chunking, stride, per-frame transform, output schema.
+    # Synthesized video = (2 + doc_id%5) concatenated P6 frames of 8x4
+    # constant-valued pixels (frame j's value = md5-hex byte j%32). The
+    # REAL pipeline walks the stream parsing each PPM header, keeps every
+    # 2nd frame, nearest-neighbor-resizes to 4x2, and hashes the resized
+    # RGB bytes. Constant frames make the resized array repeat(ch, 24),
+    # so the oracle reproduces the md5 and pixel sum exactly — verifying
+    # stream walking, stride, resize output shape, and hashing.
     oracle="""
-    WITH frames AS (
-        SELECT doc_id AS media_id,
-               CAST((i - 1) / 64 AS INTEGER) AS frame_idx,
-               SUBSTR(text, i, 64) AS frame
-        FROM documents, UNNEST(GENERATE_SERIES(1, LEN(text), 64)) AS t(i)
-    ),
-    kept AS (SELECT * FROM frames WHERE frame_idx % 4 = 0),
-    resized AS (
-        SELECT media_id, frame_idx,
-               SUBSTR(REPEAT(frame,
-                      CAST(FLOOR(16.0 / GREATEST(LENGTH(frame), 1)) AS INTEGER) + 1),
-                      1, 16) AS rz
-        FROM kept
-    )
-    SELECT media_id, frame_idx, MD5(rz) AS frame_md5,
-           CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height
-    FROM resized
+    WITH m AS (SELECT doc_id, md5(text) AS hx, 2 + doc_id % 5 AS nf FROM documents),
+    f AS (SELECT doc_id, hx, UNNEST(generate_series(0, nf - 1)) AS frame_idx FROM m)
+    SELECT doc_id AS media_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           md5(repeat(substr(hx, CAST(frame_idx % 32 AS INTEGER) + 1, 1), 24)) AS frame_md5,
+           CAST(4 AS INTEGER) AS width,
+           CAST(2 AS INTEGER) AS height,
+           CAST(unicode(substr(hx, CAST(frame_idx % 32 AS INTEGER) + 1, 1)) * 24 AS BIGINT) AS pixel_sum
+    FROM f
+    WHERE frame_idx % 2 = 0
     """,
-    tags=("multimodal", "X5", "pandas-udf", "frames"),
+    tags=("multimodal", "X5", "pandas-udf", "frames", "real-decode"),
 )
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling through the mapInPandas pipeline (stub video decode
-    + stub resize): one row per kept frame with its content hash. Swap the
-    two stubs for av/Pillow and the plan, batching, and schema stay
-    identical — that plumbing is what this query hash-verifies."""
+    """Frame sampling through the mapInPandas pipeline with REAL decode
+    (concatenated-PPM stream walk) and REAL nearest-neighbor resize: one
+    row per kept frame with its content hash and pixel sum."""
     frames = sample_frames(
-        documents_as_media(spark, sf_dir),
-        every_kth=4,
-        frame_size=64,
-        out_width=32,
-        out_height=32,
+        synthesize_video(spark, sf_dir),
+        every_kth=2,
+        out_width=4,
+        out_height=2,
     )
-    return frames.select("media_id", "frame_idx", "frame_md5", "width", "height")
+    return frames.select(
+        "media_id", "frame_idx", "frame_md5", "width", "height", "pixel_sum"
+    )

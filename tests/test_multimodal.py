@@ -1,51 +1,150 @@
-"""Multimodal plumbing (X5): binaryFile source, stub feature extraction,
-frame sampling + resize batch shapes."""
+"""Multimodal (X5): real PPM/BMP/WAV codecs, binaryFile source, Arrow
+feature extraction, frame sampling + nearest-neighbor resize."""
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
+from etl_pipeline_spark.operators.media_codecs import (
+    decode_bmp,
+    decode_ppm,
+    decode_ppm_stream,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_ppm_stream,
+    encode_wav,
+    resize_nearest,
+)
 from etl_pipeline_spark.operators.multimodal import (
-    documents_as_media,
+    _extract_features,
     extract_media_features,
     read_binary_dir,
     sample_frames,
+    synthesize_media,
+    synthesize_video,
 )
 
 SF = "/root/testdata/sf0.001"
 
 
-def test_binary_dir_source(spark, tmp_path_factory):
+# ------------------------------------------------------------- codec units
+
+
+def test_ppm_bmp_roundtrip_including_row_padding():
+    rng = np.random.default_rng(11)
+    # widths 5 and 7 force BMP 4-byte row padding; 16 has none
+    for w, h in [(16, 4), (5, 3), (7, 9), (1, 1)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_ppm_header_comments_and_truncation():
+    px = np.arange(18, dtype=np.uint8).reshape(2, 3, 3)
+    with_comment = b"P6\n# created by test\n3 2\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), px)
+    with pytest.raises(ValueError):
+        decode_ppm(encode_ppm(px)[:-1])  # truncated raster
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 60)  # bogus header
+
+
+def test_wav_roundtrip_and_chunk_walking():
+    s = np.arange(-500, 500, dtype=np.int16)
+    rate, out = decode_wav(encode_wav(s, 16000))
+    assert rate == 16000 and np.array_equal(out, s)
+    # extra chunk between fmt and data must be skipped
+    b = encode_wav(s, 8000)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"info"
+    patched = b[:fmt_end] + extra + b[fmt_end:]
+    rate2, out2 = decode_wav(patched)
+    assert rate2 == 8000 and np.array_equal(out2, s)
+
+
+def test_resize_nearest_picks_expected_pixels():
+    px = np.arange(4 * 8 * 3, dtype=np.uint8).reshape(4, 8, 3)
+    out = resize_nearest(px, 4, 2)
+    assert np.array_equal(out, px[[0, 2]][:, [0, 2, 4, 6]])
+    up = resize_nearest(px, 16, 8)  # upscale duplicates
+    assert up.shape == (8, 16, 3) and np.array_equal(up[0, 0], px[0, 0])
+
+
+def test_extract_features_dispatch_and_unknown_format():
+    px = np.full((4, 16, 3), 7, dtype=np.uint8)
+    f = _extract_features(encode_ppm(px), "image")
+    assert (f["format"], f["width"], f["height"]) == ("ppm", 16, 4)
+    assert f["content_sum"] == 7 * 4 * 16 * 3
+    assert f["content_md5"] == hashlib.md5(px.tobytes()).hexdigest()
+    g = _extract_features(encode_bmp(px), "image")
+    assert g["format"] == "bmp" and g["content_md5"] == f["content_md5"]
+    w = _extract_features(encode_wav(np.full(8000, 3, dtype=np.int16), 8000), "audio")
+    assert w["format"] == "wav" and w["duration_ms"] == 1000 and w["content_sum"] == 24000
+    with pytest.raises(NotImplementedError):
+        _extract_features(b"\x89PNG\r\n", "image")  # no native libs for PNG
+
+
+# -------------------------------------------------------- Spark-side paths
+
+
+def test_binary_dir_source_decodes_real_files(spark, tmp_path_factory):
+    """End to end through the binaryFile source: write real encoded media
+    files, read them back, decode, and check the stats."""
     d = tmp_path_factory.mktemp("media")
-    (d / "a.bin").write_bytes(b"\x00\x01payloadA")
-    (d / "b.bin").write_bytes(b"payloadB" * 10)
-    media = read_binary_dir(spark, str(d), glob="*.bin")
-    rows = media.collect()
-    assert len(rows) == 2
-    assert all(r["payload"] is not None and r["meta"]["kind"] == "image" for r in rows)
+    px = np.full((6, 5, 3), 9, dtype=np.uint8)  # width 5 -> BMP padding
+    (d / "a.ppm").write_bytes(encode_ppm(px))
+    (d / "b.bmp").write_bytes(encode_bmp(px))
+    (d / "c.wav").write_bytes(encode_wav(np.full(4000, 2, dtype=np.int16), 8000))
+    media = read_binary_dir(spark, str(d))
+    feats = {r["format"]: r for r in extract_media_features(media).collect()}
+    assert set(feats) == {"ppm", "bmp", "wav"}
+    assert feats["ppm"]["content_md5"] == feats["bmp"]["content_md5"]
+    assert feats["ppm"]["width"] == 5 and feats["ppm"]["height"] == 6
+    assert feats["wav"]["duration_ms"] == 500 and feats["wav"]["content_sum"] == 8000
 
 
-def test_feature_extraction_is_deterministic(spark):
-    media = documents_as_media(spark, SF)
-    f1 = {r["media_id"]: r["payload_md5"] for r in extract_media_features(media).collect()}
-    f2 = {r["media_id"]: r["payload_md5"] for r in extract_media_features(media).collect()}
-    assert f1 == f2 and len(f1) > 0
+def test_synthesized_media_features_match_local_decode(spark):
+    media = synthesize_media(spark, SF).limit(12)
+    rows = extract_media_features(media).collect()
+    assert len(rows) == 12
+    for r in rows:
+        fmt = r["media_id"] % 3
+        assert r["format"] == ("ppm", "bmp", "wav")[fmt]
+        assert r["kind"] == ("audio" if fmt == 2 else "image")
+        if fmt != 2:
+            assert r["width"] == 16 and r["height"] == 8 + 2 * (r["media_id"] % 8)
+        else:
+            assert r["duration_ms"] == 100 * (1 + r["media_id"] % 5)
 
 
-def test_frame_sampling_shapes(spark):
-    media = documents_as_media(spark, SF).limit(5)
-    frames = sample_frames(media, every_kth=2, frame_size=50, out_width=16, out_height=16)
-    rows = frames.collect()
-    assert rows, "no frames produced"
-    # every kept frame index is a multiple of the sampling stride
+def test_frame_sampling_real_stream(spark):
+    media = synthesize_video(spark, SF).limit(8)
+    rows = sample_frames(media, every_kth=2, out_width=4, out_height=2).collect()
+    assert rows
     assert all(r["frame_idx"] % 2 == 0 for r in rows)
-    # resize stub: fixed output size = width*height//64 bytes
-    assert all(len(r["frame_bytes"]) == 16 * 16 // 64 for r in rows)
-    assert all(r["width"] == 16 and r["height"] == 16 for r in rows)
-    # per-media frame counts follow payload length / frame_size / stride
-    one = media.filter(F.col("media_id") == rows[0]["media_id"]).collect()[0]
+    assert all(len(r["frame_bytes"]) == 4 * 2 * 3 for r in rows)
+    assert all(hashlib.md5(r["frame_bytes"]).hexdigest() == r["frame_md5"] for r in rows)
+    # kept-frame count per media: ceil(n_frames / 2), n_frames = 2 + id%5
     import math
-    n_frames_total = math.ceil(len(one["payload"]) / 50)
-    expect = math.ceil(n_frames_total / 2)
-    got = sum(1 for r in rows if r["media_id"] == one["media_id"])
-    assert got == expect
+    from collections import Counter
+
+    per = Counter(r["media_id"] for r in rows)
+    for mid, got in per.items():
+        assert got == math.ceil((2 + mid % 5) / 2)
+
+
+def test_frame_pipeline_decodes_actual_stream_content(spark):
+    """The Spark pipeline's output must equal a local decode of the same
+    payload — catches any batch-boundary or ordering defect."""
+    media = synthesize_video(spark, SF).limit(3)
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    rows = sample_frames(media, every_kth=2, out_width=4, out_height=2).collect()
+    for r in rows:
+        frames = decode_ppm_stream(payloads[r["media_id"]])
+        local = resize_nearest(frames[r["frame_idx"]], 4, 2)
+        assert bytes(r["frame_bytes"]) == local.tobytes()
