@@ -30,6 +30,35 @@ TOP_K = 5
 CENTROID_ROUND = 6
 DIST_ROUND = 4
 
+# Above this many (q_id, cell) probe pairs the driver-side collect that
+# feeds the static isin partition filter is no longer cheap; switch to a
+# broadcast semi-join on the partition column, which Spark's dynamic
+# partition pruning turns into a runtime partition filter instead.
+PROBE_COLLECT_CAP = 10_000
+
+
+def _probed_index_scan(
+    spark: SparkSession,
+    index_path: str,
+    probed: DataFrame,
+    expected_pairs: int,
+    cap: int = PROBE_COLLECT_CAP,
+) -> DataFrame:
+    """Scan of the cell-partitioned index restricted to probed cells.
+
+    Small probe sets (the common case: queries x nprobe pairs) collect the
+    distinct cell list and push a static ``isin`` partition filter — fully
+    pruned at plan time. Probe sets above ``cap`` never touch the driver:
+    a broadcast LEFT SEMI join on the partition column filters the scan,
+    and dynamic partition pruning applies the same directory-level skip at
+    runtime."""
+    if expected_pairs <= cap:
+        cells = sorted(r["cell"] for r in probed.select("cell").distinct().collect())
+        return spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    return spark.read.parquet(index_path).join(
+        F.broadcast(probed.select("cell").distinct()), "cell", "leftsemi"
+    )
+
 
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
@@ -105,15 +134,21 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
     )
 
 
-def ivf_topk_indexed(spark: SparkSession, sf_dir: str, index_path: str) -> DataFrame:
+def ivf_topk_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    probe_collect_cap: int = PROBE_COLLECT_CAP,
+) -> DataFrame:
     """IVF search against the partitioned index: identical semantics (and
     results) to :func:`ivf_topk`, but the in-cell candidate scan reads the
-    ``cell=...`` partitions of ``index_path`` with an ``isin`` filter over
-    the probed cells — a partition-pruned scan (assertable via
+    ``cell=...`` partitions of ``index_path`` restricted to the probed
+    cells — a partition-pruned scan (assertable via
     ``plans.assert_partition_pruned``) instead of a full-corpus read.
 
-    The probed-cell list is (N_QUERIES x N_PROBE) rows — a bounded,
-    driver-side collect by design, like the query vectors themselves."""
+    The probed-cell restriction is size-guarded (``probe_collect_cap``):
+    small probe sets collect to a static isin filter, large ones stay
+    distributed via a broadcast semi-join (see :func:`_probed_index_scan`)."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     exploded = e.select(
         "vec_id",
@@ -135,11 +170,10 @@ def ivf_topk_indexed(spark: SparkSession, sf_dir: str, index_path: str) -> DataF
     probed = dists.withColumn("cell_rank", F.row_number().over(wprobe)).filter(
         F.col("cell_rank") <= N_PROBE
     )
-    probed_pairs = probed.select("q_id", "cell").collect()
-    probe_cells = sorted({r["cell"] for r in probed_pairs})
-
     # the partition-pruned scan: only cell=<probed> directories are read
-    index = spark.read.parquet(index_path).filter(F.col("cell").isin(probe_cells))
+    index = _probed_index_scan(
+        spark, index_path, probed, expected_pairs=N_QUERIES * N_PROBE, cap=probe_collect_cap
+    )
 
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")

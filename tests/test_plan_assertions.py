@@ -68,6 +68,21 @@ def test_ivf_index_scan_is_partition_pruned(spark, tmp_path_factory):
     assert {tuple(r) for r in got.collect()} == want
 
 
+def test_ivf_probe_guard_semi_join_branch(spark, tmp_path_factory):
+    """Above the probe-collect cap the index restriction must stay
+    distributed: no driver collect, a semi-join on the partition column
+    instead, and identical results to the isin branch."""
+    from etl_pipeline_spark.operators.ivf import ivf_topk, ivf_topk_indexed, write_ivf_index
+
+    idx = str(tmp_path_factory.mktemp("ivf_guard") / "index")
+    write_ivf_index(spark, SF, idx)
+    got = ivf_topk_indexed(spark, SF, idx, probe_collect_cap=0)  # force join branch
+    plan = plans.executed(got)
+    assert "LeftSemi" in plan, "semi-join branch not taken:\n" + plan[:800]
+    want = {tuple(r) for r in ivf_topk(spark, SF).collect()}
+    assert {tuple(r) for r in got.collect()} == want
+
+
 def test_partitioned_window_twins_have_no_global_sort(spark):
     """The round-3 partition-scoped window twins must plan every Window
     node with a partition spec (no 'No Partition Defined' WindowExec)."""
