@@ -44,6 +44,19 @@ SCALE_QUERIES = [
 ]
 
 
+def _canary_sec() -> float:
+    """Fixed CPU-bound workload (FNV-mix 10^7 ints, single thread) whose
+    wall-clock depends only on host speed — never on Spark plans or data.
+    A round-over-round shift in canary_sec explains a uniform shift in
+    query times as host noise; a query regression with a flat canary is a
+    real plan regression. (Motivated by r3's uniform 1.4x bench shift.)"""
+    t0 = time.perf_counter()
+    h = 0
+    for i in range(10_000_000):
+        h = ((h ^ i) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from etl_pipeline_spark.queries.base import all_specs
@@ -74,8 +87,11 @@ def main() -> None:
             timings[name] = round(best, 3)
         return timings
 
+    canary_before = _canary_sec()
     timings = time_set(BENCH_QUERIES)
     scale_timings = time_set(SCALE_QUERIES)
+    # min of before/after: the fastest the host was during this run
+    canary = round(min(canary_before, _canary_sec()), 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -88,6 +104,8 @@ def main() -> None:
                 "queries": {k: round(v, 3) for k, v in timings.items()},
                 "scale_value": round(sum(scale_timings.values()), 3),
                 "scale_queries": {k: round(v, 3) for k, v in scale_timings.items()},
+                "canary_sec": canary,
+                "value_per_canary": round(total / canary, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
