@@ -68,6 +68,78 @@ def test_ivf_index_scan_is_partition_pruned(spark, tmp_path_factory):
     assert {tuple(r) for r in got.collect()} == want
 
 
+def test_aqe_splits_skewed_join(spark, tmp_path_factory):
+    """AQE's runtime skew-join split as an asserted fact (r4, VERDICT #3):
+    with broadcast disabled and the skew detector scaled to fixture size,
+    a 90%-single-key join plans SortMergeJoin(skew=true) after execution.
+
+    Three conditions are load-bearing (each found empirically; violating
+    any one silently disables the split — the exact cases where
+    operators/skew.py salting remains necessary):
+    - the consumer must aggregate the payload column, else Catalyst
+      column-prunes the wide column out of the join and the skew is gone;
+    - BOTH join inputs must be plain shuffles: a dim derived via
+      .distinct() puts a HashAggregate between Sort and the shuffle
+      stage, breaking the SMJ(Sort(Shuffle),Sort(Shuffle)) pattern
+      OptimizeSkewedJoin matches — so the dim is written to parquet;
+    - the shuffle needs >1 mapper (the split unit is a per-mapper block):
+      small-file coalescing (openCostInBytes) must be defeated locally."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_spark.catalog import load_tables
+
+    base = tmp_path_factory.mktemp("skew")
+    d, ddim = str(base / "big"), str(base / "dim")
+    ev = load_tables(spark, SF, ("events",))["events"]
+    big = (
+        ev.crossJoin(spark.range(20).select(F.col("id").alias("rep")))
+        .withColumn(
+            "skew_key",
+            F.when(F.col("event_id") % 10 != 0, F.lit("hot")).otherwise(F.col("event_type")),
+        )
+        .withColumn(
+            "payload",
+            F.concat(*[F.md5(F.concat_ws("-", "event_id", "rep", F.lit(j))) for j in range(4)]),
+        )
+        .select("skew_key", "payload")
+    )
+    big.repartition(16).write.mode("overwrite").parquet(d)
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.openCostInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128k")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        b = spark.read.parquet(d)
+        b.select("skew_key").distinct().withColumn(
+            "dim_payload", F.md5("skew_key")
+        ).write.mode("overwrite").parquet(ddim)
+        dim = spark.read.parquet(ddim)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        out = b.join(dim, "skew_key").select(
+            F.count(F.lit(1)).alias("n"), F.sum(F.length("payload")).alias("bytes")
+        )
+        n = out.collect()[0]["n"]
+        plan = plans.executed(out)
+        assert n == b.count()
+        assert "skew=true" in plan, "AQE did not split the skewed join:\n" + plan[:1200]
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
 def test_ivf_probe_guard_semi_join_branch(spark, tmp_path_factory):
     """Above the probe-collect cap the index restriction must stay
     distributed: no driver collect, a semi-join on the partition column
