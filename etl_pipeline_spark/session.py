@@ -56,3 +56,71 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cloud_storage_conf(
+    provider: str,
+    *,
+    anonymous: bool = False,
+    endpoint: str | None = None,
+    extra: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Spark conf for reading ``s3a://`` or ``gs://`` paths — the cloud
+    half of the reference's object-store surface (its pipelines read
+    ``gs://`` buckets throughout), expressed as standard public Hadoop
+    connector settings. Pass the result as ``get_spark(extra_conf=...)``:
+
+        spark = get_spark(extra_conf=cloud_storage_conf("s3"))
+        df = spark.read.parquet("s3a://bucket/table/")
+
+    Credentials intentionally come from the environment (instance
+    profile / workload identity / standard env vars via the providers
+    chain), never from code. ``anonymous=True`` switches to unsigned
+    access for public buckets; ``endpoint`` points S3A at an
+    S3-compatible store (MinIO, R2). The returned dict is pure config —
+    wiring is unit-testable offline; actually reading a bucket
+    additionally needs the connector jars on the classpath
+    (hadoop-aws / gcs-connector), noted in the keys below.
+    """
+    if provider in ("s3", "s3a"):
+        conf = {
+            # jars: org.apache.hadoop:hadoop-aws + matching aws-java-sdk
+            "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+            "spark.hadoop.fs.s3a.aws.credentials.provider": (
+                "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+                if anonymous
+                else "org.apache.hadoop.fs.s3a.auth.IAMInstanceCredentialsProvider,"
+                "com.amazonaws.auth.EnvironmentVariableCredentialsProvider"
+            ),
+            # committers: directory staging avoids the O(files) rename
+            # penalty of the classic FileOutputCommitter on object stores
+            "spark.hadoop.fs.s3a.committer.name": "directory",
+            "spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a": (
+                "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory"
+            ),
+            "spark.hadoop.fs.s3a.connection.maximum": "96",
+            "spark.hadoop.fs.s3a.fast.upload": "true",
+        }
+        if endpoint:
+            conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+            conf["spark.hadoop.fs.s3a.path.style.access"] = "true"
+    elif provider in ("gs", "gcs"):
+        conf = {
+            # jars: com.google.cloud.bigdataoss:gcs-connector (hadoop3 shaded)
+            "spark.hadoop.fs.gs.impl": (
+                "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem"
+            ),
+            "spark.hadoop.fs.AbstractFileSystem.gs.impl": (
+                "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFS"
+            ),
+            # ADC: metadata server / GOOGLE_APPLICATION_CREDENTIALS
+            "spark.hadoop.google.cloud.auth.service.account.enable": "true",
+            "spark.hadoop.fs.gs.status.parallel.enable": "true",
+        }
+        if anonymous:
+            conf["spark.hadoop.google.cloud.auth.null.enable"] = "true"
+            conf["spark.hadoop.google.cloud.auth.service.account.enable"] = "false"
+    else:
+        raise ValueError(f"unknown provider {provider!r}: use 's3' or 'gs'")
+    conf.update(extra or {})
+    return conf
