@@ -46,79 +46,33 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
     return wrap
 
 
-# The round driver samples the FIRST 50 registered queries (r01/r02 each
-# checked the head-50 of the then-current order verbatim), so ordering is
-# coverage policy: queries the driver has never hash-verified come first.
-# Round-3 prefix = the 13 queries with no green driver row yet (the 11
-# round-2 additions + the two r01-err LSH conversions), then queries NEW in
-# round 3, then backfill from the oldest r1-checked queries so the first-50
-# window re-attests them on current code. Everything not listed keeps
-# registration (import) order after the prefix.
+# The round driver samples the FIRST 50 entries below, so ordering is
+# coverage policy. ROTATION RULE (regenerate each round with
+# `python tools/rotate_window.py --changed <names...>`):
+#   1. queries whose CODE changed this round come first — the driver must
+#      attest the shipped implementation, not a prior round's;
+#   2. then queries with no driver attestation in any CORRECTNESS_r*.json;
+#   3. then backfill, oldest latest-attestation first, so the window
+#      cycles through all queries in ~N/50 rounds;
+#   4. the rest keep registration order after the prefix.
+# Round-4 prefix: 12 changed queries (multimodal real-decode rewrite,
+# theta half-open bounds, lazy-checkpoint dedup/LSH builders, IVF probe
+# guard, + the four r3 money-hardened queries that spilled past r3's
+# window), then r1-attested backfill.
 CHECK_PRIORITY: tuple[str, ...] = (
-    # --- driver-unattested as of r02 (judge-verified only) ---
+    "q_multimodal_features",  # --- code changed this round: attest first ---
+    "q_multimodal_frame_sample",
+    "q_theta_set_ops",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_ngram_jaccard_capped",
     "q_dedup_minhash_lsh",
     "q_knn_lsh_approx",
-    "q_dedup_embedding_cosine",
-    "q_contamination_check",
-    "q_pii_scrub",
-    "q_stratified_sample",
-    "q_sequence_packing",
-    "q_repetition_score",
-    "q_multimodal_frame_sample",
-    "q04_order_priority",
-    "q_timeseries_gapfill",
-    "q_udaf_trimmed_mean",
-    "q_ratio_to_report",
-    # --- new in round 3 (must stay inside the first-50 window) ---
-    "q_window_range_frame_partitioned",
-    "q_window_distribution_ranks_partitioned",
-    "q13_order_count_distribution",
-    "q_join_salted_skew",
-    "q_dedup_canonical_docs",
-    "q_hll_sketch_union",
-    "q_corpus_domain_cap",
-    "q_agg_regression",
-    "q_agg_extrema_by",
-    "q_agg_bitwise",
-    "q_histogram_values",
-    "q_doc_chunking",
-    "q_token_entropy",
-    "q_mix_weights",
-    "q_vocab_coverage",
-    "q_join_full_outer_reconcile",
-    "q_scd2_user_values",
-    "q_kll_quantile_merge",
-    "q_theta_set_ops",
-    "q_hof_array_pipeline",
-    "q_shingle_novelty",
-    # --- backfill, risk-ordered: queries whose CODE changed this round
-    # (exact-decimal money-sum hardening) come first so the driver
-    # re-attests them on current code; prior attestations are from the
-    # pre-hardening implementations (values verified identical locally
-    # at 3 SFs, but the driver row should match the shipped code) ---
-    "q03_order_revenue_topk",
-    "q05_nation_revenue",
-    "q01_pricing_summary",
-    "q06_revenue_delta",
-    "q_window_tumbling_events",
-    "q07_nation_volume",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_revenue",
-    "q11_value_concentration",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q22_idle_high_balance",
-    "q_cube_orders",
+    "q_knn_ivf",
     "q_conditional_split_counts",
     "q_join_range_value_buckets",
     "q_grouping_sets_revenue",
     "q_window_sliding_events",
-    # --- unchanged-code re-attestation pool (past the 50 window as the
-    # changed set above takes precedence this round) ---
-    "q_asof_last_signup",
+    "q_asof_last_signup",  # --- backfill: oldest attestation first ---
     "q_window_range_frame",
     "q_window_first_last_nth",
     "q_ordered_string_agg",
@@ -128,7 +82,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_embedding_norms",
     "q_knn_bruteforce_cosine",
     "q_knn_block_matrix",
-    "q_knn_ivf",
     "q_embedding_quantization",
     "q_unpivot_balance_metrics",
     "q_funnel_conversion",
@@ -136,21 +89,106 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_window_distribution_ranks",
     "q_scalar_dates_extended",
     "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
     "q_dedup_simhash",
     "q_dedup_simhash_pairs",
     "q_dedup_clusters",
     "q_dedup_minhash_signatures",
     "q_dedup_minhash_pairs",
-    "q_dedup_ngram_jaccard_capped",
     "q_etl_clean_cast_filter",
     "q_etl_audit_row",
     "q_etl_dirty_input_quarantine",
     "q_dq_outlier_zscore",
     "q_multimodal_binary_meta",
-    "q_multimodal_features",
     "q_agg_stats_acctbal",
     "q_rollup_returns",
+    "q_pivot_qty_by_status",
+    "q_distinct_nation_segments",
+    "q_join_outer_order_counts",
+    "q_join_semi_big_orders",
+    "q_session_windows_batch",
+    "q_approx_aggregates",
+    "q_etl_quarantine_conservation",
+    "q_text_stats_by_lang",
+    "q_text_token_counts",
+    "q_text_lang_id",  # ---------------- first-50 window ends above ----------------
+    "q_text_quality_score",
+    "q_text_fingerprint",
+    "q_text_top_bigrams",
+    "q_text_edit_distance_pairs",
+    "q_join_anti_idle_customers",
+    "q_join_cross_region_nation",
+    "q_window_rank_orders",
+    "q_window_running_spend",
+    "q_window_lag_events",
+    "q_topk_expensive_orders",
+    "q_setop_union_parties",
+    "q_setop_intersect_nations",
+    "q_setop_except_nations",
+    "q_scalar_string_cleaning",
+    "q_scalar_casts",
+    "q_scalar_dates",
+    "q_scalar_multiformat_ts",
+    "q_scalar_json_props",
+    "q_scalar_regexp_extract",
+    "q_scalar_math",
+    "q_scalar_arrays",
+    "q_scalar_conditional_nonempty",
+    "q_scalar_file_lineage",
+    "q_scalar_string_extras",
+    "q18_large_orders",
+    "q_agg_percentiles",
+    "q12_late_shipments",
+    "q16_supplier_diversity",
+    "q02_min_cost_supplier",
+    "q20_excess_shippers",
+    "q21_sole_late_shipper",
+    "q_training_data_prep",
+    "q_window_range_frame_partitioned",
+    "q_hll_sketch_union",
+    "q_window_distribution_ranks_partitioned",
+    "q_timeseries_gapfill",
+    "q_udaf_trimmed_mean",
+    "q_ratio_to_report",
+    "q_scd2_user_values",
+    "q_kll_quantile_merge",
+    "q_agg_regression",
+    "q_agg_extrema_by",
+    "q_agg_bitwise",
+    "q_histogram_values",
+    "q_dedup_canonical_docs",
+    "q_dedup_embedding_cosine",
+    "q_contamination_check",
+    "q_pii_scrub",
+    "q_stratified_sample",
+    "q_sequence_packing",
+    "q_repetition_score",
+    "q_doc_chunking",
+    "q_token_entropy",
+    "q_mix_weights",
+    "q_vocab_coverage",
+    "q_corpus_domain_cap",
+    "q_shingle_novelty",
+    "q01_pricing_summary",
+    "q06_revenue_delta",
+    "q_cube_orders",
+    "q03_order_revenue_topk",
+    "q05_nation_revenue",
+    "q_join_salted_skew",
+    "q_window_tumbling_events",
+    "q_join_full_outer_reconcile",
+    "q_hof_array_pipeline",
+    "q07_nation_volume",
+    "q09_product_profit",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q22_idle_high_balance",
+    "q08_market_share",
+    "q10_returned_revenue",
+    "q15_top_supplier",
+    "q11_value_concentration",
+    "q04_order_priority",
+    "q13_order_count_distribution",
 )
 
 

@@ -1,0 +1,79 @@
+"""Regenerate the CHECK_PRIORITY order for the next driver round.
+
+Policy (r4, VERDICT #6 — the written rule):
+  1. queries whose CODE changed this round (passed via --changed) come
+     first: the driver must attest the shipped implementation, not a
+     prior round's;
+  2. then queries with NO driver attestation in any CORRECTNESS_r*.json;
+  3. then backfill, oldest latest-attestation first (r1 before r2 before
+     r3 ...), so the 50-slot window cycles through all queries in ~N/50
+     rounds and every attestation stays fresh;
+  4. everything else keeps registration order after the prefix.
+
+Prints the full tuple body for queries/base.py plus a summary of what
+landed inside the first-50 window. Run after registering new queries:
+
+    python tools/rotate_window.py --changed q_foo q_bar ...
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+WINDOW = 50
+
+
+def main() -> None:
+    changed = []
+    if "--changed" in sys.argv:
+        changed = sys.argv[sys.argv.index("--changed") + 1 :]
+
+    from etl_pipeline_spark.queries.base import REGISTRY, all_specs
+
+    all_specs()  # trigger registration imports
+    names = list(REGISTRY)
+
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", path).group(1))
+        for q in json.load(open(path)):
+            latest[q] = max(latest.get(q, 0), rnd)
+
+    unknown = [q for q in changed if q not in REGISTRY]
+    if unknown:
+        raise SystemExit(f"--changed names not registered: {unknown}")
+
+    never = [q for q in names if q not in latest and q not in changed]
+    backfill = sorted(
+        (q for q in names if q in latest and q not in changed),
+        key=lambda q: (latest[q], names.index(q)),
+    )
+    order = list(dict.fromkeys(changed + never + backfill))
+
+    print(f"# window={WINDOW}; changed={len(changed)} never-attested={len(never)}")
+    print("CHECK_PRIORITY: tuple[str, ...] = (")
+    for i, q in enumerate(order):
+        marker = ""
+        if i == 0 and changed:
+            marker = "  # --- code changed this round: attest first ---"
+        elif i == len(changed) and never:
+            marker = "  # --- never driver-attested ---"
+        elif i == len(changed) + len(never):
+            marker = "  # --- backfill: oldest attestation first ---"
+        elif i == WINDOW:
+            marker = "  # ---------------- first-50 window ends above ----------------"
+        print(f'    "{q}",{marker}')
+    print(")")
+    in_window = order[:WINDOW]
+    print(f"\n# first-50 window: {len(in_window)} entries; "
+          f"oldest-attested in window: r{min((latest.get(q, 99) for q in in_window), default=0)}; "
+          f"left out: {len(order) - WINDOW}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Scaling-curve soak for the heavy operators (r4, VERDICT #1).
+
+No sf1 fixture exists, so one is SYNTHESIZED from sf0.1: documents and
+embeddings are unioned 10x with per-copy perturbation designed to keep
+the workload's *structure* scale-invariant:
+
+- documents: every word in copy i gets prefix ``k<i>_`` — a bijection on
+  the token vocabulary, so within-copy shingle/Jaccard structure is
+  EXACTLY the original's, while cross-copy shingle sets are disjoint
+  (no artificial 10-way near-dup clusters that would bend the curve
+  quadratic by construction). Expected pair/cluster counts ~ 10x sf0.1.
+- ids: offset by i * 30,000,000 (divisible by 3 and 10) so the doc_id %
+  10 eval split and doc_id % 3 format assignment keep their proportions.
+- embeddings: first component nudged by i * 1e-4 so copies aren't exact
+  duplicate vectors (tie pathology), leaving cell geometry intact.
+
+Caveat recorded with the numbers: the prefix adds ~3 chars/word, so sf1
+is ~25% MORE bytes than a native 10x — the handicap makes the
+near-linear claim conservative.
+
+Run: python tools/scale_soak.py [--skip-build]
+Writes .scratch/scale/sf1/ and prints one JSON line per (sf, query);
+summary table is appended to BASELINE.md by tools/record_soak.py or by
+hand from the JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.session import get_spark
+
+SF_SRC = "/root/testdata/sf0.1"
+SF1_DIR = "/root/repo/.scratch/scale/sf1"
+COPIES = 10
+ID_OFFSET = 30_000_000  # divisible by 3 and 10: preserves %3 / %10 splits
+
+SOAK_QUERIES = [
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard_capped",
+    "q_dedup_clusters",
+    "q_training_data_prep",
+    "q_knn_block_matrix",
+    "q_contamination_check",
+]
+
+
+def build_sf1(spark) -> None:
+    t = load_tables(spark, SF_SRC, ("documents", "embeddings"))
+    docs, embs = t["documents"], t["embeddings"]
+    doc_parts = []
+    emb_parts = []
+    for i in range(COPIES):
+        prefix = F.lit(f"k{i}_")
+        new_text = F.array_join(
+            F.transform(F.split("text", " "), lambda w: F.concat(prefix, w)), " "
+        )
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + i * ID_OFFSET).alias("doc_id"),
+                new_text.alias("text"),
+                "lang",
+                "source",
+                F.length(new_text).alias("n_chars"),
+            )
+        )
+        emb_parts.append(
+            embs.select(
+                (F.col("vec_id") + i * ID_OFFSET).alias("vec_id"),
+                "label",
+                F.transform(
+                    "embedding",
+                    lambda x, j: F.when(j == 0, x + F.lit(i * 1e-4)).otherwise(x),
+                ).alias("embedding"),
+            )
+        )
+    out_docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        out_docs = out_docs.unionByName(p)
+    out_embs = emb_parts[0]
+    for p in emb_parts[1:]:
+        out_embs = out_embs.unionByName(p)
+    out_docs.repartition(32).write.mode("overwrite").parquet(f"{SF1_DIR}/documents.parquet")
+    out_embs.repartition(8).write.mode("overwrite").parquet(f"{SF1_DIR}/embeddings.parquet")
+
+
+def main() -> None:
+    spark = get_spark("scale_soak")
+    if "--skip-build" not in sys.argv:
+        t0 = time.perf_counter()
+        build_sf1(spark)
+        print(json.dumps({"built_sf1_sec": round(time.perf_counter() - t0, 1)}), flush=True)
+
+    from etl_pipeline_spark.queries.base import all_specs
+
+    specs = all_specs()
+    results: dict[str, dict[str, dict]] = {}
+    for sf_label, sf_dir in [
+        ("0.01", "/root/testdata/sf0.01"),
+        ("0.1", "/root/testdata/sf0.1"),
+        ("1", SF1_DIR),
+    ]:
+        for name in SOAK_QUERIES:
+            t0 = time.perf_counter()
+            n = specs[name].fn(spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 2)
+            results.setdefault(name, {})[sf_label] = {"sec": dt, "rows": n}
+            print(json.dumps({"sf": sf_label, "query": name, "sec": dt, "rows": n}), flush=True)
+
+    # linearity verdicts: wall-clock growth per 10x data growth
+    summary = {}
+    for name, by_sf in results.items():
+        r01, r1 = by_sf["0.1"], by_sf["1"]
+        ratio = round(r1["sec"] / max(r01["sec"], 1e-9), 2)
+        summary[name] = {
+            "sf0.01_sec": by_sf["0.01"]["sec"],
+            "sf0.1_sec": r01["sec"],
+            "sf1_sec": r1["sec"],
+            "t_ratio_10x": ratio,
+            "rows_ratio_10x": round(r1["rows"] / max(r01["rows"], 1), 2),
+            "near_linear": ratio <= 20.0,  # <= 2x the ideal 10x slope
+        }
+    print(json.dumps({"summary": summary}))
+
+
+if __name__ == "__main__":
+    main()
