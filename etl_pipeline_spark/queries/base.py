@@ -72,6 +72,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_join_range_value_buckets",
     "q_grouping_sets_revenue",
     "q_window_sliding_events",
+    "q_dedup_chunk_rewrite",  # --- never driver-attested ---
+    "q_dedup_repeated_spans",
     "q_asof_last_signup",  # --- backfill: oldest attestation first ---
     "q_window_range_frame",
     "q_window_first_last_nth",
@@ -108,9 +110,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_session_windows_batch",
     "q_approx_aggregates",
     "q_etl_quarantine_conservation",
-    "q_text_stats_by_lang",
+    "q_text_stats_by_lang",  # ---------------- first-50 window ends above ----------------
     "q_text_token_counts",
-    "q_text_lang_id",  # ---------------- first-50 window ends above ----------------
+    "q_text_lang_id",
     "q_text_quality_score",
     "q_text_fingerprint",
     "q_text_top_bigrams",

@@ -548,3 +548,146 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= EMB_TOPK_PER_BLOCK)
         .select("label", "vec_a", "vec_b", "cos_sim", "rnk")
     )
+
+
+CHUNK_WORDS = 10
+SPAN_WORDS = 8
+
+
+@query(
+    "q_dedup_chunk_rewrite",
+    # First-occurrence-wins cross-document chunk dedup, with the cleaned
+    # text reproduced in SQL: docs are split into consecutive
+    # CHUNK_WORDS-word chunks; a chunk is kept only in the lowest-doc_id
+    # document containing that exact chunk text. string_agg ORDER BY
+    # chunk_idx rebuilds the cleaned document deterministically.
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(j AS INTEGER) AS chunk_idx,
+               ARRAY_TO_STRING(ws[j * {CHUNK_WORDS} + 1 : j * {CHUNK_WORDS} + {CHUNK_WORDS}], ' ') AS chunk
+        FROM toks, UNNEST(GENERATE_SERIES(0, CAST(CEIL(LEN(ws) / {CHUNK_WORDS}.0) AS INTEGER) - 1)) t(j)
+    ),
+    first_seen AS (
+        SELECT chunk, MIN(doc_id) AS first_doc FROM chunks GROUP BY chunk
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN f.first_doc <> c.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           MD5(COALESCE(STRING_AGG(CASE WHEN f.first_doc = c.doc_id THEN c.chunk END, ' '
+                                   ORDER BY c.chunk_idx), '')) AS cleaned_md5
+    FROM chunks c JOIN first_seen f ON c.chunk = f.chunk
+    GROUP BY c.doc_id
+    """,
+    tags=("dedup", "X2", "rewrite", "chunks"),
+)
+def q_dedup_chunk_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk-level dedup that REWRITES the corpus (the
+    C4/CCNet line-dedup step, over 10-word chunks since the fixture has
+    no newlines): a chunk duplicated across documents survives only in
+    its first (lowest doc_id) document; every document is re-emitted
+    with its surviving chunks in order. Output: per-doc chunk counts,
+    dropped counts, and the md5 of the cleaned text (hash-checked, so
+    the rewrite itself is verified, not just the counts).
+
+    Scale: one shuffle on the chunk text (min(doc_id), map-side
+    combinable — the classic inverted index), a join back, and one
+    per-doc aggregate. No pairwise comparison anywhere: cost is linear
+    in total chunks, and hot chunks (boilerplate) are exactly the rows
+    the min-combine collapses early.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(CHUNK_WORDS)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.array_join(F.slice(toks, j * CHUNK_WORDS + 1, CHUNK_WORDS), " "),
+    )
+    chunks = d.select("doc_id", F.posexplode(chunk_arr).alias("chunk_idx", "chunk"))
+    first_seen = chunks.groupBy("chunk").agg(F.min("doc_id").alias("first_doc"))
+    joined = chunks.join(first_seen, "chunk")
+    kept_in_order = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("first_doc") == F.col("doc_id"),
+                        F.struct("chunk_idx", "chunk"),
+                    )
+                )
+            ),
+            lambda s: s["chunk"],
+        ),
+        " ",
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum((F.col("first_doc") != F.col("doc_id")).cast("long")).alias("n_dropped"),
+        F.md5(kept_in_order).alias("cleaned_md5"),
+    )
+
+
+@query(
+    "q_dedup_repeated_spans",
+    # Corpus-level inventory of exact repeated word spans (the
+    # suffix-array / "dedup training data" building block): overlapping
+    # SPAN_WORDS-word windows that occur in >= 2 distinct documents,
+    # with document and occurrence counts.
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+        WHERE LEN(STRING_SPLIT(text, ' ')) >= {SPAN_WORDS}
+    ),
+    spans AS (
+        SELECT doc_id,
+               ARRAY_TO_STRING(ws[i : i + {SPAN_WORDS} - 1], ' ') AS span
+        FROM toks, UNNEST(GENERATE_SERIES(1, LEN(ws) - {SPAN_WORDS} + 1)) t(i)
+    )
+    SELECT MD5(span) AS span_md5,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM spans
+    GROUP BY span
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    tags=("dedup", "X2", "spans", "exact-substring"),
+)
+def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-span inventory — the exact-substring counterpart
+    to the similarity dedups: every 8-word span that appears verbatim in
+    two or more documents, with doc/occurrence counts. This is the
+    memorization-risk report (long verbatim repeats are what LMs
+    memorize) and the input to span-level redaction; MinHash/Jaccard
+    can miss these entirely when the containing documents are otherwise
+    dissimilar.
+
+    Scale: one shuffle keyed on the span (count-distinct via the span
+    grouping, map-side combinable counts). Span windows overlap so the
+    exploded index is n_words x SPAN_WORDS bytes — the standard
+    fingerprint-index trade; a rolling-hash span_md5 keyed shuffle
+    (hash instead of text) halves the shuffle width at cluster scale.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split("text", " ")
+    span_arr = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - SPAN_WORDS + 1),
+        lambda i: F.array_join(F.slice(toks, i, SPAN_WORDS), " "),
+    )
+    spans = (
+        d.filter(F.size(toks) >= SPAN_WORDS)
+        .select("doc_id", F.explode(span_arr).alias("span"))
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(F.md5("span").alias("span_md5"), "n_docs", "n_occurrences", "first_doc")
+    )
