@@ -691,3 +691,86 @@ def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .select(F.md5("span").alias("span_md5"), "n_docs", "n_occurrences", "first_doc")
     )
+
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sizes AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+    ),
+    pair_inter AS (
+        SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+               COUNT(*) AS n_inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.contained_doc, p.container_doc, p.n_inter,
+           ROUND(CAST(p.n_inter AS DOUBLE) / sa.n_shingles, 4) AS containment
+    FROM pair_inter p
+    JOIN sizes sa ON p.contained_doc = sa.doc_id
+    WHERE CAST(p.n_inter AS DOUBLE) / sa.n_shingles >= {CONTAINMENT_THRESHOLD}
+    """,
+    tags=("dedup", "X2", "containment"),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment near-dup pairs (X2 companion): directed pairs
+    (a, b) where C(a, b) = |S(a) ∩ S(b)| / |S(a)| >= 0.5 — the asymmetric
+    measure that catches a short document embedded verbatim inside a much
+    longer one, which symmetric Jaccard misses entirely (the union in the
+    denominator is dominated by the long side). This is the
+    quote/boilerplate/snippet-inclusion report a corpus build runs after
+    whole-document dedup; reference parity: same shingle model as the
+    Jaccard operators (reference `dedup.py` has no sub-document pass at
+    all — this is additive coverage).
+
+    Scale: identical inverted-index shuffle to q_dedup_ngram_jaccard (the
+    shingle is the key), but the join predicate is `<>` rather than `<` so
+    each co-occurring pair is produced in both directions — 2x the
+    intersection rows, same asymptotics. Hot-shingle posting lists are the
+    skew risk; the capped variant's stop-shingle drop applies verbatim.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - SHINGLE_WIDTH)
+    shingle_arr = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            ),
+        )
+    )
+    shingles = (
+        d.filter(F.size(toks) >= SHINGLE_WIDTH)
+        .select("doc_id", F.explode(shingle_arr).alias("shingle"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    pair_inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("contained_doc"),
+            F.col("b.doc_id").alias("container_doc"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("contained_doc"), F.col("n_shingles").alias("na"))
+    containment = F.col("n_inter").cast("double") / F.col("na")
+    return (
+        pair_inter.join(sa, "contained_doc")
+        .filter(containment >= CONTAINMENT_THRESHOLD)
+        .select(
+            "contained_doc",
+            "container_doc",
+            "n_inter",
+            F.round(containment, 4).alias("containment"),
+        )
+    )

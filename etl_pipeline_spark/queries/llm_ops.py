@@ -662,3 +662,92 @@ def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(novel).alias("n_novel"),
         F.round(F.sum(novel) / F.count("*").cast("double"), 4).alias("novelty"),
     )
+
+
+@query(
+    "q_lm_bigram_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, lang, toks[i] AS w1, toks[i+1] AS w2
+        FROM toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS g(i)
+        WHERE LEN(toks) >= 2
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    c1  AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    v   AS (SELECT COUNT(DISTINCT t) AS v
+            FROM (SELECT UNNEST(toks) AS t FROM toks)),
+    scored AS (
+        SELECT b.doc_id, b.lang,
+               -LOG2((c12.c12 + 1.0) / (c1.c1 + v.v)) AS nll
+        FROM bg b
+        JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+        JOIN c1  ON b.w1 = c1.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id, lang,
+           COUNT(*)           AS n_bigrams,
+           ROUND(AVG(nll), 4) AS nll_bits,
+           ROUND(POW(2.0, AVG(nll)), 2) AS ppl
+    FROM scored
+    GROUP BY doc_id, lang
+    """,
+    tags=("llm", "quality", "language-model"),
+)
+def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM quality score — the CCNet/KenLM-style
+    perplexity filter, self-trained: count all corpus bigrams and contexts,
+    then score every document with its add-one-smoothed average negative
+    log2 probability, -avg log2((c(w1,w2)+1)/(c(w1)+V)), and the implied
+    per-token perplexity 2^nll. Documents whose ppl is far above the corpus
+    norm are the boilerplate/garbage a pre-training build drops; far below
+    are the degenerate repeats. Reference parity: additive — the reference
+    pipeline has no model-based quality pass.
+
+    Scale: three shuffles, all on uniform keys — bigram counts (map-side
+    combinable, keyed on the bigram), context counts (keyed on w1), and the
+    per-doc aggregate (keyed on doc_id). The count tables are vocabulary-
+    sized (<< corpus-sized), so the score joins behave like dimension
+    joins; V is a 1-row broadcast. The bigram stream is materialized once
+    (lazily) because it feeds both count tables AND the score join — at
+    100 TB this becomes persist(DISK) exactly like the dedup indexes.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    tok_df = d.select("doc_id", "lang", toks.alias("toks"))
+    # sequence(1, n-1) is DESCENDING when n < 2 (Spark keeps step=-1 for
+    # start > stop), so short docs are filtered out before the transform.
+    bg_arr = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("toks"), i).alias("w1"),
+            F.element_at(F.col("toks"), i + 1).alias("w2"),
+        ),
+    )
+    bg = (
+        tok_df.filter(F.size("toks") >= 2)
+        .select("doc_id", "lang", F.explode(bg_arr).alias("b"))
+        .select("doc_id", "lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .localCheckpoint(eager=False)
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = tok_df.select(F.explode("toks").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    nll = -F.log2((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("nll_bits"),
+            F.round(F.pow(F.lit(2.0), F.avg(nll)), 2).alias("ppl"),
+        )
+    )
