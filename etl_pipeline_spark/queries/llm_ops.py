@@ -751,3 +751,206 @@ def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.pow(F.lit(2.0), F.avg(nll)), 2).alias("ppl"),
         )
     )
+
+
+SAMPLE_TOPK = 3  # docs kept per source stratum by the weighted sampler
+
+# 32-bit integer from the first 8 hex chars of md5(doc_id) — digit-sum
+# wording identical in both engines (same idiom as operators/simhash.py).
+_U32_SQL = "(" + " + ".join(
+    f"(INSTR('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+    f" * CAST({16 ** (8 - 1 - i)} AS BIGINT)"
+    for i in range(8)
+) + ")"
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars,
+               CAST(n_chars AS DOUBLE) /
+               (({_U32_SQL} + 1) / 4294967296.0) AS priority
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id, n_chars, priority,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY priority DESC, doc_id
+               ) AS rank
+        FROM keyed
+    )
+    SELECT source, doc_id, n_chars, ROUND(priority, 4) AS priority, rank
+    FROM ranked
+    WHERE rank <= {SAMPLE_TOPK}
+    """,
+    tags=("llm", "sampling", "mixing"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sampling without replacement, deterministic — the
+    priority-sampling scheme (Duffield-Lund-Thorup): each document draws a
+    reproducible uniform u from md5(doc_id), gets priority w/u with weight
+    w = n_chars, and the top-k priorities per source stratum are the
+    sample. Long documents are proportionally more likely to be kept,
+    every engine/run/partitioning draws the SAME sample (unlike
+    df.sample's RNG streams), and the u construction (integer hash -> one
+    IEEE divide -> one IEEE divide) is bit-identical across engines, so
+    even the rank ORDER is oracle-checkable. This is how a data-mixing
+    build takes a weighted sub-corpus per source without a shuffle-heavy
+    sort of the full corpus.
+
+    Scale: priorities are a per-row map (no shuffle); the per-stratum
+    top-k is one shuffle keyed on source. A hot stratum is bounded by
+    rank<=k pushdown (Spark plans WindowGroupLimit: each map task keeps
+    only its local top-k before the exchange).
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    keyed = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.col("n_chars").cast("double") / u).alias("priority"),
+    )
+    w = W.partitionBy("source").orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SAMPLE_TOPK)
+        .select("source", "doc_id", "n_chars", F.round("priority", 4).alias("priority"), "rank")
+    )
+
+
+BLOOM_BITS = 65536  # m: sized so a handful of false positives occur and are counted
+BLOOM_K = 3  # hash functions
+
+
+def _hex32_sql(md5_arg: str) -> str:
+    """32-bit integer from the first 8 hex chars of MD5(md5_arg) — the
+    digit-sum wording shared with operators/simhash.py, parameterized on
+    the hashed expression."""
+    return "(" + " + ".join(
+        f"(INSTR('0123456789abcdef', SUBSTR(MD5({md5_arg}), {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (8 - 1 - i)} AS BIGINT)"
+        for i in range(8)
+    ) + ")"
+
+
+@query(
+    "q_bloom_decontaminate",
+    oracle=f"""
+    WITH train AS ({_ngram_sql(CONTAM_NGRAM, "train")}),
+    eval_s AS ({_ngram_sql(CONTAM_NGRAM, "eval")}),
+    seeds AS (SELECT UNNEST(GENERATE_SERIES(0, {BLOOM_K - 1})) AS i),
+    bits AS (
+        SELECT DISTINCT
+               {_hex32_sql("shingle || '#' || CAST(i AS VARCHAR)")} % {BLOOM_BITS} AS pos
+        FROM (SELECT DISTINCT shingle FROM eval_s), seeds
+    ),
+    tr_sh AS (SELECT DISTINCT shingle FROM train),
+    tr_hits AS (
+        SELECT shingle, COUNT(*) AS n_hit
+        FROM (
+            SELECT t.shingle,
+                   {_hex32_sql("t.shingle || '#' || CAST(i AS VARCHAR)")} % {BLOOM_BITS} AS pos
+            FROM tr_sh t, seeds
+        ) p
+        WHERE pos IN (SELECT pos FROM bits)
+        GROUP BY shingle
+    ),
+    bloom_sh AS (SELECT shingle FROM tr_hits WHERE n_hit = {BLOOM_K}),
+    exact_sh AS (SELECT DISTINCT t.shingle FROM tr_sh t
+                 WHERE t.shingle IN (SELECT shingle FROM eval_s)),
+    per_doc AS (
+        SELECT tr.doc_id,
+               MAX(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS bloom_flag,
+               MAX(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS exact_flag
+        FROM train tr
+        LEFT JOIN bloom_sh b ON tr.shingle = b.shingle
+        LEFT JOIN exact_sh e ON tr.shingle = e.shingle
+        GROUP BY tr.doc_id
+    )
+    SELECT d.lang,
+           COUNT(*)            AS n_train_docs,
+           CAST(SUM(p.bloom_flag) AS BIGINT) AS n_bloom_flagged,
+           CAST(SUM(p.exact_flag) AS BIGINT) AS n_exact_contaminated,
+           CAST(SUM(CASE WHEN p.bloom_flag = 1 AND p.exact_flag = 0 THEN 1 ELSE 0 END)
+                AS BIGINT)       AS n_false_positives
+    FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY d.lang
+    """,
+    tags=("llm", "contamination", "bloom", "approx-exactly-checked"),
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the 100 TB form of the eval-overlap
+    check: instead of joining the full training shingle stream against the
+    eval set, the eval shingles are folded into an m-bit Bloom filter
+    (k md5-derived bit positions each) that travels as a broadcast, and
+    each training shingle is flagged when all k of its positions are set.
+    The report compares the Bloom verdict against the exact semi-join per
+    language: flagged counts, true contamination, and the false positives
+    the chosen m/k admit (m is deliberately small here so the FP column is
+    exercised). The filter is built from md5 bit positions, not an opaque
+    sketch, so the WHOLE approximate pipeline is bit-reproducible and
+    exact-oracled — both engines agree on every false positive.
+
+    Scale: the bit table is m bits (= at most m rows, deduped) regardless
+    of corpus size — it broadcasts at any scale, turning decontamination
+    into a map-side filter over the training stream with NO shuffle of
+    training data (the per-doc aggregate shuffles only doc_ids). This is
+    the same runtime-filter idea Spark uses for dynamic partition pruning,
+    expressed as data.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    train = _ngrams(d.filter(F.col("doc_id") % EVAL_MOD != EVAL_REMAINDER), CONTAM_NGRAM)
+    evals = _ngrams(d.filter(F.col("doc_id") % EVAL_MOD == EVAL_REMAINDER), CONTAM_NGRAM)
+
+    def positions(col):  # k bit positions of one shingle column
+        return F.array(*[
+            F.conv(
+                F.substring(F.md5(F.concat(col, F.lit("#"), F.lit(str(i)))), 1, 8),
+                16, 10,
+            ).cast("long") % BLOOM_BITS
+            for i in range(BLOOM_K)
+        ])
+
+    bits = (
+        evals.select("shingle").distinct()
+        .select(F.explode(positions(F.col("shingle"))).alias("pos"))
+        .distinct()
+    )
+    tr_sh = train.select("shingle").distinct().localCheckpoint(eager=False)
+    tr_pos = tr_sh.select("shingle", F.explode(positions(F.col("shingle"))).alias("pos"))
+    bloom_sh = (
+        tr_pos.join(F.broadcast(bits), "pos")
+        .groupBy("shingle")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == BLOOM_K)
+        .select("shingle", F.lit(1).alias("bloom_hit"))
+    )
+    exact_sh = (
+        tr_sh.join(F.broadcast(evals.select("shingle").distinct()), "shingle", "left_semi")
+        .select("shingle", F.lit(1).alias("exact_hit"))
+    )
+    per_doc = (
+        train.join(bloom_sh, "shingle", "left")
+        .join(exact_sh, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.coalesce(F.col("bloom_hit"), F.lit(0))).alias("bloom_flag"),
+            F.max(F.coalesce(F.col("exact_hit"), F.lit(0))).alias("exact_flag"),
+        )
+    )
+    return (
+        per_doc.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_train_docs"),
+            F.sum("bloom_flag").alias("n_bloom_flagged"),
+            F.sum("exact_flag").alias("n_exact_contaminated"),
+            F.sum(
+                F.when((F.col("bloom_flag") == 1) & (F.col("exact_flag") == 0), 1).otherwise(0)
+            ).alias("n_false_positives"),
+        )
+    )
