@@ -196,3 +196,182 @@ def q_knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "neighbor_id", "neighbor_label", "cos_sim", "rnk")
     )
+
+
+PQ_M = 8  # subspaces
+PQ_DSUB = 8  # dims per subspace (8 x 8 = 64-dim embeddings)
+PQ_CENT_MOD = 53  # vec_id % 53 == 0 -> codebook vector (deterministic "training")
+
+_PQ_SUBD2 = (
+    "list_sum(list_transform(GENERATE_SERIES(1, {n}), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+@query(
+    "q_knn_pq",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    ms AS (SELECT UNNEST(GENERATE_SERIES(0, {PQ_M - 1})) AS m),
+    cent AS (
+        SELECT e.vec_id AS cent_id, m,
+               emb[m * {PQ_DSUB} + 1 : m * {PQ_DSUB} + {PQ_DSUB}] AS csub
+        FROM e, ms WHERE e.vec_id % {PQ_CENT_MOD} = 0
+    ),
+    sub AS (
+        SELECT e.vec_id, m,
+               emb[m * {PQ_DSUB} + 1 : m * {PQ_DSUB} + {PQ_DSUB}] AS sub
+        FROM e, ms
+    ),
+    assign AS (
+        SELECT vec_id, m, cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, m ORDER BY d2r, cent_id
+               ) AS rn
+        FROM (
+            SELECT s.vec_id, s.m, c.cent_id,
+                   ROUND({_PQ_SUBD2.format(n=PQ_DSUB, a='s.sub', b='c.csub')}, 4) AS d2r
+            FROM sub s JOIN cent c ON s.m = c.m
+        ) x
+    ),
+    codes AS (SELECT vec_id, m, cent_id AS code FROM assign WHERE rn = 1),
+    dtab AS (
+        SELECT s.vec_id AS q_id, c.m, c.cent_id,
+               ROUND({_PQ_SUBD2.format(n=PQ_DSUB, a='s.sub', b='c.csub')}, 4) AS d2q
+        FROM sub s JOIN cent c ON s.m = c.m
+        WHERE s.vec_id < {N_QUERIES}
+    ),
+    adc AS (
+        SELECT d.q_id, k.vec_id AS neighbor_id, ROUND(SUM(d.d2q), 4) AS adc_d2
+        FROM codes k JOIN dtab d ON d.m = k.m AND d.cent_id = k.code
+        WHERE k.vec_id <> d.q_id
+        GROUP BY d.q_id, k.vec_id
+    ),
+    cand AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY q_id ORDER BY adc_d2, neighbor_id
+            ) AS adc_rank
+            FROM adc
+        ) r WHERE adc_rank <= {TOP_K}
+    ),
+    exact AS (
+        SELECT c.q_id, c.neighbor_id, c.adc_d2, c.adc_rank,
+               ROUND({_PQ_SUBD2.format(n=PQ_M * PQ_DSUB, a='eq.emb', b='en.emb')}, 4)
+                   AS exact_d2
+        FROM cand c
+        JOIN e eq ON eq.vec_id = c.q_id
+        JOIN e en ON en.vec_id = c.neighbor_id
+    )
+    SELECT q_id, neighbor_id, adc_d2, exact_d2, adc_rank,
+           ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY exact_d2, neighbor_id
+           ) AS exact_rank
+    FROM exact
+    """,
+    tags=("similarity", "X3", "pq", "quantization"),
+)
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the IVF-PQ compression half): embeddings
+    are split into 8 subspaces of 8 dims; a deterministic codebook (every
+    53rd vector's subvectors — training-free, so both engines derive the
+    SAME codebook) quantizes each subvector to its nearest centroid; query
+    distance is the classic Asymmetric Distance Computation — a per-query
+    lookup table of query-to-centroid subdistances, summed over the 8
+    stored codes — followed by an exact L2 re-rank of the ADC top-k.
+    Emits ADC and exact distances plus both rank orders, so the oracle
+    checks the quantized geometry itself, not just the final ids.
+
+    Scale: this is the memory-bound ANN path — each corpus vector is
+    represented by 8 small codes (8 bytes here vs 256 bytes of floats), and
+    scoring is table lookups, no float math over the corpus. The plan keeps
+    the corpus shuffle-free: codebook (tiny) broadcasts to the encode step;
+    the per-query lookup tables (n_queries x n_centroids x 8 rounded
+    doubles) broadcast as map literals; ADC is a per-row array fold; the
+    only shuffles are the per-(vec,subspace) argmin and the top-k window
+    (WindowGroupLimit partial). At 100 TB you'd precompute+store the codes
+    column once (rollup-maintenance pattern) and re-use it for every query
+    batch; combine with the IVF routing operator to restrict candidates.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ed = e.select("vec_id", emb_d.alias("emb"))
+    m_col = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    sub_expr = F.slice(F.col("emb"), F.col("m") * PQ_DSUB + 1, PQ_DSUB)
+
+    sub = ed.select("vec_id", "emb", m_col).select("vec_id", "m", sub_expr.alias("sub"))
+    cent = (
+        ed.filter(F.col("vec_id") % PQ_CENT_MOD == 0)
+        .select(F.col("vec_id").alias("cent_id"), m_col, "emb")
+        .select("cent_id", "m", sub_expr.alias("csub"))
+    )
+
+    def _d2(a, b):  # strictly sequential fold, same order as the oracle
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    assign = (
+        sub.join(F.broadcast(cent), "m")
+        .select("vec_id", "m", "cent_id", F.round(_d2(F.col("sub"), F.col("csub")), 4).alias("d2r"))
+    )
+    wa = W.partitionBy("vec_id", "m").orderBy("d2r", "cent_id")
+    codes = (
+        assign.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("m").cast("int"), F.col("cent_id")))
+            ).alias("codes")
+        )
+    )
+    dtab = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cent), "m")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            (F.col("cent_id") * PQ_M + F.col("m")).alias("k"),
+            F.round(_d2(F.col("sub"), F.col("csub")), 4).alias("d2q"),
+        )
+    )
+    qmaps = dtab.groupBy("q_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("k", "d2q"))).alias("dmap")
+    )
+    adc_expr = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            F.col("dmap"),
+            F.element_at(F.col("codes"), m.cast("int")) * PQ_M + m,
+        ),
+    )
+    cand = (
+        codes.crossJoin(F.broadcast(qmaps))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), F.round(adc_expr, 4).alias("adc_d2"))
+    )
+    wk = W.partitionBy("q_id").orderBy("adc_d2", "neighbor_id")
+    topk = cand.withColumn("adc_rank", F.row_number().over(wk)).filter(
+        F.col("adc_rank") <= TOP_K
+    )
+    eq = ed.select(F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"))
+    en = ed.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("n_emb"))
+    exact = (
+        topk.join(F.broadcast(eq), "q_id")
+        .join(en, "neighbor_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            "adc_d2",
+            F.round(_d2(F.col("q_emb"), F.col("n_emb")), 4).alias("exact_d2"),
+            "adc_rank",
+        )
+    )
+    we = W.partitionBy("q_id").orderBy("exact_d2", "neighbor_id")
+    return exact.withColumn("exact_rank", F.row_number().over(we))
