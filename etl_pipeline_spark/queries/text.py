@@ -9,6 +9,7 @@ engines, so fingerprints oracle-check exactly). All pure Column exprs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from etl_pipeline_spark.catalog import load_tables
@@ -295,4 +296,201 @@ def q_text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             dist.cast("long").alias("prefix_edit_distance"),
         )
+    )
+
+
+TFIDF_TOPK_TERMS = 3  # terms reported per document
+TFIDF_NN_K = 3  # neighbors reported per query document
+TFIDF_QUERY_MOD = 20  # doc_id % 20 == 0 -> query document
+
+_TERMS_SQL = """
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (
+            SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS term
+            FROM documents
+        ) t
+        GROUP BY doc_id, term
+"""
+
+
+@query(
+    "q_tfidf_top_terms",
+    oracle=f"""
+    WITH terms AS ({_TERMS_SQL}),
+    df AS (SELECT term, COUNT(*) AS df FROM terms GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+        SELECT t.doc_id, t.term, t.tf, df.df,
+               ROUND(t.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+        FROM terms t JOIN df ON t.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term
+        ) AS rank
+        FROM w
+    ) r
+    WHERE rank <= {TFIDF_TOPK_TERMS}
+    """,
+    tags=("text", "X4", "tfidf"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: each document's top-3 terms by
+    tf * ln(N/df) — the classic salience weighting that a corpus build
+    uses for topic tagging, index keys, and near-dup blocking keys.
+    Ranking is on the ROUNDED weight with the term as tie-break, so the
+    reported sets match across engines despite float idf.
+
+    Scale: two uniform-key shuffles (per-(doc,term) counts, per-term
+    document frequencies) and a per-doc top-k window with the partial
+    WindowGroupLimit below the exchange; the df table is vocabulary-sized
+    and joins like a dimension (broadcast at any corpus size).
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    terms = (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = terms.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    w = (
+        terms.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    win = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        w.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= TFIDF_TOPK_TERMS)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+@query(
+    "q_tfidf_nearest_docs",
+    oracle=f"""
+    WITH terms AS ({_TERMS_SQL}),
+    df AS (SELECT term, COUNT(*) AS df FROM terms GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+        SELECT t.doc_id, t.term,
+               t.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df) AS wt
+        FROM terms t JOIN df ON t.term = df.term CROSS JOIN n
+    ),
+    norms AS (SELECT doc_id, SQRT(SUM(wt * wt)) AS nrm FROM w GROUP BY doc_id),
+    meta AS (SELECT doc_id, source FROM documents),
+    dots AS (
+        SELECT qa.doc_id AS q_doc, wb.doc_id AS nn_doc,
+               COUNT(*) AS n_shared_terms,
+               SUM(qa.wt * wb.wt) AS dot
+        FROM w qa
+        JOIN meta ma ON qa.doc_id = ma.doc_id
+        JOIN w wb ON qa.term = wb.term AND qa.doc_id <> wb.doc_id
+        JOIN meta mb ON wb.doc_id = mb.doc_id AND ma.source = mb.source
+        WHERE qa.doc_id % {TFIDF_QUERY_MOD} = 0
+        GROUP BY qa.doc_id, wb.doc_id
+    ),
+    scored AS (
+        SELECT d.q_doc, d.nn_doc, d.n_shared_terms,
+               ROUND(d.dot / (na.nrm * nb.nrm), 4) AS cos_sim
+        FROM dots d
+        JOIN norms na ON d.q_doc = na.doc_id
+        JOIN norms nb ON d.nn_doc = nb.doc_id
+    )
+    SELECT q_doc, nn_doc, n_shared_terms, cos_sim, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_doc ORDER BY cos_sim DESC, nn_doc
+        ) AS rank
+        FROM scored
+    ) r
+    WHERE rank <= {TFIDF_NN_K}
+    """,
+    tags=("text", "X4", "tfidf", "similarity", "sparse"),
+)
+def q_tfidf_nearest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse nearest-neighbor search — the TF-IDF complement of the dense
+    embedding kNN: for each query document (doc_id % 20 == 0) the top-3
+    most cosine-similar documents from the same source, scored over the
+    sparse tf-idf vectors with an inverted-index join (dot product =
+    sum over shared terms of the weight products). This is the lexical
+    retrieval path (BM25's simpler cousin) used for dedup candidate
+    blocking and for building retrieval training pairs.
+
+    Scale: the dot-product join is keyed on (term, source) — the source
+    blocking bounds posting lists the way the label blocking bounds the
+    embedding variant; high-df terms inside a block are the skew risk and
+    the stop-shingle DF cap from the capped-Jaccard operator applies
+    unchanged. Norms and df are vocabulary/doc-sized dimension tables.
+    The query-side filter prunes the probe stream at the scan.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    terms = (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = terms.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    w = (
+        terms.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("wt"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    meta = d.select("doc_id", "source")
+    qa = (
+        w.filter(F.col("doc_id") % TFIDF_QUERY_MOD == 0)
+        .join(meta, "doc_id")
+        .select(F.col("doc_id").alias("q_doc"), "term", F.col("wt").alias("qwt"), "source")
+    )
+    wb = (
+        w.join(meta, "doc_id")
+        .select(F.col("doc_id").alias("nn_doc"), "term", F.col("wt").alias("nwt"), "source")
+    )
+    dots = (
+        qa.join(wb, ["term", "source"])
+        .filter(F.col("q_doc") != F.col("nn_doc"))
+        .groupBy("q_doc", "nn_doc")
+        .agg(
+            F.count("*").alias("n_shared_terms"),
+            F.sum(F.col("qwt") * F.col("nwt")).alias("dot"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("q_doc"), F.col("nrm").alias("qn"))
+    nb = norms.select(F.col("doc_id").alias("nn_doc"), F.col("nrm").alias("nn"))
+    scored = (
+        dots.join(na, "q_doc")
+        .join(nb, "nn_doc")
+        .select(
+            "q_doc",
+            "nn_doc",
+            "n_shared_terms",
+            F.round(F.col("dot") / (F.col("qn") * F.col("nn")), 4).alias("cos_sim"),
+        )
+    )
+    win = W.partitionBy("q_doc").orderBy(F.desc("cos_sim"), F.asc("nn_doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= TFIDF_NN_K)
+        .select("q_doc", "nn_doc", "n_shared_terms", "cos_sim", "rank")
     )
