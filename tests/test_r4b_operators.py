@@ -1,0 +1,156 @@
+"""Behavioral + plan tests for the round-4 additions: containment dedup,
+bigram-LM scoring, weighted sampling, Bloom decontamination, PQ-ADC kNN,
+and the TF-IDF keyword/sparse-similarity pair. The oracle gate checks
+value parity with DuckDB; these tests pin the SEMANTIC invariants the
+oracle cannot state (cross-query relationships, plan shapes, identities).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as contract
+
+from etl_pipeline_spark import plans
+from etl_pipeline_spark.catalog import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    return contract.queries()[name]
+
+
+# --- containment dedup ----------------------------------------------------
+
+
+def test_containment_covers_every_jaccard_pair(spark):
+    """J(a,b) = n/|A∪B| <= n/|A| = C(a,b), so every symmetric near-dup
+    pair must appear in the containment report in BOTH directions."""
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in _q("q_dedup_ngram_jaccard")(spark, SF).collect()
+    }
+    cont = {
+        (r.contained_doc, r.container_doc)
+        for r in _q("q_dedup_containment")(spark, SF).collect()
+    }
+    for a, b in jac:
+        assert (a, b) in cont and (b, a) in cont
+
+
+def test_containment_values_are_valid_fractions(spark):
+    rows = _q("q_dedup_containment")(spark, SF).collect()
+    assert rows, "fixture should contain at least one containment pair"
+    for r in rows:
+        assert 0.5 <= r.containment <= 1.0 + 1e-9
+        assert r.n_inter >= 1
+
+
+# --- bigram LM scoring ----------------------------------------------------
+
+
+def test_lm_bigram_scores_every_multi_token_doc(spark):
+    d = load_tables(spark, SF, ("documents",))["documents"]
+    n_scorable = d.filter(
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")) >= 2
+    ).count()
+    out = _q("q_lm_bigram_score")(spark, SF).collect()
+    assert len(out) == n_scorable
+    for r in out:
+        assert r.nll_bits > 0  # smoothed probs are < 1, so -log2 > 0
+        # ppl is 2^nll (both rounded independently — allow rounding slack)
+        assert abs(r.ppl - 2.0 ** r.nll_bits) <= 0.01 * max(r.ppl, 1.0)
+
+
+# --- weighted sampling ----------------------------------------------------
+
+
+def test_weighted_sample_partial_topk_below_shuffle(spark):
+    """The per-stratum top-k must compile to WindowGroupLimit (partial
+    rank pruning on the map side) — the property that keeps a hot stratum
+    from shipping its whole membership through the exchange."""
+    df = _q("q_weighted_sample")(spark, SF)
+    plan = plans.executed(df)
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+
+
+def test_weighted_sample_is_deterministic_and_bounded(spark):
+    df = _q("q_weighted_sample")(spark, SF)
+    first = sorted(map(tuple, df.collect()))
+    second = sorted(map(tuple, df.collect()))
+    assert first == second
+    per_source: dict[str, int] = {}
+    for src, _doc, _chars, _prio, rank in first:
+        assert 1 <= rank <= 3
+        per_source[src] = per_source.get(src, 0) + 1
+    assert per_source and all(v <= 3 for v in per_source.values())
+
+
+# --- Bloom decontamination ------------------------------------------------
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """A Bloom filter can only over-report: every exactly-contaminated doc
+    must be flagged, so n_false_positives == n_bloom_flagged - n_exact."""
+    rows = _q("q_bloom_decontaminate")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bloom_flagged >= r.n_exact_contaminated
+        assert r.n_false_positives == r.n_bloom_flagged - r.n_exact_contaminated
+        assert r.n_train_docs >= r.n_bloom_flagged
+
+
+# --- PQ-ADC kNN -----------------------------------------------------------
+
+
+def test_pq_ranks_are_permutations_and_distances_valid(spark):
+    rows = _q("q_knn_pq")(spark, SF).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q_id, cands in by_q.items():
+        k = len(cands)
+        assert sorted(c.adc_rank for c in cands) == list(range(1, k + 1))
+        assert sorted(c.exact_rank for c in cands) == list(range(1, k + 1))
+        for c in cands:
+            assert c.adc_d2 >= 0 and c.exact_d2 >= 0
+            assert c.neighbor_id != q_id
+
+
+def test_pq_adc_approximates_exact_distance(spark):
+    """ADC uses quantized corpus vectors against exact query subvectors —
+    on this fixture the relative gap should be modest in aggregate (the
+    codebook has ~10 centroids per subspace)."""
+    rows = _q("q_knn_pq")(spark, SF).collect()
+    rel = [abs(r.adc_d2 - r.exact_d2) / r.exact_d2 for r in rows if r.exact_d2 > 0]
+    assert rel and sum(rel) / len(rel) < 0.75
+
+
+# --- TF-IDF ---------------------------------------------------------------
+
+
+def test_tfidf_weights_recompute(spark):
+    d = load_tables(spark, SF, ("documents",))["documents"]
+    n_docs = d.count()
+    rows = _q("q_tfidf_top_terms")(spark, SF).collect()
+    assert rows
+    for r in rows[:200]:
+        expect = round(r.tf * math.log(n_docs / r.df), 4)
+        assert abs(r.tfidf - expect) < 1e-9
+        assert 1 <= r.rank <= 3
+
+
+def test_tfidf_nearest_docs_stay_within_source_block(spark):
+    d = load_tables(spark, SF, ("documents",))["documents"]
+    src = {r.doc_id: r.source for r in d.select("doc_id", "source").collect()}
+    rows = _q("q_tfidf_nearest_docs")(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert src[r.q_doc] == src[r.nn_doc]
+        assert -1.0 - 1e-9 <= r.cos_sim <= 1.0 + 1e-9
+        assert 1 <= r.rank <= 3
+        assert r.q_doc % 20 == 0 and r.q_doc != r.nn_doc
