@@ -117,3 +117,133 @@ def q_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("bpe_tokens"), 2).alias("avg_tokens"),
         F.round(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
     )
+
+
+LENGTH_BAND_LO = 0.1  # keep docs with percent_rank(n_chars) in [lo, hi] per lang
+LENGTH_BAND_HI = 0.9
+
+
+@query(
+    "q_length_band_filter",
+    oracle=f"""
+    WITH pr AS (
+        SELECT doc_id, lang, n_chars,
+               PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN pr >= {LENGTH_BAND_LO} AND pr <= {LENGTH_BAND_HI}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN pr >= {LENGTH_BAND_LO} AND pr <= {LENGTH_BAND_HI}
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+           MIN(CASE WHEN pr >= {LENGTH_BAND_LO} AND pr <= {LENGTH_BAND_HI}
+                    THEN n_chars END) AS min_kept_chars,
+           MAX(CASE WHEN pr >= {LENGTH_BAND_LO} AND pr <= {LENGTH_BAND_HI}
+                    THEN n_chars END) AS max_kept_chars
+    FROM pr
+    GROUP BY lang
+    """,
+    tags=("llm", "quality", "filter"),
+)
+def q_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile length-band quality gate: within each language, keep
+    documents whose character count falls in the [p10, p90] band and
+    report the per-language retention. Absolute length cutoffs drift as a
+    corpus mixes sources; rank-based bands are the self-calibrating form
+    every crawl-cleaning recipe uses for truncation/concatenation
+    outliers. PERCENT_RANK is (rank-1)/(n-1) — exact rational arithmetic
+    with rank ties on equal lengths, so both engines agree exactly.
+
+    Scale: one shuffle on lang for the rank window (stratum-bounded), one
+    aggregation; at extreme per-lang cardinality the window becomes the
+    two-pass form — aggregate exact rank boundaries per lang (tiny table),
+    broadcast back, filter map-side. Same semantics, no giant sort.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pr = F.percent_rank().over(W.partitionBy("lang").orderBy("n_chars"))
+    in_band = (F.col("pr") >= LENGTH_BAND_LO) & (F.col("pr") <= LENGTH_BAND_HI)
+    return (
+        d.select("doc_id", "lang", "n_chars", pr.alias("pr"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(in_band, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(in_band, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+            F.min(F.when(in_band, F.col("n_chars"))).alias("min_kept_chars"),
+            F.max(F.when(in_band, F.col("n_chars"))).alias("max_kept_chars"),
+        )
+    )
+
+
+SPLIT_TRAIN_NIBBLES = 13  # md5 first nibble of cluster_id < 13 -> train (~81%)
+
+
+@query(
+    "q_leakage_safe_split",
+    oracle=f"""
+    WITH comp AS (
+        {{clusters}}
+    ),
+    assigned AS (
+        SELECT c.doc_id, c.cluster_id, d.n_chars,
+               CASE WHEN (INSTR('0123456789abcdef',
+                                SUBSTR(MD5(CAST(c.cluster_id AS VARCHAR)), 1, 1)) - 1)
+                         < {SPLIT_TRAIN_NIBBLES}
+                    THEN 'train' ELSE 'heldout' END AS split
+        FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT cluster_id) AS n_clusters,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned
+    GROUP BY split
+    """,
+    tags=("llm", "split", "leakage", "clustering", "iterative"),
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/heldout split: documents are split by a hash of
+    their near-dup CLUSTER id, not their own id — so two near-duplicate
+    documents can never land on opposite sides of the split (the classic
+    eval-contamination bug that doc-level hash splits have). ~13/16 of
+    clusters train, the rest held out, deterministically.
+
+    Scale: the cluster labels come from the iterative min-label
+    propagation (one shuffle join per round, diameter-bounded); the split
+    itself is a per-row hash plus a two-group aggregate — nothing new
+    shuffles at 100 TB beyond what clustering already did.
+    """
+    from etl_pipeline_spark.operators.cluster import dedup_clusters
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    comp = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    nibble = F.conv(
+        F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    split = F.when(nibble < SPLIT_TRAIN_NIBBLES, "train").otherwise("heldout")
+    return (
+        comp.join(d.select("doc_id", "n_chars"), "doc_id")
+        .select("doc_id", "cluster_id", "n_chars", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# clusters_oracle needs the jaccard pairs SQL; fill the placeholder at import
+# time (REGISTRY entry for q_dedup_ngram_jaccard exists before this module
+# registers, and clusters_oracle nests it as a recursive CTE).
+def _fill_split_oracle() -> None:
+    from etl_pipeline_spark.operators.cluster import clusters_oracle
+
+    spec = REGISTRY["q_leakage_safe_split"]
+    spec.oracle = spec.oracle.format(
+        clusters=clusters_oracle(REGISTRY["q_dedup_ngram_jaccard"].oracle)
+    )
+
+
+_fill_split_oracle()
