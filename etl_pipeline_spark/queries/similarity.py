@@ -201,6 +201,8 @@ def q_knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 8  # subspaces
 PQ_DSUB = 8  # dims per subspace (8 x 8 = 64-dim embeddings)
 PQ_CENT_MOD = 53  # vec_id % 53 == 0 -> codebook vector (deterministic "training")
+PQ_CENT_CAP = 53 * 256  # codebook is FIXED-SIZE: at most 256 centroids per subspace,
+# so the encode cost stays O(corpus x 256) — linear — at any scale
 
 _PQ_SUBD2 = (
     "list_sum(list_transform(GENERATE_SERIES(1, {n}), "
@@ -218,7 +220,7 @@ _PQ_SUBD2 = (
     cent AS (
         SELECT e.vec_id AS cent_id, m,
                emb[m * {PQ_DSUB} + 1 : m * {PQ_DSUB} + {PQ_DSUB}] AS csub
-        FROM e, ms WHERE e.vec_id % {PQ_CENT_MOD} = 0
+        FROM e, ms WHERE e.vec_id % {PQ_CENT_MOD} = 0 AND e.vec_id < {PQ_CENT_CAP}
     ),
     sub AS (
         SELECT e.vec_id, m,
@@ -276,8 +278,9 @@ _PQ_SUBD2 = (
 def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (the IVF-PQ compression half): embeddings
     are split into 8 subspaces of 8 dims; a deterministic codebook (every
-    53rd vector's subvectors — training-free, so both engines derive the
-    SAME codebook) quantizes each subvector to its nearest centroid; query
+    53rd vector's subvectors, capped at 256 centroids so the encode cost
+    stays linear in the corpus — training-free, so both engines derive
+    the SAME codebook) quantizes each subvector to its nearest centroid; query
     distance is the classic Asymmetric Distance Computation — a per-query
     lookup table of query-to-centroid subdistances, summed over the 8
     stored codes — followed by an exact L2 re-rank of the ADC top-k.
@@ -303,7 +306,7 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sub = ed.select("vec_id", "emb", m_col).select("vec_id", "m", sub_expr.alias("sub"))
     cent = (
-        ed.filter(F.col("vec_id") % PQ_CENT_MOD == 0)
+        ed.filter((F.col("vec_id") % PQ_CENT_MOD == 0) & (F.col("vec_id") < PQ_CENT_CAP))
         .select(F.col("vec_id").alias("cent_id"), m_col, "emb")
         .select("cent_id", "m", sub_expr.alias("csub"))
     )

@@ -18,7 +18,7 @@ Caveat recorded with the numbers: the prefix adds ~3 chars/word, so sf1
 is ~25% MORE bytes than a native 10x — the handicap makes the
 near-linear claim conservative.
 
-Run: python tools/scale_soak.py [--skip-build]
+Run: python tools/scale_soak.py [--skip-build] [--queries a,b,c]
 Writes .scratch/scale/sf1/ and prints one JSON line per (sf, query);
 summary table is appended to BASELINE.md by tools/record_soak.py or by
 hand from the JSON.
@@ -92,6 +92,10 @@ def build_sf1(spark) -> None:
 
 
 def main() -> None:
+    soak = SOAK_QUERIES
+    for i, a in enumerate(sys.argv):
+        if a == "--queries":
+            soak = sys.argv[i + 1].split(",")
     spark = get_spark("scale_soak")
     if "--skip-build" not in sys.argv:
         t0 = time.perf_counter()
@@ -107,7 +111,7 @@ def main() -> None:
         ("0.1", "/root/testdata/sf0.1"),
         ("1", SF1_DIR),
     ]:
-        for name in SOAK_QUERIES:
+        for name in soak:
             t0 = time.perf_counter()
             n = specs[name].fn(spark, sf_dir).count()
             dt = round(time.perf_counter() - t0, 2)
