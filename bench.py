@@ -41,6 +41,8 @@ BENCH_QUERIES = [
 SCALE_QUERIES = [
     "q_dedup_minhash_lsh",
     "q_training_data_prep",
+    "q_lm_bigram_score",
+    "q_knn_pq",
 ]
 
 
