@@ -954,3 +954,76 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_false_positives"),
         )
     )
+
+
+CURRICULUM_BUCKETS = 4
+
+
+@query(
+    "q_curriculum_buckets",
+    # oracle filled at import bottom: nests the q_lm_bigram_score oracle as
+    # a CTE so the difficulty signal is the exact same cross-checked score
+    oracle="""
+    WITH lm AS ({lm_oracle}),
+    assigned AS (
+        SELECT l.doc_id, l.nll_bits, l.ppl, d.n_chars,
+               NTILE({n_buckets}) OVER (ORDER BY l.nll_bits, l.doc_id) AS bucket
+        FROM lm l JOIN documents d ON l.doc_id = d.doc_id
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(ppl), 2) AS avg_ppl,
+           ROUND(MIN(nll_bits), 4) AS min_nll,
+           ROUND(MAX(nll_bits), 4) AS max_nll,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned
+    GROUP BY bucket
+    """,
+    tags=("llm", "curriculum", "composite"),
+)
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment: quartile-bucket the corpus by the bigram-LM
+    difficulty score (low-perplexity = easy/formulaic first, high =
+    hard/diverse last) and report each bucket's size and character mass —
+    the schedule table a curriculum-ordered training run consumes.
+    Composes q_lm_bigram_score unchanged; NTILE on the rounded score with
+    doc_id tie-break is deterministic across engines.
+
+    Scale: the global NTILE is the textbook scale trap — a total sort. At
+    100 TB the same buckets come from the two-pass form: exact quantile
+    boundaries of nll_bits per partition-sample (tiny), broadcast, then a
+    map-side bucket assignment; the operator keeps the declarative NTILE
+    because bucket COUNTS (what this emits) are identical either way.
+    """
+    from etl_pipeline_spark.queries.base import REGISTRY
+
+    lm = REGISTRY["q_lm_bigram_score"].fn(spark, sf_dir)
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    assigned = (
+        lm.join(d.select("doc_id", "n_chars"), "doc_id")
+        .withColumn(
+            "bucket",
+            F.ntile(CURRICULUM_BUCKETS).over(
+                W.orderBy(F.col("nll_bits"), F.col("doc_id"))
+            ),
+        )
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("ppl"), 2).alias("avg_ppl"),
+        F.round(F.min("nll_bits"), 4).alias("min_nll"),
+        F.round(F.max("nll_bits"), 4).alias("max_nll"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _fill_curriculum_oracle() -> None:
+    from etl_pipeline_spark.queries.base import REGISTRY as _R
+
+    spec = _R["q_curriculum_buckets"]
+    spec.oracle = spec.oracle.format(
+        lm_oracle=_R["q_lm_bigram_score"].oracle, n_buckets=CURRICULUM_BUCKETS
+    )
+
+
+_fill_curriculum_oracle()

@@ -378,3 +378,73 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     we = W.partitionBy("q_id").orderBy("exact_d2", "neighbor_id")
     return exact.withColumn("exact_rank", F.row_number().over(we))
+
+
+HARD_NEG_K = 3
+
+
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.q_id, q.q_label, e.vec_id AS neg_id, e.label AS neg_label,
+               ROUND(
+                 list_dot_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) /
+                 (SQRT(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[])) *
+                  SQRT(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                 4) AS cos_sim
+        FROM q, embeddings e
+        WHERE e.vec_id <> q.q_id AND e.label <> q.q_label
+    )
+    SELECT q_id, q_label, neg_id, neg_label, cos_sim, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY cos_sim DESC, neg_id ASC
+        ) AS rank
+        FROM scored
+    ) r
+    WHERE rank <= {HARD_NEG_K}
+    """,
+    tags=("similarity", "X3", "training-pairs", "hard-negatives"),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: for each
+    query vector, the top-k most cosine-similar vectors with a DIFFERENT
+    label — the near-miss examples contrastive training needs (easy
+    random negatives teach nothing; hard negatives carry the gradient).
+    The label-inequality predicate is the only difference from plain kNN,
+    which is exactly how a production miner runs: same index, inverted
+    filter.
+
+    Scale: identical to the brute-force kNN plan — query set broadcasts,
+    corpus scores map-side, top-k survives per partition before the
+    exchange; swap in the IVF/LSH/PQ index paths for large corpora, with
+    the label filter applied to candidates before the exact re-rank.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter((F.col("vec_id") != F.col("q_id")) & (F.col("label") != F.col("q_label")))
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(_cosine(F.col("q_emb"), F.col("embedding")), 4).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neg_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARD_NEG_K)
+        .select("q_id", "q_label", "neg_id", "neg_label", "cos_sim", "rank")
+    )
