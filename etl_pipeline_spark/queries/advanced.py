@@ -1218,3 +1218,79 @@ def q_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         tol("est_both", "exact_both", 0.06).alias("intersection_within_tol"),
         tol("est_only_a", "exact_only_1996", 0.06).alias("difference_within_tol"),
     )
+
+
+RFM_TILES = 4
+
+
+@query(
+    "q_rfm_segments",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_custkey,
+               MAX(o_orderdate)  AS last_order,
+               COUNT(*)          AS frequency,
+               ROUND(SUM(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    anchor AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    scored AS (
+        SELECT b.o_custkey,
+               DATE_DIFF('day', b.last_order, a.maxd) AS recency_days,
+               b.frequency, b.monetary,
+               NTILE({RFM_TILES}) OVER (ORDER BY DATE_DIFF('day', b.last_order, a.maxd), b.o_custkey) AS r_score,
+               NTILE({RFM_TILES}) OVER (ORDER BY b.frequency DESC, b.o_custkey) AS f_score,
+               NTILE({RFM_TILES}) OVER (ORDER BY b.monetary DESC, b.o_custkey) AS m_score
+        FROM base b CROSS JOIN anchor a
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(monetary), 2) AS avg_monetary,
+           ROUND(AVG(recency_days), 2) AS avg_recency_days
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+    tags=("agg", "window", "segmentation"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic recency/frequency/monetary customer
+    quartiling, as segment-level counts: each customer scored 1-4 on days
+    since last order, order count, and lifetime spend (quartile 1 = best),
+    then grouped into the 4x4x4 segment grid marketing/analytics reads.
+    NTILE ties broken by custkey so both engines build identical tiles;
+    monetary is rounded before tiling (exact-decimal sum order hazard).
+
+    Scale: one grouped aggregate over orders (shuffle on custkey), a
+    1-row anchor broadcast, three global NTILEs — the scale trap here is
+    the global sort per NTILE; the cluster form computes quartile
+    boundaries from the grouped table (tiny relative to orders) or uses
+    the two-pass boundary broadcast, and the segment grid is invariant.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("maxd"))
+    scored = (
+        base.crossJoin(F.broadcast(anchor))
+        .withColumn("recency_days", F.datediff("maxd", "last_order"))
+        .withColumn(
+            "r_score",
+            F.ntile(RFM_TILES).over(W.orderBy(F.col("recency_days"), F.col("o_custkey"))),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(RFM_TILES).over(W.orderBy(F.col("frequency").desc(), F.col("o_custkey"))),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(RFM_TILES).over(W.orderBy(F.col("monetary").desc(), F.col("o_custkey"))),
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+        F.round(F.avg("recency_days"), 2).alias("avg_recency_days"),
+    )

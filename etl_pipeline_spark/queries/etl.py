@@ -261,3 +261,71 @@ def q_dq_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 1.8).alias("is_outlier"),
         )
     )
+
+
+MAD_SCALE = 0.6745  # Phi^-1(0.75): makes MAD comparable to sigma for normal data
+MAD_CUTOFF = 3.5  # Iglewicz-Hoaglin modified-z outlier threshold
+
+
+@query(
+    "q_dq_outlier_mad",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, MEDIAN(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type, MEDIAN(ABS(e.value - m.med)) AS mad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           ROUND(ANY_VALUE(m.med), 4) AS med,
+           ROUND(ANY_VALUE(a.mad), 4) AS mad,
+           CAST(SUM(CASE WHEN ABS({MAD_SCALE} * (e.value - m.med) / a.mad) > {MAD_CUTOFF}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(SUM(CASE WHEN ABS({MAD_SCALE} * (e.value - m.med) / a.mad) > {MAD_CUTOFF}
+                          THEN 1.0 ELSE 0.0 END) / COUNT(*), 4) AS outlier_share
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad a ON e.event_type = a.event_type
+    GROUP BY e.event_type
+    """,
+    tags=("etl", "dq", "anomaly", "robust"),
+)
+def q_dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation: per
+    event_type, the Iglewicz-Hoaglin modified z-score
+    0.6745*(x - median)/MAD with the standard 3.5 cutoff — the DQ check
+    that survives the heavy-tailed metrics where mean/stddev z-scores
+    (q_dq_outlier_zscore) are dragged by the very outliers they hunt.
+    Exact medians (both engines interpolate identically), not approximate.
+
+    Scale: two grouped exact medians + one scoring pass, all keyed on the
+    low-cardinality event_type; the med/mad tables broadcast. At extreme
+    group sizes exact median becomes approx_percentile with a documented
+    error budget, or the two-pass exact selection (count, then narrow
+    range scan) — the report schema is unchanged.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    rz = F.lit(MAD_SCALE) * (F.col("value") - F.col("med")) / F.col("mad")
+    is_out = F.abs(rz) > MAD_CUTOFF
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.any_value("med"), 4).alias("med"),
+            F.round(F.any_value("mad"), 4).alias("mad"),
+            F.sum(is_out.cast("long")).alias("n_outliers"),
+            F.round(F.sum(is_out.cast("double")) / F.count("*"), 4).alias("outlier_share"),
+        )
+    )
