@@ -190,3 +190,32 @@ def test_full_outer_reconcile_preaggregates_ledger(spark):
     # two aggregation levels: per-orderkey ledger rollup (below the join)
     # plus the final per-status fold — raw lineitem never reaches the join
     assert plan.count("HashAggregate") >= 4, plan[:800]  # partial+final x2
+
+
+def test_tfidf_topk_partial_window_limit(spark):
+    df = contract.queries()["q_tfidf_top_terms"](spark, SF)
+    assert plans.executed(df).count("WindowGroupLimit") >= 2
+
+
+def test_bloom_bit_table_broadcasts(spark):
+    df = contract.queries()["q_bloom_decontaminate"](spark, SF)
+    plans.assert_broadcast_join(df)
+
+
+def test_hard_negatives_query_side_broadcasts(spark):
+    df = contract.queries()["q_hard_negatives"](spark, SF)
+    plans.assert_broadcast_join(df)
+
+
+def test_mad_group_stats_broadcast(spark):
+    df = contract.queries()["q_dq_outlier_mad"](spark, SF)
+    plans.assert_broadcast_join(df)
+
+
+def test_pq_corpus_side_has_no_extra_shuffle(spark):
+    """The ADC scoring pass must join broadcast lookup tables — the only
+    exchanges allowed in the whole PQ plan are the per-(vec,subspace)
+    argmin, the codes aggregate, and the top-k/rerank windows."""
+    df = contract.queries()["q_knn_pq"](spark, SF)
+    plan = plans.executed(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
