@@ -55,12 +55,26 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-4 prefix: 12 changed queries (multimodal real-decode rewrite,
-# theta half-open bounds, lazy-checkpoint dedup/LSH builders, IVF probe
-# guard, + the four r3 money-hardened queries that spilled past r3's
-# window), then r1-attested backfill.
+# Round-4 prefix (final rotation): the 13 operators added in the second
+# r4 session plus the 12 changed earlier in r4 (multimodal real-decode
+# rewrite, theta half-open bounds, lazy-checkpoint builders, IVF probe
+# guard, r3 money-hardened spills) — all must be driver-attested on
+# current code — then the never-attested pair and r1-era backfill.
 CHECK_PRIORITY: tuple[str, ...] = (
-    "q_multimodal_features",  # --- code changed this round: attest first ---
+    "q_knn_pq",  # --- code changed this round: attest first ---
+    "q_dedup_containment",
+    "q_lm_bigram_score",
+    "q_weighted_sample",
+    "q_bloom_decontaminate",
+    "q_tfidf_top_terms",
+    "q_tfidf_nearest_docs",
+    "q_length_band_filter",
+    "q_leakage_safe_split",
+    "q_hard_negatives",
+    "q_curriculum_buckets",
+    "q_dq_outlier_mad",
+    "q_rfm_segments",
+    "q_multimodal_features",
     "q_multimodal_frame_sample",
     "q_theta_set_ops",
     "q_dedup_ngram_jaccard",
@@ -97,7 +111,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_dedup_minhash_signatures",
     "q_dedup_minhash_pairs",
     "q_etl_clean_cast_filter",
-    "q_etl_audit_row",
+    "q_etl_audit_row",  # ---------------- first-50 window ends above ----------------
     "q_etl_dirty_input_quarantine",
     "q_dq_outlier_zscore",
     "q_multimodal_binary_meta",
@@ -110,7 +124,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_session_windows_batch",
     "q_approx_aggregates",
     "q_etl_quarantine_conservation",
-    "q_text_stats_by_lang",  # ---------------- first-50 window ends above ----------------
+    "q_text_stats_by_lang",
     "q_text_token_counts",
     "q_text_lang_id",
     "q_text_quality_score",
