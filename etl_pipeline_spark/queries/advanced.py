@@ -1294,3 +1294,94 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("monetary"), 2).alias("avg_monetary"),
         F.round(F.avg("recency_days"), 2).alias("avg_recency_days"),
     )
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey,
+           l.o_orderkey,
+           ROUND(l.o_totalprice, 2) AS totalprice,
+           CAST(l.o_orderdate AS DATE) AS orderdate
+    FROM {customer} c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM {orders} o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) l
+    WHERE c.c_acctbal > 9000
+"""
+
+
+@query(
+    "q_lateral_top_orders",
+    oracle=_LATERAL_SQL.format(customer="customer", orders="orders"),
+    tags=("sql-surface", "lateral", "topk"),
+)
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:2016 lateral derived table): each
+    high-balance customer's two most expensive orders, expressed as a
+    per-row dependent subquery with ORDER BY ... LIMIT — the form BI tools
+    and migrated warehouse SQL emit. Catalyst decorrelates it into the
+    same join+window plan the DataFrame top-k uses, so supporting the
+    SYNTAX costs nothing at scale; deterministic via the orderkey
+    tie-break.
+
+    Scale: decorrelation rewrites the per-customer LIMIT into a
+    partitioned rank filter — one shuffle on custkey, no per-row
+    re-execution. Same plan family as q_window_rank_orders.
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    t["customer"].createOrReplaceTempView("v_lat_customer")
+    t["orders"].createOrReplaceTempView("v_lat_orders")
+    return spark.sql(_LATERAL_SQL.format(customer="v_lat_customer", orders="v_lat_orders"))
+
+
+_SPINE_SQL = """
+    WITH RECURSIVE spine(month_start, hi) AS (
+        SELECT CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS DATE),
+               CAST(DATE_TRUNC('month', MAX(o_orderdate)) AS DATE)
+        FROM {orders}
+        UNION ALL
+        SELECT CAST(month_start + INTERVAL '1' MONTH AS DATE), hi
+        FROM spine WHERE month_start < hi
+    ),
+    monthly AS (
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM {orders}
+        GROUP BY CAST(DATE_TRUNC('month', o_orderdate) AS DATE)
+    )
+    SELECT s.month_start,
+           COALESCE(m.n_orders, 0) AS n_orders,
+           COALESCE(m.revenue, 0.0) AS revenue
+    FROM spine s LEFT JOIN monthly m ON s.month_start = m.month_start
+"""
+
+
+@query(
+    "q_recursive_month_spine",
+    oracle=_SPINE_SQL.format(orders="orders"),
+    tags=("sql-surface", "recursive-cte", "gapfill"),
+)
+def q_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark 4.x): generate the complete
+    month spine between the first and last order date, then left-join the
+    monthly order aggregate — the calendar-dimension/gap-filling pattern
+    that keeps zero-activity months in the report (the sequence()-based
+    twin is q_timeseries_gapfill; this one exercises the recursive SQL
+    surface warehouse migrations expect). Acyclic recursion, so Spark's
+    UNION ALL-only recursive CTE restriction is satisfied; both engines
+    iterate to the identical spine.
+
+    Scale: the recursion produces one row per month (tiny, driver-side
+    growth only in iteration count, bounded by the date range); the heavy
+    side is the one grouped aggregate over orders. The spine broadcasts
+    into the join at any corpus size.
+    """
+    t = load_tables(spark, sf_dir, ("orders",))
+    t["orders"].createOrReplaceTempView("v_spine_orders")
+    return spark.sql(_SPINE_SQL.format(orders="v_spine_orders")).select(
+        "month_start", "n_orders", "revenue"
+    )
