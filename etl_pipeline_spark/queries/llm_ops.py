@@ -1027,3 +1027,109 @@ def _fill_curriculum_oracle() -> None:
 
 
 _fill_curriculum_oracle()
+
+
+SPAN_LEN = 3  # masked-span length in tokens (T5 mean-span-3 shape)
+
+
+@query(
+    "q_span_corruption_plan",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, i AS p, LEN(toks) AS n_tokens
+        FROM toks, UNNEST(GENERATE_SERIES(1, LEN(toks))) AS g(i)
+    ),
+    marked AS (
+        SELECT doc_id, p, n_tokens,
+               (INSTR('0123456789abcdef',
+                      SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)), 1, 1)) - 1
+               ) = 0 AS is_start,
+               (INSTR('0123456789abcdef',
+                      SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':' || CAST(p - 1 AS VARCHAR)), 1, 1)) - 1
+               ) = 0 AND p - 1 >= 1 AS prev1,
+               (INSTR('0123456789abcdef',
+                      SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':' || CAST(p - 2 AS VARCHAR)), 1, 1)) - 1
+               ) = 0 AND p - 2 >= 1 AS prev2
+        FROM pos
+    ),
+    flags AS (
+        SELECT doc_id, p, n_tokens,
+               is_start,
+               (is_start OR prev1 OR prev2) AS masked,
+               -- run start: masked here, not masked at p-1 (a span "sentinel")
+               (is_start OR prev1 OR prev2) AND NOT (
+                   prev1 OR prev2 OR (
+                       (INSTR('0123456789abcdef',
+                              SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':' || CAST(p - 3 AS VARCHAR)), 1, 1)) - 1
+                       ) = 0 AND p - 3 >= 1
+                   )
+               ) AS run_start
+        FROM marked
+    )
+    SELECT doc_id,
+           ANY_VALUE(n_tokens) AS n_tokens,
+           CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           CAST(SUM(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT) AS n_sentinels,
+           ROUND(SUM(CASE WHEN masked THEN 1.0 ELSE 0.0 END) / ANY_VALUE(n_tokens), 4)
+               AS mask_ratio
+    FROM flags
+    GROUP BY doc_id
+    """,
+    tags=("llm", "objective", "span-corruption"),
+)
+def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption mask planning (the T5/BART denoising objective's
+    data half): every token position draws a deterministic md5 coin
+    (1/16) to START a 3-token masked span; overlapping spans merge. The
+    report gives each document's masked-token count, sentinel count
+    (number of contiguous masked runs — one sentinel token each in the
+    corrupted encoding), and realized mask ratio (E[~17%] before merges).
+    The mask decision at position p depends ONLY on (doc_id, p), so the
+    whole schedule is a stateless per-row map both engines reproduce
+    bit-identically — no sequential scan, no RNG state.
+
+    Scale: posexplode then one doc-keyed aggregate — the same two-stage
+    shape as token counting; the mask logic adds four md5 calls per
+    token, all inside whole-stage codegen. Run detection needs NO window
+    function because masked(p) is recomputable for p-1..p-3 inline.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    pos = (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.size("toks").alias("n_tokens"), F.posexplode("toks"))
+        .select("doc_id", "n_tokens", (F.col("pos") + 1).alias("p"))
+    )
+
+    def start_at(p_col):
+        nib = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), p_col.cast("string"))),
+                1, 1,
+            ),
+            16, 10,
+        ).cast("int")
+        return (nib == 0) & (p_col >= 1)
+
+    is_start = start_at(F.col("p"))
+    prev1 = start_at(F.col("p") - 1)
+    prev2 = start_at(F.col("p") - 2)
+    prev3 = start_at(F.col("p") - 3)
+    masked = is_start | prev1 | prev2
+    run_start = masked & ~(prev1 | prev2 | prev3)
+    return (
+        pos.select("doc_id", "n_tokens", masked.alias("masked"), run_start.alias("run_start"))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("n_tokens").alias("n_tokens"),
+            F.sum(F.col("masked").cast("long")).alias("n_masked"),
+            F.sum(F.col("run_start").cast("long")).alias("n_sentinels"),
+            F.round(
+                F.sum(F.col("masked").cast("double")) / F.any_value("n_tokens"), 4
+            ).alias("mask_ratio"),
+        )
+    )
