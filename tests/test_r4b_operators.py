@@ -154,3 +154,52 @@ def test_tfidf_nearest_docs_stay_within_source_block(spark):
         assert -1.0 - 1e-9 <= r.cos_sim <= 1.0 + 1e-9
         assert 1 <= r.rank <= 3
         assert r.q_doc % 20 == 0 and r.q_doc != r.nn_doc
+
+
+# --- SQL surfaces (LATERAL, recursive CTE) --------------------------------
+
+
+def test_lateral_decorrelates_to_window_topk(spark):
+    df = _q("q_lateral_top_orders")(spark, SF)
+    plan = plans.executed(df)
+    assert "WindowGroupLimit" in plan and "NestedLoop" not in plan
+    rows = df.collect()
+    per_cust: dict[int, int] = {}
+    for r in rows:
+        per_cust[r.c_custkey] = per_cust.get(r.c_custkey, 0) + 1
+    assert per_cust and all(v <= 2 for v in per_cust.values())
+
+
+def test_recursive_spine_is_contiguous(spark):
+    rows = sorted(_q("q_recursive_month_spine")(spark, SF).collect(),
+                  key=lambda r: r.month_start)
+    assert rows
+    for a, b in zip(rows, rows[1:]):
+        # consecutive first-of-month dates, no gaps
+        assert (b.month_start.year - a.month_start.year) * 12 + (
+            b.month_start.month - a.month_start.month
+        ) == 1
+        assert a.month_start.day == 1
+    assert all(r.n_orders >= 0 for r in rows)
+
+
+# --- span corruption ------------------------------------------------------
+
+
+def test_span_corruption_invariants(spark):
+    rows = _q("q_span_corruption_plan")(spark, SF).collect()
+    assert rows
+    total_masked = sum(r.n_masked for r in rows)
+    total_tokens = sum(r.n_tokens for r in rows)
+    for r in rows:
+        # every contiguous run holds >=1 masked token; chained overlapping
+        # starts can merge runs beyond the base span length, so the only
+        # hard upper bound is the token count itself
+        if r.n_masked > 0:
+            assert 1 <= r.n_sentinels <= r.n_masked
+        else:
+            assert r.n_sentinels == 0
+        assert r.n_masked <= r.n_tokens
+        assert 0 <= r.mask_ratio <= 1
+    # corpus-level realized ratio near the 1/16-start * ~3-len expectation
+    assert 0.05 < total_masked / total_tokens < 0.35
