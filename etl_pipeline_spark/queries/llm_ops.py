@@ -1133,3 +1133,56 @@ def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mask_ratio"),
         )
     )
+
+
+MIX_ALPHA = 0.5  # temperature exponent for mixture rebalancing (mT5-style)
+TOKEN_BUDGET = 1_000_000  # global training-token budget to allocate
+
+
+@query(
+    "q_token_budget_allocation",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source,
+               CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> ''))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    z AS (SELECT SUM(POW(CAST(n_tokens AS DOUBLE), {MIX_ALPHA})) AS z FROM counts)
+    SELECT c.source, c.n_tokens,
+           ROUND(POW(CAST(c.n_tokens AS DOUBLE), {MIX_ALPHA}) / z.z, 6) AS mix_weight,
+           CAST(TRUNC(POW(CAST(c.n_tokens AS DOUBLE), {MIX_ALPHA}) / z.z * {TOKEN_BUDGET})
+                AS BIGINT) AS allocated_tokens,
+           ROUND(POW(CAST(c.n_tokens AS DOUBLE), {MIX_ALPHA}) / z.z * {TOKEN_BUDGET}
+                 / c.n_tokens, 4) AS epochs_implied
+    FROM counts c CROSS JOIN z
+    """,
+    tags=("llm", "mixing", "temperature"),
+)
+def q_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture allocation (the mT5/XLM-R rule): each
+    source's share of the global token budget is proportional to
+    n_tokens^alpha with alpha=0.5 — upweighting small sources relative to
+    their natural share without letting any source dominate. Emits the
+    normalized weight, the allocated token budget, and the implied epoch
+    count over each source (allocated/natural — >1 means the source
+    repeats). Complements q_mix_weights (uniform-target form) with the
+    standard temperature form.
+
+    Scale: one aggregate over the corpus keyed on source (map-side
+    combinable token sums), a 1-row normalizer broadcast — nothing else.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    counts = d.groupBy("source").agg(F.sum(F.size(toks)).alias("n_tokens"))
+    z = counts.agg(
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA))).alias("z")
+    )
+    w = F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA)) / F.col("z")
+    return counts.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.round(w, 6).alias("mix_weight"),
+        F.floor(w * TOKEN_BUDGET).cast("long").alias("allocated_tokens"),
+        F.round(w * TOKEN_BUDGET / F.col("n_tokens"), 4).alias("epochs_implied"),
+    )

@@ -448,3 +448,74 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= HARD_NEG_K)
         .select("q_id", "q_label", "neg_id", "neg_label", "cos_sim", "rank")
     )
+
+
+@query(
+    "q_embedding_centroid_health",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id, label, i AS dim, embedding[i]::DOUBLE AS x
+        FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i)
+    ),
+    cent AS (
+        SELECT label, dim, AVG(x) AS c
+        FROM dims GROUP BY label, dim
+    ),
+    dist AS (
+        SELECT d.vec_id, d.label,
+               SQRT(SUM((d.x - c.c) * (d.x - c.c))) AS dist_to_centroid
+        FROM dims d JOIN cent c ON d.label = c.label AND d.dim = c.dim
+        GROUP BY d.vec_id, d.label
+    ),
+    cnorm AS (
+        SELECT label, SQRT(SUM(c * c)) AS centroid_norm FROM cent GROUP BY label
+    )
+    SELECT d.label,
+           COUNT(*) AS n_vecs,
+           ROUND(ANY_VALUE(cn.centroid_norm), 4) AS centroid_norm,
+           ROUND(AVG(d.dist_to_centroid), 4) AS avg_dist,
+           ROUND(MAX(d.dist_to_centroid), 4) AS max_dist
+    FROM dist d JOIN cnorm cn ON d.label = cn.label
+    GROUP BY d.label
+    """,
+    tags=("similarity", "X3", "embedding-qa"),
+)
+def q_embedding_centroid_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health check: per-label centroid norm and the
+    dispersion of members around it (mean/max L2 distance) — the drift
+    monitor an embedding pipeline runs after each encoder change or
+    re-index: collapsing clusters (avg_dist -> 0), exploding ones, or a
+    centroid wandering toward the origin all show up here before ANN
+    recall degrades.
+
+    Scale: two shuffles on bounded keys — (label, dim) for the centroid
+    (cardinality = labels x 64, tiny) and (vec_id) for the per-vector
+    distance fold; the centroid table broadcasts back. The explode is
+    64 rows per vector but never leaves the map stage before its
+    aggregate; the array-fold alternative (zip_with against a broadcast
+    centroid array) halves shuffle bytes at cluster scale and is the
+    documented upgrade path.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    dims = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))),
+    ).select("vec_id", "label", (F.col("pos") + 1).alias("dim"), F.col("col").alias("x"))
+    cent = dims.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    dist = (
+        dims.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))).alias("dist_to_centroid"))
+    )
+    cnorm = cent.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("centroid_norm"))
+    return (
+        dist.join(F.broadcast(cnorm), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.any_value("centroid_norm"), 4).alias("centroid_norm"),
+            F.round(F.avg("dist_to_centroid"), 4).alias("avg_dist"),
+            F.round(F.max("dist_to_centroid"), 4).alias("max_dist"),
+        )
+    )
