@@ -1186,3 +1186,86 @@ def q_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(w * TOKEN_BUDGET).cast("long").alias("allocated_tokens"),
         F.round(w * TOKEN_BUDGET / F.col("n_tokens"), 4).alias("epochs_implied"),
     )
+
+
+FUNNEL_MIN_TOKENS = 20
+FUNNEL_MAX_TOKENS = 85
+FUNNEL_MAX_REPETITION = 0.55
+
+
+@query(
+    "q_filter_funnel",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang, text,
+               LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS n_tok,
+               1.0 - CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                     / GREATEST(LEN(STRING_SPLIT(text, ' ')), 1) AS rep,
+               MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    keeper AS (
+        SELECT doc_id, lang, n_tok, rep,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM feat
+    ),
+    gates AS (
+        SELECT lang,
+               (n_tok BETWEEN {FUNNEL_MIN_TOKENS} AND {FUNNEL_MAX_TOKENS}) AS g_len,
+               (n_tok BETWEEN {FUNNEL_MIN_TOKENS} AND {FUNNEL_MAX_TOKENS})
+                   AND rep <= {FUNNEL_MAX_REPETITION} AS g_rep,
+               (n_tok BETWEEN {FUNNEL_MIN_TOKENS} AND {FUNNEL_MAX_TOKENS})
+                   AND rep <= {FUNNEL_MAX_REPETITION} AND rn = 1 AS g_dedup
+        FROM keeper
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN g_len THEN 1 ELSE 0 END) AS BIGINT)   AS after_length,
+           CAST(SUM(CASE WHEN g_rep THEN 1 ELSE 0 END) AS BIGINT)   AS after_repetition,
+           CAST(SUM(CASE WHEN g_dedup THEN 1 ELSE 0 END) AS BIGINT) AS after_dedup,
+           ROUND(SUM(CASE WHEN g_dedup THEN 1.0 ELSE 0.0 END) / COUNT(*), 4) AS retention
+    FROM gates
+    GROUP BY lang
+    """,
+    tags=("llm", "quality", "funnel", "composite"),
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel attrition report — the accounting artifact every
+    corpus build publishes: how many documents survive each successive
+    gate (token-length band -> repetition cap -> exact-dup keeper), per
+    language, with end-to-end retention. Sequential semantics (a doc must
+    pass ALL earlier gates to count at a later one) so the columns read
+    as a monotone funnel; thresholds sit at corpus-calibrated points so
+    every stage shows real attrition on the fixtures.
+
+    Scale: one pass computes all gate predicates per row (pure Column
+    exprs), the dedup-keeper rank is the only shuffle (md5 fingerprint,
+    uniform), and the per-lang rollup is bounded. This is the cheap
+    always-on funnel; the expensive signals (LM perplexity, near-dup
+    clusters) bolt on as further AND terms with their own documented
+    plans.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks_all = F.split("text", " ")
+    n_tok = F.size(F.filter(toks_all, lambda t: t != ""))
+    rep = F.lit(1.0) - F.size(F.array_distinct(toks_all)).cast("double") / F.greatest(
+        F.size(toks_all), F.lit(1)
+    )
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    keeper = d.select(
+        "doc_id", "lang", n_tok.alias("n_tok"), rep.alias("rep"), fp.alias("fp")
+    ).withColumn("rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id")))
+    g_len = F.col("n_tok").between(FUNNEL_MIN_TOKENS, FUNNEL_MAX_TOKENS)
+    g_rep = g_len & (F.col("rep") <= FUNNEL_MAX_REPETITION)
+    g_dedup = g_rep & (F.col("rn") == 1)
+    return (
+        keeper.select("lang", g_len.alias("g_len"), g_rep.alias("g_rep"), g_dedup.alias("g_dedup"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("g_len").cast("long")).alias("after_length"),
+            F.sum(F.col("g_rep").cast("long")).alias("after_repetition"),
+            F.sum(F.col("g_dedup").cast("long")).alias("after_dedup"),
+            F.round(F.sum(F.col("g_dedup").cast("double")) / F.count("*"), 4).alias("retention"),
+        )
+    )
