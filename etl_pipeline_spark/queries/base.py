@@ -86,6 +86,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_join_range_value_buckets",
     "q_grouping_sets_revenue",
     "q_window_sliding_events",
+    "q_lateral_top_orders",
+    "q_recursive_month_spine",
+    "q_span_corruption_plan",
+    "q_token_budget_allocation",
+    "q_embedding_centroid_health",
+    "q_filter_funnel",
     "q_dedup_chunk_rewrite",  # --- never driver-attested ---
     "q_dedup_repeated_spans",
     "q_asof_last_signup",  # --- backfill: oldest attestation first ---
@@ -105,13 +111,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_window_distribution_ranks",
     "q_scalar_dates_extended",
     "q_dedup_exact",
-    "q_dedup_simhash",
+    "q_dedup_simhash",  # ---------------- first-50 window ends above ----------------
     "q_dedup_simhash_pairs",
     "q_dedup_clusters",
     "q_dedup_minhash_signatures",
     "q_dedup_minhash_pairs",
     "q_etl_clean_cast_filter",
-    "q_etl_audit_row",  # ---------------- first-50 window ends above ----------------
+    "q_etl_audit_row",
     "q_etl_dirty_input_quarantine",
     "q_dq_outlier_zscore",
     "q_multimodal_binary_meta",
