@@ -15,6 +15,7 @@ stringified first, like a CSV would deliver them.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from etl_pipeline_spark.catalog import load_tables
@@ -327,5 +328,138 @@ def q_dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.any_value("mad"), 4).alias("mad"),
             F.sum(is_out.cast("long")).alias("n_outliers"),
             F.round(F.sum(is_out.cast("double")) / F.count("*"), 4).alias("outlier_share"),
+        )
+    )
+
+
+KS_CUTOFF = "2024-01-16 00:00:00"  # events fixture spans Jan 2024 at every SF
+KS_CRIT = 1.36  # ~95% two-sample Kolmogorov-Smirnov critical coefficient
+
+
+@query(
+    "q_dq_ks_drift",
+    oracle=f"""
+    WITH sided AS (
+        SELECT event_type, value,
+               CASE WHEN ts < TIMESTAMP '{KS_CUTOFF}' THEN 1 ELSE 0 END AS in_a
+        FROM events
+    ),
+    grouped AS (
+        SELECT event_type, value,
+               SUM(in_a) AS a_cnt, SUM(1 - in_a) AS b_cnt
+        FROM sided GROUP BY event_type, value
+    ),
+    cum AS (
+        SELECT event_type, value,
+               SUM(a_cnt) OVER (PARTITION BY event_type ORDER BY value) AS ca,
+               SUM(b_cnt) OVER (PARTITION BY event_type ORDER BY value) AS cb,
+               SUM(a_cnt) OVER (PARTITION BY event_type) AS na,
+               SUM(b_cnt) OVER (PARTITION BY event_type) AS nb
+        FROM grouped
+    )
+    SELECT event_type,
+           CAST(ANY_VALUE(na) AS BIGINT) AS n_first_half,
+           CAST(ANY_VALUE(nb) AS BIGINT) AS n_second_half,
+           ROUND(MAX(ABS(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)), 4) AS ks_stat,
+           MAX(ABS(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)) >
+               {KS_CRIT} * SQRT(CAST(ANY_VALUE(na) + ANY_VALUE(nb) AS DOUBLE)
+                                / (ANY_VALUE(na) * ANY_VALUE(nb))) AS drifted
+    FROM cum
+    GROUP BY event_type
+    """,
+    tags=("etl", "dq", "drift", "statistics"),
+)
+def q_dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per event_type: the max
+    ECDF gap between the month's first and second half of `value`, with
+    the 95% critical-band verdict — the distribution-shift monitor a
+    pipeline runs between ingestion windows before models retrain on the
+    new slice. Exact ECDFs from integer cumulative counts (no sampling,
+    no binning), so both engines agree to the last ulp before rounding.
+
+    Scale: one grouped count keyed on (event_type, value) with map-side
+    combine, then a cumulative window per event_type — the sort is
+    per-type, bounded by distinct values, not events. For continuous
+    high-cardinality values the binned/quantile-sketch KS variant caps
+    the distinct count; the verdict column is unchanged.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    in_a = (F.col("ts") < F.lit(KS_CUTOFF).cast("timestamp")).cast("long")
+    grouped = (
+        e.select("event_type", "value", in_a.alias("in_a"))
+        .groupBy("event_type", "value")
+        .agg(F.sum("in_a").alias("a_cnt"), F.sum(1 - F.col("in_a")).alias("b_cnt"))
+    )
+    wcum = W.partitionBy("event_type").orderBy("value")
+    wall = W.partitionBy("event_type")
+    cum = grouped.select(
+        "event_type",
+        F.sum("a_cnt").over(wcum).alias("ca"),
+        F.sum("b_cnt").over(wcum).alias("cb"),
+        F.sum("a_cnt").over(wall).alias("na"),
+        F.sum("b_cnt").over(wall).alias("nb"),
+    )
+    d = F.abs(F.col("ca").cast("double") / F.col("na") - F.col("cb").cast("double") / F.col("nb"))
+    crit = F.lit(KS_CRIT) * F.sqrt(
+        (F.any_value("na") + F.any_value("nb")).cast("double")
+        / (F.any_value("na") * F.any_value("nb"))
+    )
+    return cum.groupBy("event_type").agg(
+        F.any_value("na").alias("n_first_half"),
+        F.any_value("nb").alias("n_second_half"),
+        F.round(F.max(d), 4).alias("ks_stat"),
+        (F.max(d) > crit).alias("drifted"),
+    )
+
+
+@query(
+    "q_dq_benford_check",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS d
+        FROM orders WHERE o_totalprice > 0
+    ),
+    n AS (SELECT COUNT(*) AS n FROM digits)
+    SELECT d.d AS digit,
+           COUNT(*) AS n_obs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(n.n), 4) AS obs_freq,
+           ROUND(LOG10(1.0 + 1.0 / d.d), 4) AS benford_freq,
+           ROUND(POW(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(n.n) - LOG10(1.0 + 1.0 / d.d), 2)
+                 / LOG10(1.0 + 1.0 / d.d) * ANY_VALUE(n.n), 4) AS chi2_term
+    FROM digits d CROSS JOIN n
+    GROUP BY d.d
+    """,
+    tags=("etl", "dq", "forensic", "benford"),
+)
+def q_dq_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the forensic DQ
+    check for fabricated or truncated monetary data: observed frequency of
+    each leading significant digit vs log10(1+1/d), with per-digit
+    chi-square contributions (synthetic uniform prices WILL flag — that is
+    the point of running it on a fixture). The leading digit comes from
+    the integer cents string, not floating log10, so there is no
+    power-of-ten boundary ulp hazard between engines.
+
+    Scale: a per-row map to a 9-value key and one tiny aggregate —
+    map-side combine makes the shuffle 9 rows per task.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    digits = o.filter(F.col("o_totalprice") > 0).select(digit.alias("digit"))
+    n = digits.agg(F.count("*").alias("n"))
+    obs = F.col("n_obs").cast("double") / F.col("n")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        digits.groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(obs, 4).alias("obs_freq"),
+            F.round(benford, 4).alias("benford_freq"),
+            F.round(F.pow(obs - benford, F.lit(2)) / benford * F.col("n"), 4).alias("chi2_term"),
         )
     )
