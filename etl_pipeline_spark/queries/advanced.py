@@ -1385,3 +1385,61 @@ def q_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SPINE_SQL.format(orders="v_spine_orders")).select(
         "month_start", "n_orders", "revenue"
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type
+        FROM ordered WHERE next_type IS NOT NULL
+    ),
+    totals AS (
+        SELECT from_type, COUNT(*) AS n_from FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type,
+           COUNT(*) AS n_transitions,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(t.n_from), 4) AS prob
+    FROM pairs p JOIN totals t ON p.from_type = t.from_type
+    GROUP BY p.from_type, p.to_type
+    """,
+    tags=("window", "behavioral", "markov"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    consecutive event pair within a user's timeline (LEAD over ts with
+    event_id tie-break), the transition count and conditional probability
+    P(next | current) — the clickstream model behind next-action
+    prediction features and funnel-anomaly alerts.
+
+    Scale: one shuffle on user_id for the LEAD window (per-user
+    partitions, bounded), then a bounded aggregate on the (from, to) type
+    grid; the per-from totals broadcast back. Nothing scales with more
+    than the event count.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.count("*").alias("n_from"))
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+        .join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(F.col("n_transitions").cast("double") / F.col("n_from"), 4).alias("prob"),
+        )
+    )

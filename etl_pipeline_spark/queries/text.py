@@ -494,3 +494,64 @@ def q_tfidf_nearest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TFIDF_NN_K)
         .select("q_doc", "nn_doc", "n_shared_terms", "cos_sim", "rank")
     )
+
+
+@query(
+    "q_text_zipf_fit",
+    oracle="""
+    WITH tf AS (
+        SELECT term, COUNT(*) AS freq
+        FROM (
+            SELECT UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS term
+            FROM documents
+        ) t
+        GROUP BY term
+    ),
+    ranked AS (
+        SELECT term, freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank
+        FROM tf
+    )
+    SELECT COUNT(*) AS vocab_size,
+           CAST(SUM(freq) AS BIGINT) AS total_tokens,
+           ROUND(-REGR_SLOPE(LN(CAST(freq AS DOUBLE)), LN(CAST(rank AS DOUBLE))), 4)
+               AS zipf_alpha,
+           ROUND(REGR_R2(LN(CAST(freq AS DOUBLE)), LN(CAST(rank AS DOUBLE))), 4)
+               AS fit_r2,
+           CAST(MAX(CASE WHEN rank = 1 THEN freq END) AS BIGINT) AS top_term_freq
+    FROM ranked
+    """,
+    tags=("text", "X4", "corpus-health", "zipf"),
+)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit — the corpus-health fingerprint: regress
+    ln(frequency) on ln(rank) over the whole vocabulary and report the
+    slope magnitude (natural language sits near alpha≈1; synthetic or
+    template-heavy corpora flatten, boilerplate-dominated ones steepen)
+    plus the fit R². A pre-training build tracks this per snapshot to
+    catch vocabulary collapse after aggressive filtering. Deterministic
+    ranking via the (freq DESC, term) tie-break.
+
+    Scale: one term-count shuffle (vocabulary-keyed, map-side combined),
+    a vocabulary-sized global rank (tiny relative to the corpus), and a
+    single regression aggregate. The corpus itself is touched once.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    tf = (
+        d.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = tf.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("freq"), F.asc("term")))
+    )
+    lnf = F.log(F.col("freq").cast("double"))
+    lnr = F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.count("*").alias("vocab_size"),
+        F.sum("freq").alias("total_tokens"),
+        F.round(-F.regr_slope(lnf, lnr), 4).alias("zipf_alpha"),
+        F.round(F.regr_r2(lnf, lnr), 4).alias("fit_r2"),
+        F.max(F.when(F.col("rank") == 1, F.col("freq"))).alias("top_term_freq"),
+    )
