@@ -431,3 +431,148 @@ def scd2_intervals(
         .withColumn("valid_to", nxt)
         .withColumn("is_current", nxt.isNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: weighted sampling, screening, containment, LM scoring
+# ---------------------------------------------------------------------------
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (priority
+    sampling): top-k rows by weight/u with u drawn reproducibly from
+    md5(id). Same sample on every engine, run, and partitioning. With
+    ``stratum_col``, k rows are kept per stratum (partial top-k runs
+    below the shuffle via WindowGroupLimit)."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    keyed = df.withColumn("__priority", F.col(weight_col).cast("double") / u)
+    part = W.partitionBy(stratum_col) if stratum_col else W.partitionBy()
+    w = part.orderBy(F.desc("__priority"), F.asc(id_col))
+    return (
+        keyed.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__priority", "__rank")
+    )
+
+
+def bloom_screen(
+    df: DataFrame,
+    probe_col: str,
+    filter_df: DataFrame,
+    filter_col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Flag rows of ``df`` whose ``probe_col`` value may be present in
+    ``filter_df[filter_col]`` using a DataFrame-native Bloom filter: the
+    filter side folds to at most ``n_bits`` distinct md5-derived bit
+    positions (broadcast), the probe side checks its k positions map-side.
+    Adds a boolean ``bloom_hit`` column — no false negatives; false
+    positives bounded by the m/k/n choice. Size n_bits to the filter-side
+    cardinality (fill ratio <~ 0.1 keeps doc-level FP low)."""
+
+    def positions(col):
+        return F.array(*[
+            F.conv(
+                F.substring(F.md5(F.concat(col, F.lit("#"), F.lit(str(i)))), 1, 8), 16, 10
+            ).cast("long") % n_bits
+            for i in range(n_hashes)
+        ])
+
+    bits = (
+        filter_df.select(F.col(filter_col).alias("__v")).distinct()
+        .select(F.explode(positions(F.col("__v"))).alias("pos"))
+        .distinct()
+    )
+    probe_vals = df.select(F.col(probe_col).alias("__v")).distinct()
+    hits = (
+        probe_vals.select("__v", F.explode(positions(F.col("__v"))).alias("pos"))
+        .join(F.broadcast(bits), "pos")
+        .groupBy("__v")
+        .agg(F.count("*").alias("__n_hit"))
+        .filter(F.col("__n_hit") == n_hashes)
+        .select("__v", F.lit(True).alias("bloom_hit"))
+    )
+    return (
+        df.join(hits, df[probe_col] == hits["__v"], "left")
+        .drop("__v")
+        .withColumn("bloom_hit", F.coalesce(F.col("bloom_hit"), F.lit(False)))
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 3,
+) -> DataFrame:
+    """Directed shingle-containment pairs |S(a) ∩ S(b)| / |S(a)| >=
+    threshold — catches a short document embedded in a longer one, which
+    symmetric Jaccard misses. Columns: contained_doc, container_doc,
+    n_inter, containment."""
+    sh = shingles(df, text_col=text_col, id_col=id_col, width=width).localCheckpoint(
+        eager=False
+    )  # columns: (id, shingle)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("__n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pair_inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("contained_doc"),
+            F.col("b.id").alias("container_doc"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("contained_doc"), F.col("__n").alias("__na"))
+    c = F.col("n_inter").cast("double") / F.col("__na")
+    return (
+        pair_inter.join(sa, "contained_doc")
+        .filter(c >= threshold)
+        .select("contained_doc", "container_doc", "n_inter", F.round(c, 4).alias("containment"))
+    )
+
+
+def bigram_lm_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-trained add-one-smoothed bigram-LM scores per document:
+    (id, n_bigrams, nll_bits, ppl). High perplexity = boilerplate/garbage
+    candidates; very low = degenerate repeats."""
+    toks = F.filter(F.split(text_col, " "), lambda t: t != "")
+    tok_df = df.select(F.col(id_col), toks.alias("__toks"))
+    bg_arr = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("__toks"), i).alias("w1"),
+            F.element_at(F.col("__toks"), i + 1).alias("w2"),
+        ),
+    )
+    bg = (
+        tok_df.filter(F.size("__toks") >= 2)
+        .select(F.col(id_col), F.explode(bg_arr).alias("b"))
+        .select(F.col(id_col), F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .localCheckpoint(eager=False)
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("__c1"))
+    vocab = tok_df.select(F.explode("__toks").alias("t")).agg(
+        F.countDistinct("t").alias("__v")
+    )
+    nll = -F.log2((F.col("__c12") + F.lit(1.0)) / (F.col("__c1") + F.col("__v")))
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("nll_bits"),
+            F.round(F.pow(F.lit(2.0), F.avg(nll)), 2).alias("ppl"),
+        )
+    )

@@ -267,3 +267,48 @@ def test_scd2_intervals_partition_chain(spark):
         (1, "b", "2024-01-02 00:00:00", "None", True),
         (2, "x", "2024-01-05 00:00:00", "None", True),
     ]
+
+
+def test_priority_sample_deterministic_and_weighted(spark):
+    from etl_pipeline_spark import api
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 2), 1 + (i % 5) * 100) for i in range(40)],
+        "id BIGINT, grp STRING, w BIGINT",
+    )
+    s1 = sorted(r.id for r in api.priority_sample(df, "w", "id", 3, "grp").collect())
+    s2 = sorted(r.id for r in api.priority_sample(df, "w", "id", 3, "grp").collect())
+    assert s1 == s2 and len(s1) == 6
+    # heavier rows dominate the sample: with 100x weight spread, sampled
+    # ids should mostly carry large weights
+    sampled_w = [r.w for r in api.priority_sample(df, "w", "id", 3, "grp").collect()]
+    assert sum(w > 1 for w in sampled_w) >= 5
+
+
+def test_bloom_screen_no_false_negatives(spark):
+    from etl_pipeline_spark import api
+
+    probe = spark.createDataFrame([(f"k{i}",) for i in range(200)], "v STRING")
+    filt = spark.createDataFrame([(f"k{i}",) for i in range(0, 200, 10)], "v STRING")
+    out = api.bloom_screen(probe, "v", filt, "v", n_bits=1 << 16)
+    hits = {r.v for r in out.filter("bloom_hit").collect()}
+    assert {f"k{i}" for i in range(0, 200, 10)} <= hits  # every true member flagged
+
+
+def test_containment_and_lm_api(spark):
+    from etl_pipeline_spark import api
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa home pose"),
+            (3, "completely different words entirely here now"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    pairs = api.containment_pairs(docs, threshold=0.9).collect()
+    directed = {(r.contained_doc, r.container_doc) for r in pairs}
+    assert (1, 2) in directed and (2, 1) not in directed  # short inside long only
+    lm = {r.doc_id: r for r in api.bigram_lm_scores(docs).collect()}
+    assert set(lm) == {1, 2, 3}
+    assert all(r.nll_bits > 0 for r in lm.values())
