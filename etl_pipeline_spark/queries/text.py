@@ -555,3 +555,97 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(lnf, lnr), 4).alias("fit_r2"),
         F.max(F.when(F.col("rank") == 1, F.col("freq"))).alias("top_term_freq"),
     )
+
+
+PMI_MIN_COUNT = 5  # bigram support floor (PMI is unstable below)
+PMI_TOPK = 20
+
+
+@query(
+    "q_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT toks[i] AS w1, toks[i+1] AS w2
+        FROM toks, UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS g(i)
+        WHERE LEN(toks) >= 2
+    ),
+    n AS (SELECT COUNT(*) AS n FROM bg),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    c2 AS (SELECT w2, COUNT(*) AS c2 FROM bg GROUP BY w2),
+    scored AS (
+        SELECT p.w1, p.w2, p.c12,
+               ROUND(LN(CAST(p.c12 AS DOUBLE) * n.n
+                        / (CAST(c1.c1 AS DOUBLE) * c2.c2)), 4) AS pmi
+        FROM c12 p
+        JOIN c1 ON p.w1 = c1.w1
+        JOIN c2 ON p.w2 = c2.w2
+        CROSS JOIN n
+        WHERE p.c12 >= {PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, c12, pmi, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rank
+        FROM scored
+    ) r
+    WHERE rank <= {PMI_TOPK}
+    """,
+    tags=("text", "X4", "collocations", "pmi"),
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining: the top adjacent
+    word pairs by PMI = ln(P(w1,w2) / (P(w1)P(w2))) with a support floor —
+    the association measure that finds multi-word expressions ("new york")
+    that raw frequency (q_text_top_bigrams) and tf-idf both miss, used for
+    tokenizer merge seeding and phrase-aware dedup keys. Ranked on the
+    ROUNDED score with lexical tie-breaks.
+
+    Scale: the same three vocabulary-keyed count shuffles as the bigram
+    LM (marginals are dimension-sized, broadcast back), a 1-row total,
+    and a global top-k that compiles to TakeOrderedAndProject — no sort
+    of the full pair table.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    tok_df = d.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    bg_arr = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("toks"), i).alias("w1"),
+            F.element_at(F.col("toks"), i + 1).alias("w2"),
+        ),
+    )
+    bg = (
+        tok_df.select(F.explode(bg_arr).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .localCheckpoint(eager=False)
+    )
+    n = bg.agg(F.count("*").alias("n"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    c2 = bg.groupBy("w2").agg(F.count("*").alias("c2"))
+    pmi = F.round(
+        F.log(
+            F.col("c12").cast("double") * F.col("n")
+            / (F.col("c1").cast("double") * F.col("c2"))
+        ),
+        4,
+    )
+    scored = (
+        c12.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(W.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")))
+        )
+        .filter(F.col("rank") <= PMI_TOPK)
+        .select("w1", "w2", "c12", "pmi", "rank")
+    )
