@@ -92,6 +92,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_token_budget_allocation",
     "q_embedding_centroid_health",
     "q_filter_funnel",
+    "q_dq_ks_drift",
+    "q_dq_benford_check",
+    "q_event_transitions",
+    "q_text_zipf_fit",
+    "q_pmi_collocations",
     "q_dedup_chunk_rewrite",  # --- never driver-attested ---
     "q_dedup_repeated_spans",
     "q_asof_last_signup",  # --- backfill: oldest attestation first ---
@@ -106,12 +111,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_knn_block_matrix",
     "q_embedding_quantization",
     "q_unpivot_balance_metrics",
-    "q_funnel_conversion",
+    "q_funnel_conversion",  # ---------------- first-50 window ends above ----------------
     "q_retention_cohorts",
     "q_window_distribution_ranks",
     "q_scalar_dates_extended",
     "q_dedup_exact",
-    "q_dedup_simhash",  # ---------------- first-50 window ends above ----------------
+    "q_dedup_simhash",
     "q_dedup_simhash_pairs",
     "q_dedup_clusters",
     "q_dedup_minhash_signatures",
