@@ -123,3 +123,63 @@ def test_chunking_covers_all_tokens(spark, sizes):
         assert max(r["start_tok"] + r["len_tok"] for r in rows) == n
         for a, b in zip(rows, rows[1:]):
             assert b["start_tok"] <= a["start_tok"] + a["len_tok"]
+
+
+# ---------------------------------------------------------------------------
+# Round-4 primitives: priority sampling and Bloom screening
+# ---------------------------------------------------------------------------
+
+
+@given(
+    weights=st.lists(st.integers(1, 10_000), min_size=4, max_size=20),
+    boost_idx=st.integers(0, 19),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_priority_sample_weight_monotonicity(spark, weights, boost_idx):
+    """With the uniforms fixed by id-hash, raising one row's weight can
+    only raise its priority — a sampled row must stay sampled after its
+    own weight increases (the defining monotonicity of priority
+    sampling)."""
+    from etl_pipeline_spark import api
+
+    boost_idx %= len(weights)
+    k = 3
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "id BIGINT, w BIGINT")
+    before = {r.id for r in api.priority_sample(df, "w", "id", k).collect()}
+    boosted = [
+        (i, w * 100 if i == boost_idx else w) for i, w in rows
+    ]
+    df2 = spark.createDataFrame(boosted, "id BIGINT, w BIGINT")
+    after = {r.id for r in api.priority_sample(df2, "w", "id", k).collect()}
+    if boost_idx in before:
+        assert boost_idx in after
+    # k never exceeded either way
+    assert len(before) == min(k, len(weights)) == len(after)
+
+
+@given(
+    members=st.sets(st.text(string.ascii_lowercase, min_size=1, max_size=8), max_size=30),
+    probes=st.sets(st.text(string.ascii_lowercase, min_size=1, max_size=8), min_size=1, max_size=30),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bloom_screen_never_misses_members(spark, members, probes):
+    """For ANY member/probe sets, every probe value that IS a member must
+    come back bloom_hit=true (no false negatives, the Bloom contract)."""
+    from etl_pipeline_spark import api
+
+    if not members:
+        members = {"sentinel"}
+    filt = spark.createDataFrame([(m,) for m in members], "v STRING")
+    probe = spark.createDataFrame([(p,) for p in probes], "v STRING")
+    out = api.bloom_screen(probe, "v", filt, "v", n_bits=1 << 14)
+    hits = {r.v for r in out.filter("bloom_hit").collect()}
+    assert (probes & members) <= hits
