@@ -453,8 +453,13 @@ def priority_sample(
     h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long")
     u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
     keyed = df.withColumn("__priority", F.col(weight_col).cast("double") / u)
-    part = W.partitionBy(stratum_col) if stratum_col else W.partitionBy()
-    w = part.orderBy(F.desc("__priority"), F.asc(id_col))
+    if stratum_col is None:
+        # global top-k: sort+limit compiles to TakeOrderedAndProject (heap
+        # selection per partition), never a single-partition window sort
+        return (
+            keyed.orderBy(F.desc("__priority"), F.asc(id_col)).limit(k).drop("__priority")
+        )
+    w = W.partitionBy(stratum_col).orderBy(F.desc("__priority"), F.asc(id_col))
     return (
         keyed.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= k)

@@ -312,3 +312,13 @@ def test_containment_and_lm_api(spark):
     lm = {r.doc_id: r for r in api.bigram_lm_scores(docs).collect()}
     assert set(lm) == {1, 2, 3}
     assert all(r.nll_bits > 0 for r in lm.values())
+
+
+def test_priority_sample_global_path_is_take_ordered(spark):
+    from etl_pipeline_spark import api
+    from etl_pipeline_spark import plans
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(50)], "id BIGINT, w BIGINT")
+    out = api.priority_sample(df, "w", "id", 5)
+    plans.assert_take_ordered(out)
+    assert out.count() == 5
