@@ -209,3 +209,112 @@ def q_histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("bucket_max"),
         )
     )
+
+
+# --- Count-min sketch heavy hitters -----------------------------------------
+
+CMS_DEPTH = 3  # independent hash rows
+CMS_WIDTH = 16  # counters per row (below the fixture vocabulary size, so collisions/overestimates are actually exercised)
+CMS_TOPK = 20  # heavy hitters reported
+
+
+def _cms_pos_sql(expr: str, d: int) -> str:
+    """DuckDB 32-bit md5 slot for hash row ``d`` (same digit-sum wording as
+    llm_ops._hex32_sql, inlined to keep this module import-light)."""
+    md5 = f"MD5({expr} || '#cms{d}')"
+    digits = " + ".join(
+        f"(INSTR('0123456789abcdef', SUBSTR({md5}, {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (8 - 1 - i)} AS BIGINT)"
+        for i in range(8)
+    )
+    return f"(({digits}) % {CMS_WIDTH})"
+
+
+@query(
+    "q_cms_heavy_hitters",
+    # Approx-exactly-checked (the Bloom pattern): the count-min sketch is
+    # built from md5-derived slots, so BOTH engines materialize the exact
+    # same counter table and the oracle checks every estimate, including
+    # the collision-induced overestimates the small width provokes. The
+    # CMS invariant est >= exact is part of the hashed output.
+    oracle=f"""
+    WITH words AS (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+    ),
+    counts AS (
+        SELECT word, COUNT(*) AS cnt FROM words GROUP BY word
+    ),
+    slots AS (
+        SELECT word, cnt, d,
+               CASE d {' '.join(f"WHEN {d} THEN {_cms_pos_sql('word', d)}" for d in range(CMS_DEPTH))} END AS pos
+        FROM counts, (SELECT UNNEST(GENERATE_SERIES(0, {CMS_DEPTH - 1})) AS d) seeds
+    ),
+    counters AS (
+        SELECT d, pos, CAST(SUM(cnt) AS BIGINT) AS counter
+        FROM slots GROUP BY d, pos
+    ),
+    top AS (
+        SELECT word, cnt FROM counts ORDER BY cnt DESC, word ASC LIMIT {CMS_TOPK}
+    )
+    SELECT t.word,
+           CAST(t.cnt AS BIGINT)                AS exact_cnt,
+           CAST(MIN(c.counter) AS BIGINT)       AS cms_est,
+           CAST(MIN(c.counter) - t.cnt AS BIGINT) AS overest
+    FROM top t
+    JOIN slots s ON s.word = t.word
+    JOIN counters c ON c.d = s.d AND c.pos = s.pos
+    GROUP BY t.word, t.cnt
+    """,
+    tags=("agg", "sketch", "cms", "approx-exactly-checked"),
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the document word stream: the
+    sketch is a DEPTH x WIDTH counter grid keyed by md5 slots; a word's
+    estimate is the min of its DEPTH counters; the report compares the
+    estimates for the top-k exact heavy hitters against their true counts
+    so the overestimate each collision admits is visible (and checked).
+
+    Scale: at 100 TB the exact `counts` CTE is replaced by the sketch
+    alone — counters are built in ONE map-side-combinable aggregation on
+    (d, slot) with at most DEPTH*WIDTH groups (here 768), a table that
+    broadcasts anywhere; point estimates are O(DEPTH) lookups. The exact
+    side here exists to oracle the sketch, exactly like the Bloom and
+    HLL/KLL/theta queries. Mergeability: counter grids from shards ADD —
+    the same property the KLL/HLL merge queries exercise.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+
+    def pos(col, row: int):
+        return (
+            F.conv(F.substring(F.md5(F.concat(col, F.lit(f"#cms{row}"))), 1, 8), 16, 10)
+            .cast("long") % CMS_WIDTH
+        )
+
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    slot_arr = F.array(*[
+        F.struct(F.lit(row).alias("d"), pos(F.col("word"), row).alias("pos"))
+        for row in range(CMS_DEPTH)
+    ])
+    slots = counts.select("word", "cnt", F.explode(slot_arr).alias("s")).select(
+        "word", "cnt", F.col("s.d").alias("d"), F.col("s.pos").alias("pos")
+    )
+    counters = slots.groupBy("d", "pos").agg(F.sum("cnt").alias("counter"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(CMS_TOPK)
+    top_slots = top.select("word", "cnt", F.explode(slot_arr).alias("s")).select(
+        "word", "cnt", F.col("s.d").alias("d"), F.col("s.pos").alias("pos")
+    )
+    return (
+        top_slots.join(F.broadcast(counters), ["d", "pos"])
+        .groupBy("word", "cnt")
+        .agg(F.min("counter").alias("cms_est"))
+        .select(
+            "word",
+            F.col("cnt").alias("exact_cnt"),
+            "cms_est",
+            (F.col("cms_est") - F.col("cnt")).alias("overest"),
+        )
+    )
