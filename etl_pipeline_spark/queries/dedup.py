@@ -774,3 +774,196 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(containment, 4).alias("containment"),
         )
     )
+
+
+# --- SemDeDup: semantic dedup via clustering + centroid-aware pruning -------
+
+SEM_K = 8  # clusters
+SEM_TAU = 0.25  # within-cluster cosine above this => near-duplicate pair
+SEM_QUANT = 10000  # centroid quantization denominator (exact integer sums)
+
+
+@query(
+    "q_semdedup_clusters",
+    # Deterministic SemDeDup (Abbas et al. 2023 shape): centroids are the
+    # dimension-wise mean of deterministic seed groups (vec_id % K), made
+    # bit-reproducible across engines by summing half-up-quantized
+    # integers (integer addition is order-independent; double AVG is not);
+    # vectors assign to the argmax-cosine centroid; within a cluster,
+    # pairs with cosine >= tau are near-duplicates and the member CLOSER
+    # to the centroid is pruned (SemDeDup keeps low-centroid-similarity
+    # "edge" examples; ties prune the higher vec_id).
+    oracle=f"""
+    WITH emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    comp AS (
+        SELECT vec_id, vec_id % {SEM_K} AS seed, g AS pos, v[g] AS val
+        FROM emb, UNNEST(GENERATE_SERIES(1, LEN(v))) t(g)
+    ),
+    cent AS (
+        SELECT seed, pos,
+               CAST(SUM(CAST(FLOOR(val * {SEM_QUANT} + 0.5) AS BIGINT)) AS BIGINT) AS qsum,
+               COUNT(*) AS n
+        FROM comp GROUP BY seed, pos
+    ),
+    cvec AS (
+        SELECT seed, LIST(qsum / ({SEM_QUANT}.0 * n) ORDER BY pos) AS cv
+        FROM cent GROUP BY seed
+    ),
+    assign AS (
+        SELECT vec_id, cluster, cosc FROM (
+            SELECT e.vec_id, c.seed AS cluster,
+                   ROUND(list_dot_product(e.v, c.cv) /
+                         (SQRT(list_dot_product(e.v, e.v)) * SQRT(list_dot_product(c.cv, c.cv))),
+                         6) AS cosc,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.cv) /
+                                (SQRT(list_dot_product(e.v, e.v)) * SQRT(list_dot_product(c.cv, c.cv))) DESC,
+                                c.seed ASC
+                   ) AS rnk
+            FROM emb e CROSS JOIN cvec c
+        ) WHERE rnk = 1
+    ),
+    pairs AS (
+        SELECT a.cluster,
+               a.vec_id AS vec_a, b.vec_id AS vec_b,
+               a.cosc AS cosc_a, b.cosc AS cosc_b,
+               ROUND(list_dot_product(ea.v, eb.v) /
+                     (SQRT(list_dot_product(ea.v, ea.v)) * SQRT(list_dot_product(eb.v, eb.v))),
+                     4) AS cos_ab
+        FROM assign a
+        JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN emb ea ON ea.vec_id = a.vec_id
+        JOIN emb eb ON eb.vec_id = b.vec_id
+    ),
+    dups AS (
+        SELECT cluster,
+               CASE WHEN cosc_a > cosc_b THEN vec_a
+                    WHEN cosc_b > cosc_a THEN vec_b
+                    ELSE GREATEST(vec_a, vec_b) END AS pruned
+        FROM pairs WHERE cos_ab >= {SEM_TAU}
+    ),
+    cl AS (
+        SELECT cluster, COUNT(*) AS size, ROUND(AVG(cosc), 4) AS avg_cos_centroid
+        FROM assign GROUP BY cluster
+    ),
+    pd AS (
+        SELECT cluster,
+               COUNT(*) AS n_neardup_pairs,
+               COUNT(DISTINCT pruned) AS n_pruned
+        FROM dups GROUP BY cluster
+    )
+    SELECT cl.cluster,
+           CAST(cl.size AS BIGINT) AS size,
+           cl.avg_cos_centroid,
+           CAST(COALESCE(pd.n_neardup_pairs, 0) AS BIGINT) AS n_neardup_pairs,
+           CAST(COALESCE(pd.n_pruned, 0) AS BIGINT) AS n_pruned
+    FROM cl LEFT JOIN pd ON cl.cluster = pd.cluster
+    """,
+    tags=("dedup", "X2", "embedding", "semdedup", "clustering"),
+)
+def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup report: per-cluster corpus size, mean centroid cosine,
+    near-duplicate pair count, and how many vectors centroid-aware pruning
+    removes. The pipeline is the real thing end-to-end — centroid build,
+    argmax-cosine assignment, blocked within-cluster pairing, prune-rule
+    selection — with every floating-point step made engine-reproducible
+    (integer-quantized centroid sums; sequential-fold dot products; ROUND
+    before compare).
+
+    Scale: centroids are K x dims values built in one map-combinable
+    aggregation and BROADCAST back (8 x 64 here; even 100k x 1024 fits in
+    a few hundred MB); assignment is a map-side broadcast join, so the
+    corpus never shuffles for it. The quadratic stage is confined WITHIN
+    clusters — exactly the SemDeDup trick — so cost is (corpus/K) x
+    cluster_size, tuned by K; the cluster id is the shuffle key. At 100 TB
+    K grows with the corpus to hold cluster sizes roughly constant, and
+    the within-cluster join switches to the capped/banded forms the other
+    X2 queries implement.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    emb = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+    comp = emb.select(
+        "vec_id",
+        (F.col("vec_id") % SEM_K).alias("seed"),
+        F.posexplode("v").alias("pos0", "val"),
+    )
+    cent = comp.groupBy("seed", "pos0").agg(
+        F.sum(F.floor(F.col("val") * SEM_QUANT + 0.5).cast("long")).alias("qsum"),
+        F.count("*").alias("n"),
+    )
+    cvec = (
+        cent.select(
+            "seed",
+            F.struct("pos0", (F.col("qsum") / (float(SEM_QUANT) * F.col("n"))).alias("c")).alias("pc"),
+        )
+        .groupBy("seed")
+        .agg(F.array_sort(F.collect_list("pc")).alias("pcs"))
+        .select("seed", F.transform("pcs", lambda s: s["c"]).alias("cv"))
+    )
+
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+    )
+    cos_cent = dot(F.col("v"), F.col("cv")) / (
+        F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+    from pyspark.sql import Window as W
+
+    wr = W.partitionBy("vec_id").orderBy(F.col("raw_cos").desc(), F.col("seed").asc())
+    assign = (
+        emb.crossJoin(F.broadcast(cvec))
+        .select("vec_id", "v", F.col("seed"), cos_cent.alias("raw_cos"))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "vec_id", "v", F.col("seed").alias("cluster"), F.round("raw_cos", 6).alias("cosc")
+        )
+    )
+    a = assign.select(
+        "cluster", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("cosc").alias("cosc_a")
+    )
+    b = assign.select(
+        "cluster", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("cosc").alias("cosc_b")
+    )
+    pairs = (
+        a.join(b, ["cluster"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "cluster", "vec_a", "vec_b", "cosc_a", "cosc_b",
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))),
+                4,
+            ).alias("cos_ab"),
+        )
+    )
+    dups = pairs.filter(F.col("cos_ab") >= SEM_TAU).select(
+        "cluster",
+        F.when(F.col("cosc_a") > F.col("cosc_b"), F.col("vec_a"))
+        .when(F.col("cosc_b") > F.col("cosc_a"), F.col("vec_b"))
+        .otherwise(F.greatest("vec_a", "vec_b"))
+        .alias("pruned"),
+    )
+    cl = assign.groupBy("cluster").agg(
+        F.count("*").alias("size"), F.round(F.avg("cosc"), 4).alias("avg_cos_centroid")
+    )
+    pd_ = dups.groupBy("cluster").agg(
+        F.count("*").alias("n_neardup_pairs"),
+        F.countDistinct("pruned").alias("n_pruned"),
+    )
+    return (
+        cl.join(pd_, "cluster", "left")
+        .select(
+            "cluster",
+            "size",
+            "avg_cos_centroid",
+            F.coalesce("n_neardup_pairs", F.lit(0)).alias("n_neardup_pairs"),
+            F.coalesce("n_pruned", F.lit(0)).alias("n_pruned"),
+        )
+    )
