@@ -228,6 +228,7 @@ def all_specs() -> dict[str, QuerySpec]:
         etl,
         llm_ops,
         multimodal,
+        privacy,
         relational,
         scalar,
         similarity,
