@@ -1443,3 +1443,138 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_transitions").cast("double") / F.col("n_from"), 4).alias("prob"),
         )
     )
+
+
+# --- Markov stationary distribution (power iteration) -----------------------
+
+MARKOV_ITERS = 3
+
+
+def _markov_pi_sql() -> str:
+    """Unrolled power-iteration CTE chain shared by the oracle."""
+    base = """
+    ordered AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type
+        FROM ordered WHERE next_type IS NOT NULL
+    ),
+    totals AS (
+        SELECT from_type, COUNT(*) AS n_from FROM pairs GROUP BY from_type
+    ),
+    trans AS (
+        SELECT p.from_type, p.to_type,
+               CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(t.n_from) AS prob
+        FROM pairs p JOIN totals t ON p.from_type = t.from_type
+        GROUP BY p.from_type, p.to_type
+    ),
+    pi0 AS (
+        SELECT event_type AS type,
+               CAST(1.0 AS DOUBLE) / (SELECT COUNT(DISTINCT event_type) FROM events) AS p
+        FROM (SELECT DISTINCT event_type FROM events)
+    )"""
+    steps = "".join(
+        f""",
+    pi{t + 1} AS (
+        SELECT tr.to_type AS type,
+               list_reduce(LIST(pi.p * tr.prob ORDER BY tr.from_type), (a, b) -> a + b) AS p
+        FROM trans tr JOIN pi{t} pi ON pi.type = tr.from_type
+        GROUP BY tr.to_type
+    )"""
+        for t in range(MARKOV_ITERS)
+    )
+    return base + steps
+
+
+@query(
+    "q_markov_stationary",
+    # Power iteration is floating-point-order-sensitive, so each step
+    # sums its terms with an ORDERED left fold (LIST(.. ORDER BY
+    # from_type) + list_reduce in DuckDB; array_sort + aggregate in
+    # Spark) — both engines fold the identical term sequence, making the
+    # iterate bit-reproducible before the final ROUND.
+    oracle=f"""
+    WITH {_markov_pi_sql()}
+    SELECT p3.type AS event_type,
+           ROUND(p3.p, 6) AS stationary_prob,
+           ROUND(ABS(p3.p - p2.p), 6) AS step_delta
+    FROM pi{MARKOV_ITERS} p3 JOIN pi{MARKOV_ITERS - 1} p2 ON p3.type = p2.type
+    """,
+    tags=("behavioral", "markov", "iterative", "graph"),
+)
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate stationary distribution of the user-behavior Markov
+    chain: {ITERS} synchronous power-iteration steps from the uniform
+    vector over the q_event_transitions matrix, reporting each event
+    type's stationary mass and the last-step delta (the convergence
+    monitor a PageRank-style job exposes). This is the iterative-job
+    pattern — the same loop shape as connected components
+    (operators/cluster.py) applied to a dense stochastic matrix.
+
+    Scale: the transition matrix is |types|^2 and BROADCASTS; each
+    iteration is a broadcast join + bounded aggregate over the vector,
+    so iterating at 100 TB costs |types| rows per step after the single
+    event-stream pass that builds the matrix. Sum order inside each
+    step is pinned (sorted fold) so results are engine- and
+    partitioning-independent.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.count("*").alias("n_from"))
+    trans = (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("c"))
+        .join(F.broadcast(totals), "from_type")
+        .select("from_type", "to_type", (F.col("c").cast("double") / F.col("n_from")).alias("prob"))
+    )
+    # 1-row count joined in lazily: query construction stays job-free
+    # (the lazy-builder discipline from the dedup module).
+    n_types = e.agg(F.countDistinct("event_type").alias("n_types"))
+    pi = (
+        e.select("event_type").distinct()
+        .crossJoin(F.broadcast(n_types))
+        .select(F.col("event_type").alias("type"), (F.lit(1.0) / F.col("n_types")).alias("p"))
+    )
+
+    def step(pi_t: DataFrame) -> DataFrame:
+        terms = trans.join(F.broadcast(pi_t), trans["from_type"] == pi_t["type"]).select(
+            "to_type",
+            F.struct(F.col("from_type"), (F.col("p") * F.col("prob")).alias("term")).alias("ft"),
+        )
+        return (
+            terms.groupBy("to_type")
+            .agg(F.array_sort(F.collect_list("ft")).alias("fts"))
+            .select(
+                F.col("to_type").alias("type"),
+                F.aggregate(
+                    F.transform("fts", lambda s: s["term"]),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("p"),
+            )
+        )
+
+    prev = pi
+    for _ in range(MARKOV_ITERS):
+        prev, pi = pi, step(pi)
+    return pi.alias("p3").join(
+        prev.select(F.col("type").alias("type2"), F.col("p").alias("p_prev")),
+        F.col("type") == F.col("type2"),
+    ).select(
+        F.col("type").alias("event_type"),
+        F.round("p", 6).alias("stationary_prob"),
+        F.round(F.abs(F.col("p") - F.col("p_prev")), 6).alias("step_delta"),
+    )
+
+
+q_markov_stationary.__doc__ = q_markov_stationary.__doc__.format(ITERS=MARKOV_ITERS)
