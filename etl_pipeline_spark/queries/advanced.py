@@ -1578,3 +1578,171 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_markov_stationary.__doc__ = q_markov_stationary.__doc__.format(ITERS=MARKOV_ITERS)
+
+
+# --- Interval analytics: sweep-line concurrency + binned overlap join -------
+
+IV_BASE_SEC = 60  # every event interval lasts at least a minute
+IV_WINDOW_US = 21600 * 1_000_000  # 6-hour maintenance windows
+
+_IV_SQL = f"""
+    SELECT event_id, event_type, value,
+           EPOCH_US(ts) AS s_us,
+           EPOCH_US(ts) + (CAST(TRUNC(value * 60) AS BIGINT) + {IV_BASE_SEC}) * 1000000 AS e_us
+    FROM events
+"""
+
+
+def _intervals(e: DataFrame) -> DataFrame:
+    """Half-open event intervals [s_us, e_us) in epoch micros: start = ts,
+    duration = trunc(value*60) + base seconds. Integer micros everywhere,
+    so bin and overlap arithmetic is exact in both engines."""
+    s_us = F.unix_micros(F.col("ts"))
+    dur_us = (F.floor(F.col("value") * 60).cast("long") + IV_BASE_SEC) * 1_000_000
+    return e.select(
+        "event_id", "event_type", "value", s_us.alias("s_us"), (s_us + dur_us).alias("e_us")
+    )
+
+
+@query(
+    "q_interval_concurrency",
+    oracle=f"""
+    WITH iv AS ({_IV_SQL}),
+    pts AS (
+        SELECT event_type, s_us AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT event_type, e_us AS t, -1 AS delta FROM iv
+    ),
+    net AS (
+        SELECT event_type, t, CAST(SUM(delta) AS BIGINT) AS net
+        FROM pts GROUP BY event_type, t
+    ),
+    run AS (
+        SELECT event_type, t,
+               SUM(net) OVER (
+                   PARTITION BY event_type ORDER BY t ROWS UNBOUNDED PRECEDING
+               ) AS running
+        FROM net
+    ),
+    mx AS (SELECT event_type, MAX(running) AS max_concurrent FROM run GROUP BY event_type)
+    SELECT r.event_type,
+           CAST(m.max_concurrent AS BIGINT) AS max_concurrent,
+           CAST(MIN(r.t) AS BIGINT) AS first_peak_us
+    FROM run r JOIN mx m
+      ON r.event_type = m.event_type AND r.running = m.max_concurrent
+    GROUP BY r.event_type, m.max_concurrent
+    """,
+    tags=("interval", "sweep-line", "window", "custom-op"),
+)
+def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type via the sweep-line trick: each
+    interval emits a +1 at its start and a -1 at its end; deltas at the
+    same instant are NETTED (so concurrency is sampled after applying
+    all of an instant's starts and ends — a total, deterministic order),
+    and a running sum over the netted points yields the active-interval
+    count, reported as its per-type maximum and the first instant that
+    attains it. This is how "max concurrent sessions/connections/jobs"
+    is computed without expanding intervals into per-second rows.
+
+    Scale: 2 rows per interval, one (type, t) aggregate, one window
+    partitioned by type ordered by time — the window state is a single
+    counter, and the partition key caps skew at the per-type event
+    volume. A 100 TB sweep needs no more memory than any running-total
+    window; types with huge timelines can sub-partition by day and
+    seed each day with the prior day's closing sum (the standard
+    prefix-sum split).
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    iv = _intervals(e)
+    pts = iv.select(
+        "event_type", F.col("s_us").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(iv.select("event_type", F.col("e_us").alias("t"), F.lit(-1).alias("delta")))
+    net = pts.groupBy("event_type", "t").agg(F.sum("delta").alias("net"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = net.select("event_type", "t", F.sum("net").over(w).alias("running"))
+    mx = run.groupBy("event_type").agg(F.max("running").alias("max_concurrent"))
+    return (
+        run.join(mx, "event_type")
+        .filter(F.col("running") == F.col("max_concurrent"))
+        .groupBy("event_type", "max_concurrent")
+        .agg(F.min("t").alias("first_peak_us"))
+        .select("event_type", "max_concurrent", "first_peak_us")
+    )
+
+
+@query(
+    "q_interval_window_join",
+    # Oracle states the SEMANTICS as a naive range join (overlap
+    # predicate against every window); the Spark side implements the
+    # scalable BINNED form and must produce identical results.
+    oracle=f"""
+    WITH iv AS ({_IV_SQL}),
+    b AS (SELECT MIN(s_us) AS lo, MAX(e_us) AS hi FROM iv),
+    w AS (
+        SELECT UNNEST(GENERATE_SERIES(lo // {IV_WINDOW_US}, (hi - 1) // {IV_WINDOW_US})) AS wbin
+        FROM b
+    )
+    SELECT strftime(make_timestamp(wbin * {IV_WINDOW_US}), '%Y-%m-%d %H:%M:%S') AS w_start,
+           COUNT(iv.event_id) AS n_events,
+           ROUND(COALESCE(SUM(iv.value), 0), 2) AS sum_value
+    FROM w LEFT JOIN iv
+      ON iv.s_us < (wbin + 1) * {IV_WINDOW_US} AND iv.e_us > wbin * {IV_WINDOW_US}
+    GROUP BY wbin
+    """,
+    tags=("interval", "range-join", "binned", "custom-op"),
+)
+def q_interval_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join against a 6-hour maintenance-window grid,
+    implemented as a BINNED equi-join: each interval explodes into the
+    window bins it touches and joins on the bin key — turning a
+    non-equi range join (which Spark would execute as a broadcast
+    nested loop) into a plain shuffled equi-join. Bins equal the window
+    grid here, so bin membership IS the overlap predicate; with a
+    coarser predicate a residual filter after the equi-join finishes
+    the job (the q_join_range_value_buckets pattern). Empty windows are
+    kept via the left join from the generated grid.
+
+    Scale: rows-per-interval = touched bins (duration/bin, small by
+    construction); the join shuffles on uniformly-distributed time
+    bins, so no skew and no quadratic blowup — this is THE standard
+    time-interval join at warehouse scale. The window grid derives from
+    a 1-row min/max aggregate, lazily cross-joined (no driver action).
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    iv = _intervals(e)
+    bounds = iv.agg(F.min("s_us").alias("lo"), F.max("e_us").alias("hi"))
+    windows = bounds.select(
+        F.explode(
+            F.sequence(
+                F.expr(f"lo div {IV_WINDOW_US}"), F.expr(f"(hi - 1) div {IV_WINDOW_US}")
+            )
+        ).alias("wbin")
+    )
+    binned = iv.select(
+        "event_id",
+        "value",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us div {IV_WINDOW_US}"), F.expr(f"(e_us - 1) div {IV_WINDOW_US}")
+            )
+        ).alias("wbin"),
+    )
+    return (
+        windows.join(binned, "wbin", "left")
+        .groupBy("wbin")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(
+                F.timestamp_micros(F.col("wbin") * IV_WINDOW_US), "yyyy-MM-dd HH:mm:ss"
+            ).alias("w_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
