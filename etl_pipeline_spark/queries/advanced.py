@@ -1746,3 +1746,64 @@ def q_interval_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --- Z-order clustering locality --------------------------------------------
+
+from etl_pipeline_spark.operators.zorder import Z_BITS, zorder_key, zorder_sql  # noqa: E402
+
+ZP_BITS = 8  # prefix bits used as the clustering/pruning unit
+
+
+@query(
+    "q_zorder_locality",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT {zorder_sql("(o_custkey % 256)", "CAST(FLOOR(o_totalprice * 256 / 600000) AS BIGINT)")}
+                   AS z_key,
+               (o_custkey % 256) AS a,
+               CAST(FLOOR(o_totalprice * 256 / 600000) AS BIGINT) AS b
+        FROM orders
+    )
+    SELECT z_key >> {2 * Z_BITS - ZP_BITS} AS z_prefix,
+           COUNT(*) AS n_orders,
+           CAST(MIN(a) AS BIGINT) AS min_a, CAST(MAX(a) AS BIGINT) AS max_a,
+           CAST(MIN(b) AS BIGINT) AS min_b, CAST(MAX(b) AS BIGINT) AS max_b,
+           CAST(MAX(a) - MIN(a) AS BIGINT) AS a_span,
+           CAST(MAX(b) - MIN(b) AS BIGINT) AS b_span
+    FROM keyed GROUP BY 1
+    """,
+    tags=("zorder", "data-skipping", "layout", "custom-op"),
+)
+def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit over orders keyed by (customer bucket,
+    price band): per z-key prefix (the clustering/pruning unit of
+    operators/zorder.py), the row count and the min/max span of EACH
+    dimension. The spans are bounded by construction (a prefix fixes
+    the top bits of both dimensions), which is exactly the property
+    that makes one clustered layout prune two-dimensional predicates —
+    the audit a lakehouse runs before adopting a z-order layout.
+
+    Scale: a narrow per-row bit expression plus one aggregate on the
+    256-prefix grid. The write-side counterpart (write_zordered /
+    read_box with a static covering-prefix IN list, planning-time
+    PartitionFilters) is exercised in tests/test_zorder.py.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    a = F.col("o_custkey") % 256
+    b = F.floor(F.col("o_totalprice") * 256 / 600000).cast("long")
+    keyed = o.select(
+        zorder_key(a, b).alias("z_key"), a.alias("a"), b.alias("b")
+    )
+    return (
+        keyed.groupBy(F.shiftright("z_key", 2 * Z_BITS - ZP_BITS).alias("z_prefix"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("a").alias("min_a"),
+            F.max("a").alias("max_a"),
+            F.min("b").alias("min_b"),
+            F.max("b").alias("max_b"),
+            (F.max("a") - F.min("a")).alias("a_span"),
+            (F.max("b") - F.min("b")).alias("b_span"),
+        )
+    )
