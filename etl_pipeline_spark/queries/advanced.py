@@ -1807,3 +1807,256 @@ def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("b") - F.min("b")).alias("b_span"),
         )
     )
+
+
+# --- Truncated EWMA smoothing ------------------------------------------------
+
+EWMA_WIN = 16  # exact window: alpha decay over the last 16 events
+EWMA_ALPHA = 0.5  # power of two => every weight is IEEE-exact
+
+
+@query(
+    "q_ewma_smoothing",
+    # alpha = 0.5 makes every weight 2^-k (exact); the weighted sum is an
+    # ORDERED fold over the frame list (oldest -> newest in both
+    # engines), and the denominator's geometric closed form 2 - 2^-(n-1)
+    # is exactly what the sequential fold of exact binary fractions
+    # produces — so the smoothed value is bit-reproducible pre-ROUND.
+    oracle=f"""
+    WITH framed AS (
+        SELECT user_id, event_id, value,
+               LIST(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {EWMA_WIN - 1} PRECEDING AND CURRENT ROW
+               ) AS l
+        FROM events
+    )
+    SELECT user_id, event_id, value,
+           ROUND(
+             list_reduce(
+                 list_transform(GENERATE_SERIES(1, LEN(l)), i -> l[i] * POW(0.5, LEN(l) - i)),
+                 (a, b) -> a + b
+             ) / (2 - POW(0.5, LEN(l) - 1)),
+             4) AS ewma
+    FROM framed
+    """,
+    tags=("window", "timeseries", "ewma", "custom-op"),
+)
+def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event values,
+    TRUNCATED to the last {WIN} events — the recursive EWMA
+    s_t = alpha*x_t + (1-alpha)*s_(t-1) re-expressed as a bounded-frame
+    weighted sum so it runs as a plain window aggregate instead of a
+    sequential recurrence (the residual tail the truncation drops is
+    <= 2^-{WIN} of the mass — below the output rounding). Smoothing,
+    anomaly baselines, and rate limiters all consume this shape.
+
+    Scale: one window shuffle on user_id; per-row state is the
+    {WIN}-element frame list regardless of timeline length — a recurrence
+    would serialize the whole partition, the truncated form stays a
+    streaming frame aggregate. Weights are powers of two and the fold
+    order is pinned, so results don't depend on partitioning or engine.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_WIN - 1), W.currentRow)
+    )
+    framed = e.select(
+        "user_id", "event_id", "value", F.collect_list("value").over(w).alias("l")
+    )
+    n = F.size("l")
+    num = F.aggregate(
+        F.transform("l", lambda x, i: x * F.pow(F.lit(0.5), n - 1 - i)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    den = F.lit(2.0) - F.pow(F.lit(0.5), n - 1)
+    return framed.select(
+        "user_id", "event_id", "value", F.round(num / den, 4).alias("ewma")
+    )
+
+
+q_ewma_smoothing.__doc__ = q_ewma_smoothing.__doc__.format(WIN=EWMA_WIN)
+
+
+# --- Last-touch attribution --------------------------------------------------
+
+ATTR_WINDOW_US = 3600 * 1_000_000  # 1-hour lookback
+
+
+@query(
+    "q_attribution_last_touch",
+    # Oracle states the semantics as the naive form (join every purchase
+    # to all prior same-user touches in the window, keep the latest);
+    # Spark computes the same thing with a single IGNORE-NULLS window —
+    # no self-join — and must agree.
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, value, EPOCH_US(ts) AS us FROM events
+    ),
+    p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+    lt AS (
+        SELECT p.event_id AS pid, p.value AS pval, t.event_type AS touch_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id ORDER BY t.us DESC, t.event_id DESC
+               ) AS rn
+        FROM p LEFT JOIN ev t
+          ON t.user_id = p.user_id AND t.event_type <> 'purchase'
+         AND (t.us < p.us OR (t.us = p.us AND t.event_id < p.event_id))
+         AND t.us >= p.us - {ATTR_WINDOW_US}
+    )
+    SELECT COALESCE(touch_type, 'direct') AS touch_type,
+           COUNT(*) AS n_purchases,
+           ROUND(SUM(pval), 2) AS attributed_value
+    FROM lt WHERE rn = 1 GROUP BY 1
+    """,
+    tags=("behavioral", "attribution", "window", "asof"),
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the most
+    recent non-purchase event by the same user within the preceding
+    hour (else the 'direct' bucket), reported as purchase counts and
+    attributed value per touch channel. The classic marketing /
+    conversion-funnel join, which is really a per-user as-of lookup.
+
+    Scale: implemented WITHOUT a self-join — one user_id window pass
+    carries the last non-purchase (ignore-nulls last over preceding
+    rows) to every purchase row, then the 1-hour recency gate is a
+    per-row comparison; if the latest touch is stale, every touch is.
+    Cost is the user-partitioned sort the timeline queries already pay,
+    versus the naive purchase x touch join the oracle spells out.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    ev = e.select(
+        "event_id", "user_id", "event_type", "value", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(F.col("us").alias("tus"), F.col("event_type").alias("ttype")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    attributed = (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "value",
+            F.when(
+                F.col("touch").isNotNull()
+                & (F.col("touch.tus") >= F.col("us") - ATTR_WINDOW_US),
+                F.col("touch.ttype"),
+            )
+            .otherwise("direct")
+            .alias("touch_type"),
+        )
+    )
+    return attributed.groupBy("touch_type").agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("attributed_value"),
+    )
+
+
+# --- Triangle counting on the co-purchase graph ------------------------------
+
+TRI_SUPPORT = 2  # parts must co-occur in >= this many orders to form an edge
+
+
+@query(
+    "q_triangle_count",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_SUPPORT}
+    ),
+    deg AS (
+        SELECT k, COUNT(*) AS d FROM (
+            SELECT u AS k FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY k
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT COUNT(*) FROM deg)                          AS n_vertices,
+           (SELECT COUNT(*) FROM edges)                        AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT CAST(n_triangles AS BIGINT) FROM tri)       AS n_triangles,
+           ROUND(3.0 * (SELECT n_triangles FROM tri) /
+                 (SELECT SUM(d * (d - 1) / 2) FROM deg), 6)    AS global_clustering
+    """,
+    tags=("graph", "triangle", "join", "custom-op"),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (edges = part pairs
+    co-ordered in >= {SUP} orders): vertex/edge/wedge/triangle counts and
+    the global clustering coefficient — the connectivity profile behind
+    related-item recommendations and community detection, and the classic
+    distributed-graph benchmark beyond connected components
+    (operators/cluster.py).
+
+    Scale: edges are canonically oriented u < v, so each triangle is
+    enumerated exactly once by the wedge join (e1 ⨝ e2 on the middle
+    vertex) closed by a hash semi-probe (e3). Wedge volume — the real
+    cost — is sum(d^2); at 100 TB the standard mitigations apply
+    unchanged: orient by DEGREE instead of id (caps wedge fan-out at
+    sqrt-degree), cap or sample hub vertices, and pre-filter edges by
+    support as done here (support >= {SUP} drops the accidental-co-order
+    noise that makes retail graphs dense).
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= TRI_SUPPORT)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("u").alias("k"))
+        .unionAll(edges.select(F.col("v").alias("k")))
+        .groupBy("k")
+        .agg(F.count("*").alias("d"))
+    )
+    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(F.count("*").alias("n_triangles"))
+    stats = deg.agg(
+        F.count("*").alias("n_vertices"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        stats.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+                "global_clustering"
+            ),
+        )
+    )
+
+
+q_triangle_count.__doc__ = q_triangle_count.__doc__.format(SUP=TRI_SUPPORT)

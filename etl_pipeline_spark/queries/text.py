@@ -649,3 +649,74 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PMI_TOPK)
         .select("w1", "w2", "c12", "pmi", "rank")
     )
+
+
+# --- BPE merge-candidate mining ----------------------------------------------
+
+BPE_TOPK = 10
+
+
+@query(
+    "q_bpe_merge_candidates",
+    # The BPE training inner loop: corpus-weighted adjacent-symbol pair
+    # counts over the word-frequency table. Symbols here are characters
+    # (iteration 0); subsequent iterations would re-run the same count
+    # over partially-merged symbol sequences.
+    oracle=f"""
+    WITH words AS (
+        SELECT word, COUNT(*) AS freq FROM (
+            SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+        ) GROUP BY word
+    ),
+    pairs AS (
+        SELECT SUBSTR(word, i, 1) AS sym1, SUBSTR(word, i + 1, 1) AS sym2, freq
+        FROM words, UNNEST(GENERATE_SERIES(1, LEN(word) - 1)) t(i)
+        WHERE LEN(word) >= 2
+    ),
+    counted AS (
+        SELECT sym1, sym2, CAST(SUM(freq) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY sym1, sym2
+    )
+    SELECT sym1, sym2, pair_count FROM counted
+    ORDER BY pair_count DESC, sym1 ASC, sym2 ASC
+    LIMIT {BPE_TOPK}
+    """,
+    tags=("text", "tokenizer", "bpe", "X4"),
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top BPE merge candidates: corpus-frequency-weighted counts of
+    adjacent symbol pairs over the word-frequency table — the argmax of
+    this table IS the next BPE merge rule, and iterating
+    count-merge-recount is exactly how a tokenizer vocabulary is trained.
+    This query is the distributed-heavy step of that loop (the merge
+    application itself touches only the words containing the chosen
+    pair).
+
+    Scale: pair counting runs over the WORD-FREQUENCY table, not the
+    corpus — the classic BPE optimization — so cost is vocabulary-sized
+    after one corpus tokenization pass; the (sym1, sym2) aggregate key
+    is alphabet^2-bounded. The top-k is a TakeOrderedAndProject, never
+    a full sort.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> struct(substr(word, i, 1) AS sym1, substr(word, i + 1, 1) AS sym2))"
+            )
+        ).alias("p"),
+    ).select(F.col("p.sym1").alias("sym1"), F.col("p.sym2").alias("sym2"), "freq")
+    return (
+        pairs.groupBy("sym1", "sym2")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("sym1").asc(), F.col("sym2").asc())
+        .limit(BPE_TOPK)
+    )
