@@ -2060,3 +2060,179 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_triangle_count.__doc__ = q_triangle_count.__doc__.format(SUP=TRI_SUPPORT)
+
+
+# --- Market-basket association rules -----------------------------------------
+
+MB_MIN_PAIR = 2  # pair must co-occur in >= this many orders
+MB_TOPK = 15
+
+
+@query(
+    "q_market_basket_rules",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    cnt AS (SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY l_partkey),
+    pair AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS cuv
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {MB_MIN_PAIR}
+    ),
+    rules AS (
+        SELECT u AS antecedent, v AS consequent, cuv, cu.c AS ca, cv.c AS cc
+        FROM pair JOIN cnt cu ON cu.l_partkey = pair.u
+                  JOIN cnt cv ON cv.l_partkey = pair.v
+        UNION ALL
+        SELECT v, u, cuv, cv.c, cu.c
+        FROM pair JOIN cnt cu ON cu.l_partkey = pair.u
+                  JOIN cnt cv ON cv.l_partkey = pair.v
+    )
+    SELECT antecedent, consequent,
+           CAST(cuv AS BIGINT) AS n_both,
+           ROUND(CAST(cuv AS DOUBLE) / n.n_orders, 6) AS support,
+           ROUND(CAST(cuv AS DOUBLE) / ca, 6)         AS confidence,
+           ROUND(CAST(cuv AS DOUBLE) * n.n_orders / (ca * cc), 4) AS lift
+    FROM rules CROSS JOIN n
+    ORDER BY lift DESC, antecedent ASC, consequent ASC
+    LIMIT {MB_TOPK}
+    """,
+    tags=("graph", "association-rules", "market-basket", "custom-op"),
+)
+def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: for directed part
+    pairs co-ordered at least {MIN} times, the support, confidence, and
+    lift of "antecedent => consequent", top-{K} by lift — the
+    related-item recommendation table, and the metric layer over the
+    same co-occurrence graph the triangle census walks.
+
+    Scale: the pair count is the inverted-index self-join on the order
+    key (bounded by per-basket size squared, not corpus size); item
+    marginals and the order total are dimension-sized broadcasts; the
+    top-k is a TakeOrderedAndProject. All ratios derive from exact
+    integer counts, so both engines rank identically.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    cnt = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    pair = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cuv"))
+        .filter(F.col("cuv") >= MB_MIN_PAIR)
+    )
+    enriched = (
+        pair.join(F.broadcast(cnt.select(F.col("l_partkey").alias("u"), F.col("c").alias("ca"))), "u")
+        .join(F.broadcast(cnt.select(F.col("l_partkey").alias("v"), F.col("c").alias("cc"))), "v")
+    )
+    rules = enriched.select(
+        F.col("u").alias("antecedent"), F.col("v").alias("consequent"),
+        "cuv", "ca", "cc",
+    ).unionAll(
+        enriched.select(
+            F.col("v").alias("antecedent"), F.col("u").alias("consequent"),
+            "cuv", F.col("cc").alias("ca"), F.col("ca").alias("cc"),
+        )
+    )
+    return (
+        rules.crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("cuv").alias("n_both"),
+            F.round(F.col("cuv").cast("double") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("cuv").cast("double") / F.col("ca"), 6).alias("confidence"),
+            F.round(
+                F.col("cuv").cast("double") * F.col("n_orders") / (F.col("ca") * F.col("cc")), 4
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("antecedent").asc(), F.col("consequent").asc())
+        .limit(MB_TOPK)
+    )
+
+
+q_market_basket_rules.__doc__ = q_market_basket_rules.__doc__.format(MIN=MB_MIN_PAIR, K=MB_TOPK)
+
+
+# --- Welch two-sample t-test -------------------------------------------------
+
+
+@query(
+    "q_ab_test_ttest",
+    oracle="""
+    WITH assigned AS (
+        SELECT event_type, value,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        FROM events
+    ),
+    arms AS (
+        SELECT event_type, arm, COUNT(*) AS n, AVG(value) AS m, VAR_SAMP(value) AS s2
+        FROM assigned GROUP BY event_type, arm
+    ),
+    wide AS (
+        SELECT a.event_type,
+               a.n AS n_a, a.m AS m_a, a.s2 AS s2_a,
+               b.n AS n_b, b.m AS m_b, b.s2 AS s2_b
+        FROM arms a JOIN arms b
+          ON a.event_type = b.event_type AND a.arm = 'A' AND b.arm = 'B'
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(m_a, 4) AS mean_a, ROUND(m_b, 4) AS mean_b,
+           ROUND((m_a - m_b) / SQRT(s2_a / n_a + s2_b / n_b), 4) AS t_stat,
+           ROUND(POW(s2_a / n_a + s2_b / n_b, 2) /
+                 (POW(s2_a / n_a, 2) / (n_a - 1) + POW(s2_b / n_b, 2) / (n_b - 1)),
+                 2) AS welch_df,
+           CASE WHEN ABS((m_a - m_b) / SQRT(s2_a / n_a + s2_b / n_b)) > 1.96
+                THEN 1 ELSE 0 END AS significant
+    FROM wide
+    """,
+    tags=("statistics", "ab-test", "agg"),
+)
+def q_ab_test_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test per event type, arms assigned by user
+    parity: sample sizes, means, the t statistic, Welch-Satterthwaite
+    degrees of freedom, and a 5%-level verdict — the experiment-readout
+    query every A/B platform runs, next to the KS drift and MAD outlier
+    checks in the statistical-DQ family.
+
+    Scale: one map-combinable aggregate on the (type, arm) grid; the
+    t arithmetic is per-group scalar expressions on the tiny result.
+    Nothing beyond the aggregate touches row volume.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    assigned = e.select(
+        "event_type",
+        "value",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+    )
+    arms = assigned.groupBy("event_type", "arm").agg(
+        F.count("*").alias("n"), F.avg("value").alias("m"), F.var_samp("value").alias("s2")
+    )
+    a = arms.filter(F.col("arm") == "A").select(
+        "event_type", F.col("n").alias("n_a"), F.col("m").alias("m_a"), F.col("s2").alias("s2_a")
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        "event_type", F.col("n").alias("n_b"), F.col("m").alias("m_b"), F.col("s2").alias("s2_b")
+    )
+    se2 = F.col("s2_a") / F.col("n_a") + F.col("s2_b") / F.col("n_b")
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(se2)
+    df = F.pow(se2, 2) / (
+        F.pow(F.col("s2_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+        + F.pow(F.col("s2_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+    )
+    return a.join(b, "event_type").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("m_a", 4).alias("mean_a"),
+        F.round("m_b", 4).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df, 2).alias("welch_df"),
+        F.when(F.abs(t) > 1.96, 1).otherwise(0).alias("significant"),
+    )

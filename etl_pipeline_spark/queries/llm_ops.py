@@ -1269,3 +1269,111 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("g_dedup").cast("double")) / F.count("*"), 4).alias("retention"),
         )
     )
+
+
+# --- Feature-hashed linear quality scorer ------------------------------------
+
+FH_DIMS = 64  # hashed feature space
+FH_SIGN_SALT = "#fhs"
+FH_SLOT_SALT = "#fh"
+FH_WEIGHT_SALT = "w#"
+
+
+@query(
+    "q_hashed_linear_score",
+    # fastText-shaped quality scoring with the hashing trick: tokens hash
+    # into FH_DIMS slots with a +/-1 sign hash; the "model" weights are
+    # md5-derived pseudo-weights so the whole scorer is deterministic and
+    # cross-engine-checkable (production swaps in trained weights; the
+    # plan is identical). The per-doc dot product folds slot terms in
+    # slot order, so the score is bit-reproducible pre-ROUND.
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               {_hex32_sql("token || '" + FH_SLOT_SALT + "'")} % {FH_DIMS} AS slot,
+               CASE WHEN {_hex32_sql("token || '" + FH_SIGN_SALT + "'")} % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM toks
+    ),
+    slots AS (
+        SELECT doc_id, slot, CAST(SUM(sgn) AS BIGINT) AS net, COUNT(*) AS n
+        FROM hashed GROUP BY doc_id, slot
+    ),
+    terms AS (
+        SELECT doc_id, slot, n,
+               net * (({_hex32_sql("'" + FH_WEIGHT_SALT + "' || CAST(slot AS VARCHAR)")} / 4294967296.0) * 2 - 1) AS term
+        FROM slots
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           ROUND(list_reduce(LIST(term ORDER BY slot), (a, b) -> a + b) / SUM(n), 6)
+               AS quality_score,
+           CASE WHEN list_reduce(LIST(term ORDER BY slot), (a, b) -> a + b) > 0
+                THEN 1 ELSE 0 END AS quality_pass
+    FROM terms GROUP BY doc_id
+    """,
+    tags=("llm", "quality", "feature-hashing", "X4"),
+)
+def q_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring with the hashing trick: every
+    token hashes to one of {D} feature slots with a sign hash (the
+    collision-tolerant sparse vectorizer fastText and Vowpal Wabbit
+    use), the doc's hashed feature vector dots a weight vector, and the
+    normalized score plus a pass flag come back per document — the
+    model-based quality gate that sits next to the heuristic one
+    (q_text_quality_score) in a corpus funnel.
+
+    Scale: tokens aggregate per (doc, slot) BEFORE any weights touch
+    them (integer net signs — order-free), so the per-doc state is at
+    most {D} slots regardless of document length, and the score fold is
+    over the {D}-slot list in pinned slot order. One shuffle on doc_id;
+    weights are an expression, not a table — nothing broadcasts, nothing
+    collects. Swapping md5 pseudo-weights for a trained vector makes
+    them a {D}-row broadcast join with the same plan.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+
+    def h32(col):
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    hashed = toks.select(
+        "doc_id",
+        (h32(F.concat("token", F.lit(FH_SLOT_SALT))) % FH_DIMS).alias("slot"),
+        F.when(h32(F.concat("token", F.lit(FH_SIGN_SALT))) % 2 == 0, 1)
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    slots = hashed.groupBy("doc_id", "slot").agg(
+        F.sum("sgn").alias("net"), F.count("*").alias("n")
+    )
+    weight = (
+        h32(F.concat(F.lit(FH_WEIGHT_SALT), F.col("slot").cast("string")))
+        / F.lit(4294967296.0)
+    ) * 2 - 1
+    terms = slots.select(
+        "doc_id", "n", F.struct(F.col("slot"), (F.col("net") * weight).alias("term")).alias("st")
+    )
+    folded = (
+        terms.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.aggregate(
+                F.transform(F.array_sort(F.collect_list("st")), lambda s: s["term"]),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+        )
+    )
+    return folded.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("dot") / F.col("n_tokens"), 6).alias("quality_score"),
+        F.when(F.col("dot") > 0, 1).otherwise(0).alias("quality_pass"),
+    )
+
+
+q_hashed_linear_score.__doc__ = q_hashed_linear_score.__doc__.format(D=FH_DIMS)
