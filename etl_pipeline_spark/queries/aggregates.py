@@ -213,8 +213,12 @@ def q_histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Count-min sketch heavy hitters -----------------------------------------
 
-CMS_DEPTH = 3  # independent hash rows
-CMS_WIDTH = 16  # counters per row (below the fixture vocabulary size, so collisions/overestimates are actually exercised)
+from etl_pipeline_spark.operators.cms import (  # noqa: E402
+    CMS_DEPTH,
+    CMS_WIDTH,
+    cms_slots,
+)
+
 CMS_TOPK = 20  # heavy hitters reported
 
 
@@ -283,22 +287,12 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same property the KLL/HLL merge queries exercise.
     """
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-
-    def pos(col, row: int):
-        return (
-            F.conv(F.substring(F.md5(F.concat(col, F.lit(f"#cms{row}"))), 1, 8), 16, 10)
-            .cast("long") % CMS_WIDTH
-        )
-
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
-    slot_arr = F.array(*[
-        F.struct(F.lit(row).alias("d"), pos(F.col("word"), row).alias("pos"))
-        for row in range(CMS_DEPTH)
-    ])
+    slot_arr = cms_slots(F.col("word"))
     slots = counts.select("word", "cnt", F.explode(slot_arr).alias("s")).select(
         "word", "cnt", F.col("s.d").alias("d"), F.col("s.pos").alias("pos")
     )
