@@ -581,3 +581,86 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             F.round(F.pow(F.lit(2.0), F.avg(nll)), 2).alias("ppl"),
         )
     )
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str,
+    partition_col: str,
+    order_cols: list[str],
+    window: int = 16,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average (alpha=0.5) of
+    ``value_col`` over the last ``window`` rows per partition, appended
+    as an ``ewma`` column. Weights are powers of two and the fold order
+    is pinned, so the smoothing is deterministic on any engine or
+    partitioning (see queries/advanced.py:q_ewma_smoothing)."""
+    w = (
+        W.partitionBy(partition_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window - 1), W.currentRow)
+    )
+    framed = df.withColumn("__frame", F.collect_list(value_col).over(w))
+    n = F.size("__frame")
+    num = F.aggregate(
+        F.transform("__frame", lambda x, i: x * F.pow(F.lit(0.5), n - 1 - i)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    den = F.lit(2.0) - F.pow(F.lit(0.5), n - 1)
+    return framed.withColumn("ewma", num / den).drop("__frame")
+
+
+def cms_topk_report(df: DataFrame, item_col: str, k: int = 20) -> DataFrame:
+    """Count-min-sketch heavy-hitter report over any item column: the
+    top-k items by exact count with their sketch estimates and
+    overestimates (operators/cms.py holds the mergeable counter
+    primitives for the sketch-only 100 TB form)."""
+    from etl_pipeline_spark.operators.cms import cms_estimate, cms_increments
+
+    counts = df.groupBy(F.col(item_col).alias("word")).agg(F.count("*").alias("exact_cnt"))
+    counters = cms_increments(
+        df.select(F.col(item_col).alias("word")), "word"
+    )
+    top = counts.orderBy(F.col("exact_cnt").desc(), F.col("word").asc()).limit(k)
+    return (
+        top.join(cms_estimate(counters, top.select("word"), "word"), "word")
+        .select(
+            F.col("word").alias(item_col),
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overest"),
+        )
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    tau: float = 0.25,
+) -> DataFrame:
+    """Semantic dedup over an (id, float-vector) table: cluster by
+    argmax-cosine against deterministic seed centroids, then within each
+    cluster drop the centroid-closer member of every pair with cosine >=
+    tau. Returns the SURVIVING rows with their cluster and centroid
+    cosine (operators/semdedup.py documents the determinism contract)."""
+    from etl_pipeline_spark.operators.semdedup import (
+        semdedup_assign,
+        semdedup_pairs,
+        semdedup_pruned,
+    )
+
+    emb = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    assign = semdedup_assign(emb, k)
+    pruned = semdedup_pruned(semdedup_pairs(assign), tau).select(
+        F.col("pruned").alias("vec_id")
+    )
+    return (
+        assign.join(pruned, "vec_id", "left_anti")
+        .select(F.col("vec_id").alias(id_col), "cluster", "cosc")
+    )

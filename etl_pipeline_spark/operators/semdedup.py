@@ -1,0 +1,133 @@
+"""SemDeDup building blocks (Abbas et al. 2023): deterministic centroid
+construction, argmax-cosine cluster assignment, and centroid-aware
+near-duplicate pruning — reusable over any (id, vector) DataFrame.
+queries/dedup.py:q_semdedup_clusters composes these against the fixture
+embeddings and oracle-checks every step.
+
+Determinism contract (what makes the pipeline engine-reproducible):
+- centroids are means of deterministic seed groups (id % k), computed
+  from HALF-UP-QUANTIZED integer sums — integer addition is
+  order-independent where double AVG is not;
+- dot products are sequential folds over the vector, identical in any
+  engine that folds left-to-right;
+- assignment ties break on the cluster id.
+
+Scale: centroids are k x dims and broadcast; assignment is a map-side
+broadcast join (the corpus never shuffles for it); the quadratic pair
+stage is confined within clusters, with k as the knob that bounds
+cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+SEM_QUANT = 10000  # centroid quantization denominator
+
+
+def vec_dot(x: Column, y: Column) -> Column:
+    """Sequential-fold dot product of two double arrays."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def vec_cosine(x: Column, y: Column) -> Column:
+    return vec_dot(x, y) / (F.sqrt(vec_dot(x, x)) * F.sqrt(vec_dot(y, y)))
+
+
+def seed_centroids(
+    emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "v"
+) -> DataFrame:
+    """Per-seed-group (id % k) dimension-wise means as (seed, cv) rows,
+    bit-reproducible via quantized integer sums."""
+    comp = emb.select(
+        (F.col(id_col) % k).alias("seed"), F.posexplode(vec_col).alias("pos0", "val")
+    )
+    cent = comp.groupBy("seed", "pos0").agg(
+        F.sum(F.floor(F.col("val") * SEM_QUANT + 0.5).cast("long")).alias("qsum"),
+        F.count("*").alias("n"),
+    )
+    return (
+        cent.select(
+            "seed",
+            F.struct(
+                "pos0", (F.col("qsum") / (float(SEM_QUANT) * F.col("n"))).alias("c")
+            ).alias("pc"),
+        )
+        .groupBy("seed")
+        .agg(F.array_sort(F.collect_list("pc")).alias("pcs"))
+        .select("seed", F.transform("pcs", lambda s: s["c"]).alias("cv"))
+    )
+
+
+def semdedup_assign(
+    emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "v"
+) -> DataFrame:
+    """Assign each vector to its argmax-cosine centroid: returns
+    (id, v, cluster, cosc) with cosc rounded to 6 decimals."""
+    cvec = seed_centroids(emb, k, id_col, vec_col)
+    cosc = vec_cosine(F.col(vec_col), F.col("cv"))
+    wr = W.partitionBy(id_col).orderBy(F.col("raw_cos").desc(), F.col("seed").asc())
+    return (
+        emb.crossJoin(F.broadcast(cvec))
+        .select(id_col, vec_col, "seed", cosc.alias("raw_cos"))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") == 1)
+        .select(
+            id_col,
+            vec_col,
+            F.col("seed").alias("cluster"),
+            F.round("raw_cos", 6).alias("cosc"),
+        )
+    )
+
+
+def semdedup_pairs(
+    assign: DataFrame, id_col: str = "vec_id", vec_col: str = "v"
+) -> DataFrame:
+    """Within-cluster candidate pairs with their cosine (rounded to 4)
+    and both members' centroid cosines — the blocked quadratic stage."""
+    a = assign.select(
+        "cluster",
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        F.col("cosc").alias("cosc_a"),
+    )
+    b = assign.select(
+        "cluster",
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("cosc").alias("cosc_b"),
+    )
+    return (
+        a.join(b, ["cluster"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "cluster",
+            "vec_a",
+            "vec_b",
+            "cosc_a",
+            "cosc_b",
+            F.round(vec_cosine(F.col("va"), F.col("vb")), 4).alias("cos_ab"),
+        )
+    )
+
+
+def semdedup_pruned(pairs: DataFrame, tau: float) -> DataFrame:
+    """Vectors pruned by the SemDeDup rule: in every near-dup pair
+    (cos >= tau) drop the member CLOSER to the centroid (keep the "edge"
+    example; ties drop the higher id). Returns distinct (cluster, pruned)."""
+    return (
+        pairs.filter(F.col("cos_ab") >= tau)
+        .select(
+            "cluster",
+            F.when(F.col("cosc_a") > F.col("cosc_b"), F.col("vec_a"))
+            .when(F.col("cosc_b") > F.col("cosc_a"), F.col("vec_b"))
+            .otherwise(F.greatest("vec_a", "vec_b"))
+            .alias("pruned"),
+        )
+        .distinct()
+    )

@@ -31,6 +31,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.operators.semdedup import (
+    semdedup_assign,
+    semdedup_pairs,
+    semdedup_pruned,
+)
 from etl_pipeline_spark.queries.base import query
 
 SHINGLE_WIDTH = 3
@@ -865,7 +870,8 @@ SEM_QUANT = 10000  # centroid quantization denominator (exact integer sums)
     tags=("dedup", "X2", "embedding", "semdedup", "clustering"),
 )
 def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup report: per-cluster corpus size, mean centroid cosine,
+    """SemDeDup report (composed from operators/semdedup.py — the same
+    building blocks callers use on their own embedding tables): per-cluster corpus size, mean centroid cosine,
     near-duplicate pair count, and how many vectors centroid-aware pruning
     removes. The pipeline is the real thing end-to-end — centroid build,
     argmax-cosine assignment, blocked within-cluster pairing, prune-rule
@@ -887,78 +893,20 @@ def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-
-    comp = emb.select(
-        "vec_id",
-        (F.col("vec_id") % SEM_K).alias("seed"),
-        F.posexplode("v").alias("pos0", "val"),
-    )
-    cent = comp.groupBy("seed", "pos0").agg(
-        F.sum(F.floor(F.col("val") * SEM_QUANT + 0.5).cast("long")).alias("qsum"),
-        F.count("*").alias("n"),
-    )
-    cvec = (
-        cent.select(
-            "seed",
-            F.struct("pos0", (F.col("qsum") / (float(SEM_QUANT) * F.col("n"))).alias("c")).alias("pc"),
-        )
-        .groupBy("seed")
-        .agg(F.array_sort(F.collect_list("pc")).alias("pcs"))
-        .select("seed", F.transform("pcs", lambda s: s["c"]).alias("cv"))
-    )
-
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
-    )
-    cos_cent = dot(F.col("v"), F.col("cv")) / (
-        F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))
-    )
-    from pyspark.sql import Window as W
-
-    wr = W.partitionBy("vec_id").orderBy(F.col("raw_cos").desc(), F.col("seed").asc())
-    assign = (
-        emb.crossJoin(F.broadcast(cvec))
-        .select("vec_id", "v", F.col("seed"), cos_cent.alias("raw_cos"))
-        .withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") == 1)
-        .select(
-            "vec_id", "v", F.col("seed").alias("cluster"), F.round("raw_cos", 6).alias("cosc")
-        )
-    )
-    a = assign.select(
-        "cluster", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("cosc").alias("cosc_a")
-    )
-    b = assign.select(
-        "cluster", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("cosc").alias("cosc_b")
-    )
-    pairs = (
-        a.join(b, ["cluster"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "cluster", "vec_a", "vec_b", "cosc_a", "cosc_b",
-            F.round(
-                dot(F.col("va"), F.col("vb"))
-                / (F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))),
-                4,
-            ).alias("cos_ab"),
-        )
-    )
-    dups = pairs.filter(F.col("cos_ab") >= SEM_TAU).select(
-        "cluster",
-        F.when(F.col("cosc_a") > F.col("cosc_b"), F.col("vec_a"))
-        .when(F.col("cosc_b") > F.col("cosc_a"), F.col("vec_b"))
-        .otherwise(F.greatest("vec_a", "vec_b"))
-        .alias("pruned"),
-    )
+    assign = semdedup_assign(emb, SEM_K)
+    pairs = semdedup_pairs(assign)
     cl = assign.groupBy("cluster").agg(
         F.count("*").alias("size"), F.round(F.avg("cosc"), 4).alias("avg_cos_centroid")
     )
-    pd_ = dups.groupBy("cluster").agg(
-        F.count("*").alias("n_neardup_pairs"),
-        F.countDistinct("pruned").alias("n_pruned"),
+    nd = pairs.filter(F.col("cos_ab") >= SEM_TAU).groupBy("cluster").agg(
+        F.count("*").alias("n_neardup_pairs")
+    )
+    np_ = semdedup_pruned(pairs, SEM_TAU).groupBy("cluster").agg(
+        F.count("*").alias("n_pruned")
     )
     return (
-        cl.join(pd_, "cluster", "left")
+        cl.join(nd, "cluster", "left")
+        .join(np_, "cluster", "left")
         .select(
             "cluster",
             "size",

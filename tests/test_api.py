@@ -322,3 +322,53 @@ def test_priority_sample_global_path_is_take_ordered(spark):
     out = api.priority_sample(df, "w", "id", 5)
     plans.assert_take_ordered(out)
     assert out.count() == 5
+
+
+def test_ewma_recursive_equivalence(spark):
+    """Truncated EWMA equals the exact recursive EWMA when the timeline
+    fits inside the frame."""
+    rows = [(1, i, float(v)) for i, v in enumerate([10, 20, 10, 40])]
+    df = spark.createDataFrame(rows, "uid long, seq long, value double")
+    got = {
+        r.seq: r.ewma
+        for r in api.ewma(df, "value", "uid", ["seq"], window=16).collect()
+    }
+    # closed form: weights 0.5^k over the k most recent, normalized
+    vals = [10, 20, 10, 40]
+    for t in range(4):
+        win = vals[: t + 1]
+        num = sum(x * 0.5 ** (t - i) for i, x in enumerate(win))
+        den = sum(0.5 ** (t - i) for i in range(t + 1))
+        assert abs(got[t] - num / den) < 1e-12
+
+
+def test_cms_topk_report_invariant(spark):
+    df = spark.createDataFrame(
+        [(w,) for w in ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + list("defghij")],
+        "token string",
+    )
+    rep = {r.token: r for r in api.cms_topk_report(df, "token", k=5).collect()}
+    assert rep["a"].exact_cnt == 5
+    for r in rep.values():
+        assert r.cms_est >= r.exact_cnt
+        assert r.overest == r.cms_est - r.exact_cnt
+
+
+def test_semdedup_prunes_near_identical(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(8)]
+    rows = []
+    # 3 near-identical copies of base (tiny jitter), 5 random vectors
+    for i in range(3):
+        rows.append((i, [x + rng.uniform(-1e-3, 1e-3) for x in base]))
+    for i in range(3, 8):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(8)]))
+    df = spark.createDataFrame(rows, "vid long, emb array<float>")
+    kept = api.semdedup(df, "vid", "emb", k=2, tau=0.95)
+    ids = sorted(r.vid for r in kept.collect())
+    # exactly one of the three near-identical copies survives
+    assert len([i for i in ids if i < 3]) == 1
+    # all distinct vectors survive
+    assert all(i in ids for i in range(3, 8))
