@@ -219,3 +219,48 @@ def test_pq_corpus_side_has_no_extra_shuffle(spark):
     df = contract.queries()["q_knn_pq"](spark, SF)
     plan = plans.executed(df)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_market_basket_topk_is_take_ordered(spark):
+    """Top-k rules by lift compile to heap selection, never a full sort."""
+    df = contract.queries()["q_market_basket_rules"](spark, SF)
+    plans.assert_take_ordered(df)
+
+
+def test_bpe_topk_is_take_ordered(spark):
+    df = contract.queries()["q_bpe_merge_candidates"](spark, SF)
+    plans.assert_take_ordered(df)
+
+
+def test_semdedup_centroids_broadcast(spark):
+    """Cluster assignment must be a broadcast join of the k-row centroid
+    table — shuffling the corpus to meet 8 centroids would be the
+    scale-killer."""
+    df = contract.queries()["q_semdedup_clusters"](spark, SF)
+    plans.assert_broadcast_join(df)
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """The binned interval join must plan as a hash/sort-merge EQUI join
+    on the bin key — a BroadcastNestedLoopJoin would mean the range
+    predicate leaked into the join condition."""
+    df = contract.queries()["q_interval_window_join"](spark, SF)
+    plan = plans.executed(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:800]
+
+
+def test_attribution_has_no_self_join(spark):
+    """Last-touch attribution is ONE window pass over events — the plan
+    must contain no join at all (the oracle's naive purchase x touch
+    join is exactly what the implementation avoids)."""
+    df = contract.queries()["q_attribution_last_touch"](spark, SF)
+    plan = plans.executed(df)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "NestedLoop"):
+        assert node not in plan, (node, plan[:800])
+
+
+def test_cms_counters_broadcast_to_probes(spark):
+    """Heavy-hitter estimation joins the DEPTH*WIDTH counter grid as a
+    broadcast — the grid is sketch-sized by construction."""
+    df = contract.queries()["q_cms_heavy_hitters"](spark, SF)
+    plans.assert_broadcast_join(df)

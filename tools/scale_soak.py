@@ -51,9 +51,36 @@ SOAK_QUERIES = [
     "q_contamination_check",
 ]
 
+# r4c additions: the graph + semantic-dedup heavies. SemDeDup's published
+# scale contract is "k grows with the corpus to hold cluster sizes
+# constant", so the soak measures the operator with k scaled per sf —
+# the fixed-k registry query at sf1 would deliberately violate its own
+# scaling rule (clusters of ~6k vectors => ~160M within-cluster pairs).
+SOAK_QUERIES_R4C = [
+    "q_triangle_count",
+    "q_market_basket_rules",
+    "q_hashed_linear_score",
+]
+SEM_K_PER_SF = {"0.01": 8, "0.1": 8, "1": 80}
+
+
+def semdedup_scaled(spark, sf_dir: str, sf_label: str):
+    from etl_pipeline_spark.operators.semdedup import (
+        semdedup_assign,
+        semdedup_pairs,
+        semdedup_pruned,
+    )
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    emb = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    assign = semdedup_assign(emb, SEM_K_PER_SF[sf_label]).localCheckpoint(eager=False)
+    return semdedup_pruned(semdedup_pairs(assign), 0.25)
+
 
 def build_sf1(spark) -> None:
-    t = load_tables(spark, SF_SRC, ("documents", "embeddings"))
+    t = load_tables(spark, SF_SRC, ("documents", "embeddings", "lineitem"))
     docs, embs = t["documents"], t["embeddings"]
     doc_parts = []
     emb_parts = []
@@ -89,6 +116,19 @@ def build_sf1(spark) -> None:
         out_embs = out_embs.unionByName(p)
     out_docs.repartition(32).write.mode("overwrite").parquet(f"{SF1_DIR}/documents.parquet")
     out_embs.repartition(8).write.mode("overwrite").parquet(f"{SF1_DIR}/embeddings.parquet")
+    # lineitem: both keys offset per copy -> 10 disjoint co-purchase
+    # graphs, so graph-query outputs scale exactly 10x (edges, triangles,
+    # rules) with no artificial cross-copy densification.
+    li = t["lineitem"]
+    li_parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + i * ID_OFFSET)
+        .withColumn("l_partkey", F.col("l_partkey") + i * ID_OFFSET)
+        for i in range(COPIES)
+    ]
+    out_li = li_parts[0]
+    for p_ in li_parts[1:]:
+        out_li = out_li.unionByName(p_)
+    out_li.repartition(32).write.mode("overwrite").parquet(f"{SF1_DIR}/lineitem.parquet")
 
 
 def main() -> None:
@@ -113,7 +153,10 @@ def main() -> None:
     ]:
         for name in soak:
             t0 = time.perf_counter()
-            n = specs[name].fn(spark, sf_dir).count()
+            if name == "q_semdedup_scaledk":
+                n = semdedup_scaled(spark, sf_dir, sf_label).count()
+            else:
+                n = specs[name].fn(spark, sf_dir).count()
             dt = round(time.perf_counter() - t0, 2)
             results.setdefault(name, {})[sf_label] = {"sec": dt, "rows": n}
             print(json.dumps({"sf": sf_label, "query": name, "sec": dt, "rows": n}), flush=True)
