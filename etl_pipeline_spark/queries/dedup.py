@@ -915,3 +915,75 @@ def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_pruned", F.lit(0)).alias("n_pruned"),
         )
     )
+
+
+# --- LSH quality audit: recall/precision vs the exact baseline --------------
+
+from etl_pipeline_spark.operators.minhash import (  # noqa: E402
+    minhash_pairs,
+    minhash_pairs_sql_duckdb,
+)
+from etl_pipeline_spark.queries.base import REGISTRY  # noqa: E402
+
+
+@query(
+    "q_lsh_recall_report",
+    # Composes the two already-oracled sides: exact-Jaccard truth pairs
+    # (q_dedup_ngram_jaccard) and md5-MinHash banded candidates
+    # (q_dedup_minhash_pairs). Because the hash family is engine-portable,
+    # BOTH sides — and therefore the recall/precision of the approximate
+    # operator itself — are exactly cross-checked.
+    oracle=None,  # placeholder; bound right below so registration order is explicit
+    tags=("dedup", "X2", "lsh", "audit", "approx-exactly-checked"),
+)
+def q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality audit of MinHash-LSH against ground truth: how many exact
+    near-dup pairs (Jaccard >= 0.5) the banded candidate generation
+    recovers (recall) and how much of the candidate set is real
+    (precision before the verify step). The number every dedup pipeline
+    must publish before trusting its sub-quadratic path — here it is a
+    standing, oracle-checked query instead of a one-off notebook.
+
+    Scale: both sides are the existing operators (inverted-index join;
+    banded LSH); the audit adds two broadcast-sized count aggregates and
+    a pair anti-join. Run it on a SAMPLE at 100 TB — recall estimates
+    need only a few thousand truth pairs.
+    """
+    exact = (
+        REGISTRY["q_dedup_ngram_jaccard"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    lsh = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    hits = exact.join(lsh, ["doc_a", "doc_b"]).agg(F.count("*").alias("n_hits"))
+    n_true = exact.agg(F.count("*").alias("n_true_pairs"))
+    n_cand = lsh.agg(F.count("*").alias("n_candidates"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(hits)
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_hits",
+            F.round(F.col("n_hits") / F.nullif(F.col("n_true_pairs"), F.lit(0)), 4).alias(
+                "recall"
+            ),
+            F.round(F.col("n_hits") / F.nullif(F.col("n_candidates"), F.lit(0)), 4).alias(
+                "precision"
+            ),
+        )
+    )
+
+
+REGISTRY["q_lsh_recall_report"].oracle = f"""
+    WITH lsh AS (SELECT doc_a, doc_b FROM ({minhash_pairs_sql_duckdb()})),
+    exactp AS (SELECT doc_a, doc_b FROM ({REGISTRY["q_dedup_ngram_jaccard"].oracle}))
+    SELECT (SELECT COUNT(*) FROM exactp) AS n_true_pairs,
+           (SELECT COUNT(*) FROM lsh) AS n_candidates,
+           (SELECT COUNT(*) FROM exactp e JOIN lsh l
+             ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b) AS n_hits,
+           ROUND((SELECT COUNT(*) FROM exactp e JOIN lsh l
+                   ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)
+                 / CAST(NULLIF((SELECT COUNT(*) FROM exactp), 0) AS DOUBLE), 4) AS recall,
+           ROUND((SELECT COUNT(*) FROM exactp e JOIN lsh l
+                   ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)
+                 / CAST(NULLIF((SELECT COUNT(*) FROM lsh), 0) AS DOUBLE), 4) AS precision
+"""
