@@ -2236,3 +2236,178 @@ def q_ab_test_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(df, 2).alias("welch_df"),
         F.when(F.abs(t) > 1.96, 1).otherwise(0).alias("significant"),
     )
+
+
+# --- Referential-integrity audit ---------------------------------------------
+
+_RI_RELATIONS = [
+    # (label, child table, child key, parent table, parent key)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _ri_oracle() -> str:
+    parts = []
+    for label, ct, ck, pt, pk in _RI_RELATIONS:
+        parts.append(f"""
+    SELECT '{label}' AS relation,
+           (SELECT COUNT(*) FROM {ct}) AS n_child_rows,
+           (SELECT COUNT(*) FROM {ct} c
+             WHERE NOT EXISTS (SELECT 1 FROM {pt} p WHERE p.{pk} = c.{ck}))
+               AS n_orphan_rows,
+           (SELECT COUNT(*) FROM {pt}) AS n_parent_rows,
+           (SELECT COUNT(*) FROM {pt} p
+             WHERE NOT EXISTS (SELECT 1 FROM {ct} c WHERE c.{ck} = p.{pk}))
+               AS n_unreferenced_parents""")
+    return "\n    UNION ALL\n".join(parts)
+
+
+@query(
+    "q_dq_referential_integrity",
+    oracle=_ri_oracle(),
+    tags=("dq", "referential-integrity", "anti-join"),
+)
+def q_dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every foreign-key relation in
+    the star schema: child row counts, orphaned children (FK with no
+    parent — the hard violation a load gate must block on), parent
+    counts, and unreferenced parents (the soft signal: dimensions
+    nothing points at). One standing query instead of six ad-hoc
+    anti-join notebooks; the DQ family's relational complement to the
+    statistical checks (KS/MAD/Benford).
+
+    Scale: each relation costs one left-anti join per direction, both
+    on the FK key; dimension sides broadcast. Orphan checks at 100 TB
+    run on exactly this plan — anti-join against a broadcast dimension
+    is a map-side filter.
+    """
+    tables = load_tables(
+        spark, sf_dir,
+        ("lineitem", "orders", "part", "supplier", "customer", "nation", "events"),
+    )
+    rows = []
+    for label, ct, ck, pt, pk in _RI_RELATIONS:
+        child = tables[ct].select(F.col(ck).alias("k"))
+        parent = tables[pt].select(F.col(pk).alias("k"))
+        n_child = child.agg(F.count("*").alias("n_child_rows"))
+        n_orphan = child.join(F.broadcast(parent.distinct()), "k", "left_anti").agg(
+            F.count("*").alias("n_orphan_rows")
+        )
+        n_parent = parent.agg(F.count("*").alias("n_parent_rows"))
+        n_unref = parent.join(child.distinct(), "k", "left_anti").agg(
+            F.count("*").alias("n_unreferenced_parents")
+        )
+        rows.append(
+            n_child.crossJoin(n_orphan)
+            .crossJoin(n_parent)
+            .crossJoin(n_unref)
+            .select(
+                F.lit(label).alias("relation"),
+                "n_child_rows",
+                "n_orphan_rows",
+                "n_parent_rows",
+                "n_unreferenced_parents",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# --- Cohort lifetime value ----------------------------------------------------
+
+
+@query(
+    "q_cohort_ltv",
+    # Revenue is folded in integer CENTS (half-up quantization) so the
+    # cumulative window sum is order-independent and exact in both
+    # engines; division back to currency happens only at the edge, and
+    # the per-user LTV rounds via explicit FLOOR(x+0.5) — cents/users
+    # rationals land on exact .00005 halves where library ROUNDs diverge.
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS DATE) AS d,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    cohorts AS (SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY user_id),
+    sizes AS (SELECT cohort_day, COUNT(*) AS cohort_users FROM cohorts GROUP BY cohort_day),
+    cells AS (
+        SELECT c.cohort_day, DATEDIFF('day', c.cohort_day, e.d) AS age_days,
+               COUNT(DISTINCT e.user_id) AS active_users,
+               CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN e.cents ELSE 0 END) AS BIGINT)
+                   AS rev_cents
+        FROM ev e JOIN cohorts c ON e.user_id = c.user_id
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort_day, age_days, active_users, rev_cents,
+               SUM(rev_cents) OVER (
+                   PARTITION BY cohort_day ORDER BY age_days
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum_cents
+        FROM cells
+    )
+    SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           c.age_days,
+           CAST(c.active_users AS BIGINT) AS active_users,
+           ROUND(c.rev_cents / 100.0, 2) AS revenue,
+           ROUND(c.cum_cents / 100.0, 2) AS cum_revenue,
+           FLOOR(c.cum_cents * 100.0 / s.cohort_users + 0.5) / 10000.0 AS ltv_per_user
+    FROM cum c JOIN sizes s ON c.cohort_day = s.cohort_day
+    """,
+    tags=("behavioral", "cohort", "ltv", "window"),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by first-seen day;
+    for each (cohort, age-in-days) cell the active users, purchase
+    revenue, cumulative revenue, and cumulative LTV per cohort user —
+    the retention table's revenue twin, and the curve a data platform
+    publishes to compare acquisition cohorts.
+
+    Scale: one shuffle to find first-seen per user, one aggregate on the
+    bounded (cohort, age) grid, one running-sum window per cohort over
+    at most the observation span in days. Money folds as integer cents,
+    so cumulative sums are exact and engine-independent at any scale.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    ev = e.select(
+        "user_id",
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    cohorts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    sizes = cohorts.groupBy("cohort_day").agg(F.count("*").alias("cohort_users"))
+    cells = (
+        ev.join(F.broadcast(cohorts), "user_id")
+        .groupBy("cohort_day", F.datediff("d", "cohort_day").alias("age_days"))
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(0)
+            ).alias("rev_cents"),
+        )
+    )
+    w = (
+        W.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = cells.withColumn("cum_cents", F.sum("rev_cents").over(w))
+    return cum.join(F.broadcast(sizes), "cohort_day").select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "age_days",
+        "active_users",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("cum_cents") / 100.0, 2).alias("cum_revenue"),
+        (
+            F.floor(F.col("cum_cents") * 100.0 / F.col("cohort_users") + 0.5) / 10000.0
+        ).alias("ltv_per_user"),
+    )

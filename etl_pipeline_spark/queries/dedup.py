@@ -949,27 +949,30 @@ def q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pair anti-join. Run it on a SAMPLE at 100 TB — recall estimates
     need only a few thousand truth pairs.
     """
+    # Single full-outer pass: each heavy subplan (inverted-index join;
+    # banded LSH union) appears in the final plan exactly once — a
+    # count-per-side composition would quadruple the (large) LSH
+    # expression tree and blow planning memory.
     exact = (
-        REGISTRY["q_dedup_ngram_jaccard"].fn(spark, sf_dir).select("doc_a", "doc_b")
+        REGISTRY["q_dedup_ngram_jaccard"].fn(spark, sf_dir)
+        .select("doc_a", "doc_b", F.lit(1).alias("t"))
     )
-    lsh = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    hits = exact.join(lsh, ["doc_a", "doc_b"]).agg(F.count("*").alias("n_hits"))
-    n_true = exact.agg(F.count("*").alias("n_true_pairs"))
-    n_cand = lsh.agg(F.count("*").alias("n_candidates"))
-    return (
-        n_true.crossJoin(n_cand)
-        .crossJoin(hits)
-        .select(
-            "n_true_pairs",
-            "n_candidates",
-            "n_hits",
-            F.round(F.col("n_hits") / F.nullif(F.col("n_true_pairs"), F.lit(0)), 4).alias(
-                "recall"
-            ),
-            F.round(F.col("n_hits") / F.nullif(F.col("n_candidates"), F.lit(0)), 4).alias(
-                "precision"
-            ),
-        )
+    lsh = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b", F.lit(1).alias("c"))
+    j = exact.join(lsh, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.sum("t").alias("n_true_pairs"),
+        F.sum("c").alias("n_candidates"),
+        F.sum(F.col("t") * F.col("c")).alias("n_hits"),
+    ).select(
+        "n_true_pairs",
+        "n_candidates",
+        "n_hits",
+        F.round(F.col("n_hits") / F.nullif(F.col("n_true_pairs"), F.lit(0)), 4).alias(
+            "recall"
+        ),
+        F.round(F.col("n_hits") / F.nullif(F.col("n_candidates"), F.lit(0)), 4).alias(
+            "precision"
+        ),
     )
 
 
