@@ -2411,3 +2411,60 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("cum_cents") * 100.0 / F.col("cohort_users") + 0.5) / 10000.0
         ).alias("ltv_per_user"),
     )
+
+
+# --- Skyline (Pareto frontier) -----------------------------------------------
+
+
+@query(
+    "q_skyline_parts",
+    # Oracle is the naive NOT-EXISTS dominance check (quadratic, the
+    # SEMANTICS); Spark computes the same frontier with the sort +
+    # prefix-min algorithm (n log n) and must agree exactly. Dominance:
+    # q <= p on both axes and strictly < on at least one; equal points
+    # do not dominate each other, so duplicates of a frontier point all
+    # survive.
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice AS price, p.p_size AS size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+    )
+    """,
+    tags=("skyline", "pareto", "window", "custom-op"),
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional skyline of the part catalog (minimize price AND
+    size): the Pareto-optimal parts no other part beats on both axes —
+    the multi-criteria "best offers" operator behind product search and
+    query-optimization literature benchmarks.
+
+    Scale: instead of the oracle's quadratic dominance join, the
+    frontier falls out of sort + prefix-min: per distinct price, the min
+    size; a running strict-min over lower prices; a price group
+    survives iff its min size undercuts every cheaper group's, and its
+    survivors are the rows AT that min size. The window runs over
+    DISTINCT PRICES (catalog-bounded, orders of magnitude below row
+    count); at 100 TB the same prefix-min splits into per-range minima +
+    a broadcast prefix combine — the standard distributed-scan
+    decomposition, no quadratic stage anywhere.
+    """
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    grp = p.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.min("p_size").alias("m")
+    )
+    w = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
+    keep = (
+        grp.withColumn("prev_min", F.min("m").over(w))
+        .filter(F.col("prev_min").isNull() | (F.col("m") < F.col("prev_min")))
+        .select("price", "m")
+    )
+    return (
+        p.join(
+            F.broadcast(keep),
+            (F.col("p_retailprice") == F.col("price")) & (F.col("p_size") == F.col("m")),
+        )
+        .select("p_partkey", "price", F.col("p_size").alias("size"))
+    )

@@ -157,3 +157,85 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_dp_noisy_counts.__doc__ = q_dp_noisy_counts.__doc__.format(EPS=DP_EPSILON)
+
+
+# --- Consistent pseudonymization ---------------------------------------------
+
+PSEUDO_SALT = "corp-2026"  # deployment-secret salt; fixed here for the oracle
+
+
+@query(
+    "q_pseudonymize_consistent",
+    # The tokenization audit: the same salted-hash token function applied
+    # independently on both sides of a relation must preserve join
+    # cardinalities exactly — the property that makes pseudonymized data
+    # shareable without the key table. Verified per event_type against
+    # the raw-key join counts.
+    oracle=f"""
+    WITH tok_e AS (
+        SELECT SUBSTR(MD5('{PSEUDO_SALT}' || CAST(user_id AS VARCHAR)), 1, 16) AS utoken,
+               event_type
+        FROM events
+    ),
+    tok_c AS (
+        SELECT SUBSTR(MD5('{PSEUDO_SALT}' || CAST(c_custkey AS VARCHAR)), 1, 16) AS utoken
+        FROM customer
+    ),
+    tok_join AS (
+        SELECT e.event_type, COUNT(*) AS n_tok
+        FROM tok_e e JOIN tok_c c ON e.utoken = c.utoken
+        GROUP BY e.event_type
+    ),
+    raw_join AS (
+        SELECT e.event_type, COUNT(*) AS n_raw
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY e.event_type
+    )
+    SELECT t.event_type,
+           CAST(t.n_tok AS BIGINT) AS n_joined_tokenized,
+           CAST(r.n_raw AS BIGINT) AS n_joined_raw,
+           CASE WHEN t.n_tok = r.n_raw THEN 1 ELSE 0 END AS cardinality_preserved
+    FROM tok_join t JOIN raw_join r ON t.event_type = r.event_type
+    """,
+    tags=("privacy", "pseudonymization", "governance"),
+)
+def q_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization consistency audit: user keys are replaced by
+    salted-hash tokens independently in the fact (events) and dimension
+    (customer) tables, and the audit proves the tokenized join
+    reproduces the raw join's cardinalities per event type — the
+    invariant that lets two parties share pseudonymized extracts and
+    still join them. Production holds the salt in a secret store; the
+    fixed salt here exists so the oracle can reproduce the tokens.
+
+    Scale: tokenization is a narrow per-row expression (no shuffle); the
+    audit joins are the same broadcast-dimension equi-joins the raw keys
+    take — tokens are uniform 64-bit-entropy strings, so no skew is
+    introduced.
+    """
+    t = load_tables(spark, sf_dir, ("events", "customer"))
+    tok = lambda c: F.substring(F.md5(F.concat(F.lit(PSEUDO_SALT), c.cast("string"))), 1, 16)  # noqa: E731
+    tok_e = t["events"].select(tok(F.col("user_id")).alias("utoken"), "event_type")
+    tok_c = t["customer"].select(tok(F.col("c_custkey")).alias("utoken"))
+    tok_join = (
+        tok_e.join(F.broadcast(tok_c), "utoken")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_joined_tokenized"))
+    )
+    raw_join = (
+        t["events"]
+        .join(
+            F.broadcast(t["customer"].select(F.col("c_custkey").alias("user_id"))),
+            "user_id",
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_joined_raw"))
+    )
+    return tok_join.join(raw_join, "event_type").select(
+        "event_type",
+        "n_joined_tokenized",
+        "n_joined_raw",
+        F.when(F.col("n_joined_tokenized") == F.col("n_joined_raw"), 1)
+        .otherwise(0)
+        .alias("cardinality_preserved"),
+    )

@@ -428,3 +428,50 @@ def q_hof_array_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(emb, lambda x: F.abs(x) > 2).alias("any_big"),
         F.forall(emb, lambda x: F.abs(x) < 10).alias("all_small"),
     )
+
+
+# --- VARIANT semi-structured path --------------------------------------------
+
+
+@query(
+    "q_variant_json_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(k) AS n_with_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM (
+        SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    GROUP BY event_type
+    """,
+    tags=("scalar", "json", "variant", "semi-structured"),
+)
+def q_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through the VARIANT type (Spark 4):
+    ``parse_json`` ingests the props payload ONCE into the binary
+    variant encoding, and ``try_variant_get`` path-extracts with a
+    target type — the open-schema path that replaces per-access string
+    re-parsing (compare q_scalar_json_props' get_json_object, which
+    re-parses the JSON text on every extraction).
+
+    Scale: variant parse + path access are JVM intrinsics over a binary
+    encoding; shredding the parse to a columnar variant once and
+    extracting many paths is the 100 TB semi-structured pattern. The
+    aggregate itself is a bounded (event_type) grid.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
