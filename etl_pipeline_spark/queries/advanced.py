@@ -2468,3 +2468,149 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "price", F.col("p_size").alias("size"))
     )
+
+
+# --- Sequential path mining --------------------------------------------------
+
+PATHS_TOPK = 10
+
+
+@query(
+    "q_top_paths",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS t2,
+               LEAD(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT event_type || '>' || t2 || '>' || t3 AS path
+        FROM seq WHERE t3 IS NOT NULL
+    )
+    SELECT path, COUNT(*) AS n_occurrences
+    FROM paths GROUP BY path
+    ORDER BY n_occurrences DESC, path ASC
+    LIMIT {PATHS_TOPK}
+    """,
+    tags=("behavioral", "sequence-mining", "window"),
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step behavior paths across user timelines (sliding
+    trigram of event types per user) — the sequence-mining table behind
+    Sankey funnels and next-action models, one level up from the
+    pairwise q_event_transitions matrix.
+
+    Scale: the double LEAD shares ONE user-partitioned sort (same
+    window spec), the path aggregate keys on a |types|^3-bounded
+    domain, and the top-k is heap selection. Longer paths are the same
+    plan with more LEADs — state stays per-row.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+        .limit(PATHS_TOPK)
+    )
+
+
+# --- Column profiler ---------------------------------------------------------
+
+_PROFILE_COLS = [
+    # (name, kind): kind drives which min/max slot is populated
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+    ("o_orderstatus", "txt"),
+    ("o_orderpriority", "txt"),
+    ("o_orderdate", "date"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for name, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"ROUND(MIN({name}), 2)", f"ROUND(MAX({name}), 2)"
+            mt, xt = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        elif kind == "txt":
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            mt, xt = f"MIN({name})", f"MAX({name})"
+        else:  # date
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            mt, xt = (
+                f"strftime(MIN(CAST({name} AS DATE)), '%Y-%m-%d')",
+                f"strftime(MAX(CAST({name} AS DATE)), '%Y-%m-%d')",
+            )
+        parts.append(f"""
+    SELECT '{name}' AS col_name,
+           COUNT({name}) AS n_nonnull,
+           COUNT(DISTINCT {name}) AS n_distinct,
+           {mn} AS min_num, {mx} AS max_num,
+           {mt} AS min_txt, {xt} AS max_txt
+    FROM orders""")
+    return "\n    UNION ALL\n".join(parts)
+
+
+@query(
+    "q_table_profile",
+    oracle=_profile_oracle(),
+    tags=("dq", "profiling", "agg"),
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass-per-column data profile of the orders table — non-null
+    and distinct counts plus typed min/max (numeric, text, and ISO-date
+    slots) — the Deequ/profiler summary a platform materializes before
+    writing expectations. Doubles stay numeric and dates render as ISO
+    strings so the profile is engine-portable (raw double->string
+    formatting is not).
+
+    Scale: each column profile is one map-combinable aggregate;
+    COUNT(DISTINCT) becomes approx_count_distinct/HLL at 100 TB (the
+    sketch substitution q_approx_aggregates demonstrates) without
+    changing the report's shape.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    rows = []
+    for name, kind in _PROFILE_COLS:
+        base = [
+            F.count(name).alias("n_nonnull"),
+            F.countDistinct(name).alias("n_distinct"),
+        ]
+        if kind == "num":
+            base += [
+                F.round(F.min(name), 2).cast("double").alias("min_num"),
+                F.round(F.max(name), 2).cast("double").alias("max_num"),
+                F.lit(None).cast("string").alias("min_txt"),
+                F.lit(None).cast("string").alias("max_txt"),
+            ]
+        elif kind == "txt":
+            base += [
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.min(name).alias("min_txt"),
+                F.max(name).alias("max_txt"),
+            ]
+        else:
+            base += [
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.date_format(F.min(F.col(name).cast("date")), "yyyy-MM-dd").alias("min_txt"),
+                F.date_format(F.max(F.col(name).cast("date")), "yyyy-MM-dd").alias("max_txt"),
+            ]
+        rows.append(o.agg(*base).select(F.lit(name).alias("col_name"), "*"))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

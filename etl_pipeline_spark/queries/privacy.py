@@ -239,3 +239,98 @@ def q_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("cardinality_preserved"),
     )
+
+
+# --- Erasure-cascade audit ----------------------------------------------------
+
+ERASE_MOD = 97  # fixture stand-in for the erasure-request list
+
+
+@query(
+    "q_erasure_cascade",
+    # Deletion propagation through the FK graph: erasure subjects are
+    # customers with c_custkey % 97 == 0 (a deterministic stand-in for
+    # the request table); orders cascade by custkey, lineitem cascades
+    # THROUGH orders, events match on user_id. The audit is the
+    # before/after row accounting a data-protection officer signs off.
+    oracle=f"""
+    WITH subjects AS (
+        SELECT c_custkey AS k FROM customer WHERE c_custkey % {ERASE_MOD} = 0
+    ),
+    doomed_orders AS (
+        SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM subjects)
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT COUNT(*) FROM customer) AS n_rows,
+           (SELECT COUNT(*) FROM customer WHERE c_custkey IN (SELECT k FROM subjects)) AS n_erased,
+           (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN (SELECT k FROM subjects)) AS n_remaining
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM doomed_orders),
+           (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM doomed_orders)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_orders)),
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM doomed_orders))
+    UNION ALL
+    SELECT 'events',
+           (SELECT COUNT(*) FROM events),
+           (SELECT COUNT(*) FROM events WHERE user_id IN (SELECT k FROM subjects)),
+           (SELECT COUNT(*) FROM events WHERE user_id NOT IN (SELECT k FROM subjects))
+    """,
+    tags=("privacy", "erasure", "governance", "anti-join"),
+)
+def q_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade audit: given the erasure-subject list,
+    the rows each table loses — directly (customer, events), via the FK
+    (orders), and transitively through two hops (lineitem via orders) —
+    with before/after counts per table. Run BEFORE the delete as the
+    blast-radius report and AFTER (expecting n_erased = 0) as the
+    compliance proof.
+
+    Scale: subjects and the doomed-order key set are broadcast
+    semi-/anti-join filters — the delete itself uses the identical
+    plan shape with a rewrite sink. Nothing scans more than once per
+    table; the two-hop cascade reuses the doomed-orders key set.
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "events"))
+    subjects = (
+        t["customer"]
+        .filter(F.col("c_custkey") % ERASE_MOD == 0)
+        .select(F.col("c_custkey").alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    doomed_orders = (
+        t["orders"]
+        .join(F.broadcast(subjects), t["orders"]["o_custkey"] == subjects["k"], "left_semi")
+        .select("o_orderkey")
+        .localCheckpoint(eager=False)
+    )
+
+    def audit(label: str, df, key_col: str, keys, keys_col: str):
+        erased = df.join(
+            F.broadcast(keys), df[key_col] == keys[keys_col], "left_semi"
+        ).agg(F.count("*").alias("n_erased"))
+        total = df.agg(F.count("*").alias("n_rows"))
+        return (
+            total.crossJoin(erased)
+            .select(
+                F.lit(label).alias("table_name"),
+                "n_rows",
+                "n_erased",
+                (F.col("n_rows") - F.col("n_erased")).alias("n_remaining"),
+            )
+        )
+
+    rows = [
+        audit("customer", t["customer"], "c_custkey", subjects, "k"),
+        audit("orders", t["orders"], "o_custkey", subjects, "k"),
+        audit("lineitem", t["lineitem"], "l_orderkey", doomed_orders, "o_orderkey"),
+        audit("events", t["events"], "user_id", subjects, "k"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
