@@ -55,51 +55,63 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-4 prefix (final rotation): the 13 operators added in the second
-# r4 session plus the 12 changed earlier in r4 (multimodal real-decode
-# rewrite, theta half-open bounds, lazy-checkpoint builders, IVF probe
-# guard, r3 money-hardened spills) — all must be driver-attested on
-# current code — then the never-attested pair and r1-era backfill.
+# Round-4 prefix (session-5 rotation): the 24 operators added in the
+# fifth r4 session lead, followed by the 26 earlier-r4 queries no driver
+# window has attested yet — together exactly filling the 50-slot window —
+# then backfill oldest-attestation-first.
 CHECK_PRIORITY: tuple[str, ...] = (
-    "q_knn_pq",  # --- code changed this round: attest first ---
+    "q_cms_heavy_hitters",  # --- code changed this round: attest first ---
+    "q_semdedup_clusters",
+    "q_k_anonymity",
+    "q_dp_noisy_counts",
+    "q_markov_stationary",
+    "q_interval_concurrency",
+    "q_interval_window_join",
+    "q_zorder_locality",
+    "q_ewma_smoothing",
+    "q_attribution_last_touch",
+    "q_triangle_count",
+    "q_bpe_merge_candidates",
+    "q_hashed_linear_score",
+    "q_market_basket_rules",
+    "q_ab_test_ttest",
+    "q_lsh_recall_report",
+    "q_dq_referential_integrity",
+    "q_cohort_ltv",
+    "q_variant_json_stats",
+    "q_pseudonymize_consistent",
+    "q_skyline_parts",
+    "q_top_paths",
+    "q_table_profile",
+    "q_erasure_cascade",
+    "q_knn_pq",  # --- never driver-attested ---
+    "q_hard_negatives",
+    "q_embedding_centroid_health",
+    "q_rfm_segments",
+    "q_lateral_top_orders",
+    "q_recursive_month_spine",
+    "q_event_transitions",
+    "q_dedup_chunk_rewrite",
+    "q_dedup_repeated_spans",
     "q_dedup_containment",
+    "q_dq_outlier_mad",
+    "q_dq_ks_drift",
+    "q_dq_benford_check",
+    "q_tfidf_top_terms",
+    "q_tfidf_nearest_docs",
+    "q_text_zipf_fit",
+    "q_pmi_collocations",
     "q_lm_bigram_score",
     "q_weighted_sample",
     "q_bloom_decontaminate",
-    "q_tfidf_top_terms",
-    "q_tfidf_nearest_docs",
-    "q_length_band_filter",
-    "q_leakage_safe_split",
-    "q_hard_negatives",
     "q_curriculum_buckets",
-    "q_dq_outlier_mad",
-    "q_rfm_segments",
-    "q_multimodal_features",
-    "q_multimodal_frame_sample",
-    "q_theta_set_ops",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_ngram_jaccard_capped",
-    "q_dedup_minhash_lsh",
-    "q_knn_lsh_approx",
-    "q_knn_ivf",
-    "q_conditional_split_counts",
-    "q_join_range_value_buckets",
-    "q_grouping_sets_revenue",
-    "q_window_sliding_events",
-    "q_lateral_top_orders",
-    "q_recursive_month_spine",
     "q_span_corruption_plan",
     "q_token_budget_allocation",
-    "q_embedding_centroid_health",
     "q_filter_funnel",
-    "q_dq_ks_drift",
-    "q_dq_benford_check",
-    "q_event_transitions",
-    "q_text_zipf_fit",
-    "q_pmi_collocations",
-    "q_dedup_chunk_rewrite",  # --- never driver-attested ---
-    "q_dedup_repeated_spans",
+    "q_length_band_filter",
+    "q_leakage_safe_split",
     "q_asof_last_signup",  # --- backfill: oldest attestation first ---
+    "q_grouping_sets_revenue",
     "q_window_range_frame",
     "q_window_first_last_nth",
     "q_ordered_string_agg",
@@ -109,25 +121,31 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_embedding_norms",
     "q_knn_bruteforce_cosine",
     "q_knn_block_matrix",
+    "q_knn_ivf",
+    "q_window_sliding_events",
     "q_embedding_quantization",
     "q_unpivot_balance_metrics",
-    "q_funnel_conversion",  # ---------------- first-50 window ends above ----------------
+    "q_funnel_conversion",
     "q_retention_cohorts",
     "q_window_distribution_ranks",
     "q_scalar_dates_extended",
     "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
     "q_dedup_simhash",
     "q_dedup_simhash_pairs",
     "q_dedup_clusters",
     "q_dedup_minhash_signatures",
     "q_dedup_minhash_pairs",
+    "q_dedup_ngram_jaccard_capped",
     "q_etl_clean_cast_filter",
     "q_etl_audit_row",
     "q_etl_dirty_input_quarantine",
     "q_dq_outlier_zscore",
     "q_multimodal_binary_meta",
+    "q_multimodal_features",
     "q_agg_stats_acctbal",
     "q_rollup_returns",
+    "q_conditional_split_counts",
     "q_pivot_qty_by_status",
     "q_distinct_nation_segments",
     "q_join_outer_order_counts",
@@ -144,6 +162,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_text_edit_distance_pairs",
     "q_join_anti_idle_customers",
     "q_join_cross_region_nation",
+    "q_join_range_value_buckets",
     "q_window_rank_orders",
     "q_window_running_spend",
     "q_window_lag_events",
@@ -171,6 +190,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q21_sole_late_shipper",
     "q_training_data_prep",
     "q_window_range_frame_partitioned",
+    "q_knn_lsh_approx",
     "q_hll_sketch_union",
     "q_window_distribution_ranks_partitioned",
     "q_timeseries_gapfill",
@@ -178,10 +198,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_ratio_to_report",
     "q_scd2_user_values",
     "q_kll_quantile_merge",
+    "q_theta_set_ops",
     "q_agg_regression",
     "q_agg_extrema_by",
     "q_agg_bitwise",
     "q_histogram_values",
+    "q_dedup_minhash_lsh",
     "q_dedup_canonical_docs",
     "q_dedup_embedding_cosine",
     "q_contamination_check",
@@ -195,6 +217,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_vocab_coverage",
     "q_corpus_domain_cap",
     "q_shingle_novelty",
+    "q_multimodal_frame_sample",
     "q01_pricing_summary",
     "q06_revenue_delta",
     "q_cube_orders",
