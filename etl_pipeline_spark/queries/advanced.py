@@ -2614,3 +2614,124 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --- Rolling distinct active users -------------------------------------------
+
+ROLL_DAYS = 7
+
+
+@query(
+    "q_rolling_active_users",
+    # Oracle is the naive day-grid range join with COUNT(DISTINCT); the
+    # Spark side uses the scalable explode-into-covered-days form.
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grid AS (SELECT DISTINCT d FROM ud)
+    SELECT strftime(g.d, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT u.user_id) AS rolling_{ROLL_DAYS}d_users
+    FROM grid g JOIN ud u
+      ON u.d <= g.d AND u.d > g.d - {ROLL_DAYS}
+    GROUP BY g.d
+    """,
+    tags=("window", "distinct", "rolling", "custom-op"),
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {N}-day distinct active users per day — the DAU/WAU
+    metric. COUNT(DISTINCT) over a sliding frame is NOT expressible as
+    a window aggregate (distinctness doesn't decompose), so the
+    scalable form explodes each (user, active-day) pair into the <=
+    {N} window-end days it covers and counts distinct users per day —
+    turning an unbounded-state window into a plain bounded-fan-out
+    aggregate. Reported only for days present in the data (the oracle's
+    grid), matching the naive range join the oracle spells out.
+
+    Scale: fan-out is exactly {N} rows per (user, day) pair after the
+    first distinct — corpus-independent; both shuffles key on uniform
+    (user, day) / day grids. The (user, day) distinct is the only
+    corpus-sized pass. HLL sketches per day replace the exact distinct
+    at 100 TB (mergeable across days — q_hll_sketch_union) with the
+    same fan-out shape.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    grid = ud.select("d").distinct()
+    covered = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), ROLL_DAYS - 1))
+        ).alias("day"),
+    )
+    return (
+        covered.join(grid.select(F.col("d").alias("day")), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias(f"rolling_{ROLL_DAYS}d_users"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), f"rolling_{ROLL_DAYS}d_users")
+    )
+
+
+q_rolling_active_users.__doc__ = q_rolling_active_users.__doc__.format(N=ROLL_DAYS)
+
+
+# --- Funnel latency -----------------------------------------------------------
+
+
+@query(
+    "q_funnel_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN EPOCH_US(ts) END) AS first_signup,
+               MIN(CASE WHEN event_type = 'purchase' THEN EPOCH_US(ts) END) AS first_purchase
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT user_id, (first_purchase - first_signup) / 3600000000.0 AS hours
+        FROM firsts
+        WHERE first_signup IS NOT NULL AND first_purchase > first_signup
+    )
+    SELECT COUNT(*) AS n_converted,
+           ROUND(MIN(hours), 4) AS min_hours,
+           ROUND(MEDIAN(hours), 4) AS median_hours,
+           ROUND(QUANTILE_CONT(hours, 0.9), 4) AS p90_hours,
+           ROUND(MAX(hours), 4) AS max_hours
+    FROM conv
+    """,
+    tags=("behavioral", "funnel", "latency", "percentile"),
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-first-purchase latency distribution: for users whose
+    first purchase follows their first signup, the conversion-delay
+    min/median/p90/max in hours — the time-dimension companion to
+    q_funnel_conversion's rate table.
+
+    Scale: one conditional-min aggregate per user (map-combinable),
+    then percentiles over the converted-user set; at 100 TB the exact
+    percentile becomes the KLL sketch (q_kll_quantile_merge) on the
+    same per-user latencies. Epoch-microsecond integer arithmetic keeps
+    the hours exact until the final rounding.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    firsts = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
+        ).alias("first_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("first_purchase"),
+    )
+    conv = firsts.filter(
+        F.col("first_signup").isNotNull()
+        & (F.col("first_purchase") > F.col("first_signup"))
+    ).select(
+        ((F.col("first_purchase") - F.col("first_signup")) / 3600000000.0).alias("hours")
+    )
+    return conv.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.min("hours"), 4).alias("min_hours"),
+        F.round(F.median("hours"), 4).alias("median_hours"),
+        F.round(F.percentile("hours", 0.9), 4).alias("p90_hours"),
+        F.round(F.max("hours"), 4).alias("max_hours"),
+    )
