@@ -28,6 +28,7 @@ reliable checkpoint instead.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from etl_pipeline_spark.catalog import load_tables
@@ -990,3 +991,112 @@ REGISTRY["q_lsh_recall_report"].oracle = f"""
                    ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)
                  / CAST(NULLIF((SELECT COUNT(*) FROM lsh), 0) AS DOUBLE), 4) AS precision
 """
+
+
+# --- Prefix-filtering exact similarity join (PPJoin-style) -------------------
+
+
+def _shingle_stream(d: DataFrame) -> DataFrame:
+    """Distinct word-3-gram shingles per doc (the q_dedup_ngram_jaccard
+    construction, factored for reuse), lazily materialized once."""
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - SHINGLE_WIDTH)
+    shingle_arr = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        )
+    )
+    return (
+        d.filter(F.size(toks) >= SHINGLE_WIDTH)
+        .select("doc_id", F.explode(shingle_arr).alias("shingle"))
+        .localCheckpoint(eager=False)
+    )
+
+
+@query(
+    "q_dedup_prefix_filter",
+    # EXACT algorithm, not an approximation: prefix filtering (PPJoin
+    # family) guarantees every pair with Jaccard >= t shares at least
+    # one token within each member's (n - ceil(t*n) + 1)-token prefix
+    # under any consistent global token order — so the oracle is
+    # LITERALLY the naive inverted-index query's oracle, and a missed
+    # pair (an unsound prefix bound) fails the hash.
+    oracle=None,  # bound below to the q_dedup_ngram_jaccard oracle
+    tags=("dedup", "X2", "jaccard", "prefix-filter", "exact-subquadratic"),
+)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard near-dup pairs via PREFIX FILTERING — the third
+    tier of the similarity-join toolbox: the naive inverted index joins
+    on EVERY shingle; LSH joins on banded sketches (approximate); prefix
+    filtering keeps exactness while joining only on each document's
+    rarest (n - ceil(t*n) + 1) shingles, ordered by global document
+    frequency. Any pair reaching Jaccard >= t must collide inside those
+    prefixes, so candidate generation shrinks toward the rare-token end
+    of the vocabulary and hot stop-shingles (the inverted index's skew
+    hazard) fall OUT of most prefixes by construction.
+
+    Scale: the df ranking is one vocabulary-sized aggregate broadcast
+    into a per-doc window; the candidate join's shuffle key is the
+    prefix shingle — biased to rare tokens, so posting lists are short
+    where the naive join's are longest. Verification touches candidate
+    pairs only (semi-join back through the shingle stream). This is the
+    standard exact set-similarity join at warehouse scale (PPJoin /
+    AllPairs lineage).
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = _shingle_stream(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    df_tab = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(F.broadcast(df_tab), "shingle")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+            ),
+        )
+        .join(F.broadcast(sizes), "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("r") <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verification: count the exact intersection for candidate pairs only —
+    # expand each pair by doc_a's shingles, then keep the ones doc_b shares
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b")),
+            "doc_b",
+        )
+        .filter(F.col("shingle") == F.col("sh_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+REGISTRY["q_dedup_prefix_filter"].oracle = REGISTRY["q_dedup_ngram_jaccard"].oracle
