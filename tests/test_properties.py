@@ -183,3 +183,38 @@ def test_bloom_screen_never_misses_members(spark, members, probes):
     out = api.bloom_screen(probe, "v", filt, "v", n_bits=1 << 14)
     hits = {r.v for r in out.filter("bloom_hit").collect()}
     assert (probes & members) <= hits
+
+
+# --- Z-order covering-prefix soundness ---------------------------------------
+
+_coord = st.integers(0, 255)
+
+
+@given(a1=_coord, a2=_coord, b1=_coord, b2=_coord, pt_a=_coord, pt_b=_coord)
+@settings(max_examples=200, deadline=None)
+def test_zorder_covering_prefixes_sound(a1, a2, b1, b2, pt_a, pt_b):
+    """Every point inside the box has its z-prefix in the covering set
+    (no false pruning — the property partition skipping depends on),
+    and every covering tile genuinely intersects the box."""
+    from etl_pipeline_spark.operators.zorder import _extract, covering_prefixes
+
+    a_lo, a_hi = sorted((a1, a2))
+    b_lo, b_hi = sorted((b1, b2))
+    prefixes = set(covering_prefixes(a_lo, a_hi, b_lo, b_hi))
+
+    if a_lo <= pt_a <= a_hi and b_lo <= pt_b <= b_hi:
+        z = 0
+        for i in range(8):
+            z |= ((pt_a >> i) & 1) << (2 * i + 1)
+            z |= ((pt_b >> i) & 1) << (2 * i)
+        assert (z >> 8) in prefixes
+
+    # completeness-of-pruning: each covering tile's ranges intersect the box
+    for p in prefixes:
+        z = p << 8
+        ta = _extract(z, 16, odd=True)
+        tb = _extract(z, 16, odd=False)
+        ta_lo, ta_hi = ta & 0xF0, (ta & 0xF0) + 15
+        tb_lo, tb_hi = tb & 0xF0, (tb & 0xF0) + 15
+        assert ta_lo <= a_hi and ta_hi >= a_lo
+        assert tb_lo <= b_hi and tb_hi >= b_lo
