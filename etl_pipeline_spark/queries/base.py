@@ -55,10 +55,10 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-4 prefix (session-5 final rotation): the 26 operators added in
+# Round-4 prefix (session-5 final rotation): the 27 operators added in
 # the fifth r4 session lead, then the earlier-r4 never-attested queries
-# fill the window to 50 (two spill to the next round's window), then
-# backfill oldest-attestation-first.
+# fill the window to 50 (the remainder spill to the next round's
+# window), then backfill oldest-attestation-first.
 CHECK_PRIORITY: tuple[str, ...] = (
     "q_cms_heavy_hitters",  # --- code changed this round: attest first ---
     "q_semdedup_clusters",
@@ -86,6 +86,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_erasure_cascade",
     "q_rolling_active_users",
     "q_funnel_time_to_convert",
+    "q_dedup_prefix_filter",
     "q_knn_pq",  # --- never driver-attested ---
     "q_hard_negatives",
     "q_embedding_centroid_health",
@@ -109,8 +110,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_curriculum_buckets",
     "q_span_corruption_plan",
     "q_token_budget_allocation",
-    "q_filter_funnel",
-    "q_length_band_filter",  # ---------------- first-50 window ends above ----------------
+    "q_filter_funnel",  # ---------------- first-50 window ends above ----------------
+    "q_length_band_filter",
     "q_leakage_safe_split",
     "q_asof_last_signup",  # --- backfill: oldest attestation first ---
     "q_grouping_sets_revenue",
