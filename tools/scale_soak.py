@@ -80,7 +80,7 @@ def semdedup_scaled(spark, sf_dir: str, sf_label: str):
 
 
 def build_sf1(spark) -> None:
-    t = load_tables(spark, SF_SRC, ("documents", "embeddings", "lineitem"))
+    t = load_tables(spark, SF_SRC, ("documents", "embeddings", "lineitem", "events"))
     docs, embs = t["documents"], t["embeddings"]
     doc_parts = []
     emb_parts = []
@@ -129,6 +129,21 @@ def build_sf1(spark) -> None:
     for p_ in li_parts[1:]:
         out_li = out_li.unionByName(p_)
     out_li.repartition(32).write.mode("overwrite").parquet(f"{SF1_DIR}/lineitem.parquet")
+    # events: event/user keys offset per copy, timestamps unchanged -> 10
+    # disjoint user populations over the SAME observation span, so windowed
+    # per-user operators see 10x partitions of unchanged size (the scale
+    # axis that matters for window state), and day-grid operators see 10x
+    # density per day.
+    ev = t["events"]
+    ev_parts = [
+        ev.withColumn("event_id", F.col("event_id") + i * ID_OFFSET)
+        .withColumn("user_id", F.col("user_id") + i * ID_OFFSET)
+        for i in range(COPIES)
+    ]
+    out_ev = ev_parts[0]
+    for p_ in ev_parts[1:]:
+        out_ev = out_ev.unionByName(p_)
+    out_ev.repartition(32).write.mode("overwrite").parquet(f"{SF1_DIR}/events.parquet")
 
 
 def main() -> None:
