@@ -2735,3 +2735,49 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("hours", 0.9), 4).alias("p90_hours"),
         F.round(F.max("hours"), 4).alias("max_hours"),
     )
+
+
+# --- Seasonal hour-of-day profile --------------------------------------------
+
+
+@query(
+    "q_seasonal_hour_profile",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+               COUNT(*) AS n_events,
+               ROUND(AVG(value), 4) AS avg_value
+        FROM events GROUP BY 1, 2
+    ),
+    peaks AS (
+        SELECT event_type, MAX(n_events) AS peak_n FROM cells GROUP BY event_type
+    )
+    SELECT c.event_type, c.hour_of_day, c.n_events, c.avg_value,
+           CASE WHEN c.n_events = p.peak_n THEN 1 ELSE 0 END AS is_peak_hour
+    FROM cells c JOIN peaks p ON c.event_type = p.event_type
+    """,
+    tags=("behavioral", "timeseries", "seasonality"),
+)
+def q_seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type — volume and mean
+    value per hour with the peak hour flagged — the baseline table that
+    anomaly detection and capacity planning normalize against (a day
+    with traffic far off its hour profile trips the KS drift check).
+
+    Scale: one aggregate on the types x 24 grid plus a broadcast of the
+    per-type peaks. Nothing scales beyond the event count's single pass.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    cells = e.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour_of_day")
+    ).agg(
+        F.count("*").alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value")
+    )
+    peaks = cells.groupBy("event_type").agg(F.max("n_events").alias("peak_n"))
+    return cells.join(F.broadcast(peaks), "event_type").select(
+        "event_type",
+        "hour_of_day",
+        "n_events",
+        "avg_value",
+        F.when(F.col("n_events") == F.col("peak_n"), 1).otherwise(0).alias("is_peak_hour"),
+    )

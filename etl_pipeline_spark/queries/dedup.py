@@ -1118,3 +1118,96 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["q_dedup_prefix_filter"].oracle = REGISTRY["q_dedup_ngram_jaccard"].oracle.replace(
     f">= {JACCARD_THRESHOLD}", f">= {PF_THRESHOLD}"
 )
+
+
+# --- Sorted-neighborhood blocking audit --------------------------------------
+
+SNM_PREFIX_CHARS = 30
+SNM_WINDOW = 5
+
+
+@query(
+    "q_snm_recall_report",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id,
+               SUBSTR(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), 1, {SNM_PREFIX_CHARS}) AS k
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS r FROM norm
+    ),
+    cand AS (
+        SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+               GREATEST(a.doc_id, b.doc_id) AS doc_b
+        FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + {SNM_WINDOW}
+    ),
+    exactp AS (SELECT doc_a, doc_b FROM ({{exact_oracle}}))
+    SELECT (SELECT COUNT(*) FROM exactp) AS n_true_pairs,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM exactp e JOIN cand c
+             ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b) AS n_hits,
+           ROUND((SELECT COUNT(*) FROM exactp e JOIN cand c
+                   ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b)
+                 / CAST(NULLIF((SELECT COUNT(*) FROM exactp), 0) AS DOUBLE), 4) AS recall,
+           ROUND((SELECT COUNT(*) FROM exactp e JOIN cand c
+                   ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b)
+                 / CAST(NULLIF((SELECT COUNT(*) FROM cand), 0) AS DOUBLE), 4) AS precision
+    """,
+    tags=("dedup", "X2", "blocking", "audit"),
+)
+def q_snm_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking audited against ground truth: docs
+    sort by a normalized text-prefix key, candidate pairs are the
+    {W}-wide sliding neighborhood in that order, and the report gives
+    the strategy's recall/precision against the exact-Jaccard pairs —
+    the record-linkage community's cheapest blocking method, measured
+    with the SAME audit harness as MinHash-LSH (q_lsh_recall_report),
+    so strategies are comparable line by line.
+
+    Scale: sorting is the shuffle Spark does best; the neighborhood
+    expansion is a bounded {W}-row fan-out joined on rank (the
+    covered-days trick), never a self-join on the key. The global rank
+    decomposes into range-partitioned ranks + broadcast prefix offsets
+    at cluster scale (same note as q_corpus_gini).
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    key = F.substring(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), 1, SNM_PREFIX_CHARS
+    )
+    ranked = d.select(
+        "doc_id", F.row_number().over(W.orderBy(key, F.col("doc_id"))).alias("r")
+    ).localCheckpoint(eager=False)
+    probes = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.explode(F.sequence(F.col("r") + 1, F.col("r") + SNM_WINDOW)).alias("r"),
+    )
+    cand = (
+        probes.join(ranked.select(F.col("doc_id").alias("id_b"), "r"), "r")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            F.lit(1).alias("c"),
+        )
+    )
+    exact = (
+        REGISTRY["q_dedup_ngram_jaccard"].fn(spark, sf_dir)
+        .select("doc_a", "doc_b", F.lit(1).alias("t"))
+    )
+    j = exact.join(cand, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.sum("t").alias("n_true_pairs"),
+        F.sum("c").alias("n_candidates"),
+        F.sum(F.col("t") * F.col("c")).alias("n_hits"),
+    ).select(
+        "n_true_pairs",
+        "n_candidates",
+        "n_hits",
+        F.round(F.col("n_hits") / F.nullif(F.col("n_true_pairs"), F.lit(0)), 4).alias("recall"),
+        F.round(F.col("n_hits") / F.nullif(F.col("n_candidates"), F.lit(0)), 4).alias("precision"),
+    )
+
+
+REGISTRY["q_snm_recall_report"].oracle = REGISTRY["q_snm_recall_report"].oracle.format(
+    exact_oracle=REGISTRY["q_dedup_ngram_jaccard"].oracle
+)

@@ -720,3 +720,173 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), F.col("sym1").asc(), F.col("sym2").asc())
         .limit(BPE_TOPK)
     )
+
+
+# --- BM25 term weighting ------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 3
+
+
+@query(
+    "q_bm25_top_terms",
+    # Lucene-form BM25: idf = ln(1 + (N - df + 0.5)/(df + 0.5)); tf
+    # saturation with length normalization against the average doc
+    # length. avgdl is an exact integer ratio (sum/count), so every
+    # input to the float math is engine-identical; ranking is on the
+    # ROUNDED weight with term tie-break, as in q_tfidf_top_terms.
+    oracle=f"""
+    WITH terms AS ({_TERMS_SQL}),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM terms GROUP BY doc_id),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len
+        FROM dl
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM terms GROUP BY term),
+    w AS (
+        SELECT t.doc_id, t.term, t.tf, df.df,
+               ROUND(
+                 LN(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+                 (t.tf * ({BM25_K1} + 1)) /
+                 (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl /
+                      (CAST(s.total_len AS DOUBLE) / s.n_docs))),
+                 4) AS bm25
+        FROM terms t
+        JOIN df ON t.term = df.term
+        JOIN dl ON t.doc_id = dl.doc_id
+        CROSS JOIN stats s
+    )
+    SELECT doc_id, term, tf, df, bm25, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY bm25 DESC, term
+        ) AS rank FROM w
+    ) r
+    WHERE rank <= {BM25_TOPK}
+    """,
+    tags=("text", "X4", "bm25", "retrieval"),
+)
+def q_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword extraction — the production retrieval weighting
+    (tf saturation via k1, document-length normalization via b) next to
+    the plain tf-idf surface: each doc's top-{K} terms by Lucene-form
+    BM25. Swapping the scorer under q_tfidf_nearest_docs' inverted-index
+    join turns it into full BM25 document retrieval; the weighting layer
+    is what this query pins down.
+
+    Scale: identical plan shape to q_tfidf_top_terms — two uniform-key
+    shuffles, broadcast df and corpus-stats dimensions, per-doc
+    WindowGroupLimit top-k. The extra inputs (doc length, avg length)
+    are one more bounded aggregate each.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    terms = (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = terms.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("total_len"))
+    dfreq = terms.groupBy("term").agg(F.count("*").alias("df"))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score = idf * (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
+    )
+    w = (
+        terms.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", "tf", "df", F.round(score, 4).alias("bm25"))
+    )
+    win = W.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("term"))
+    return (
+        w.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("doc_id", "term", "tf", "df", "bm25", "rank")
+    )
+
+
+q_bm25_top_terms.__doc__ = q_bm25_top_terms.__doc__.format(K=BM25_TOPK)
+
+
+# --- Corpus concentration (Gini) ----------------------------------------------
+
+
+@query(
+    "q_corpus_gini",
+    # Gini over per-document character contributions, computed from the
+    # exact rank-sum identity G = (2*sum(i*x_i))/(n*sum(x)) - (n+1)/n
+    # with x ascending — all integer arithmetic until the final division.
+    oracle="""
+    WITH ranked AS (
+        SELECT n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars ASC, doc_id ASC) AS i
+        FROM documents
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS total,
+               CAST(SUM(i * n_chars) AS BIGINT) AS weighted
+        FROM ranked
+    ),
+    topdecile AS (
+        SELECT CAST(SUM(n_chars) AS BIGINT) AS top_chars
+        FROM ranked, s WHERE i > n - CAST(FLOOR(n / 10) AS BIGINT)
+    )
+    SELECT s.n AS n_docs,
+           s.total AS total_chars,
+           ROUND(2.0 * s.weighted / (s.n * s.total) - (s.n + 1.0) / s.n, 6) AS gini,
+           ROUND(CAST(t.top_chars AS DOUBLE) / s.total, 6) AS top_decile_share
+    FROM s, topdecile t
+    """,
+    tags=("text", "X4", "governance", "concentration"),
+)
+def q_corpus_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration audit: the Gini coefficient of per-document
+    character mass plus the top-decile share — the inequality metrics a
+    data-governance review reads before deciding whether a few giant
+    documents dominate training (the doc-level twin of the source-mix
+    and domain-cap queries).
+
+    Scale: one global ascending rank (at 100 TB: sort by the value key
+    range-partitioned, then per-partition counts + a broadcast prefix
+    offset — the standard distributed ranking decomposition), then a
+    3-term integer aggregate. The rank-sum identity avoids materializing
+    a Lorenz curve.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ranked = d.select(
+        "n_chars",
+        F.row_number().over(W.orderBy(F.asc("n_chars"), F.asc("doc_id"))).alias("i"),
+    ).localCheckpoint(eager=False)
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("total"),
+        F.sum(F.col("i") * F.col("n_chars")).alias("weighted"),
+    )
+    top = (
+        ranked.crossJoin(F.broadcast(s.select("n")))
+        .filter(F.col("i") > F.col("n") - F.floor(F.col("n") / 10))
+        .agg(F.sum("n_chars").alias("top_chars"))
+    )
+    return (
+        s.crossJoin(top)
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("total").alias("total_chars"),
+            F.round(
+                2.0 * F.col("weighted") / (F.col("n") * F.col("total"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            ).alias("gini"),
+            F.round(F.col("top_chars").cast("double") / F.col("total"), 6).alias(
+                "top_decile_share"
+            ),
+        )
+    )
