@@ -2744,9 +2744,12 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_seasonal_hour_profile",
     oracle="""
     WITH cells AS (
+        -- avg from integer cents with explicit half-up: tiny groups put
+        -- the mean on exact .00005 halves where library ROUNDs diverge
         SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
                COUNT(*) AS n_events,
-               ROUND(AVG(value), 4) AS avg_value
+               FLOOR(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) * 100.0 / COUNT(*) + 0.5)
+                   / 10000.0 AS avg_value
         FROM events GROUP BY 1, 2
     ),
     peaks AS (
@@ -2768,10 +2771,12 @@ def q_seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type peaks. Nothing scales beyond the event count's single pass.
     """
     e = load_tables(spark, sf_dir, ("events",))["events"]
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
     cells = e.groupBy(
         "event_type", F.hour("ts").cast("long").alias("hour_of_day")
     ).agg(
-        F.count("*").alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value")
+        F.count("*").alias("n_events"),
+        (F.floor(F.sum(cents) * 100.0 / F.count("*") + 0.5) / 10000.0).alias("avg_value"),
     )
     peaks = cells.groupBy("event_type").agg(F.max("n_events").alias("peak_n"))
     return cells.join(F.broadcast(peaks), "event_type").select(
