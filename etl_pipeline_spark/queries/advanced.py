@@ -2786,3 +2786,129 @@ def q_seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_value",
         F.when(F.col("n_events") == F.col("peak_n"), 1).otherwise(0).alias("is_peak_hour"),
     )
+
+
+# --- Seasonal-baseline forecast backtest (MASE) ------------------------------
+
+
+@query(
+    "q_seasonal_forecast_eval",
+    # Backtest of the hour-profile forecaster: predict the LAST day's
+    # hourly counts per type from the average over all prior days,
+    # score MAE against the actuals on the full 24-hour grid (absent
+    # hours are zero), and scale by the naive previous-day forecast
+    # (MASE). All errors reduce to integer sums — |total - actual*n| and
+    # |prev - actual| — so the metrics are exact until the final ROUND.
+    oracle="""
+    WITH ev AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h
+        FROM events
+    ),
+    bounds AS (
+        SELECT MAX(d) AS test_day,
+               COUNT(DISTINCT CASE WHEN d < (SELECT MAX(d) FROM ev) THEN d END) AS n_train_days
+        FROM ev
+    ),
+    grid AS (
+        SELECT t.event_type, g.h
+        FROM (SELECT DISTINCT event_type FROM ev) t,
+             (SELECT UNNEST(GENERATE_SERIES(0, 23)) AS h) g
+    ),
+    train AS (
+        SELECT e.event_type, e.h, COUNT(*) AS tc
+        FROM ev e, bounds b WHERE e.d < b.test_day GROUP BY e.event_type, e.h
+    ),
+    prev AS (
+        SELECT e.event_type, e.h, COUNT(*) AS pc
+        FROM ev e, bounds b WHERE e.d = b.test_day - 1 GROUP BY e.event_type, e.h
+    ),
+    actual AS (
+        SELECT e.event_type, e.h, COUNT(*) AS ac
+        FROM ev e, bounds b WHERE e.d = b.test_day GROUP BY e.event_type, e.h
+    ),
+    cells AS (
+        SELECT g.event_type,
+               COALESCE(t.tc, 0) AS tc, COALESCE(p.pc, 0) AS pc, COALESCE(a.ac, 0) AS ac,
+               b.n_train_days AS n
+        FROM grid g
+        LEFT JOIN train t ON g.event_type = t.event_type AND g.h = t.h
+        LEFT JOIN prev p ON g.event_type = p.event_type AND g.h = p.h
+        LEFT JOIN actual a ON g.event_type = a.event_type AND g.h = a.h
+        CROSS JOIN bounds b
+    )
+    SELECT event_type,
+           ROUND(SUM(ABS(tc - ac * n)) / (24.0 * ANY_VALUE(n)), 4) AS mae_model,
+           ROUND(SUM(ABS(pc - ac)) / 24.0, 4) AS mae_naive,
+           ROUND(CAST(SUM(ABS(tc - ac * n)) AS DOUBLE) /
+                 (ANY_VALUE(n) * NULLIF(SUM(ABS(pc - ac)), 0)), 4) AS mase
+    FROM cells GROUP BY event_type
+    """,
+    tags=("timeseries", "forecast", "evaluation", "statistics"),
+)
+def q_seasonal_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest with MASE: the hour-of-day profile
+    (q_seasonal_hour_profile's shape, trained on all days before the
+    last) predicts the final day's hourly event counts; the report
+    scores model MAE against the naive previous-day forecast per event
+    type. MASE < 1 means seasonality beats persistence — the go/no-go
+    every baseline forecaster must clear before anything fancier ships.
+
+    Scale: three bounded (type, hour) aggregates off one event pass, a
+    24 x types grid join, and integer-exact error sums (|total -
+    actual*n_days| avoids materializing fractional predictions). The
+    backtest at 100 TB slides the same query across days.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    ev = e.select(
+        "event_type", F.to_date("ts").alias("d"), F.hour("ts").cast("long").alias("h")
+    ).localCheckpoint(eager=False)
+    mx = ev.agg(F.max("d").alias("test_day"))
+    bounds = (
+        ev.crossJoin(F.broadcast(mx))
+        .select("d", "test_day")
+        .filter(F.col("d") < F.col("test_day"))
+        .agg(F.countDistinct("d").alias("n_train_days"))
+        .crossJoin(F.broadcast(mx))
+    )
+    types = ev.select("event_type").distinct()
+    hours = types.sparkSession.range(0, 24).select(F.col("id").alias("h"))
+    grid = types.crossJoin(F.broadcast(hours))
+    wb = ev.crossJoin(F.broadcast(bounds))
+    train = (
+        wb.filter(F.col("d") < F.col("test_day"))
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("tc"))
+    )
+    prev = (
+        wb.filter(F.col("d") == F.date_sub("test_day", 1))
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("pc"))
+    )
+    actual = (
+        wb.filter(F.col("d") == F.col("test_day"))
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("ac"))
+    )
+    cells = (
+        grid.join(train, ["event_type", "h"], "left")
+        .join(prev, ["event_type", "h"], "left")
+        .join(actual, ["event_type", "h"], "left")
+        .crossJoin(F.broadcast(bounds.select("n_train_days")))
+        .select(
+            "event_type",
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+            F.coalesce("pc", F.lit(0)).alias("pc"),
+            F.coalesce("ac", F.lit(0)).alias("ac"),
+            F.col("n_train_days").alias("n"),
+        )
+    )
+    return cells.groupBy("event_type").agg(
+        F.round(F.sum(F.abs(F.col("tc") - F.col("ac") * F.col("n"))) / (24.0 * F.first("n")), 4).alias("mae_model"),
+        F.round(F.sum(F.abs(F.col("pc") - F.col("ac"))) / 24.0, 4).alias("mae_naive"),
+        F.round(
+            F.sum(F.abs(F.col("tc") - F.col("ac") * F.col("n"))).cast("double")
+            / (F.first("n") * F.nullif(F.sum(F.abs(F.col("pc") - F.col("ac"))), F.lit(0))),
+            4,
+        ).alias("mase"),
+    )
