@@ -2912,3 +2912,110 @@ def q_seasonal_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mase"),
     )
+
+
+# --- Multi-touch attribution --------------------------------------------------
+
+
+@query(
+    "q_attribution_multi_touch",
+    # Linear multi-touch with EXACT cent allocation: every non-purchase
+    # touch strictly before the purchase and within the 1-hour window
+    # shares the purchase's integer cents by the largest-remainder rule
+    # (floor(cents/n) each; the earliest cents-mod-n touches get the
+    # extra cent) — how billing systems split money, and what keeps the
+    # whole query integer-exact (a naive value/n split produces exact
+    # half-cent credits where engine ROUNDs diverge — measured).
+    # Purchases with no touch credit 'direct'.
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+               EPOCH_US(ts) AS us
+        FROM events
+    ),
+    p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+    touches AS (
+        SELECT p.event_id AS pid, p.cents AS pcents, t.event_type AS touch_type,
+               COUNT(*) OVER (PARTITION BY p.event_id) AS n_touches,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id ORDER BY t.us, t.event_id
+               ) - 1 AS k
+        FROM p JOIN ev t
+          ON t.user_id = p.user_id AND t.event_type <> 'purchase'
+         AND t.us < p.us AND t.us >= p.us - {ATTR_WINDOW_US}
+    ),
+    credited AS (
+        SELECT touch_type,
+               pcents // n_touches +
+               CASE WHEN k < pcents % n_touches THEN 1 ELSE 0 END AS credit_cents
+        FROM touches
+        UNION ALL
+        SELECT 'direct', p.cents FROM p
+        WHERE NOT EXISTS (SELECT 1 FROM touches t WHERE t.pid = p.event_id)
+    )
+    SELECT touch_type,
+           COUNT(*) AS n_credits,
+           ROUND(CAST(SUM(credit_cents) AS BIGINT) / 100.0, 2) AS attributed_value
+    FROM credited GROUP BY touch_type
+    """,
+    tags=("behavioral", "attribution", "window", "multi-touch"),
+)
+def q_attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch revenue attribution: a purchase's cents split
+    across ALL of the user's non-purchase touches in the preceding hour
+    by the largest-remainder rule (the fairness-over-recency
+    counterpart to q_attribution_last_touch), with untouched purchases
+    crediting 'direct'. Money stays integer cents end to end, so the
+    split conserves every purchase exactly and the report is
+    engine-independent.
+
+    Scale: the touch set per purchase comes from ONE user-partitioned
+    window with a RANGE frame over epoch-micros — per-row state is the
+    hour's touches (rate-bounded), and no purchase x touch self-join
+    exists anywhere in the plan. The explode fans out exactly
+    n_touches rows per purchase, which the naive join pays anyway.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    ev = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("us"),
+    )
+    w = W.partitionBy("user_id").orderBy("us").rangeBetween(-ATTR_WINDOW_US, -1)
+    touches = F.collect_list(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(F.col("us"), F.col("event_id"), F.col("event_type").alias("t")),
+        )
+    ).over(w)
+    purchases = (
+        ev.withColumn("touches", touches)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "cents",
+            F.array_sort("touches").alias("touches"),
+            F.size("touches").alias("n_touches"),
+        )
+    )
+    credited = purchases.filter(F.col("n_touches") > 0).select(
+        "cents",
+        "n_touches",
+        F.posexplode("touches").alias("k", "touch"),
+    ).select(
+        F.col("touch.t").alias("touch_type"),
+        (
+            F.floor(F.col("cents") / F.col("n_touches")).cast("long")
+            + F.when(F.col("k") < F.col("cents") % F.col("n_touches"), 1).otherwise(0)
+        ).alias("credit_cents"),
+    ).unionByName(
+        purchases.filter(F.col("n_touches") == 0).select(
+            F.lit("direct").alias("touch_type"), F.col("cents").alias("credit_cents")
+        )
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count("*").alias("n_credits"),
+        F.round(F.sum("credit_cents") / 100.0, 2).alias("attributed_value"),
+    )
