@@ -43,6 +43,9 @@ SCALE_QUERIES = [
     "q_training_data_prep",
     "q_lm_bigram_score",
     "q_knn_pq",
+    # session-5 families: graph wedge join, hashed linear scoring
+    "q_triangle_count",
+    "q_hashed_linear_score",
 ]
 
 
