@@ -890,3 +890,195 @@ def q_corpus_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Hybrid retrieval: reciprocal-rank fusion --------------------------------
+
+RRF_K = 60  # standard RRF damping constant
+RRF_LIST = 10  # depth of each retrieved list
+RRF_TOPK = 5  # fused results per query
+RRF_QUERY_MOD = 50  # doc_id % MOD == 0 -> query document
+
+
+@query(
+    "q_hybrid_rrf_search",
+    # Both lists rank on ROUNDED scores with id tie-breaks (the repo
+    # convention that makes rank sets engine-identical despite float
+    # scores); the fusion itself is then exact integer-rank arithmetic:
+    # rrf = sum over lists of 1/(K + rank).
+    oracle=f"""
+    WITH terms AS ({_TERMS_SQL}),
+    df AS (SELECT term, COUNT(*) AS df FROM terms GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+        SELECT t.doc_id, t.term,
+               t.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df) AS wt
+        FROM terms t JOIN df ON t.term = df.term CROSS JOIN n
+    ),
+    norms AS (SELECT doc_id, SQRT(SUM(wt * wt)) AS nrm FROM w GROUP BY doc_id),
+    lex AS (
+        SELECT q_doc, nn_doc, rank_lex FROM (
+            SELECT qa.doc_id AS q_doc, wb.doc_id AS nn_doc,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qa.doc_id
+                       ORDER BY ROUND(SUM(qa.wt * wb.wt) /
+                                      (ANY_VALUE(na.nrm) * ANY_VALUE(nb.nrm)), 4) DESC,
+                                wb.doc_id
+                   ) AS rank_lex
+            FROM w qa
+            JOIN w wb ON qa.term = wb.term AND qa.doc_id <> wb.doc_id
+            JOIN norms na ON qa.doc_id = na.doc_id
+            JOIN norms nb ON wb.doc_id = nb.doc_id
+            WHERE qa.doc_id % {RRF_QUERY_MOD} = 0
+            GROUP BY qa.doc_id, wb.doc_id
+        ) WHERE rank_lex <= {RRF_LIST}
+    ),
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    vec AS (
+        SELECT q_doc, nn_doc, rank_vec FROM (
+            SELECT a.vec_id AS q_doc, b.vec_id AS nn_doc,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY ROUND(list_dot_product(a.v, b.v) /
+                                      (SQRT(list_dot_product(a.v, a.v)) *
+                                       SQRT(list_dot_product(b.v, b.v))), 6) DESC,
+                                b.vec_id
+                   ) AS rank_vec
+            FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id % {RRF_QUERY_MOD} = 0
+        ) WHERE rank_vec <= {RRF_LIST}
+    ),
+    fused AS (
+        SELECT COALESCE(l.q_doc, v.q_doc) AS q_doc,
+               COALESCE(l.nn_doc, v.nn_doc) AS nn_doc,
+               l.rank_lex, v.rank_vec,
+               COALESCE(1.0 / ({RRF_K} + l.rank_lex), 0) +
+               COALESCE(1.0 / ({RRF_K} + v.rank_vec), 0) AS rrf
+        FROM lex l FULL OUTER JOIN vec v
+          ON l.q_doc = v.q_doc AND l.nn_doc = v.nn_doc
+    )
+    SELECT q_doc, nn_doc,
+           CAST(COALESCE(rank_lex, 0) AS BIGINT) AS rank_lex,
+           CAST(COALESCE(rank_vec, 0) AS BIGINT) AS rank_vec,
+           ROUND(rrf, 6) AS rrf_score, fused_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_doc ORDER BY rrf DESC, nn_doc
+        ) AS fused_rank
+        FROM fused
+    ) WHERE fused_rank <= {RRF_TOPK}
+    """,
+    tags=("text", "X3", "X4", "retrieval", "hybrid", "rrf"),
+)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search by reciprocal-rank fusion: for each query document,
+    the lexical top-{L} (tf-idf cosine over the inverted index) and the
+    dense top-{L} (embedding cosine) fuse as rrf = sum 1/({K} + rank),
+    and the fused top-{T} come back with both source ranks — the
+    standard way modern retrieval stacks combine BM25-family and vector
+    scores without tuning score scales against each other. Rank 0 in
+    the output means "not in that list's top-{L}".
+
+    Scale: each list is an existing scale-path (blocked/DF-capped
+    inverted index; LSH/IVF for the dense side); fusion itself joins
+    two (queries x {L})-sized lists — negligible at any corpus size.
+    Integer-rank arithmetic makes the fusion exactly reproducible.
+    """
+    d = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    docs = d["documents"]
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    terms = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = terms.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    w = (
+        terms.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("wt"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    qa = w.filter(F.col("doc_id") % RRF_QUERY_MOD == 0).select(
+        F.col("doc_id").alias("q_doc"), "term", F.col("wt").alias("qwt")
+    )
+    dots = (
+        qa.join(w.select(F.col("doc_id").alias("nn_doc"), "term", "wt"), "term")
+        .filter(F.col("q_doc") != F.col("nn_doc"))
+        .groupBy("q_doc", "nn_doc")
+        .agg(F.sum(F.col("qwt") * F.col("wt")).alias("dot"))
+    )
+    lex_scored = (
+        dots.join(F.broadcast(norms.select(F.col("doc_id").alias("q_doc"), F.col("nrm").alias("qn"))), "q_doc")
+        .join(F.broadcast(norms.select(F.col("doc_id").alias("nn_doc"), F.col("nrm").alias("nn"))), "nn_doc")
+        .select("q_doc", "nn_doc", F.round(F.col("dot") / (F.col("qn") * F.col("nn")), 4).alias("s"))
+    )
+    wl = W.partitionBy("q_doc").orderBy(F.desc("s"), F.asc("nn_doc"))
+    lex = (
+        lex_scored.withColumn("rank_lex", F.row_number().over(wl))
+        .filter(F.col("rank_lex") <= RRF_LIST)
+        .select("q_doc", "nn_doc", "rank_lex")
+    )
+
+    emb = d["embeddings"].select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+    )
+    qv = emb.filter(F.col("vec_id") % RRF_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_doc"), F.col("v").alias("qv")
+    )
+    vec_scored = (
+        qv.crossJoin(emb.select(F.col("vec_id").alias("nn_doc"), F.col("v").alias("nv")))
+        .filter(F.col("q_doc") != F.col("nn_doc"))
+        .select(
+            "q_doc",
+            "nn_doc",
+            F.round(
+                dot(F.col("qv"), F.col("nv"))
+                / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("nv"), F.col("nv")))),
+                6,
+            ).alias("s"),
+        )
+    )
+    vec = (
+        vec_scored.withColumn("rank_vec", F.row_number().over(wl))
+        .filter(F.col("rank_vec") <= RRF_LIST)
+        .select("q_doc", "nn_doc", "rank_vec")
+    )
+    fused = lex.join(vec, ["q_doc", "nn_doc"], "full_outer").select(
+        "q_doc",
+        "nn_doc",
+        "rank_lex",
+        "rank_vec",
+        (
+            F.coalesce(1.0 / (RRF_K + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("rank_vec")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    wf = W.partitionBy("q_doc").orderBy(F.desc("rrf"), F.asc("nn_doc"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= RRF_TOPK)
+        .select(
+            "q_doc",
+            "nn_doc",
+            F.coalesce("rank_lex", F.lit(0)).cast("long").alias("rank_lex"),
+            F.coalesce("rank_vec", F.lit(0)).cast("long").alias("rank_vec"),
+            F.round("rrf", 6).alias("rrf_score"),
+            "fused_rank",
+        )
+    )
+
+
+q_hybrid_rrf_search.__doc__ = q_hybrid_rrf_search.__doc__.format(
+    L=RRF_LIST, K=RRF_K, T=RRF_TOPK
+)
