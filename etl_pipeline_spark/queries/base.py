@@ -55,7 +55,7 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-4 prefix (session-5 final rotation): the 33 operators added in
+# Round-4 prefix (session-5 final rotation): the 34 operators added in
 # the fifth r4 session lead, then the earlier-r4 never-attested queries
 # fill the window to 50 (the remainder spill to the next round's
 # window), then backfill oldest-attestation-first.
@@ -93,6 +93,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_snm_recall_report",
     "q_seasonal_forecast_eval",
     "q_attribution_multi_touch",
+    "q_hybrid_rrf_search",
     "q_knn_pq",  # --- never driver-attested ---
     "q_hard_negatives",
     "q_embedding_centroid_health",
@@ -109,8 +110,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_tfidf_top_terms",
     "q_tfidf_nearest_docs",
     "q_text_zipf_fit",
-    "q_pmi_collocations",
-    "q_lm_bigram_score",  # ---------------- first-50 window ends above ----------------
+    "q_pmi_collocations",  # ---------------- first-50 window ends above ----------------
+    "q_lm_bigram_score",
     "q_weighted_sample",
     "q_bloom_decontaminate",
     "q_curriculum_buckets",
