@@ -367,7 +367,11 @@ def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q02 = """
     SELECT p.p_partkey, p.p_name, l.l_suppkey,
-           ROUND(l.l_extendedprice / l.l_quantity, 2) AS unit_price
+           -- explicit half-up: price/quantity lands on exact half-cents
+           -- (e.g. x.xx5 for even quantities) where library ROUNDs
+           -- diverge across engines; FLOOR(x*100 + 0.5)/100 is identical
+           -- IEEE arithmetic in both (first diverged at sf0.1)
+           FLOOR(l.l_extendedprice / l.l_quantity * 100 + 0.5) / 100 AS unit_price
     FROM part p
     JOIN lineitem l ON p.p_partkey = l.l_partkey
     WHERE p.p_size BETWEEN 40 AND 50
