@@ -94,6 +94,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_seasonal_forecast_eval",
     "q_attribution_multi_touch",
     "q_hybrid_rrf_search",
+    "q02_min_cost_supplier",
     "q_knn_pq",  # --- never driver-attested ---
     "q_hard_negatives",
     "q_embedding_centroid_health",
@@ -195,7 +196,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_agg_percentiles",
     "q12_late_shipments",
     "q16_supplier_diversity",
-    "q02_min_cost_supplier",
     "q20_excess_shippers",
     "q21_sole_late_shipper",
     "q_training_data_prep",
