@@ -475,3 +475,96 @@ def q_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("sum_k"),
         )
     )
+
+
+# --- Null semantics ----------------------------------------------------------
+
+
+@query(
+    "q_null_semantics",
+    # Deterministic nulls are synthesized (orderkey % 7 -> status NULL,
+    # % 5 -> price NULL) so every null-handling rule is exercised on
+    # identical data: COUNT(*) vs COUNT(col), DISTINCT's null-exclusion,
+    # null-skipping SUM, null-SAFE equality (IS NOT DISTINCT FROM /
+    # eqNullSafe), and NULLS FIRST window ordering.
+    oracle="""
+    WITH t AS (
+        SELECT o_orderpriority,
+               o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS status_n,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) END AS cents_n
+        FROM orders
+    ),
+    firsts AS (
+        SELECT o_orderpriority, o_orderkey AS first_nulls_first_key
+        FROM (
+            SELECT o_orderpriority, o_orderkey,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY status_n ASC NULLS FIRST, o_orderkey ASC
+                   ) AS rn
+            FROM t
+        ) WHERE rn = 1
+    )
+    SELECT t.o_orderpriority,
+           COUNT(*) AS n_rows,
+           COUNT(t.status_n) AS n_status_nonnull,
+           COUNT(*) - COUNT(t.status_n) AS n_status_null,
+           COUNT(DISTINCT t.status_n) AS n_distinct_status,
+           CAST(SUM(t.cents_n) AS BIGINT) AS sum_cents_nullskip,
+           CAST(SUM(CASE WHEN t.status_n IS NOT DISTINCT FROM 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nullsafe_eq_f,
+           CAST(SUM(CASE WHEN t.status_n IS DISTINCT FROM 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nullsafe_neq_f,
+           ANY_VALUE(f.first_nulls_first_key) AS first_nulls_first_key
+    FROM t JOIN firsts f ON t.o_orderpriority = f.o_orderpriority
+    GROUP BY t.o_orderpriority
+    """,
+    tags=("scalar", "null-semantics", "sql-surface"),
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL null-semantics conformance on one table: COUNT(*) vs
+    COUNT(col), DISTINCT excluding nulls, null-skipping SUM, null-SAFE
+    (three-valued-logic-free) equality and inequality, and NULLS FIRST
+    window ordering — the rules every migrated query silently depends
+    on, pinned as one cross-engine-checked report per order priority.
+
+    Scale: one aggregate on the priority grid plus one per-priority
+    window; the null synthesis is a narrow expression.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    t = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_n"),
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .alias("cents_n"),
+    )
+    from pyspark.sql import Window as W
+
+    wf = W.partitionBy("o_orderpriority").orderBy(
+        F.col("status_n").asc_nulls_first(), F.col("o_orderkey").asc()
+    )
+    firsts = (
+        t.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .select("o_orderpriority", F.col("o_orderkey").alias("first_nulls_first_key"))
+    )
+    agg = t.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.count("status_n").alias("n_status_nonnull"),
+        (F.count("*") - F.count("status_n")).alias("n_status_null"),
+        F.countDistinct("status_n").alias("n_distinct_status"),
+        F.sum("cents_n").alias("sum_cents_nullskip"),
+        F.sum(
+            F.when(F.col("status_n").eqNullSafe(F.lit("F")), 1).otherwise(0)
+        ).alias("n_nullsafe_eq_f"),
+        F.sum(
+            F.when(~F.col("status_n").eqNullSafe(F.lit("F")), 1).otherwise(0)
+        ).alias("n_nullsafe_neq_f"),
+    )
+    return agg.join(F.broadcast(firsts), "o_orderpriority")

@@ -898,6 +898,11 @@ RRF_K = 60  # standard RRF damping constant
 RRF_LIST = 10  # depth of each retrieved list
 RRF_TOPK = 5  # fused results per query
 RRF_QUERY_MOD = 50  # doc_id % MOD == 0 -> query document
+RRF_QUERY_CAP = 5000  # ...and doc_id < CAP: the query workload is a fixed
+# budget, so retrieval cost stays linear in the corpus (an uncapped query
+# set growing with the corpus made the dense brute-force side quadratic —
+# 11.9x per 10x in the sf1 soak); at scale the dense list additionally
+# comes from the ANN tier (IVF/LSH), not the exact crossJoin
 
 
 @query(
@@ -929,7 +934,7 @@ RRF_QUERY_MOD = 50  # doc_id % MOD == 0 -> query document
             JOIN w wb ON qa.term = wb.term AND qa.doc_id <> wb.doc_id
             JOIN norms na ON qa.doc_id = na.doc_id
             JOIN norms nb ON wb.doc_id = nb.doc_id
-            WHERE qa.doc_id % {RRF_QUERY_MOD} = 0
+            WHERE qa.doc_id % {RRF_QUERY_MOD} = 0 AND qa.doc_id < {RRF_QUERY_CAP}
             GROUP BY qa.doc_id, wb.doc_id
         ) WHERE rank_lex <= {RRF_LIST}
     ),
@@ -945,7 +950,7 @@ RRF_QUERY_MOD = 50  # doc_id % MOD == 0 -> query document
                                 b.vec_id
                    ) AS rank_vec
             FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
-            WHERE a.vec_id % {RRF_QUERY_MOD} = 0
+            WHERE a.vec_id % {RRF_QUERY_MOD} = 0 AND a.vec_id < {RRF_QUERY_CAP}
         ) WHERE rank_vec <= {RRF_LIST}
     ),
     fused AS (
@@ -1006,7 +1011,9 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
-    qa = w.filter(F.col("doc_id") % RRF_QUERY_MOD == 0).select(
+    qa = w.filter(
+        (F.col("doc_id") % RRF_QUERY_MOD == 0) & (F.col("doc_id") < RRF_QUERY_CAP)
+    ).select(
         F.col("doc_id").alias("q_doc"), "term", F.col("wt").alias("qwt")
     )
     dots = (
@@ -1033,7 +1040,9 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = lambda x, y: F.aggregate(  # noqa: E731
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
     )
-    qv = emb.filter(F.col("vec_id") % RRF_QUERY_MOD == 0).select(
+    qv = emb.filter(
+        (F.col("vec_id") % RRF_QUERY_MOD == 0) & (F.col("vec_id") < RRF_QUERY_CAP)
+    ).select(
         F.col("vec_id").alias("q_doc"), F.col("v").alias("qv")
     )
     vec_scored = (
