@@ -568,3 +568,86 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_nullsafe_neq_f"),
     )
     return agg.join(F.broadcast(firsts), "o_orderpriority")
+
+
+# --- Map-typed column surface -------------------------------------------------
+
+MAP_BIG_CUTOFF = 100  # statuses with at least this many orders are "big"
+
+
+@query(
+    "q_scalar_maps",
+    # The Spark side genuinely runs the MAP column surface
+    # (map_from_entries -> map_filter -> transform_values -> map_entries);
+    # the oracle states the equivalent result relationally (grouped
+    # counts + ordered STRING_AGG) — maps render as deterministic sorted
+    # "k=v" strings and shares as integer basis points, so no map-order
+    # or double-formatting hazard crosses engines.
+    oracle=f"""
+    WITH counts AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT o_orderpriority, SUM(cnt) AS total FROM counts GROUP BY 1
+    ),
+    enriched AS (
+        SELECT c.o_orderpriority, c.o_orderstatus, c.cnt,
+               CAST(FLOOR(c.cnt * 10000.0 / t.total + 0.5) AS BIGINT) AS bps
+        FROM counts c JOIN totals t ON c.o_orderpriority = t.o_orderpriority
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_statuses,
+           STRING_AGG(o_orderstatus || '=' || cnt, ',' ORDER BY o_orderstatus)
+               AS status_counts,
+           COALESCE(STRING_AGG(
+               CASE WHEN cnt >= {MAP_BIG_CUTOFF} THEN o_orderstatus || '=' || cnt END,
+               ',' ORDER BY o_orderstatus), '') AS big_statuses,
+           STRING_AGG(o_orderstatus || '=' || CAST(bps AS VARCHAR),
+                      ',' ORDER BY o_orderstatus) AS share_bps
+    FROM enriched
+    GROUP BY o_orderpriority
+    """,
+    tags=("scalar", "map", "sql-surface"),
+)
+def q_scalar_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column operations end to end: per order priority the
+    status->count map is BUILT (map_from_entries over a sorted entry
+    array), FILTERED (map_filter keeps the big statuses), and
+    TRANSFORMED (transform_values to basis-point shares), then rendered
+    through map_entries as deterministic sorted k=v strings — the
+    semi-structured aggregation surface (feature maps, tag bags,
+    per-key metrics) exercised as maps rather than exploded rows.
+
+    Scale: one bounded (priority, status) aggregate; maps live per-row
+    with at most |status| entries. Map columns at 100 TB behave like
+    structs-of-bounded-width, not like exploded rows — that is the
+    point of keeping them maps.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(F.count("*").alias("cnt"))
+    per_prio = counts.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderstatus", "cnt")))
+        ).alias("m"),
+        F.sum("cnt").alias("total"),
+    )
+    big = F.map_filter(F.col("m"), lambda k, v: v >= MAP_BIG_CUTOFF)
+    bps = F.transform_values(
+        F.col("m"),
+        lambda k, v: F.floor(v * 10000.0 / F.col("total") + 0.5).cast("long"),
+    )
+    render = lambda m: F.array_join(  # noqa: E731
+        F.transform(
+            F.map_entries(m),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+        ),
+        ",",
+    )
+    return per_prio.select(
+        "o_orderpriority",
+        F.size("m").cast("long").alias("n_statuses"),
+        render(F.col("m")).alias("status_counts"),
+        render(big).alias("big_statuses"),
+        render(bps).alias("share_bps"),
+    )
