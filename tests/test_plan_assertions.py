@@ -264,3 +264,12 @@ def test_cms_counters_broadcast_to_probes(spark):
     broadcast — the grid is sketch-sized by construction."""
     df = contract.queries()["q_cms_heavy_hitters"](spark, SF)
     plans.assert_broadcast_join(df)
+
+
+def test_rrf_lists_use_partial_window_limit(spark):
+    """Both retrieved lists' per-query top-10 filters must compile to
+    WindowGroupLimit (partial top-k below the exchange), not full
+    per-partition sorts of every candidate."""
+    df = contract.queries()["q_hybrid_rrf_search"](spark, SF)
+    plan = plans.executed(df)
+    assert plan.count("WindowGroupLimit") >= 2, plan[:800]
