@@ -78,3 +78,47 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("long"))
     return big_s.join(small_r, [key, "_salt"]).drop("_salt")
+
+
+def hybrid_skew_join(
+    big: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot_threshold: int = 100_000,
+    hot_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Inner equi-join split by key temperature: rows whose key exceeds
+    ``hot_threshold`` occurrences in ``big`` join against a BROADCAST of
+    the matching dim slice (hot keys never shuffle), while the cold
+    remainder takes the ordinary shuffled join. Output equals
+    ``big.join(dim, key)``.
+
+    This is the differentiated-broadcast alternative to ``salted_join``:
+    salting spreads a hot key across reducers but still replicates the
+    whole small side n_salts times; the hybrid ships only the hot SLICE
+    of the dim (bounded by the number of hot keys — small by the
+    definition of skew) and leaves the cold path's shuffle untouched.
+    Prefer it when the dim is too large to replicate but its hot slice
+    is tiny; prefer salting when hot keys are many or unknowable.
+
+    ``hot_keys`` overrides detection (pass a 1-column DataFrame of keys
+    from a sample or a prior run); by default one count-aggregate over
+    ``big`` finds them — at 100 TB detect on a sample or reuse the
+    sketch layer (operators/cms.py heavy hitters) instead of the exact
+    count.
+    """
+    if hot_keys is None:
+        hot_keys = (
+            big.groupBy(key)
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > hot_threshold)
+            .select(key)
+        )
+    hot_keys = hot_keys.localCheckpoint(eager=False)
+    big_hot = big.join(F.broadcast(hot_keys), key, "left_semi")
+    big_cold = big.join(F.broadcast(hot_keys), key, "left_anti")
+    dim_hot = dim.join(F.broadcast(hot_keys), key, "left_semi")
+    dim_cold = dim.join(F.broadcast(hot_keys), key, "left_anti")
+    return big_hot.join(F.broadcast(dim_hot), key).unionByName(
+        big_cold.join(dim_cold, key)
+    )

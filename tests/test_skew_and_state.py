@@ -147,3 +147,28 @@ def test_transform_with_state_profiles(spark, tmp_path_factory):
     assert rows[2]["n_events"] == 1 and rows[2]["total_value"] == 3.0
     # 2024-01-01 00:20:00 UTC in epoch micros
     assert rows[1]["last_us"] == 1704068400000000
+
+
+def test_hybrid_skew_join_equivalence_and_plan(spark):
+    """hybrid_skew_join equals the plain join, routes hot keys through a
+    broadcast join, and keeps the cold path shuffled."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_spark.catalog import load_tables
+    from etl_pipeline_spark.operators.skew import hybrid_skew_join
+
+    ev = load_tables(spark, "/root/testdata/sf0.001", ("events",))["events"]
+    big = ev.select(
+        F.when(F.col("event_id") % 3 != 0, F.lit("hot")).otherwise(
+            F.col("event_type")
+        ).alias("k"),
+        "value",
+    )
+    dim = big.select("k").distinct().withColumn("tag", F.md5("k"))
+    got = hybrid_skew_join(big, dim, "k", hot_threshold=1000)
+    want = big.join(dim, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:600]
+    # the cold branch still exists as a non-broadcast join
+    assert plan.count("Join") >= 2, plan[:600]

@@ -31,7 +31,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 
 from etl_pipeline_spark.catalog import load_tables
-from etl_pipeline_spark.operators.skew import salted_join
+from etl_pipeline_spark.operators.skew import hybrid_skew_join, salted_join
 from etl_pipeline_spark.session import get_spark
 
 INFLATE = 20
@@ -73,7 +73,7 @@ def materialize_sides(spark, sf_dir):
     return big_r, spark.read.parquet(f"{SCRATCH}/dim")
 
 
-def run_variant(spark, big, dim, label, skew_on, use_salt, allow_broadcast):
+def run_variant(spark, big, dim, label, skew_on, use_salt, allow_broadcast, use_hybrid=False):
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower())
     spark.conf.set(
         "spark.sql.autoBroadcastJoinThreshold", "64m" if allow_broadcast else "-1"
@@ -82,11 +82,12 @@ def run_variant(spark, big, dim, label, skew_on, use_salt, allow_broadcast):
         spark.conf.set(k, v)
     best, plan, rows = float("inf"), "", 0
     for _ in range(3):  # best-of-3: shared-host noise
-        joined = (
-            salted_join(big, dim, "skew_key", n_salts=N_SALTS)
-            if use_salt
-            else big.join(dim, "skew_key")
-        )
+        if use_hybrid:
+            joined = hybrid_skew_join(big, dim, "skew_key", hot_threshold=100_000)
+        elif use_salt:
+            joined = salted_join(big, dim, "skew_key", n_salts=N_SALTS)
+        else:
+            joined = big.join(dim, "skew_key")
         # aggregate over payload so the join carries the wide column
         out = joined.select(
             F.count(F.lit(1)).alias("n"), F.sum(F.length("payload")).alias("b")
@@ -106,10 +107,11 @@ def main() -> None:
         run_variant(spark, big, dim, "A: SMJ + AQE skew-split ON", True, False, False),
         run_variant(spark, big, dim, "B: SMJ, skew-split OFF (unmitigated)", False, False, False),
         run_variant(spark, big, dim, "C: salted_join (8 salts), skew-split OFF", False, True, False),
+        run_variant(spark, big, dim, "C2: hybrid_skew_join (hot keys broadcast), skew-split OFF", False, False, False, use_hybrid=True),
         run_variant(spark, big, dim, "D: broadcast allowed (engine default)", True, False, True),
     ]
-    a, b, c, d = results
-    assert a["rows"] == b["rows"] == c["rows"] == d["rows"], "variant row counts differ"
+    a, b, c, c2, d = results
+    assert len({r["rows"] for r in results}) == 1, "variant row counts differ"
     skew_marker = "skew=true" in a["plan"]
 
     def plan_snip(p, n=14):
@@ -129,6 +131,7 @@ def main() -> None:
         f"| {a['label']} | {a['sec']} | SortMergeJoin `skew=true`: {skew_marker} |",
         f"| {b['label']} | {b['sec']} | hot partition on one reducer |",
         f"| {c['label']} | {c['sec']} | join on (key, salt), {N_SALTS}-way split |",
+        f"| {c2['label']} | {c2['sec']} | hot slice broadcast: {'BroadcastHashJoin' in c2['plan']} |",
         f"| {d['label']} | {d['sec']} | BroadcastHashJoin: {'BroadcastHashJoin' in d['plan']} |",
         "",
         "**Reading**: with a broadcastable dimension the engine's default plan",
