@@ -3019,3 +3019,220 @@ def q_attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_credits"),
         F.round(F.sum("credit_cents") / 100.0, 2).alias("attributed_value"),
     )
+
+
+# --- Change-point detection (single mean shift) ------------------------------
+
+
+@query(
+    "q_changepoint_mean_shift",
+    # Binary-segmentation step 1, exact arithmetic: per event type, every
+    # event boundary is a candidate split; prefix sums of integer cents
+    # give both segment means, and the score |meanL - meanR| weighted by
+    # the balanced size factor sqrt(nL*nR/n) picks the strongest shift.
+    # All candidate scores derive from the same integers in the same
+    # per-row formula, so both engines compute bit-identical doubles and
+    # the argmax (score DESC, ts ASC) agrees without rounding tricks.
+    oracle="""
+    WITH ev AS (
+        SELECT event_type, event_id, EPOCH_US(ts) AS us,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    pre AS (
+        SELECT event_type, event_id, us,
+               SUM(cents) OVER w AS pref_cents,
+               ROW_NUMBER() OVER w AS k,
+               SUM(cents) OVER (PARTITION BY event_type) AS tot_cents,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM ev
+        WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    scored AS (
+        SELECT event_type, us, k, n,
+               pref_cents / (100.0 * k) AS mean_left,
+               (tot_cents - pref_cents) / (100.0 * (n - k)) AS mean_right,
+               ABS(pref_cents / (100.0 * k) - (tot_cents - pref_cents) / (100.0 * (n - k)))
+                 * SQRT(CAST(k AS DOUBLE) * (n - k) / n) AS score
+        FROM pre WHERE k < n
+    ),
+    best AS (
+        SELECT event_type, us, k, n, mean_left, mean_right, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY score DESC, us ASC
+               ) AS rn
+        FROM scored
+    )
+    SELECT event_type,
+           CAST(us AS BIGINT) AS split_us,
+           CAST(k AS BIGINT) AS n_left,
+           CAST(n - k AS BIGINT) AS n_right,
+           ROUND(mean_left, 4) AS mean_left,
+           ROUND(mean_right, 4) AS mean_right,
+           ROUND(score, 4) AS shift_score
+    FROM best WHERE rn = 1
+    """,
+    tags=("timeseries", "changepoint", "statistics", "custom-op"),
+)
+def q_changepoint_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection per event type: the event boundary
+    that maximizes the size-weighted mean shift |mean_left - mean_right|
+    * sqrt(nL*nR/n) — the first step of binary segmentation, which is
+    how a monitoring pipeline localizes "when did this metric change".
+    Iterating on each side finds further breaks with the same plan.
+
+    Scale: one per-type ordered window builds prefix sums (integer
+    cents — exact), every row scores its own split in closed form, and
+    a per-type argmax picks the break: no per-candidate scan, O(n)
+    total. The prefix-sum window splits by day with carried offsets at
+    100 TB like every running-total here.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    ev = e.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wp = W.partitionBy("event_type")
+    pre = ev.select(
+        "event_type",
+        "us",
+        F.sum("cents").over(w).alias("pref_cents"),
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("us", "event_id")
+        ).alias("k"),
+        F.sum("cents").over(wp).alias("tot_cents"),
+        F.count("*").over(wp).alias("n"),
+    )
+    mean_l = F.col("pref_cents") / (100.0 * F.col("k"))
+    mean_r = (F.col("tot_cents") - F.col("pref_cents")) / (100.0 * (F.col("n") - F.col("k")))
+    score = F.abs(mean_l - mean_r) * F.sqrt(
+        F.col("k").cast("double") * (F.col("n") - F.col("k")) / F.col("n")
+    )
+    scored = pre.filter(F.col("k") < F.col("n")).select(
+        "event_type", "us", "k", "n",
+        mean_l.alias("mean_left"), mean_r.alias("mean_right"), score.alias("score"),
+    )
+    wr = W.partitionBy("event_type").orderBy(F.col("score").desc(), F.col("us").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("us").alias("split_us"),
+            F.col("k").alias("n_left"),
+            (F.col("n") - F.col("k")).alias("n_right"),
+            F.round("mean_left", 4).alias("mean_left"),
+            F.round("mean_right", 4).alias("mean_right"),
+            F.round("score", 4).alias("shift_score"),
+        )
+    )
+
+
+# --- Strict three-step funnel -------------------------------------------------
+
+FUNNEL3_STEPS = ("signup", "click", "purchase")
+
+
+@query(
+    "q_funnel_three_step",
+    # Strict ordering: step 2 must be the user's first click AFTER their
+    # first signup; step 3 the first purchase AFTER that click. The
+    # composite order key rebases epoch micros to 2023-11 and packs a
+    # bounded id component so it stays inside int64 in BOTH engines
+    # (raw us * 1e7 overflowed — caught by ANSI mode).
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               (EPOCH_US(ts) - 1700000000000000) * 1000000 + event_id % 1000000 AS k
+        FROM events
+    ),
+    s1 AS (
+        SELECT user_id, MIN(k) AS k1
+        FROM ev WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.k) AS k2
+        FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.k > s1.k1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.k) AS k3
+        FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.k > s2.k2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM ev) AS n_users,
+           (SELECT COUNT(*) FROM s1) AS n_signup,
+           (SELECT COUNT(*) FROM s2) AS n_then_click,
+           (SELECT COUNT(*) FROM s3) AS n_then_purchase,
+           ROUND((SELECT COUNT(*) FROM s3) /
+                 CAST(NULLIF((SELECT COUNT(*) FROM s1), 0) AS DOUBLE), 4)
+               AS full_conversion
+    """,
+    tags=("behavioral", "funnel", "sequence"),
+)
+def q_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence three-step funnel (signup -> then click -> then
+    purchase): users counted at each stage only if the NEXT step
+    strictly follows their previous step's first occurrence — the
+    product-analytics funnel where step order matters, not just step
+    membership (contrast q_funnel_conversion's any-order pairs).
+
+    Scale: three conditional-min aggregates keyed on user_id — each
+    stage reuses the previous stage's (small) first-occurrence table as
+    a broadcast; the event stream is scanned per stage with a pushed
+    type filter. The composite us*1e7+event_id key keeps ordering total
+    and integer-exact.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    ev = e.select(
+        "user_id",
+        "event_type",
+        (
+            (F.unix_micros("ts") - 1_700_000_000_000_000) * 1_000_000
+            + F.col("event_id") % 1_000_000
+        ).alias("k"),
+    ).localCheckpoint(eager=False)
+    s1 = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("k").alias("k1")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .filter(F.col("k") > F.col("k1"))
+        .groupBy("user_id")
+        .agg(F.min("k").alias("k2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter(F.col("k") > F.col("k2"))
+        .groupBy("user_id")
+        .agg(F.min("k").alias("k3"))
+    )
+    n_users = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    c1 = s1.agg(F.count("*").alias("n_signup"))
+    c2 = s2.agg(F.count("*").alias("n_then_click"))
+    c3 = s3.agg(F.count("*").alias("n_then_purchase"))
+    return (
+        n_users.crossJoin(c1).crossJoin(c2).crossJoin(c3)
+        .select(
+            "n_users",
+            "n_signup",
+            "n_then_click",
+            "n_then_purchase",
+            F.round(
+                F.col("n_then_purchase") / F.nullif(F.col("n_signup"), F.lit(0)).cast("double"),
+                4,
+            ).alias("full_conversion"),
+        )
+    )
