@@ -245,3 +245,41 @@ def test_overwrite_partitions_touches_only_written_partitions(spark, tmp_path):
     overwrite_partitions(reload_a, path, ["p"])
     rows2 = {(r["p"], r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
     assert rows2 == rows
+
+
+def test_analyze_table_statistics_feed_the_optimizer(spark, tmp_path_factory):
+    """ANALYZE TABLE COMPUTE STATISTICS makes row counts and column
+    stats available to the optimizer (CBO) — the knob that turns join
+    reordering and broadcast selection from guesses into decisions at
+    warehouse scale."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_spark.catalog import load_tables
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS statsdb")
+    orders = load_tables(spark, "/root/testdata/sf0.001", ("orders",))["orders"]
+    orders.limit(500).write.mode("overwrite").saveAsTable("statsdb.o_small")
+    old_cbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try:
+        # rowCount only flows into plan stats under CBO
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.sql("ANALYZE TABLE statsdb.o_small COMPUTE STATISTICS")
+        spark.sql(
+            "ANALYZE TABLE statsdb.o_small COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_totalprice"
+        )
+        t = spark.table("statsdb.o_small")
+        stats = t._jdf.queryExecution().optimizedPlan().stats()
+        assert stats.rowCount().isDefined(), "ANALYZE did not record a row count"
+        assert stats.rowCount().get() == 500
+        assert stats.sizeInBytes() > 0
+        # column stats present for the analyzed columns
+        desc = {
+            r.info_name: r.info_value
+            for r in spark.sql(
+                "DESCRIBE EXTENDED statsdb.o_small o_orderkey"
+            ).collect()
+        }
+        assert desc.get("distinct_count") not in (None, "NULL"), desc
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old_cbo)
+        spark.sql("DROP TABLE IF EXISTS statsdb.o_small")
