@@ -664,3 +664,21 @@ def semdedup(
         assign.join(pruned, "vec_id", "left_anti")
         .select(F.col("vec_id").alias(id_col), "cluster", "cosc")
     )
+
+
+# Re-exported operator surfaces (same contract: plain functions over
+# caller DataFrames; see each module's docstring for the scale notes).
+from etl_pipeline_spark.operators.cms import (  # noqa: E402,F401
+    cms_estimate,
+    cms_increments,
+)
+from etl_pipeline_spark.operators.skew import (  # noqa: E402,F401
+    hybrid_skew_join,
+    salted_aggregate,
+    salted_join,
+)
+from etl_pipeline_spark.operators.zorder import (  # noqa: E402,F401
+    read_box,
+    write_zordered,
+    zorder_key,
+)
