@@ -3236,3 +3236,160 @@ def q_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("full_conversion"),
         )
     )
+
+
+# --- PCA top component via integer power iteration ----------------------------
+
+PCA_ITERS = 3
+PCA_QUANT = 10000  # embedding quantization grid
+PCA_VGRID = 1000  # iterate quantization grid
+
+
+def _pca_oracle() -> str:
+    """Unrolled integer power iteration over the Gram operator, shared
+    construction with the Spark side: s_i = q_i . u (exact int), numer_a
+    = sum_i q_ia * s_i (exact int), u' = floor(numer/max|numer|*grid+.5)."""
+    base = f"""
+    q AS (
+        SELECT vec_id,
+               LIST(CAST(FLOOR(val * {PCA_QUANT} + 0.5) AS BIGINT) ORDER BY pos) AS qv
+        FROM (
+            SELECT vec_id, g AS pos, embedding[g]::DOUBLE AS val
+            FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(g)
+        ) GROUP BY vec_id
+    ),
+    u0 AS (
+        SELECT LIST(CAST({PCA_VGRID} AS BIGINT) ORDER BY g) AS uv
+        FROM UNNEST(GENERATE_SERIES(1, 64)) t(g)
+    )"""
+    steps = ""
+    prev = "u0"
+    for t in range(PCA_ITERS):
+        steps += f""",
+    s{t} AS (
+        SELECT q.vec_id, q.qv, list_dot_product(q.qv, {prev}.uv) AS s
+        FROM q CROSS JOIN {prev}
+    ),
+    n{t} AS (
+        SELECT pos, CAST(SUM(qv[pos] * s) AS BIGINT) AS numer
+        FROM s{t}, UNNEST(GENERATE_SERIES(1, 64)) t(pos)
+        GROUP BY pos
+    ),
+    m{t} AS (SELECT MAX(ABS(numer)) AS mx FROM n{t}),
+    u{t + 1} AS (
+        SELECT LIST(CAST(FLOOR(CAST(numer AS DOUBLE) / mx * {PCA_VGRID} + 0.5) AS BIGINT)
+                    ORDER BY pos) AS uv
+        FROM n{t} CROSS JOIN m{t}
+    )"""
+        prev = f"u{t + 1}"
+    return base + steps
+
+
+@query(
+    "q_pca_top_component",
+    # Every iterate is integer-exact: dot products and the per-dimension
+    # accumulations are sums of bounded BIGINTs (order-free), and the
+    # rescale divides exact integers (identical doubles in both engines)
+    # before an explicit half-up floor. Only the final Rayleigh/loading
+    # outputs touch order-sensitive double sums, and those carry ROUND.
+    oracle=f"""
+    WITH {_pca_oracle()},
+    sf AS (
+        SELECT q.vec_id, list_dot_product(q.qv, u.uv) AS s,
+               list_dot_product(q.qv, q.qv) AS qq
+        FROM q CROSS JOIN u{PCA_ITERS} u
+    ),
+    uu AS (SELECT list_dot_product(uv, uv) AS udot, uv FROM u{PCA_ITERS}),
+    lam AS (
+        SELECT SUM(CAST(s AS DOUBLE) * s) / ANY_VALUE(uu.udot) AS lam_raw,
+               SUM(CAST(s AS DOUBLE) * s) / ANY_VALUE(uu.udot) / SUM(CAST(qq AS DOUBLE))
+                   AS explained
+        FROM sf CROSS JOIN uu
+    )
+    SELECT g AS dim,
+           ROUND(uu.uv[g] / SQRT(uu.udot), 4) AS loading,
+           ROUND(lam.lam_raw / ({PCA_QUANT}.0 * {PCA_QUANT}), 4) AS lambda_top,
+           ROUND(lam.explained, 4) AS explained_ratio
+    FROM uu CROSS JOIN lam, UNNEST(GENERATE_SERIES(1, 64)) t(g)
+    """,
+    tags=("similarity", "X3", "pca", "iterative", "linear-algebra"),
+)
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by {N} power-
+    iteration steps against the Gram operator — WITHOUT materializing
+    the Gram matrix: each step is one corpus pass computing s_i = q_i.u
+    then one bounded per-dimension accumulation sum_i q_ia*s_i (the
+    matrix-free matvec). Embeddings and iterates live on integer grids,
+    so every iterate is bit-identical across engines and partitionings;
+    the output is the 64 loadings plus the Rayleigh eigenvalue and the
+    explained-variance ratio — the dominant-direction health check
+    (anisotropy / collapsed-embedding detection) next to
+    q_embedding_centroid_health.
+
+    Scale: per step, one narrow pass (s is a per-row fold) and a
+    64-group aggregate of exact integers; the iterate broadcasts. That
+    is the textbook distributed power iteration, and the integer
+    formulation removes the floating-point nondeterminism that
+    otherwise makes iterative linear algebra unreproducible across
+    cluster sizes.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * PCA_QUANT + 0.5).cast("long")
+        ).alias("qv"),
+    ).localCheckpoint(eager=False)
+    idot = lambda x, y: F.aggregate(  # integer dot product  # noqa: E731
+        F.zip_with(x, y, lambda p, r: p * r), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    u = spark.range(1).select(
+        F.transform(F.sequence(F.lit(1), F.lit(64)), lambda _: F.lit(PCA_VGRID).cast("long")).alias("uv")
+    )
+    for _ in range(PCA_ITERS):
+        s = q.crossJoin(F.broadcast(u)).select(
+            "qv", idot(F.col("qv"), F.col("uv")).alias("s")
+        )
+        numer = (
+            s.select(F.posexplode("qv").alias("pos0", "qa"), "s")
+            .groupBy("pos0")
+            .agg(F.sum(F.col("qa") * F.col("s")).alias("numer"))
+        )
+        mx = numer.agg(F.max(F.abs("numer")).alias("mx"))
+        u = (
+            numer.crossJoin(F.broadcast(mx))
+            .select(
+                "pos0",
+                F.floor(F.col("numer").cast("double") / F.col("mx") * PCA_VGRID + 0.5)
+                .cast("long")
+                .alias("u"),
+            )
+            .groupBy()
+            .agg(F.array_sort(F.collect_list(F.struct("pos0", "u"))).alias("pu"))
+            .select(F.transform("pu", lambda st: st["u"]).alias("uv"))
+        )
+    sf = q.crossJoin(F.broadcast(u)).select(
+        idot(F.col("qv"), F.col("uv")).alias("s"),
+        idot(F.col("qv"), F.col("qv")).alias("qq"),
+    )
+    uu = u.select("uv", idot(F.col("uv"), F.col("uv")).alias("udot"))
+    lam = (
+        sf.crossJoin(F.broadcast(uu.select("udot")))
+        .agg(
+            (F.sum(F.col("s").cast("double") * F.col("s")) / F.first("udot")).alias("lam_raw"),
+            (
+                F.sum(F.col("s").cast("double") * F.col("s"))
+                / F.first("udot")
+                / F.sum(F.col("qq").cast("double"))
+            ).alias("explained"),
+        )
+    )
+    dims = uu.select(
+        F.posexplode(F.col("uv")).alias("pos0", "ua"), F.col("udot")
+    ).select((F.col("pos0") + 1).alias("dim"), "ua", "udot")
+    return dims.crossJoin(F.broadcast(lam)).select(
+        "dim",
+        F.round(F.col("ua") / F.sqrt(F.col("udot")), 4).alias("loading"),
+        F.round(F.col("lam_raw") / (float(PCA_QUANT) * PCA_QUANT), 4).alias("lambda_top"),
+        F.round("explained", 4).alias("explained_ratio"),
+    )
