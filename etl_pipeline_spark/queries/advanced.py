@@ -3393,3 +3393,85 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("lam_raw") / (float(PCA_QUANT) * PCA_QUANT), 4).alias("lambda_top"),
         F.round("explained", 4).alias("explained_ratio"),
     )
+
+
+# --- Two-proportion z-test ----------------------------------------------------
+
+
+@query(
+    "q_ab_test_proportions",
+    # Conversion-rate counterpart of q_ab_test_ttest: arms by user
+    # parity, "conversion" = value over the global median (a per-arm
+    # proportion); pooled two-proportion z with the 1.96 verdict. All
+    # inputs are integer counts; the median threshold is computed once
+    # and is exact-rational, so both engines classify identically.
+    oracle="""
+    WITH med AS (SELECT MEDIAN(value) AS m FROM events),
+    assigned AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               CASE WHEN value > (SELECT m FROM med) THEN 1 ELSE 0 END AS conv
+        FROM events
+    ),
+    arms AS (
+        SELECT arm, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS x
+        FROM assigned GROUP BY arm
+    ),
+    wide AS (
+        SELECT a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b
+        FROM arms a JOIN arms b ON a.arm = 'A' AND b.arm = 'B'
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, x_a,
+           CAST(n_b AS BIGINT) AS n_b, x_b,
+           ROUND(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a,
+           ROUND(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
+           ROUND((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) /
+                 SQRT((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+                      (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+                      (1.0 / n_a + 1.0 / n_b)), 4) AS z_stat,
+           CASE WHEN ABS((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) /
+                 SQRT((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+                      (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+                      (1.0 / n_a + 1.0 / n_b))) > 1.96
+                THEN 1 ELSE 0 END AS significant
+    FROM wide
+    """,
+    tags=("statistics", "ab-test", "proportions"),
+)
+def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test readout: arms by user parity, conversion
+    defined as an above-median event value, pooled-proportion z
+    statistic with the 5%-level verdict — the conversion-rate
+    experiment table beside the means-based Welch readout
+    (q_ab_test_ttest).
+
+    Scale: a global median (KLL sketch at 100 TB) broadcast as a
+    threshold, then one (arm) aggregate of integer counts; the z
+    arithmetic is a scalar epilogue.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    med = e.agg(F.median("value").alias("m"))
+    assigned = e.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        F.when(F.col("value") > F.col("m"), 1).otherwise(0).alias("conv"),
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count("*").alias("n"), F.sum("conv").alias("x")
+    )
+    a = arms.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("x").alias("x_a")
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("x").alias("x_b")
+    )
+    w = a.crossJoin(b)
+    p_a = F.col("x_a").cast("double") / F.col("n_a")
+    p_b = F.col("x_b").cast("double") / F.col("n_b")
+    pool = (F.col("x_a") + F.col("x_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    z = (p_a - p_b) / F.sqrt(pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return w.select(
+        "n_a", "x_a", "n_b", "x_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(z, 4).alias("z_stat"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("significant"),
+    )

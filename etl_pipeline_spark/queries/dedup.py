@@ -1211,3 +1211,59 @@ def q_snm_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["q_snm_recall_report"].oracle = REGISTRY["q_snm_recall_report"].oracle.format(
     exact_oracle=REGISTRY["q_dedup_ngram_jaccard"].oracle
 )
+
+
+# --- Document stitching detection (suffix-prefix overlap) --------------------
+
+STITCH_WORDS = 3
+
+
+@query(
+    "q_dedup_doc_stitching",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+        WHERE LEN(STRING_SPLIT(text, ' ')) >= {STITCH_WORDS}
+    ),
+    sp AS (
+        SELECT doc_id,
+               ARRAY_TO_STRING(w[LEN(w) - {STITCH_WORDS - 1}:LEN(w)], ' ') AS suf,
+               ARRAY_TO_STRING(w[1:{STITCH_WORDS}], ' ') AS pre
+        FROM t
+    )
+    SELECT a.doc_id AS suffix_doc, b.doc_id AS prefix_doc, a.suf AS boundary
+    FROM sp a JOIN sp b ON a.suf = b.pre AND a.doc_id <> b.doc_id
+    """,
+    tags=("dedup", "X2", "stitching", "boundary"),
+)
+def q_dedup_doc_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-stitching detection: pairs where one document's last
+    {K} words equal another's first {K} — the boundary signature of
+    pipeline-concatenation artifacts (a crawler or packer splitting one
+    source across records), which similarity dedup misses because the
+    OVERALL overlap is tiny. Flagged pairs feed re-segmentation or the
+    sequence-packing stage.
+
+    Scale: each doc contributes ONE suffix key and ONE prefix key (a
+    narrow projection — no shingle explosion); the join is a plain
+    equi-join on the boundary string, uniform unless the corpus has a
+    boilerplate boundary (then the DF-cap from the capped-Jaccard
+    operator applies to the key stream identically).
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split("text", " ")
+    t = d.filter(F.size(toks) >= STITCH_WORDS).select(
+        "doc_id",
+        F.array_join(F.slice(toks, -STITCH_WORDS, STITCH_WORDS), " ").alias("suf"),
+        F.array_join(F.slice(toks, 1, STITCH_WORDS), " ").alias("pre"),
+    )
+    a = t.select(F.col("doc_id").alias("suffix_doc"), "suf")
+    b = t.select(F.col("doc_id").alias("prefix_doc"), F.col("pre").alias("suf"))
+    return (
+        a.join(b, "suf")
+        .filter(F.col("suffix_doc") != F.col("prefix_doc"))
+        .select("suffix_doc", "prefix_doc", F.col("suf").alias("boundary"))
+    )
+
+
+q_dedup_doc_stitching.__doc__ = q_dedup_doc_stitching.__doc__.format(K=STITCH_WORDS)
