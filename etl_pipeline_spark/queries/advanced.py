@@ -3475,3 +3475,289 @@ def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_stat"),
         F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("significant"),
     )
+
+
+# --- Winsorized robust statistics ---------------------------------------------
+
+
+@query(
+    "q_winsorized_stats",
+    # Clamp thresholds are exact percentiles (identical interpolated
+    # doubles in both engines over the same inputs); clamped values fold
+    # to integer cents with explicit half-up before averaging, so the
+    # robust mean is exact until the final edge division.
+    oracle="""
+    WITH th AS (
+        SELECT event_type,
+               QUANTILE_CONT(value, 0.05) AS lo,
+               QUANTILE_CONT(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    ),
+    clamped AS (
+        SELECT e.event_type,
+               CAST(FLOOR(LEAST(GREATEST(e.value, t.lo), t.hi) * 100 + 0.5) AS BIGINT)
+                   AS cents
+        FROM events e JOIN th t ON e.event_type = t.event_type
+    )
+    SELECT c.event_type,
+           COUNT(*) AS n_events,
+           ROUND(ANY_VALUE(t.lo), 2) AS p05,
+           ROUND(ANY_VALUE(t.hi), 2) AS p95,
+           FLOOR(SUM(c.cents) * 100.0 / COUNT(*) + 0.5) / 10000.0 AS winsorized_mean
+    FROM clamped c JOIN th t ON c.event_type = t.event_type
+    GROUP BY c.event_type
+    """,
+    tags=("statistics", "robust", "winsorize", "dq"),
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5/95 winsorized mean per event type: values clamp to the exact
+    5th/95th percentiles before averaging — the robust central estimate
+    that tolerates heavy tails without discarding rows (trimming's
+    gentler sibling; compare q_udaf_trimmed_mean, which drops instead
+    of clamping).
+
+    Scale: thresholds per group come from the percentile pass (KLL
+    sketch at 100 TB) and broadcast; the clamp is a narrow expression
+    and the mean folds integer cents — one extra map pass over the
+    column, no new shuffle shape.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    th = e.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("lo"),
+        F.percentile("value", 0.95).alias("hi"),
+    )
+    clamped = e.join(F.broadcast(th), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.floor(
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")) * 100 + 0.5
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.first("lo"), 2).alias("p05"),
+        F.round(F.first("hi"), 2).alias("p95"),
+        (F.floor(F.sum("cents") * 100.0 / F.count("*") + 0.5) / 10000.0).alias(
+            "winsorized_mean"
+        ),
+    )
+
+
+# --- Audience membership flags ------------------------------------------------
+
+
+@query(
+    "q_audience_flags",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CASE WHEN o.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS has_orders,
+           CAST(SUM(CASE WHEN e.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS has_events,
+           CAST(SUM(CASE WHEN o.k IS NOT NULL AND e.k IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS has_both,
+           CAST(SUM(CASE WHEN o.k IS NULL AND e.k IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS inactive
+    FROM customer c
+    LEFT JOIN (SELECT DISTINCT o_custkey AS k FROM orders) o ON c.c_custkey = o.k
+    LEFT JOIN (SELECT DISTINCT user_id AS k FROM events) e ON c.c_custkey = e.k
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("behavioral", "segmentation", "anti-join"),
+)
+def q_audience_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience segmentation by cross-table membership: per market
+    segment, how many customers have orders, have events, have both,
+    or are fully inactive — the multi-source membership matrix behind
+    audience builders and reactivation campaigns, computed as two
+    distinct-key left joins folded into existence flags (no exploding
+    fact join).
+
+    Scale: each membership source reduces to its DISTINCT key set
+    first (fact-sized pass, key-sized output) and then joins
+    broadcast-style against the dimension; flags aggregate on the
+    bounded segment grid.
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders", "events"))
+    ok = t["orders"].select(F.col("o_custkey").alias("k")).distinct().withColumn("has_o", F.lit(1))
+    ek = t["events"].select(F.col("user_id").alias("k")).distinct().withColumn("has_e", F.lit(1))
+    flags = (
+        t["customer"]
+        .join(F.broadcast(ok), t["customer"]["c_custkey"] == ok["k"], "left")
+        .drop("k")
+        .join(F.broadcast(ek), t["customer"]["c_custkey"] == ek["k"], "left")
+        .drop("k")
+        .select(
+            "c_mktsegment",
+            F.coalesce("has_o", F.lit(0)).alias("has_o"),
+            F.coalesce("has_e", F.lit(0)).alias("has_e"),
+        )
+    )
+    return flags.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("has_o").alias("has_orders"),
+        F.sum("has_e").alias("has_events"),
+        F.sum(F.col("has_o") * F.col("has_e")).alias("has_both"),
+        F.sum((1 - F.col("has_o")) * (1 - F.col("has_e"))).alias("inactive"),
+    )
+
+
+# --- Order-to-ship latency percentiles ---------------------------------------
+
+
+@query(
+    "q_ship_latency_percentiles",
+    oracle="""
+    WITH lat AS (
+        SELECT o.o_orderpriority,
+               DATEDIFF('day', CAST(o.o_orderdate AS DATE), MAX(CAST(l.l_shipdate AS DATE)))
+                   AS days_to_full_ship
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(QUANTILE_CONT(days_to_full_ship, 0.5), 1) AS p50_days,
+           ROUND(QUANTILE_CONT(days_to_full_ship, 0.9), 1) AS p90_days,
+           ROUND(QUANTILE_CONT(days_to_full_ship, 0.99), 1) AS p99_days,
+           CAST(MAX(days_to_full_ship) AS BIGINT) AS max_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+    tags=("relational", "latency", "percentile", "sla"),
+)
+def q_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-complete-shipment latency SLA table: days from order
+    date to the LAST line item's ship date, summarized per priority as
+    p50/p90/p99/max — the fulfillment-SLA readout, and the pattern for
+    any "time to fully complete a multi-part job" metric. Latencies are
+    integer day differences, so the percentile inputs are exact.
+
+    Scale: one (order) aggregate for the completion date, one bounded
+    (priority) aggregate of percentiles (KLL at 100 TB); the join
+    shuffles on the order key it would shuffle on anyway.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    lat = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.datediff(
+                F.max(F.col("l_shipdate").cast("date")), F.col("o_orderdate").cast("date")
+            ).alias("days_to_full_ship")
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.percentile("days_to_full_ship", 0.5), 1).alias("p50_days"),
+        F.round(F.percentile("days_to_full_ship", 0.9), 1).alias("p90_days"),
+        F.round(F.percentile("days_to_full_ship", 0.99), 1).alias("p99_days"),
+        F.max("days_to_full_ship").alias("max_days"),
+    )
+
+
+# --- Tolerance-bounded bidirectional as-of join -------------------------------
+
+ASOF_TOL_US = 1800 * 1_000_000  # 30-minute tolerance
+
+
+@query(
+    "q_asof_tolerance",
+    # pandas merge_asof parity: for each purchase, the nearest same-user
+    # 'view' BACKWARD and FORWARD, each only within the 30-minute
+    # tolerance (else null) — plus which direction won. Windows carry
+    # the neighbors (ignore-nulls last/first over prior/following rows);
+    # the oracle spells the same thing as naive min/max lookups.
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, EPOCH_US(ts) AS us FROM events
+    ),
+    p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+    bwd AS (
+        SELECT p.event_id AS pid, MAX(v.us) AS b_us
+        FROM p JOIN ev v
+          ON v.user_id = p.user_id AND v.event_type = 'view'
+         AND (v.us < p.us OR (v.us = p.us AND v.event_id < p.event_id))
+         AND v.us >= p.us - {ASOF_TOL_US}
+        GROUP BY p.event_id
+    ),
+    fwd AS (
+        SELECT p.event_id AS pid, MIN(v.us) AS f_us
+        FROM p JOIN ev v
+          ON v.user_id = p.user_id AND v.event_type = 'view'
+         AND (v.us > p.us OR (v.us = p.us AND v.event_id > p.event_id))
+         AND v.us <= p.us + {ASOF_TOL_US}
+        GROUP BY p.event_id
+    )
+    SELECT p.event_id,
+           CAST(p.us - b.b_us AS BIGINT) AS backward_gap_us,
+           CAST(f.f_us - p.us AS BIGINT) AS forward_gap_us,
+           CASE
+             WHEN b.b_us IS NULL AND f.f_us IS NULL THEN 'none'
+             WHEN f.f_us IS NULL THEN 'backward'
+             WHEN b.b_us IS NULL THEN 'forward'
+             WHEN p.us - b.b_us <= f.f_us - p.us THEN 'backward'
+             ELSE 'forward'
+           END AS nearest_direction
+    FROM p
+    LEFT JOIN bwd b ON p.event_id = b.pid
+    LEFT JOIN fwd f ON p.event_id = f.pid
+    """,
+    tags=("asof", "window", "custom-op", "temporal"),
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded bidirectional AS-OF lookup (pandas merge_asof
+    with direction='nearest' semantics, decomposed): for each purchase,
+    the gap to the nearest same-user 'view' backward and forward within
+    a 30-minute tolerance, and which direction is nearer (ties prefer
+    backward, merge_asof's rule). The missing-side nulls are part of
+    the contract — a purchase with no view inside the window reports
+    'none'.
+
+    Scale: ONE user-partitioned sort serves both directions —
+    ignore-nulls last over preceding rows and first over following
+    rows — versus the oracle's two naive join+aggregate passes; state
+    per row is one timestamp per direction. The tolerance is a per-row
+    comparison after the window, exactly like q_attribution_last_touch.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    ev = e.select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    base = W.partitionBy("user_id").orderBy("us", "event_id")
+    wb = base.rowsBetween(W.unboundedPreceding, -1)
+    wf = base.rowsBetween(1, W.unboundedFollowing)
+    view_us = F.when(F.col("event_type") == "view", F.col("us"))
+    b_us = F.last(view_us, ignorenulls=True).over(wb)
+    f_us = F.first(view_us, ignorenulls=True).over(wf)
+    p = (
+        ev.withColumn("b_us", b_us)
+        .withColumn("f_us", f_us)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.when(
+                F.col("b_us").isNotNull() & (F.col("b_us") >= F.col("us") - ASOF_TOL_US),
+                F.col("us") - F.col("b_us"),
+            ).alias("backward_gap_us"),
+            F.when(
+                F.col("f_us").isNotNull() & (F.col("f_us") <= F.col("us") + ASOF_TOL_US),
+                F.col("f_us") - F.col("us"),
+            ).alias("forward_gap_us"),
+        )
+    )
+    return p.select(
+        "event_id",
+        "backward_gap_us",
+        "forward_gap_us",
+        F.when(
+            F.col("backward_gap_us").isNull() & F.col("forward_gap_us").isNull(), "none"
+        )
+        .when(F.col("forward_gap_us").isNull(), "backward")
+        .when(F.col("backward_gap_us").isNull(), "forward")
+        .when(F.col("backward_gap_us") <= F.col("forward_gap_us"), "backward")
+        .otherwise("forward")
+        .alias("nearest_direction"),
+    )
