@@ -3761,3 +3761,68 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("forward")
         .alias("nearest_direction"),
     )
+
+
+# --- Time-weighted average ----------------------------------------------------
+
+
+@query(
+    "q_time_weighted_average",
+    # TWAP: each observation holds until the next one, so its weight is
+    # that duration. Weights are integer MILLISECONDS and values integer
+    # cents, so the weighted sum is exact (microsecond weights would
+    # overflow int64 at sf1); the plain mean sits beside it to show the
+    # sampling-bias correction.
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+               (LEAD(EPOCH_US(ts)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) - EPOCH_US(ts)) // 1000 AS hold_ms
+        FROM events
+    ),
+    held AS (SELECT * FROM seq WHERE hold_ms IS NOT NULL AND hold_ms > 0)
+    SELECT event_type,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(hold_ms) AS BIGINT) AS total_ms,
+           FLOOR(SUM(cents * hold_ms) * 100.0 / SUM(hold_ms) + 0.5) / 10000.0
+               AS twap,
+           FLOOR(SUM(cents) * 100.0 / COUNT(*) + 0.5) / 10000.0 AS plain_mean
+    FROM held GROUP BY event_type
+    """,
+    tags=("timeseries", "twap", "window", "custom-op"),
+)
+def q_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (TWAP): each
+    observation is weighted by how long it "held" until the next one —
+    the correct average for irregularly-sampled state (prices, gauge
+    metrics, inventory levels), where the plain mean over-counts bursts
+    of rapid updates. Both averages are reported so the sampling bias
+    is visible.
+
+    Scale: one LEAD window per type (the timeline sort every
+    sequential-op here shares) and one integer-exact aggregate —
+    millisecond weights times cent values stay inside int64 at any
+    fixture scale. At 100 TB the window splits by day with carried
+    boundary rows, like every timeline operator in this repo.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    seq = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.expr(
+            "(lead(unix_micros(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id)"
+            " - unix_micros(ts)) div 1000"
+        ).alias("hold_ms"),
+    )
+    held = seq.filter(F.col("hold_ms").isNotNull() & (F.col("hold_ms") > 0))
+    return held.groupBy("event_type").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("hold_ms").alias("total_ms"),
+        (
+            F.floor(F.sum(F.col("cents") * F.col("hold_ms")) * 100.0 / F.sum("hold_ms") + 0.5)
+            / 10000.0
+        ).alias("twap"),
+        (F.floor(F.sum("cents") * 100.0 / F.count("*") + 0.5) / 10000.0).alias("plain_mean"),
+    )
