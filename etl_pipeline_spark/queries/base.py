@@ -55,7 +55,7 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-4 prefix (session-5 final rotation): the 46 changed-this-session queries lead, i.e. the operators added in
+# Round-4 prefix (session-5 final rotation): the 47 changed-this-session queries lead, i.e. the operators added in
 # the fifth r4 session lead, then the earlier-r4 never-attested queries
 # fill the window to 50 (the remainder spill to the next round's
 # window), then backfill oldest-attestation-first.
@@ -106,6 +106,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_audience_flags",
     "q_ship_latency_percentiles",
     "q_asof_tolerance",
+    "q_time_weighted_average",
     "q_knn_pq",  # --- never driver-attested ---
     "q_hard_negatives",
     "q_embedding_centroid_health",
