@@ -1,0 +1,589 @@
+"""Session-6 analytics operators: the SQL-surface and graph/feature-prep
+shapes a warehouse migration or training-data pipeline reaches for next —
+gaps-and-islands streak detection, equi-depth histograms, leave-one-out
+target encoding, autocorrelation profiling, integer-exact PageRank, and
+RAKE keyword extraction.
+
+Cross-engine determinism follows the house rules (queries/base.py):
+money and counts fold as integers, rational scores are scaled-integer
+``div`` folds (both engines truncate toward zero on positive operands),
+and the only floating-point steps are final single divisions rounded to a
+fixed number of decimals.
+
+Reference parity: the reference's analytics live in BigQuery SQL the
+Airflow DAG submits (reference airflow.py:57-116); these queries are the
+same warehouse-analytics surface expressed Spark-first with a DuckDB
+oracle per query.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.queries.base import query
+
+EPOCH = datetime.date(2024, 1, 1)  # fixture event horizon starts here
+
+# --- Gaps and islands --------------------------------------------------------
+
+
+@query(
+    "q_gaps_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id, d,
+               d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        FROM days
+    ),
+    islands AS (
+        SELECT user_id, MIN(d) AS start_d, COUNT(*) AS len
+        FROM isl GROUP BY user_id, grp
+    ),
+    marked AS (
+        SELECT *, MAX(len) OVER (PARTITION BY user_id) AS mx FROM islands
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(MIN(CASE WHEN len = mx THEN start_d END) AS BIGINT)
+               AS longest_start_day
+    FROM marked GROUP BY user_id
+    """,
+    tags=("window", "gaps-islands", "behavioral"),
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user runs of consecutive active days (the
+    classic streak/retention shape — login streaks, uninterrupted SLA
+    windows, sensor uptime). The island key is the textbook
+    ``day - row_number()`` trick: constant within a consecutive run,
+    strictly increasing across gaps. Output is the per-user streak
+    profile with the longest streak's start day (min-start tie-break).
+
+    Scale: one shuffle on user_id for the row_number, then island and
+    user aggregations reuse the same partitioning — Catalyst collapses
+    them into the window stage's exchange. No global sort, no UDFs.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    days = (
+        e.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit(EPOCH)).cast("long").alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    islands = isl.groupBy("user_id", "grp").agg(
+        F.min("d").alias("start_d"), F.count("*").alias("len")
+    )
+    marked = islands.withColumn(
+        "mx", F.max("len").over(Window.partitionBy("user_id"))
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count("*").alias("n_islands"),
+        F.max("len").alias("longest_streak"),
+        F.min(F.when(F.col("len") == F.col("mx"), F.col("start_d"))).alias(
+            "longest_start_day"
+        ),
+    )
+
+
+# --- Equi-depth histogram ----------------------------------------------------
+
+ED_BINS = 8
+
+
+@query(
+    "q_equidepth_histogram",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ),
+    b AS (
+        SELECT cents, NTILE({ED_BINS}) OVER (ORDER BY cents, o_orderkey) AS bin
+        FROM c
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(MIN(cents) / 100.0, 2) AS lo,
+           ROUND(MAX(cents) / 100.0, 2) AS hi,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM b GROUP BY bin
+    """,
+    tags=("histogram", "ntile", "profile"),
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of order value — the
+    complement of q_histogram_values' equi-width bins and the shape
+    optimizers and drift monitors prefer for skewed money columns.
+    NTILE over the total order (cents, orderkey) makes bin assignment
+    deterministic and engine-portable.
+
+    Scale: the exact NTILE needs a global sort — this query is the
+    small-N conformance baseline. At 100 TB the same report comes from
+    the mergeable KLL sketch (q_kll_quantile_merge) whose bin edges
+    approximate these exactly-computed ones.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    c = o.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    b = c.withColumn("bin", F.ntile(ED_BINS).over(Window.orderBy("cents", "o_orderkey")))
+    return b.groupBy("bin").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.min("cents") / 100.0, 2).alias("lo"),
+        F.round(F.max("cents") / 100.0, 2).alias("hi"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+# --- Leave-one-out target encoding ------------------------------------------
+
+TE_SMOOTH = 10  # pseudo-observations of the global prior
+
+
+@query(
+    "q_target_encoding",
+    oracle=f"""
+    WITH t AS (
+        SELECT o.o_orderkey, c.c_nationkey,
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+        SELECT CAST(SUM(cents) AS BIGINT) // COUNT(*) AS prior_cents FROM t
+    ),
+    w AS (
+        SELECT o_orderkey, c_nationkey, cents,
+               CAST(SUM(cents) OVER (PARTITION BY c_nationkey) AS BIGINT) AS s,
+               COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+        FROM t
+    )
+    SELECT o_orderkey, c_nationkey,
+           CAST((s - cents + {TE_SMOOTH} * prior_cents)
+                // (n - 1 + {TE_SMOOTH}) AS BIGINT) AS enc_cents
+    FROM w, g
+    """,
+    tags=("feature-prep", "target-encoding", "window"),
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding of customer nation against
+    order value — the standard categorical-feature encoder for training
+    tables. Each order's encoding is the nation's mean target EXCLUDING
+    the row itself (no target leakage), shrunk toward the global prior
+    with {M} pseudo-observations. All arithmetic is integer cents with
+    ``div`` folds, so both engines produce bit-identical encodings.
+
+    Scale: one shuffle on the category key for the window sums, one
+    broadcast of the 1-row global prior. The encoding of a 100 TB fact
+    table is the same two-pass plan; high-cardinality categories don't
+    skew because the window carries only two running integers.
+    """
+    t_ = load_tables(spark, sf_dir, ("orders", "customer"))
+    t = (
+        t_["orders"]
+        .join(t_["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey",
+            "c_nationkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    g = t.agg(
+        F.expr("CAST(sum(cents) AS BIGINT) div count(*)").alias("prior_cents")
+    )
+    wn = Window.partitionBy("c_nationkey")
+    w = t.select(
+        "o_orderkey",
+        "c_nationkey",
+        "cents",
+        F.sum("cents").over(wn).alias("s"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return w.crossJoin(F.broadcast(g)).select(
+        "o_orderkey",
+        "c_nationkey",
+        F.expr(
+            f"CAST((s - cents + {TE_SMOOTH} * prior_cents)"
+            f" div (n - 1 + {TE_SMOOTH}) AS BIGINT)"
+        ).alias("enc_cents"),
+    )
+
+
+q_target_encoding.__doc__ = q_target_encoding.__doc__.format(M=TE_SMOOTH)
+
+
+# --- Autocorrelation of the daily event series -------------------------------
+
+ACF_MAX_LAG = 7
+
+
+@query(
+    "q_autocorr_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+               COUNT(*) AS x
+        FROM events GROUP BY 1
+    ),
+    b AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily),
+    spine AS (SELECT UNNEST(GENERATE_SERIES(mn, mx)) AS d FROM b),
+    series AS (
+        SELECT s.d, COALESCE(daily.x, 0) AS x
+        FROM spine s LEFT JOIN daily ON s.d = daily.d
+    ),
+    st AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s FROM series),
+    y AS (SELECT d, CAST(n * x - s AS BIGINT) AS y, n FROM series, st),
+    den AS (SELECT CAST(SUM(y * y) AS BIGINT) AS den FROM y),
+    lags AS (SELECT UNNEST(GENERATE_SERIES(1, {ACF_MAX_LAG})) AS k),
+    num AS (
+        SELECT k, CAST(SUM(a.y * bb.y) AS BIGINT) AS num
+        FROM y a JOIN lags ON TRUE JOIN y bb ON bb.d = a.d + k
+        GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS lag,
+           (SELECT CAST(n AS BIGINT) FROM st) AS n_days,
+           num,
+           ROUND(num * 1.0 / (SELECT den FROM den), 6) AS acf
+    FROM num
+    """,
+    tags=("timeseries", "autocorrelation", "profile"),
+)
+def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event-count series at lags
+    1..{K} — the seasonality/burstiness profile that picks window sizes
+    for the seasonal baseline (q_seasonal_hour_profile) and flags
+    weekly cycles. Using n-scaled centered values y_t = n*x_t - S keeps
+    numerator and denominator exact integers; the single final division
+    is rounded to 6 decimals (the EWMA/KS idiom).
+
+    Scale: the series is one day-keyed aggregate (map-combined); the
+    lag join touches n_days x {K} rows — trivially small no matter the
+    fact-table size, because autocorrelation operates on the already
+    aggregated series.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = (
+        e.groupBy(
+            F.datediff(F.to_date("ts"), F.lit(EPOCH)).cast("long").alias("d")
+        ).agg(F.count("*").alias("x"))
+    )
+    bounds = daily.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    spine = bounds.select(F.explode(F.sequence("mn", "mx")).alias("d"))
+    series = (
+        spine.join(daily, "d", "left")
+        .select("d", F.coalesce("x", F.lit(0)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    st = series.agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+    y = (
+        series.crossJoin(F.broadcast(st))
+        .select("d", (F.col("n") * F.col("x") - F.col("s")).alias("y"), "n")
+        .localCheckpoint(eager=False)
+    )
+    den = y.agg(F.sum(F.col("y") * F.col("y")).alias("den"))
+    lags = (
+        spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("k"))
+    )
+    a = y.select(F.col("d").alias("ad"), F.col("y").alias("ay"), "n")
+    bb = y.select(F.col("d").alias("bd"), F.col("y").alias("by"))
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(bb, F.col("bd") == F.col("ad") + F.col("k"))
+        .groupBy("k", "n")
+        .agg(F.sum(F.col("ay") * F.col("by")).alias("num"))
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("k").alias("lag"),
+        F.col("n").cast("long").alias("n_days"),
+        "num",
+        F.round(F.col("num") / F.col("den"), 6).alias("acf"),
+    )
+
+
+q_autocorr_daily.__doc__ = q_autocorr_daily.__doc__.format(K=ACF_MAX_LAG)
+
+
+# --- PageRank over the part co-purchase graph --------------------------------
+
+PR_SUPPORT = 2  # co-order support threshold for an edge (q_triangle_count's)
+PR_SCALE = 10**12  # rank mass carried as integer units of 1e-12
+PR_ITERS = 3
+PR_TOPK = 20
+
+
+def _pr_oracle() -> str:
+    """Unrolled {PR_ITERS}-iteration integer PageRank in DuckDB SQL."""
+    lines = [
+        f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {PR_SUPPORT}
+    ),
+    edges AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+    outdeg AS (SELECT u, COUNT(*) AS od FROM edges GROUP BY u),
+    nn AS (SELECT COUNT(*) AS n FROM outdeg),
+    r0 AS (
+        SELECT u AS node, CAST({PR_SCALE} AS BIGINT) // n AS r
+        FROM outdeg, nn
+    )"""
+    ]
+    for i in range(1, PR_ITERS + 1):
+        lines.append(
+            f""",
+    c{i} AS (
+        SELECT e.v AS node, CAST(SUM(r{i - 1}.r // d.od) AS BIGINT) AS sc
+        FROM edges e
+        JOIN r{i - 1} ON r{i - 1}.node = e.u
+        JOIN outdeg d ON d.u = e.u
+        GROUP BY e.v
+    ),
+    r{i} AS (
+        SELECT o.u AS node,
+               CAST((15 * (CAST({PR_SCALE} AS BIGINT) // n)) // 100
+                    + (85 * COALESCE(c{i}.sc, 0)) // 100 AS BIGINT) AS r
+        FROM outdeg o CROSS JOIN nn LEFT JOIN c{i} ON c{i}.node = o.u
+    )"""
+        )
+    lines.append(
+        f"""
+    SELECT CAST(rr.node AS BIGINT) AS node,
+           CAST(d.od AS BIGINT) AS degree,
+           rr.r AS rank_scaled
+    FROM r{PR_ITERS} rr JOIN outdeg d ON d.u = rr.node
+    ORDER BY rr.r DESC, rr.node
+    LIMIT {PR_TOPK}
+    """
+    )
+    return "".join(lines)
+
+
+@query(
+    "q_pagerank",
+    oracle=_pr_oracle(),
+    tags=("graph", "pagerank", "iterative", "custom-op"),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (q_triangle_count's
+    edges, both directions): {I} power iterations with damping 0.85,
+    returning the top-{K} parts by rank. Rank mass is carried as
+    integer units of 1e-12 and every step is an integer ``div`` fold,
+    so iterates are bit-identical across engines and partitionings —
+    the oracle unrolls the identical recurrence as chained CTEs.
+
+    Scale: the per-iteration plan is the canonical distributed PageRank
+    — join ranks to edges on the source key, aggregate contributions on
+    the destination key. Edges are localCheckpointed once (reused by
+    every iteration without recomputing the co-purchase self-join) and
+    each iterate truncates lineage so the DAG stays constant-depth. At
+    100 TB: pre-partition edges and ranks on the node key so the join
+    reuses one exchange, and handle hubs with the hybrid hot/cold
+    broadcast join (operators/skew.py).
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= PR_SUPPORT)
+        .select("u", "v")
+    )
+    edges = (
+        und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    outdeg = edges.groupBy("u").agg(F.count("*").alias("od"))
+    nn = outdeg.agg(F.count("*").alias("n"))
+    r = (
+        outdeg.select(F.col("u").alias("node"))
+        .crossJoin(F.broadcast(nn))
+        .select("node", F.expr(f"CAST({PR_SCALE} AS BIGINT) div n").alias("r"))
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            r.join(outdeg, r["node"] == outdeg["u"])
+            .select(F.col("node"), F.expr("r div od").alias("c"))
+        )
+        inc = (
+            edges.join(contrib, edges["u"] == contrib["node"])
+            .groupBy(edges["v"])
+            .agg(F.sum("c").alias("sc"))
+        )
+        r = (
+            outdeg.select(F.col("u").alias("node"))
+            .join(inc, F.col("node") == inc["v"], "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST((15 * (CAST({PR_SCALE} AS BIGINT) div n)) div 100"
+                    " + (85 * COALESCE(sc, 0)) div 100 AS BIGINT)"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        r.join(outdeg, r["node"] == outdeg["u"])
+        .select("node", F.col("od").cast("long").alias("degree"), F.col("r").alias("rank_scaled"))
+        .orderBy(F.desc("rank_scaled"), "node")
+        .limit(PR_TOPK)
+    )
+
+
+q_pagerank.__doc__ = q_pagerank.__doc__.format(I=PR_ITERS, K=PR_TOPK)
+
+
+# --- RAKE keyword extraction -------------------------------------------------
+
+RAKE_STOPWORDS = ("the", "a")
+RAKE_MAX_PHRASE = 4
+RAKE_TOPK = 20
+RAKE_WSCALE = 1_000_000
+
+
+@query(
+    "q_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, i - 1 AS pos, STRING_SPLIT(text, ' ')[i] AS token
+        FROM documents,
+             UNNEST(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')))) AS t(i)
+    ),
+    nonstop AS (
+        SELECT doc_id, pos, token,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM toks
+        WHERE token <> '' AND token NOT IN {RAKE_STOPWORDS!r}
+    ),
+    phrases AS (
+        SELECT doc_id, grp,
+               COUNT(*) AS plen,
+               STRING_AGG(token, ' ' ORDER BY pos) AS phrase
+        FROM nonstop GROUP BY doc_id, grp
+        HAVING COUNT(*) <= {RAKE_MAX_PHRASE}
+    ),
+    members AS (
+        SELECT n.doc_id, n.grp, n.token, p.plen, p.phrase
+        FROM nonstop n JOIN phrases p
+          ON n.doc_id = p.doc_id AND n.grp = p.grp
+    ),
+    wordstats AS (
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(plen) AS BIGINT) AS deg
+        FROM members GROUP BY token
+    ),
+    wscore AS (
+        SELECT token, ({RAKE_WSCALE} * deg) // freq AS ws FROM wordstats
+    ),
+    inst AS (
+        SELECT m.doc_id, m.grp, m.phrase,
+               CAST(SUM(w.ws) AS BIGINT) AS iscore
+        FROM members m JOIN wscore w ON m.token = w.token
+        GROUP BY m.doc_id, m.grp, m.phrase
+    )
+    SELECT phrase,
+           CAST(LEN(STRING_SPLIT(phrase, ' ')) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MAX(iscore) AS score_scaled
+    FROM inst GROUP BY phrase
+    ORDER BY score_scaled DESC, phrase
+    LIMIT {RAKE_TOPK}
+    """,
+    tags=("text", "keywords", "rake", "X4"),
+)
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction over the corpus: candidate phrases are
+    maximal stopword-free token runs (capped at {P} words), scored by
+    the sum of member word scores degree/frequency — degree counts
+    phrase co-membership, so words that appear inside longer phrases
+    outrank isolated frequent words. Word scores are scaled-integer
+    ``div`` folds ({S}x), making the whole ranking engine-exact; top-{K}
+    phrases with (score, phrase) tie-break.
+
+    Scale: phrase segmentation is the gaps-islands window keyed by
+    doc_id (one shuffle, partition-local); word stats and phrase scores
+    are token-keyed aggregations. Nothing is quadratic — the corpus
+    streams through 3 shuffles (doc window, word agg, phrase agg).
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    nonstop = (
+        toks.filter((F.col("token") != "") & ~F.col("token").isin(*RAKE_STOPWORDS))
+        .withColumn(
+            "grp",
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+        )
+        .localCheckpoint(eager=False)
+    )
+    phrases = (
+        nonstop.groupBy("doc_id", "grp")
+        .agg(
+            F.count("*").alias("plen"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("phrase"),
+        )
+        .filter(F.col("plen") <= RAKE_MAX_PHRASE)
+    )
+    members = nonstop.join(phrases, ["doc_id", "grp"]).select(
+        "doc_id", "grp", "token", "plen", "phrase"
+    ).localCheckpoint(eager=False)
+    wscore = (
+        members.groupBy("token")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+        .select("token", F.expr(f"({RAKE_WSCALE} * deg) div freq").alias("ws"))
+    )
+    inst = (
+        members.join(wscore, "token")
+        .groupBy("doc_id", "grp", "phrase")
+        .agg(F.sum("ws").alias("iscore"))
+    )
+    return (
+        inst.groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.max("iscore").alias("score_scaled"),
+        )
+        .select(
+            "phrase",
+            F.size(F.split("phrase", " ")).cast("long").alias("n_words"),
+            "n_occurrences",
+            "score_scaled",
+        )
+        .orderBy(F.desc("score_scaled"), "phrase")
+        .limit(RAKE_TOPK)
+    )
+
+
+q_rake_keywords.__doc__ = q_rake_keywords.__doc__.format(
+    P=RAKE_MAX_PHRASE, S=RAKE_WSCALE, K=RAKE_TOPK
+)

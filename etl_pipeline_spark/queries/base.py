@@ -269,6 +269,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from etl_pipeline_spark.queries import (  # noqa: F401
         advanced,
         aggregates,
+        analytics,
         dedup,
         etl,
         llm_ops,
