@@ -305,3 +305,45 @@ def sample_frames(
 
     flat = media.select("media_id", "payload")
     return flat.mapInPandas(process, schema=FRAME_SCHEMA)
+
+
+INTENSITY_SCHEMA = "media_id long, frame_idx int, n_pixel_bytes long, mean_milli long"
+
+
+def frame_intensity_stats(media: DataFrame) -> DataFrame:
+    """Per-frame intensity statistics over ``mapInPandas`` with REAL
+    decode (media_codecs.decode_ppm_stream): every frame of every
+    concatenated-PPM payload yields (frame_idx, byte count, mean pixel
+    intensity in exact milli-units — ``1000 * sum // n`` integer
+    arithmetic, so the value is engine-reproducible). This is the
+    per-frame signal shot-boundary detection, brightness filtering, and
+    sampling heuristics consume; queries/multimodal.py's
+    q_multimodal_shot_cuts builds the cut report on top with plain
+    window functions.
+
+    Scale: payloads never leave executors; the emitted rows are 4
+    columns per frame. The downstream lag/threshold logic is a
+    media_id-partitioned window — one shuffle keyed by media."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_ppm_stream(payload) if payload else []
+                for idx, frame in enumerate(frames):
+                    total = int(frame.astype(np.int64).sum())
+                    n = int(frame.size)
+                    out_rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": idx,
+                            "n_pixel_bytes": n,
+                            "mean_milli": (1000 * total) // n,
+                        }
+                    )
+            yield pd.DataFrame(
+                out_rows,
+                columns=["media_id", "frame_idx", "n_pixel_bytes", "mean_milli"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(process, schema=INTENSITY_SCHEMA)

@@ -587,3 +587,344 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_rake_keywords.__doc__ = q_rake_keywords.__doc__.format(
     P=RAKE_MAX_PHRASE, S=RAKE_WSCALE, K=RAKE_TOPK
 )
+
+
+# --- k-means (Lloyd) on the integer embedding grid ---------------------------
+
+KM_K = 8
+KM_QUANT = 1000  # embedding quantization grid (the PCA idiom)
+KM_ITERS = 2
+
+
+def _km_oracle() -> str:
+    """Unrolled 2-iteration integer Lloyd in DuckDB SQL: quantize,
+    seed centroids from id % k, assign by exact integer squared
+    distance (cluster-id tie-break), recompute integer centroids."""
+    base = f"""
+    WITH q AS (
+        SELECT vec_id, g - 1 AS pos,
+               CAST(FLOOR(embedding[g]::DOUBLE * {KM_QUANT} + 0.5) AS BIGINT) AS qd
+        FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(g)
+    ),
+    c0 AS (
+        SELECT vec_id % {KM_K} AS cluster, pos,
+               CAST(SUM(qd) AS BIGINT) // COUNT(*) AS cd
+        FROM q GROUP BY 1, pos
+    )"""
+    steps = ""
+    prev = "c0"
+    for i in range(1, KM_ITERS + 1):
+        steps += f""",
+    d{i} AS (
+        SELECT q.vec_id, c.cluster,
+               CAST(SUM((q.qd - c.cd) * (q.qd - c.cd)) AS BIGINT) AS dist
+        FROM q JOIN {prev} c ON q.pos = c.pos
+        GROUP BY 1, 2
+    ),
+    a{i} AS (
+        SELECT vec_id, cluster, dist FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+            FROM d{i}
+        ) WHERE rn = 1
+    ),
+    c{i} AS (
+        SELECT a.cluster, q.pos, CAST(SUM(q.qd) AS BIGINT) // COUNT(*) AS cd
+        FROM q JOIN a{i} a ON q.vec_id = a.vec_id
+        GROUP BY 1, 2
+    )"""
+        prev = f"c{i}"
+    final = f"""
+    SELECT a.cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(a.dist) AS BIGINT) AS inertia,
+           (SELECT CAST(SUM(cd * (pos + 1)) AS BIGINT)
+            FROM c{KM_ITERS} c WHERE c.cluster = a.cluster) AS centroid_checksum
+    FROM a{KM_ITERS} a GROUP BY a.cluster
+    """
+    return base + steps + final
+
+
+@query(
+    "q_kmeans_lloyd",
+    oracle=_km_oracle(),
+    tags=("clustering", "kmeans", "iterative", "X3", "custom-op"),
+)
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means ({K} clusters, {I} Lloyd iterations) over the embedding
+    corpus on an integer grid: vectors quantize half-up to 1e-3 units,
+    seed centroids are integer means of the id%{K} groups, assignment is
+    exact integer squared distance (cluster-id tie-break), and centroid
+    updates are integer ``div`` means — every iterate is bit-identical
+    across engines and partitionings, the same determinism contract as
+    q_pca_top_component. Output: per-cluster size, inertia (sum of
+    assigned squared distances), and a centroid checksum.
+
+    Scale: the canonical distributed Lloyd — centroids (k x dims
+    integers) broadcast; assignment is a map-side argmin over the
+    broadcast array (corpus never shuffles for it); the update is one
+    (cluster, dim)-keyed aggregation. localCheckpoints keep the
+    iteration DAG constant-depth.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * KM_QUANT + 0.5).cast("long"),
+        ).alias("qv"),
+    ).localCheckpoint(eager=False)
+
+    def to_arrays(cent: DataFrame) -> DataFrame:
+        return (
+            cent.groupBy("cluster")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "cd"))).alias("pcs")
+            )
+            .select("cluster", F.transform("pcs", lambda s: s["cd"]).alias("cv"))
+        )
+
+    comp = qv.select("vec_id", F.posexplode("qv").alias("pos", "qd"))
+    carr = to_arrays(
+        comp.withColumn("cluster", F.col("vec_id") % KM_K)
+        .groupBy("cluster", "pos")
+        .agg(F.expr("CAST(sum(qd) AS BIGINT) div count(*)").alias("cd"))
+    )
+    assign = None
+    sqdist = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    for _ in range(KM_ITERS):
+        dist = qv.crossJoin(F.broadcast(carr)).select(
+            "vec_id", "qv", "cluster", sqdist.alias("dist")
+        )
+        wr = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+        assign = (
+            dist.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "qv", "cluster", "dist")
+            .localCheckpoint(eager=False)
+        )
+        carr = to_arrays(
+            assign.select("cluster", F.posexplode("qv").alias("pos", "qd"))
+            .groupBy("cluster", "pos")
+            .agg(F.expr("CAST(sum(qd) AS BIGINT) div count(*)").alias("cd"))
+        )
+    checksum = F.expr(
+        "aggregate(zip_with(cv, sequence(1, size(cv)),"
+        " (c, i) -> c * CAST(i AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return (
+        assign.groupBy("cluster")
+        .agg(F.count("*").alias("n_members"), F.sum("dist").alias("inertia"))
+        .join(carr.select("cluster", checksum.alias("centroid_checksum")), "cluster")
+        .select("cluster", "n_members", "inertia", "centroid_checksum")
+    )
+
+
+q_kmeans_lloyd.__doc__ = q_kmeans_lloyd.__doc__.format(K=KM_K, I=KM_ITERS)
+
+
+# --- Poisson-bootstrap confidence interval -----------------------------------
+
+BOOT_B = 40  # resamples; 95% CI picks ranks 2 and 39
+# Poisson(1) CDF thresholds (P(X<=0..4)); u beyond the last -> weight 5
+POIS_CDF = (0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431, 0.9963401532)
+
+
+def _boot_weight_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {p!r} THEN {w}" for w, p in enumerate(POIS_CDF)
+    )
+    return f"CASE {cases} ELSE 5 END"
+
+
+@query(
+    "q_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH t AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    draws AS (
+        SELECT b.b, t.cents,
+               {_boot_weight_sql(
+                   "(("
+                   + " + ".join(
+                       f"(INSTR('0123456789abcdef', SUBSTR(MD5(CAST(t.o_orderkey AS VARCHAR) || '#' || CAST(b.b AS VARCHAR)), {i + 1}, 1)) - 1)"
+                       f" * CAST({16 ** (8 - 1 - i)} AS BIGINT)"
+                       for i in range(8)
+                   )
+                   + ") / 4294967296.0)"
+               )} AS w
+        FROM t, (SELECT UNNEST(GENERATE_SERIES(0, {BOOT_B - 1})) AS b) b
+    ),
+    means AS (
+        SELECT b, CAST(SUM(w * cents) AS BIGINT) // CAST(SUM(w) AS BIGINT)
+                   AS mean_cents
+        FROM draws GROUP BY b
+    ),
+    ranked AS (
+        SELECT mean_cents,
+               ROW_NUMBER() OVER (ORDER BY mean_cents, b) AS rn
+        FROM means
+    )
+    SELECT (SELECT CAST(SUM(cents) AS BIGINT) // COUNT(*) FROM t) AS est_cents,
+           MIN(CASE WHEN rn = 2 THEN mean_cents END) AS ci_lo_cents,
+           MIN(CASE WHEN rn = {BOOT_B - 1} THEN mean_cents END) AS ci_hi_cents,
+           CAST({BOOT_B} AS BIGINT) AS n_resamples
+    FROM ranked
+    """,
+    tags=("statistics", "bootstrap", "sampling"),
+)
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for mean order value via the
+    POISSON bootstrap — the resampling scheme that works on distributed
+    data because each row draws its own independent Poisson(1)
+    multiplicity (no global sample-with-replacement index). Draws are
+    md5-derived uniforms mapped through the Poisson(1) inverse CDF, so
+    both engines draw the SAME {B} resamples (the q_weighted_sample /
+    q_dp_noisy_counts reproducibility idiom); resample means fold as
+    integer cents and the CI picks exact order statistics (ranks 2 and
+    {B1}).
+
+    Scale: one pass over orders x {B} cheap hash draws, map-combined
+    into {B} running (sum, weight) pairs — the classic way to put error
+    bars on 100 TB aggregates without moving data.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    t = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    bspine = spark.range(BOOT_B).select(F.col("id").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("#"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(5)
+    for wt, p in reversed(list(enumerate(POIS_CDF))):
+        w = F.when(u < p, wt).otherwise(w)
+    draws = t.crossJoin(F.broadcast(bspine)).select("b", "cents", w.alias("w"))
+    means = draws.groupBy("b").agg(
+        F.expr("CAST(sum(w * cents) AS BIGINT) div CAST(sum(w) AS BIGINT)").alias(
+            "mean_cents"
+        )
+    )
+    ranked = means.withColumn(
+        "rn", F.row_number().over(Window.orderBy("mean_cents", "b"))
+    )
+    est = t.agg(
+        F.expr("CAST(sum(cents) AS BIGINT) div count(*)").alias("est_cents")
+    )
+    return (
+        ranked.agg(
+            F.min(F.when(F.col("rn") == 2, F.col("mean_cents"))).alias("ci_lo_cents"),
+            F.min(F.when(F.col("rn") == BOOT_B - 1, F.col("mean_cents"))).alias(
+                "ci_hi_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(est))
+        .select(
+            "est_cents",
+            "ci_lo_cents",
+            "ci_hi_cents",
+            F.lit(BOOT_B).cast("long").alias("n_resamples"),
+        )
+    )
+
+
+q_poisson_bootstrap_ci.__doc__ = q_poisson_bootstrap_ci.__doc__.format(
+    B=BOOT_B, B1=BOOT_B - 1
+)
+
+
+# --- SAX symbolization of the daily series -----------------------------------
+
+SAX_SEG_DAYS = 5  # days per PAA segment
+SAX_ALPHA = 4  # alphabet size (a-d)
+
+
+@query(
+    "q_sax_symbols",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+               COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT event_type, d // {SAX_SEG_DAYS} AS seg,
+               CAST(SUM(x) AS BIGINT) AS segsum
+        FROM daily GROUP BY 1, 2
+    ),
+    sym AS (
+        SELECT event_type, seg, segsum,
+               NTILE({SAX_ALPHA}) OVER (
+                   PARTITION BY event_type ORDER BY segsum, seg) AS lvl
+        FROM seg
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           STRING_AGG(chr(CAST(96 + lvl AS INTEGER)), '' ORDER BY seg) AS sax,
+           CAST(SUM(segsum) AS BIGINT) AS total_events
+    FROM sym GROUP BY event_type
+    """,
+    tags=("timeseries", "sax", "symbolization"),
+)
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-style symbolization of each event type's daily series:
+    piecewise aggregation over {S}-day segments, then each segment maps
+    to one of {A} alphabet levels by its within-series NTILE rank (the
+    rank-based discretization variant — exactly engine-portable where
+    the Gaussian-breakpoint original depends on float z-scores). The
+    output symbol strings feed motif discovery and cheap series
+    similarity (compare strings instead of series).
+
+    Scale: two map-combined aggregations plus one window partitioned by
+    event_type over n_segments rows — the series is already tiny after
+    the first aggregate regardless of fact-table size.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit(EPOCH)).cast("long").alias("d"),
+    ).agg(F.count("*").alias("x"))
+    seg = daily.groupBy(
+        "event_type", F.expr(f"d div {SAX_SEG_DAYS}").alias("seg")
+    ).agg(F.sum("x").alias("segsum"))
+    sym = seg.withColumn(
+        "lvl",
+        F.ntile(SAX_ALPHA).over(
+            Window.partitionBy("event_type").orderBy("segsum", "seg")
+        ),
+    )
+    return sym.groupBy("event_type").agg(
+        F.count("*").alias("n_segments"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "lvl"))),
+                lambda s: F.chr(96 + s["lvl"]),
+            ),
+            "",
+        ).alias("sax"),
+        F.sum("segsum").alias("total_events"),
+    )

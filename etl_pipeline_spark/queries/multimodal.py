@@ -130,3 +130,75 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_idx", "frame_md5", "width", "height", "pixel_sum"
     )
+
+
+SHOT_CUT_MILLI = 16_000  # |mean delta| >= 16 intensity units flags a cut
+
+
+@query(
+    "q_multimodal_shot_cuts",
+    # Synthesized video frames are constant-valued (frame j's pixels all
+    # equal the ASCII code of md5-hex char j%32), so the REAL decoded
+    # per-frame mean is exactly 1000*v milli-units and the oracle can
+    # replay the cut decision analytically. The Spark side runs the full
+    # pipeline: stream decode -> per-frame intensity (mapInPandas) ->
+    # lag window -> threshold.
+    oracle=f"""
+    WITH m AS (SELECT doc_id, md5(text) AS hx, 2 + doc_id % 5 AS nf FROM documents),
+    f AS (SELECT doc_id, hx, UNNEST(generate_series(0, nf - 1)) AS j FROM m),
+    v AS (
+        SELECT doc_id, j,
+               CAST(unicode(substr(hx, CAST(j % 32 AS INTEGER) + 1, 1)) AS BIGINT) * 1000
+                   AS mean_milli
+        FROM f
+    ),
+    d AS (
+        SELECT doc_id, j, mean_milli,
+               LAG(mean_milli) OVER (PARTITION BY doc_id ORDER BY j) AS prev_milli
+        FROM v
+    )
+    SELECT doc_id AS media_id,
+           CAST(j AS INTEGER) AS frame_idx,
+           prev_milli,
+           mean_milli,
+           ABS(mean_milli - prev_milli) AS delta_milli
+    FROM d
+    WHERE prev_milli IS NOT NULL AND ABS(mean_milli - prev_milli) >= {SHOT_CUT_MILLI}
+    """,
+    tags=("multimodal", "X5", "pandas-udf", "shot-boundary", "real-decode"),
+)
+def q_multimodal_shot_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over REAL decoded video streams: per-frame
+    mean intensity from the mapInPandas decode pipeline
+    (operators/multimodal.py frame_intensity_stats), then a
+    media-partitioned lag window flags frames whose mean jumps by >= 16
+    intensity units — the standard scene-cut heuristic video sampling
+    pipelines use to pick representative frames.
+
+    Scale: decode is executor-local (payloads never shuffle); the cut
+    logic is one window shuffle keyed by media_id. The per-frame signal
+    is integer milli-units, so the report is engine-exact.
+    """
+    from pyspark.sql import Window
+
+    from etl_pipeline_spark.operators.multimodal import (
+        frame_intensity_stats,
+        synthesize_video,
+    )
+
+    stats = frame_intensity_stats(synthesize_video(spark, sf_dir))
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    d = stats.withColumn("prev_milli", F.lag("mean_milli").over(w))
+    return (
+        d.filter(
+            F.col("prev_milli").isNotNull()
+            & (F.abs(F.col("mean_milli") - F.col("prev_milli")) >= SHOT_CUT_MILLI)
+        )
+        .select(
+            "media_id",
+            "frame_idx",
+            "prev_milli",
+            "mean_milli",
+            F.abs(F.col("mean_milli") - F.col("prev_milli")).alias("delta_milli"),
+        )
+    )
