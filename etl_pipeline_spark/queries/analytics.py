@@ -928,3 +928,359 @@ def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sax"),
         F.sum("segsum").alias("total_events"),
     )
+
+
+# --- DBSCAN core/border/noise classification ---------------------------------
+
+DB_QUANT = 1000  # projection quantization grid
+DB_EPS = 30  # epsilon in quantized units (0.03 embedding units)
+DB_MINPTS = 8  # neighbors (incl. self) required for a core point
+
+
+@query(
+    "q_dbscan_classify",
+    oracle=f"""
+    WITH p AS (
+        SELECT vec_id,
+               CAST(FLOOR(embedding[1]::DOUBLE * {DB_QUANT} + 0.5) AS BIGINT) AS qx,
+               CAST(FLOOR(embedding[2]::DOUBLE * {DB_QUANT} + 0.5) AS BIGINT) AS qy
+        FROM embeddings
+    ),
+    c AS (SELECT vec_id, qx, qy, qx // {DB_EPS} AS cx, qy // {DB_EPS} AS cy FROM p),
+    probes AS (
+        SELECT c.vec_id, c.qx, c.qy, c.cx + dx.d AS cx, c.cy + dy.d AS cy
+        FROM c,
+             (SELECT UNNEST(GENERATE_SERIES(-1, 1)) AS d) dx,
+             (SELECT UNNEST(GENERATE_SERIES(-1, 1)) AS d) dy
+    ),
+    nbrs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM probes a JOIN c b ON a.cx = b.cx AND a.cy = b.cy
+        WHERE (a.qx - b.qx) * (a.qx - b.qx)
+              + (a.qy - b.qy) * (a.qy - b.qy) <= {DB_EPS * DB_EPS}
+    ),
+    cnt AS (SELECT va AS vec_id, COUNT(*) AS n_nbrs FROM nbrs GROUP BY va),
+    core AS (SELECT vec_id, n_nbrs, n_nbrs >= {DB_MINPTS} AS is_core FROM cnt),
+    border AS (
+        SELECT DISTINCT n.va AS vec_id
+        FROM nbrs n JOIN core k ON n.vb = k.vec_id
+        WHERE k.is_core AND n.va <> n.vb
+    ),
+    cls AS (
+        SELECT c.vec_id, c.n_nbrs,
+               CASE WHEN c.is_core THEN 'core'
+                    WHEN b.vec_id IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS classification
+        FROM core c LEFT JOIN border b ON c.vec_id = b.vec_id
+    )
+    SELECT classification,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MIN(n_nbrs) AS BIGINT) AS min_nbrs,
+           CAST(MAX(n_nbrs) AS BIGINT) AS max_nbrs
+    FROM cls GROUP BY classification
+    """,
+    tags=("clustering", "dbscan", "X3", "custom-op"),
+)
+def q_dbscan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density classification (core / border / noise) of the
+    embedding cloud's leading 2-D projection on an integer grid —
+    the density screen that precedes density-based cluster extraction
+    (the cluster step itself is the certified connected-components
+    operator, operators/cluster.py, over core-core neighbor edges).
+    Exact epsilon-neighborhoods come from GRID BLOCKING: each point
+    probes its 3x3 neighborhood of eps-sized cells, an equi-join on the
+    cell key — cell width >= eps guarantees no true neighbor is missed,
+    so the result is exact, never approximate.
+
+    Scale: the probe fan-out is a constant 9x map-side expansion
+    followed by ONE equi-join shuffle on the cell key and two
+    aggregations — the standard way to make DBSCAN's neighbor search
+    linear instead of quadratic. Hot cells (dense regions) are bounded
+    by cell occupancy, the salting knob if a region degenerates.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    p = e.select(
+        "vec_id",
+        F.floor(F.col("embedding").getItem(0).cast("double") * DB_QUANT + 0.5)
+        .cast("long")
+        .alias("qx"),
+        F.floor(F.col("embedding").getItem(1).cast("double") * DB_QUANT + 0.5)
+        .cast("long")
+        .alias("qy"),
+    )
+    c = p.select(
+        "vec_id", "qx", "qy",
+        F.expr(f"qx div {DB_EPS}").alias("cx"),
+        F.expr(f"qy div {DB_EPS}").alias("cy"),
+    ).localCheckpoint(eager=False)
+    off = spark.range(-1, 2).select(F.col("id").alias("d"))
+    probes = (
+        c.crossJoin(F.broadcast(off.select(F.col("d").alias("dx"))))
+        .crossJoin(F.broadcast(off.select(F.col("d").alias("dy"))))
+        .select(
+            F.col("vec_id").alias("va"),
+            F.col("qx").alias("qxa"),
+            F.col("qy").alias("qya"),
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    b = c.select(
+        F.col("vec_id").alias("vb"),
+        F.col("qx").alias("qxb"),
+        F.col("qy").alias("qyb"),
+        "cx",
+        "cy",
+    )
+    d2 = (F.col("qxa") - F.col("qxb")) * (F.col("qxa") - F.col("qxb")) + (
+        F.col("qya") - F.col("qyb")
+    ) * (F.col("qya") - F.col("qyb"))
+    nbrs = (
+        probes.join(b, ["cx", "cy"])
+        .filter(d2 <= DB_EPS * DB_EPS)
+        .select("va", "vb")
+        .localCheckpoint(eager=False)
+    )
+    core = (
+        nbrs.groupBy("va")
+        .agg(F.count("*").alias("n_nbrs"))
+        .select(
+            F.col("va").alias("vec_id"),
+            "n_nbrs",
+            (F.col("n_nbrs") >= DB_MINPTS).alias("is_core"),
+        )
+    )
+    border = (
+        nbrs.filter(F.col("va") != F.col("vb"))
+        .join(
+            core.filter("is_core").select(F.col("vec_id").alias("vb")),
+            "vb",
+            "left_semi",
+        )
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+        .withColumn("is_border", F.lit(True))
+    )
+    cls = core.join(border, "vec_id", "left").select(
+        "n_nbrs",
+        F.when(F.col("is_core"), "core")
+        .when(F.col("is_border").isNotNull(), "border")
+        .otherwise("noise")
+        .alias("classification"),
+    )
+    return cls.groupBy("classification").agg(
+        F.count("*").alias("n_points"),
+        F.min("n_nbrs").alias("min_nbrs"),
+        F.max("n_nbrs").alias("max_nbrs"),
+    )
+
+
+# --- Kaplan-Meier survival ---------------------------------------------------
+
+KM_CENSOR_FROM = 27  # users still active in the last 3 fixture days are censored
+
+
+@query(
+    "q_survival_km",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               MIN(DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE))) AS fd,
+               MAX(DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE))) AS ld
+        FROM events GROUP BY user_id
+    ),
+    lt AS (
+        SELECT user_id, ld - fd AS t,
+               CASE WHEN ld >= {KM_CENSOR_FROM} THEN 1 ELSE 0 END AS censored
+        FROM u
+    ),
+    g AS (
+        SELECT t,
+               CAST(SUM(1 - censored) AS BIGINT) AS d,
+               CAST(SUM(censored) AS BIGINT) AS c
+        FROM lt GROUP BY t
+    ),
+    r AS (
+        SELECT t, d, c,
+               (SELECT COUNT(*) FROM lt)
+                 - COALESCE(SUM(d + c) OVER (
+                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS n_risk
+        FROM g
+    ),
+    f AS (
+        SELECT t, d, c, n_risk,
+               (n_risk - d) * 1.0 / n_risk AS factor
+        FROM r
+    ),
+    s AS (
+        SELECT t, d, c, n_risk,
+               MIN(factor) OVER (ORDER BY t) AS minfac,
+               SUM(CASE WHEN factor > 0 THEN LN(factor) END)
+                   OVER (ORDER BY t) AS logsum
+        FROM f
+    )
+    SELECT CAST(t AS BIGINT) AS t,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_events,
+           c AS n_censored,
+           CASE WHEN minfac = 0 THEN 0.0
+                ELSE ROUND(EXP(logsum), 6) END AS survival
+    FROM s
+    """,
+    tags=("statistics", "survival", "kaplan-meier"),
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (days between first
+    and last event), right-censoring users still active in the fixture's
+    final 3 days — the churn-analysis estimator. Risk sets and event
+    counts are exact integers; the survival product is the only float
+    step, computed in log space with a zero-factor guard and rounded to
+    6 decimals (the q_dp_noisy_counts tolerance class for the single
+    ln/exp round-trip).
+
+    Scale: one user-keyed aggregate, then windows over the DISTINCT
+    lifetime values — the curve's length is bounded by the observation
+    horizon, not the user count, so a 100 TB event log reduces to the
+    same ~30-row series after the first map-combined pass.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    day = F.datediff(F.to_date("ts"), F.lit(EPOCH)).cast("long")
+    u = e.groupBy("user_id").agg(F.min(day).alias("fd"), F.max(day).alias("ld"))
+    lt = u.select(
+        (F.col("ld") - F.col("fd")).alias("t"),
+        F.when(F.col("ld") >= KM_CENSOR_FROM, 1).otherwise(0).alias("censored"),
+    )
+    g = lt.groupBy("t").agg(
+        F.sum(1 - F.col("censored")).alias("d"),
+        F.sum("censored").alias("c"),
+    )
+    total = lt.agg(F.count("*").alias("n_total"))
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    r = (
+        g.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0)),
+        )
+        .withColumn("factor", (F.col("n_risk") - F.col("d")) * 1.0 / F.col("n_risk"))
+    )
+    wcum = Window.orderBy("t")
+    s = r.withColumn("minfac", F.min("factor").over(wcum)).withColumn(
+        "logsum",
+        F.sum(F.when(F.col("factor") > 0, F.log("factor"))).over(wcum),
+    )
+    return s.select(
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("minfac") == 0, F.lit(0.0))
+        .otherwise(F.round(F.exp("logsum"), 6))
+        .alias("survival"),
+    )
+
+
+# --- Clamped running balance (Lindley recursion) -----------------------------
+
+
+@query(
+    "q_clamped_running_balance",
+    # The clamp-at-zero recurrence b_t = max(0, b_{t-1} + x_t) has the
+    # Lindley closed form b_t = S_t - min(0, min_{j<=t} S_j), which IS
+    # window-expressible — no sequential scan needed. A clamp fires at t
+    # iff S_t < min(0, min_{j<t} S_j) (the raw balance would go negative).
+    oracle="""
+    WITH tx AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                    ELSE -CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS delta
+        FROM events
+        WHERE event_type IN ('purchase', 'view')
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, delta,
+               SUM(delta) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS s
+        FROM tx
+    ),
+    m AS (
+        SELECT user_id, s,
+               LEAST(0, MIN(s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS m,
+               LEAST(0, COALESCE(MIN(s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                   AS mprev,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+                   AS rn_last
+        FROM s
+    ),
+    bal AS (
+        SELECT user_id, s - m AS balance,
+               CASE WHEN s < mprev THEN 1 ELSE 0 END AS clamped, rn_last
+        FROM m
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tx,
+           CAST(MIN(CASE WHEN rn_last = 1 THEN balance END) AS BIGINT)
+               AS final_cents,
+           CAST(MAX(balance) AS BIGINT) AS peak_cents,
+           CAST(SUM(clamped) AS BIGINT) AS n_clamps
+    FROM bal GROUP BY user_id
+    """,
+    tags=("window", "lindley", "behavioral"),
+)
+def q_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped-at-zero running balance per user (purchases credit, views
+    debit, integer cents): final balance, peak balance, and the number
+    of clamp events (attempted overdraws). The naive formulation is a
+    sequential per-key scan; the Lindley-recursion closed form
+    b_t = S_t - min(0, running-min S_t) turns it into two stacked
+    window aggregates — fully distributed, no applyInPandas state.
+
+    Scale: all windows share one user-keyed sort — a single shuffle;
+    the final per-user aggregate reuses the same partitioning. This is
+    the pattern for any reflected/clamped cumulative process (queue
+    depth, inventory with floor, credit drawdown).
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    tx = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", cents).otherwise(-cents).alias(
+            "delta"
+        ),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wprev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    wlast = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    s = tx.withColumn("s", F.sum("delta").over(wo))
+    m = s.select(
+        "user_id",
+        "s",
+        F.least(F.lit(0), F.min("s").over(wo)).alias("m"),
+        F.least(F.lit(0), F.coalesce(F.min("s").over(wprev), F.lit(0))).alias(
+            "mprev"
+        ),
+        F.row_number().over(wlast).alias("rn_last"),
+    )
+    bal = m.select(
+        "user_id",
+        (F.col("s") - F.col("m")).alias("balance"),
+        F.when(F.col("s") < F.col("mprev"), 1).otherwise(0).alias("clamped"),
+        "rn_last",
+    )
+    return bal.groupBy("user_id").agg(
+        F.count("*").alias("n_tx"),
+        F.min(F.when(F.col("rn_last") == 1, F.col("balance"))).alias("final_cents"),
+        F.max("balance").alias("peak_cents"),
+        F.sum("clamped").alias("n_clamps"),
+    )
