@@ -1284,3 +1284,141 @@ def q_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("balance").alias("peak_cents"),
         F.sum("clamped").alias("n_clamps"),
     )
+
+
+# --- WordPiece subword tokenization ------------------------------------------
+
+
+def _wp_oracle() -> str:
+    from etl_pipeline_spark.operators.wordpiece import vocab_values_sql
+
+    return f"""
+    WITH RECURSIVE words AS (
+        SELECT token AS word, COUNT(*) AS wc FROM (
+            SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+        ) WHERE token <> '' GROUP BY token
+    ),
+    vocab(frag, is_cont) AS (VALUES {vocab_values_sql()}),
+    step AS (
+        SELECT word, word AS rest, 0 AS pos, CAST(NULL AS VARCHAR) AS piece
+        FROM words
+        UNION ALL
+        SELECT s.word, SUBSTR(s.rest, LEN(v.frag) + 1, 100000),
+               s.pos + LEN(v.frag),
+               CASE WHEN s.pos = 0 THEN v.frag ELSE '##' || v.frag END
+        FROM step s JOIN vocab v
+          ON v.is_cont = CASE WHEN s.pos = 0 THEN 0 ELSE 1 END
+         AND SUBSTR(s.rest, 1, LEN(v.frag)) = v.frag
+        WHERE s.rest <> ''
+          AND LEN(v.frag) = (
+              SELECT MAX(LEN(v2.frag)) FROM vocab v2
+              WHERE v2.is_cont = CASE WHEN s.pos = 0 THEN 0 ELSE 1 END
+                AND SUBSTR(s.rest, 1, LEN(v2.frag)) = v2.frag)
+    )
+    SELECT piece,
+           CAST(SUM(w.wc) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT s.word) AS BIGINT) AS n_words
+    FROM step s JOIN words w ON s.word = w.word
+    WHERE s.piece IS NOT NULL
+    GROUP BY piece
+    """
+
+
+@query(
+    "q_wordpiece_tokenize",
+    oracle=_wp_oracle(),
+    tags=("text", "tokenizer", "wordpiece", "pandas-udf", "X4"),
+)
+def q_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece subword tokenization of the corpus — greedy
+    longest-match-first against the shared vocabulary
+    (operators/wordpiece.py), reported as per-piece corpus frequencies.
+    The Spark side runs the REAL tokenizer as an Arrow-batched pandas
+    UDF over the DISTINCT word table and weights by word frequency; the
+    oracle replays the identical greedy recurrence as a recursive CTE,
+    so the UDF output is value-hash-verified piece by piece.
+
+    Scale: the UDF touches only distinct words (vocabulary-sized);
+    corpus weight arrives by joining word counts — tokenizing 100 TB
+    costs one word-frequency aggregate, a tiny UDF stage, and one
+    piece-keyed aggregate. This is the canonical "precompute on the
+    vocabulary, broadcast-join to the corpus" shape.
+    """
+    from etl_pipeline_spark.operators.wordpiece import wordpiece_udf
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    pieces = words.select(
+        "word", "wc", F.explode(wordpiece_udf()("word")).alias("piece")
+    )
+    return pieces.groupBy("piece").agg(
+        F.sum("wc").alias("n_tokens"),
+        F.countDistinct("word").alias("n_words"),
+    )
+
+
+# --- Python UDTF surface -----------------------------------------------------
+
+
+@query(
+    "q_udtf_span_days",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MIN(DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE))) AS fd,
+               MAX(DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE))) AS ld
+        FROM events GROUP BY user_id
+    ),
+    expanded AS (
+        SELECT user_id, UNNEST(GENERATE_SERIES(fd, ld)) AS day
+        FROM u
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_users_in_span
+    FROM expanded GROUP BY day
+    """,
+    tags=("udtf", "S4", "python-udtf", "behavioral"),
+)
+def q_udtf_span_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 ``@udtf``): a table function expands
+    each user's [first_day, last_day] activity span into one row per
+    covered day (the lifetime-coverage expansion behind concurrency and
+    tenure reports), then a day-keyed aggregate counts users in span.
+    The UDTF runs via the LATERAL-join path; the oracle is the
+    GENERATE_SERIES equivalent, so the table function's emitted rows are
+    value-hash-verified.
+
+    Scale: the UDTF input is the per-user span table (one row per user,
+    post-aggregation), never the raw event stream; the expansion factor
+    is bounded by the observation horizon. Pure-SQL twins exist
+    (F.sequence + explode, q_rolling_active_users) — this query pins the
+    Python UDTF API itself so custom generators that DON'T have a
+    Column-expression form are covered.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id long, day long")
+    class SpanDays:
+        def eval(self, user_id: int, fd: int, ld: int):
+            for day in range(fd, ld + 1):
+                yield user_id, day
+
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    day = F.datediff(F.to_date("ts"), F.lit(EPOCH)).cast("long")
+    u = e.groupBy("user_id").agg(F.min(day).alias("fd"), F.max(day).alias("ld"))
+    # UDTF lateral application: register + SQL form keeps the plan explicit
+    spark.udtf.register("span_days", SpanDays)
+    u.createOrReplaceTempView("user_spans")
+    out = spark.sql(
+        """
+        SELECT t.day, COUNT(*) AS n_users_in_span
+        FROM user_spans u, LATERAL span_days(u.user_id, u.fd, u.ld) t
+        GROUP BY t.day
+        """
+    )
+    return out.select(F.col("day").cast("long"), F.col("n_users_in_span").cast("long"))
