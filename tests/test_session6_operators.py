@@ -1,0 +1,179 @@
+"""Semantics invariants for the session-6 operators, beyond the DuckDB
+oracle: conservation laws, closed-form-vs-sequential equivalence, and
+structural properties at sf0.001."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as contract
+from etl_pipeline_spark.catalog import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_gaps_islands_conserves_active_days(spark):
+    e = load_tables(spark, SF, ("events",))["events"]
+    n_days = (
+        e.select("user_id", F.to_date("ts").alias("d")).distinct().count()
+    )
+    rows = contract.queries()["q_gaps_islands"](spark, SF).collect()
+    assert sum(r.n_active_days for r in rows) == n_days
+    for r in rows:
+        assert r.longest_streak <= r.n_active_days
+        assert r.n_islands >= 1
+
+
+def test_pagerank_mass_approximately_conserved(spark):
+    """Integer truncation only ever drops mass, bounded by one unit per
+    node per division — total rank stays within that loss envelope of
+    the initial 1e12 mass."""
+    rows = contract.queries()["q_pagerank"](spark, SF).collect()
+    assert len(rows) == 20
+    assert all(r.rank_scaled > 0 for r in rows)
+    ranks = [r.rank_scaled for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+
+
+def test_equidepth_bins_partition_orders(spark):
+    o = load_tables(spark, SF, ("orders",))["orders"]
+    rows = contract.queries()["q_equidepth_histogram"](spark, SF).collect()
+    assert sum(r.n_orders for r in rows) == o.count()
+    # equal depth within 1 (NTILE guarantee), contiguous value ranges
+    sizes = [r.n_orders for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    by_bin = sorted(rows, key=lambda r: r.bin)
+    for a, b in zip(by_bin, by_bin[1:]):
+        assert a.hi <= b.lo
+
+
+def test_clamped_balance_matches_sequential_fold(spark):
+    """The Lindley closed form must equal the literal sequential
+    recurrence b_t = max(0, b_{t-1} + x_t) replayed in Python."""
+    e = load_tables(spark, SF, ("events",))["events"]
+    tx = (
+        e.filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            )
+            .otherwise(-F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .alias("delta"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .collect()
+    )
+    state: dict[int, dict] = {}
+    for r in tx:
+        s = state.setdefault(
+            r.user_id, {"bal": 0, "peak": 0, "clamps": 0, "n": 0}
+        )
+        raw = s["bal"] + r.delta
+        if raw < 0:
+            s["clamps"] += 1
+        s["bal"] = max(0, raw)
+        s["peak"] = max(s["peak"], s["bal"])
+        s["n"] += 1
+    rows = contract.queries()["q_clamped_running_balance"](spark, SF).collect()
+    assert len(rows) == len(state)
+    for r in rows:
+        exp = state[r.user_id]
+        assert (r.n_tx, r.final_cents, r.peak_cents, r.n_clamps) == (
+            exp["n"],
+            exp["bal"],
+            exp["peak"],
+            exp["clamps"],
+        ), r.user_id
+
+
+def test_lindley_identity_randomized():
+    """Property check of the closed form itself: for random walks,
+    S_t - min(0, min_prefix S) == the clamped sequential fold."""
+    rng = random.Random(7)
+    for _ in range(200):
+        xs = [rng.randint(-50, 50) for _ in range(rng.randint(1, 40))]
+        bal, s, mn = 0, 0, 0
+        for x in xs:
+            bal = max(0, bal + x)
+            s += x
+            mn = min(mn, s)
+            assert bal == s - min(0, mn)
+
+
+def test_wordpiece_roundtrip_and_greedy():
+    from etl_pipeline_spark.operators.wordpiece import wordpiece
+
+    assert wordpiece("batch") == ["bat", "##ch"]
+    assert wordpiece("spark") == ["spark"]
+    assert wordpiece("customer") == ["cust", "##omer"]
+    # unseen-but-coverable word falls back to single chars after the
+    # longest matching prefix
+    for word in ("zzz", "sparkle", "joinx"):
+        pieces = wordpiece(word)
+        assert "".join(p.removeprefix("##") for p in pieces) == word
+
+
+def test_frame_intensity_matches_synthesis(spark):
+    """Every frame of every synthesized video decodes to its known
+    constant intensity (ASCII code of the md5-hex char)."""
+    from etl_pipeline_spark.operators.multimodal import (
+        frame_intensity_stats,
+        synthesize_video,
+    )
+
+    stats = frame_intensity_stats(synthesize_video(spark, SF))
+    docs = load_tables(spark, SF, ("documents",))["documents"]
+    expect = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.md5("text").alias("hx"),
+        (2 + F.col("doc_id") % 5).alias("nf"),
+    )
+    joined = stats.join(expect, "media_id")
+    bad = joined.filter(
+        (F.col("n_pixel_bytes") != 96)
+        | (
+            F.col("mean_milli")
+            != F.ascii(
+                F.substring(
+                    "hx", (F.col("frame_idx") % 32 + 1).cast("int"), 1
+                )
+            ).cast("long")
+            * 1000
+        )
+    ).count()
+    assert bad == 0
+    n_frames = stats.groupBy("media_id").count()
+    mismatch = n_frames.join(expect, "media_id").filter(
+        F.col("count") != F.col("nf")
+    ).count()
+    assert mismatch == 0
+
+
+def test_dbscan_classes_partition_points(spark):
+    e = load_tables(spark, SF, ("embeddings",))["embeddings"]
+    rows = contract.queries()["q_dbscan_classify"](spark, SF).collect()
+    assert sum(r.n_points for r in rows) == e.count()
+    by_cls = {r.classification: r for r in rows}
+    if "core" in by_cls:
+        assert by_cls["core"].min_nbrs >= 8
+    if "noise" in by_cls:
+        assert by_cls["noise"].max_nbrs < 8
+
+
+def test_survival_monotone_nonincreasing(spark):
+    rows = sorted(
+        contract.queries()["q_survival_km"](spark, SF).collect(),
+        key=lambda r: r.t,
+    )
+    surv = [r.survival for r in rows]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    # risk sets shrink by exactly the events+censored leaving at each t
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_risk == a.n_risk - a.n_events - a.n_censored
