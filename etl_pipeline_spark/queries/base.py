@@ -55,58 +55,26 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-4 prefix (session-5 final rotation): the 47 changed-this-session queries lead, i.e. the operators added in
-# the fifth r4 session lead, then the earlier-r4 never-attested queries
-# fill the window to 50 (the remainder spill to the next round's
-# window), then backfill oldest-attestation-first.
+# Round-4 prefix (session-6 rotation): the 15 queries added/changed in
+# the sixth r4 session lead, then earlier-r4 never-attested queries fill
+# the window to 50 (the remainder spill to the next round's window),
+# then backfill oldest-attestation-first.
 CHECK_PRIORITY: tuple[str, ...] = (
-    "q_cms_heavy_hitters",  # --- code changed this round: attest first ---
-    "q_semdedup_clusters",
-    "q_k_anonymity",
-    "q_dp_noisy_counts",
-    "q_markov_stationary",
-    "q_interval_concurrency",
-    "q_interval_window_join",
-    "q_zorder_locality",
-    "q_ewma_smoothing",
-    "q_attribution_last_touch",
-    "q_triangle_count",
-    "q_bpe_merge_candidates",
-    "q_hashed_linear_score",
-    "q_market_basket_rules",
-    "q_ab_test_ttest",
-    "q_lsh_recall_report",
-    "q_dq_referential_integrity",
-    "q_cohort_ltv",
-    "q_variant_json_stats",
-    "q_pseudonymize_consistent",
-    "q_skyline_parts",
-    "q_top_paths",
-    "q_table_profile",
-    "q_erasure_cascade",
-    "q_rolling_active_users",
-    "q_funnel_time_to_convert",
-    "q_dedup_prefix_filter",
-    "q_bm25_top_terms",
-    "q_corpus_gini",
-    "q_seasonal_hour_profile",
-    "q_snm_recall_report",
-    "q_seasonal_forecast_eval",
-    "q_attribution_multi_touch",
-    "q_hybrid_rrf_search",
-    "q02_min_cost_supplier",
-    "q_null_semantics",
-    "q_scalar_maps",
-    "q_changepoint_mean_shift",
-    "q_funnel_three_step",
-    "q_pca_top_component",
-    "q_dedup_doc_stitching",
-    "q_ab_test_proportions",
-    "q_winsorized_stats",
-    "q_audience_flags",
-    "q_ship_latency_percentiles",
-    "q_asof_tolerance",
-    "q_time_weighted_average",
+    "q_gaps_islands",  # --- code changed this round: attest first ---
+    "q_equidepth_histogram",
+    "q_target_encoding",
+    "q_autocorr_daily",
+    "q_pagerank",
+    "q_rake_keywords",
+    "q_kmeans_lloyd",
+    "q_poisson_bootstrap_ci",
+    "q_sax_symbols",
+    "q_multimodal_shot_cuts",
+    "q_dbscan_classify",
+    "q_survival_km",
+    "q_clamped_running_balance",
+    "q_wordpiece_tokenize",
+    "q_udtf_span_days",
     "q_knn_pq",  # --- never driver-attested ---
     "q_hard_negatives",
     "q_embedding_centroid_health",
@@ -114,16 +82,54 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_lateral_top_orders",
     "q_recursive_month_spine",
     "q_event_transitions",
+    "q_markov_stationary",
+    "q_interval_concurrency",
+    "q_interval_window_join",
+    "q_zorder_locality",
+    "q_ewma_smoothing",
+    "q_attribution_last_touch",
+    "q_triangle_count",
+    "q_market_basket_rules",
+    "q_ab_test_ttest",
+    "q_dq_referential_integrity",
+    "q_cohort_ltv",
+    "q_skyline_parts",
+    "q_top_paths",
+    "q_table_profile",
+    "q_rolling_active_users",
+    "q_funnel_time_to_convert",
+    "q_seasonal_hour_profile",
+    "q_seasonal_forecast_eval",
+    "q_attribution_multi_touch",
+    "q_changepoint_mean_shift",
+    "q_funnel_three_step",
+    "q_pca_top_component",
+    "q_ab_test_proportions",
+    "q_winsorized_stats",
+    "q_audience_flags",
+    "q_ship_latency_percentiles",
+    "q_asof_tolerance",
+    "q_time_weighted_average",
+    "q_cms_heavy_hitters",  # ---------------- first-50 window ends above ----------------
     "q_dedup_chunk_rewrite",
     "q_dedup_repeated_spans",
     "q_dedup_containment",
+    "q_semdedup_clusters",
+    "q_lsh_recall_report",
+    "q_dedup_prefix_filter",
+    "q_snm_recall_report",
+    "q_dedup_doc_stitching",
     "q_dq_outlier_mad",
     "q_dq_ks_drift",
     "q_dq_benford_check",
     "q_tfidf_top_terms",
     "q_tfidf_nearest_docs",
     "q_text_zipf_fit",
-    "q_pmi_collocations",  # ---------------- first-50 window ends above ----------------
+    "q_pmi_collocations",
+    "q_bpe_merge_candidates",
+    "q_bm25_top_terms",
+    "q_corpus_gini",
+    "q_hybrid_rrf_search",
     "q_lm_bigram_score",
     "q_weighted_sample",
     "q_bloom_decontaminate",
@@ -131,6 +137,14 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_span_corruption_plan",
     "q_token_budget_allocation",
     "q_filter_funnel",
+    "q_hashed_linear_score",
+    "q_k_anonymity",
+    "q_dp_noisy_counts",
+    "q_pseudonymize_consistent",
+    "q_erasure_cascade",
+    "q_variant_json_stats",
+    "q_null_semantics",
+    "q_scalar_maps",
     "q_length_band_filter",
     "q_leakage_safe_split",
     "q_asof_last_signup",  # --- backfill: oldest attestation first ---
@@ -208,6 +222,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_agg_percentiles",
     "q12_late_shipments",
     "q16_supplier_diversity",
+    "q02_min_cost_supplier",
     "q20_excess_shippers",
     "q21_sole_late_shipper",
     "q_training_data_prep",
