@@ -44,16 +44,30 @@ _INITIAL = sorted((f for f, c in WP_VOCAB if c == 0), key=len, reverse=True)
 _CONT = sorted((f for f, c in WP_VOCAB if c == 1), key=len, reverse=True)
 
 
+UNK = "[UNK]"
+
+
 def wordpiece(word: str) -> list[str]:
-    """Greedy longest-match-first WordPiece split of one word."""
+    """Greedy longest-match-first WordPiece split of one word. A
+    character outside the vocabulary emits ``[UNK]`` and advances one
+    position (BERT drops the whole word; per-char keeps the rest of the
+    word recoverable). The DuckDB oracle replays the recurrence WITHOUT
+    the UNK branch — sound because WP_VOCAB covers every a-z character,
+    so on the certified fixtures the branch never fires; it exists so
+    out-of-alphabet corpora (e.g. the prefixed sf1 soak fixture) degrade
+    instead of crash."""
     pieces: list[str] = []
     rest = word
     initial = True
     while rest:
         table = _INITIAL if initial else _CONT
-        frag = next(f for f in table if rest.startswith(f))
-        pieces.append(frag if initial else "##" + frag)
-        rest = rest[len(frag):]
+        frag = next((f for f in table if rest.startswith(f)), None)
+        if frag is None:
+            pieces.append(UNK)
+            rest = rest[1:]
+        else:
+            pieces.append(frag if initial else "##" + frag)
+            rest = rest[len(frag):]
         initial = False
     return pieces
 

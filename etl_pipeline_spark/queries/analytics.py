@@ -996,9 +996,19 @@ def q_dbscan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     followed by ONE equi-join shuffle on the cell key and two
     aggregations — the standard way to make DBSCAN's neighbor search
     linear instead of quadratic. Hot cells (dense regions) are bounded
-    by cell occupancy, the salting knob if a region degenerates.
+    by cell occupancy; like SemDeDup's k, epsilon is the density knob —
+    it shrinks as density grows (the sf1 soak runs eps=10), keeping
+    per-cell occupancy and the candidate volume flat.
     """
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return dbscan_classify(spark, e)
+
+
+def dbscan_classify(
+    spark: SparkSession, e: DataFrame, eps: int = DB_EPS, minpts: int = DB_MINPTS
+) -> DataFrame:
+    """Parameterized core of q_dbscan_classify over any (vec_id,
+    embedding) DataFrame — the soak harness scales eps with density."""
     p = e.select(
         "vec_id",
         F.floor(F.col("embedding").getItem(0).cast("double") * DB_QUANT + 0.5)
@@ -1010,8 +1020,8 @@ def q_dbscan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = p.select(
         "vec_id", "qx", "qy",
-        F.expr(f"qx div {DB_EPS}").alias("cx"),
-        F.expr(f"qy div {DB_EPS}").alias("cy"),
+        F.expr(f"qx div {eps}").alias("cx"),
+        F.expr(f"qy div {eps}").alias("cy"),
     ).localCheckpoint(eager=False)
     off = spark.range(-1, 2).select(F.col("id").alias("d"))
     probes = (
@@ -1037,7 +1047,7 @@ def q_dbscan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * (F.col("qya") - F.col("qyb"))
     nbrs = (
         probes.join(b, ["cx", "cy"])
-        .filter(d2 <= DB_EPS * DB_EPS)
+        .filter(d2 <= eps * eps)
         .select("va", "vb")
         .localCheckpoint(eager=False)
     )
@@ -1047,7 +1057,7 @@ def q_dbscan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("va").alias("vec_id"),
             "n_nbrs",
-            (F.col("n_nbrs") >= DB_MINPTS).alias("is_core"),
+            (F.col("n_nbrs") >= minpts).alias("is_core"),
         )
     )
     border = (
@@ -1422,3 +1432,391 @@ def q_udtf_span_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return out.select(F.col("day").cast("long"), F.col("n_users_in_span").cast("long"))
+
+
+# --- Weighted median ---------------------------------------------------------
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS w
+        FROM lineitem
+    ),
+    v AS (
+        SELECT l_returnflag, cents, CAST(SUM(w) AS BIGINT) AS w
+        FROM g GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, cents, w,
+               CAST(SUM(w) OVER (
+                   PARTITION BY l_returnflag ORDER BY cents) AS BIGINT) AS cum,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        FROM v
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN 2 * cum >= tot THEN cents END) AS BIGINT)
+               AS median_cents,
+           CAST(MIN(tot) AS BIGINT) AS total_weight
+    FROM c GROUP BY l_returnflag
+    """,
+    tags=("agg", "weighted-median", "statistics"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag — the lower
+    weighted median (smallest value whose cumulative weight reaches half
+    the total), all-integer so both engines agree bit-for-bit. The
+    unweighted percentile surface is q_agg_percentiles; weighting is
+    what price/volume analytics actually need.
+
+    Scale: collapse to distinct values first (value-keyed aggregate),
+    then one partitioned cumulative window over the collapsed table —
+    the window input is bounded by value cardinality, not row count.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    g = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("w"),
+    )
+    v = g.groupBy("l_returnflag", "cents").agg(F.sum("w").alias("w"))
+    wcum = Window.partitionBy("l_returnflag").orderBy("cents")
+    wall = Window.partitionBy("l_returnflag")
+    c = v.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wall).alias("tot"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("cents"))).alias(
+            "median_cents"
+        ),
+        F.min("tot").alias("total_weight"),
+    )
+
+
+# --- Higher-moment profile (skewness / kurtosis from exact raw moments) ------
+
+
+@query(
+    "q_moments_skew_kurtosis",
+    # Raw moments are exact BIGINT sums of the 0-10 integer discount
+    # grid; the closing skew/kurtosis formulas are identical double
+    # expressions over those integers in both engines, rounded to 6.
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS d
+        FROM lineitem
+    ),
+    m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(d) AS BIGINT) AS s1,
+               CAST(SUM(d * d) AS BIGINT) AS s2,
+               CAST(SUM(d * d * d) AS BIGINT) AS s3,
+               CAST(SUM(d * d * d * d) AS BIGINT) AS s4
+        FROM g GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND(s1 * 1.0 / n, 4) AS mean_pct,
+           ROUND((s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n)), 4) AS var_pct,
+           ROUND((s3 * 1.0 / n
+                   - 3 * (s1 * 1.0 / n) * (s2 * 1.0 / n)
+                   + 2 * (s1 * 1.0 / n) * (s1 * 1.0 / n) * (s1 * 1.0 / n))
+                 / POW(s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n), 1.5),
+                 6) AS skewness,
+           ROUND((s4 * 1.0 / n
+                   - 4 * (s1 * 1.0 / n) * (s3 * 1.0 / n)
+                   + 6 * (s1 * 1.0 / n) * (s1 * 1.0 / n) * (s2 * 1.0 / n)
+                   - 3 * (s1 * 1.0 / n) * (s1 * 1.0 / n) * (s1 * 1.0 / n)
+                       * (s1 * 1.0 / n))
+                 / POW(s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n), 2)
+                 - 3, 6) AS excess_kurtosis
+    FROM m
+    """,
+    tags=("agg", "moments", "statistics", "profile"),
+)
+def q_moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of the discount
+    distribution per return flag, computed from EXACT integer raw
+    moments (the discount lives on a 0-10 percent grid, so sums of
+    powers stay in BIGINT) — the portable alternative to built-in
+    skewness()/kurtosis(), whose sample-vs-population conventions
+    differ across engines. Distribution-shape drift (skew flips,
+    heavy tails) is a standard data-quality monitor next to
+    q_dq_ks_drift.
+
+    Scale: one map-combined aggregate carrying five integers per group;
+    the double math happens on the tiny grouped result.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    g = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("d"),
+    )
+    m = g.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).alias("s2"),
+        F.sum(F.col("d") * F.col("d") * F.col("d")).alias("s3"),
+        F.sum(F.col("d") * F.col("d") * F.col("d") * F.col("d")).alias("s4"),
+    )
+    mean = F.col("s1") * 1.0 / F.col("n")
+    m2r = F.col("s2") * 1.0 / F.col("n")
+    m3r = F.col("s3") * 1.0 / F.col("n")
+    m4r = F.col("s4") * 1.0 / F.col("n")
+    var = m2r - mean * mean
+    skew = (m3r - 3 * mean * m2r + 2 * mean * mean * mean) / F.pow(var, 1.5)
+    kurt = (
+        m4r - 4 * mean * m3r + 6 * mean * mean * m2r - 3 * mean * mean * mean * mean
+    ) / F.pow(var, 2) - 3
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 4).alias("mean_pct"),
+        F.round(var, 4).alias("var_pct"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    )
+
+
+# --- Additive seasonal decomposition ----------------------------------------
+
+
+@query(
+    "q_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+               COUNT(*) AS x
+        FROM events GROUP BY 1
+    ),
+    tr AS (
+        SELECT d, x,
+               CAST(SUM(x) OVER (
+                   ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+               ) AS BIGINT) AS s7,
+               COUNT(*) OVER (
+                   ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+               ) AS c7
+        FROM daily
+    ),
+    dt AS (
+        SELECT d, x, (1000 * s7) // 7 AS trend_milli,
+               1000 * x - (1000 * s7) // 7 AS detr_milli
+        FROM tr WHERE c7 = 7
+    ),
+    seas AS (
+        SELECT d % 7 AS wd,
+               CAST(SUM(detr_milli) AS BIGINT) // COUNT(*) AS seasonal_milli
+        FROM dt GROUP BY 1
+    )
+    SELECT CAST(dt.d AS BIGINT) AS d,
+           CAST(dt.x AS BIGINT) AS x,
+           dt.trend_milli,
+           s.seasonal_milli,
+           dt.detr_milli - s.seasonal_milli AS resid_milli
+    FROM dt JOIN seas s ON dt.d % 7 = s.wd
+    """,
+    tags=("timeseries", "seasonal-decompose"),
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event series:
+    trend = centered 7-day moving average (exact-integer milli-units,
+    emitted only where the full window exists), weekly seasonal =
+    per-weekday mean of the detrended series, residual = remainder.
+    Every component is integer ``div`` arithmetic — the decomposition is
+    bit-identical across engines, unlike float STL.
+
+    Scale: the series is day-keyed after one map-combined aggregate;
+    the trend window and the 7-row seasonal join are negligible no
+    matter the fact-table volume.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit(EPOCH)).cast("long").alias("d")
+    ).agg(F.count("*").alias("x"))
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "x",
+        F.sum("x").over(w7).alias("s7"),
+        F.count("*").over(w7).alias("c7"),
+    )
+    dt = (
+        tr.filter(F.col("c7") == 7)
+        .select(
+            "d",
+            "x",
+            F.expr("(1000 * s7) div 7").alias("trend_milli"),
+            (F.lit(1000) * F.col("x") - F.expr("(1000 * s7) div 7")).alias(
+                "detr_milli"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    seas = dt.groupBy((F.col("d") % 7).alias("wd")).agg(
+        F.expr("CAST(sum(detr_milli) AS BIGINT) div count(*)").alias(
+            "seasonal_milli"
+        )
+    )
+    return (
+        dt.join(F.broadcast(seas), dt["d"] % 7 == seas["wd"])
+        .select(
+            "d",
+            "x",
+            "trend_milli",
+            "seasonal_milli",
+            (F.col("detr_milli") - F.col("seasonal_milli")).alias("resid_milli"),
+        )
+    )
+
+
+# --- Maximal Marginal Relevance re-ranking -----------------------------------
+
+MMR_QID = 1  # fixture query vector
+MMR_POOL = 20
+MMR_K = 5
+# lambda = 0.7 as the integer split mmr = 7*rel - 3*maxsim (x10 scale)
+
+
+def _mmr_oracle() -> str:
+    sel_union = "SELECT vec_id FROM s1"
+    steps = ""
+    for k in range(2, MMR_K + 1):
+        steps += f""",
+    s{k} AS (
+        SELECT c.vec_id, c.rel, 7 * c.rel - 3 * MAX(d.dp) AS mmr,
+               {k} AS step
+        FROM cands c
+        JOIN dots d ON d.va = c.vec_id
+        WHERE d.vb IN ({sel_union})
+          AND c.vec_id NOT IN ({sel_union})
+        GROUP BY c.vec_id, c.rel
+        ORDER BY mmr DESC, c.vec_id LIMIT 1
+    )"""
+        sel_union += f" UNION ALL SELECT vec_id FROM s{k}"
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST(step AS BIGINT) AS step, vec_id,"
+        f" CAST(rel AS BIGINT) AS rel_scaled,"
+        f" CAST(mmr AS BIGINT) AS mmr_scaled FROM s{k}"
+        for k in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH qv AS (
+        SELECT vec_id,
+               LIST(CAST(FLOOR(embedding[g]::DOUBLE * 1000 + 0.5) AS BIGINT)
+                    ORDER BY g) AS v
+        FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(g)
+        GROUP BY vec_id
+    ),
+    qry AS (SELECT v FROM qv WHERE vec_id = {MMR_QID}),
+    rel AS (
+        SELECT qv.vec_id, list_dot_product(qv.v, qry.v) AS rel, qv.v
+        FROM qv, qry WHERE qv.vec_id <> {MMR_QID}
+    ),
+    cands AS (SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}),
+    dots AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb, list_dot_product(a.v, b.v) AS dp
+        FROM cands a JOIN cands b ON a.vec_id <> b.vec_id
+    ),
+    s1 AS (
+        SELECT vec_id, rel, 7 * rel AS mmr, 1 AS step
+        FROM cands ORDER BY rel DESC, vec_id LIMIT 1
+    ){steps}
+    {selects}
+    """
+
+
+@query(
+    "q_mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "X3", "mmr", "rerank", "iterative"),
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: from the top-{P} cosine
+    candidates for the fixture query vector, greedily select {K} results
+    trading relevance against redundancy (lambda=0.7; score =
+    7*rel - 3*max-sim-to-selected on the x10 integer scale) — the
+    diversification step retrieval pipelines (and RAG context builders)
+    run after ANN search. Vectors live on the integer grid (the PCA
+    idiom) so relevance, similarity, and every greedy argmax are exact
+    and engine-identical; the oracle unrolls the same {K} selection
+    steps as chained CTEs.
+
+    Scale: the expensive part is candidate retrieval, delegated to the
+    certified ANN paths (LSH/IVF/PQ); MMR itself touches only the
+    candidate pool ({P} rows, {P}x{P} dots) regardless of corpus size —
+    per-query constant work, embarrassingly parallel across queries.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long")
+        ).alias("v"),
+    )
+    idot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, r: p * r),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    qry = qv.filter(F.col("vec_id") == MMR_QID).select(F.col("v").alias("query_v"))
+    rel = (
+        qv.filter(F.col("vec_id") != MMR_QID)
+        .crossJoin(F.broadcast(qry))
+        .select("vec_id", "v", idot(F.col("v"), F.col("query_v")).alias("rel"))
+    )
+    cands = (
+        rel.orderBy(F.desc("rel"), "vec_id").limit(MMR_POOL).localCheckpoint(eager=False)
+    )
+    a = cands.select(F.col("vec_id").alias("va"), F.col("v").alias("av"))
+    b = cands.select(F.col("vec_id").alias("vb"), F.col("v").alias("bv"))
+    dots = (
+        a.crossJoin(b)
+        .filter(F.col("va") != F.col("vb"))
+        .select("va", "vb", idot(F.col("av"), F.col("bv")).alias("dp"))
+        .localCheckpoint(eager=False)
+    )
+    selected = (
+        cands.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("step"),
+            "vec_id",
+            F.col("rel").alias("rel_scaled"),
+            (7 * F.col("rel")).alias("mmr_scaled"),
+        )
+    )
+    for k in range(2, MMR_K + 1):
+        sel_ids = selected.select(F.col("vec_id").alias("vb"))
+        maxsim = (
+            dots.join(sel_ids, "vb")
+            .groupBy("va")
+            .agg(F.max("dp").alias("ms"))
+        )
+        rem = cands.join(
+            selected.select("vec_id"), "vec_id", "left_anti"
+        )
+        pick = (
+            rem.join(maxsim, rem["vec_id"] == maxsim["va"])
+            .select(
+                F.lit(k).cast("long").alias("step"),
+                rem["vec_id"],
+                F.col("rel").alias("rel_scaled"),
+                (7 * F.col("rel") - 3 * F.col("ms")).alias("mmr_scaled"),
+            )
+            .orderBy(F.desc("mmr_scaled"), "vec_id")
+            .limit(1)
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected
+
+
+q_mmr_rerank.__doc__ = q_mmr_rerank.__doc__.format(P=MMR_POOL, K=MMR_K)

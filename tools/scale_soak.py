@@ -61,6 +61,25 @@ SOAK_QUERIES_R4C = [
     "q_market_basket_rules",
     "q_hashed_linear_score",
 ]
+
+# Session-6 heavies. DBSCAN mirrors SemDeDup's scale contract: epsilon
+# shrinks with density (eps 30 at <= sf0.1, eps 10 at sf1 where the
+# synthetic copies stack in the 2-D projection and density is ~10x) so
+# per-cell occupancy — the cost driver — stays flat.
+SOAK_QUERIES_R6 = [
+    "q_pagerank",
+    "q_kmeans_lloyd",
+    "q_wordpiece_tokenize",
+    "q_clamped_running_balance",
+]
+DBSCAN_EPS_PER_SF = {"0.01": 30, "0.1": 30, "1": 10}
+
+
+def dbscan_scaled(spark, sf_dir: str, sf_label: str):
+    from etl_pipeline_spark.queries.analytics import dbscan_classify
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return dbscan_classify(spark, e, eps=DBSCAN_EPS_PER_SF[sf_label])
 SEM_K_PER_SF = {"0.01": 8, "0.1": 8, "1": 80}
 
 
@@ -170,6 +189,8 @@ def main() -> None:
             t0 = time.perf_counter()
             if name == "q_semdedup_scaledk":
                 n = semdedup_scaled(spark, sf_dir, sf_label).count()
+            elif name == "q_dbscan_scaled_eps":
+                n = dbscan_scaled(spark, sf_dir, sf_label).count()
             else:
                 n = specs[name].fn(spark, sf_dir).count()
             dt = round(time.perf_counter() - t0, 2)
