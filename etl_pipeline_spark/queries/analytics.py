@@ -1709,7 +1709,7 @@ def _mmr_oracle() -> str:
         for k in range(1, MMR_K + 1)
     )
     return f"""
-    WITH qv AS (
+    WITH qv AS MATERIALIZED (
         SELECT vec_id,
                LIST(CAST(FLOOR(embedding[g]::DOUBLE * 1000 + 0.5) AS BIGINT)
                     ORDER BY g) AS v
@@ -1721,8 +1721,8 @@ def _mmr_oracle() -> str:
         SELECT qv.vec_id, list_dot_product(qv.v, qry.v) AS rel, qv.v
         FROM qv, qry WHERE qv.vec_id <> {MMR_QID}
     ),
-    cands AS (SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}),
-    dots AS (
+    cands AS MATERIALIZED (SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}),
+    dots AS MATERIALIZED (
         SELECT a.vec_id AS va, b.vec_id AS vb, list_dot_product(a.v, b.v) AS dp
         FROM cands a JOIN cands b ON a.vec_id <> b.vec_id
     ),
