@@ -1820,3 +1820,215 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_mmr_rerank.__doc__ = q_mmr_rerank.__doc__.format(P=MMR_POOL, K=MMR_K)
+
+
+# --- Theil-Sen robust trend --------------------------------------------------
+
+
+@query(
+    "q_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+               COUNT(*) AS x
+        FROM events GROUP BY 1
+    ),
+    b AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily),
+    spine AS (SELECT UNNEST(GENERATE_SERIES(mn, mx)) AS d FROM b),
+    series AS (
+        SELECT s.d, COALESCE(daily.x, 0) AS x
+        FROM spine s LEFT JOIN daily ON s.d = daily.d
+    ),
+    slopes AS (
+        SELECT a.d AS i, bb.d AS j,
+               (1000 * (bb.x - a.x)) // (bb.d - a.d) AS slope_milli
+        FROM series a JOIN series bb ON bb.d > a.d
+    ),
+    ranked AS (
+        SELECT slope_milli,
+               ROW_NUMBER() OVER (ORDER BY slope_milli, i, j) AS rn,
+               COUNT(*) OVER () AS cnt
+        FROM slopes
+    ),
+    med AS (
+        SELECT slope_milli AS ts_slope_milli FROM ranked
+        WHERE rn = (cnt + 1) // 2
+    ),
+    resid AS (
+        SELECT 1000 * s.x - m.ts_slope_milli * s.d AS ic, s.d
+        FROM series s, med m
+    ),
+    icr AS (
+        SELECT ic, ROW_NUMBER() OVER (ORDER BY ic, d) AS rn,
+               COUNT(*) OVER () AS cnt
+        FROM resid
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM series) AS n_days,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM slopes) AS n_pairs,
+           (SELECT CAST(ts_slope_milli AS BIGINT) FROM med) AS slope_milli,
+           CAST(ic AS BIGINT) AS intercept_milli
+    FROM icr WHERE rn = (cnt + 1) // 2
+    """,
+    tags=("timeseries", "robust", "theil-sen", "statistics"),
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily event series: the (lower)
+    median of all pairwise slopes, plus the median intercept — the
+    outlier-resistant alternative to least-squares (q_agg_regression)
+    for drift monitoring. Slopes are integer ``div`` milli-units and
+    medians are exact order statistics with full tie-breaks, so the
+    estimate is engine-identical.
+
+    Scale: pairwise slopes are O(n_days^2) on the ALREADY-AGGREGATED
+    series (bounded by the horizon, never the event volume) — ~400
+    pairs per month of data. For multi-year series the standard
+    repeated-median / sampling variants bound the pair count.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit(EPOCH)).cast("long").alias("d")
+    ).agg(F.count("*").alias("x"))
+    bounds = daily.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    spine = bounds.select(F.explode(F.sequence("mn", "mx")).alias("d"))
+    series = (
+        spine.join(daily, "d", "left")
+        .select("d", F.coalesce("x", F.lit(0)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    a = series.select(F.col("d").alias("i"), F.col("x").alias("xi"))
+    bb = series.select(F.col("d").alias("j"), F.col("x").alias("xj"))
+    slopes = (
+        a.join(bb, F.col("j") > F.col("i"))
+        .select(
+            "i",
+            "j",
+            F.expr("(1000 * (xj - xi)) div (j - i)").alias("slope_milli"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wr = Window.orderBy("slope_milli", "i", "j")
+    ranked = slopes.select(
+        "slope_milli",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("cnt"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(cnt + 1) div 2")
+    ).select(F.col("slope_milli").alias("ts_slope_milli"))
+    resid = series.crossJoin(F.broadcast(med)).select(
+        (F.lit(1000) * F.col("x") - F.col("ts_slope_milli") * F.col("d")).alias("ic"),
+        "d",
+    )
+    icr = resid.select(
+        "ic",
+        F.row_number().over(Window.orderBy("ic", "d")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("cnt"),
+    )
+    n_days = series.agg(F.count("*").alias("n_days"))
+    n_pairs = slopes.agg(F.count("*").alias("n_pairs"))
+    return (
+        icr.filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .crossJoin(F.broadcast(n_days))
+        .crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.col("n_days").cast("long"),
+            F.col("n_pairs").cast("long"),
+            F.col("ts_slope_milli").cast("long").alias("slope_milli"),
+            F.col("ic").cast("long").alias("intercept_milli"),
+        )
+    )
+
+
+# --- Mann-Whitney U (rank-sum) test ------------------------------------------
+
+
+@query(
+    "q_mann_whitney",
+    # Average tie ranks are carried DOUBLED (2*avgrank = 2*cnt_before +
+    # cnt_tie + 1, an integer), the q_corpus_gini rank-sum idiom; only
+    # the final z-score is floating point, rounded to 6.
+    oracle="""
+    WITH v AS (
+        SELECT event_type AS grp,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    dv AS (
+        SELECT cents, COUNT(*) AS t,
+               CAST(SUM(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ta
+        FROM v GROUP BY cents
+    ),
+    rk AS (
+        SELECT cents, t, ta,
+               COALESCE(SUM(t) OVER (
+                   ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cb
+        FROM dv
+    ),
+    agg AS (
+        SELECT CAST(SUM(ta * (2 * cb + t + 1)) AS BIGINT) AS r2a,
+               CAST(SUM(ta) AS BIGINT) AS na,
+               CAST(SUM(t - ta) AS BIGINT) AS nb,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+        FROM rk
+    )
+    SELECT na, nb,
+           r2a - na * (na + 1) AS u2_a,
+           ROUND(
+               (r2a - na * (na + 1) - na * nb * 1.0)
+               / (2.0 * SQRT(
+                   (na * 1.0 * nb / 12.0)
+                   * ((na + nb + 1) - tie3 * 1.0
+                      / ((na + nb) * (na + nb - 1.0))))),
+               6) AS z_score
+    FROM agg
+    """,
+    tags=("statistics", "rank-test", "nonparametric"),
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test comparing purchase vs view event
+    values — the nonparametric complement to Welch's t
+    (q_ab_test_ttest) for skewed metrics. Rank sums use doubled average
+    tie ranks (exact integers), the U statistic is exact, and the
+    normal approximation carries the standard tie correction; only the
+    final z is floating point, rounded to 6.
+
+    Scale: collapse to distinct values (value-keyed aggregate), one
+    cumulative window over the collapsed table, one global fold —
+    identical shape at any volume because rank arithmetic happens on
+    value cardinality, not row count.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    v = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    dv = v.groupBy("cents").agg(
+        F.count("*").alias("t"),
+        F.sum(F.when(F.col("grp") == "purchase", 1).otherwise(0)).alias("ta"),
+    )
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    rk = dv.withColumn("cb", F.coalesce(F.sum("t").over(wc), F.lit(0)))
+    agg = rk.agg(
+        F.sum(F.col("ta") * (2 * F.col("cb") + F.col("t") + 1)).alias("r2a"),
+        F.sum("ta").alias("na"),
+        F.sum(F.col("t") - F.col("ta")).alias("nb"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+    )
+    na, nb, r2a, tie3 = F.col("na"), F.col("nb"), F.col("r2a"), F.col("tie3")
+    u2a = r2a - na * (na + 1)
+    z = (u2a - na * nb * 1.0) / (
+        2.0
+        * F.sqrt(
+            (na * 1.0 * nb / 12.0)
+            * ((na + nb + 1) - tie3 * 1.0 / ((na + nb) * (na + nb - 1.0)))
+        )
+    )
+    return agg.select(
+        "na",
+        "nb",
+        u2a.alias("u2_a"),
+        F.round(z, 6).alias("z_score"),
+    )
