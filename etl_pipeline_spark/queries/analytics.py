@@ -2032,3 +2032,194 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         u2a.alias("u2_a"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+# --- URL canonicalization dedup ----------------------------------------------
+
+
+@query(
+    "q_url_canonical_dedup",
+    # Raw URLs are synthesized deterministically from (source, doc_id)
+    # with the messiness web crawls actually carry — mixed case, default
+    # :443 port, tracking query params, fragments, trailing slashes —
+    # then canonicalized by shared literal-pattern regexp steps (no
+    # engine-specific backreference syntax).
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+               || '://'
+               || (CASE WHEN doc_id % 2 = 0 THEN source || '.example.com'
+                        ELSE UPPER(source) || '.EXAMPLE.COM' END)
+               || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+               || '/docs/' || CAST(doc_id % 35 AS VARCHAR)
+               || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+               || (CASE WHEN doc_id % 5 = 0
+                        THEN '?utm_source=feed&utm_campaign=x' ELSE '' END)
+               || (CASE WHEN doc_id % 4 = 0 THEN '#top' ELSE '' END) AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, url,
+               REGEXP_REPLACE(
+                 REGEXP_REPLACE(
+                   REGEXP_REPLACE(
+                     LOWER(REGEXP_REPLACE(REGEXP_REPLACE(url, '#.*$', '', 'g'),
+                                          '\\?.*$', '', 'g')),
+                     ':443/', '/', 'g'),
+                   ':443$', '', 'g'),
+                 '/$', '', 'g') AS canonical_url
+        FROM raw
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc
+    FROM canon GROUP BY canonical_url
+    """,
+    tags=("dedup", "X2", "url", "canonicalization"),
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the FIRST dedup pass of any web-crawl
+    corpus build (before content hashing): lowercase scheme/host, drop
+    the default :443 port, strip tracking query params and fragments,
+    normalize trailing slashes, then group by canonical form keeping the
+    smallest doc_id. The synthesized raw URLs carry every variant class;
+    canonical groups collapse up to 4 raw variants each (ids congruent mod lcm(20,35)=140 share source and path) by construction, so the
+    op is verified against real collisions, not no-ops.
+
+    Scale: canonicalization is a narrow per-row expression chain
+    (regexp on bounded strings, no UDF); the dedup is one shuffle keyed
+    by canonical URL — the same plan as q_dedup_exact at any volume.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, "https").otherwise("HTTPS"),
+        F.lit("://"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.col("source"), F.lit(".example.com"))
+        ).otherwise(F.concat(F.upper("source"), F.lit(".EXAMPLE.COM"))),
+        F.when(F.col("doc_id") % 3 == 0, ":443").otherwise(""),
+        F.lit("/docs/"),
+        F.expr("CAST(doc_id % 35 AS STRING)"),
+        F.when(F.col("doc_id") % 2 == 1, "/").otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0, "?utm_source=feed&utm_campaign=x").otherwise(
+            ""
+        ),
+        F.when(F.col("doc_id") % 4 == 0, "#top").otherwise(""),
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(
+                    F.regexp_replace(
+                        F.regexp_replace(F.col("url"), "#.*$", ""), r"\?.*$", ""
+                    )
+                ),
+                ":443/",
+                "/",
+            ),
+            ":443$",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        raw.withColumn("canonical_url", canon)
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.countDistinct("url").alias("n_distinct_raw"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+    )
+
+
+# --- Snapshot diff (CDC) -----------------------------------------------------
+
+
+@query(
+    "q_snapshot_diff",
+    # Snapshot B is derived deterministically from A (orders): keys
+    # %13 deleted, %7 repriced +$1.00, %11 cloned as inserts at key
+    # +10^9 — so every change class exists and the diff totals are
+    # analytically known.
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey AS k,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    b AS (
+        SELECT k,
+               CASE WHEN k % 7 = 0 THEN cents + 100 ELSE cents END AS cents
+        FROM a WHERE k % 13 <> 0
+        UNION ALL
+        SELECT k + 1000000000 AS k, cents FROM a WHERE k % 11 = 0
+    ),
+    d AS (
+        SELECT COALESCE(a.k, b.k) AS k, a.cents AS ac, b.cents AS bc,
+               CASE WHEN a.k IS NULL THEN 'inserted'
+                    WHEN b.k IS NULL THEN 'deleted'
+                    WHEN a.cents <> b.cents THEN 'updated'
+                    ELSE 'unchanged' END AS change_type
+        FROM a FULL OUTER JOIN b ON a.k = b.k
+    )
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(COALESCE(bc, 0) - COALESCE(ac, 0)) AS BIGINT)
+               AS cents_delta
+    FROM d GROUP BY change_type
+    """,
+    tags=("etl", "cdc", "diff", "join"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differencing (CDC): classify every key across two table
+    versions as inserted / deleted / updated / unchanged with the net
+    value delta — the change-feed a warehouse emits when upstream
+    can't. Snapshot B derives deterministically from A so all four
+    classes exist and the totals are analytically known.
+
+    Scale: one full-outer hash join on the key plus a narrow compare —
+    the standard diff plan. At 100 TB, bucket both snapshots on the key
+    (sources/sinks.py write_bucketed) and the join is exchange-free;
+    compare column hashes instead of full rows for wide tables.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    a = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    ).localCheckpoint(eager=False)
+    b = (
+        a.filter(F.col("k") % 13 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 7 == 0, F.col("cents") + 100)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .unionAll(
+            a.filter(F.col("k") % 11 == 0).select(
+                (F.col("k") + 1000000000).alias("k"), "cents"
+            )
+        )
+    )
+    aa = a.select(F.col("k").alias("ak"), F.col("cents").alias("ac"))
+    bb = b.select(F.col("k").alias("bk"), F.col("cents").alias("bc"))
+    d = aa.join(bb, aa["ak"] == bb["bk"], "full_outer").select(
+        F.when(F.col("ak").isNull(), "inserted")
+        .when(F.col("bk").isNull(), "deleted")
+        .when(F.col("ac") != F.col("bc"), "updated")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.col("ac"),
+        F.col("bc"),
+    )
+    return d.groupBy("change_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.coalesce("bc", F.lit(0)) - F.coalesce("ac", F.lit(0))).alias(
+            "cents_delta"
+        ),
+    )
