@@ -666,6 +666,135 @@ def semdedup(
     )
 
 
+def target_encode(
+    df: DataFrame,
+    category_col: str,
+    target_cents_col: str,
+    smooth: int = 10,
+) -> DataFrame:
+    """Leave-one-out smoothed target encoding over any DataFrame with an
+    integer target column: appends ``enc_cents`` — the category mean
+    EXCLUDING the row itself, shrunk toward the global prior with
+    ``smooth`` pseudo-observations. All-integer ``div`` arithmetic
+    (queries/analytics.py q_target_encoding is the oracle-checked
+    instance). One category-keyed window shuffle + a broadcast prior."""
+    g = df.agg(
+        F.expr(
+            f"CAST(sum({target_cents_col}) AS BIGINT) div count(*)"
+        ).alias("_prior")
+    )
+    wn = W.partitionBy(category_col)
+    return (
+        df.withColumn("_s", F.sum(target_cents_col).over(wn))
+        .withColumn("_n", F.count("*").over(wn))
+        .crossJoin(F.broadcast(g))
+        .withColumn(
+            "enc_cents",
+            # a singleton category with smooth=0 has no LOO evidence at
+            # all — fall back to the global prior instead of dividing by 0
+            F.expr(
+                f"CAST(CASE WHEN _n - 1 + {smooth} = 0 THEN _prior"
+                f" ELSE (_s - {target_cents_col} + {smooth} * _prior)"
+                f" div (_n - 1 + {smooth}) END AS BIGINT)"
+            ),
+        )
+        .drop("_s", "_n", "_prior")
+    )
+
+
+def gaps_islands(df: DataFrame, key_col: str, seq_col: str) -> DataFrame:
+    """Per-key consecutive-run profile of an integer sequence column
+    (q_gaps_islands over caller data): n_active, n_islands,
+    longest_streak, longest_start. One key-partitioned window shuffle."""
+    days = df.select(key_col, seq_col).distinct()
+    w = W.partitionBy(key_col).orderBy(seq_col)
+    isl = days.withColumn("_grp", F.col(seq_col) - F.row_number().over(w))
+    islands = isl.groupBy(key_col, "_grp").agg(
+        F.min(seq_col).alias("_start"), F.count("*").alias("_len")
+    )
+    marked = islands.withColumn("_mx", F.max("_len").over(W.partitionBy(key_col)))
+    return marked.groupBy(key_col).agg(
+        F.sum("_len").alias("n_active"),
+        F.count("*").alias("n_islands"),
+        F.max("_len").alias("longest_streak"),
+        F.min(F.when(F.col("_len") == F.col("_mx"), F.col("_start"))).alias(
+            "longest_start"
+        ),
+    )
+
+
+def clamped_running_balance(
+    df: DataFrame, key_col: str, order_cols: list[str], delta_col: str
+) -> DataFrame:
+    """Clamp-at-zero running balance per key via the Lindley closed form
+    b_t = S_t - min(0, running-min S_t) — two stacked windows sharing one
+    key-partitioned sort, no sequential scan (q_clamped_running_balance
+    is the oracle-checked instance). Returns per-key n_tx / final /
+    peak / n_clamps."""
+    wo = W.partitionBy(key_col).orderBy(*order_cols)
+    wprev = wo.rowsBetween(W.unboundedPreceding, -1)
+    wlast = W.partitionBy(key_col).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    s = df.withColumn("_s", F.sum(delta_col).over(wo))
+    m = s.select(
+        key_col,
+        "_s",
+        F.least(F.lit(0), F.min("_s").over(wo)).alias("_m"),
+        F.least(F.lit(0), F.coalesce(F.min("_s").over(wprev), F.lit(0))).alias(
+            "_mp"
+        ),
+        F.row_number().over(wlast).alias("_rl"),
+    )
+    bal = m.select(
+        key_col,
+        (F.col("_s") - F.col("_m")).alias("_bal"),
+        F.when(F.col("_s") < F.col("_mp"), 1).otherwise(0).alias("_cl"),
+        "_rl",
+    )
+    return bal.groupBy(key_col).agg(
+        F.count("*").alias("n_tx"),
+        F.min(F.when(F.col("_rl") == 1, F.col("_bal"))).alias("final_balance"),
+        F.max("_bal").alias("peak_balance"),
+        F.sum("_cl").alias("n_clamps"),
+    )
+
+
+def weighted_median(
+    df: DataFrame, key_col: str, value_col: str, weight_col: str
+) -> DataFrame:
+    """Exact lower weighted median per key (q_weighted_median over
+    caller data): collapse to distinct values, one cumulative window
+    bounded by value cardinality."""
+    v = df.groupBy(key_col, value_col).agg(F.sum(weight_col).alias("_w"))
+    wcum = W.partitionBy(key_col).orderBy(value_col)
+    wall = W.partitionBy(key_col)
+    c = v.select(
+        key_col,
+        value_col,
+        F.sum("_w").over(wcum).alias("_cum"),
+        F.sum("_w").over(wall).alias("_tot"),
+    )
+    return c.groupBy(key_col).agg(
+        F.min(F.when(2 * F.col("_cum") >= F.col("_tot"), F.col(value_col))).alias(
+            "weighted_median"
+        ),
+        F.min("_tot").alias("total_weight"),
+    )
+
+
+def wordpiece_tokens(df: DataFrame, word_col: str = "word") -> DataFrame:
+    """Greedy WordPiece split of a word column through the Arrow-batched
+    tokenizer (operators/wordpiece.py): appends ``pieces``
+    (array<string>) and ``n_pieces``. Call on the DISTINCT word table
+    and join corpus weights back — never tokenize per corpus token."""
+    from etl_pipeline_spark.operators.wordpiece import wordpiece_udf
+
+    return df.withColumn("pieces", wordpiece_udf()(F.col(word_col))).withColumn(
+        "n_pieces", F.size("pieces")
+    )
+
+
 # Re-exported operator surfaces (same contract: plain functions over
 # caller DataFrames; see each module's docstring for the scale notes).
 from etl_pipeline_spark.operators.cms import (  # noqa: E402,F401
@@ -681,4 +810,7 @@ from etl_pipeline_spark.operators.zorder import (  # noqa: E402,F401
     read_box,
     write_zordered,
     zorder_key,
+)
+from etl_pipeline_spark.queries.analytics import (  # noqa: E402,F401
+    dbscan_classify,
 )

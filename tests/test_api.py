@@ -372,3 +372,63 @@ def test_semdedup_prunes_near_identical(spark):
     assert len([i for i in ids if i < 3]) == 1
     # all distinct vectors survive
     assert all(i in ids for i in range(3, 8))
+
+
+# --- session-6 API surface ---------------------------------------------------
+
+
+def test_target_encode_loo_excludes_own_row(spark):
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 200), ("a", 300), ("b", 1000)],
+        "cat string, cents long",
+    )
+    out = {
+        (r["cat"], r["cents"]): r["enc_cents"]
+        for r in api.target_encode(df, "cat", "cents", smooth=0).collect()
+    }
+    # LOO mean for ("a", 100) is (200+300)/2 = 250 — own row excluded
+    assert out[("a", 100)] == 250
+    assert out[("a", 300)] == 150
+
+
+def test_gaps_islands_on_custom_sequence(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (1, 7), (1, 8), (2, 5)],
+        "k long, d long",
+    )
+    rows = {r["k"]: r for r in api.gaps_islands(df, "k", "d").collect()}
+    assert rows[1]["n_islands"] == 2
+    assert rows[1]["longest_streak"] == 3
+    assert rows[1]["longest_start"] == 1
+    assert rows[2]["n_islands"] == 1
+
+
+def test_clamped_balance_clamps_at_zero(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 5), (1, 2, -10), (1, 3, 3), (2, 1, -4)],
+        "k long, seq long, delta long",
+    )
+    rows = {
+        r["k"]: r
+        for r in api.clamped_running_balance(df, "k", ["seq"], "delta").collect()
+    }
+    assert rows[1]["final_balance"] == 3 and rows[1]["n_clamps"] == 1
+    assert rows[1]["peak_balance"] == 5
+    assert rows[2]["final_balance"] == 0 and rows[2]["n_clamps"] == 1
+
+
+def test_weighted_median_lower(spark):
+    df = spark.createDataFrame(
+        [("g", 10, 1), ("g", 20, 1), ("g", 30, 2)],
+        "k string, v long, w long",
+    )
+    r = api.weighted_median(df, "k", "v", "w").collect()[0]
+    # cum weights: 10->1, 20->2, 30->4; total 4; first 2*cum>=4 is v=20
+    assert r["weighted_median"] == 20 and r["total_weight"] == 4
+
+
+def test_wordpiece_tokens_on_distinct_words(spark):
+    df = spark.createDataFrame([("batch",), ("spark",)], "word string")
+    rows = {r["word"]: r for r in api.wordpiece_tokens(df).collect()}
+    assert rows["batch"]["pieces"] == ["bat", "##ch"]
+    assert rows["spark"]["n_pieces"] == 1
