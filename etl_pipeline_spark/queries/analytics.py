@@ -2223,3 +2223,172 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents_delta"
         ),
     )
+
+
+# --- Pairwise correlation matrix from exact co-moments -----------------------
+
+CORR_COLS = ("qty", "dollars", "disc_pct", "tax_pct")
+
+
+def _corr_pairs_sql() -> str:
+    pairs = []
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1:]:
+            pairs.append(f"""
+    SELECT '{a}' AS var_a, '{b}' AS var_b,
+           ROUND((n * s_{a}_{b} - s_{a} * s_{b})
+                 / (SQRT(n * s_{a}_{a} - s_{a} * s_{a})
+                    * SQRT(n * s_{b}_{b} - s_{b} * s_{b})), 6) AS pearson_r
+    FROM m""")
+    return "\n    UNION ALL".join(pairs)
+
+
+@query(
+    "q_correlation_matrix",
+    # Sums and co-moment sums are exact BIGINTs on integer grids (whole
+    # quantities, truncated dollars, percent grids), so the only float
+    # step is the final normalized ratio, rounded to 6.
+    oracle=f"""
+    WITH g AS (
+        SELECT CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+               CAST(TRUNC(l_extendedprice) AS BIGINT) AS dollars,
+               CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+               CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT) AS tax_pct
+        FROM lineitem
+    ),
+    m AS (
+        SELECT COUNT(*) * 1.0 AS n,
+               {", ".join(f"CAST(SUM({a}) AS BIGINT) * 1.0 AS s_{a}" for a in CORR_COLS)},
+               {", ".join(
+                   f"CAST(SUM({a} * {b}) AS BIGINT) * 1.0 AS s_{a}_{b}"
+                   for i, a in enumerate(CORR_COLS)
+                   for b in CORR_COLS[i:]
+               )}
+        FROM g
+    )
+    {_corr_pairs_sql()}
+    """,
+    tags=("statistics", "correlation", "profile"),
+)
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the lineitem numeric
+    columns (quantity, truncated dollars, discount%, tax%) from EXACT
+    integer co-moments — one pass computes all sums and cross-products
+    map-side, and only the final normalized ratios are floating point
+    (rounded to 6). The feature-redundancy screen run before model
+    training, engine-portable where built-in corr() conventions drift.
+
+    Scale: a single map-combined aggregate carrying 4 sums + 10
+    co-moments; the 6-row matrix assembles from the 1-row result. The
+    100 TB plan is identical.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    g = li.select(
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+        F.col("l_extendedprice").cast("long").alias("dollars"),  # Spark cast truncates
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("disc_pct"),
+        F.floor(F.col("l_tax") * 100 + 0.5).cast("long").alias("tax_pct"),
+    )
+    aggs = [F.count("*").cast("double").alias("n")]
+    for a in CORR_COLS:
+        aggs.append(F.sum(a).cast("double").alias(f"s_{a}"))
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i:]:
+            aggs.append(
+                F.sum(F.col(a) * F.col(b)).cast("double").alias(f"s_{a}_{b}")
+            )
+    m = g.agg(*aggs).localCheckpoint(eager=False)
+    parts = []
+    for i, a in enumerate(CORR_COLS):
+        for b in CORR_COLS[i + 1:]:
+            r = (
+                F.col("n") * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            ) / (
+                F.sqrt(
+                    F.col("n") * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+                )
+                * F.sqrt(
+                    F.col("n") * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+                )
+            )
+            parts.append(
+                m.select(
+                    F.lit(a).alias("var_a"),
+                    F.lit(b).alias("var_b"),
+                    F.round(r, 6).alias("pearson_r"),
+                )
+            )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+# --- Chi-square contingency test ---------------------------------------------
+
+
+@query(
+    "q_chi_square_contingency",
+    oracle="""
+    WITH o AS (
+        SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS obs
+        FROM lineitem GROUP BY 1, 2
+    ),
+    mr AS (SELECT rf, CAST(SUM(obs) AS BIGINT) AS row_tot FROM o GROUP BY rf),
+    mc AS (SELECT ls, CAST(SUM(obs) AS BIGINT) AS col_tot FROM o GROUP BY ls),
+    t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+    cells AS (
+        SELECT o.rf, o.ls, o.obs,
+               mr.row_tot * mc.col_tot * 1.0 / t.n AS expected
+        FROM o JOIN mr ON o.rf = mr.rf JOIN mc ON o.ls = mc.ls, t
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT rf) AS BIGINT) FROM o) AS n_rows_dim,
+           (SELECT CAST(COUNT(DISTINCT ls) AS BIGINT) FROM o) AS n_cols_dim,
+           (SELECT n FROM t) AS n_total,
+           ROUND(SUM((obs - expected) * (obs - expected) / expected), 6)
+               AS chi_square
+    FROM cells
+    """,
+    tags=("statistics", "chi-square", "contingency"),
+)
+def q_chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between return flag and line
+    status — the categorical-association screen beside the numeric
+    correlation matrix. Observed counts and marginals are exact
+    integers; expected counts and the statistic are identical double
+    expressions rounded to 6.
+
+    Scale: one contingency aggregate (bounded by category-domain cross
+    product, not row count) plus broadcast marginals.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    o = (
+        li.groupBy(F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls"))
+        .agg(F.count("*").alias("obs"))
+        .localCheckpoint(eager=False)
+    )
+    mr = o.groupBy("rf").agg(F.sum("obs").alias("row_tot"))
+    mc = o.groupBy("ls").agg(F.sum("obs").alias("col_tot"))
+    t = o.agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct("rf").alias("n_rows_dim"),
+        F.countDistinct("ls").alias("n_cols_dim"),
+    )
+    cells = (
+        o.join(F.broadcast(mr), "rf")
+        .join(F.broadcast(mc), "ls")
+        .crossJoin(F.broadcast(t))
+        .withColumn(
+            "expected", F.col("row_tot") * F.col("col_tot") * 1.0 / F.col("n")
+        )
+    )
+    return cells.groupBy("n_rows_dim", "n_cols_dim", F.col("n").alias("n_total")).agg(
+        F.round(
+            F.sum(
+                (F.col("obs") - F.col("expected"))
+                * (F.col("obs") - F.col("expected"))
+                / F.col("expected")
+            ),
+            6,
+        ).alias("chi_square")
+    ).select("n_rows_dim", "n_cols_dim", "n_total", "chi_square")
