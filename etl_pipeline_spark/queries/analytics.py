@@ -1815,7 +1815,9 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("mmr_scaled"), "vec_id")
             .limit(1)
         )
-        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+        selected = selected.unionByName(pick)
+        if k < MMR_K:  # keep the final pick's plan visible (TakeOrdered)
+            selected = selected.localCheckpoint(eager=False)
     return selected
 
 

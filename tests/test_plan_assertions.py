@@ -273,3 +273,49 @@ def test_rrf_lists_use_partial_window_limit(spark):
     df = contract.queries()["q_hybrid_rrf_search"](spark, SF)
     plan = plans.executed(df)
     assert plan.count("WindowGroupLimit") >= 2, plan[:800]
+
+
+def test_dbscan_neighbor_search_is_equi_join(spark):
+    """Grid-blocked DBSCAN must plan the neighbor search as a hash EQUI
+    join on the cell key — a nested-loop/cartesian plan would mean the
+    distance predicate leaked into the join condition and the search
+    went quadratic."""
+    df = contract.queries()["q_dbscan_classify"](spark, SF)
+    plan = plans.executed(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:800]
+
+
+def test_target_encoding_prior_broadcasts(spark):
+    """The 1-row global prior must broadcast — shuffling the fact table
+    to meet it would add a pointless exchange."""
+    df = contract.queries()["q_target_encoding"](spark, SF)
+    plans.assert_broadcast_join(df)
+
+
+def test_mmr_candidate_pool_topk_is_take_ordered(spark):
+    """Candidate retrieval (top-20 by relevance) must compile to heap
+    selection, not a global sort of the corpus."""
+    df = contract.queries()["q_mmr_rerank"](spark, SF)
+    plans.assert_take_ordered(df)
+
+
+def test_rake_phrase_window_is_doc_partitioned(spark):
+    """RAKE's phrase segmentation window partitions by doc_id — a global
+    (unpartitioned) window would serialize the corpus through one task."""
+    df = contract.queries()["q_rake_keywords"](spark, SF)
+    plan = plans.executed(df)
+    assert "partitionBy: [doc_id" in plan.replace("Window [", "Window [").replace(
+        "], orderBy", "], orderBy"
+    ) or "hashpartitioning(doc_id" in plan, plan[:1200]
+
+
+def test_wordpiece_udf_runs_on_distinct_words_only(spark):
+    """The tokenizer UDF stage must sit ABOVE the word-frequency
+    aggregate (ArrowEvalPython after HashAggregate), so Python touches
+    vocabulary-sized data, never the corpus token stream."""
+    df = contract.queries()["q_wordpiece_tokenize"](spark, SF)
+    plan = plans.executed(df)
+    assert "ArrowEvalPython" in plan, plan[:800]
+    assert plan.index("HashAggregate") < plan.index("ArrowEvalPython"), (
+        "UDF must run on the aggregated distinct-word table"
+    )
