@@ -2394,3 +2394,96 @@ def q_chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi_square")
     ).select("n_rows_dim", "n_cols_dim", "n_total", "chi_square")
+
+
+# --- Dataset card ------------------------------------------------------------
+
+
+@query(
+    "q_dataset_card",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS n_tok,
+               MD5(LOWER(TRIM(text))) AS fp
+        FROM documents
+    ),
+    langs AS (
+        SELECT lang, COUNT(*) AS c FROM toks GROUP BY lang
+    ),
+    top_lang AS (
+        SELECT lang FROM langs ORDER BY c DESC, lang LIMIT 1
+    ),
+    dup AS (
+        SELECT CAST(SUM(cnt - 1) AS BIGINT) AS n_dupes FROM (
+            SELECT COUNT(*) AS cnt FROM toks GROUP BY fp
+        )
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS n_docs,
+           (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM toks) AS n_langs,
+           (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM toks) AS n_sources,
+           (SELECT CAST(SUM(n_tok) AS BIGINT) FROM toks) AS total_tokens,
+           (SELECT CAST(SUM(n_tok) AS BIGINT) // COUNT(*) FROM toks)
+               AS mean_tokens,
+           (SELECT lang FROM top_lang) AS top_lang,
+           (SELECT n_dupes FROM dup) AS n_exact_dupes,
+           (SELECT CAST(10000 * n_dupes AS BIGINT)
+                   // (SELECT COUNT(*) FROM toks) FROM dup) AS dupe_rate_bp
+    """,
+    tags=("llm-ops", "X4", "dataset-card", "composition"),
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card in one row — the summary block a corpus release
+    ships with (HuggingFace dataset-card / Datasheets-for-Datasets
+    shape): document and token counts, language/source breadth, the
+    dominant language, and the exact-duplicate rate in basis points
+    (fingerprint = md5 of lower/trimmed text, q_dedup_exact's key).
+    Integer ``div`` folds keep every figure engine-exact.
+
+    Scale: one corpus pass computes tokens+fingerprints map-side; the
+    summary is a handful of scalar aggregates over that pass. This is
+    the cheap always-on report that gates corpus publication.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n_tok"),
+        F.md5(F.lower(F.trim("text"))).alias("fp"),
+    ).localCheckpoint(eager=False)
+    base = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.expr("CAST(sum(n_tok) AS BIGINT) div count(*)").alias("mean_tokens"),
+    )
+    top_lang = (
+        toks.groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    dup = (
+        toks.groupBy("fp")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum(F.col("cnt") - 1).alias("n_exact_dupes"))
+    )
+    return (
+        base.crossJoin(F.broadcast(top_lang))
+        .crossJoin(F.broadcast(dup))
+        .select(
+            "n_docs",
+            "n_langs",
+            "n_sources",
+            "total_tokens",
+            "mean_tokens",
+            "top_lang",
+            "n_exact_dupes",
+            F.expr("CAST(10000 * n_exact_dupes AS BIGINT) div n_docs").alias(
+                "dupe_rate_bp"
+            ),
+        )
+    )
