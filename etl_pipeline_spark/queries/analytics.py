@@ -2487,3 +2487,200 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Bag-semantics set operations --------------------------------------------
+
+
+@query(
+    "q_setop_bag_semantics",
+    # INTERSECT ALL / EXCEPT ALL on the (priority, status) multiset of
+    # two order-date halves: bag semantics keep per-value multiplicity
+    # min(a,b) / max(a-b,0) where the DISTINCT variants collapse to 0/1
+    # (those are covered by q_setop_intersect/except_nations).
+    oracle="""
+    WITH a AS (
+        SELECT o_orderpriority AS pri, o_orderstatus AS st FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    b AS (
+        SELECT o_orderpriority AS pri, o_orderstatus AS st FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    ),
+    i AS (SELECT pri, st FROM a INTERSECT ALL SELECT pri, st FROM b),
+    x AS (SELECT pri, st FROM a EXCEPT ALL SELECT pri, st FROM b)
+    SELECT pri, st,
+           CAST(SUM(CASE WHEN src = 'i' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_intersect_all,
+           CAST(SUM(CASE WHEN src = 'x' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_except_all
+    FROM (
+        SELECT pri, st, 'i' AS src FROM i
+        UNION ALL
+        SELECT pri, st, 'x' AS src FROM x
+    ) GROUP BY pri, st
+    """,
+    tags=("setop", "bag-semantics", "conformance"),
+)
+def q_setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL —
+    ``intersectAll``/``exceptAll``): per-value multiplicities of the
+    (priority, status) multiset across two order-date halves. The ALL
+    variants preserve duplicate counts (min / truncated difference)
+    where the DISTINCT forms collapse them — the semantics data-recon
+    jobs actually need when comparing row feeds.
+
+    Scale: both operators plan as a single hash aggregate computing
+    per-value counts on each side — one shuffle each, no joins of raw
+    rows.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cutoff = "1998-01-01"
+    a = o.filter(F.col("o_orderdate") < cutoff).select(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+    )
+    b = o.filter(F.col("o_orderdate") >= cutoff).select(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+    )
+    i = a.intersectAll(b).withColumn("src", F.lit("i"))
+    x = a.exceptAll(b).withColumn("src", F.lit("x"))
+    return (
+        i.unionByName(x)
+        .groupBy("pri", "st")
+        .agg(
+            F.sum(F.when(F.col("src") == "i", 1).otherwise(0)).alias(
+                "n_intersect_all"
+            ),
+            F.sum(F.when(F.col("src") == "x", 1).otherwise(0)).alias(
+                "n_except_all"
+            ),
+        )
+    )
+
+
+# --- ANSI-safe arithmetic (try_* surface) ------------------------------------
+
+
+@query(
+    "q_try_arithmetic_safe",
+    # Spark 4 runs ANSI mode: bare x/0 throws. try_divide returns NULL —
+    # the oracle models that NULL explicitly (DuckDB integer division by
+    # zero also errors, so the CASE guard is the shared semantics).
+    oracle="""
+    WITH g AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN o_orderkey % 17 = 0 THEN 0
+                    ELSE CAST(o_orderkey % 7 + 1 AS BIGINT) END AS parts
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN parts = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_splits,
+           CAST(SUM(CASE WHEN parts = 0 THEN NULL ELSE cents // parts END)
+               AS BIGINT) AS sum_split_cents
+    FROM g
+    """,
+    tags=("scalar", "ansi", "try-arithmetic", "conformance"),
+)
+def q_try_arithmetic_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: under Spark 4's ANSI mode a bare
+    x/0 THROWS mid-job; ``try_divide`` degrades to NULL instead — here
+    splitting order value across a part count that is deterministically
+    zero for every 17th key. The report counts the null results and
+    folds the rest, proving the fallible path stays declarative (no
+    pre-filter pass needed).
+
+    Scale: narrow per-row expressions plus one map-combined fold — the
+    point is semantics (job survives bad denominators at any volume),
+    not plan shape.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    g = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.when(F.col("o_orderkey") % 17 == 0, 0)
+        .otherwise((F.col("o_orderkey") % 7 + 1).cast("long"))
+        .alias("parts"),
+    )
+    split = F.expr("try_divide(cents, parts)")  # NULL on /0 under ANSI
+    return g.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("parts") == 0, 1).otherwise(0)).alias("n_null_splits"),
+        F.sum(F.floor(split)).cast("long").alias("sum_split_cents"),
+    )
+
+
+# --- Nested JSON document assembly -------------------------------------------
+
+
+@query(
+    "q_nested_json_assembly",
+    # Integer fields only inside the JSON (cents, not doubles), so the
+    # rendered text is byte-identical across engines; line order pinned
+    # by linenumber in both aggregates.
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    )
+    SELECT l_orderkey,
+           '[' || STRING_AGG(
+               '{"ln":' || l_linenumber || ',"qty":' || qty
+               || ',"cents":' || cents || '}',
+               ',' ORDER BY l_linenumber, qty, cents) || ']' AS lines_json,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM li GROUP BY l_orderkey
+    """,
+    tags=("json", "nested", "S17", "export"),
+)
+def q_nested_json_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-document assembly: each order's line items rendered as an
+    ordered JSON array of objects — the denormalized export shape API
+    backends and training-data writers need (S17's dict->JSON surface,
+    one level deeper). Line order is pinned by (linenumber, qty, cents) — linenumber alone is NOT unique in the fixture — and every
+    field is an integer, so the JSON text is byte-identical across
+    engines; a Spark-side ``from_json`` round-trip re-derives the line
+    count from the rendered text, proving losslessness inside the same
+    plan.
+
+    Scale: one order-keyed aggregate; the JSON render is a narrow
+    per-group expression. Bucket by order key to make the groupBy
+    exchange-free on a 100 TB fact table.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    rows = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    assembled = rows.groupBy("l_orderkey").agg(
+        F.to_json(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("l_linenumber", "qty", "cents"))
+                ),
+                lambda s: F.struct(
+                    s["l_linenumber"].alias("ln"),
+                    s["qty"].alias("qty"),
+                    s["cents"].alias("cents"),
+                ),
+            )
+        ).alias("lines_json"),
+        F.sum("cents").alias("total_cents"),
+    )
+    reparsed = F.size(
+        F.from_json(
+            F.col("lines_json"), "array<struct<ln:int,qty:bigint,cents:bigint>>"
+        )
+    ).cast("long")
+    return assembled.select(
+        "l_orderkey",
+        "lines_json",
+        reparsed.alias("n_lines"),
+        "total_cents",
+    )
