@@ -2684,3 +2684,160 @@ def q_nested_json_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         reparsed.alias("n_lines"),
         "total_cents",
     )
+
+
+# --- Collation-aware grouping (Spark 4 collations) ---------------------------
+
+
+@query(
+    "q_collation_groupby",
+    # Mixed-case variants are synthesized deterministically; Spark
+    # groups on a UTF8_LCASE-collated key (the Spark 4 collation
+    # surface), the oracle on LOWER() — equivalent for this data. The
+    # emitted group key is MIN(raw) under binary collation, so the
+    # output never depends on which variant the engine picked as the
+    # group representative.
+    oracle="""
+    WITH v AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN UPPER(source)
+                    WHEN doc_id % 3 = 1
+                        THEN UPPER(SUBSTR(source, 1, 1)) || SUBSTR(source, 2, 100)
+                    ELSE source END AS src_mixed
+        FROM documents
+    )
+    SELECT MIN(src_mixed) AS canonical_variant,
+           LOWER(MIN(src_mixed)) AS key_lower,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT src_mixed) AS BIGINT) AS n_case_variants
+    FROM v GROUP BY LOWER(src_mixed)
+    """,
+    tags=("scalar", "collation", "spark4", "conformance"),
+)
+def q_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): mixed-case source
+    labels grouped under the UTF8_LCASE collation — the declarative
+    alternative to sprinkling LOWER() through every predicate, and the
+    surface migrations from collation-aware warehouses expect. The
+    group key in the output is the binary-collation MIN of the raw
+    variants (engine-stable), plus the variant count per group.
+
+    Scale: collation participates in hashing, so the groupBy stays one
+    ordinary shuffle; no expression wrapping means scan-level column
+    stats survive for the optimizer.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    v = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source"))
+        .when(F.col("doc_id") % 3 == 1, F.initcap("source"))
+        .otherwise(F.col("source"))
+        .alias("src_mixed"),
+    )
+    return (
+        v.groupBy(F.collate("src_mixed", "UTF8_LCASE").alias("k"))
+        .agg(
+            F.min(F.collate("src_mixed", "UTF8_BINARY")).alias("canonical_variant"),
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.collate("src_mixed", "UTF8_BINARY")).alias(
+                "n_case_variants"
+            ),
+        )
+        .select(
+            "canonical_variant",
+            F.lower("canonical_variant").alias("key_lower"),
+            "n_docs",
+            "n_case_variants",
+        )
+    )
+
+
+# --- Overlapping-interval merge ----------------------------------------------
+
+IVM_SPAN_MS = 600_000  # each event opens a 10-minute interval
+
+
+@query(
+    "q_interval_merge",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id,
+               CAST(epoch_ms(ts) AS BIGINT) AS s,
+               CAST(epoch_ms(ts) AS BIGINT) + {IVM_SPAN_MS} AS e,
+               event_id
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, s, e,
+               COALESCE(MAX(e) OVER (
+                   PARTITION BY user_id ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), -1) AS prev_max_e
+        FROM iv
+    ),
+    isl AS (
+        SELECT user_id, s, e,
+               CAST(SUM(CASE WHEN s > prev_max_e THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS span_id
+        FROM m
+    ),
+    spans AS (
+        SELECT user_id, span_id,
+               MIN(s) AS span_start, MAX(e) AS span_end
+        FROM isl GROUP BY user_id, span_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_merged_spans,
+           CAST(SUM(span_end - span_start) AS BIGINT) AS covered_ms,
+           CAST(MAX(span_end - span_start) AS BIGINT) AS longest_span_ms
+    FROM spans GROUP BY user_id
+    """,
+    tags=("window", "intervals", "merge", "behavioral"),
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval merge: each event opens a 10-minute activity
+    interval; per user, overlapping/touching intervals coalesce into
+    maximal spans (the continuous-time gaps-and-islands — uptime
+    stitching, session coverage, on-call windows). A span break occurs
+    exactly where an interval starts after the running max end of all
+    predecessors; integer epoch-ms arithmetic keeps it engine-exact.
+    Completes the interval toolbox next to q_interval_concurrency
+    (peak overlap) and q_interval_window_join (interval joins).
+
+    Scale: one user-keyed window sort shared by the running-max and the
+    span-id prefix sum, then two aggregates on the same partitioning.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    iv = e.select(
+        "user_id",
+        F.unix_millis("ts").alias("s"),
+        (F.unix_millis("ts") + IVM_SPAN_MS).alias("e"),
+        "event_id",
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = iv.withColumn(
+        "prev_max_e", F.coalesce(F.max("e").over(wprev), F.lit(-1))
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = m.withColumn(
+        "span_id",
+        F.sum(F.when(F.col("s") > F.col("prev_max_e"), 1).otherwise(0)).over(wcum),
+    )
+    spans = isl.groupBy("user_id", "span_id").agg(
+        F.min("s").alias("span_start"), F.max("e").alias("span_end")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count("*").alias("n_merged_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("covered_ms"),
+        F.max(F.col("span_end") - F.col("span_start")).alias("longest_span_ms"),
+    )
