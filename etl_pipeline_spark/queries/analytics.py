@@ -2841,3 +2841,161 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("span_end") - F.col("span_start")).alias("covered_ms"),
         F.max(F.col("span_end") - F.col("span_start")).alias("longest_span_ms"),
     )
+
+
+# --- Data-skew report --------------------------------------------------------
+
+
+@query(
+    "q_data_skew_report",
+    # Key-size distribution stats per candidate shuffle key — the
+    # numbers that decide between a plain shuffle, AQE skew splitting,
+    # and salting/hybrid broadcast (operators/skew.py). Scaled-integer
+    # div folds keep every ratio engine-exact.
+    oracle="""
+    WITH ks AS (
+        SELECT 'l_partkey' AS key_col, l_partkey AS k, COUNT(*) AS c
+        FROM lineitem GROUP BY 2
+        UNION ALL
+        SELECT 'l_suppkey', l_suppkey, COUNT(*) FROM lineitem GROUP BY 2
+        UNION ALL
+        SELECT 'l_orderkey', l_orderkey, COUNT(*) FROM lineitem GROUP BY 2
+    ),
+    r AS (
+        SELECT key_col, k, c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY key_col ORDER BY c DESC, k) AS rn,
+               CAST(SUM(c) OVER (PARTITION BY key_col) AS BIGINT) AS tot,
+               COUNT(*) OVER (PARTITION BY key_col) AS nk
+        FROM ks
+    )
+    SELECT key_col,
+           CAST(MIN(nk) AS BIGINT) AS n_keys,
+           CAST(MIN(tot) AS BIGINT) AS n_rows,
+           CAST(MAX(c) AS BIGINT) AS max_key_rows,
+           CAST(MIN(CASE WHEN rn = 1 THEN 10000 * c END) AS BIGINT)
+               // CAST(MIN(tot) AS BIGINT) AS top_key_bp,
+           (10000 * CAST(MAX(c) AS BIGINT) * CAST(MIN(nk) AS BIGINT))
+               // CAST(MIN(tot) AS BIGINT) AS max_over_mean_x10000
+    FROM r GROUP BY key_col
+    """,
+    tags=("profile", "skew", "ops"),
+)
+def q_data_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report for the fact table's candidate join/agg
+    keys: key cardinality, hottest-key share (basis points), and the
+    max/mean key-size ratio (x10000) — the exact numbers that decide
+    between a plain shuffle, AQE skew-join splitting, salting, and the
+    hybrid hot/cold broadcast (operators/skew.py, SKEW_COMPARE.md).
+    Run this BEFORE the big join, not after it times out.
+
+    Scale: one aggregate per candidate key plus a per-key window over
+    the aggregated key-size table — cost is key cardinality, not fact
+    rows; at 100 TB swap the exact counts for the CMS sketch
+    (operators/cms.py) with the same report schema.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    parts = []
+    for key in ("l_partkey", "l_suppkey", "l_orderkey"):
+        parts.append(
+            li.groupBy(F.col(key).alias("k"))
+            .agg(F.count("*").alias("c"))
+            .select(F.lit(key).alias("key_col"), "k", "c")
+        )
+    ks = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    wk = Window.partitionBy("key_col")
+    r = ks.select(
+        "key_col",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("key_col").orderBy(F.desc("c"), "k"))
+        .alias("rn"),
+        F.sum("c").over(wk).alias("tot"),
+        F.count("*").over(wk).alias("nk"),
+    )
+    return r.groupBy("key_col").agg(
+        F.min("nk").cast("long").alias("n_keys"),
+        F.min("tot").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_key_rows"),
+        F.expr(
+            "CAST(min(CASE WHEN rn = 1 THEN 10000 * c END) AS BIGINT)"
+            " div CAST(min(tot) AS BIGINT)"
+        ).alias("top_key_bp"),
+        F.expr(
+            "(10000 * CAST(max(c) AS BIGINT) * CAST(min(nk) AS BIGINT))"
+            " div CAST(min(tot) AS BIGINT)"
+        ).alias("max_over_mean_x10000"),
+    )
+
+
+# --- Join-cardinality audit --------------------------------------------------
+
+
+@query(
+    "q_join_cardinality_audit",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey AS k, COUNT(*) AS fan FROM lineitem GROUP BY 1
+    ),
+    o AS (
+        SELECT o_orderkey AS k, COUNT(*) AS fan FROM orders GROUP BY 1
+    ),
+    j AS (
+        SELECT COALESCE(l.k, o.k) AS k,
+               COALESCE(l.fan, 0) AS lf, COALESCE(o.fan, 0) AS orf
+        FROM l FULL OUTER JOIN o ON l.k = o.k
+    )
+    SELECT CAST(SUM(lf * orf) AS BIGINT) AS est_join_rows,
+           CAST(MAX(lf) AS BIGINT) AS max_left_fanout,
+           CAST(MAX(orf) AS BIGINT) AS max_right_fanout,
+           CAST(MAX(lf * orf) AS BIGINT) AS max_key_output,
+           CAST(SUM(CASE WHEN lf > 0 AND orf = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS left_orphan_keys,
+           CAST(SUM(CASE WHEN orf > 0 AND lf = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS right_orphan_keys,
+           CAST(SUM(CASE WHEN lf > 1 AND orf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS many_to_many_keys
+    FROM j
+    """,
+    tags=("profile", "join-audit", "dq", "ops"),
+)
+def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality audit of lineitem x orders on the order key:
+    the EXACT output size the join would produce (sum of per-key fanout
+    products), the worst single-key blowup, orphan keys on each side,
+    and many-to-many keys — the 30-second check that catches accidental
+    row explosions and broken referential assumptions before a
+    multi-hour join runs. Complements q_dq_referential_integrity (which
+    checks FK validity, not volume).
+
+    Scale: aggregates both sides to per-key fanouts FIRST, then joins
+    the two key tables — the audit's join is key-cardinality-sized, not
+    fact-sized, and the estimate needs no sampling because per-key
+    products are exact.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    li = t["lineitem"].groupBy(F.col("l_orderkey").alias("lk")).agg(
+        F.count("*").alias("lf")
+    )
+    o = t["orders"].groupBy(F.col("o_orderkey").alias("ok")).agg(
+        F.count("*").alias("orf")
+    )
+    j = li.join(o, li["lk"] == o["ok"], "full_outer").select(
+        F.coalesce("lf", F.lit(0)).alias("lf"),
+        F.coalesce("orf", F.lit(0)).alias("orf"),
+    )
+    return j.agg(
+        F.sum(F.col("lf") * F.col("orf")).alias("est_join_rows"),
+        F.max("lf").alias("max_left_fanout"),
+        F.max("orf").alias("max_right_fanout"),
+        F.max(F.col("lf") * F.col("orf")).alias("max_key_output"),
+        F.sum(
+            F.when((F.col("lf") > 0) & (F.col("orf") == 0), 1).otherwise(0)
+        ).alias("left_orphan_keys"),
+        F.sum(
+            F.when((F.col("orf") > 0) & (F.col("lf") == 0), 1).otherwise(0)
+        ).alias("right_orphan_keys"),
+        F.sum(
+            F.when((F.col("lf") > 1) & (F.col("orf") > 1), 1).otherwise(0)
+        ).alias("many_to_many_keys"),
+    )
