@@ -2999,3 +2999,245 @@ def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("lf") > 1) & (F.col("orf") > 1), 1).otherwise(0)
         ).alias("many_to_many_keys"),
     )
+
+
+# --- Linear-interpolation gap fill -------------------------------------------
+
+
+@query(
+    "q_linear_interp_gapfill",
+    # Known points: purchase-day mean cents (integer). Missing days
+    # interpolate linearly between bracketing knowns in exact integer
+    # milli-cents: v = 1000*prev + (1000*(next-prev)*(d-pd)) div (nd-pd).
+    oracle="""
+    WITH daily AS (
+        SELECT DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   // COUNT(*) AS v
+        FROM events WHERE event_type = 'purchase' AND user_id % 5 = 0
+        GROUP BY 1
+    ),
+    b AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily),
+    spine AS (SELECT UNNEST(GENERATE_SERIES(mn, mx)) AS d FROM b),
+    g AS (
+        SELECT s.d, daily.v,
+               MAX(CASE WHEN daily.v IS NOT NULL THEN s.d END) OVER (
+                   ORDER BY s.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS pd,
+               MIN(CASE WHEN daily.v IS NOT NULL THEN s.d END) OVER (
+                   ORDER BY s.d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS nd
+        FROM spine s LEFT JOIN daily ON s.d = daily.d
+    ),
+    pv AS (
+        SELECT g.d, g.v, g.pd, g.nd,
+               (SELECT v FROM daily WHERE daily.d = g.pd) AS pval,
+               (SELECT v FROM daily WHERE daily.d = g.nd) AS nval
+        FROM g
+    )
+    SELECT d,
+           CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS interpolated,
+           CASE
+               WHEN v IS NOT NULL THEN 1000 * v
+               WHEN pval IS NULL THEN 1000 * nval
+               WHEN nval IS NULL THEN 1000 * pval
+               ELSE 1000 * pval
+                    + (1000 * (nval - pval) * (d - pd)) // (nd - pd)
+           END AS value_milli
+    FROM pv
+    """,
+    tags=("timeseries", "interpolation", "gapfill"),
+)
+def q_linear_interp_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill of a sparse daily series (mean
+    purchase cents of a user cohort): missing days take the straight
+    line between their bracketing known points, edges extend the
+    nearest known — the third fill strategy beside zero-fill
+    (q_timeseries_gapfill) and LOCF (q_asof_tolerance family), and the
+    one dashboards and feature pipelines usually want. Interpolated
+    values are exact integer milli-cents (``div`` by the bracket
+    width), so the fill is engine-identical.
+
+    Scale: two frame-bounded windows over the densified spine find the
+    bracketing knowns (no self-join); the spine is horizon-sized, not
+    event-sized.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("user_id") % 5 == 0))
+        .groupBy(F.datediff(F.to_date("ts"), F.lit(EPOCH)).cast("long").alias("d"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+                " div count(*)"
+            ).alias("v")
+        )
+        .localCheckpoint(eager=False)
+    )
+    bounds = daily.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    spine = bounds.select(F.explode(F.sequence("mn", "mx")).alias("d"))
+    g = spine.join(daily, "d", "left")
+    wb = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
+    # carry the bracketing day AND value in one pass (struct max/min)
+    pd_ = F.max(F.when(F.col("v").isNotNull(), F.struct("d", "v"))).over(wb)
+    nd_ = F.min(F.when(F.col("v").isNotNull(), F.struct("d", "v"))).over(wf)
+    pv = g.select(
+        "d",
+        "v",
+        pd_["d"].alias("pd"),
+        pd_["v"].alias("pval"),
+        nd_["d"].alias("nd"),
+        nd_["v"].alias("nval"),
+    )
+    interp = (
+        F.lit(1000) * F.col("pval")
+        + F.expr("(1000 * (nval - pval) * (d - pd)) div (nd - pd)")
+    )
+    return pv.select(
+        "d",
+        F.when(F.col("v").isNotNull(), 0).otherwise(1).alias("interpolated"),
+        F.when(F.col("v").isNotNull(), 1000 * F.col("v"))
+        .when(F.col("pval").isNull(), 1000 * F.col("nval"))
+        .when(F.col("nval").isNull(), 1000 * F.col("pval"))
+        .otherwise(interp)
+        .alias("value_milli"),
+    )
+
+
+# --- Seasonal anomaly days ---------------------------------------------------
+
+
+@query(
+    "q_seasonal_anomaly_days",
+    # Recomputes q_seasonal_decompose's integer residuals, then flags
+    # days where |residual| exceeds 3x the residual MAD — every
+    # quantity including the MAD is an exact integer, so the flagging
+    # itself is engine-exact (no float threshold).
+    oracle="""
+    WITH daily AS (
+        SELECT DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+               COUNT(*) AS x
+        FROM events GROUP BY 1
+    ),
+    tr AS (
+        SELECT d, x,
+               CAST(SUM(x) OVER (
+                   ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+               ) AS BIGINT) AS s7,
+               COUNT(*) OVER (
+                   ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+               ) AS c7
+        FROM daily
+    ),
+    dt AS (
+        SELECT d, x, 1000 * x - (1000 * s7) // 7 AS detr_milli
+        FROM tr WHERE c7 = 7
+    ),
+    seas AS (
+        SELECT d % 7 AS wd,
+               CAST(SUM(detr_milli) AS BIGINT) // COUNT(*) AS sm
+        FROM dt GROUP BY 1
+    ),
+    resid AS (
+        SELECT dt.d, dt.x, dt.detr_milli - s.sm AS r
+        FROM dt JOIN seas s ON dt.d % 7 = s.wd
+    ),
+    med AS (
+        SELECT r AS m FROM (
+            SELECT r, ROW_NUMBER() OVER (ORDER BY r, d) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM resid
+        ) WHERE rn = (cnt + 1) // 2
+    ),
+    mad AS (
+        SELECT ad AS mad FROM (
+            SELECT ABS(r - m) AS ad,
+                   ROW_NUMBER() OVER (ORDER BY ABS(r - m), d) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM resid, med
+        ) WHERE rn = (cnt + 1) // 2
+    )
+    SELECT resid.d, CAST(resid.x AS BIGINT) AS x, resid.r AS resid_milli,
+           (SELECT m FROM med) AS median_resid_milli,
+           (SELECT mad FROM mad) AS mad_milli
+    FROM resid, med, mad
+    WHERE ABS(resid.r - med.m) > 3 * mad.mad
+    """,
+    tags=("timeseries", "anomaly", "seasonal", "robust"),
+)
+def q_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection: days whose decomposition residual
+    (q_seasonal_decompose's exact integer remainder) deviates from the
+    residual median by more than 3 MADs — trend and weekly cycle are
+    removed FIRST, so a busy Monday isn't an anomaly but a busy Sunday
+    is. Median and MAD are exact integer order statistics, making the
+    flag decision itself engine-exact rather than float-thresholded.
+    The streaming twin is streaming/anomaly.py's Poisson-z scorer.
+
+    Scale: identical to the decomposition (day-keyed after one
+    map-combined pass) plus two order-statistic picks on the ~30-row
+    residual series.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit(EPOCH)).cast("long").alias("d")
+    ).agg(F.count("*").alias("x"))
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d", "x", F.sum("x").over(w7).alias("s7"), F.count("*").over(w7).alias("c7")
+    )
+    dt = (
+        tr.filter(F.col("c7") == 7)
+        .select(
+            "d",
+            "x",
+            (F.lit(1000) * F.col("x") - F.expr("(1000 * s7) div 7")).alias(
+                "detr_milli"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    seas = dt.groupBy((F.col("d") % 7).alias("wd")).agg(
+        F.expr("CAST(sum(detr_milli) AS BIGINT) div count(*)").alias("sm")
+    )
+    resid = (
+        dt.join(F.broadcast(seas), dt["d"] % 7 == seas["wd"])
+        .select("d", "x", (F.col("detr_milli") - F.col("sm")).alias("r"))
+        .localCheckpoint(eager=False)
+    )
+    med = (
+        resid.select(
+            "r",
+            F.row_number().over(Window.orderBy("r", "d")).alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("cnt"),
+        )
+        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select(F.col("r").alias("m"))
+    )
+    mad = (
+        resid.crossJoin(F.broadcast(med))
+        .select(
+            F.abs(F.col("r") - F.col("m")).alias("ad"),
+            "d",
+        )
+        .select(
+            "ad",
+            F.row_number().over(Window.orderBy("ad", "d")).alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("cnt"),
+        )
+        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select(F.col("ad").alias("mad"))
+    )
+    return (
+        resid.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .filter(F.abs(F.col("r") - F.col("m")) > 3 * F.col("mad"))
+        .select(
+            "d",
+            F.col("x").cast("long").alias("x"),
+            F.col("r").alias("resid_milli"),
+            F.col("m").alias("median_resid_milli"),
+            F.col("mad").alias("mad_milli"),
+        )
+    )
