@@ -3241,3 +3241,231 @@ def q_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad").alias("mad_milli"),
         )
     )
+
+
+# --- Rare-category bucketing -------------------------------------------------
+
+RARE_MIN_SHARE_BP = 300  # categories under 3% of rows collapse to OTHER
+
+
+@query(
+    "q_rare_category_other",
+    oracle=f"""
+    WITH c AS (
+        SELECT p_type AS cat, COUNT(*) AS n FROM part GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
+    m AS (
+        SELECT CASE WHEN 10000 * n >= {RARE_MIN_SHARE_BP} * tot
+                    THEN cat ELSE 'OTHER' END AS bucket, n
+        FROM c, t
+    )
+    SELECT bucket,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_source_categories
+    FROM m GROUP BY bucket
+    """,
+    tags=("feature-prep", "categorical", "long-tail"),
+)
+def q_rare_category_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-tail category bucketing: part types below a 3% row share
+    collapse into OTHER — the standard cardinality cap applied before
+    one-hot/target encoding so rare levels don't overfit or blow up
+    the feature width. Thresholding uses exact integer basis points
+    (10000*n >= bp*total), no float shares.
+
+    Scale: two category-keyed aggregates with a broadcast 1-row total;
+    cost is category cardinality. The encoder downstream
+    (q_target_encoding) consumes the bucketed column unchanged.
+    """
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    c = p.groupBy(F.col("p_type").alias("cat")).agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    m = c.crossJoin(F.broadcast(t)).select(
+        F.when(
+            10000 * F.col("n") >= RARE_MIN_SHARE_BP * F.col("tot"), F.col("cat")
+        )
+        .otherwise("OTHER")
+        .alias("bucket"),
+        "n",
+    )
+    return m.groupBy("bucket").agg(
+        F.sum("n").alias("n_rows"),
+        F.count("*").alias("n_source_categories"),
+    )
+
+
+# --- Weight-of-evidence encoding ---------------------------------------------
+
+WOE_BINS = 6
+
+
+@query(
+    "q_woe_encoding",
+    # Target: order was fulfilled (o_orderstatus = 'F'). Bins: NTILE
+    # over (cents, orderkey). WOE = ln(good_share / bad_share), exact
+    # integer counts into one ln, rounded to 6; Laplace +1 smoothing
+    # keeps empty cells finite (and is part of the definition here).
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               o_orderkey,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS good
+        FROM orders
+    ),
+    b AS (
+        SELECT good, NTILE({WOE_BINS}) OVER (ORDER BY cents, o_orderkey) AS bin,
+               cents
+        FROM t
+    ),
+    g AS (
+        SELECT bin,
+               CAST(SUM(good) AS BIGINT) AS goods,
+               CAST(SUM(1 - good) AS BIGINT) AS bads,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MIN(cents) / 100.0, 2) AS lo
+        FROM b GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(goods) AS BIGINT) AS tg, CAST(SUM(bads) AS BIGINT) AS tb
+        FROM g
+    )
+    SELECT bin, n, goods, bads, lo,
+           ROUND(LN(((goods + 1.0) / (tg + {WOE_BINS}))
+                    / ((bads + 1.0) / (tb + {WOE_BINS}))), 6) AS woe
+    FROM g, tot
+    """,
+    tags=("feature-prep", "woe", "encoding", "statistics"),
+)
+def q_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding of order value against fulfillment:
+    equi-depth bins (deterministic NTILE) scored by
+    ln(good_share/bad_share) with Laplace smoothing — the
+    credit-scoring-style monotone encoder that complements the mean
+    encoder (q_target_encoding). Counts are exact integers; the single
+    ln per bin is rounded to 6 (the q_dp_noisy_counts tolerance class).
+
+    Scale: the exact NTILE is the small-N conformance form; at volume
+    the SAME report runs off KLL bin edges (q_kll_quantile_merge) with
+    identical downstream arithmetic.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    t = o.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("good"),
+    )
+    b = t.withColumn(
+        "bin", F.ntile(WOE_BINS).over(Window.orderBy("cents", "o_orderkey"))
+    )
+    g = b.groupBy("bin").agg(
+        F.sum("good").alias("goods"),
+        F.sum(1 - F.col("good")).alias("bads"),
+        F.count("*").alias("n"),
+        F.round(F.min("cents") / 100.0, 2).alias("lo"),
+    )
+    tot = g.agg(F.sum("goods").alias("tg"), F.sum("bads").alias("tb"))
+    woe = F.round(
+        F.log(
+            ((F.col("goods") + 1.0) / (F.col("tg") + WOE_BINS))
+            / ((F.col("bads") + 1.0) / (F.col("tb") + WOE_BINS))
+        ),
+        6,
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select("bin", "n", "goods", "bads", "lo", woe.alias("woe"))
+    )
+
+
+# --- Population stability index ----------------------------------------------
+
+PSI_BINS = 8
+PSI_LO, PSI_HI = 0.0, 60_000_000.0  # cents domain for the fixed-width bins
+
+
+@query(
+    "q_psi_drift",
+    # Fixed-width bins over a pinned domain (the q_histogram_values
+    # band arithmetic) so bin edges are scale- and period-independent;
+    # +1 smoothing keeps empty bins finite. Expected = 1995-1997
+    # orders, actual = 1998+.
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'e' ELSE 'a'
+                   END AS period
+        FROM orders
+    ),
+    b AS (
+        SELECT period,
+               LEAST(CAST(FLOOR((cents - {PSI_LO}) * {PSI_BINS}
+                                / ({PSI_HI} - {PSI_LO})) AS BIGINT),
+                     {PSI_BINS - 1}) AS bin
+        FROM t
+    ),
+    g AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN period = 'e' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ne,
+               CAST(SUM(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na
+        FROM b GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(ne) AS BIGINT) AS te, CAST(SUM(na) AS BIGINT) AS ta
+        FROM g
+    )
+    SELECT bin, ne, na,
+           ROUND(((na + 1.0) / (ta + {PSI_BINS}) - (ne + 1.0) / (te + {PSI_BINS}))
+                 * LN(((na + 1.0) / (ta + {PSI_BINS}))
+                      / ((ne + 1.0) / (te + {PSI_BINS}))), 6) AS psi_term
+    FROM g, tot
+    """,
+    tags=("dq", "drift", "psi", "statistics"),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of order value, expected period
+    (pre-1998) vs actual (1998+): per-bin PSI terms
+    (p_a - p_e) * ln(p_a/p_e) with Laplace smoothing — the model-ops
+    drift gate (rule of thumb: total PSI > 0.2 blocks deployment).
+    Bins are fixed-width over a pinned domain so the SAME edges apply
+    to every scoring period; counts are exact and only the per-bin
+    ln is floating point (rounded to 6). Complements q_dq_ks_drift
+    (exact ECDF distance) with the binned, additive industry metric.
+
+    Scale: one map-combined conditional aggregate per bin + a 1-row
+    broadcast of the totals — volume-independent plan.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    t = o.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.when(F.col("o_orderdate") < "1998-01-01", "e").otherwise("a").alias(
+            "period"
+        ),
+    )
+    b = t.select(
+        "period",
+        F.least(
+            F.floor((F.col("cents") - PSI_LO) * PSI_BINS / (PSI_HI - PSI_LO)).cast(
+                "long"
+            ),
+            F.lit(PSI_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    g = b.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == "e", 1).otherwise(0)).alias("ne"),
+        F.sum(F.when(F.col("period") == "a", 1).otherwise(0)).alias("na"),
+    )
+    tot = g.agg(F.sum("ne").alias("te"), F.sum("na").alias("ta"))
+    pe = (F.col("ne") + 1.0) / (F.col("te") + PSI_BINS)
+    pa = (F.col("na") + 1.0) / (F.col("ta") + PSI_BINS)
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "ne",
+            "na",
+            F.round((pa - pe) * F.log(pa / pe), 6).alias("psi_term"),
+        )
+    )
