@@ -3469,3 +3469,100 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((pa - pe) * F.log(pa / pe), 6).alias("psi_term"),
         )
     )
+
+
+# --- Item-item collaborative filtering ---------------------------------------
+
+CF_MIN_COOC = 2
+CF_TOPK = 5
+
+
+@query(
+    "q_item_cf_similar",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    deg AS (SELECT l_partkey AS p, COUNT(*) AS n FROM items GROUP BY 1),
+    cooc AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS c
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {CF_MIN_COOC}
+    ),
+    bidir AS (
+        SELECT u AS item, v AS partner, c FROM cooc
+        UNION ALL
+        SELECT v, u, c FROM cooc
+    ),
+    scored AS (
+        SELECT b.item, b.partner, b.c,
+               ROUND(b.c / SQRT(di.n * dp.n), 6) AS cosine
+        FROM bidir b JOIN deg di ON di.p = b.item JOIN deg dp ON dp.p = b.partner
+    ),
+    ranked AS (
+        SELECT item, partner, c, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY item ORDER BY cosine DESC, partner) AS rnk
+        FROM scored
+    )
+    SELECT item, CAST(rnk AS BIGINT) AS rnk, partner,
+           CAST(c AS BIGINT) AS cooc, cosine
+    FROM ranked WHERE rnk <= {CF_TOPK}
+    """,
+    tags=("recommender", "item-cf", "similarity", "graph"),
+)
+def q_item_cf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: for each part, the top-{K}
+    co-purchased partners by cosine similarity over order baskets
+    (cooc / sqrt(n_a * n_b), support >= {S}) — the "customers also
+    bought" recommender beside the lift-ranked association rules
+    (q_market_basket_rules ranks rules; this ranks neighbors per item).
+    Counts are exact; the cosine is one rounded division per pair with
+    full tie-breaks, so the neighbor lists are engine-identical.
+
+    Scale: the basket self-join is the q_triangle_count edge builder
+    (support-thresholded, canonically oriented); degree joins broadcast
+    the item-count table; per-item top-k is a partitioned window
+    (WindowGroupLimit). Hub items bound fan-out via the support floor.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
+    deg = items.groupBy(F.col("l_partkey").alias("p")).agg(F.count("*").alias("n"))
+    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    cooc = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= CF_MIN_COOC)
+    )
+    both = cooc.select(F.col("u").alias("item"), F.col("v").alias("partner"), "c").unionAll(
+        cooc.select(F.col("v").alias("item"), F.col("u").alias("partner"), "c")
+    )
+    di = deg.select(F.col("p").alias("item"), F.col("n").alias("ni"))
+    dp = deg.select(F.col("p").alias("partner"), F.col("n").alias("np"))
+    scored = (
+        both.join(F.broadcast(di), "item")
+        .join(F.broadcast(dp), "partner")
+        .select(
+            "item",
+            "partner",
+            "c",
+            F.round(F.col("c") / F.sqrt(F.col("ni") * F.col("np")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("item").orderBy(F.desc("cosine"), "partner")
+        ),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= CF_TOPK)
+        .select("item", F.col("rnk").cast("long"), "partner", F.col("c").alias("cooc"), "cosine")
+    )
+
+
+q_item_cf_similar.__doc__ = q_item_cf_similar.__doc__.format(K=CF_TOPK, S=CF_MIN_COOC)
