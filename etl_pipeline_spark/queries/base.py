@@ -55,10 +55,10 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-4 prefix (session-6 rotation): the 15 queries added/changed in
-# the sixth r4 session lead, then earlier-r4 never-attested queries fill
-# the window to 50 (the remainder spill to the next round's window),
-# then backfill oldest-attestation-first.
+# Round-4 prefix (session-6 final rotation): the 39 queries added in the
+# sixth r4 session lead, then earlier-r4 never-attested queries fill the
+# window to 50 (the remainder spill to the next round's window), then
+# backfill oldest-attestation-first.
 CHECK_PRIORITY: tuple[str, ...] = (
     "q_gaps_islands",  # --- code changed this round: attest first ---
     "q_equidepth_histogram",
@@ -75,6 +75,30 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_clamped_running_balance",
     "q_wordpiece_tokenize",
     "q_udtf_span_days",
+    "q_weighted_median",
+    "q_moments_skew_kurtosis",
+    "q_seasonal_decompose",
+    "q_mmr_rerank",
+    "q_theil_sen_trend",
+    "q_mann_whitney",
+    "q_url_canonical_dedup",
+    "q_snapshot_diff",
+    "q_correlation_matrix",
+    "q_chi_square_contingency",
+    "q_dataset_card",
+    "q_setop_bag_semantics",
+    "q_try_arithmetic_safe",
+    "q_nested_json_assembly",
+    "q_collation_groupby",
+    "q_interval_merge",
+    "q_data_skew_report",
+    "q_join_cardinality_audit",
+    "q_linear_interp_gapfill",
+    "q_seasonal_anomaly_days",
+    "q_rare_category_other",
+    "q_woe_encoding",
+    "q_psi_drift",
+    "q_item_cf_similar",
     "q_knn_pq",  # --- never driver-attested ---
     "q_hard_negatives",
     "q_embedding_centroid_health",
@@ -86,7 +110,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_interval_concurrency",
     "q_interval_window_join",
     "q_zorder_locality",
-    "q_ewma_smoothing",
+    "q_ewma_smoothing",  # ---------------- first-50 window ends above ----------------
     "q_attribution_last_touch",
     "q_triangle_count",
     "q_market_basket_rules",
@@ -110,7 +134,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_ship_latency_percentiles",
     "q_asof_tolerance",
     "q_time_weighted_average",
-    "q_cms_heavy_hitters",  # ---------------- first-50 window ends above ----------------
+    "q_cms_heavy_hitters",
     "q_dedup_chunk_rewrite",
     "q_dedup_repeated_spans",
     "q_dedup_containment",
