@@ -46,6 +46,8 @@ SCALE_QUERIES = [
     # session-5 families: graph wedge join, hashed linear scoring
     "q_triangle_count",
     "q_hashed_linear_score",
+    # session-6: iterative integer PageRank over the co-purchase graph
+    "q_pagerank",
 ]
 
 
