@@ -3566,3 +3566,173 @@ def q_item_cf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_item_cf_similar.__doc__ = q_item_cf_similar.__doc__.format(K=CF_TOPK, S=CF_MIN_COOC)
+
+
+# --- Degree distribution + power-law fit -------------------------------------
+
+
+@query(
+    "q_degree_powerlaw",
+    # Continuous-MLE alpha = 1 + n / sum(ln(d / (dmin - 0.5))) over
+    # degrees >= dmin — exact integer histogram, one ln-sum rounded 6.
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+        SELECT k, COUNT(*) AS d FROM (
+            SELECT u AS k FROM und UNION ALL SELECT v FROM und
+        ) GROUP BY k
+    ),
+    hist AS (SELECT d, COUNT(*) AS n_nodes FROM deg GROUP BY d),
+    fit AS (
+        SELECT COUNT(*) AS n_tail,
+               ROUND(1.0 + COUNT(*) / SUM(LN(d / 1.5)), 6) AS alpha_mle
+        FROM deg WHERE d >= 2
+    )
+    SELECT hist.d AS degree, CAST(hist.n_nodes AS BIGINT) AS n_nodes,
+           (SELECT CAST(n_tail AS BIGINT) FROM fit) AS n_tail,
+           (SELECT alpha_mle FROM fit) AS alpha_mle
+    FROM hist
+    """,
+    tags=("graph", "degree-distribution", "power-law"),
+)
+def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph with the
+    continuous-MLE power-law exponent (Clauset-Shalizi-Newman form,
+    dmin=2) — the hub-structure profile that predicts wedge-join cost
+    (q_triangle_count) and decides degree-capping. The histogram is
+    exact; alpha is one ln-sum rounded to 6, the word-frequency twin of
+    q_text_zipf_fit on the graph side.
+
+    Scale: degree computation is one edge-keyed aggregate; the
+    histogram and fit run on the degree table (node-cardinality-sized).
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        und.select(F.col("u").alias("k"))
+        .unionAll(und.select(F.col("v").alias("k")))
+        .groupBy("k")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count("*").alias("n_nodes")
+    )
+    fit = deg.filter(F.col("d") >= 2).agg(
+        F.count("*").alias("n_tail"),
+        F.round(1.0 + F.count("*") / F.sum(F.log(F.col("d") / 1.5)), 6).alias(
+            "alpha_mle"
+        ),
+    )
+    return hist.crossJoin(F.broadcast(fit)).select(
+        "degree", "n_nodes", F.col("n_tail").cast("long"), "alpha_mle"
+    )
+
+
+# --- Tokenizer fertility -----------------------------------------------------
+
+
+@query(
+    "q_tokenizer_fertility",
+    # Fertility = subword pieces per whitespace word, the tokenizer
+    # quality metric (high fertility = wasted context window). Reuses the
+    # WordPiece recurrence per distinct word, weighted by per-language
+    # corpus counts; 10000x scaled-integer div keeps it exact.
+    oracle="""
+    WITH RECURSIVE words AS (
+        SELECT lang, token AS word, COUNT(*) AS wc FROM (
+            SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+            FROM documents
+        ) WHERE token <> '' GROUP BY lang, token
+    ),
+    uw AS (SELECT DISTINCT word FROM words),
+    vocab(frag, is_cont) AS (VALUES __VOCAB__),
+    step AS (
+        SELECT word, word AS rest, 0 AS pos, 0 AS emitted FROM uw
+        UNION ALL
+        SELECT s.word, SUBSTR(s.rest, LEN(v.frag) + 1, 100000),
+               s.pos + LEN(v.frag), 1
+        FROM step s JOIN vocab v
+          ON v.is_cont = CASE WHEN s.pos = 0 THEN 0 ELSE 1 END
+         AND SUBSTR(s.rest, 1, LEN(v.frag)) = v.frag
+        WHERE s.rest <> ''
+          AND LEN(v.frag) = (
+              SELECT MAX(LEN(v2.frag)) FROM vocab v2
+              WHERE v2.is_cont = CASE WHEN s.pos = 0 THEN 0 ELSE 1 END
+                AND SUBSTR(s.rest, 1, LEN(v2.frag)) = v2.frag)
+    ),
+    wp AS (
+        SELECT word, CAST(SUM(emitted) AS BIGINT) AS n_pieces
+        FROM step GROUP BY word
+    )
+    SELECT w.lang,
+           CAST(SUM(w.wc) AS BIGINT) AS n_words,
+           CAST(SUM(w.wc * p.n_pieces) AS BIGINT) AS n_pieces,
+           (10000 * CAST(SUM(w.wc * p.n_pieces) AS BIGINT))
+               // CAST(SUM(w.wc) AS BIGINT) AS fertility_x10000
+    FROM words w JOIN wp p ON w.word = p.word
+    GROUP BY w.lang
+    """,
+    tags=("text", "tokenizer", "fertility", "X4", "pandas-udf"),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword pieces emitted per
+    whitespace word under the WordPiece vocabulary — THE metric for
+    vocabulary fit (fertility near 1 = efficient context use; high
+    fertility = the vocab fragments that language, a known multilingual
+    fairness issue). The tokenizer runs once per DISTINCT word (pandas
+    UDF) and weights by per-language counts; fertility is a 10000x
+    scaled-integer div, engine-exact.
+
+    Scale: identical to q_wordpiece_tokenize — vocabulary-sized UDF
+    work, corpus weight via one word-keyed aggregate.
+    """
+    from etl_pipeline_spark.operators.wordpiece import wordpiece_udf
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("wc"))
+        .localCheckpoint(eager=False)
+    )
+    uw = words.select("word").distinct()
+    wp = uw.select("word", F.size(wordpiece_udf()("word")).cast("long").alias("n_pieces"))
+    j = words.join(F.broadcast(wp), "word")
+    return j.groupBy("lang").agg(
+        F.sum("wc").alias("n_words"),
+        F.sum(F.col("wc") * F.col("n_pieces")).alias("n_pieces"),
+        F.expr(
+            "(10000 * CAST(sum(wc * n_pieces) AS BIGINT))"
+            " div CAST(sum(wc) AS BIGINT)"
+        ).alias("fertility_x10000"),
+    )
+
+
+# inject the shared vocabulary into the fertility oracle
+def _patch_fertility_oracle() -> None:
+    from etl_pipeline_spark.operators.wordpiece import vocab_values_sql
+    from etl_pipeline_spark.queries.base import REGISTRY
+
+    spec = REGISTRY["q_tokenizer_fertility"]
+    spec.oracle = spec.oracle.replace("__VOCAB__", vocab_values_sql())
+
+
+_patch_fertility_oracle()
