@@ -3736,3 +3736,169 @@ def _patch_fertility_oracle() -> None:
 
 
 _patch_fertility_oracle()
+
+
+# --- A/B sample-size (power analysis) ----------------------------------------
+
+
+@query(
+    "q_sample_size_power",
+    # Two-proportion power analysis at alpha=0.05 (two-sided), power=0.8:
+    # n per arm = (z_a * sqrt(2 p (1-p)) + z_b * sqrt(p1 q1 + p2 q2))^2
+    # / delta^2, computed from the OBSERVED purchase-conversion baseline
+    # and a +10% relative MDE. z constants are shared literals; the
+    # formula is one identical double expression, ceil'd to integer n.
+    oracle="""
+    WITH base AS (
+        SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                        THEN user_id END) AS BIGINT) AS conv,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+        FROM events
+    ),
+    p AS (
+        SELECT conv, users,
+               conv * 1.0 / users AS p1,
+               LEAST(conv * 1.0 / users * 1.1, 0.999999) AS p2
+        FROM base
+    )
+    SELECT conv AS baseline_converters, users AS baseline_users,
+           ROUND(p1, 6) AS p1, ROUND(p2, 6) AS p2,
+           CAST(CEIL(
+               POW(1.959964 * SQRT(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
+                   + 0.841621 * SQRT(p1 * (1 - p1) + p2 * (1 - p2)), 2)
+               / POW(p2 - p1, 2)) AS BIGINT) AS n_per_arm
+    FROM p
+    """,
+    tags=("statistics", "power-analysis", "ab-test"),
+)
+def q_sample_size_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size calculator: users per arm needed to detect a +10%
+    relative lift on the OBSERVED purchase-conversion baseline at
+    alpha=0.05 (two-sided), power=0.80 — the planning step before
+    q_ab_test_proportions reads the result out. The baseline comes from
+    exact distinct-user counts; the closed-form n uses shared z
+    literals and identical double arithmetic, ceil'd to an integer.
+
+    Scale: two distinct-count aggregates; the formula runs on one row.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    base = e.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("conv"),
+        F.countDistinct("user_id").alias("users"),
+    )
+    p1 = F.col("conv") * 1.0 / F.col("users")
+    p2 = F.least(p1 * 1.1, F.lit(0.999999))
+    pbar = (p1 + p2) / 2
+    n = F.ceil(
+        F.pow(
+            F.lit(1.959964) * F.sqrt(2 * pbar * (1 - pbar))
+            + F.lit(0.841621) * F.sqrt(p1 * (1 - p1) + p2 * (1 - p2)),
+            2,
+        )
+        / F.pow(p2 - p1, 2)
+    ).cast("long")
+    return base.select(
+        F.col("conv").alias("baseline_converters"),
+        F.col("users").alias("baseline_users"),
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        n.alias("n_per_arm"),
+    )
+
+
+# --- Price/volume/mix revenue decomposition ----------------------------------
+
+
+@query(
+    "q_revenue_delta_decomposition",
+    # Laspeyres-style decomposition per part brand between the two
+    # order-date periods: volume effect (qty delta at old price), price
+    # effect (price delta at new qty), computed from integer cents and
+    # integer quantities — per-unit prices stay RATIONAL (cents*qty
+    # products), so no division ever happens and the decomposition adds
+    # up EXACTLY: delta = volume_effect + price_effect per group.
+    oracle="""
+    WITH li AS (
+        SELECT p.p_brand AS brand,
+               CASE WHEN l.l_shipdate < TIMESTAMP '1997-01-01'
+                    THEN 'old' ELSE 'new' END AS period,
+               CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT) AS qty,
+               CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    g AS (
+        SELECT brand, period,
+               CAST(SUM(qty) AS BIGINT) AS q,
+               CAST(SUM(cents) AS BIGINT) AS r
+        FROM li GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT brand,
+               CAST(SUM(CASE WHEN period = 'old' THEN q ELSE 0 END) AS BIGINT) AS q0,
+               CAST(SUM(CASE WHEN period = 'old' THEN r ELSE 0 END) AS BIGINT) AS r0,
+               CAST(SUM(CASE WHEN period = 'new' THEN q ELSE 0 END) AS BIGINT) AS q1,
+               CAST(SUM(CASE WHEN period = 'new' THEN r ELSE 0 END) AS BIGINT) AS r1
+        FROM g GROUP BY brand
+    )
+    SELECT brand, q0, q1, r0 AS rev0_cents, r1 AS rev1_cents,
+           r1 - r0 AS delta_cents,
+           -- volume effect at old avg price, kept rational via q0-scaling:
+           -- ve = (q1 - q0) * (r0/q0); scaled by q0: ve_x_q0 = (q1-q0)*r0
+           CASE WHEN q0 > 0 THEN (q1 - q0) * r0 ELSE NULL END AS volume_effect_x_q0,
+           -- price effect at new volume: pe = q1 * (r1/q1 - r0/q0);
+           -- scaled by q0*q1... keep q0-scale: pe_x_q0 = q0*r1 - q1*r0
+           CASE WHEN q0 > 0 THEN q0 * r1 - q1 * r0 ELSE NULL END
+               AS price_effect_x_q0
+    FROM w
+    """,
+    tags=("analytics", "decomposition", "business"),
+)
+def q_revenue_delta_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume revenue-delta decomposition per part brand across
+    two shipping periods — the 'why did revenue move' report. Effects
+    are carried SCALED BY q0 (volume effect = (q1-q0)*r0, price effect
+    = q0*r1 - q1*r0), so everything stays an exact integer and the
+    identity q0*delta = volume + price holds EXACTLY per group — no
+    rounded per-unit prices that leave an unexplained residual.
+
+    Scale: one join to the part dimension (broadcastable), one
+    (brand, period) aggregate, one brand pivot — all map-combined.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.when(F.col("l_shipdate") < "1997-01-01", "old")
+            .otherwise("new")
+            .alias("period"),
+            F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    g = li.groupBy("brand", "period").agg(
+        F.sum("qty").alias("q"), F.sum("cents").alias("r")
+    )
+    w = g.groupBy("brand").agg(
+        F.sum(F.when(F.col("period") == "old", F.col("q")).otherwise(0)).alias("q0"),
+        F.sum(F.when(F.col("period") == "old", F.col("r")).otherwise(0)).alias("r0"),
+        F.sum(F.when(F.col("period") == "new", F.col("q")).otherwise(0)).alias("q1"),
+        F.sum(F.when(F.col("period") == "new", F.col("r")).otherwise(0)).alias("r1"),
+    )
+    return w.select(
+        "brand",
+        "q0",
+        "q1",
+        F.col("r0").alias("rev0_cents"),
+        F.col("r1").alias("rev1_cents"),
+        (F.col("r1") - F.col("r0")).alias("delta_cents"),
+        F.when(F.col("q0") > 0, (F.col("q1") - F.col("q0")) * F.col("r0")).alias(
+            "volume_effect_x_q0"
+        ),
+        F.when(
+            F.col("q0") > 0, F.col("q0") * F.col("r1") - F.col("q1") * F.col("r0")
+        ).alias("price_effect_x_q0"),
+    )
