@@ -3902,3 +3902,133 @@ def q_revenue_delta_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("q0") > 0, F.col("q0") * F.col("r1") - F.col("q1") * F.col("r0")
         ).alias("price_effect_x_q0"),
     )
+
+
+# --- FIFO allocation (returns matched against shipments) ---------------------
+
+
+@query(
+    "q_fifo_allocation",
+    # Classic FIFO matching via cumulative-interval overlap: supply i
+    # covers [S_{i-1}, S_i) of cumulative units, demand j covers
+    # [D_{j-1}, D_j); the allocation of j to i is the overlap length.
+    # FIFO order is (shipdate, orderkey, linenumber) — fully tied. All
+    # integers, and the overlap staircase yields O(n+m) matches per key.
+    oracle="""
+    WITH base AS (
+        SELECT l_partkey AS pk, l_returnflag = 'R' AS is_demand,
+               CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+               l_shipdate, l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    s AS (
+        SELECT pk, qty,
+               COALESCE(SUM(qty) OVER (
+                   PARTITION BY pk ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+               SUM(qty) OVER (
+                   PARTITION BY pk ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ) AS hi
+        FROM base WHERE NOT is_demand
+    ),
+    d AS (
+        SELECT pk, qty,
+               COALESCE(SUM(qty) OVER (
+                   PARTITION BY pk ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+               SUM(qty) OVER (
+                   PARTITION BY pk ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ) AS hi
+        FROM base WHERE is_demand
+    ),
+    alloc AS (
+        SELECT s.pk,
+               LEAST(s.hi, d.hi) - GREATEST(s.lo, d.lo) AS units
+        FROM s JOIN d ON s.pk = d.pk AND s.lo < d.hi AND d.lo < s.hi
+    ),
+    dem AS (SELECT pk, CAST(SUM(qty) AS BIGINT) AS demand_units FROM d GROUP BY pk),
+    sup AS (SELECT pk, CAST(SUM(qty) AS BIGINT) AS supply_units FROM s GROUP BY pk)
+    SELECT a.pk AS partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_allocations,
+           CAST(SUM(a.units) AS BIGINT) AS matched_units,
+           CAST(MIN(dem.demand_units) AS BIGINT) AS demand_units,
+           CAST(MIN(dem.demand_units) - SUM(a.units) AS BIGINT)
+               AS unmatched_units,
+           CAST(MIN(sup.supply_units) AS BIGINT) AS supply_units
+    FROM alloc a
+    JOIN dem ON dem.pk = a.pk
+    JOIN sup ON sup.pk = a.pk
+    GROUP BY a.pk
+    """,
+    tags=("window", "fifo", "allocation", "business"),
+)
+def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO allocation: per part, returned quantities ('R' lines) are
+    matched against shipped quantities in strict first-in-first-out
+    order — the cost-basis / lot-matching shape (inventory COGS, tax
+    lots, warranty attribution). The sequential 'consume the oldest
+    remaining lot' loop becomes a JOIN: cumulative-unit intervals per
+    side overlap exactly where FIFO allocates, so the match list is the
+    staircase of interval intersections — O(n+m) pairs per key, no
+    iteration, all integers.
+
+    Scale: two windows sharing one (part, shipdate) sort, then an
+    equi-join on the part key with an overlap filter — the same binned
+    pattern as q_interval_window_join if per-key line counts ever grow
+    unbounded.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    base = li.select(
+        F.col("l_partkey").alias("pk"),
+        (F.col("l_returnflag") == "R").alias("is_demand"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wo = Window.partitionBy("pk").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    wprev = wo.rowsBetween(Window.unboundedPreceding, -1)
+
+    def spans(df):
+        return df.select(
+            "pk",
+            "qty",
+            F.coalesce(F.sum("qty").over(wprev), F.lit(0)).alias("lo"),
+            F.sum("qty").over(wo).alias("hi"),
+        )
+
+    s = spans(base.filter(~F.col("is_demand"))).localCheckpoint(eager=False)
+    d = spans(base.filter(F.col("is_demand"))).localCheckpoint(eager=False)
+    ss = s.select(F.col("pk"), F.col("lo").alias("slo"), F.col("hi").alias("shi"))
+    dd = d.select(F.col("pk"), F.col("lo").alias("dlo"), F.col("hi").alias("dhi"))
+    alloc = (
+        ss.join(dd, "pk")
+        .filter((F.col("slo") < F.col("dhi")) & (F.col("dlo") < F.col("shi")))
+        .select(
+            "pk",
+            (
+                F.least("shi", "dhi") - F.greatest("slo", "dlo")
+            ).alias("units"),
+        )
+    )
+    dem = d.groupBy("pk").agg(F.sum("qty").alias("demand_units"))
+    sup = s.groupBy("pk").agg(F.sum("qty").alias("supply_units"))
+    return (
+        alloc.groupBy(F.col("pk").alias("partkey"))
+        .agg(
+            F.count("*").alias("n_allocations"),
+            F.sum("units").alias("matched_units"),
+        )
+        .join(dem.withColumnRenamed("pk", "partkey"), "partkey")
+        .join(sup.withColumnRenamed("pk", "partkey"), "partkey")
+        .select(
+            "partkey",
+            "n_allocations",
+            "matched_units",
+            "demand_units",
+            (F.col("demand_units") - F.col("matched_units")).alias(
+                "unmatched_units"
+            ),
+            "supply_units",
+        )
+    )
