@@ -177,3 +177,43 @@ def test_survival_monotone_nonincreasing(spark):
     # risk sets shrink by exactly the events+censored leaving at each t
     for a, b in zip(rows, rows[1:]):
         assert b.n_risk == a.n_risk - a.n_events - a.n_censored
+
+
+def test_fifo_allocation_conserves_units(spark):
+    rows = contract.queries()["q_fifo_allocation"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.matched_units + r.unmatched_units == r.demand_units
+        assert 0 <= r.matched_units <= r.supply_units
+        assert r.unmatched_units >= 0
+
+
+def test_revenue_decomposition_identity(spark):
+    """q0 * delta == volume_effect_x_q0 + price_effect_x_q0 EXACTLY —
+    the integer scaling leaves no unexplained residual."""
+    rows = contract.queries()["q_revenue_delta_decomposition"](spark, SF).collect()
+    checked = 0
+    for r in rows:
+        if r.volume_effect_x_q0 is None:
+            continue
+        assert r.q0 * r.delta_cents == r.volume_effect_x_q0 + r.price_effect_x_q0
+        checked += 1
+    assert checked > 0
+
+
+def test_interval_merge_bounds(spark):
+    from etl_pipeline_spark.catalog import load_tables
+    e = load_tables(spark, SF, ("events",))["events"]
+    n_events = e.groupBy("user_id").count().collect()
+    by_user = {r.user_id: r["count"] for r in n_events}
+    rows = contract.queries()["q_interval_merge"](spark, SF).collect()
+    for r in rows:
+        assert 1 <= r.n_merged_spans <= by_user[r.user_id]
+        # each span covers at least one interval's length
+        assert r.covered_ms >= 600_000
+        assert r.longest_span_ms <= r.covered_ms
+
+
+def test_psi_terms_are_nonnegative(spark):
+    rows = contract.queries()["q_psi_drift"](spark, SF).collect()
+    assert all(r.psi_term >= 0 for r in rows)  # (p-q)ln(p/q) >= 0 always
