@@ -4032,3 +4032,146 @@ def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supply_units",
         )
     )
+
+
+# --- Exact Shapley-value attribution -----------------------------------------
+
+
+def _shapley_oracle() -> str:
+    # v(S) = converters whose pre-purchase touch set is a subset of S;
+    # m0..m7 are converter counts per exact touch mask (bit0=view,
+    # bit1=click, bit2=signup). With 3 players the Shapley weights are
+    # {2,1,1,2}/6 by coalition size — carried x6 as exact integers.
+    vs = {
+        S: " + ".join(f"m{m}" for m in range(8) if (m & ~S) == 0)
+        for S in range(8)
+    }
+    def phi(i: int) -> str:
+        bit = 1 << i
+        terms = []
+        for S in range(8):
+            if S & bit:
+                continue
+            size = bin(S).count("1")
+            w6 = {0: 2, 1: 1, 2: 2}[size]
+            terms.append(f"{w6} * (({vs[S | bit]}) - ({vs[S]}))")
+        return " + ".join(terms)
+    return f"""
+    WITH fp AS (
+        SELECT user_id, MIN(ts) AS first_purchase
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    masks AS (
+        SELECT fp.user_id,
+               CAST(SUM(DISTINCT CASE e.event_type
+                    WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                    WHEN 'signup' THEN 4 ELSE 0 END) AS BIGINT) AS mask
+        FROM fp LEFT JOIN events e
+          ON e.user_id = fp.user_id AND e.ts < fp.first_purchase
+         AND e.event_type IN ('view', 'click', 'signup')
+        GROUP BY fp.user_id
+    ),
+    mc AS (
+        SELECT {", ".join(
+            f"CAST(SUM(CASE WHEN mask = {m} THEN 1 ELSE 0 END) AS BIGINT) AS m{m}"
+            for m in range(8))}
+        FROM masks
+    )
+    SELECT channel, phi_x6, v_full, v_empty FROM (
+        SELECT 'view' AS channel, CAST({phi(0)} AS BIGINT) AS phi_x6,
+               CAST(({vs[7]}) AS BIGINT) AS v_full,
+               CAST(({vs[0]}) AS BIGINT) AS v_empty FROM mc
+        UNION ALL
+        SELECT 'click', CAST({phi(1)} AS BIGINT),
+               CAST(({vs[7]}) AS BIGINT), CAST(({vs[0]}) AS BIGINT) FROM mc
+        UNION ALL
+        SELECT 'signup', CAST({phi(2)} AS BIGINT),
+               CAST(({vs[7]}) AS BIGINT), CAST(({vs[0]}) AS BIGINT) FROM mc
+    )
+    """
+
+
+@query(
+    "q_shapley_attribution",
+    oracle=_shapley_oracle(),
+    tags=("attribution", "shapley", "game-theory", "behavioral"),
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over the three pre-purchase touch
+    channels (view / click / signup): each channel's credit is its
+    average marginal contribution across all 3! coalition orders — the
+    game-theoretically fair split that last-touch
+    (q_attribution_last_touch) and linear multi-touch
+    (q_attribution_multi_touch) approximate. Coalition value v(S) =
+    converters whose touch set is inside S; with 3 players the 8
+    coalition values come from one mask-count pivot and the Shapley
+    weights {{2,1,1,2}}/6 are carried x6, so every credit is an exact
+    integer (sum of credits = v(full) - v(empty), checkable).
+
+    Scale: one pass computes each converter's touch mask (join bounded
+    by converters x their events), one 8-cell aggregate, then constant
+    arithmetic — channel count is the only exponential factor, and
+    marketing stacks keep it small; for many channels the standard
+    sampling estimator replaces the exact enumeration.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    touches = e.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select(
+        F.col("user_id").alias("tu"),
+        "ts",
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .otherwise(4)
+        .alias("bit"),
+    )
+    masks = (
+        fp.join(
+            touches,
+            (fp["user_id"] == touches["tu"])
+            & (touches["ts"] < fp["first_purchase"]),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(F.coalesce(F.sum_distinct("bit"), F.lit(0)).alias("mask"))
+    )
+    mc = masks.agg(
+        *[
+            F.sum(F.when(F.col("mask") == m, 1).otherwise(0)).alias(f"m{m}")
+            for m in range(8)
+        ]
+    ).localCheckpoint(eager=False)
+
+    def v(S: int):
+        cols = [F.col(f"m{m}") for m in range(8) if (m & ~S) == 0]
+        out = cols[0]
+        for c in cols[1:]:
+            out = out + c
+        return out
+
+    def phi(i: int):
+        bit = 1 << i
+        out = F.lit(0).cast("long")
+        for S in range(8):
+            if S & bit:
+                continue
+            w6 = {0: 2, 1: 1, 2: 2}[bin(S).count("1")]
+            out = out + w6 * (v(S | bit) - v(S))
+        return out
+
+    parts = []
+    for i, name in enumerate(("view", "click", "signup")):
+        parts.append(
+            mc.select(
+                F.lit(name).alias("channel"),
+                phi(i).cast("long").alias("phi_x6"),
+                v(7).cast("long").alias("v_full"),
+                v(0).cast("long").alias("v_empty"),
+            )
+        )
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
