@@ -55,10 +55,10 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-4 prefix (session-6 final rotation): the 39 queries added in the
-# sixth r4 session lead, then earlier-r4 never-attested queries fill the
-# window to 50 (the remainder spill to the next round's window), then
-# backfill oldest-attestation-first.
+# Round-4 prefix (session-6 closing rotation): the 46 queries added in
+# the sixth r4 session lead (the remainder spill to the next round's
+# window), then earlier never-attested queries, then backfill
+# oldest-attestation-first.
 CHECK_PRIORITY: tuple[str, ...] = (
     "q_gaps_islands",  # --- code changed this round: attest first ---
     "q_equidepth_histogram",
@@ -99,18 +99,25 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_woe_encoding",
     "q_psi_drift",
     "q_item_cf_similar",
+    "q_degree_powerlaw",
+    "q_tokenizer_fertility",
+    "q_sample_size_power",
+    "q_revenue_delta_decomposition",
+    "q_fifo_allocation",
+    "q_shapley_attribution",
+    "q_cliffs_delta",
     "q_knn_pq",  # --- never driver-attested ---
     "q_hard_negatives",
     "q_embedding_centroid_health",
     "q_rfm_segments",
-    "q_lateral_top_orders",
+    "q_lateral_top_orders",  # ---------------- first-50 window ends above ----------------
     "q_recursive_month_spine",
     "q_event_transitions",
     "q_markov_stationary",
     "q_interval_concurrency",
     "q_interval_window_join",
     "q_zorder_locality",
-    "q_ewma_smoothing",  # ---------------- first-50 window ends above ----------------
+    "q_ewma_smoothing",
     "q_attribution_last_touch",
     "q_triangle_count",
     "q_market_basket_rules",
