@@ -1412,7 +1412,7 @@ def q_udtf_span_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="user_id long, day long")
+    @udtf(returnType="user_id long, day long", useArrow=True)
     class SpanDays:
         def eval(self, user_id: int, fd: int, ld: int):
             for day in range(fd, ld + 1):
