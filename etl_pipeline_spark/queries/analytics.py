@@ -4273,3 +4273,83 @@ def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("large")
         .alias("magnitude"),
     )
+
+
+# --- One-way ANOVA -----------------------------------------------------------
+
+
+@query(
+    "q_anova_weekday",
+    # Sums/squared-sums per weekday are exact BIGINTs (daily counts);
+    # SSB/SSW assemble from them in identical double expressions,
+    # rounded to 6 — the ANOVA F completing the test family (t, z,
+    # chi-square, KS, Mann-Whitney).
+    oracle="""
+    WITH daily AS (
+        SELECT DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+               COUNT(*) AS x
+        FROM events GROUP BY 1
+    ),
+    g AS (
+        SELECT d % 7 AS wd,
+               COUNT(*) AS ng,
+               CAST(SUM(x) AS BIGINT) AS sg,
+               CAST(SUM(x * x) AS BIGINT) AS qg
+        FROM daily GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS BIGINT) AS s,
+               CAST(SUM(qg) AS BIGINT) AS q, COUNT(*) AS k,
+               SUM(sg * sg * 1.0 / ng) AS sum_sg2_over_ng
+        FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           n AS n_days,
+           ROUND(sum_sg2_over_ng - s * s * 1.0 / n, 4) AS ss_between,
+           ROUND(q - sum_sg2_over_ng, 4) AS ss_within,
+           ROUND(((sum_sg2_over_ng - s * s * 1.0 / n) / (k - 1))
+                 / ((q - sum_sg2_over_ng) / (n - k)), 6) AS f_stat
+    FROM t
+    """,
+    tags=("statistics", "anova", "seasonal"),
+)
+def q_anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of daily event volume across weekday groups — the
+    'does day-of-week matter at all' gate before fitting the seasonal
+    profile (q_seasonal_hour_profile / q_seasonal_decompose). Group
+    sums and squared sums are exact integers; between/within sums of
+    squares and the F statistic are identical double expressions over
+    them, rounded (the q_moments idiom).
+
+    Scale: one map-combined aggregate to the day grid, one 7-group
+    fold — volume-independent.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit(EPOCH)).cast("long").alias("d")
+    ).agg(F.count("*").alias("x"))
+    g = daily.groupBy((F.col("d") % 7).alias("wd")).agg(
+        F.count("*").alias("ng"),
+        F.sum("x").alias("sg"),
+        F.sum(F.col("x") * F.col("x")).alias("qg"),
+    )
+    t = g.agg(
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+        F.count("*").alias("k"),
+        F.sum(F.col("sg") * F.col("sg") * 1.0 / F.col("ng")).alias(
+            "sum_sg2_over_ng"
+        ),
+    )
+    ssb = F.col("sum_sg2_over_ng") - F.col("s") * F.col("s") * 1.0 / F.col("n")
+    ssw = F.col("q") - F.col("sum_sg2_over_ng")
+    return t.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6).alias(
+            "f_stat"
+        ),
+    )
