@@ -106,6 +106,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_fifo_allocation",
     "q_shapley_attribution",
     "q_cliffs_delta",
+    "q_anova_weekday",
     "q_knn_pq",  # --- never driver-attested ---
     "q_hard_negatives",
     "q_embedding_centroid_health",
