@@ -4353,3 +4353,287 @@ def q_anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f_stat"
         ),
     )
+
+
+# --- Spatial radius join -----------------------------------------------------
+
+GEO_SPAN = 1_000_000  # synthetic planar world: coordinates in [0, 1e6)
+GEO_R = 100_000  # neighborhood radius
+
+
+def _geo_hex32(arg: str) -> str:
+    return "(" + " + ".join(
+        f"(INSTR('0123456789abcdef', SUBSTR(MD5({arg}), {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (8 - 1 - i)} AS BIGINT)"
+        for i in range(8)
+    ) + ")"
+
+
+@query(
+    "q_spatial_radius_join",
+    # Deterministic planar coordinates from md5 (the engine-portable
+    # coordinate synthesis); the join is the DBSCAN grid trick applied
+    # across TWO point sets: R-sized cells, 3x3 probe, exact integer
+    # distance filter. Geographic deployments swap the synthesis for
+    # projected coordinates; the plan is identical.
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey AS ck,
+               {_geo_hex32("CAST(c_custkey AS VARCHAR) || '#gx'")} % {GEO_SPAN} AS x,
+               {_geo_hex32("CAST(c_custkey AS VARCHAR) || '#gy'")} % {GEO_SPAN} AS y
+        FROM customer
+    ),
+    s AS (
+        SELECT s_suppkey AS sk,
+               {_geo_hex32("CAST(s_suppkey AS VARCHAR) || '#sx'")} % {GEO_SPAN} AS x,
+               {_geo_hex32("CAST(s_suppkey AS VARCHAR) || '#sy'")} % {GEO_SPAN} AS y
+        FROM supplier
+    ),
+    probes AS (
+        SELECT c.ck, c.x, c.y,
+               c.x // {GEO_R} + dx.d AS cx, c.y // {GEO_R} + dy.d AS cy
+        FROM c,
+             (SELECT UNNEST(GENERATE_SERIES(-1, 1)) AS d) dx,
+             (SELECT UNNEST(GENERATE_SERIES(-1, 1)) AS d) dy
+    ),
+    nbrs AS (
+        SELECT p.ck, s.sk,
+               (p.x - s.x) * (p.x - s.x) + (p.y - s.y) * (p.y - s.y) AS d2
+        FROM probes p JOIN s
+          ON p.cx = s.x // {GEO_R} AND p.cy = s.y // {GEO_R}
+        WHERE (p.x - s.x) * (p.x - s.x) + (p.y - s.y) * (p.y - s.y)
+              <= {GEO_R * GEO_R}
+    )
+    SELECT ck AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers_within,
+           CAST(MIN(d2) AS BIGINT) AS nearest_d2,
+           CAST(MIN(CASE WHEN d2 = md2 THEN sk END) AS BIGINT) AS nearest_supp
+    FROM (SELECT ck, sk, d2, MIN(d2) OVER (PARTITION BY ck) AS md2 FROM nbrs)
+    GROUP BY ck
+    """,
+    tags=("spatial", "radius-join", "custom-op", "join"),
+)
+def q_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join: customers matched to all suppliers within
+    radius R on a synthetic planar grid (deterministic md5 coordinates)
+    — the store-catchment / nearest-facility shape. Grid blocking makes
+    it exact AND linear: R-sized cells, each customer probes its 3x3
+    cell neighborhood (an equi-join on the cell key), and the integer
+    distance filter runs only on candidates — the two-table version of
+    q_dbscan_classify's neighbor search, which is exactly how
+    geospatial engines (and GeoSpark/Sedona) execute distance joins.
+
+    Scale: constant 9x probe expansion + ONE cell-keyed equi-join; cell
+    occupancy bounds the candidate volume, and R is the knob. Output
+    aggregates per customer (count, nearest with tie-break), all
+    integers.
+    """
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    hx = lambda col, tag: (  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat(col.cast("string"), F.lit(tag))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % GEO_SPAN
+    )
+    c = t["customer"].select(
+        F.col("c_custkey").alias("ck"),
+        hx(F.col("c_custkey"), "#gx").alias("x"),
+        hx(F.col("c_custkey"), "#gy").alias("y"),
+    )
+    s = t["supplier"].select(
+        F.col("s_suppkey").alias("sk"),
+        hx(F.col("s_suppkey"), "#sx").alias("sx"),
+        hx(F.col("s_suppkey"), "#sy").alias("sy"),
+        (hx(F.col("s_suppkey"), "#sx") / GEO_R).cast("long").alias("cx"),
+        (hx(F.col("s_suppkey"), "#sy") / GEO_R).cast("long").alias("cy"),
+    )
+    off = spark.range(-1, 2).select(F.col("id").alias("d"))
+    probes = (
+        c.crossJoin(F.broadcast(off.select(F.col("d").alias("dx"))))
+        .crossJoin(F.broadcast(off.select(F.col("d").alias("dy"))))
+        .select(
+            "ck",
+            "x",
+            "y",
+            (F.expr(f"x div {GEO_R}") + F.col("dx")).alias("cx"),
+            (F.expr(f"y div {GEO_R}") + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")) + (
+        F.col("y") - F.col("sy")
+    ) * (F.col("y") - F.col("sy"))
+    nbrs = (
+        probes.join(s, ["cx", "cy"])
+        .filter(d2 <= GEO_R * GEO_R)
+        .select("ck", "sk", d2.alias("d2"))
+    )
+    m = nbrs.withColumn("md2", F.min("d2").over(Window.partitionBy("ck")))
+    return m.groupBy(F.col("ck").alias("custkey")).agg(
+        F.count("*").alias("n_suppliers_within"),
+        F.min("d2").alias("nearest_d2"),
+        F.min(F.when(F.col("d2") == F.col("md2"), F.col("sk"))).alias(
+            "nearest_supp"
+        ),
+    )
+
+
+# --- Fellegi-Sunter entity resolution ----------------------------------------
+
+# Agreement weights (log-odds scaled x1000). The synthesis corrupts the
+# dirty copy deterministically: name rotated for key%3==0, segment
+# wiped for key%5==0, balance band shifted for key%7==0 — so m-rates
+# are known (2/3, 4/5, 6/7) and the weights below are their rounded
+# log2(m/u) with u from the field's match-by-chance rate.
+ER_W = {
+    "name": (9000, -1500),
+    "seg": (2000, -1200),
+    "band": (2500, -1300),
+}
+ER_MATCH, ER_POSSIBLE = 8000, 2000
+
+
+@query(
+    "q_entity_resolution_fs",
+    oracle=f"""
+    WITH clean AS (
+        SELECT c_custkey AS k, c_name AS name, c_nationkey AS nat,
+               c_mktsegment AS seg,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band
+        FROM customer
+    ),
+    dirty AS (
+        SELECT k + 10000000 AS dk, k AS truth,
+               CASE WHEN k % 3 = 0
+                    THEN SUBSTR(name, 2, 100) || SUBSTR(name, 1, 1)
+                    ELSE name END AS name,
+               nat,
+               CASE WHEN k % 5 = 0 THEN 'CORRUPTED' ELSE seg END AS seg,
+               CASE WHEN k % 7 = 0 THEN band + 1 ELSE band END AS band
+        FROM clean
+    ),
+    cand AS (
+        SELECT c.k, d.dk, d.truth, c.name = d.name AS name_eq,
+               c.seg = d.seg AS seg_eq, c.band = d.band AS band_eq
+        FROM clean c JOIN dirty d ON c.nat = d.nat AND c.band = d.band
+        UNION
+        SELECT c.k, d.dk, d.truth, c.name = d.name,
+               c.seg = d.seg, c.band = d.band
+        FROM clean c JOIN dirty d ON c.nat = d.nat AND c.seg = d.seg
+    ),
+    scored AS (
+        SELECT k, dk, truth,
+               (CASE WHEN name_eq THEN {ER_W["name"][0]} ELSE {ER_W["name"][1]} END
+                + CASE WHEN seg_eq THEN {ER_W["seg"][0]} ELSE {ER_W["seg"][1]} END
+                + CASE WHEN band_eq THEN {ER_W["band"][0]} ELSE {ER_W["band"][1]} END)
+                   AS score
+        FROM cand
+    ),
+    labeled AS (
+        SELECT CASE WHEN score >= {ER_MATCH} THEN 'match'
+                    WHEN score >= {ER_POSSIBLE} THEN 'possible'
+                    ELSE 'non-match' END AS verdict,
+               CASE WHEN k = truth THEN 1 ELSE 0 END AS is_true
+        FROM scored
+    ),
+    n AS (SELECT COUNT(*) AS n_true FROM clean)
+    SELECT verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(is_true) AS BIGINT) AS n_true_pairs,
+           (10000 * CAST(SUM(is_true) AS BIGINT)) // COUNT(*) AS precision_bp,
+           (10000 * CAST(SUM(is_true) AS BIGINT))
+               // (SELECT n_true FROM n) AS recall_bp
+    FROM labeled GROUP BY verdict
+    """,
+    tags=("entity-resolution", "fellegi-sunter", "dedup", "X2"),
+)
+def q_entity_resolution_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage on a LABELED
+    benchmark: a deterministically-corrupted copy of every customer
+    (rotated name for 1/3, wiped segment for 1/5, shifted balance band
+    for 1/7) is re-linked to the clean table via MULTI-PASS blocking
+    (nation+band UNION nation+segment — a record survives unless both
+    pass keys are corrupted), field-agreement scoring with log-odds
+    weights, and match/possible/non-match banding. Because truth is
+    known by construction, the output IS the precision/recall report
+    per verdict band — the ER evaluation loop in one query, exact
+    integers throughout.
+
+    Scale: each blocking pass is an equi-join on its composite key
+    (block sizes bound the candidate volume — the knob); scoring is a
+    narrow expression; the union dedups on the pair key. This is the
+    standard production ER shape (multi-pass blocked candidates ->
+    vectorized compare -> score bands), with SNM (q_snm_recall_report)
+    as the sorted-blocking alternative.
+    """
+    c0 = load_tables(spark, sf_dir, ("customer",))["customer"]
+    clean = c0.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
+    ).localCheckpoint(eager=False)
+    dirty = clean.select(
+        (F.col("k") + 10_000_000).alias("dk"),
+        F.col("k").alias("truth"),
+        F.when(
+            F.col("k") % 3 == 0,
+            F.concat(F.expr("SUBSTR(name, 2, 100)"), F.expr("SUBSTR(name, 1, 1)")),
+        )
+        .otherwise(F.col("name"))
+        .alias("dname"),
+        F.col("nat").alias("dnat"),
+        F.when(F.col("k") % 5 == 0, "CORRUPTED").otherwise(F.col("seg")).alias(
+            "dseg"
+        ),
+        F.when(F.col("k") % 7 == 0, F.col("band") + 1)
+        .otherwise(F.col("band"))
+        .alias("dband"),
+    )
+
+    def block(cond):
+        return clean.join(dirty, cond).select(
+            "k",
+            "dk",
+            "truth",
+            (F.col("name") == F.col("dname")).alias("name_eq"),
+            (F.col("seg") == F.col("dseg")).alias("seg_eq"),
+            (F.col("band") == F.col("dband")).alias("band_eq"),
+        )
+
+    cand = block(
+        (F.col("nat") == F.col("dnat")) & (F.col("band") == F.col("dband"))
+    ).union(
+        block((F.col("nat") == F.col("dnat")) & (F.col("seg") == F.col("dseg")))
+    ).distinct()
+    score = (
+        F.when(F.col("name_eq"), ER_W["name"][0]).otherwise(ER_W["name"][1])
+        + F.when(F.col("seg_eq"), ER_W["seg"][0]).otherwise(ER_W["seg"][1])
+        + F.when(F.col("band_eq"), ER_W["band"][0]).otherwise(ER_W["band"][1])
+    )
+    labeled = cand.select(
+        F.when(score >= ER_MATCH, "match")
+        .when(score >= ER_POSSIBLE, "possible")
+        .otherwise("non-match")
+        .alias("verdict"),
+        F.when(F.col("k") == F.col("truth"), 1).otherwise(0).alias("is_true"),
+    )
+    n = clean.agg(F.count("*").alias("n_true"))
+    return (
+        labeled.groupBy("verdict")
+        .agg(F.count("*").alias("n_pairs"), F.sum("is_true").alias("n_true_pairs"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "verdict",
+            "n_pairs",
+            "n_true_pairs",
+            F.expr("(10000 * CAST(n_true_pairs AS BIGINT)) div n_pairs").alias(
+                "precision_bp"
+            ),
+            F.expr("(10000 * CAST(n_true_pairs AS BIGINT)) div n_true").alias(
+                "recall_bp"
+            ),
+        )
+    )

@@ -107,6 +107,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_shapley_attribution",
     "q_cliffs_delta",
     "q_anova_weekday",
+    "q_spatial_radius_join",
+    "q_entity_resolution_fs",
     "q_knn_pq",  # --- never driver-attested ---
     "q_hard_negatives",
     "q_embedding_centroid_health",
