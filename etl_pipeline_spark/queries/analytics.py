@@ -4637,3 +4637,108 @@ def q_entity_resolution_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Bill-of-materials explosion ---------------------------------------------
+
+BOM_MAX_DEPTH = 3
+BOM_ROOT_MOD = 97  # parts with key % 97 == 0 are the exploded assemblies
+
+
+@query(
+    "q_bom_explosion",
+    # Synthetic acyclic BOM: every part p >= 10 is assembled from
+    # components p//7 (qty p%5+1) and p//11 (qty p%3+1) — components
+    # always have smaller keys, so the graph is a DAG by construction.
+    # Path quantities multiply; multiple paths to the same component
+    # accumulate. The oracle walks the identical recurrence with a
+    # depth counter.
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+        SELECT p_partkey AS asm, p_partkey // 7 AS comp,
+               CAST(p_partkey % 5 + 1 AS BIGINT) AS qty
+        FROM part WHERE p_partkey >= 10
+        UNION ALL
+        SELECT p_partkey, p_partkey // 11, CAST(p_partkey % 3 + 1 AS BIGINT)
+        FROM part WHERE p_partkey >= 10
+    ),
+    walk AS (
+        SELECT p_partkey AS root, p_partkey AS node,
+               CAST(1 AS BIGINT) AS mult, 0 AS depth
+        FROM part WHERE p_partkey % {BOM_ROOT_MOD} = 0 AND p_partkey > 0
+        UNION ALL
+        SELECT w.root, e.comp, w.mult * e.qty, w.depth + 1
+        FROM walk w JOIN edges e ON e.asm = w.node
+        WHERE w.depth < {BOM_MAX_DEPTH}
+    )
+    SELECT root, node AS component,
+           CAST(SUM(mult) AS BIGINT) AS total_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_paths,
+           CAST(MIN(depth) AS BIGINT) AS min_depth
+    FROM walk WHERE depth > 0
+    GROUP BY root, node
+    """,
+    tags=("graph", "recursive", "bom", "hierarchy"),
+)
+def q_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials explosion: each root assembly expands through
+    {D} levels of its (synthetic, acyclic) component DAG, MULTIPLYING
+    quantities along every path and summing across parallel paths — the
+    manufacturing requirements / cost-rollup shape that plain
+    transitive closure (operators/cluster.py) doesn't cover because
+    paths carry weights. Exact integer multiplicities; the oracle is
+    the identical WITH RECURSIVE walk.
+
+    Scale: the frontier expansion is one join per level on the
+    assembly key (the PageRank iteration shape); real BOMs bound depth,
+    and the per-level frontier is checkpointed so the DAG stays
+    constant-depth. Multiple-path accumulation happens in the final
+    aggregate, not by deduplicating mid-walk.
+    """
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    base = p.filter(F.col("p_partkey") >= 10)
+    edges = (
+        base.select(
+            F.col("p_partkey").alias("asm"),
+            F.expr("p_partkey div 7").alias("comp"),
+            (F.col("p_partkey") % 5 + 1).cast("long").alias("qty"),
+        )
+        .unionAll(
+            base.select(
+                F.col("p_partkey").alias("asm"),
+                F.expr("p_partkey div 11").alias("comp"),
+                (F.col("p_partkey") % 3 + 1).cast("long").alias("qty"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    frontier = p.filter(
+        (F.col("p_partkey") % BOM_ROOT_MOD == 0) & (F.col("p_partkey") > 0)
+    ).select(
+        F.col("p_partkey").alias("root"),
+        F.col("p_partkey").alias("node"),
+        F.lit(1).cast("long").alias("mult"),
+    )
+    levels = []
+    for depth in range(1, BOM_MAX_DEPTH + 1):
+        frontier = (
+            frontier.join(edges, frontier["node"] == edges["asm"])
+            .select(
+                "root",
+                F.col("comp").alias("node"),
+                (F.col("mult") * F.col("qty")).alias("mult"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        levels.append(frontier.withColumn("depth", F.lit(depth)))
+    walk = levels[0]
+    for lv in levels[1:]:
+        walk = walk.unionByName(lv)
+    return walk.groupBy("root", F.col("node").alias("component")).agg(
+        F.sum("mult").alias("total_qty"),
+        F.count("*").alias("n_paths"),
+        F.min("depth").cast("long").alias("min_depth"),
+    )
+
+
+q_bom_explosion.__doc__ = q_bom_explosion.__doc__.format(D=BOM_MAX_DEPTH)
