@@ -64,6 +64,30 @@ def _canary_sec() -> float:
     return time.perf_counter() - t0
 
 
+def _mt_canary_sec(n_threads: int = 8) -> float:
+    """Multi-threaded canary: the same FNV mix on n_threads
+    subprocesses at once (processes, not threads — the GIL would
+    serialize threads and measure nothing). Catches MULTI-CORE host
+    contention that leaves the single-thread canary flat — exactly the
+    session-6 failure mode where query wall-clock rose 30% while
+    canary_sec fell. Compare mt_canary_sec across rounds the same way."""
+    import subprocess
+
+    code = (
+        "h=0\n"
+        "for i in range(10_000_000):\n"
+        "    h=((h^i)*1099511628211)&0xFFFFFFFFFFFFFFFF\n"
+    )
+    t0 = time.perf_counter()
+    procs = [
+        subprocess.Popen([sys.executable, "-c", code])
+        for _ in range(n_threads)
+    ]
+    for pr in procs:
+        pr.wait()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from etl_pipeline_spark.queries.base import all_specs
@@ -99,6 +123,7 @@ def main() -> None:
     scale_timings = time_set(SCALE_QUERIES)
     # min of before/after: the fastest the host was during this run
     canary = round(min(canary_before, _canary_sec()), 3)
+    mt_canary = round(_mt_canary_sec(), 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -112,6 +137,7 @@ def main() -> None:
                 "scale_value": round(sum(scale_timings.values()), 3),
                 "scale_queries": {k: round(v, 3) for k, v in scale_timings.items()},
                 "canary_sec": canary,
+                "mt_canary_sec": mt_canary,
                 "value_per_canary": round(total / canary, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
