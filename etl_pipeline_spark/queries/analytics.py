@@ -1,8 +1,22 @@
-"""Session-6 analytics operators: the SQL-surface and graph/feature-prep
-shapes a warehouse migration or training-data pipeline reaches for next —
-gaps-and-islands streak detection, equi-depth histograms, leave-one-out
-target encoding, autocorrelation profiling, integer-exact PageRank, and
-RAKE keyword extraction.
+"""Session-6 analytics operators — the warehouse-migration and
+training-data surfaces beyond the core registry, grouped roughly as:
+
+- SQL surfaces: gaps-and-islands, equi-depth histogram, weighted
+  median, bag-semantics set ops, ANSI try-arithmetic, nested JSON
+  assembly, collations, CDC snapshot diff, Python UDTF;
+- statistics: moments/skew/kurtosis, Poisson bootstrap CI,
+  Mann-Whitney + Cliff's delta, chi-square, correlation matrix, ANOVA,
+  Kaplan-Meier, Theil-Sen, A/B power analysis;
+- time series: ACF, seasonal decomposition + anomaly days, SAX,
+  linear-interpolation gap fill, interval merge;
+- graph/ML: PageRank, k-means Lloyd, DBSCAN classification, MMR
+  re-rank, item-item CF, degree power-law, BOM explosion, RAKE,
+  WordPiece tokenization + fertility, target/WOE encodings, PSI,
+  rare-category bucketing, Lindley clamped balance;
+- ops/DQ: shuffle-key skew report, join-cardinality audit, URL
+  canonicalization dedup, dataset card, spatial radius join,
+  Fellegi-Sunter entity resolution, price/volume decomposition,
+  FIFO allocation, Shapley attribution.
 
 Cross-engine determinism follows the house rules (queries/base.py):
 money and counts fold as integers, rational scores are scaled-integer
