@@ -218,3 +218,71 @@ def test_zorder_covering_prefixes_sound(a1, a2, b1, b2, pt_a, pt_b):
         tb_lo, tb_hi = tb & 0xF0, (tb & 0xF0) + 15
         assert ta_lo <= a_hi and ta_hi >= a_lo
         assert tb_lo <= b_hi and tb_hi >= b_lo
+
+
+# --- session-6 property tests ------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=12),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_wordpiece_always_reconstructs(words):
+    """Any a-z word reconstructs exactly from its pieces (single-char
+    coverage guarantees progress), and no piece is empty."""
+    from etl_pipeline_spark.operators.wordpiece import wordpiece
+
+    for w in words:
+        pieces = wordpiece(w)
+        assert pieces
+        assert all(p for p in pieces)
+        assert "".join(p.removeprefix("##") for p in pieces) == w
+        # continuation marking: first piece bare, rest ##-prefixed
+        assert not pieces[0].startswith("##")
+        assert all(p.startswith("##") for p in pieces[1:])
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=20), min_size=0, max_size=12),
+    st.lists(st.integers(min_value=1, max_value=20), min_size=0, max_size=12),
+)
+@settings(max_examples=200, deadline=None)
+def test_fifo_staircase_equals_sequential_matching(supply, demand):
+    """The cumulative-interval-overlap formulation of FIFO allocation
+    (q_fifo_allocation) equals the literal sequential matcher."""
+    # closed form: overlap of cumulative intervals
+    s_lo, pairs = 0, []
+    s_spans = []
+    for q in supply:
+        s_spans.append((s_lo, s_lo + q))
+        s_lo += q
+    d_lo = 0
+    d_spans = []
+    for q in demand:
+        d_spans.append((d_lo, d_lo + q))
+        d_lo += q
+    closed = {}
+    for i, (slo, shi) in enumerate(s_spans):
+        for j, (dlo, dhi) in enumerate(d_spans):
+            ov = min(shi, dhi) - max(slo, dlo)
+            if ov > 0:
+                closed[(i, j)] = ov
+    # literal FIFO matcher
+    seq = {}
+    si, remaining = 0, supply[0] if supply else 0
+    for j, q in enumerate(demand):
+        need = q
+        while need > 0 and si < len(supply):
+            take = min(need, remaining)
+            if take > 0:
+                seq[(si, j)] = seq.get((si, j), 0) + take
+                need -= take
+                remaining -= take
+            if remaining == 0:
+                si += 1
+                remaining = supply[si] if si < len(supply) else 0
+    assert closed == seq
