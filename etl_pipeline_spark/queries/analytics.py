@@ -4756,3 +4756,86 @@ def q_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_bom_explosion.__doc__ = q_bom_explosion.__doc__.format(D=BOM_MAX_DEPTH)
+
+
+# --- Pairwise Welch tests with Bonferroni correction -------------------------
+
+
+@query(
+    "q_pairwise_tests_bonferroni",
+    # All 10 event-type pairs tested at once: Welch t from exact
+    # integer moments; naive significance at |t| > 1.96 vs the
+    # Bonferroni-corrected threshold 2.807 (alpha 0.05/10, two-sided
+    # normal) — the family-wise correction that keeps a 10-test sweep
+    # from manufacturing discoveries.
+    oracle="""
+    WITH m AS (
+        SELECT event_type AS g, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS q
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.g AS g1, b.g AS g2,
+               a.n AS n1, a.s AS s1, a.q AS q1,
+               b.n AS n2, b.s AS s2, b.q AS q2
+        FROM m a JOIN m b ON a.g < b.g
+    ),
+    t AS (
+        SELECT g1, g2,
+               (s1 * 1.0 / n1 - s2 * 1.0 / n2)
+               / SQRT(
+                   ((q1 - s1 * (s1 * 1.0 / n1)) / (n1 - 1)) / n1
+                   + ((q2 - s2 * (s2 * 1.0 / n2)) / (n2 - 1)) / n2
+               ) AS tt
+        FROM pairs
+    )
+    SELECT g1, g2, ROUND(tt, 6) AS t_stat,
+           CASE WHEN ABS(tt) > 1.96 THEN 1 ELSE 0 END AS naive_significant,
+           CASE WHEN ABS(tt) > 2.807 THEN 1 ELSE 0 END AS bonferroni_significant
+    FROM t
+    """,
+    tags=("statistics", "multiple-testing", "bonferroni", "ab-test"),
+)
+def q_pairwise_tests_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Welch t-tests over the five event types' value
+    distributions with naive vs Bonferroni-corrected significance —
+    the multiple-comparison discipline a metrics sweep needs: at 10
+    simultaneous tests, |t| > 1.96 alone manufactures ~40% family-wise
+    false-positive risk; the corrected threshold (alpha/10) controls
+    it. Group moments are exact integers (the q_moments idiom); each t
+    is one rounded double expression.
+
+    Scale: one map-combined moment pass, then a 5x5 pair join on the
+    5-row moment table — test count, not data volume, is the only
+    growth axis.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    m = e.groupBy(F.col("event_type").alias("g")).agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("q"),
+    )
+    a = m.select(
+        F.col("g").alias("g1"), F.col("n").alias("n1"),
+        F.col("s").alias("s1"), F.col("q").alias("q1"),
+    )
+    b = m.select(
+        F.col("g").alias("g2"), F.col("n").alias("n2"),
+        F.col("s").alias("s2"), F.col("q").alias("q2"),
+    )
+    pairs = a.join(b, F.col("g1") < F.col("g2"))
+    mean1 = F.col("s1") * 1.0 / F.col("n1")
+    mean2 = F.col("s2") * 1.0 / F.col("n2")
+    var1 = (F.col("q1") - F.col("s1") * mean1) / (F.col("n1") - 1)
+    var2 = (F.col("q2") - F.col("s2") * mean2) / (F.col("n2") - 1)
+    tt = (mean1 - mean2) / F.sqrt(var1 / F.col("n1") + var2 / F.col("n2"))
+    return pairs.select(
+        "g1",
+        "g2",
+        F.round(tt, 6).alias("t_stat"),
+        F.when(F.abs(tt) > 1.96, 1).otherwise(0).alias("naive_significant"),
+        F.when(F.abs(tt) > 2.807, 1).otherwise(0).alias("bonferroni_significant"),
+    )
