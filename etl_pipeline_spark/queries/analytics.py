@@ -4839,3 +4839,138 @@ def q_pairwise_tests_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.abs(tt) > 1.96, 1).otherwise(0).alias("naive_significant"),
         F.when(F.abs(tt) > 2.807, 1).otherwise(0).alias("bonferroni_significant"),
     )
+
+
+# --- kNN classifier evaluation -----------------------------------------------
+
+KNN_EVAL_K = 5
+
+
+@query(
+    "q_knn_classifier_eval",
+    # Leave-one-out 5-NN label prediction on a deterministic ~0.8%
+    # md5-sampled eval set, scored against the full corpus with EXACT
+    # integer dot products (the PCA quantization idiom) — neighbor sets,
+    # votes, and the accuracy report are engine-identical. Majority
+    # vote ties break toward the smaller label.
+    oracle=f"""
+    WITH qv AS MATERIALIZED (
+        SELECT vec_id, label,
+               LIST(CAST(FLOOR(embedding[g]::DOUBLE * 1000 + 0.5) AS BIGINT)
+                    ORDER BY g) AS v
+        FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(g)
+        GROUP BY vec_id, label
+    ),
+    ev AS MATERIALIZED (
+        SELECT * FROM qv
+        WHERE SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 2) IN ('00', '01')
+    ),
+    nn AS (
+        SELECT e.vec_id AS qid, e.label AS true_label,
+               c.label AS nbr_label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.v) DESC, c.vec_id
+               ) AS rnk
+        FROM ev e JOIN qv c ON c.vec_id <> e.vec_id
+    ),
+    votes AS (
+        SELECT qid, true_label, nbr_label, COUNT(*) AS cnt
+        FROM nn WHERE rnk <= {KNN_EVAL_K}
+        GROUP BY qid, true_label, nbr_label
+    ),
+    pred AS (
+        SELECT qid, true_label, nbr_label AS predicted FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY cnt DESC, nbr_label) AS vr
+            FROM votes
+        ) WHERE vr = 1
+    )
+    SELECT CAST(true_label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_correct,
+           (10000 * CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+               AS BIGINT)) // COUNT(*) AS accuracy_bp
+    FROM pred GROUP BY true_label
+    """,
+    tags=("similarity", "X3", "knn", "evaluation", "ml-eval"),
+)
+def q_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN classification accuracy of the embedding space
+    per label: each md5-sampled eval vector is labeled by the majority
+    of its {K} nearest corpus neighbors (itself excluded) — the
+    embedding-quality eval that complements the retrieval-side recall
+    reports (q_lsh_recall_report): does proximity in this space
+    actually predict the label? Integer-grid dot products make
+    neighbor sets and votes exact, so the accuracy table is
+    engine-identical, not approximately reproduced.
+
+    Scale: the eval set is a fixed hash fraction, so cost is
+    eval x corpus with the corpus never shuffling (broadcast or
+    block-matrix the eval side — operators/similarity.py's BLAS path
+    runs this same shape); the ANN indexes (IVF/LSH/PQ) substitute for
+    the exact scan when the corpus is 100 TB.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long")
+        ).alias("v"),
+    ).localCheckpoint(eager=False)
+    ev = qv.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2).isin("00", "01")
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qvv"),
+    )
+    idot = F.aggregate(
+        F.zip_with("qvv", "v", lambda p, r: p * r),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nn = (
+        qv.crossJoin(F.broadcast(ev))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "true_label",
+            "vec_id",
+            F.col("label").alias("nbr_label"),
+            idot.alias("s"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("s"), "vec_id")
+            ),
+        )
+    )
+    votes = (
+        nn.filter(F.col("rnk") <= KNN_EVAL_K)
+        .groupBy("qid", "true_label", "nbr_label")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pred = (
+        votes.withColumn(
+            "vr",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cnt"), "nbr_label")
+            ),
+        )
+        .filter(F.col("vr") == 1)
+        .select("qid", "true_label", F.col("nbr_label").alias("predicted"))
+    )
+    return pred.groupBy(F.col("true_label").cast("long").alias("label")).agg(
+        F.count("*").alias("n_eval"),
+        F.sum(
+            F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(0)
+        ).alias("n_correct"),
+        F.expr(
+            "(10000 * CAST(sum(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)"
+            " AS BIGINT)) div count(*)"
+        ).alias("accuracy_bp"),
+    )
