@@ -55,10 +55,10 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-4 prefix (session-6 closing rotation): the 46 queries added in
-# the sixth r4 session lead (the remainder spill to the next round's
-# window), then earlier never-attested queries, then backfill
-# oldest-attestation-first.
+# Round-4 prefix (session-6 closing rotation): the 53 queries added in
+# the sixth r4 session lead (the first 50 form the driver window; the
+# remainder spill to the next round's), then earlier never-attested
+# queries, then backfill oldest-attestation-first.
 CHECK_PRIORITY: tuple[str, ...] = (
     "q_gaps_islands",  # --- code changed this round: attest first ---
     "q_equidepth_histogram",
