@@ -3777,10 +3777,10 @@ _patch_fertility_oracle()
     )
     SELECT conv AS baseline_converters, users AS baseline_users,
            ROUND(p1, 6) AS p1, ROUND(p2, 6) AS p2,
-           CAST(CEIL(
+           CASE WHEN p1 = 0 THEN NULL ELSE CAST(CEIL(
                POW(1.959964 * SQRT(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
                    + 0.841621 * SQRT(p1 * (1 - p1) + p2 * (1 - p2)), 2)
-               / POW(p2 - p1, 2)) AS BIGINT) AS n_per_arm
+               / POW(p2 - p1, 2)) AS BIGINT) END AS n_per_arm
     FROM p
     """,
     tags=("statistics", "power-analysis", "ab-test"),
@@ -3818,7 +3818,10 @@ def q_sample_size_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("users").alias("baseline_users"),
         F.round(p1, 6).alias("p1"),
         F.round(p2, 6).alias("p2"),
-        n.alias("n_per_arm"),
+        # a zero baseline has no detectable relative lift — NULL, not /0
+        F.when(F.col("conv") == 0, F.lit(None).cast("long"))
+        .otherwise(n)
+        .alias("n_per_arm"),
     )
 
 
