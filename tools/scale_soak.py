@@ -73,6 +73,21 @@ SOAK_QUERIES_R6 = [
     "q_clamped_running_balance",
 ]
 DBSCAN_EPS_PER_SF = {"0.01": 30, "0.1": 30, "1": 10}
+# spatial radius scales down with point density (same precedent)
+GEO_R_PER_SF = {"0.01": 100_000, "0.1": 100_000, "1": 30_000}
+
+
+def spatial_scaled(spark, sf_dir: str, sf_label: str):
+    import etl_pipeline_spark.queries.analytics as an
+
+    orig = an.GEO_R
+    an.GEO_R = GEO_R_PER_SF[sf_label]
+    try:
+        from etl_pipeline_spark.queries.base import REGISTRY
+
+        return REGISTRY["q_spatial_radius_join"].fn(spark, sf_dir)
+    finally:
+        an.GEO_R = orig
 
 
 def dbscan_scaled(spark, sf_dir: str, sf_label: str):
@@ -163,6 +178,43 @@ def build_sf1(spark) -> None:
     for p_ in ev_parts[1:]:
         out_ev = out_ev.unionByName(p_)
     out_ev.repartition(32).write.mode("overwrite").parquet(f"{SF1_DIR}/events.parquet")
+    # customer/supplier: keys offset per copy AND nations moved to a
+    # disjoint per-copy nation space (nat + i*25) — ER blocking keys
+    # stay copy-local, so block sizes are scale-invariant and the
+    # blocked candidate volume grows 10x, not 100x. Spatial coordinates
+    # derive from the offset keys (fresh md5 points, same [0,1e6) span).
+    t2 = load_tables(spark, SF_SRC, ("customer", "supplier", "part"))
+    cu, su, pa = t2["customer"], t2["supplier"], t2["part"]
+    cu_parts = [
+        cu.withColumn("c_custkey", F.col("c_custkey") + i * ID_OFFSET)
+        .withColumn("c_nationkey", F.col("c_nationkey") + i * 25)
+        for i in range(COPIES)
+    ]
+    out_cu = cu_parts[0]
+    for p_ in cu_parts[1:]:
+        out_cu = out_cu.unionByName(p_)
+    out_cu.repartition(8).write.mode("overwrite").parquet(f"{SF1_DIR}/customer.parquet")
+    su_parts = [
+        su.withColumn("s_suppkey", F.col("s_suppkey") + i * ID_OFFSET)
+        .withColumn("s_nationkey", F.col("s_nationkey") + i * 25)
+        for i in range(COPIES)
+    ]
+    out_su = su_parts[0]
+    for p_ in su_parts[1:]:
+        out_su = out_su.unionByName(p_)
+    out_su.repartition(4).write.mode("overwrite").parquet(f"{SF1_DIR}/supplier.parquet")
+    # part: keys offset -> 10 disjoint BOM forests (p//7, p//11 stay
+    # within the copy because ID_OFFSET is divisible by 7*11*... no —
+    # p//7 of an offset key lands in the same copy's range because
+    # offset/7 stays inside [i*OFFSET/7, ...]; roots %97 keep density)
+    pa_parts = [
+        pa.withColumn("p_partkey", F.col("p_partkey") + i * ID_OFFSET)
+        for i in range(COPIES)
+    ]
+    out_pa = pa_parts[0]
+    for p_ in pa_parts[1:]:
+        out_pa = out_pa.unionByName(p_)
+    out_pa.repartition(8).write.mode("overwrite").parquet(f"{SF1_DIR}/part.parquet")
 
 
 def main() -> None:
@@ -191,6 +243,8 @@ def main() -> None:
                 n = semdedup_scaled(spark, sf_dir, sf_label).count()
             elif name == "q_dbscan_scaled_eps":
                 n = dbscan_scaled(spark, sf_dir, sf_label).count()
+            elif name == "q_spatial_scaled_r":
+                n = spatial_scaled(spark, sf_dir, sf_label).count()
             else:
                 n = specs[name].fn(spark, sf_dir).count()
             dt = round(time.perf_counter() - t0, 2)
