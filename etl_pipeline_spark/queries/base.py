@@ -112,6 +112,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_bom_explosion",
     "q_pairwise_tests_bonferroni",
     "q_knn_classifier_eval",
+    "q_multimodal_audio_energy",
     "q_knn_pq",  # --- never driver-attested ---
     "q_hard_negatives",
     "q_embedding_centroid_health",

@@ -202,3 +202,66 @@ def q_multimodal_shot_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("mean_milli") - F.col("prev_milli")).alias("delta_milli"),
         )
     )
+
+
+@query(
+    "q_multimodal_audio_energy",
+    # Synthesized audio tiles the 32 md5-hex ASCII codes, so a
+    # 400-sample window holds 12 full tiles plus a 16-sample half whose
+    # side alternates with window parity (400*w mod 32 = 16*w mod 32):
+    # sum(w) = 12*S + (H1 if w even else H2), squared sums likewise —
+    # the oracle reproduces the REAL decoded window statistics from the
+    # digest alone, verifying decode, windowing, and the energy fold.
+    oracle="""
+    WITH a AS (
+        SELECT doc_id, md5(text) AS hx, 2 * (1 + doc_id % 5) AS n_windows
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    ch AS (
+        SELECT doc_id, hx, n_windows,
+               CAST(SUM(unicode(SUBSTR(hx, g, 1))) AS BIGINT) AS s_all,
+               CAST(SUM(CASE WHEN g <= 16
+                    THEN unicode(SUBSTR(hx, g, 1)) ELSE 0 END) AS BIGINT) AS h1,
+               CAST(SUM(unicode(SUBSTR(hx, g, 1))
+                        * unicode(SUBSTR(hx, g, 1))) AS BIGINT) AS q_all,
+               CAST(SUM(CASE WHEN g <= 16
+                    THEN unicode(SUBSTR(hx, g, 1)) * unicode(SUBSTR(hx, g, 1))
+                    ELSE 0 END) AS BIGINT) AS q1
+        FROM a, UNNEST(GENERATE_SERIES(1, 32)) t(g)
+        GROUP BY doc_id, hx, n_windows
+    ),
+    w AS (
+        SELECT doc_id, UNNEST(GENERATE_SERIES(0, n_windows - 1)) AS widx,
+               s_all, h1, q_all, q1
+        FROM ch
+    )
+    SELECT doc_id AS media_id,
+           CAST(widx AS INTEGER) AS window_idx,
+           CAST(400 AS BIGINT) AS n_samples,
+           12 * s_all + CASE WHEN widx % 2 = 0 THEN h1 ELSE s_all - h1 END
+               AS sum_vals,
+           12 * q_all + CASE WHEN widx % 2 = 0 THEN q1 ELSE q_all - q1 END
+               AS sum_sqs
+    FROM w
+    """,
+    tags=("multimodal", "X5", "pandas-udf", "audio", "real-decode"),
+)
+def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy over REAL PCM-16 WAV decode: every audio
+    payload splits into 400-sample (50 ms) windows with exact integer
+    sample sums and energies — the VAD/loudness frontend
+    (operators/multimodal.py audio_window_stats), value-hash-verified
+    window by window against the analytic synthesis.
+
+    Scale: decode and windowing are executor-local mapInPandas; the
+    output is 5 integers per window, and every downstream threshold
+    (silence gates, loudness normalization) is Column arithmetic.
+    """
+    from etl_pipeline_spark.operators.multimodal import (
+        audio_window_stats,
+        synthesize_media,
+    )
+
+    return audio_window_stats(synthesize_media(spark, sf_dir)).select(
+        "media_id", "window_idx", "n_samples", "sum_vals", "sum_sqs"
+    )
