@@ -4977,3 +4977,137 @@ def q_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)) div count(*)"
         ).alias("accuracy_bp"),
     )
+
+
+# --- Hapax / vocabulary profile ----------------------------------------------
+
+
+@query(
+    "q_hapax_vocabulary",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, token, COUNT(*) AS c FROM (
+            SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+            FROM documents
+        ) WHERE token <> '' GROUP BY lang, token
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dis_legomena,
+           (10000 * CAST(COUNT(*) AS BIGINT)) // CAST(SUM(c) AS BIGINT)
+               AS ttr_bp,
+           (10000 * CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT))
+               // COUNT(*) AS hapax_share_bp
+    FROM tok GROUP BY lang
+    """,
+    tags=("text", "vocabulary", "hapax", "X4"),
+)
+def q_hapax_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness profile per language: type-token ratio,
+    hapax and dis legomena counts and shares — the Good-Turing mass
+    estimate's raw inputs and the standard lexical-diversity monitor
+    (a collapsing hapax share flags templated/duplicated text before
+    the dedup pass even runs). All-integer basis-point folds.
+
+    Scale: one (lang, token)-keyed aggregate then a lang fold — the
+    count-of-counts trick keeps everything vocabulary-sized.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    return tok.groupBy("lang").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("dis_legomena"),
+        F.expr("(10000 * CAST(count(*) AS BIGINT)) div CAST(sum(c) AS BIGINT)").alias(
+            "ttr_bp"
+        ),
+        F.expr(
+            "(10000 * CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT))"
+            " div count(*)"
+        ).alias("hapax_share_bp"),
+    )
+
+
+# --- Heaps' law fit ----------------------------------------------------------
+
+
+@query(
+    "q_heaps_law_fit",
+    # log-log OLS over the 20 per-source (tokens, vocab) points:
+    # beta = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), K = exp((Sy - beta*Sx)/n)
+    # — integer token/vocab counts into ln sums, rounded to 6.
+    oracle="""
+    WITH tok AS (
+        SELECT source, token, COUNT(*) AS c FROM (
+            SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS token
+            FROM documents
+        ) WHERE token <> '' GROUP BY source, token
+    ),
+    pts AS (
+        SELECT source,
+               LN(CAST(SUM(c) AS BIGINT)) AS lx,
+               LN(CAST(COUNT(*) AS BIGINT)) AS ly
+        FROM tok GROUP BY source
+    ),
+    fit AS (
+        SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+               SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_sources,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS heaps_beta,
+           ROUND(EXP((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n),
+                 6) AS heaps_k
+    FROM fit
+    """,
+    tags=("text", "heaps-law", "vocabulary", "statistics"),
+)
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law fit V = K * n^beta over the per-source (token count,
+    vocabulary) points — the vocabulary-growth exponent that predicts
+    how a tokenizer's OOV rate and the dedup index size scale with
+    corpus growth (the lexical twin of q_text_zipf_fit's rank-frequency
+    slope). Counts are exact; the log-log OLS is one rounded closed
+    form.
+
+    Scale: the same (source, token) aggregate as the hapax profile,
+    then a 20-point regression — corpus volume only affects the first
+    map-combined pass.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = (
+        d.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    pts = tok.groupBy("source").agg(
+        F.log(F.sum("c").cast("double")).alias("lx"),
+        F.log(F.count("*").cast("double")).alias("ly"),
+    )
+    fit = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return fit.select(
+        F.col("n").cast("long").alias("n_sources"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 6).alias(
+            "heaps_k"
+        ),
+    )

@@ -113,6 +113,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_pairwise_tests_bonferroni",
     "q_knn_classifier_eval",
     "q_multimodal_audio_energy",
+    "q_hapax_vocabulary",
+    "q_heaps_law_fit",
     "q_knn_pq",  # --- never driver-attested ---
     "q_hard_negatives",
     "q_embedding_centroid_health",
