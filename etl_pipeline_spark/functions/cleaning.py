@@ -76,11 +76,16 @@ def parse_strict_date(col: Column) -> Column:
     return F.when(F.length(c) == 10, F.try_to_timestamp(c, F.lit("yyyy-MM-dd")).cast("date"))
 
 
-# The five accepted timestamp formats, first-match-wins order
-# (dataflow.py:367-373): ISO with/without 'Z', with/without micros,
-# space-separated, and bare date.
+# The accepted timestamp formats, first-match-wins order — a SUPERSET of
+# the reference's five (dataflow.py:367-373: ISO with/without 'Z',
+# fractional without 'Z', space-separated, bare date) plus the
+# fraction+Z form the reference's own utcnow().isoformat()+'Z' emitter
+# (dataflow_transform.py:68) produces but its validator would reject — a
+# reference self-inconsistency SURVEY §1 resolves in favor of accepting
+# both fractional variants.
 TIMESTAMP_FORMATS = (
     "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
     "yyyy-MM-dd'T'HH:mm:ss'Z'",
     "yyyy-MM-dd'T'HH:mm:ss",
     "yyyy-MM-dd HH:mm:ss",

@@ -24,9 +24,12 @@ money and counts fold as integers, rational scores are scaled-integer
 and the only floating-point steps are final single divisions rounded to a
 fixed number of decimals.
 
-Reference parity: the reference's analytics live in BigQuery SQL the
-Airflow DAG submits (reference airflow.py:57-116); these queries are the
-same warehouse-analytics surface expressed Spark-first with a DuckDB
+Reference parity: the reference delegates all transformation beyond
+ingest to warehouse SQL, and the only SQL its DAG submits is a single
+filtered INSERT (``WHERE total_confirmed_deaths > 0``, reference
+airflow.py:104-122) — it has no analytics surface of its own. This
+module is therefore strictly beyond-reference: the analytics a user of
+that warehouse would run downstream, expressed Spark-first with a DuckDB
 oracle per query.
 """
 
@@ -412,6 +415,19 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join (operators/skew.py).
     """
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        pagerank_ranks(li)
+        .orderBy(F.desc("rank_scaled"), "node")
+        .limit(PR_TOPK)
+    )
+
+
+def pagerank_ranks(li: DataFrame) -> DataFrame:
+    """Full (un-limited) rank table behind q_pagerank: every node with
+    its degree and final integer rank. Exposed separately so invariants
+    over the WHOLE vector — e.g. the truncation-loss mass-conservation
+    envelope tests/test_session6_operators.py asserts — can be checked
+    without the top-k cut."""
     items = li.select("l_orderkey", "l_partkey").distinct()
     a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
     b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
@@ -457,11 +473,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-    return (
-        r.join(outdeg, r["node"] == outdeg["u"])
-        .select("node", F.col("od").cast("long").alias("degree"), F.col("r").alias("rank_scaled"))
-        .orderBy(F.desc("rank_scaled"), "node")
-        .limit(PR_TOPK)
+    return r.join(outdeg, r["node"] == outdeg["u"]).select(
+        "node", F.col("od").cast("long").alias("degree"), F.col("r").alias("rank_scaled")
     )
 
 
@@ -4446,6 +4459,15 @@ def q_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers.
     """
     t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    return spatial_radius_join(spark, t["customer"], t["supplier"], radius=GEO_R)
+
+
+def spatial_radius_join(
+    spark: SparkSession, customer: DataFrame, supplier: DataFrame, *, radius: int
+) -> DataFrame:
+    """Parameterized core of q_spatial_radius_join: radius is an explicit
+    argument (the density knob the sf1 soak turns) instead of module
+    state, mirroring dbscan_classify(..., eps=...)."""
     hx = lambda col, tag: (  # noqa: E731
         F.conv(
             F.substring(F.md5(F.concat(col.cast("string"), F.lit(tag))), 1, 8),
@@ -4454,17 +4476,17 @@ def q_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % GEO_SPAN
     )
-    c = t["customer"].select(
+    c = customer.select(
         F.col("c_custkey").alias("ck"),
         hx(F.col("c_custkey"), "#gx").alias("x"),
         hx(F.col("c_custkey"), "#gy").alias("y"),
     )
-    s = t["supplier"].select(
+    s = supplier.select(
         F.col("s_suppkey").alias("sk"),
         hx(F.col("s_suppkey"), "#sx").alias("sx"),
         hx(F.col("s_suppkey"), "#sy").alias("sy"),
-        (hx(F.col("s_suppkey"), "#sx") / GEO_R).cast("long").alias("cx"),
-        (hx(F.col("s_suppkey"), "#sy") / GEO_R).cast("long").alias("cy"),
+        (hx(F.col("s_suppkey"), "#sx") / radius).cast("long").alias("cx"),
+        (hx(F.col("s_suppkey"), "#sy") / radius).cast("long").alias("cy"),
     )
     off = spark.range(-1, 2).select(F.col("id").alias("d"))
     probes = (
@@ -4474,8 +4496,8 @@ def q_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ck",
             "x",
             "y",
-            (F.expr(f"x div {GEO_R}") + F.col("dx")).alias("cx"),
-            (F.expr(f"y div {GEO_R}") + F.col("dy")).alias("cy"),
+            (F.expr(f"x div {radius}") + F.col("dx")).alias("cx"),
+            (F.expr(f"y div {radius}") + F.col("dy")).alias("cy"),
         )
     )
     d2 = (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")) + (
@@ -4483,7 +4505,7 @@ def q_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * (F.col("y") - F.col("sy"))
     nbrs = (
         probes.join(s, ["cx", "cy"])
-        .filter(d2 <= GEO_R * GEO_R)
+        .filter(d2 <= radius * radius)
         .select("ck", "sk", d2.alias("d2"))
     )
     m = nbrs.withColumn("md2", F.min("d2").over(Window.partitionBy("ck")))

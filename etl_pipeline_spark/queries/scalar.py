@@ -124,11 +124,12 @@ def q_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH raw AS (
         SELECT event_id,
-               CASE event_id % 5
+               CASE event_id % 6
                  WHEN 0 THEN STRFTIME(ts, '%Y-%m-%dT%H:%M:%S.%fZ')
-                 WHEN 1 THEN STRFTIME(ts, '%Y-%m-%dT%H:%M:%SZ')
-                 WHEN 2 THEN STRFTIME(ts, '%Y-%m-%dT%H:%M:%S')
-                 WHEN 3 THEN STRFTIME(ts, '%Y-%m-%d %H:%M:%S')
+                 WHEN 1 THEN STRFTIME(ts, '%Y-%m-%dT%H:%M:%S.%f')
+                 WHEN 2 THEN STRFTIME(ts, '%Y-%m-%dT%H:%M:%SZ')
+                 WHEN 3 THEN STRFTIME(ts, '%Y-%m-%dT%H:%M:%S')
+                 WHEN 4 THEN STRFTIME(ts, '%Y-%m-%d %H:%M:%S')
                  ELSE STRFTIME(ts, '%Y-%m-%d')
                END AS ts_str
         FROM events WHERE event_id < 1000
@@ -136,6 +137,7 @@ def q_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, ts_str,
            epoch_us(COALESCE(
              TRY_STRPTIME(ts_str, '%Y-%m-%dT%H:%M:%S.%fZ'),
+             TRY_STRPTIME(ts_str, '%Y-%m-%dT%H:%M:%S.%f'),
              TRY_STRPTIME(ts_str, '%Y-%m-%dT%H:%M:%SZ'),
              TRY_STRPTIME(ts_str, '%Y-%m-%dT%H:%M:%S'),
              TRY_STRPTIME(ts_str, '%Y-%m-%d %H:%M:%S'),
@@ -147,15 +149,17 @@ def q_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_scalar_multiformat_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-format timestamp parse, first-match-wins (F7 <-
-    dataflow.py:367-382): serialize each event's ts into one of the five
-    accepted formats, then recover it with the coalesce-of-try-parses."""
+    dataflow.py:367-382): serialize each event's ts into one of the six
+    accepted formats (the reference's five plus fraction+Z, see
+    TIMESTAMP_FORMATS), then recover it with the coalesce-of-try-parses."""
     e = load_tables(spark, sf_dir, ("events",))["events"]
     raw = e.filter(F.col("event_id") < 1000).select(
         "event_id",
-        F.when(F.col("event_id") % 5 == 0, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
-        .when(F.col("event_id") % 5 == 1, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
-        .when(F.col("event_id") % 5 == 2, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
-        .when(F.col("event_id") % 5 == 3, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        F.when(F.col("event_id") % 6 == 0, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+        .when(F.col("event_id") % 6 == 1, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+        .when(F.col("event_id") % 6 == 2, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .when(F.col("event_id") % 6 == 3, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(F.col("event_id") % 6 == 4, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
         .otherwise(F.date_format("ts", "yyyy-MM-dd"))
         .alias("ts_str"),
     )

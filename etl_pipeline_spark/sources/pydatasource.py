@@ -88,9 +88,14 @@ class SyntheticEventsReader(DataSourceReader):
 
 class SyntheticEventsStreamReader(DataSourceStreamReader):
     """Micro-batch stream over the same generator: the offset is the
-    next unread index; each batch advances by ``rows_per_batch``. The
-    same index always yields the same row, so replaying a batch after a
-    crash reproduces it exactly (the source-side half of exactly-once)."""
+    next unread index. ``latestOffset`` always reports the feed cap
+    (``max_rows``) so that ``Trigger.AvailableNow`` — which snapshots
+    latestOffset once — drains the whole feed; under a normal
+    micro-batch trigger the first batch therefore also drains to the
+    cap, and ``rows_per_batch`` sizes the *partitions within* a batch,
+    not the batch itself. The same index always yields the same row, so
+    replaying a batch after a crash reproduces it exactly (the
+    source-side half of exactly-once)."""
 
     def __init__(self, options: dict):
         self.rows_per_batch = int(options.get("rows_per_batch", 50))

@@ -36,9 +36,13 @@ def test_parse_strict_date(spark):
     assert got[1:] == [None, None, None, None, None]
 
 
-def test_multi_format_timestamp_accepts_all_five(spark):
+def test_multi_format_timestamp_accepts_all_six(spark):
+    # The reference's five formats (dataflow.py:367-373, including
+    # fraction-without-Z) plus the fraction+Z form its own emitter
+    # produces (dataflow_transform.py:68) — accept set is a superset.
     vals = [
         "2024-01-15T10:30:00.123456Z",
+        "2024-01-15T10:30:00.123456",
         "2024-01-15T10:30:00Z",
         "2024-01-15T10:30:00",
         "2024-01-15 10:30:00",
@@ -47,7 +51,8 @@ def test_multi_format_timestamp_accepts_all_five(spark):
     got = _apply(spark, multi_format_timestamp, vals)
     assert all(g is not None for g in got)
     assert got[0].microsecond == 123456
-    assert str(got[4]) == "2024-01-15 00:00:00"
+    assert got[1].microsecond == 123456
+    assert str(got[5]) == "2024-01-15 00:00:00"
 
 
 def test_multi_format_timestamp_rejects(spark):

@@ -28,8 +28,27 @@ def test_gaps_islands_conserves_active_days(spark):
 
 def test_pagerank_mass_approximately_conserved(spark):
     """Integer truncation only ever drops mass, bounded by one unit per
-    node per division — total rank stays within that loss envelope of
-    the initial 1e12 mass."""
+    truncating div — summed over the FULL rank vector (pagerank_ranks,
+    the un-limited core behind q_pagerank), total rank stays within the
+    loss envelope of the initial 1e12 mass: < n units at init, then per
+    iteration < one unit per directed edge (the r div od split) plus
+    ~3 per node (the two damping divisions and the PR_SCALE div n)."""
+    from etl_pipeline_spark.queries.analytics import (
+        PR_ITERS,
+        PR_SCALE,
+        pagerank_ranks,
+    )
+
+    li = load_tables(spark, SF, ("lineitem",))["lineitem"]
+    full = pagerank_ranks(li).agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("degree").alias("n_edges_directed"),
+        F.sum("rank_scaled").alias("total_mass"),
+    ).collect()[0]
+    envelope = full.n_nodes + PR_ITERS * (full.n_edges_directed + 3 * full.n_nodes)
+    assert full.total_mass <= PR_SCALE
+    assert full.total_mass >= PR_SCALE - envelope
+
     rows = contract.queries()["q_pagerank"](spark, SF).collect()
     assert len(rows) == 20
     assert all(r.rank_scaled > 0 for r in rows)

@@ -78,16 +78,12 @@ GEO_R_PER_SF = {"0.01": 100_000, "0.1": 100_000, "1": 30_000}
 
 
 def spatial_scaled(spark, sf_dir: str, sf_label: str):
-    import etl_pipeline_spark.queries.analytics as an
+    from etl_pipeline_spark.queries.analytics import spatial_radius_join
 
-    orig = an.GEO_R
-    an.GEO_R = GEO_R_PER_SF[sf_label]
-    try:
-        from etl_pipeline_spark.queries.base import REGISTRY
-
-        return REGISTRY["q_spatial_radius_join"].fn(spark, sf_dir)
-    finally:
-        an.GEO_R = orig
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    return spatial_radius_join(
+        spark, t["customer"], t["supplier"], radius=GEO_R_PER_SF[sf_label]
+    )
 
 
 def dbscan_scaled(spark, sf_dir: str, sf_label: str):
