@@ -9,15 +9,30 @@ it records:
 - ``BatchEvalPython``: a row-at-a-time Python UDF in the plan — the
   10-100x slow path; only Arrow-batched stages (``ArrowEvalPython`` /
   ``MapInPandas``) are acceptable Python;
-- exchange count (shuffles) and broadcast count, for the record;
-- global range-partitioned sorts that are NOT heap top-k
-  (TakeOrdered): a full sort of an unbounded result.
+- ``global-sort``: an ``Exchange rangepartitioning`` (a full sort of
+  an unbounded result) that is not a heap top-k (TakeOrdered). Window
+  sorts are NOT exempted: unpartitioned windows plan as ``Exchange
+  SinglePartition`` and partitioned ones as hashpartitioning, so any
+  rangepartitioning exchange really is a global ORDER BY;
+- ``global-window``: a Window node fed by ``Exchange SinglePartition``
+  — the whole dataset on one task. Allowed ONLY for conformance
+  baselines that name a registered mergeable-sketch / partitioned
+  scale twin in GLOBAL_WINDOW_TWINS below; an entry must point at a
+  real registry name or the audit fails. A new query with an
+  undocumented global window is a hard failure.
+- ``plan-size``: executed-plan tree exceeding PLAN_NODE_CEILING lines.
+  Unrolled iterative queries (PCA, Markov, SemDeDup) grow the plan
+  tree, not the data movement; past the ceiling, planning time and
+  driver memory become the risk (the r4 OOM-in-planning incident) and
+  the query must checkpoint between iterations instead.
+- exchange count (hash + range shuffles), broadcast count, and plan
+  node count, for the record.
 
 Writes PLAN_AUDIT.md with one row per query plus a summary; exits
-non-zero if a hard anti-pattern (cartesian, row-Python) appears so the
-audit can gate CI.
+non-zero if a hard anti-pattern (cartesian, row-python, undocumented
+global-window) appears so the audit can gate CI.
 
-Intentional exceptions, asserted in the expected-flags table below
+Intentional exceptions, asserted in the expected-flags tables below
 rather than silently ignored:
 - q_join_cross_region_nation IS the cross-join conformance query (tiny
   dims, the oracle is a cross join) — its CartesianProduct is the
@@ -31,20 +46,102 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from etl_pipeline_spark.queries.base import all_specs
+from etl_pipeline_spark.queries.base import REGISTRY, all_specs
 from etl_pipeline_spark.session import get_spark
 
 SF = "/root/testdata/sf0.01"
+
+# Plan trees past this many nodes risk planning-time blowup (driver CPU
+# and memory scale with tree size under AQE re-planning); the ceiling is
+# ~2x the largest legitimate unrolled-iteration plan at HEAD
+# (q_pca_top_component, 718 nodes) so growth is caught while it is
+# still one checkpoint away from fixable.
+PLAN_NODE_CEILING = 1500
 
 # queries whose flagged node is the documented point of the query
 EXPECTED = {
     "q_join_cross_region_nation": {"cartesian"},
 }
 
+# The machine-enforced version of the docstring contract from
+# queries/analytics.py: every query that legitimately runs an
+# un-partitioned window must either name its registered
+# sketch/partitioned scale twin here — the production path a 100 TB
+# deployment runs instead — or appear in GLOBAL_WINDOW_BOUNDED with the
+# reason its window input is provably sub-corpus. The audit verifies
+# twins exist in the registry; a global window without an entry in
+# either table is a hard failure.
+GLOBAL_WINDOW_TWINS: dict[str, str] = {
+    "q_equidepth_histogram": "q_kll_quantile_merge",
+    "q_woe_encoding": "q_kll_quantile_merge",
+    "q_curriculum_buckets": "q_kll_quantile_merge",
+    "q_rfm_segments": "q_kll_quantile_merge",
+    "q_window_range_frame": "q_window_range_frame_partitioned",
+    "q_window_distribution_ranks": "q_window_distribution_ranks_partitioned",
+}
+
+# Global windows whose input is structurally bounded far below the
+# corpus BEFORE the window (an aggregate/distinct collapse upstream):
+# the single partition holds the collapsed set, not the data. The value
+# is the bound, checked non-empty; docstrings carry the full argument.
+GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
+    "q_survival_km": "distinct event days after user-keyed aggregate",
+    "q_theil_sen_trend": "day-aggregated series, ~400 rows by horizon",
+    "q_mann_whitney": "distinct-value collapse before ranking",
+    "q_cliffs_delta": "distinct-value collapse before ranking",
+    "q_poisson_bootstrap_ci": "B bootstrap replicas after map-combine",
+    "q_seasonal_anomaly_days": "day-keyed series after one aggregate",
+    "q_skyline_parts": "distinct prices (catalog-bounded)",
+    "q_text_zipf_fit": "vocabulary-sized after term-count collapse (Heaps-sublinear)",
+    "q_ratio_to_report": "group-count rows after fact aggregate",
+    "q_mix_weights": "5-row language dimension",
+}
+
+
+def audit_plan(plan: str) -> tuple[set[str], int, int, int]:
+    """Return (flags, n_shuffles, n_broadcasts, n_nodes) for one
+    executed-plan string. Pure function so tests can drive it."""
+    n_ex = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    n_bc = len(
+        re.findall(r"Broadcast(?:HashJoin|NestedLoopJoin|ExchangeExec|Exchange)", plan)
+    )
+    lines = plan.splitlines()
+    n_nodes = len(lines)
+    flags: set[str] = set()
+    if "CartesianProduct" in plan:
+        flags.add("cartesian")
+    if "BatchEvalPython" in plan:
+        flags.add("row-python")
+    if re.search(r"Exchange rangepartitioning", plan) and "TakeOrderedAndProject" not in plan:
+        flags.add("global-sort")
+    # Window whose required child distribution is a single partition:
+    # the Sort + Exchange SinglePartition pair directly beneath it.
+    for i, line in enumerate(lines):
+        if re.search(r"\bWindow(?:GroupLimit)? \[", line):
+            for nxt in lines[i + 1 : i + 4]:
+                if "Exchange SinglePartition" in nxt:
+                    flags.add("global-window")
+                    break
+                if "Exchange hashpartitioning" in nxt:
+                    break
+    if n_nodes > PLAN_NODE_CEILING:
+        flags.add("plan-size")
+    return flags, n_ex, n_bc, n_nodes
+
 
 def main() -> None:
     spark = get_spark("plan_audit")
     specs = all_specs()
+    bad_twins = {
+        q: t for q, t in GLOBAL_WINDOW_TWINS.items() if t not in REGISTRY or q not in REGISTRY
+    }
+    if bad_twins:
+        raise SystemExit(f"GLOBAL_WINDOW_TWINS names unknown queries: {bad_twins}")
+    bad_bounded = [
+        q for q, why in GLOBAL_WINDOW_BOUNDED.items() if q not in REGISTRY or not why.strip()
+    ]
+    if bad_bounded:
+        raise SystemExit(f"GLOBAL_WINDOW_BOUNDED invalid entries: {bad_bounded}")
     rows = []
     hard_fail = []
     for name, spec in specs.items():
@@ -52,47 +149,59 @@ def main() -> None:
             df = spec.fn(spark, SF)
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as ex:  # noqa: BLE001
-            rows.append((name, -1, -1, f"PLAN-ERROR: {str(ex)[:80]}"))
+            rows.append((name, -1, -1, -1, f"PLAN-ERROR: {str(ex)[:80]}"))
             hard_fail.append(name)
             continue
-        n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
-        n_bc = len(re.findall(r"Broadcast(?:HashJoin|NestedLoopJoin|ExchangeExec|Exchange)", plan))
-        flags = set()
-        if "CartesianProduct" in plan:
-            flags.add("cartesian")
-        if "BatchEvalPython" in plan:
-            flags.add("row-python")
-        # global sort that isn't a TakeOrdered top-k and isn't feeding a
-        # window (rangepartitioning exchanges also implement window sorts)
-        if (
-            re.search(r"Exchange rangepartitioning", plan)
-            and "TakeOrderedAndProject" not in plan
-            and "Window" not in plan
-            and "WindowGroupLimit" not in plan
-        ):
-            flags.add("global-sort")
+        flags, n_ex, n_bc, n_nodes = audit_plan(plan)
+        shown = set(flags)
+        if "global-window" in flags:
+            if name in GLOBAL_WINDOW_TWINS:
+                shown.discard("global-window")
+                shown.add(f"global-window(twin={GLOBAL_WINDOW_TWINS[name]})")
+            elif name in GLOBAL_WINDOW_BOUNDED:
+                shown.discard("global-window")
+                shown.add("global-window(bounded)")
         unexpected = flags - EXPECTED.get(name, set())
         if unexpected & {"cartesian", "row-python"}:
             hard_fail.append(name)
-        rows.append((name, n_ex, n_bc, ",".join(sorted(flags)) or "-"))
+        if (
+            "global-window" in unexpected
+            and name not in GLOBAL_WINDOW_TWINS
+            and name not in GLOBAL_WINDOW_BOUNDED
+        ):
+            hard_fail.append(name)
+        rows.append((name, n_ex, n_bc, n_nodes, ",".join(sorted(shown)) or "-"))
 
-    n_flagged = sum(1 for r in rows if r[3] not in ("-",) and not r[3].startswith("PLAN-ERROR"))
+    n_flagged = sum(
+        1 for r in rows if r[4] not in ("-",) and not r[4].startswith("PLAN-ERROR")
+    )
+    max_nodes = max((r[3] for r in rows), default=0)
     with open("/root/repo/PLAN_AUDIT.md", "w") as f:
         f.write(
             "# PLAN_AUDIT — anti-pattern scan over every registered query\n\n"
             "Generated by `python tools/plan_audit.py` (planning only, sf0.01).\n"
             "Hard anti-patterns: `cartesian` (non-broadcast cartesian join),\n"
-            "`row-python` (row-at-a-time Python UDF). `global-sort` flags a\n"
-            "range-partitioned full sort that is neither top-k nor a window\n"
-            "sort. Expected flags (the operator under test) are listed in the\n"
-            "tool header and do not fail the audit.\n\n"
+            "`row-python` (row-at-a-time Python UDF), `global-window` without\n"
+            "a registered scale twin (un-partitioned WindowExec; conformance\n"
+            "baselines carry `twin=<name>` from GLOBAL_WINDOW_TWINS instead).\n"
+            "`global-sort` flags a range-partitioned full sort that is not a\n"
+            "top-k; `plan-size` flags executed-plan trees over "
+            f"{PLAN_NODE_CEILING} nodes\n"
+            "(unrolled iteration growth — checkpoint instead). Expected flags\n"
+            "(the operator under test) are listed in the tool header and do\n"
+            "not fail the audit.\n\n"
             f"Queries audited: {len(rows)}; flagged: {n_flagged}; "
-            f"hard failures: {len(hard_fail)}\n\n"
-            "| query | shuffles | broadcasts | flags |\n|---|---|---|---|\n"
+            f"hard failures: {len(hard_fail)}; "
+            f"largest plan: {max_nodes} nodes (ceiling {PLAN_NODE_CEILING})\n\n"
+            "| query | shuffles | broadcasts | plan nodes | flags |\n"
+            "|---|---|---|---|---|\n"
         )
-        for name, n_ex, n_bc, flags in rows:
-            f.write(f"| {name} | {n_ex} | {n_bc} | {flags} |\n")
-    print(f"audited={len(rows)} flagged={n_flagged} hard_fail={hard_fail}")
+        for name, n_ex, n_bc, n_nodes, flags in rows:
+            f.write(f"| {name} | {n_ex} | {n_bc} | {n_nodes} | {flags} |\n")
+    print(
+        f"audited={len(rows)} flagged={n_flagged} max_nodes={max_nodes} "
+        f"hard_fail={hard_fail}"
+    )
     sys.exit(1 if hard_fail else 0)
 
 
