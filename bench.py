@@ -118,9 +118,10 @@ def main() -> None:
             timings[name] = round(best, 3)
         return timings
 
+    sets = os.environ.get("SPARK_GRAFT_BENCH_SETS", "all")  # "core" skips scale set
     canary_before = _canary_sec()
     timings = time_set(BENCH_QUERIES)
-    scale_timings = time_set(SCALE_QUERIES)
+    scale_timings = time_set(SCALE_QUERIES) if sets != "core" else {}
     # min of before/after: the fastest the host was during this run
     canary = round(min(canary_before, _canary_sec()), 3)
     mt_canary = round(_mt_canary_sec(), 3)
@@ -139,6 +140,14 @@ def main() -> None:
                 "canary_sec": canary,
                 "mt_canary_sec": mt_canary,
                 "value_per_canary": round(total / canary, 3),
+                # mt-canary-normalized totals and per-query times: divide
+                # by the multi-core canary so cross-round deltas survive
+                # host contention (the r4 1.53x "regression" was exactly
+                # a contention artifact the single-thread canary missed).
+                "value_per_mt_canary": round(total / mt_canary, 3),
+                "queries_per_mt_canary": {
+                    k: round(v / mt_canary, 3) for k, v in timings.items()
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

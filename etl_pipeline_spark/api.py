@@ -676,7 +676,7 @@ def target_encode(
     integer target column: appends ``enc_cents`` — the category mean
     EXCLUDING the row itself, shrunk toward the global prior with
     ``smooth`` pseudo-observations. All-integer ``div`` arithmetic
-    (queries/analytics.py q_target_encoding is the oracle-checked
+    (queries/analytics_ml.py q_target_encoding is the oracle-checked
     instance). One category-keyed window shuffle + a broadcast prior."""
     g = df.agg(
         F.expr(
@@ -811,6 +811,6 @@ from etl_pipeline_spark.operators.zorder import (  # noqa: E402,F401
     write_zordered,
     zorder_key,
 )
-from etl_pipeline_spark.queries.analytics import (  # noqa: E402,F401
+from etl_pipeline_spark.queries.analytics_ml import (  # noqa: E402,F401
     dbscan_classify,
 )

@@ -1,0 +1,1737 @@
+"""Graph/ML analytics: PageRank, k-means Lloyd, DBSCAN, MMR re-rank,
+item-item CF, degree power-law, BOM explosion, RAKE, WordPiece +
+fertility, target/WOE encodings, PSI, rare-category bucketing, the
+Lindley clamped balance, and kNN classifier evaluation.
+
+Split from the former queries/analytics.py along its five documented
+groups. Cross-engine determinism follows the house rules
+(queries/base.py): money and counts fold as integers, rational scores
+are scaled-integer ``div`` folds, and the only floating-point steps are
+final single divisions rounded to a fixed number of decimals.
+Reference parity: the reference delegates all transformation beyond
+ingest to warehouse SQL, and the only SQL its DAG submits is a single
+filtered INSERT (reference airflow.py:104-122) — this module is
+strictly beyond-reference: the analytics a user of that warehouse would
+run downstream, expressed Spark-first with a DuckDB oracle per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.queries.base import query
+
+
+# --- Leave-one-out target encoding ------------------------------------------
+
+TE_SMOOTH = 10  # pseudo-observations of the global prior
+
+
+@query(
+    "q_target_encoding",
+    oracle=f"""
+    WITH t AS (
+        SELECT o.o_orderkey, c.c_nationkey,
+               CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+        SELECT CAST(SUM(cents) AS BIGINT) // COUNT(*) AS prior_cents FROM t
+    ),
+    w AS (
+        SELECT o_orderkey, c_nationkey, cents,
+               CAST(SUM(cents) OVER (PARTITION BY c_nationkey) AS BIGINT) AS s,
+               COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+        FROM t
+    )
+    SELECT o_orderkey, c_nationkey,
+           CAST((s - cents + {TE_SMOOTH} * prior_cents)
+                // (n - 1 + {TE_SMOOTH}) AS BIGINT) AS enc_cents
+    FROM w, g
+    """,
+    tags=("feature-prep", "target-encoding", "window"),
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding of customer nation against
+    order value — the standard categorical-feature encoder for training
+    tables. Each order's encoding is the nation's mean target EXCLUDING
+    the row itself (no target leakage), shrunk toward the global prior
+    with {M} pseudo-observations. All arithmetic is integer cents with
+    ``div`` folds, so both engines produce bit-identical encodings.
+
+    Scale: one shuffle on the category key for the window sums, one
+    broadcast of the 1-row global prior. The encoding of a 100 TB fact
+    table is the same two-pass plan; high-cardinality categories don't
+    skew because the window carries only two running integers.
+    """
+    t_ = load_tables(spark, sf_dir, ("orders", "customer"))
+    t = (
+        t_["orders"]
+        .join(t_["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey",
+            "c_nationkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    g = t.agg(
+        F.expr("CAST(sum(cents) AS BIGINT) div count(*)").alias("prior_cents")
+    )
+    wn = Window.partitionBy("c_nationkey")
+    w = t.select(
+        "o_orderkey",
+        "c_nationkey",
+        "cents",
+        F.sum("cents").over(wn).alias("s"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return w.crossJoin(F.broadcast(g)).select(
+        "o_orderkey",
+        "c_nationkey",
+        F.expr(
+            f"CAST((s - cents + {TE_SMOOTH} * prior_cents)"
+            f" div (n - 1 + {TE_SMOOTH}) AS BIGINT)"
+        ).alias("enc_cents"),
+    )
+
+
+q_target_encoding.__doc__ = q_target_encoding.__doc__.format(M=TE_SMOOTH)
+
+
+# --- PageRank over the part co-purchase graph --------------------------------
+
+PR_SUPPORT = 2  # co-order support threshold for an edge (q_triangle_count's)
+PR_SCALE = 10**12  # rank mass carried as integer units of 1e-12
+PR_ITERS = 3
+PR_TOPK = 20
+
+
+def _pr_oracle() -> str:
+    """Unrolled {PR_ITERS}-iteration integer PageRank in DuckDB SQL."""
+    lines = [
+        f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {PR_SUPPORT}
+    ),
+    edges AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+    outdeg AS (SELECT u, COUNT(*) AS od FROM edges GROUP BY u),
+    nn AS (SELECT COUNT(*) AS n FROM outdeg),
+    r0 AS (
+        SELECT u AS node, CAST({PR_SCALE} AS BIGINT) // n AS r
+        FROM outdeg, nn
+    )"""
+    ]
+    for i in range(1, PR_ITERS + 1):
+        lines.append(
+            f""",
+    c{i} AS (
+        SELECT e.v AS node, CAST(SUM(r{i - 1}.r // d.od) AS BIGINT) AS sc
+        FROM edges e
+        JOIN r{i - 1} ON r{i - 1}.node = e.u
+        JOIN outdeg d ON d.u = e.u
+        GROUP BY e.v
+    ),
+    r{i} AS (
+        SELECT o.u AS node,
+               CAST((15 * (CAST({PR_SCALE} AS BIGINT) // n)) // 100
+                    + (85 * COALESCE(c{i}.sc, 0)) // 100 AS BIGINT) AS r
+        FROM outdeg o CROSS JOIN nn LEFT JOIN c{i} ON c{i}.node = o.u
+    )"""
+        )
+    lines.append(
+        f"""
+    SELECT CAST(rr.node AS BIGINT) AS node,
+           CAST(d.od AS BIGINT) AS degree,
+           rr.r AS rank_scaled
+    FROM r{PR_ITERS} rr JOIN outdeg d ON d.u = rr.node
+    ORDER BY rr.r DESC, rr.node
+    LIMIT {PR_TOPK}
+    """
+    )
+    return "".join(lines)
+
+
+@query(
+    "q_pagerank",
+    oracle=_pr_oracle(),
+    tags=("graph", "pagerank", "iterative", "custom-op"),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (q_triangle_count's
+    edges, both directions): {I} power iterations with damping 0.85,
+    returning the top-{K} parts by rank. Rank mass is carried as
+    integer units of 1e-12 and every step is an integer ``div`` fold,
+    so iterates are bit-identical across engines and partitionings —
+    the oracle unrolls the identical recurrence as chained CTEs.
+
+    Scale: the per-iteration plan is the canonical distributed PageRank
+    — join ranks to edges on the source key, aggregate contributions on
+    the destination key. Edges are localCheckpointed once (reused by
+    every iteration without recomputing the co-purchase self-join) and
+    each iterate truncates lineage so the DAG stays constant-depth. At
+    100 TB: pre-partition edges and ranks on the node key so the join
+    reuses one exchange, and handle hubs with the hybrid hot/cold
+    broadcast join (operators/skew.py).
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        pagerank_ranks(li)
+        .orderBy(F.desc("rank_scaled"), "node")
+        .limit(PR_TOPK)
+    )
+
+
+def pagerank_ranks(li: DataFrame) -> DataFrame:
+    """Full (un-limited) rank table behind q_pagerank: every node with
+    its degree and final integer rank. Exposed separately so invariants
+    over the WHOLE vector — e.g. the truncation-loss mass-conservation
+    envelope tests/test_session6_operators.py asserts — can be checked
+    without the top-k cut."""
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= PR_SUPPORT)
+        .select("u", "v")
+    )
+    edges = (
+        und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    outdeg = edges.groupBy("u").agg(F.count("*").alias("od"))
+    nn = outdeg.agg(F.count("*").alias("n"))
+    r = (
+        outdeg.select(F.col("u").alias("node"))
+        .crossJoin(F.broadcast(nn))
+        .select("node", F.expr(f"CAST({PR_SCALE} AS BIGINT) div n").alias("r"))
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            r.join(outdeg, r["node"] == outdeg["u"])
+            .select(F.col("node"), F.expr("r div od").alias("c"))
+        )
+        inc = (
+            edges.join(contrib, edges["u"] == contrib["node"])
+            .groupBy(edges["v"])
+            .agg(F.sum("c").alias("sc"))
+        )
+        r = (
+            outdeg.select(F.col("u").alias("node"))
+            .join(inc, F.col("node") == inc["v"], "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST((15 * (CAST({PR_SCALE} AS BIGINT) div n)) div 100"
+                    " + (85 * COALESCE(sc, 0)) div 100 AS BIGINT)"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return r.join(outdeg, r["node"] == outdeg["u"]).select(
+        "node", F.col("od").cast("long").alias("degree"), F.col("r").alias("rank_scaled")
+    )
+
+
+q_pagerank.__doc__ = q_pagerank.__doc__.format(I=PR_ITERS, K=PR_TOPK)
+
+
+# --- RAKE keyword extraction -------------------------------------------------
+
+RAKE_STOPWORDS = ("the", "a")
+RAKE_MAX_PHRASE = 4
+RAKE_TOPK = 20
+RAKE_WSCALE = 1_000_000
+
+
+@query(
+    "q_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, i - 1 AS pos, STRING_SPLIT(text, ' ')[i] AS token
+        FROM documents,
+             UNNEST(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')))) AS t(i)
+    ),
+    nonstop AS (
+        SELECT doc_id, pos, token,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM toks
+        WHERE token <> '' AND token NOT IN {RAKE_STOPWORDS!r}
+    ),
+    phrases AS (
+        SELECT doc_id, grp,
+               COUNT(*) AS plen,
+               STRING_AGG(token, ' ' ORDER BY pos) AS phrase
+        FROM nonstop GROUP BY doc_id, grp
+        HAVING COUNT(*) <= {RAKE_MAX_PHRASE}
+    ),
+    members AS (
+        SELECT n.doc_id, n.grp, n.token, p.plen, p.phrase
+        FROM nonstop n JOIN phrases p
+          ON n.doc_id = p.doc_id AND n.grp = p.grp
+    ),
+    wordstats AS (
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(plen) AS BIGINT) AS deg
+        FROM members GROUP BY token
+    ),
+    wscore AS (
+        SELECT token, ({RAKE_WSCALE} * deg) // freq AS ws FROM wordstats
+    ),
+    inst AS (
+        SELECT m.doc_id, m.grp, m.phrase,
+               CAST(SUM(w.ws) AS BIGINT) AS iscore
+        FROM members m JOIN wscore w ON m.token = w.token
+        GROUP BY m.doc_id, m.grp, m.phrase
+    )
+    SELECT phrase,
+           CAST(LEN(STRING_SPLIT(phrase, ' ')) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MAX(iscore) AS score_scaled
+    FROM inst GROUP BY phrase
+    ORDER BY score_scaled DESC, phrase
+    LIMIT {RAKE_TOPK}
+    """,
+    tags=("text", "keywords", "rake", "X4"),
+)
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction over the corpus: candidate phrases are
+    maximal stopword-free token runs (capped at {P} words), scored by
+    the sum of member word scores degree/frequency — degree counts
+    phrase co-membership, so words that appear inside longer phrases
+    outrank isolated frequent words. Word scores are scaled-integer
+    ``div`` folds ({S}x), making the whole ranking engine-exact; top-{K}
+    phrases with (score, phrase) tie-break.
+
+    Scale: phrase segmentation is the gaps-islands window keyed by
+    doc_id (one shuffle, partition-local); word stats and phrase scores
+    are token-keyed aggregations. Nothing is quadratic — the corpus
+    streams through 3 shuffles (doc window, word agg, phrase agg).
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    nonstop = (
+        toks.filter((F.col("token") != "") & ~F.col("token").isin(*RAKE_STOPWORDS))
+        .withColumn(
+            "grp",
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+        )
+        .localCheckpoint(eager=False)
+    )
+    phrases = (
+        nonstop.groupBy("doc_id", "grp")
+        .agg(
+            F.count("*").alias("plen"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("phrase"),
+        )
+        .filter(F.col("plen") <= RAKE_MAX_PHRASE)
+    )
+    members = nonstop.join(phrases, ["doc_id", "grp"]).select(
+        "doc_id", "grp", "token", "plen", "phrase"
+    ).localCheckpoint(eager=False)
+    wscore = (
+        members.groupBy("token")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+        .select("token", F.expr(f"({RAKE_WSCALE} * deg) div freq").alias("ws"))
+    )
+    inst = (
+        members.join(wscore, "token")
+        .groupBy("doc_id", "grp", "phrase")
+        .agg(F.sum("ws").alias("iscore"))
+    )
+    return (
+        inst.groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.max("iscore").alias("score_scaled"),
+        )
+        .select(
+            "phrase",
+            F.size(F.split("phrase", " ")).cast("long").alias("n_words"),
+            "n_occurrences",
+            "score_scaled",
+        )
+        .orderBy(F.desc("score_scaled"), "phrase")
+        .limit(RAKE_TOPK)
+    )
+
+
+q_rake_keywords.__doc__ = q_rake_keywords.__doc__.format(
+    P=RAKE_MAX_PHRASE, S=RAKE_WSCALE, K=RAKE_TOPK
+)
+
+
+# --- k-means (Lloyd) on the integer embedding grid ---------------------------
+
+KM_K = 8
+KM_QUANT = 1000  # embedding quantization grid (the PCA idiom)
+KM_ITERS = 2
+
+
+def _km_oracle() -> str:
+    """Unrolled 2-iteration integer Lloyd in DuckDB SQL: quantize,
+    seed centroids from id % k, assign by exact integer squared
+    distance (cluster-id tie-break), recompute integer centroids."""
+    base = f"""
+    WITH q AS (
+        SELECT vec_id, g - 1 AS pos,
+               CAST(FLOOR(embedding[g]::DOUBLE * {KM_QUANT} + 0.5) AS BIGINT) AS qd
+        FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(g)
+    ),
+    c0 AS (
+        SELECT vec_id % {KM_K} AS cluster, pos,
+               CAST(SUM(qd) AS BIGINT) // COUNT(*) AS cd
+        FROM q GROUP BY 1, pos
+    )"""
+    steps = ""
+    prev = "c0"
+    for i in range(1, KM_ITERS + 1):
+        steps += f""",
+    d{i} AS (
+        SELECT q.vec_id, c.cluster,
+               CAST(SUM((q.qd - c.cd) * (q.qd - c.cd)) AS BIGINT) AS dist
+        FROM q JOIN {prev} c ON q.pos = c.pos
+        GROUP BY 1, 2
+    ),
+    a{i} AS (
+        SELECT vec_id, cluster, dist FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+            FROM d{i}
+        ) WHERE rn = 1
+    ),
+    c{i} AS (
+        SELECT a.cluster, q.pos, CAST(SUM(q.qd) AS BIGINT) // COUNT(*) AS cd
+        FROM q JOIN a{i} a ON q.vec_id = a.vec_id
+        GROUP BY 1, 2
+    )"""
+        prev = f"c{i}"
+    final = f"""
+    SELECT a.cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(a.dist) AS BIGINT) AS inertia,
+           (SELECT CAST(SUM(cd * (pos + 1)) AS BIGINT)
+            FROM c{KM_ITERS} c WHERE c.cluster = a.cluster) AS centroid_checksum
+    FROM a{KM_ITERS} a GROUP BY a.cluster
+    """
+    return base + steps + final
+
+
+@query(
+    "q_kmeans_lloyd",
+    oracle=_km_oracle(),
+    tags=("clustering", "kmeans", "iterative", "X3", "custom-op"),
+)
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means ({K} clusters, {I} Lloyd iterations) over the embedding
+    corpus on an integer grid: vectors quantize half-up to 1e-3 units,
+    seed centroids are integer means of the id%{K} groups, assignment is
+    exact integer squared distance (cluster-id tie-break), and centroid
+    updates are integer ``div`` means — every iterate is bit-identical
+    across engines and partitionings, the same determinism contract as
+    q_pca_top_component. Output: per-cluster size, inertia (sum of
+    assigned squared distances), and a centroid checksum.
+
+    Scale: the canonical distributed Lloyd — centroids (k x dims
+    integers) broadcast; assignment is a map-side argmin over the
+    broadcast array (corpus never shuffles for it); the update is one
+    (cluster, dim)-keyed aggregation. localCheckpoints keep the
+    iteration DAG constant-depth.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * KM_QUANT + 0.5).cast("long"),
+        ).alias("qv"),
+    ).localCheckpoint(eager=False)
+
+    def to_arrays(cent: DataFrame) -> DataFrame:
+        return (
+            cent.groupBy("cluster")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "cd"))).alias("pcs")
+            )
+            .select("cluster", F.transform("pcs", lambda s: s["cd"]).alias("cv"))
+        )
+
+    comp = qv.select("vec_id", F.posexplode("qv").alias("pos", "qd"))
+    carr = to_arrays(
+        comp.withColumn("cluster", F.col("vec_id") % KM_K)
+        .groupBy("cluster", "pos")
+        .agg(F.expr("CAST(sum(qd) AS BIGINT) div count(*)").alias("cd"))
+    )
+    assign = None
+    sqdist = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    for _ in range(KM_ITERS):
+        dist = qv.crossJoin(F.broadcast(carr)).select(
+            "vec_id", "qv", "cluster", sqdist.alias("dist")
+        )
+        wr = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+        assign = (
+            dist.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "qv", "cluster", "dist")
+            .localCheckpoint(eager=False)
+        )
+        carr = to_arrays(
+            assign.select("cluster", F.posexplode("qv").alias("pos", "qd"))
+            .groupBy("cluster", "pos")
+            .agg(F.expr("CAST(sum(qd) AS BIGINT) div count(*)").alias("cd"))
+        )
+    checksum = F.expr(
+        "aggregate(zip_with(cv, sequence(1, size(cv)),"
+        " (c, i) -> c * CAST(i AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return (
+        assign.groupBy("cluster")
+        .agg(F.count("*").alias("n_members"), F.sum("dist").alias("inertia"))
+        .join(carr.select("cluster", checksum.alias("centroid_checksum")), "cluster")
+        .select("cluster", "n_members", "inertia", "centroid_checksum")
+    )
+
+
+q_kmeans_lloyd.__doc__ = q_kmeans_lloyd.__doc__.format(K=KM_K, I=KM_ITERS)
+
+
+# --- DBSCAN core/border/noise classification ---------------------------------
+
+DB_QUANT = 1000  # projection quantization grid
+DB_EPS = 30  # epsilon in quantized units (0.03 embedding units)
+DB_MINPTS = 8  # neighbors (incl. self) required for a core point
+
+
+@query(
+    "q_dbscan_classify",
+    oracle=f"""
+    WITH p AS (
+        SELECT vec_id,
+               CAST(FLOOR(embedding[1]::DOUBLE * {DB_QUANT} + 0.5) AS BIGINT) AS qx,
+               CAST(FLOOR(embedding[2]::DOUBLE * {DB_QUANT} + 0.5) AS BIGINT) AS qy
+        FROM embeddings
+    ),
+    c AS (SELECT vec_id, qx, qy, qx // {DB_EPS} AS cx, qy // {DB_EPS} AS cy FROM p),
+    probes AS (
+        SELECT c.vec_id, c.qx, c.qy, c.cx + dx.d AS cx, c.cy + dy.d AS cy
+        FROM c,
+             (SELECT UNNEST(GENERATE_SERIES(-1, 1)) AS d) dx,
+             (SELECT UNNEST(GENERATE_SERIES(-1, 1)) AS d) dy
+    ),
+    nbrs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM probes a JOIN c b ON a.cx = b.cx AND a.cy = b.cy
+        WHERE (a.qx - b.qx) * (a.qx - b.qx)
+              + (a.qy - b.qy) * (a.qy - b.qy) <= {DB_EPS * DB_EPS}
+    ),
+    cnt AS (SELECT va AS vec_id, COUNT(*) AS n_nbrs FROM nbrs GROUP BY va),
+    core AS (SELECT vec_id, n_nbrs, n_nbrs >= {DB_MINPTS} AS is_core FROM cnt),
+    border AS (
+        SELECT DISTINCT n.va AS vec_id
+        FROM nbrs n JOIN core k ON n.vb = k.vec_id
+        WHERE k.is_core AND n.va <> n.vb
+    ),
+    cls AS (
+        SELECT c.vec_id, c.n_nbrs,
+               CASE WHEN c.is_core THEN 'core'
+                    WHEN b.vec_id IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS classification
+        FROM core c LEFT JOIN border b ON c.vec_id = b.vec_id
+    )
+    SELECT classification,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MIN(n_nbrs) AS BIGINT) AS min_nbrs,
+           CAST(MAX(n_nbrs) AS BIGINT) AS max_nbrs
+    FROM cls GROUP BY classification
+    """,
+    tags=("clustering", "dbscan", "X3", "custom-op"),
+)
+def q_dbscan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density classification (core / border / noise) of the
+    embedding cloud's leading 2-D projection on an integer grid —
+    the density screen that precedes density-based cluster extraction
+    (the cluster step itself is the certified connected-components
+    operator, operators/cluster.py, over core-core neighbor edges).
+    Exact epsilon-neighborhoods come from GRID BLOCKING: each point
+    probes its 3x3 neighborhood of eps-sized cells, an equi-join on the
+    cell key — cell width >= eps guarantees no true neighbor is missed,
+    so the result is exact, never approximate.
+
+    Scale: the probe fan-out is a constant 9x map-side expansion
+    followed by ONE equi-join shuffle on the cell key and two
+    aggregations — the standard way to make DBSCAN's neighbor search
+    linear instead of quadratic. Hot cells (dense regions) are bounded
+    by cell occupancy; like SemDeDup's k, epsilon is the density knob —
+    it shrinks as density grows (the sf1 soak runs eps=10), keeping
+    per-cell occupancy and the candidate volume flat.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return dbscan_classify(spark, e)
+
+
+def dbscan_classify(
+    spark: SparkSession, e: DataFrame, eps: int = DB_EPS, minpts: int = DB_MINPTS
+) -> DataFrame:
+    """Parameterized core of q_dbscan_classify over any (vec_id,
+    embedding) DataFrame — the soak harness scales eps with density."""
+    p = e.select(
+        "vec_id",
+        F.floor(F.col("embedding").getItem(0).cast("double") * DB_QUANT + 0.5)
+        .cast("long")
+        .alias("qx"),
+        F.floor(F.col("embedding").getItem(1).cast("double") * DB_QUANT + 0.5)
+        .cast("long")
+        .alias("qy"),
+    )
+    c = p.select(
+        "vec_id", "qx", "qy",
+        F.expr(f"qx div {eps}").alias("cx"),
+        F.expr(f"qy div {eps}").alias("cy"),
+    ).localCheckpoint(eager=False)
+    off = spark.range(-1, 2).select(F.col("id").alias("d"))
+    probes = (
+        c.crossJoin(F.broadcast(off.select(F.col("d").alias("dx"))))
+        .crossJoin(F.broadcast(off.select(F.col("d").alias("dy"))))
+        .select(
+            F.col("vec_id").alias("va"),
+            F.col("qx").alias("qxa"),
+            F.col("qy").alias("qya"),
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    b = c.select(
+        F.col("vec_id").alias("vb"),
+        F.col("qx").alias("qxb"),
+        F.col("qy").alias("qyb"),
+        "cx",
+        "cy",
+    )
+    d2 = (F.col("qxa") - F.col("qxb")) * (F.col("qxa") - F.col("qxb")) + (
+        F.col("qya") - F.col("qyb")
+    ) * (F.col("qya") - F.col("qyb"))
+    nbrs = (
+        probes.join(b, ["cx", "cy"])
+        .filter(d2 <= eps * eps)
+        .select("va", "vb")
+        .localCheckpoint(eager=False)
+    )
+    core = (
+        nbrs.groupBy("va")
+        .agg(F.count("*").alias("n_nbrs"))
+        .select(
+            F.col("va").alias("vec_id"),
+            "n_nbrs",
+            (F.col("n_nbrs") >= minpts).alias("is_core"),
+        )
+    )
+    border = (
+        nbrs.filter(F.col("va") != F.col("vb"))
+        .join(
+            core.filter("is_core").select(F.col("vec_id").alias("vb")),
+            "vb",
+            "left_semi",
+        )
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+        .withColumn("is_border", F.lit(True))
+    )
+    cls = core.join(border, "vec_id", "left").select(
+        "n_nbrs",
+        F.when(F.col("is_core"), "core")
+        .when(F.col("is_border").isNotNull(), "border")
+        .otherwise("noise")
+        .alias("classification"),
+    )
+    return cls.groupBy("classification").agg(
+        F.count("*").alias("n_points"),
+        F.min("n_nbrs").alias("min_nbrs"),
+        F.max("n_nbrs").alias("max_nbrs"),
+    )
+
+
+# --- Clamped running balance (Lindley recursion) -----------------------------
+
+
+@query(
+    "q_clamped_running_balance",
+    # The clamp-at-zero recurrence b_t = max(0, b_{t-1} + x_t) has the
+    # Lindley closed form b_t = S_t - min(0, min_{j<=t} S_j), which IS
+    # window-expressible — no sequential scan needed. A clamp fires at t
+    # iff S_t < min(0, min_{j<t} S_j) (the raw balance would go negative).
+    oracle="""
+    WITH tx AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                    ELSE -CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS delta
+        FROM events
+        WHERE event_type IN ('purchase', 'view')
+    ),
+    s AS (
+        SELECT user_id, ts, event_id, delta,
+               SUM(delta) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS s
+        FROM tx
+    ),
+    m AS (
+        SELECT user_id, s,
+               LEAST(0, MIN(s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS m,
+               LEAST(0, COALESCE(MIN(s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                   AS mprev,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+                   AS rn_last
+        FROM s
+    ),
+    bal AS (
+        SELECT user_id, s - m AS balance,
+               CASE WHEN s < mprev THEN 1 ELSE 0 END AS clamped, rn_last
+        FROM m
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tx,
+           CAST(MIN(CASE WHEN rn_last = 1 THEN balance END) AS BIGINT)
+               AS final_cents,
+           CAST(MAX(balance) AS BIGINT) AS peak_cents,
+           CAST(SUM(clamped) AS BIGINT) AS n_clamps
+    FROM bal GROUP BY user_id
+    """,
+    tags=("window", "lindley", "behavioral"),
+)
+def q_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped-at-zero running balance per user (purchases credit, views
+    debit, integer cents): final balance, peak balance, and the number
+    of clamp events (attempted overdraws). The naive formulation is a
+    sequential per-key scan; the Lindley-recursion closed form
+    b_t = S_t - min(0, running-min S_t) turns it into two stacked
+    window aggregates — fully distributed, no applyInPandas state.
+
+    Scale: all windows share one user-keyed sort — a single shuffle;
+    the final per-user aggregate reuses the same partitioning. This is
+    the pattern for any reflected/clamped cumulative process (queue
+    depth, inventory with floor, credit drawdown).
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    tx = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", cents).otherwise(-cents).alias(
+            "delta"
+        ),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wprev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    wlast = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    s = tx.withColumn("s", F.sum("delta").over(wo))
+    m = s.select(
+        "user_id",
+        "s",
+        F.least(F.lit(0), F.min("s").over(wo)).alias("m"),
+        F.least(F.lit(0), F.coalesce(F.min("s").over(wprev), F.lit(0))).alias(
+            "mprev"
+        ),
+        F.row_number().over(wlast).alias("rn_last"),
+    )
+    bal = m.select(
+        "user_id",
+        (F.col("s") - F.col("m")).alias("balance"),
+        F.when(F.col("s") < F.col("mprev"), 1).otherwise(0).alias("clamped"),
+        "rn_last",
+    )
+    return bal.groupBy("user_id").agg(
+        F.count("*").alias("n_tx"),
+        F.min(F.when(F.col("rn_last") == 1, F.col("balance"))).alias("final_cents"),
+        F.max("balance").alias("peak_cents"),
+        F.sum("clamped").alias("n_clamps"),
+    )
+
+
+# --- WordPiece subword tokenization ------------------------------------------
+
+
+def _wp_oracle() -> str:
+    from etl_pipeline_spark.operators.wordpiece import vocab_values_sql
+
+    return f"""
+    WITH RECURSIVE words AS (
+        SELECT token AS word, COUNT(*) AS wc FROM (
+            SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+        ) WHERE token <> '' GROUP BY token
+    ),
+    vocab(frag, is_cont) AS (VALUES {vocab_values_sql()}),
+    step AS (
+        SELECT word, word AS rest, 0 AS pos, CAST(NULL AS VARCHAR) AS piece
+        FROM words
+        UNION ALL
+        SELECT s.word, SUBSTR(s.rest, LEN(v.frag) + 1, 100000),
+               s.pos + LEN(v.frag),
+               CASE WHEN s.pos = 0 THEN v.frag ELSE '##' || v.frag END
+        FROM step s JOIN vocab v
+          ON v.is_cont = CASE WHEN s.pos = 0 THEN 0 ELSE 1 END
+         AND SUBSTR(s.rest, 1, LEN(v.frag)) = v.frag
+        WHERE s.rest <> ''
+          AND LEN(v.frag) = (
+              SELECT MAX(LEN(v2.frag)) FROM vocab v2
+              WHERE v2.is_cont = CASE WHEN s.pos = 0 THEN 0 ELSE 1 END
+                AND SUBSTR(s.rest, 1, LEN(v2.frag)) = v2.frag)
+    )
+    SELECT piece,
+           CAST(SUM(w.wc) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT s.word) AS BIGINT) AS n_words
+    FROM step s JOIN words w ON s.word = w.word
+    WHERE s.piece IS NOT NULL
+    GROUP BY piece
+    """
+
+
+@query(
+    "q_wordpiece_tokenize",
+    oracle=_wp_oracle(),
+    tags=("text", "tokenizer", "wordpiece", "pandas-udf", "X4"),
+)
+def q_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece subword tokenization of the corpus — greedy
+    longest-match-first against the shared vocabulary
+    (operators/wordpiece.py), reported as per-piece corpus frequencies.
+    The Spark side runs the REAL tokenizer as an Arrow-batched pandas
+    UDF over the DISTINCT word table and weights by word frequency; the
+    oracle replays the identical greedy recurrence as a recursive CTE,
+    so the UDF output is value-hash-verified piece by piece.
+
+    Scale: the UDF touches only distinct words (vocabulary-sized);
+    corpus weight arrives by joining word counts — tokenizing 100 TB
+    costs one word-frequency aggregate, a tiny UDF stage, and one
+    piece-keyed aggregate. This is the canonical "precompute on the
+    vocabulary, broadcast-join to the corpus" shape.
+    """
+    from etl_pipeline_spark.operators.wordpiece import wordpiece_udf
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    pieces = words.select(
+        "word", "wc", F.explode(wordpiece_udf()("word")).alias("piece")
+    )
+    return pieces.groupBy("piece").agg(
+        F.sum("wc").alias("n_tokens"),
+        F.countDistinct("word").alias("n_words"),
+    )
+
+
+# --- Maximal Marginal Relevance re-ranking -----------------------------------
+
+MMR_QID = 1  # fixture query vector
+MMR_POOL = 20
+MMR_K = 5
+# lambda = 0.7 as the integer split mmr = 7*rel - 3*maxsim (x10 scale)
+
+
+def _mmr_oracle() -> str:
+    sel_union = "SELECT vec_id FROM s1"
+    steps = ""
+    for k in range(2, MMR_K + 1):
+        steps += f""",
+    s{k} AS (
+        SELECT c.vec_id, c.rel, 7 * c.rel - 3 * MAX(d.dp) AS mmr,
+               {k} AS step
+        FROM cands c
+        JOIN dots d ON d.va = c.vec_id
+        WHERE d.vb IN ({sel_union})
+          AND c.vec_id NOT IN ({sel_union})
+        GROUP BY c.vec_id, c.rel
+        ORDER BY mmr DESC, c.vec_id LIMIT 1
+    )"""
+        sel_union += f" UNION ALL SELECT vec_id FROM s{k}"
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST(step AS BIGINT) AS step, vec_id,"
+        f" CAST(rel AS BIGINT) AS rel_scaled,"
+        f" CAST(mmr AS BIGINT) AS mmr_scaled FROM s{k}"
+        for k in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH qv AS MATERIALIZED (
+        SELECT vec_id,
+               LIST(CAST(FLOOR(embedding[g]::DOUBLE * 1000 + 0.5) AS BIGINT)
+                    ORDER BY g) AS v
+        FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(g)
+        GROUP BY vec_id
+    ),
+    qry AS (SELECT v FROM qv WHERE vec_id = {MMR_QID}),
+    rel AS (
+        SELECT qv.vec_id, list_dot_product(qv.v, qry.v) AS rel, qv.v
+        FROM qv, qry WHERE qv.vec_id <> {MMR_QID}
+    ),
+    cands AS MATERIALIZED (SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}),
+    dots AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb, list_dot_product(a.v, b.v) AS dp
+        FROM cands a JOIN cands b ON a.vec_id <> b.vec_id
+    ),
+    s1 AS (
+        SELECT vec_id, rel, 7 * rel AS mmr, 1 AS step
+        FROM cands ORDER BY rel DESC, vec_id LIMIT 1
+    ){steps}
+    {selects}
+    """
+
+
+@query(
+    "q_mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "X3", "mmr", "rerank", "iterative"),
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: from the top-{P} cosine
+    candidates for the fixture query vector, greedily select {K} results
+    trading relevance against redundancy (lambda=0.7; score =
+    7*rel - 3*max-sim-to-selected on the x10 integer scale) — the
+    diversification step retrieval pipelines (and RAG context builders)
+    run after ANN search. Vectors live on the integer grid (the PCA
+    idiom) so relevance, similarity, and every greedy argmax are exact
+    and engine-identical; the oracle unrolls the same {K} selection
+    steps as chained CTEs.
+
+    Scale: the expensive part is candidate retrieval, delegated to the
+    certified ANN paths (LSH/IVF/PQ); MMR itself touches only the
+    candidate pool ({P} rows, {P}x{P} dots) regardless of corpus size —
+    per-query constant work, embarrassingly parallel across queries.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long")
+        ).alias("v"),
+    )
+    idot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, r: p * r),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    qry = qv.filter(F.col("vec_id") == MMR_QID).select(F.col("v").alias("query_v"))
+    rel = (
+        qv.filter(F.col("vec_id") != MMR_QID)
+        .crossJoin(F.broadcast(qry))
+        .select("vec_id", "v", idot(F.col("v"), F.col("query_v")).alias("rel"))
+    )
+    cands = (
+        rel.orderBy(F.desc("rel"), "vec_id").limit(MMR_POOL).localCheckpoint(eager=False)
+    )
+    a = cands.select(F.col("vec_id").alias("va"), F.col("v").alias("av"))
+    b = cands.select(F.col("vec_id").alias("vb"), F.col("v").alias("bv"))
+    dots = (
+        a.crossJoin(b)
+        .filter(F.col("va") != F.col("vb"))
+        .select("va", "vb", idot(F.col("av"), F.col("bv")).alias("dp"))
+        .localCheckpoint(eager=False)
+    )
+    selected = (
+        cands.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("step"),
+            "vec_id",
+            F.col("rel").alias("rel_scaled"),
+            (7 * F.col("rel")).alias("mmr_scaled"),
+        )
+    )
+    for k in range(2, MMR_K + 1):
+        sel_ids = selected.select(F.col("vec_id").alias("vb"))
+        maxsim = (
+            dots.join(sel_ids, "vb")
+            .groupBy("va")
+            .agg(F.max("dp").alias("ms"))
+        )
+        rem = cands.join(
+            selected.select("vec_id"), "vec_id", "left_anti"
+        )
+        pick = (
+            rem.join(maxsim, rem["vec_id"] == maxsim["va"])
+            .select(
+                F.lit(k).cast("long").alias("step"),
+                rem["vec_id"],
+                F.col("rel").alias("rel_scaled"),
+                (7 * F.col("rel") - 3 * F.col("ms")).alias("mmr_scaled"),
+            )
+            .orderBy(F.desc("mmr_scaled"), "vec_id")
+            .limit(1)
+        )
+        selected = selected.unionByName(pick)
+        if k < MMR_K:  # keep the final pick's plan visible (TakeOrdered)
+            selected = selected.localCheckpoint(eager=False)
+    return selected
+
+
+q_mmr_rerank.__doc__ = q_mmr_rerank.__doc__.format(P=MMR_POOL, K=MMR_K)
+
+
+# --- Rare-category bucketing -------------------------------------------------
+
+RARE_MIN_SHARE_BP = 300  # categories under 3% of rows collapse to OTHER
+
+
+@query(
+    "q_rare_category_other",
+    oracle=f"""
+    WITH c AS (
+        SELECT p_type AS cat, COUNT(*) AS n FROM part GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
+    m AS (
+        SELECT CASE WHEN 10000 * n >= {RARE_MIN_SHARE_BP} * tot
+                    THEN cat ELSE 'OTHER' END AS bucket, n
+        FROM c, t
+    )
+    SELECT bucket,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_source_categories
+    FROM m GROUP BY bucket
+    """,
+    tags=("feature-prep", "categorical", "long-tail"),
+)
+def q_rare_category_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-tail category bucketing: part types below a 3% row share
+    collapse into OTHER — the standard cardinality cap applied before
+    one-hot/target encoding so rare levels don't overfit or blow up
+    the feature width. Thresholding uses exact integer basis points
+    (10000*n >= bp*total), no float shares.
+
+    Scale: two category-keyed aggregates with a broadcast 1-row total;
+    cost is category cardinality. The encoder downstream
+    (q_target_encoding) consumes the bucketed column unchanged.
+    """
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    c = p.groupBy(F.col("p_type").alias("cat")).agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    m = c.crossJoin(F.broadcast(t)).select(
+        F.when(
+            10000 * F.col("n") >= RARE_MIN_SHARE_BP * F.col("tot"), F.col("cat")
+        )
+        .otherwise("OTHER")
+        .alias("bucket"),
+        "n",
+    )
+    return m.groupBy("bucket").agg(
+        F.sum("n").alias("n_rows"),
+        F.count("*").alias("n_source_categories"),
+    )
+
+
+# --- Weight-of-evidence encoding ---------------------------------------------
+
+WOE_BINS = 6
+
+
+@query(
+    "q_woe_encoding",
+    # Target: order was fulfilled (o_orderstatus = 'F'). Bins: NTILE
+    # over (cents, orderkey). WOE = ln(good_share / bad_share), exact
+    # integer counts into one ln, rounded to 6; Laplace +1 smoothing
+    # keeps empty cells finite (and is part of the definition here).
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               o_orderkey,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS good
+        FROM orders
+    ),
+    b AS (
+        SELECT good, NTILE({WOE_BINS}) OVER (ORDER BY cents, o_orderkey) AS bin,
+               cents
+        FROM t
+    ),
+    g AS (
+        SELECT bin,
+               CAST(SUM(good) AS BIGINT) AS goods,
+               CAST(SUM(1 - good) AS BIGINT) AS bads,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MIN(cents) / 100.0, 2) AS lo
+        FROM b GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(goods) AS BIGINT) AS tg, CAST(SUM(bads) AS BIGINT) AS tb
+        FROM g
+    )
+    SELECT bin, n, goods, bads, lo,
+           ROUND(LN(((goods + 1.0) / (tg + {WOE_BINS}))
+                    / ((bads + 1.0) / (tb + {WOE_BINS}))), 6) AS woe
+    FROM g, tot
+    """,
+    tags=("feature-prep", "woe", "encoding", "statistics"),
+)
+def q_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding of order value against fulfillment:
+    equi-depth bins (deterministic NTILE) scored by
+    ln(good_share/bad_share) with Laplace smoothing — the
+    credit-scoring-style monotone encoder that complements the mean
+    encoder (q_target_encoding). Counts are exact integers; the single
+    ln per bin is rounded to 6 (the q_dp_noisy_counts tolerance class).
+
+    Scale: the exact NTILE is the small-N conformance form; at volume
+    the SAME report runs off KLL bin edges (q_kll_quantile_merge) with
+    identical downstream arithmetic.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    t = o.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("good"),
+    )
+    b = t.withColumn(
+        "bin", F.ntile(WOE_BINS).over(Window.orderBy("cents", "o_orderkey"))
+    )
+    g = b.groupBy("bin").agg(
+        F.sum("good").alias("goods"),
+        F.sum(1 - F.col("good")).alias("bads"),
+        F.count("*").alias("n"),
+        F.round(F.min("cents") / 100.0, 2).alias("lo"),
+    )
+    tot = g.agg(F.sum("goods").alias("tg"), F.sum("bads").alias("tb"))
+    woe = F.round(
+        F.log(
+            ((F.col("goods") + 1.0) / (F.col("tg") + WOE_BINS))
+            / ((F.col("bads") + 1.0) / (F.col("tb") + WOE_BINS))
+        ),
+        6,
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select("bin", "n", "goods", "bads", "lo", woe.alias("woe"))
+    )
+
+
+# --- Population stability index ----------------------------------------------
+
+PSI_BINS = 8
+PSI_LO, PSI_HI = 0.0, 60_000_000.0  # cents domain for the fixed-width bins
+
+
+@query(
+    "q_psi_drift",
+    # Fixed-width bins over a pinned domain (the q_histogram_values
+    # band arithmetic) so bin edges are scale- and period-independent;
+    # +1 smoothing keeps empty bins finite. Expected = 1995-1997
+    # orders, actual = 1998+.
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'e' ELSE 'a'
+                   END AS period
+        FROM orders
+    ),
+    b AS (
+        SELECT period,
+               LEAST(CAST(FLOOR((cents - {PSI_LO}) * {PSI_BINS}
+                                / ({PSI_HI} - {PSI_LO})) AS BIGINT),
+                     {PSI_BINS - 1}) AS bin
+        FROM t
+    ),
+    g AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN period = 'e' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ne,
+               CAST(SUM(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na
+        FROM b GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(ne) AS BIGINT) AS te, CAST(SUM(na) AS BIGINT) AS ta
+        FROM g
+    )
+    SELECT bin, ne, na,
+           ROUND(((na + 1.0) / (ta + {PSI_BINS}) - (ne + 1.0) / (te + {PSI_BINS}))
+                 * LN(((na + 1.0) / (ta + {PSI_BINS}))
+                      / ((ne + 1.0) / (te + {PSI_BINS}))), 6) AS psi_term
+    FROM g, tot
+    """,
+    tags=("dq", "drift", "psi", "statistics"),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of order value, expected period
+    (pre-1998) vs actual (1998+): per-bin PSI terms
+    (p_a - p_e) * ln(p_a/p_e) with Laplace smoothing — the model-ops
+    drift gate (rule of thumb: total PSI > 0.2 blocks deployment).
+    Bins are fixed-width over a pinned domain so the SAME edges apply
+    to every scoring period; counts are exact and only the per-bin
+    ln is floating point (rounded to 6). Complements q_dq_ks_drift
+    (exact ECDF distance) with the binned, additive industry metric.
+
+    Scale: one map-combined conditional aggregate per bin + a 1-row
+    broadcast of the totals — volume-independent plan.
+    """
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    t = o.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.when(F.col("o_orderdate") < "1998-01-01", "e").otherwise("a").alias(
+            "period"
+        ),
+    )
+    b = t.select(
+        "period",
+        F.least(
+            F.floor((F.col("cents") - PSI_LO) * PSI_BINS / (PSI_HI - PSI_LO)).cast(
+                "long"
+            ),
+            F.lit(PSI_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    g = b.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == "e", 1).otherwise(0)).alias("ne"),
+        F.sum(F.when(F.col("period") == "a", 1).otherwise(0)).alias("na"),
+    )
+    tot = g.agg(F.sum("ne").alias("te"), F.sum("na").alias("ta"))
+    pe = (F.col("ne") + 1.0) / (F.col("te") + PSI_BINS)
+    pa = (F.col("na") + 1.0) / (F.col("ta") + PSI_BINS)
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "ne",
+            "na",
+            F.round((pa - pe) * F.log(pa / pe), 6).alias("psi_term"),
+        )
+    )
+
+
+# --- Item-item collaborative filtering ---------------------------------------
+
+CF_MIN_COOC = 2
+CF_TOPK = 5
+
+
+@query(
+    "q_item_cf_similar",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    deg AS (SELECT l_partkey AS p, COUNT(*) AS n FROM items GROUP BY 1),
+    cooc AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS c
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {CF_MIN_COOC}
+    ),
+    bidir AS (
+        SELECT u AS item, v AS partner, c FROM cooc
+        UNION ALL
+        SELECT v, u, c FROM cooc
+    ),
+    scored AS (
+        SELECT b.item, b.partner, b.c,
+               ROUND(b.c / SQRT(di.n * dp.n), 6) AS cosine
+        FROM bidir b JOIN deg di ON di.p = b.item JOIN deg dp ON dp.p = b.partner
+    ),
+    ranked AS (
+        SELECT item, partner, c, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY item ORDER BY cosine DESC, partner) AS rnk
+        FROM scored
+    )
+    SELECT item, CAST(rnk AS BIGINT) AS rnk, partner,
+           CAST(c AS BIGINT) AS cooc, cosine
+    FROM ranked WHERE rnk <= {CF_TOPK}
+    """,
+    tags=("recommender", "item-cf", "similarity", "graph"),
+)
+def q_item_cf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: for each part, the top-{K}
+    co-purchased partners by cosine similarity over order baskets
+    (cooc / sqrt(n_a * n_b), support >= {S}) — the "customers also
+    bought" recommender beside the lift-ranked association rules
+    (q_market_basket_rules ranks rules; this ranks neighbors per item).
+    Counts are exact; the cosine is one rounded division per pair with
+    full tie-breaks, so the neighbor lists are engine-identical.
+
+    Scale: the basket self-join is the q_triangle_count edge builder
+    (support-thresholded, canonically oriented); degree joins broadcast
+    the item-count table; per-item top-k is a partitioned window
+    (WindowGroupLimit). Hub items bound fan-out via the support floor.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
+    deg = items.groupBy(F.col("l_partkey").alias("p")).agg(F.count("*").alias("n"))
+    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    cooc = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= CF_MIN_COOC)
+    )
+    both = cooc.select(F.col("u").alias("item"), F.col("v").alias("partner"), "c").unionAll(
+        cooc.select(F.col("v").alias("item"), F.col("u").alias("partner"), "c")
+    )
+    di = deg.select(F.col("p").alias("item"), F.col("n").alias("ni"))
+    dp = deg.select(F.col("p").alias("partner"), F.col("n").alias("np"))
+    scored = (
+        both.join(F.broadcast(di), "item")
+        .join(F.broadcast(dp), "partner")
+        .select(
+            "item",
+            "partner",
+            "c",
+            F.round(F.col("c") / F.sqrt(F.col("ni") * F.col("np")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("item").orderBy(F.desc("cosine"), "partner")
+        ),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= CF_TOPK)
+        .select("item", F.col("rnk").cast("long"), "partner", F.col("c").alias("cooc"), "cosine")
+    )
+
+
+q_item_cf_similar.__doc__ = q_item_cf_similar.__doc__.format(K=CF_TOPK, S=CF_MIN_COOC)
+
+
+# --- Degree distribution + power-law fit -------------------------------------
+
+
+@query(
+    "q_degree_powerlaw",
+    # Continuous-MLE alpha = 1 + n / sum(ln(d / (dmin - 0.5))) over
+    # degrees >= dmin — exact integer histogram, one ln-sum rounded 6.
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+        SELECT k, COUNT(*) AS d FROM (
+            SELECT u AS k FROM und UNION ALL SELECT v FROM und
+        ) GROUP BY k
+    ),
+    hist AS (SELECT d, COUNT(*) AS n_nodes FROM deg GROUP BY d),
+    fit AS (
+        SELECT COUNT(*) AS n_tail,
+               ROUND(1.0 + COUNT(*) / SUM(LN(d / 1.5)), 6) AS alpha_mle
+        FROM deg WHERE d >= 2
+    )
+    SELECT hist.d AS degree, CAST(hist.n_nodes AS BIGINT) AS n_nodes,
+           (SELECT CAST(n_tail AS BIGINT) FROM fit) AS n_tail,
+           (SELECT alpha_mle FROM fit) AS alpha_mle
+    FROM hist
+    """,
+    tags=("graph", "degree-distribution", "power-law"),
+)
+def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph with the
+    continuous-MLE power-law exponent (Clauset-Shalizi-Newman form,
+    dmin=2) — the hub-structure profile that predicts wedge-join cost
+    (q_triangle_count) and decides degree-capping. The histogram is
+    exact; alpha is one ln-sum rounded to 6, the word-frequency twin of
+    q_text_zipf_fit on the graph side.
+
+    Scale: degree computation is one edge-keyed aggregate; the
+    histogram and fit run on the degree table (node-cardinality-sized).
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        und.select(F.col("u").alias("k"))
+        .unionAll(und.select(F.col("v").alias("k")))
+        .groupBy("k")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count("*").alias("n_nodes")
+    )
+    fit = deg.filter(F.col("d") >= 2).agg(
+        F.count("*").alias("n_tail"),
+        F.round(1.0 + F.count("*") / F.sum(F.log(F.col("d") / 1.5)), 6).alias(
+            "alpha_mle"
+        ),
+    )
+    return hist.crossJoin(F.broadcast(fit)).select(
+        "degree", "n_nodes", F.col("n_tail").cast("long"), "alpha_mle"
+    )
+
+
+# --- Tokenizer fertility -----------------------------------------------------
+
+
+@query(
+    "q_tokenizer_fertility",
+    # Fertility = subword pieces per whitespace word, the tokenizer
+    # quality metric (high fertility = wasted context window). Reuses the
+    # WordPiece recurrence per distinct word, weighted by per-language
+    # corpus counts; 10000x scaled-integer div keeps it exact.
+    oracle="""
+    WITH RECURSIVE words AS (
+        SELECT lang, token AS word, COUNT(*) AS wc FROM (
+            SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+            FROM documents
+        ) WHERE token <> '' GROUP BY lang, token
+    ),
+    uw AS (SELECT DISTINCT word FROM words),
+    vocab(frag, is_cont) AS (VALUES __VOCAB__),
+    step AS (
+        SELECT word, word AS rest, 0 AS pos, 0 AS emitted FROM uw
+        UNION ALL
+        SELECT s.word, SUBSTR(s.rest, LEN(v.frag) + 1, 100000),
+               s.pos + LEN(v.frag), 1
+        FROM step s JOIN vocab v
+          ON v.is_cont = CASE WHEN s.pos = 0 THEN 0 ELSE 1 END
+         AND SUBSTR(s.rest, 1, LEN(v.frag)) = v.frag
+        WHERE s.rest <> ''
+          AND LEN(v.frag) = (
+              SELECT MAX(LEN(v2.frag)) FROM vocab v2
+              WHERE v2.is_cont = CASE WHEN s.pos = 0 THEN 0 ELSE 1 END
+                AND SUBSTR(s.rest, 1, LEN(v2.frag)) = v2.frag)
+    ),
+    wp AS (
+        SELECT word, CAST(SUM(emitted) AS BIGINT) AS n_pieces
+        FROM step GROUP BY word
+    )
+    SELECT w.lang,
+           CAST(SUM(w.wc) AS BIGINT) AS n_words,
+           CAST(SUM(w.wc * p.n_pieces) AS BIGINT) AS n_pieces,
+           (10000 * CAST(SUM(w.wc * p.n_pieces) AS BIGINT))
+               // CAST(SUM(w.wc) AS BIGINT) AS fertility_x10000
+    FROM words w JOIN wp p ON w.word = p.word
+    GROUP BY w.lang
+    """,
+    tags=("text", "tokenizer", "fertility", "X4", "pandas-udf"),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword pieces emitted per
+    whitespace word under the WordPiece vocabulary — THE metric for
+    vocabulary fit (fertility near 1 = efficient context use; high
+    fertility = the vocab fragments that language, a known multilingual
+    fairness issue). The tokenizer runs once per DISTINCT word (pandas
+    UDF) and weights by per-language counts; fertility is a 10000x
+    scaled-integer div, engine-exact.
+
+    Scale: identical to q_wordpiece_tokenize — vocabulary-sized UDF
+    work, corpus weight via one word-keyed aggregate.
+    """
+    from etl_pipeline_spark.operators.wordpiece import wordpiece_udf
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("wc"))
+        .localCheckpoint(eager=False)
+    )
+    uw = words.select("word").distinct()
+    wp = uw.select("word", F.size(wordpiece_udf()("word")).cast("long").alias("n_pieces"))
+    j = words.join(F.broadcast(wp), "word")
+    return j.groupBy("lang").agg(
+        F.sum("wc").alias("n_words"),
+        F.sum(F.col("wc") * F.col("n_pieces")).alias("n_pieces"),
+        F.expr(
+            "(10000 * CAST(sum(wc * n_pieces) AS BIGINT))"
+            " div CAST(sum(wc) AS BIGINT)"
+        ).alias("fertility_x10000"),
+    )
+
+
+# inject the shared vocabulary into the fertility oracle
+def _patch_fertility_oracle() -> None:
+    from etl_pipeline_spark.operators.wordpiece import vocab_values_sql
+    from etl_pipeline_spark.queries.base import REGISTRY
+
+    spec = REGISTRY["q_tokenizer_fertility"]
+    spec.oracle = spec.oracle.replace("__VOCAB__", vocab_values_sql())
+
+
+_patch_fertility_oracle()
+
+
+# --- Bill-of-materials explosion ---------------------------------------------
+
+BOM_MAX_DEPTH = 3
+BOM_ROOT_MOD = 97  # parts with key % 97 == 0 are the exploded assemblies
+
+
+@query(
+    "q_bom_explosion",
+    # Synthetic acyclic BOM: every part p >= 10 is assembled from
+    # components p//7 (qty p%5+1) and p//11 (qty p%3+1) — components
+    # always have smaller keys, so the graph is a DAG by construction.
+    # Path quantities multiply; multiple paths to the same component
+    # accumulate. The oracle walks the identical recurrence with a
+    # depth counter.
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+        SELECT p_partkey AS asm, p_partkey // 7 AS comp,
+               CAST(p_partkey % 5 + 1 AS BIGINT) AS qty
+        FROM part WHERE p_partkey >= 10
+        UNION ALL
+        SELECT p_partkey, p_partkey // 11, CAST(p_partkey % 3 + 1 AS BIGINT)
+        FROM part WHERE p_partkey >= 10
+    ),
+    walk AS (
+        SELECT p_partkey AS root, p_partkey AS node,
+               CAST(1 AS BIGINT) AS mult, 0 AS depth
+        FROM part WHERE p_partkey % {BOM_ROOT_MOD} = 0 AND p_partkey > 0
+        UNION ALL
+        SELECT w.root, e.comp, w.mult * e.qty, w.depth + 1
+        FROM walk w JOIN edges e ON e.asm = w.node
+        WHERE w.depth < {BOM_MAX_DEPTH}
+    )
+    SELECT root, node AS component,
+           CAST(SUM(mult) AS BIGINT) AS total_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_paths,
+           CAST(MIN(depth) AS BIGINT) AS min_depth
+    FROM walk WHERE depth > 0
+    GROUP BY root, node
+    """,
+    tags=("graph", "recursive", "bom", "hierarchy"),
+)
+def q_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials explosion: each root assembly expands through
+    {D} levels of its (synthetic, acyclic) component DAG, MULTIPLYING
+    quantities along every path and summing across parallel paths — the
+    manufacturing requirements / cost-rollup shape that plain
+    transitive closure (operators/cluster.py) doesn't cover because
+    paths carry weights. Exact integer multiplicities; the oracle is
+    the identical WITH RECURSIVE walk.
+
+    Scale: the frontier expansion is one join per level on the
+    assembly key (the PageRank iteration shape); real BOMs bound depth,
+    and the per-level frontier is checkpointed so the DAG stays
+    constant-depth. Multiple-path accumulation happens in the final
+    aggregate, not by deduplicating mid-walk.
+    """
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    base = p.filter(F.col("p_partkey") >= 10)
+    edges = (
+        base.select(
+            F.col("p_partkey").alias("asm"),
+            F.expr("p_partkey div 7").alias("comp"),
+            (F.col("p_partkey") % 5 + 1).cast("long").alias("qty"),
+        )
+        .unionAll(
+            base.select(
+                F.col("p_partkey").alias("asm"),
+                F.expr("p_partkey div 11").alias("comp"),
+                (F.col("p_partkey") % 3 + 1).cast("long").alias("qty"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    frontier = p.filter(
+        (F.col("p_partkey") % BOM_ROOT_MOD == 0) & (F.col("p_partkey") > 0)
+    ).select(
+        F.col("p_partkey").alias("root"),
+        F.col("p_partkey").alias("node"),
+        F.lit(1).cast("long").alias("mult"),
+    )
+    levels = []
+    for depth in range(1, BOM_MAX_DEPTH + 1):
+        frontier = (
+            frontier.join(edges, frontier["node"] == edges["asm"])
+            .select(
+                "root",
+                F.col("comp").alias("node"),
+                (F.col("mult") * F.col("qty")).alias("mult"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        levels.append(frontier.withColumn("depth", F.lit(depth)))
+    walk = levels[0]
+    for lv in levels[1:]:
+        walk = walk.unionByName(lv)
+    return walk.groupBy("root", F.col("node").alias("component")).agg(
+        F.sum("mult").alias("total_qty"),
+        F.count("*").alias("n_paths"),
+        F.min("depth").cast("long").alias("min_depth"),
+    )
+
+
+q_bom_explosion.__doc__ = q_bom_explosion.__doc__.format(D=BOM_MAX_DEPTH)
+
+
+# --- kNN classifier evaluation -----------------------------------------------
+
+KNN_EVAL_K = 5
+
+
+@query(
+    "q_knn_classifier_eval",
+    # Leave-one-out 5-NN label prediction on a deterministic ~0.8%
+    # md5-sampled eval set, scored against the full corpus with EXACT
+    # integer dot products (the PCA quantization idiom) — neighbor sets,
+    # votes, and the accuracy report are engine-identical. Majority
+    # vote ties break toward the smaller label.
+    oracle=f"""
+    WITH qv AS MATERIALIZED (
+        SELECT vec_id, label,
+               LIST(CAST(FLOOR(embedding[g]::DOUBLE * 1000 + 0.5) AS BIGINT)
+                    ORDER BY g) AS v
+        FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(g)
+        GROUP BY vec_id, label
+    ),
+    ev AS MATERIALIZED (
+        SELECT * FROM qv
+        WHERE SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 2) IN ('00', '01')
+    ),
+    nn AS (
+        SELECT e.vec_id AS qid, e.label AS true_label,
+               c.label AS nbr_label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.v) DESC, c.vec_id
+               ) AS rnk
+        FROM ev e JOIN qv c ON c.vec_id <> e.vec_id
+    ),
+    votes AS (
+        SELECT qid, true_label, nbr_label, COUNT(*) AS cnt
+        FROM nn WHERE rnk <= {KNN_EVAL_K}
+        GROUP BY qid, true_label, nbr_label
+    ),
+    pred AS (
+        SELECT qid, true_label, nbr_label AS predicted FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY cnt DESC, nbr_label) AS vr
+            FROM votes
+        ) WHERE vr = 1
+    )
+    SELECT CAST(true_label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_correct,
+           (10000 * CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+               AS BIGINT)) // COUNT(*) AS accuracy_bp
+    FROM pred GROUP BY true_label
+    """,
+    tags=("similarity", "X3", "knn", "evaluation", "ml-eval"),
+)
+def q_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN classification accuracy of the embedding space
+    per label: each md5-sampled eval vector is labeled by the majority
+    of its {K} nearest corpus neighbors (itself excluded) — the
+    embedding-quality eval that complements the retrieval-side recall
+    reports (q_lsh_recall_report): does proximity in this space
+    actually predict the label? Integer-grid dot products make
+    neighbor sets and votes exact, so the accuracy table is
+    engine-identical, not approximately reproduced.
+
+    Scale: the eval set is a fixed hash fraction, so cost is
+    eval x corpus with the corpus never shuffling (broadcast or
+    block-matrix the eval side — operators/similarity.py's BLAS path
+    runs this same shape); the ANN indexes (IVF/LSH/PQ) substitute for
+    the exact scan when the corpus is 100 TB.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long")
+        ).alias("v"),
+    ).localCheckpoint(eager=False)
+    ev = qv.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2).isin("00", "01")
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qvv"),
+    )
+    idot = F.aggregate(
+        F.zip_with("qvv", "v", lambda p, r: p * r),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nn = (
+        qv.crossJoin(F.broadcast(ev))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "true_label",
+            "vec_id",
+            F.col("label").alias("nbr_label"),
+            idot.alias("s"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("s"), "vec_id")
+            ),
+        )
+    )
+    votes = (
+        nn.filter(F.col("rnk") <= KNN_EVAL_K)
+        .groupBy("qid", "true_label", "nbr_label")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pred = (
+        votes.withColumn(
+            "vr",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cnt"), "nbr_label")
+            ),
+        )
+        .filter(F.col("vr") == 1)
+        .select("qid", "true_label", F.col("nbr_label").alias("predicted"))
+    )
+    return pred.groupBy(F.col("true_label").cast("long").alias("label")).agg(
+        F.count("*").alias("n_eval"),
+        F.sum(
+            F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(0)
+        ).alias("n_correct"),
+        F.expr(
+            "(10000 * CAST(sum(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)"
+            " AS BIGINT)) div count(*)"
+        ).alias("accuracy_bp"),
+    )
+
+

@@ -16,12 +16,15 @@ order-insensitive value-hash stable across engines:
 
 from __future__ import annotations
 
+import datetime
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+EPOCH = datetime.date(2024, 1, 1)  # fixture event horizon starts here
 
 
 @dataclass
@@ -323,8 +326,13 @@ def all_specs() -> dict[str, QuerySpec]:
     # Import sides register themselves; keep imports here to avoid cycles.
     from etl_pipeline_spark.queries import (  # noqa: F401
         advanced,
+        advanced_behavioral,
         aggregates,
-        analytics,
+        analytics_ml,
+        analytics_ops,
+        analytics_sql,
+        analytics_stats,
+        analytics_ts,
         dedup,
         etl,
         llm_ops,

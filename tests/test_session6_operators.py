@@ -33,7 +33,7 @@ def test_pagerank_mass_approximately_conserved(spark):
     loss envelope of the initial 1e12 mass: < n units at init, then per
     iteration < one unit per directed edge (the r div od split) plus
     ~3 per node (the two damping divisions and the PR_SCALE div n)."""
-    from etl_pipeline_spark.queries.analytics import (
+    from etl_pipeline_spark.queries.analytics_ml import (
         PR_ITERS,
         PR_SCALE,
         pagerank_ranks,

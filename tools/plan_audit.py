@@ -64,7 +64,7 @@ EXPECTED = {
 }
 
 # The machine-enforced version of the docstring contract from
-# queries/analytics.py: every query that legitimately runs an
+# the analytics_* modules: every query that legitimately runs an
 # un-partitioned window must either name its registered
 # sketch/partitioned scale twin here — the production path a 100 TB
 # deployment runs instead — or appear in GLOBAL_WINDOW_BOUNDED with the

@@ -78,7 +78,7 @@ GEO_R_PER_SF = {"0.01": 100_000, "0.1": 100_000, "1": 30_000}
 
 
 def spatial_scaled(spark, sf_dir: str, sf_label: str):
-    from etl_pipeline_spark.queries.analytics import spatial_radius_join
+    from etl_pipeline_spark.queries.analytics_ops import spatial_radius_join
 
     t = load_tables(spark, sf_dir, ("customer", "supplier"))
     return spatial_radius_join(
@@ -87,7 +87,7 @@ def spatial_scaled(spark, sf_dir: str, sf_label: str):
 
 
 def dbscan_scaled(spark, sf_dir: str, sf_label: str):
-    from etl_pipeline_spark.queries.analytics import dbscan_classify
+    from etl_pipeline_spark.queries.analytics_ml import dbscan_classify
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return dbscan_classify(spark, e, eps=DBSCAN_EPS_PER_SF[sf_label])
