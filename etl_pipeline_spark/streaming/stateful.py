@@ -96,7 +96,16 @@ class _ProfileProcessor(StatefulProcessor):
 def running_user_profiles_v2(events: DataFrame) -> DataFrame:
     """running_user_profiles on the transformWithStateInPandas API —
     identical output contract (last_us as epoch micros instead of a
-    timestamp column; the v2 Pandas path hands ts as ns int64)."""
+    timestamp column; the v2 Pandas path hands ts as ns int64).
+
+    Deployment note (ENV-1): the TWS driver worker imports
+    google.protobuf at startup; this container ships no protobuf at all
+    and installs are off-limits, so the v2 path cannot execute here
+    (tests/test_skew_and_state.py xfails on exactly that import). The
+    RECOMMENDED operator is running_user_profiles
+    (applyInPandasWithState) — same fold, same totals, no protobuf
+    dependency; v2 exists for clusters on Spark 4's state API v2 where
+    per-state-variable handles and TTL matter."""
     return events.groupBy("user_id").transformWithStateInPandas(
         _ProfileProcessor(),
         outputStructType="user_id long, n_events long, total_value double, last_us long",

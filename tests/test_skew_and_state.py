@@ -102,11 +102,21 @@ def test_transform_with_state_profiles(spark, tmp_path_factory):
     """State API v2 (transformWithStateInPandas) twin of the
     applyInPandasWithState profile operator: same fold, same totals.
 
-    Skipped where google.protobuf is unusable: the TWS driver worker
-    imports it at startup (this container ships a broken protobuf and
-    installs are off-limits); the operator itself runs on any normally
-    provisioned cluster."""
-    pytest.importorskip("google.protobuf.descriptor")
+    xfail ENV-1 where google.protobuf is unusable: the TWS driver
+    worker imports it at startup; this container ships NO protobuf
+    (`import google` itself fails — only typeshed stubs exist on the
+    machine) and installs are off-limits, so vendoring is infeasible.
+    The operator runs on any normally provisioned cluster; the
+    recommended container-safe twin is running_user_profiles
+    (applyInPandasWithState), covered by its own green tests."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        pytest.xfail(
+            "ENV-1: container has no google.protobuf (and no installable "
+            "source to vendor); transformWithStateInPandas cannot start "
+            "its state-server worker without it"
+        )
     from etl_pipeline_spark.streaming.stateful import running_user_profiles_v2
 
     d = tmp_path_factory.mktemp("tws_src")
