@@ -1553,27 +1553,32 @@ def q_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     p = load_tables(spark, sf_dir, ("part",))["part"]
     base = p.filter(F.col("p_partkey") >= 10)
-    edges = (
+    edges = base.select(
+        F.col("p_partkey").alias("asm"),
+        F.expr("p_partkey div 7").alias("comp"),
+        (F.col("p_partkey") % 5 + 1).cast("long").alias("qty"),
+    ).unionAll(
         base.select(
             F.col("p_partkey").alias("asm"),
-            F.expr("p_partkey div 7").alias("comp"),
-            (F.col("p_partkey") % 5 + 1).cast("long").alias("qty"),
+            F.expr("p_partkey div 11").alias("comp"),
+            (F.col("p_partkey") % 3 + 1).cast("long").alias("qty"),
         )
-        .unionAll(
-            base.select(
-                F.col("p_partkey").alias("asm"),
-                F.expr("p_partkey div 11").alias("comp"),
-                (F.col("p_partkey") % 3 + 1).cast("long").alias("qty"),
-            )
-        )
-        .localCheckpoint(eager=False)
     )
-    frontier = p.filter(
+    roots = p.filter(
         (F.col("p_partkey") % BOM_ROOT_MOD == 0) & (F.col("p_partkey") > 0)
-    ).select(
-        F.col("p_partkey").alias("root"),
-        F.col("p_partkey").alias("node"),
-        F.lit(1).cast("long").alias("mult"),
+    ).select(F.col("p_partkey").alias("root"))
+    return bom_walk(roots, edges)
+
+
+def bom_walk(roots: DataFrame, edges: DataFrame) -> DataFrame:
+    """Parameterized core of q_bom_explosion: the depth-bounded weighted
+    DAG walk over any (asm, comp, qty) edge set from any root set. The
+    sf1 soak drives it with per-copy internally consistent component
+    references (the plain key-offset synthesis breaks p div 7 locality
+    and flattens the DAG to depth 1 — VERDICT r4 #6)."""
+    edges = edges.localCheckpoint(eager=False)
+    frontier = roots.select(
+        "root", F.col("root").alias("node"), F.lit(1).cast("long").alias("mult")
     )
     levels = []
     for depth in range(1, BOM_MAX_DEPTH + 1):

@@ -72,6 +72,18 @@ SOAK_QUERIES_R6 = [
     "q_wordpiece_tokenize",
     "q_clamped_running_balance",
 ]
+
+# r5 additions (VERDICT r4 #6): the remaining heavy unsoaked plans.
+# BOM runs as the depth-preserving bom_scaled variant — the plain
+# key-offset sf1 flattens the component DAG (p div 7 lands outside the
+# copy's key range), so the registry query at sf1 would measure a
+# depth-1 walk, not the operator.
+SOAK_QUERIES_R5 = [
+    "q_dq_referential_integrity",
+    "q_snapshot_diff",
+    "q_dedup_prefix_filter",
+    "q_bom_scaled_forest",
+]
 DBSCAN_EPS_PER_SF = {"0.01": 30, "0.1": 30, "1": 10}
 # spatial radius scales down with point density (same precedent)
 GEO_R_PER_SF = {"0.01": 100_000, "0.1": 100_000, "1": 30_000}
@@ -91,6 +103,38 @@ def dbscan_scaled(spark, sf_dir: str, sf_label: str):
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return dbscan_classify(spark, e, eps=DBSCAN_EPS_PER_SF[sf_label])
+
+
+def bom_scaled(spark, sf_dir: str, sf_label: str):
+    """Depth-preserving BOM soak (VERDICT r4 #6): component references
+    derived from the COPY-LOCAL key (p % ID_OFFSET) then mapped back
+    into the copy's key range, so each synthetic copy is an internally
+    consistent BOM forest with the sf0.1 depth structure. On the real
+    testdata dirs every key is < ID_OFFSET, so local == global and this
+    is exactly the registry derivation. ID_OFFSET is divisible by 5 and
+    3, so qty formulas match the registry's on local and global keys
+    alike."""
+    from etl_pipeline_spark.queries.analytics_ml import BOM_ROOT_MOD, bom_walk
+
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    local = F.col("p_partkey") % ID_OFFSET
+    copy_base = (F.col("p_partkey") - local)
+    base = p.filter(local >= 10)
+    edges = base.select(
+        F.col("p_partkey").alias("asm"),
+        (copy_base + F.expr(f"(p_partkey % {ID_OFFSET}) div 7")).alias("comp"),
+        (local % 5 + 1).cast("long").alias("qty"),
+    ).unionAll(
+        base.select(
+            F.col("p_partkey").alias("asm"),
+            (copy_base + F.expr(f"(p_partkey % {ID_OFFSET}) div 11")).alias("comp"),
+            (local % 3 + 1).cast("long").alias("qty"),
+        )
+    )
+    roots = p.filter((local % BOM_ROOT_MOD == 0) & (local > 0)).select(
+        F.col("p_partkey").alias("root")
+    )
+    return bom_walk(roots, edges)
 SEM_K_PER_SF = {"0.01": 8, "0.1": 8, "1": 80}
 
 
@@ -211,6 +255,29 @@ def build_sf1(spark) -> None:
     for p_ in pa_parts[1:]:
         out_pa = out_pa.unionByName(p_)
     out_pa.repartition(8).write.mode("overwrite").parquet(f"{SF1_DIR}/part.parquet")
+    # orders + nation (r5, for the RI audit and snapshot diff): order and
+    # customer keys offset together so every FK relation stays copy-local
+    # with the SAME orphan structure as sf0.1; nations move with the
+    # customers' per-copy nation space (nat + i*25).
+    t3 = load_tables(spark, SF_SRC, ("orders", "nation"))
+    od, na = t3["orders"], t3["nation"]
+    od_parts = [
+        od.withColumn("o_orderkey", F.col("o_orderkey") + i * ID_OFFSET)
+        .withColumn("o_custkey", F.col("o_custkey") + i * ID_OFFSET)
+        for i in range(COPIES)
+    ]
+    out_od = od_parts[0]
+    for p_ in od_parts[1:]:
+        out_od = out_od.unionByName(p_)
+    out_od.repartition(16).write.mode("overwrite").parquet(f"{SF1_DIR}/orders.parquet")
+    na_parts = [
+        na.withColumn("n_nationkey", F.col("n_nationkey") + i * 25)
+        for i in range(COPIES)
+    ]
+    out_na = na_parts[0]
+    for p_ in na_parts[1:]:
+        out_na = out_na.unionByName(p_)
+    out_na.repartition(1).write.mode("overwrite").parquet(f"{SF1_DIR}/nation.parquet")
 
 
 def main() -> None:
@@ -241,6 +308,8 @@ def main() -> None:
                 n = dbscan_scaled(spark, sf_dir, sf_label).count()
             elif name == "q_spatial_scaled_r":
                 n = spatial_scaled(spark, sf_dir, sf_label).count()
+            elif name == "q_bom_scaled_forest":
+                n = bom_scaled(spark, sf_dir, sf_label).count()
             else:
                 n = specs[name].fn(spark, sf_dir).count()
             dt = round(time.perf_counter() - t0, 2)
