@@ -58,71 +58,21 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-4 prefix (session-6 closing rotation): the 53 queries added in
-# the sixth r4 session lead (the first 50 form the driver window; the
-# remainder spill to the next round's), then earlier never-attested
-# queries, then backfill oldest-attestation-first.
+# Round-5 prefix (backlog-drain rotation, VERDICT r4 #1): the 4 queries
+# whose code changed this round lead, then the never-attested backlog
+# (77 at rotation time; 46 fit this window, the remaining 31 head the
+# r6 window), then backfill oldest-attestation-first. New-query
+# authoring is frozen this round so the window drains the backlog.
 CHECK_PRIORITY: tuple[str, ...] = (
-    "q_gaps_islands",  # --- code changed this round: attest first ---
-    "q_equidepth_histogram",
-    "q_target_encoding",
-    "q_autocorr_daily",
-    "q_pagerank",
-    "q_rake_keywords",
-    "q_kmeans_lloyd",
-    "q_poisson_bootstrap_ci",
-    "q_sax_symbols",
-    "q_multimodal_shot_cuts",
-    "q_dbscan_classify",
-    "q_survival_km",
-    "q_clamped_running_balance",
-    "q_wordpiece_tokenize",
-    "q_udtf_span_days",
-    "q_weighted_median",
-    "q_moments_skew_kurtosis",
-    "q_seasonal_decompose",
-    "q_mmr_rerank",
-    "q_theil_sen_trend",
-    "q_mann_whitney",
-    "q_url_canonical_dedup",
-    "q_snapshot_diff",
-    "q_correlation_matrix",
-    "q_chi_square_contingency",
-    "q_dataset_card",
-    "q_setop_bag_semantics",
-    "q_try_arithmetic_safe",
-    "q_nested_json_assembly",
-    "q_collation_groupby",
-    "q_interval_merge",
-    "q_data_skew_report",
-    "q_join_cardinality_audit",
-    "q_linear_interp_gapfill",
-    "q_seasonal_anomaly_days",
-    "q_rare_category_other",
-    "q_woe_encoding",
-    "q_psi_drift",
-    "q_item_cf_similar",
-    "q_degree_powerlaw",
-    "q_tokenizer_fertility",
-    "q_sample_size_power",
-    "q_revenue_delta_decomposition",
-    "q_fifo_allocation",
-    "q_shapley_attribution",
-    "q_cliffs_delta",
-    "q_anova_weekday",
+    "q_scalar_multiformat_ts",  # --- code changed this round: attest first ---
     "q_spatial_radius_join",
-    "q_entity_resolution_fs",
+    "q_pagerank",
     "q_bom_explosion",
-    "q_pairwise_tests_bonferroni",
-    "q_knn_classifier_eval",
-    "q_multimodal_audio_energy",
-    "q_hapax_vocabulary",
-    "q_heaps_law_fit",
     "q_knn_pq",  # --- never driver-attested ---
     "q_hard_negatives",
     "q_embedding_centroid_health",
     "q_rfm_segments",
-    "q_lateral_top_orders",  # ---------------- first-50 window ends above ----------------
+    "q_lateral_top_orders",
     "q_recursive_month_spine",
     "q_event_transitions",
     "q_markov_stationary",
@@ -154,13 +104,17 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_asof_tolerance",
     "q_time_weighted_average",
     "q_cms_heavy_hitters",
+    "q_knn_classifier_eval",
+    "q_pairwise_tests_bonferroni",
+    "q_hapax_vocabulary",
+    "q_heaps_law_fit",
     "q_dedup_chunk_rewrite",
     "q_dedup_repeated_spans",
     "q_dedup_containment",
     "q_semdedup_clusters",
     "q_lsh_recall_report",
     "q_dedup_prefix_filter",
-    "q_snm_recall_report",
+    "q_snm_recall_report",  # ---------------- first-50 window ends above ----------------
     "q_dedup_doc_stitching",
     "q_dq_outlier_mad",
     "q_dq_ks_drift",
@@ -181,6 +135,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_token_budget_allocation",
     "q_filter_funnel",
     "q_hashed_linear_score",
+    "q_multimodal_audio_energy",
     "q_k_anonymity",
     "q_dp_noisy_counts",
     "q_pseudonymize_consistent",
@@ -253,7 +208,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_scalar_string_cleaning",
     "q_scalar_casts",
     "q_scalar_dates",
-    "q_scalar_multiformat_ts",
     "q_scalar_json_props",
     "q_scalar_regexp_extract",
     "q_scalar_math",
@@ -319,6 +273,53 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q11_value_concentration",
     "q04_order_priority",
     "q13_order_count_distribution",
+    "q_target_encoding",
+    "q_rake_keywords",
+    "q_kmeans_lloyd",
+    "q_dbscan_classify",
+    "q_clamped_running_balance",
+    "q_wordpiece_tokenize",
+    "q_mmr_rerank",
+    "q_rare_category_other",
+    "q_woe_encoding",
+    "q_psi_drift",
+    "q_item_cf_similar",
+    "q_degree_powerlaw",
+    "q_tokenizer_fertility",
+    "q_url_canonical_dedup",
+    "q_dataset_card",
+    "q_data_skew_report",
+    "q_join_cardinality_audit",
+    "q_revenue_delta_decomposition",
+    "q_fifo_allocation",
+    "q_shapley_attribution",
+    "q_entity_resolution_fs",
+    "q_gaps_islands",
+    "q_equidepth_histogram",
+    "q_udtf_span_days",
+    "q_weighted_median",
+    "q_snapshot_diff",
+    "q_setop_bag_semantics",
+    "q_try_arithmetic_safe",
+    "q_nested_json_assembly",
+    "q_collation_groupby",
+    "q_poisson_bootstrap_ci",
+    "q_survival_km",
+    "q_moments_skew_kurtosis",
+    "q_theil_sen_trend",
+    "q_mann_whitney",
+    "q_correlation_matrix",
+    "q_chi_square_contingency",
+    "q_sample_size_power",
+    "q_cliffs_delta",
+    "q_anova_weekday",
+    "q_autocorr_daily",
+    "q_sax_symbols",
+    "q_seasonal_decompose",
+    "q_interval_merge",
+    "q_linear_interp_gapfill",
+    "q_seasonal_anomaly_days",
+    "q_multimodal_shot_cuts",
 )
 
 
