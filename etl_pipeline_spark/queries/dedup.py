@@ -215,7 +215,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: approxSimilarityJoin shuffles on (band, signature) buckets —
     sub-quadratic; the exact-Jaccard verify touches only candidates
     (candidates << all pairs), via per-pair array_intersect rather than
-    re-running the quadratic inverted-index join.
+    re-running the quadratic inverted-index join. The bucket-explode
+    join carries ONLY (doc_id, features) — shipping the shingle arrays
+    (the widest column, hundreds of strings per doc) through the 8x
+    explode shuffle cost ~35% wall-clock at sf0.1 and would dominate
+    data movement at 100 TB; the verify re-attaches the arrays to the
+    narrow candidate set with two id-keyed joins (AQE broadcasts the
+    candidate side), so the wide column never moves more than once.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
@@ -230,27 +236,34 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    docs = d.filter(F.size(toks) >= SHINGLE_WIDTH).select("doc_id", shingle_arr.alias("shingles"))
+    # Materialize the shingled docs ONCE (lazily; see module docstring):
+    # both the featurize step and the verify step read them, and the
+    # self-join otherwise re-evaluates the shingle transform per side
+    # (2.5x wall-clock at sf0.1). localCheckpoint doubles as lineage
+    # truncation; a cluster run would use persist(DISK) or a reliable
+    # checkpoint for the same single-materialization property.
+    docs = (
+        d.filter(F.size(toks) >= SHINGLE_WIDTH)
+        .select("doc_id", shingle_arr.alias("shingles"))
+        .localCheckpoint(eager=False)
+    )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
-    # Materialize the featurized docs ONCE (lazily; see module docstring):
-    # the self-join otherwise re-evaluates the shingle+HashingTF transform
-    # for each side (2.5x wall-clock at sf0.1). localCheckpoint doubles as
-    # lineage truncation; a cluster run would use persist(DISK) or a
-    # reliable checkpoint for the same single-materialization property.
-    feat = tf.transform(docs).localCheckpoint(eager=False)
+    feat = tf.transform(docs).select("doc_id", "features").localCheckpoint(eager=False)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feat)
     pairs = model.approxSimilarityJoin(feat, feat, 1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist")
     cand = pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
         F.col("datasetA.doc_id").alias("doc_a"),
-        F.col("datasetA.shingles").alias("sh_a"),
         F.col("datasetB.doc_id").alias("doc_b"),
-        F.col("datasetB.shingles").alias("sh_b"),
     )
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_inter)
     return (
-        cand.select("doc_a", "doc_b", jac.alias("jac"))
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jac"))
         .filter(F.col("jac") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
     )

@@ -12,8 +12,11 @@ from pieces that are each individually verified:
     -> per-language corpus stats
 
 Scale: dedup shuffles on the fingerprint, near-dup pruning is an
-anti-join against the LSH-verified pair list, everything else is narrow —
-the standard shape of a 100 TB corpus build.
+anti-join against the near-dup pair list (here the EXACT n-gram-Jaccard
+pairs so the oracle can verify the composition end-to-end; a 100 TB run
+swaps in q_dedup_minhash_lsh's candidate+verify pairs — same anti-join,
+sub-quadratic pair generation), everything else is narrow — the
+standard shape of a 100 TB corpus build.
 """
 
 from __future__ import annotations

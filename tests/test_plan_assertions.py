@@ -319,3 +319,20 @@ def test_wordpiece_udf_runs_on_distinct_words_only(spark):
     assert plan.index("HashAggregate") < plan.index("ArrowEvalPython"), (
         "UDF must run on the aggregated distinct-word table"
     )
+
+
+def test_minhash_lsh_bucket_join_excludes_shingle_arrays(spark):
+    """The r5 LSH optimization contract: the 8-table bucket-explode
+    self-join must carry only (doc_id, features) — the shingle arrays
+    (the widest column) may appear in the plan only downstream, re-joined
+    onto the narrow candidate set. If `shingles` leaks back into the
+    explode side the 35% wall-clock saving silently reverts."""
+    df = contract.queries()["q_dedup_minhash_lsh"](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the explode of the hash tables marks the bucket-join side
+    explode_lines = [
+        ln for ln in plan.splitlines() if "explode" in ln.lower() and "hashes" in ln
+    ]
+    assert explode_lines, "expected the LSH bucket explode in the plan"
+    for ln in explode_lines:
+        assert "shingles" not in ln, f"shingle arrays on the explode side: {ln}"
