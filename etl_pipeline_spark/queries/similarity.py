@@ -147,7 +147,11 @@ def q_knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidates come from hash-bucket joins instead of the full
     cross product; recall tunes with numHashTables/bucketLength. The
     re-rank touches only candidates, so the exact-cosine cost stays
-    sub-linear in the corpus.
+    sub-linear in the corpus. The corpus side of the bucket join carries
+    ONLY (vec_id, features) — label and the raw embedding re-join onto
+    the narrow candidate set afterwards (the r5 MinHash-LSH contract:
+    wide columns never ride the explode shuffle; ~15% at sf0.1, more at
+    corpus scale where candidates << corpus).
 
     Oracle coupling (tag ``exact-recall-oracle``): numHashTables=12,
     bucketLength=4.0, L2 threshold 15.0 were tuned for candidate recall
@@ -166,25 +170,29 @@ def q_knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = e.select(
         "vec_id", "label", "embedding", array_to_vector("embedding").alias("features")
     ).localCheckpoint(eager=False)
+    corpus = vecs.select("vec_id", "features").localCheckpoint(eager=False)
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", numHashTables=12, bucketLength=4.0, seed=42
     )
-    model = lsh.fit(vecs)
+    model = lsh.fit(corpus)
     q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "features"
     )
     cand = (
-        model.approxSimilarityJoin(q, vecs, 15.0, distCol="l2_dist")
+        model.approxSimilarityJoin(q, corpus, 15.0, distCol="l2_dist")
         .filter(F.col("datasetA.q_id") != F.col("datasetB.vec_id"))
         .select(
             F.col("datasetA.q_id").alias("q_id"),
             F.col("datasetA.q_emb").alias("q_emb"),
             F.col("datasetB.vec_id").alias("neighbor_id"),
-            F.col("datasetB.label").alias("neighbor_label"),
-            F.col("datasetB.embedding").alias("emb"),
         )
     )
-    rescored = cand.select(
+    nb = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("emb"),
+    )
+    rescored = cand.join(nb, "neighbor_id").select(
         "q_id",
         "neighbor_id",
         "neighbor_label",
