@@ -286,3 +286,88 @@ def test_fifo_staircase_equals_sequential_matching(supply, demand):
                 si += 1
                 remaining = supply[si] if si < len(supply) else 0
     assert closed == seq
+
+
+# --- Connected components vs reference union-find ---------------------------
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)), min_size=0, max_size=40
+)
+
+
+@given(edges=_edges)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Min-label propagation (and its two-phase fallback entry point)
+    must agree with a reference union-find on arbitrary random graphs —
+    chains, self-loops, duplicates, isolated nodes."""
+    from etl_pipeline_spark.operators.cluster import connected_components
+
+    n = 25
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node of the component
+    comp = {}
+    for v in range(n):
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    want = {v: min(members) for members in comp.values() for v in members}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edf = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(nodes, edf).collect()
+    }
+    assert got == want
+
+
+# --- Skew-join physical variants are value-equal to the plain join ----------
+
+_keyed_rows = st.lists(
+    st.tuples(st.sampled_from(["hot", "a", "b", "c"]), st.integers(-5, 5)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_keyed_rows)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_skew_join_variants_equal_plain_join(spark, rows):
+    """salted_join and hybrid_skew_join are PHYSICAL rewrites: on any
+    input (including dim keys that never occur, hot thresholds that
+    classify everything or nothing) their output multiset must equal the
+    plain inner join's."""
+    from etl_pipeline_spark.operators.skew import hybrid_skew_join, salted_join
+
+    big = spark.createDataFrame(rows, "k string, v long")
+    dim = spark.createDataFrame(
+        [("hot", 1), ("a", 2), ("z", 9)], "k string, tag long"
+    )
+    want = sorted(map(tuple, big.join(dim, "k").collect()))
+    got_salted = sorted(map(tuple, salted_join(big, dim, "k", n_salts=4).collect()))
+    got_hybrid = sorted(
+        map(tuple, hybrid_skew_join(big, dim, "k", hot_threshold=3).collect())
+    )
+    assert got_salted == want
+    assert got_hybrid == want
