@@ -58,16 +58,20 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-5 prefix (backlog-drain rotation, VERDICT r4 #1): the 4 queries
-# whose code changed this round lead, then the never-attested backlog
-# (77 at rotation time; 46 fit this window, the remaining 31 head the
-# r6 window), then backfill oldest-attestation-first. New-query
-# authoring is frozen this round so the window drains the backlog.
+# Round-5 prefix (backlog-drain rotation, VERDICT r4 #1): the 6 queries
+# whose code changed this round lead (F7 superset fix; spatial/
+# pagerank/BOM core extractions; the two LSH wide-column slimmings),
+# then the never-attested backlog (77 at rotation time; 44 fit this
+# window, the remaining 33 head the r6 window), then backfill
+# oldest-attestation-first. New-query authoring is frozen this round
+# so the window drains the backlog.
 CHECK_PRIORITY: tuple[str, ...] = (
     "q_scalar_multiformat_ts",  # --- code changed this round: attest first ---
     "q_spatial_radius_join",
     "q_pagerank",
     "q_bom_explosion",
+    "q_dedup_minhash_lsh",
+    "q_knn_lsh_approx",
     "q_knn_pq",  # --- never driver-attested ---
     "q_hard_negatives",
     "q_embedding_centroid_health",
@@ -112,9 +116,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_dedup_repeated_spans",
     "q_dedup_containment",
     "q_semdedup_clusters",
-    "q_lsh_recall_report",
+    "q_lsh_recall_report",  # ---------------- first-50 window ends above ----------------
     "q_dedup_prefix_filter",
-    "q_snm_recall_report",  # ---------------- first-50 window ends above ----------------
+    "q_snm_recall_report",
     "q_dedup_doc_stitching",
     "q_dq_outlier_mad",
     "q_dq_ks_drift",
@@ -224,7 +228,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q21_sole_late_shipper",
     "q_training_data_prep",
     "q_window_range_frame_partitioned",
-    "q_knn_lsh_approx",
     "q_hll_sketch_union",
     "q_window_distribution_ranks_partitioned",
     "q_timeseries_gapfill",
@@ -237,7 +240,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_agg_extrema_by",
     "q_agg_bitwise",
     "q_histogram_values",
-    "q_dedup_minhash_lsh",
     "q_dedup_canonical_docs",
     "q_dedup_embedding_cosine",
     "q_contamination_check",
