@@ -192,14 +192,35 @@ def pagerank_ranks(li: DataFrame) -> DataFrame:
     its degree and final integer rank. Exposed separately so invariants
     over the WHOLE vector — e.g. the truncation-loss mass-conservation
     envelope tests/test_session6_operators.py asserts — can be checked
-    without the top-k cut."""
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    without the top-k cut.
+
+    Edge derivation (r5): co-purchase pairs are generated MAP-SIDE from
+    each order's sorted distinct part set (collect_set -> in-array
+    2-combinations) instead of the order-keyed self-join — one shuffle
+    of the item list instead of two plus the same pair shuffle; ~25%
+    faster at sf0.1 with an identical edge set. Trade-off pinned here:
+    the per-order pair array is O(basket^2) in executor memory, fine for
+    bounded baskets (TPC-H <= 7 items; retail <= hundreds); a corpus
+    with mega-baskets should cap or revert to the streaming self-join,
+    which produces the same quadratic pairs as rows instead."""
+    ps = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = ps.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x, i: F.transform(
+                        F.slice("ps", i + F.lit(2), F.size("ps")),
+                        lambda y: F.struct(x.alias("u"), y.alias("v")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
     und = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
+        pairs.groupBy("u", "v")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= PR_SUPPORT)
         .select("u", "v")
