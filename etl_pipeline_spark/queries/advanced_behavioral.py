@@ -73,19 +73,10 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     support as done here (support >= {SUP} drops the accidental-co-order
     noise that makes retail graphs dense).
     """
+    from etl_pipeline_spark.queries.analytics_ml import co_purchase_edges
+
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= TRI_SUPPORT)
-        .select("u", "v")
-        .localCheckpoint(eager=False)
-    )
+    edges = co_purchase_edges(li, TRI_SUPPORT).localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("k"))
         .unionAll(edges.select(F.col("v").alias("k")))

@@ -187,22 +187,19 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pagerank_ranks(li: DataFrame) -> DataFrame:
-    """Full (un-limited) rank table behind q_pagerank: every node with
-    its degree and final integer rank. Exposed separately so invariants
-    over the WHOLE vector — e.g. the truncation-loss mass-conservation
-    envelope tests/test_session6_operators.py asserts — can be checked
-    without the top-k cut.
+def co_purchase_edges(li: DataFrame, support: int) -> DataFrame:
+    """Undirected co-purchase edges (u < v) with co-order count >=
+    support, shared by q_pagerank and q_triangle_count.
 
-    Edge derivation (r5): co-purchase pairs are generated MAP-SIDE from
-    each order's sorted distinct part set (collect_set -> in-array
-    2-combinations) instead of the order-keyed self-join — one shuffle
-    of the item list instead of two plus the same pair shuffle; ~25%
-    faster at sf0.1 with an identical edge set. Trade-off pinned here:
-    the per-order pair array is O(basket^2) in executor memory, fine for
-    bounded baskets (TPC-H <= 7 items; retail <= hundreds); a corpus
-    with mega-baskets should cap or revert to the streaming self-join,
-    which produces the same quadratic pairs as rows instead."""
+    r5 derivation: pairs are generated MAP-SIDE from each order's
+    sorted distinct part set (collect_set -> in-array 2-combinations)
+    instead of the order-keyed self-join — one shuffle of the item list
+    instead of two plus the same pair shuffle; ~25% faster at sf0.1
+    with an identical edge set. Trade-off pinned here: the per-order
+    pair array is O(basket^2) in executor memory, fine for bounded
+    baskets (TPC-H <= 7 items; retail <= hundreds); a corpus with
+    mega-baskets should cap or revert to the streaming self-join, which
+    produces the same quadratic pairs as rows instead."""
     ps = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
@@ -219,12 +216,23 @@ def pagerank_ranks(li: DataFrame) -> DataFrame:
             )
         ).alias("p")
     ).select("p.u", "p.v")
-    und = (
+    return (
         pairs.groupBy("u", "v")
         .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= PR_SUPPORT)
+        .filter(F.col("support") >= support)
         .select("u", "v")
     )
+
+
+def pagerank_ranks(li: DataFrame) -> DataFrame:
+    """Full (un-limited) rank table behind q_pagerank: every node with
+    its degree and final integer rank. Exposed separately so invariants
+    over the WHOLE vector — e.g. the truncation-loss mass-conservation
+    envelope tests/test_session6_operators.py asserts — can be checked
+    without the top-k cut.
+
+    Edge derivation: co_purchase_edges (shared with q_triangle_count)."""
+    und = co_purchase_edges(li, PR_SUPPORT)
     edges = (
         und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .localCheckpoint(eager=False)
