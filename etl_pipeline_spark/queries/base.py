@@ -58,11 +58,13 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-5 prefix (backlog-drain rotation, VERDICT r4 #1): the 6 queries
+# Round-5 prefix (backlog-drain rotation, VERDICT r4 #1): the 7 queries
 # whose code changed this round lead (F7 superset fix; spatial/
-# pagerank/BOM core extractions; the two LSH wide-column slimmings),
-# then the never-attested backlog (77 at rotation time; 44 fit this
-# window, the remaining 33 head the r6 window), then backfill
+# pagerank/BOM core extractions; the two LSH wide-column slimmings;
+# the shared map-side co-purchase edge builder), then the
+# never-attested backlog (77 at rotation time; 44 land in this window
+# counting the never-attested triangle query in the changed prefix,
+# the remaining 33 head the r6 window), then backfill
 # oldest-attestation-first. New-query authoring is frozen this round
 # so the window drains the backlog.
 CHECK_PRIORITY: tuple[str, ...] = (
@@ -72,6 +74,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_bom_explosion",
     "q_dedup_minhash_lsh",
     "q_knn_lsh_approx",
+    "q_triangle_count",
     "q_knn_pq",  # --- never driver-attested ---
     "q_hard_negatives",
     "q_embedding_centroid_health",
@@ -85,7 +88,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_zorder_locality",
     "q_ewma_smoothing",
     "q_attribution_last_touch",
-    "q_triangle_count",
     "q_market_basket_rules",
     "q_ab_test_ttest",
     "q_dq_referential_integrity",
