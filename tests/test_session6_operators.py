@@ -236,3 +236,35 @@ def test_interval_merge_bounds(spark):
 def test_psi_terms_are_nonnegative(spark):
     rows = contract.queries()["q_psi_drift"](spark, SF).collect()
     assert all(r.psi_term >= 0 for r in rows)  # (p-q)ln(p/q) >= 0 always
+
+
+def test_interval_merge_matches_python_sweep(spark):
+    """The window-based merge must equal a literal sweep-line merge of
+    each user's [ts, ts+10min) intervals replayed in Python: same span
+    count, same covered time, same longest span — per user."""
+    from etl_pipeline_spark.queries.analytics_ts import IVM_SPAN_MS
+
+    e = load_tables(spark, SF, ("events",))["events"]
+    raw = e.select("user_id", F.unix_millis("ts").alias("s")).collect()
+    by_user: dict[int, list[int]] = {}
+    for r in raw:
+        by_user.setdefault(r.user_id, []).append(r.s)
+    want = {}
+    for uid, starts in by_user.items():
+        spans = []
+        for s in sorted(starts):
+            e_ms = s + IVM_SPAN_MS
+            if spans and s <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], e_ms)
+            else:
+                spans.append([s, e_ms])
+        want[uid] = (
+            len(spans),
+            sum(b - a for a, b in spans),
+            max(b - a for a, b in spans),
+        )
+    got = {
+        r.user_id: (r.n_merged_spans, r.covered_ms, r.longest_span_ms)
+        for r in contract.queries()["q_interval_merge"](spark, SF).collect()
+    }
+    assert got == want
