@@ -20,8 +20,7 @@ near-linear claim conservative.
 
 Run: python tools/scale_soak.py [--skip-build] [--queries a,b,c]
 Writes .scratch/scale/sf1/ and prints one JSON line per (sf, query);
-summary table is appended to BASELINE.md by tools/record_soak.py or by
-hand from the JSON.
+summary table is appended to BASELINE.md by hand from the JSON.
 """
 
 from __future__ import annotations
