@@ -1,5 +1,5 @@
 """Semantics-edge unit tests (SURVEY.md §5.3): F4 truncating cast, F7
-five timestamp formats + rejects, strict-date parsing, presence checks."""
+six timestamp formats + rejects, strict-date parsing, presence checks."""
 
 from __future__ import annotations
 

@@ -63,3 +63,39 @@ def test_allowlists_are_disjoint_and_twin_names_differ():
         assert twin != q
     for q, why in GLOBAL_WINDOW_BOUNDED.items():
         assert why.strip()
+
+
+def test_window_in_pandas_variant_detected_synthetic():
+    """WindowInPandas (pandas window UDF) over a single-partition
+    exchange must flag even though the node name differs and extra
+    nodes sit between the window and the exchange (r5 review)."""
+    plan = "\n".join([
+        "AdaptiveSparkPlan isFinalPlan=false",
+        "+- WindowInPandas [my_udf(v#1) windowspecdefinition(...)], [ts#2 ASC]",
+        "   +- Project [v#1, ts#2]",
+        "      +- Sort [ts#2 ASC NULLS FIRST], false, 0",
+        "         +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]",
+        "            +- Scan parquet [v#1, ts#2]",
+    ])
+    flags, _, _, _ = audit_plan(plan)
+    assert "global-window" in flags
+
+
+def test_sibling_single_partition_exchange_not_attributed_to_window():
+    """A SinglePartition exchange in a SIBLING branch (e.g. a 1-row
+    aggregate epilogue joined below the window's subtree) must not flag
+    the partitioned window above it."""
+    plan = "\n".join([
+        "AdaptiveSparkPlan isFinalPlan=false",
+        "+- BroadcastHashJoin [k#1], [k#9], Inner, BuildRight",
+        "   :- Window [row_number() ...], [k#1], [ts#2 ASC]",
+        "   :  +- Sort [k#1 ASC, ts#2 ASC], false, 0",
+        "   :     +- Exchange hashpartitioning(k#1, 32), [plan_id=3]",
+        "   :        +- Scan parquet [k#1, ts#2]",
+        "   +- BroadcastExchange HashedRelationBroadcastMode, [plan_id=8]",
+        "      +- HashAggregate(keys=[], functions=[count(1)])",
+        "         +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=7]",
+        "            +- Scan parquet []",
+    ])
+    flags, _, _, _ = audit_plan(plan)
+    assert "global-window" not in flags

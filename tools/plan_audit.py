@@ -32,11 +32,12 @@ Writes PLAN_AUDIT.md with one row per query plus a summary; exits
 non-zero if a hard anti-pattern (cartesian, row-python, undocumented
 global-window) appears so the audit can gate CI.
 
-Intentional exceptions, asserted in the expected-flags tables below
-rather than silently ignored:
-- q_join_cross_region_nation IS the cross-join conformance query (tiny
-  dims, the oracle is a cross join) — its CartesianProduct is the
-  operator under test, not an accident.
+Intentional exceptions live in the expected-flags tables below and are
+ASSERTED to still fire: an allowlist entry whose flag no longer appears
+in the query's plan fails the audit as STALE, so the tables can never
+silently outlive the plans they excuse. (The cross-join conformance
+query needs no entry: its tiny-dim cross join plans as a
+BroadcastNestedLoopJoin, which is not flagged.)
 """
 
 from __future__ import annotations
@@ -58,10 +59,14 @@ SF = "/root/testdata/sf0.01"
 # still one checkpoint away from fixable.
 PLAN_NODE_CEILING = 1500
 
-# queries whose flagged node is the documented point of the query
-EXPECTED = {
-    "q_join_cross_region_nation": {"cartesian"},
-}
+# Queries whose flagged node is the documented point of the query.
+# Every entry is ASSERTED to still fire: if the flag disappears from the
+# query's plan, the audit exits non-zero with a STALE-ALLOWLIST report,
+# so these lists can never silently outlive the plans they excuse.
+# (q_join_cross_region_nation was removed r5: its tiny-dim cross join
+# plans as BroadcastNestedLoopJoin, so the cartesian entry was stale —
+# and a regression back to CartesianProduct SHOULD fail the audit.)
+EXPECTED: dict[str, set[str]] = {}
 
 # The machine-enforced version of the docstring contract from
 # the analytics_* modules: every query that legitimately runs an
@@ -91,6 +96,7 @@ GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
     "q_cliffs_delta": "distinct-value collapse before ranking",
     "q_poisson_bootstrap_ci": "B bootstrap replicas after map-combine",
     "q_seasonal_anomaly_days": "day-keyed series after one aggregate",
+    "q_linear_interp_gapfill": "densified day spine (horizon-sized, not event-sized)",
     "q_skyline_parts": "distinct prices (catalog-bounded)",
     "q_text_zipf_fit": "vocabulary-sized after term-count collapse (Heaps-sublinear)",
     "q_ratio_to_report": "group-count rows after fact aggregate",
@@ -115,14 +121,29 @@ def audit_plan(plan: str) -> tuple[set[str], int, int, int]:
     if re.search(r"Exchange rangepartitioning", plan) and "TakeOrderedAndProject" not in plan:
         flags.add("global-sort")
     # Window whose required child distribution is a single partition:
-    # the Sort + Exchange SinglePartition pair directly beneath it.
+    # walk DOWN from each Window-family node (Window, WindowGroupLimit,
+    # WindowInPandas — the pandas window UDF shape) to the FIRST Exchange
+    # beneath it, however many Sort/Project/Filter nodes intervene; a
+    # SinglePartition exchange there means the whole dataset lands on one
+    # task. (The r4 version scanned a fixed 3 lines and missed variant
+    # shapes — r5 review finding.)
+    def node_depth(ln: str) -> int:
+        m = re.search(r"[+:]- ", ln)
+        return m.start() if m else -1
+
     for i, line in enumerate(lines):
-        if re.search(r"\bWindow(?:GroupLimit)? \[", line):
-            for nxt in lines[i + 1 : i + 4]:
+        if re.search(r"\bWindow(?:InPandas|GroupLimit)? \[", line):
+            wdepth = node_depth(line)
+            for nxt in lines[i + 1 :]:
+                d = node_depth(nxt)
+                if d >= 0 and d <= wdepth:
+                    break  # left the window's child subtree
                 if "Exchange SinglePartition" in nxt:
                     flags.add("global-window")
                     break
-                if "Exchange hashpartitioning" in nxt:
+                if "Exchange " in nxt or re.search(
+                    r"\bWindow(?:InPandas|GroupLimit)? \[", nxt
+                ):
                     break
     if n_nodes > PLAN_NODE_CEILING:
         flags.add("plan-size")
@@ -143,7 +164,8 @@ def main() -> None:
     if bad_bounded:
         raise SystemExit(f"GLOBAL_WINDOW_BOUNDED invalid entries: {bad_bounded}")
     rows = []
-    hard_fail = []
+    hard_fail: list[str] = []
+    observed: dict[str, set[str]] = {}
     for name, spec in specs.items():
         try:
             df = spec.fn(spark, SF)
@@ -153,6 +175,7 @@ def main() -> None:
             hard_fail.append(name)
             continue
         flags, n_ex, n_bc, n_nodes = audit_plan(plan)
+        observed[name] = flags
         shown = set(flags)
         if "global-window" in flags:
             if name in GLOBAL_WINDOW_TWINS:
@@ -162,15 +185,25 @@ def main() -> None:
                 shown.discard("global-window")
                 shown.add("global-window(bounded)")
         unexpected = flags - EXPECTED.get(name, set())
-        if unexpected & {"cartesian", "row-python"}:
-            hard_fail.append(name)
-        if (
+        if unexpected & {"cartesian", "row-python"} or (
             "global-window" in unexpected
             and name not in GLOBAL_WINDOW_TWINS
             and name not in GLOBAL_WINDOW_BOUNDED
         ):
             hard_fail.append(name)
         rows.append((name, n_ex, n_bc, n_nodes, ",".join(sorted(shown)) or "-"))
+
+    # Stale-allowlist assertion: every allowlist entry must still match a
+    # flag the plan actually exhibits, else the list has outlived the plan
+    # it excuses — fail so it gets pruned in the same change.
+    stale = []
+    for name, want in EXPECTED.items():
+        if name in observed and not want <= observed[name]:
+            stale.append(f"EXPECTED[{name}]={sorted(want - observed[name])}")
+    for name in list(GLOBAL_WINDOW_TWINS) + list(GLOBAL_WINDOW_BOUNDED):
+        if name in observed and "global-window" not in observed[name]:
+            stale.append(f"global-window-allowlist[{name}]")
+    hard_fail = list(dict.fromkeys(hard_fail + stale))
 
     n_flagged = sum(
         1 for r in rows if r[4] not in ("-",) and not r[4].startswith("PLAN-ERROR")

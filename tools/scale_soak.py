@@ -196,6 +196,10 @@ def build_sf1(spark) -> None:
     li_parts = [
         li.withColumn("l_orderkey", F.col("l_orderkey") + i * ID_OFFSET)
         .withColumn("l_partkey", F.col("l_partkey") + i * ID_OFFSET)
+        # l_suppkey offset with the suppliers (r5 review fix): without it
+        # every copy's lineitems referenced only copy-0 supplier keys and
+        # the lineitem->supplier RI relation was not copy-local.
+        .withColumn("l_suppkey", F.col("l_suppkey") + i * ID_OFFSET)
         for i in range(COPIES)
     ]
     out_li = li_parts[0]
