@@ -283,6 +283,38 @@ def build_sf1(spark) -> None:
     out_na.repartition(1).write.mode("overwrite").parquet(f"{SF1_DIR}/nation.parquet")
 
 
+# FK relations the build must keep copy-local (the r5 review found
+# l_suppkey un-offset — this assertion makes that class of fixture bug
+# fail the build instead of silently warping a soak curve).
+_FK_RELATIONS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+]
+
+
+def verify_sf1_fk_structure(spark) -> None:
+    """Assert every FK relation has the SAME orphan count per copy at
+    sf1 as sf0.1 has in total (structure preservation: 10 disjoint
+    copies => orphans scale exactly 10x; sf0.1 is fully consistent, so
+    both sides must be 0)."""
+    tables = ("lineitem", "orders", "part", "supplier", "customer", "nation", "events")
+    t01 = load_tables(spark, SF_SRC, tables)
+    t1 = load_tables(spark, SF1_DIR, tables)
+    bad = []
+    for ct, ck, pt, pk in _FK_RELATIONS:
+        o01 = t01[ct].join(t01[pt], t01[ct][ck] == t01[pt][pk], "left_anti").count()
+        o1 = t1[ct].join(t1[pt], t1[ct][ck] == t1[pt][pk], "left_anti").count()
+        if o1 != COPIES * o01:
+            bad.append(f"{ct}.{ck}->{pt}: sf0.1 orphans={o01}, sf1={o1} (want {COPIES * o01})")
+    if bad:
+        raise SystemExit("sf1 FK structure broken:\n  " + "\n  ".join(bad))
+    print(json.dumps({"sf1_fk_locality": "ok", "relations": len(_FK_RELATIONS)}), flush=True)
+
+
 def main() -> None:
     soak = SOAK_QUERIES
     for i, a in enumerate(sys.argv):
@@ -293,6 +325,7 @@ def main() -> None:
         t0 = time.perf_counter()
         build_sf1(spark)
         print(json.dumps({"built_sf1_sec": round(time.perf_counter() - t0, 1)}), flush=True)
+        verify_sf1_fk_structure(spark)
 
     from etl_pipeline_spark.queries.base import all_specs
 
