@@ -99,3 +99,17 @@ def test_sibling_single_partition_exchange_not_attributed_to_window():
     ])
     flags, _, _, _ = audit_plan(plan)
     assert "global-window" not in flags
+
+
+def test_stale_allowlist_entries_fire_and_clear():
+    """An allowlist entry whose query no longer exhibits global-window
+    must be reported stale; one whose query still exhibits it must not."""
+    from plan_audit import GLOBAL_WINDOW_BOUNDED as B
+    from plan_audit import stale_allowlist_entries
+
+    some = next(iter(B))
+    assert stale_allowlist_entries({some: {"global-window"}}) == []
+    stale = stale_allowlist_entries({some: set()})
+    assert stale and some in stale[0] and stale[0].startswith("STALE")
+    # queries not planned this run (e.g. PLAN-ERROR) are not judged stale
+    assert stale_allowlist_entries({}) == []

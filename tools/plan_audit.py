@@ -150,6 +150,21 @@ def audit_plan(plan: str) -> tuple[set[str], int, int, int]:
     return flags, n_ex, n_bc, n_nodes
 
 
+def stale_allowlist_entries(observed: dict[str, set[str]]) -> list[str]:
+    """Every allowlist entry must still match a flag the plan actually
+    exhibits, else the list has outlived the plan it excuses — these
+    entries hard-fail the audit so they get pruned in the same change.
+    Pure over {query: observed flags} so tests can drive it."""
+    stale = []
+    for name, want in EXPECTED.items():
+        if name in observed and not want <= observed[name]:
+            stale.append(f"STALE EXPECTED[{name}]={sorted(want - observed[name])}")
+    for name in list(GLOBAL_WINDOW_TWINS) + list(GLOBAL_WINDOW_BOUNDED):
+        if name in observed and "global-window" not in observed[name]:
+            stale.append(f"STALE global-window-allowlist[{name}]")
+    return stale
+
+
 def main() -> None:
     spark = get_spark("plan_audit")
     specs = all_specs()
@@ -193,17 +208,7 @@ def main() -> None:
             hard_fail.append(name)
         rows.append((name, n_ex, n_bc, n_nodes, ",".join(sorted(shown)) or "-"))
 
-    # Stale-allowlist assertion: every allowlist entry must still match a
-    # flag the plan actually exhibits, else the list has outlived the plan
-    # it excuses — fail so it gets pruned in the same change.
-    stale = []
-    for name, want in EXPECTED.items():
-        if name in observed and not want <= observed[name]:
-            stale.append(f"EXPECTED[{name}]={sorted(want - observed[name])}")
-    for name in list(GLOBAL_WINDOW_TWINS) + list(GLOBAL_WINDOW_BOUNDED):
-        if name in observed and "global-window" not in observed[name]:
-            stale.append(f"global-window-allowlist[{name}]")
-    hard_fail = list(dict.fromkeys(hard_fail + stale))
+    hard_fail = list(dict.fromkeys(hard_fail + stale_allowlist_entries(observed)))
 
     n_flagged = sum(
         1 for r in rows if r[4] not in ("-",) and not r[4].startswith("PLAN-ERROR")
