@@ -89,30 +89,43 @@ def semdedup_pairs(
     assign: DataFrame, id_col: str = "vec_id", vec_col: str = "v"
 ) -> DataFrame:
     """Within-cluster candidate pairs with their cosine (rounded to 4)
-    and both members' centroid cosines — the blocked quadratic stage."""
-    a = assign.select(
-        "cluster",
-        F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("va"),
-        F.col("cosc").alias("cosc_a"),
+    and both members' centroid cosines — the blocked quadratic stage.
+
+    r6 derivation: the cluster-keyed SELF-JOIN shuffled every embedding
+    vector through the join exchange TWICE (the wide-shuffle audit flag,
+    tools/plan_audit.py); instead, each cluster's members are gathered
+    once (one shuffle of the vectors) and 2-combinations stream out of
+    two chained explodes — posexplode anchors a member, the tail slice
+    explodes its partners — so peak per-row memory is O(cluster size),
+    never O(cluster^2). Cluster size is the SemDeDup design knob (K
+    grows with the corpus to hold it constant), so the gathered-members
+    row is bounded; the quadratic pair WORK is inherent to the
+    algorithm and unchanged. Members sort by (id, cosc, vec), ids are
+    unique, so anchor < partner reproduces the vec_a < vec_b contract."""
+    grouped = assign.groupBy("cluster").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("i"),
+                    F.col("cosc").alias("c"),
+                    F.col(vec_col).alias("w"),
+                )
+            )
+        ).alias("ms")
     )
-    b = assign.select(
+    anchored = grouped.select("cluster", "ms", F.posexplode("ms").alias("ix", "ma"))
+    pairs = anchored.select(
         "cluster",
-        F.col(id_col).alias("vec_b"),
-        F.col(vec_col).alias("vb"),
-        F.col("cosc").alias("cosc_b"),
+        "ma",
+        F.explode(F.slice("ms", F.col("ix") + F.lit(2), F.size("ms"))).alias("mb"),
     )
-    return (
-        a.join(b, ["cluster"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "cluster",
-            "vec_a",
-            "vec_b",
-            "cosc_a",
-            "cosc_b",
-            F.round(vec_cosine(F.col("va"), F.col("vb")), 4).alias("cos_ab"),
-        )
+    return pairs.select(
+        "cluster",
+        F.col("ma.i").alias("vec_a"),
+        F.col("mb.i").alias("vec_b"),
+        F.col("ma.c").alias("cosc_a"),
+        F.col("mb.c").alias("cosc_b"),
+        F.round(vec_cosine(F.col("ma.w"), F.col("mb.w")), 4).alias("cos_ab"),
     )
 
 

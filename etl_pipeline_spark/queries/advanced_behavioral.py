@@ -155,25 +155,20 @@ def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     related-item recommendation table, and the metric layer over the
     same co-occurrence graph the triangle census walks.
 
-    Scale: the pair count is the inverted-index self-join on the order
-    key (bounded by per-basket size squared, not corpus size); item
-    marginals and the order total are dimension-sized broadcasts; the
-    top-k is a TakeOrderedAndProject. All ratios derive from exact
-    integer counts, so both engines rank identically.
+    Scale: pair counts come from the shared map-side co-occurrence core
+    (co_occurrence_pairs — one shuffle of the item list, streamed
+    2-combinations, no order-keyed self-join); item marginals and the
+    order total are dimension-sized broadcasts; the top-k is a
+    TakeOrderedAndProject. All ratios derive from exact integer counts,
+    so both engines rank identically.
     """
+    from etl_pipeline_spark.queries.analytics_ml import co_occurrence_pairs
+
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
     n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     cnt = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
-    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    pair = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("cuv"))
-        .filter(F.col("cuv") >= MB_MIN_PAIR)
-    )
+    pair = co_occurrence_pairs(li, MB_MIN_PAIR, "cuv")
     enriched = (
         pair.join(F.broadcast(cnt.select(F.col("l_partkey").alias("u"), F.col("c").alias("ca"))), "u")
         .join(F.broadcast(cnt.select(F.col("l_partkey").alias("v"), F.col("c").alias("cc"))), "v")
@@ -1415,6 +1410,11 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy()
             .agg(F.array_sort(F.collect_list(F.struct("pos0", "u"))).alias("pu"))
             .select(F.transform("pu", lambda st: st["u"]).alias("uv"))
+            # truncate lineage per step: the iterate is 1 row x 64 longs, but
+            # without this each step's plan embeds the whole prior chain
+            # (718 nodes at 3 iterations, r5 PLAN_AUDIT) — checkpointing
+            # keeps the per-step plan constant-depth, value-identical.
+            .localCheckpoint(eager=False)
         )
     sf = q.crossJoin(F.broadcast(u)).select(
         idot(F.col("qv"), F.col("uv")).alias("s"),

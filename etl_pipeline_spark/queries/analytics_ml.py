@@ -187,41 +187,46 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def co_purchase_edges(li: DataFrame, support: int) -> DataFrame:
-    """Undirected co-purchase edges (u < v) with co-order count >=
-    support, shared by q_pagerank and q_triangle_count.
+def co_occurrence_pairs(
+    li: DataFrame, min_count: int, count_col: str = "cnt"
+) -> DataFrame:
+    """Distinct co-order part pairs (u < v) with their co-order counts,
+    the shared edge/co-occurrence core behind q_pagerank,
+    q_triangle_count, q_market_basket_rules, and q_item_cf_similar.
 
-    r5 derivation: pairs are generated MAP-SIDE from each order's
-    sorted distinct part set (collect_set -> in-array 2-combinations)
-    instead of the order-keyed self-join — one shuffle of the item list
-    instead of two plus the same pair shuffle; ~25% faster at sf0.1
-    with an identical edge set. Trade-off pinned here: the per-order
-    pair array is O(basket^2) in executor memory, fine for bounded
-    baskets (TPC-H <= 7 items; retail <= hundreds); a corpus with
-    mega-baskets should cap or revert to the streaming self-join, which
-    produces the same quadratic pairs as rows instead."""
+    Derivation (r6): pairs are generated MAP-SIDE from each order's
+    sorted distinct part set in TWO streamed explodes — posexplode
+    anchors each item, then the tail slice explodes per anchor — so the
+    pair stream reaches the groupBy shuffle without any order-keyed
+    self-join (one shuffle of the item list instead of two) AND without
+    ever materializing the O(basket^2) pair array the r5 single-explode
+    built per row. Peak per-row memory is O(basket): a 10k-item
+    mega-basket streams 50M (u, v) rows through whole-stage codegen
+    instead of allocating one 50M-struct array (property-tested in
+    tests/test_session6_operators.py). Total pair work is inherently
+    quadratic per basket in ANY exact formulation — the support filter
+    after the count is what bounds the output at retail scale."""
     ps = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
-    pairs = ps.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ps",
-                    lambda x, i: F.transform(
-                        F.slice("ps", i + F.lit(2), F.size("ps")),
-                        lambda y: F.struct(x.alias("u"), y.alias("v")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.u", "p.v")
+    anchored = ps.select("ps", F.posexplode("ps").alias("i", "u"))
+    pairs = anchored.select(
+        "u",
+        F.explode(F.slice("ps", F.col("i") + F.lit(2), F.size("ps"))).alias("v"),
+    )
     return (
         pairs.groupBy("u", "v")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= support)
-        .select("u", "v")
+        .agg(F.count("*").alias(count_col))
+        .filter(F.col(count_col) >= min_count)
     )
+
+
+def co_purchase_edges(li: DataFrame, support: int) -> DataFrame:
+    """Undirected co-purchase edges (u < v) with co-order count >=
+    support, shared by q_pagerank and q_triangle_count. Thin wrapper
+    over co_occurrence_pairs (see its docstring for the map-side,
+    memory-bounded pair derivation)."""
+    return co_occurrence_pairs(li, support, "support").select("u", "v")
 
 
 def pagerank_ranks(li: DataFrame) -> DataFrame:
@@ -1305,23 +1310,21 @@ def q_item_cf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts are exact; the cosine is one rounded division per pair with
     full tie-breaks, so the neighbor lists are engine-identical.
 
-    Scale: the basket self-join is the q_triangle_count edge builder
-    (support-thresholded, canonically oriented); degree joins broadcast
-    the item-count table; per-item top-k is a partitioned window
-    (WindowGroupLimit). Hub items bound fan-out via the support floor.
+    Scale: co-occurrence counts come from the shared map-side core
+    (co_occurrence_pairs — q_triangle_count's edge builder: one shuffle
+    of the item list, streamed 2-combinations, canonically oriented);
+    degree joins broadcast the item-count table; per-item top-k is a
+    partitioned window (WindowGroupLimit). Hub items bound fan-out via
+    the support floor.
     """
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
-    deg = items.groupBy(F.col("l_partkey").alias("p")).agg(F.count("*").alias("n"))
-    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    cooc = (
-        a.join(b, "o")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= CF_MIN_COOC)
+    deg = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy(F.col("l_partkey").alias("p"))
+        .agg(F.count("*").alias("n"))
     )
+    cooc = co_occurrence_pairs(li, CF_MIN_COOC, "c")
     both = cooc.select(F.col("u").alias("item"), F.col("v").alias("partner"), "c").unionAll(
         cooc.select(F.col("v").alias("item"), F.col("u").alias("partner"), "c")
     )

@@ -113,3 +113,85 @@ def test_stale_allowlist_entries_fire_and_clear():
     assert stale and some in stale[0] and stale[0].startswith("STALE")
     # queries not planned this run (e.g. PLAN-ERROR) are not judged stale
     assert stale_allowlist_entries({}) == []
+
+
+def _node(cls, output=(), keys=(), children=()):
+    return {"cls": cls, "output": list(output), "keys": list(keys), "children": list(children)}
+
+
+def test_wide_join_shuffle_detected_on_real_plan(spark):
+    """An array column riding a shuffled join's exchange must flag —
+    the r5 minhash/knn-lsh bug class, retroactively caught (VERDICT r5
+    #6: both r5 fixes would have fired this detector)."""
+    from plan_audit import extract_plan_tree, wide_join_shuffle_findings
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(500).select(
+            "id", F.array_repeat(F.col("id").cast("string"), 20).alias("payload")
+        )
+        b = spark.range(500).select(F.col("id").alias("id2"))
+        j = a.join(b, a["id"] == b["id2"]).select("id", "payload")
+        tree = extract_plan_tree(j._jdf.queryExecution().executedPlan())
+        assert wide_join_shuffle_findings(tree) == ["payload:array"]
+
+        # narrow keys only -> clean, even with the same shuffled join
+        narrow = (
+            a.select("id")
+            .join(b, F.col("id") == F.col("id2"))
+            .select("id")
+        )
+        tree2 = extract_plan_tree(narrow._jdf.queryExecution().executedPlan())
+        assert wide_join_shuffle_findings(tree2) == []
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_wide_array_join_key_not_flagged():
+    """An array column that IS a join key (e.g. signature-equality
+    joins) is what the shuffle must move — not a finding."""
+    from plan_audit import wide_join_shuffle_findings
+
+    ex = _node(
+        "ShuffleExchangeExec",
+        output=[("sig", "sig#1", "array<bigint>"), ("doc", "doc#2", "bigint")],
+    )
+    join = _node(
+        "SortMergeJoinExec",
+        keys=["sig#1", "sig#9"],
+        children=[_node("SortExec", children=[ex]), _node("SortExec", children=[])],
+    )
+    assert wide_join_shuffle_findings(join) == []
+
+
+def test_wide_shuffle_stops_at_aggregate_boundary():
+    """An exchange BELOW an aggregate belongs to the aggregate, not the
+    join — the walk must not cross non-passthrough nodes."""
+    from plan_audit import wide_join_shuffle_findings
+
+    ex = _node(
+        "ShuffleExchangeExec",
+        output=[("arrs", "arrs#3", "array<string>")],
+    )
+    agg = _node("HashAggregateExec", children=[ex])
+    join = _node(
+        "SortMergeJoinExec",
+        keys=["k#4"],
+        children=[agg, _node("SortExec", children=[])],
+    )
+    assert wide_join_shuffle_findings(join) == []
+
+
+def test_wide_shuffle_broadcast_join_not_flagged(spark):
+    """A broadcast join moves no shuffle partitions — wide columns on
+    the probe side stay put, so the default-config LSH re-attach joins
+    (broadcast candidates) are clean."""
+    from plan_audit import extract_plan_tree, wide_join_shuffle_findings
+
+    a = spark.range(500).select(
+        "id", F.array_repeat(F.col("id").cast("string"), 20).alias("payload")
+    )
+    b = spark.range(50).select(F.col("id").alias("id2"))
+    j = a.join(F.broadcast(b), a["id"] == b["id2"]).select("id", "payload")
+    tree = extract_plan_tree(j._jdf.queryExecution().executedPlan())
+    assert wide_join_shuffle_findings(tree) == []

@@ -268,3 +268,57 @@ def test_interval_merge_matches_python_sweep(spark):
         for r in contract.queries()["q_interval_merge"](spark, SF).collect()
     }
     assert got == want
+
+
+def test_co_occurrence_pairs_match_self_join_and_survive_mega_basket(spark):
+    """VERDICT r5 #3: the map-side pair generation must (a) produce the
+    exact multiset of counted pairs the order-keyed self-join produces,
+    and (b) stream a 10k-item mega-basket without materializing the
+    O(basket^2) pair array in one row — the r6 double-explode keeps peak
+    per-row memory O(basket), so this passes where the r5 single-explode
+    form would allocate one ~50M-struct array."""
+    from etl_pipeline_spark.queries.analytics_ml import co_occurrence_pairs
+
+    rng = random.Random(6)
+    rows = [
+        (o, rng.randrange(200))
+        for o in range(120)
+        for _ in range(rng.randrange(1, 9))
+    ]
+    # one mega-basket: 10k distinct items in a single order
+    rows += [(99999, p) for p in range(10_000)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    # mega-basket pairs are checked by aggregate below; only the small-key
+    # slice is collected (the full pair set is ~50M rows — driver-side
+    # collection of that would itself be the anti-pattern)
+    got = {
+        (r.u, r.v, r.cnt)
+        for r in co_occurrence_pairs(li, 1)
+        .filter((F.col("u") < 200) & (F.col("v") < 200))
+        .collect()
+    }
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    want = {
+        (r.u, r.v, r.cnt)
+        for r in a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cnt"))
+        .filter((F.col("u") < 200) & (F.col("v") < 200))
+        .collect()
+    }
+    assert got == want
+
+    # only the mega-basket touches keys >= 200 (u < v, so such a pair has
+    # v >= 200): exactly C(10000, 2) - C(200, 2) pairs, each seen once
+    mega = (
+        co_occurrence_pairs(li, 1)
+        .filter(F.col("v") >= 200)
+        .agg(F.count("*").alias("n"), F.sum("cnt").alias("s"))
+        .collect()[0]
+    )
+    assert mega.n == 10_000 * 9_999 // 2 - 200 * 199 // 2
+    assert mega.s == mega.n  # each mega pair occurs exactly once

@@ -85,6 +85,15 @@ GLOBAL_WINDOW_TWINS: dict[str, str] = {
     "q_window_distribution_ranks": "q_window_distribution_ranks_partitioned",
 }
 
+# Shuffled joins where an array/map column legitimately rides the join
+# exchange (the column IS the payload being matched/re-attached at that
+# key, or the side is provably candidate-sized, not corpus-sized). The
+# r5 minhash-lsh and knn-lsh wins were exactly this flag's bug class —
+# a wide column crossing a join shuffle that only needed narrow keys —
+# so any NEW occurrence is a hard failure unless the bound is stated
+# here. Entries are stale-checked like the global-window tables.
+WIDE_SHUFFLE_BOUNDED: dict[str, str] = {}
+
 # Global windows whose input is structurally bounded far below the
 # corpus BEFORE the window (an aggregate/distinct collapse upstream):
 # the single partition holds the collapsed set, not the data. The value
@@ -150,6 +159,83 @@ def audit_plan(plan: str) -> tuple[set[str], int, int, int]:
     return flags, n_ex, n_bc, n_nodes
 
 
+def extract_plan_tree(jnode) -> dict:
+    """Typed skeleton of a physical plan via py4j: per node its class
+    name, output attributes as (name, attr_string, type_simpleString),
+    and — for shuffled joins — the join-key expression strings. The
+    detector below is pure over these dicts so tests can drive it with
+    hand-built trees."""
+    cls = jnode.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        return extract_plan_tree(jnode.initialPlan())
+    out = []
+    seq = jnode.output()
+    for i in range(seq.size()):
+        a = seq.apply(i)
+        out.append((a.name(), a.toString(), a.dataType().simpleString()))
+    keys: list[str] = []
+    if cls in ("SortMergeJoinExec", "ShuffledHashJoinExec"):
+        for getter in ("leftKeys", "rightKeys"):
+            s = getattr(jnode, getter)()
+            for i in range(s.size()):
+                keys.append(s.apply(i).toString())
+    ch = jnode.children()
+    children = [extract_plan_tree(ch.apply(i)) for i in range(ch.size())]
+    return {"cls": cls, "output": out, "keys": keys, "children": children}
+
+
+# Nodes a join's required distribution passes through unchanged: an
+# Exchange found below one of these (and above nothing else) was
+# introduced FOR the join, so its output is what the join shuffle moves.
+_PASSTHROUGH = (
+    "SortExec",
+    "ProjectExec",
+    "FilterExec",
+    "WholeStageCodegenExec",
+    "InputAdapter",
+    "ColumnarToRowExec",
+)
+
+_WIDE_TYPE = re.compile(r"^(array|map)<")
+
+
+def wide_join_shuffle_findings(tree: dict) -> list[str]:
+    """The r5 lens, mechanized: for every shuffled join, walk each side
+    down THROUGH sort/project/filter wrappers to the first exchange; an
+    array/map-typed output attribute crossing that exchange which is not
+    one of the join keys is a wide column riding the join shuffle — at
+    corpus scale it multiplies the shuffle bytes by the payload width
+    for no plan benefit (re-attach it to the narrow join result
+    instead). Returns 'col:type' findings, deduplicated."""
+
+    def first_join_exchange(node: dict) -> dict | None:
+        if node["cls"].startswith("ShuffleExchange"):
+            return node
+        if node["cls"] in _PASSTHROUGH:
+            for c in node["children"]:
+                found = first_join_exchange(c)
+                if found is not None:
+                    return found
+        return None
+
+    finds: set[str] = set()
+    stack = [tree]
+    while stack:
+        node = stack.pop()
+        stack.extend(node["children"])
+        if node["cls"] not in ("SortMergeJoinExec", "ShuffledHashJoinExec"):
+            continue
+        key_blob = " ".join(node["keys"])
+        for side in node["children"]:
+            ex = first_join_exchange(side)
+            if ex is None:
+                continue
+            for name, attr_str, dtype in ex["output"]:
+                if _WIDE_TYPE.match(dtype) and attr_str not in key_blob:
+                    finds.add(f"{name}:{dtype.split('<', 1)[0]}")
+    return sorted(finds)
+
+
 def stale_allowlist_entries(observed: dict[str, set[str]]) -> list[str]:
     """Every allowlist entry must still match a flag the plan actually
     exhibits, else the list has outlived the plan it excuses — these
@@ -162,6 +248,9 @@ def stale_allowlist_entries(observed: dict[str, set[str]]) -> list[str]:
     for name in list(GLOBAL_WINDOW_TWINS) + list(GLOBAL_WINDOW_BOUNDED):
         if name in observed and "global-window" not in observed[name]:
             stale.append(f"STALE global-window-allowlist[{name}]")
+    for name in WIDE_SHUFFLE_BOUNDED:
+        if name in observed and "wide-shuffle" not in observed[name]:
+            stale.append(f"STALE wide-shuffle-allowlist[{name}]")
     return stale
 
 
@@ -178,6 +267,12 @@ def main() -> None:
     ]
     if bad_bounded:
         raise SystemExit(f"GLOBAL_WINDOW_BOUNDED invalid entries: {bad_bounded}")
+    bad_wide = [
+        q for q, why in WIDE_SHUFFLE_BOUNDED.items() if q not in REGISTRY or not why.strip()
+    ]
+    if bad_wide:
+        raise SystemExit(f"WIDE_SHUFFLE_BOUNDED invalid entries: {bad_wide}")
+    sys.setrecursionlimit(10_000)  # tree extraction recurses per plan node
     rows = []
     hard_fail: list[str] = []
     observed: dict[str, set[str]] = {}
@@ -190,8 +285,23 @@ def main() -> None:
             hard_fail.append(name)
             continue
         flags, n_ex, n_bc, n_nodes = audit_plan(plan)
+        if "SortMergeJoin" in plan or "ShuffledHashJoin" in plan:
+            wide = wide_join_shuffle_findings(
+                extract_plan_tree(df._jdf.queryExecution().executedPlan())
+            )
+            if wide:
+                flags.add("wide-shuffle")
+        else:
+            wide = []
         observed[name] = flags
         shown = set(flags)
+        if "wide-shuffle" in flags:
+            shown.discard("wide-shuffle")
+            if name in WIDE_SHUFFLE_BOUNDED:
+                shown.add(f"wide-shuffle(bounded: {','.join(wide)})")
+            else:
+                shown.add(f"wide-shuffle({','.join(wide)})")
+                hard_fail.append(name)
         if "global-window" in flags:
             if name in GLOBAL_WINDOW_TWINS:
                 shown.discard("global-window")
