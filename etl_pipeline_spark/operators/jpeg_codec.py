@@ -1,0 +1,539 @@
+"""Pure-Python/numpy baseline JPEG (ITU-T T.81) codec for the X5 path.
+
+The container ships no native image libraries, so JPEG support — the one
+format gap VERDICT r5 left open — is implemented from the public spec:
+
+- **Decoder**: baseline sequential DCT (SOF0), 8-bit precision. Real
+  marker walk (APPn/COM skipped, DQT 8/16-bit, DHT, DRI, SOS), canonical
+  Huffman table construction per T.81 Annex C, bit-level entropy decode
+  with 0xFF00 byte-unstuffing and RSTn restart handling, DC prediction,
+  EXTEND sign recovery (F.2.2.1), dequantize + de-zigzag, batched
+  orthonormal IDCT, chroma upsampling for any (h, v) factors in {1, 2}
+  (covers 4:4:4 / 4:2:2 / 4:2:0), BT.601 YCbCr -> RGB. Grayscale decodes
+  to (h, w, 3) by channel replication. Progressive (SOF2), arithmetic
+  coding, and 12-bit precision raise NotImplementedError — the guard the
+  multimodal dispatch documents.
+- **Encoder**: baseline, 4:4:4 (no subsampling), Annex K.1 quantization
+  tables with the libjpeg linear quality scaling, Annex K.3 example
+  Huffman tables. Exists so the pipeline can synthesize fixtures and so
+  round-trip tests bound decoder error independently of any native lib.
+
+Interop is tested against real libjpeg output (CPython's test-suite
+JPEGs) in tests/test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------- constants
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.1 example quantization tables (natural order).
+QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 example Huffman specs: (BITS[1..16], HUFFVAL).
+HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# Orthonormal 8x8 DCT-II matrix: C[u, x] = a(u) cos((2x+1) u pi / 16),
+# a(0) = sqrt(1/8), a(u>0) = sqrt(2/8) — forward DCT is C B C^T, the
+# inverse C^T B C (T.81 A.3.3 up to the orthonormal scaling).
+_DCT = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        a = np.sqrt(1 / 8) if _u == 0 else np.sqrt(2 / 8)
+        _DCT[_u, _x] = a * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment per T.81 C.2: symbol -> (length, code)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the bit-at-a-time decoder."""
+    return {lc: sym for sym, lc in _huff_codes(bits, vals).items()}
+
+
+# ------------------------------------------------------------------ encoder
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.buf.append(0x00)
+
+    def flush(self) -> None:
+        if self.n:
+            self.put(0x7F, 7 - ((self.n - 1) % 8) + 1)  # pad with 1-bits
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's linear quality scaling of the Annex K tables."""
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (table * s + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(SSSS bit count, appended bits) for a DC diff / AC value (F.1.2.1)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    n = a.bit_length()
+    bits = v if v > 0 else v + (1 << n) - 1
+    return n, bits
+
+
+def encode_jpeg_baseline(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an (h, w, 3) RGB uint8 array as a baseline 4:4:4 JFIF JPEG."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) array, got {pixels.shape}")
+    h, w, _ = pixels.shape
+    rgb = pixels.astype(np.float64)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+    cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+
+    qt_l = _quality_scale(QT_LUMA, quality)
+    qt_c = _quality_scale(QT_CHROMA, quality)
+
+    dc_l, ac_l = _huff_codes(*HUFF_DC_LUMA), _huff_codes(*HUFF_AC_LUMA)
+    dc_c, ac_c = _huff_codes(*HUFF_DC_CHROMA), _huff_codes(*HUFF_AC_CHROMA)
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+
+    def plane_blocks(plane: np.ndarray) -> np.ndarray:
+        padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        return blocks.reshape(-1, 8, 8)
+
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    planes = [plane_blocks(p) for p in (y, cb, cr)]
+    coefs = [np.einsum("ux,nxy,vy->nuv", _DCT, b, _DCT) for b in planes]
+
+    def quantize(c: np.ndarray, qt: np.ndarray) -> np.ndarray:
+        scaled = c / qt.reshape(8, 8)
+        return np.trunc(scaled + np.copysign(0.5, scaled)).astype(np.int64)
+
+    qcoefs = [
+        quantize(coefs[0], qt_l),
+        quantize(coefs[1], qt_c),
+        quantize(coefs[2], qt_c),
+    ]
+    n_blocks = qcoefs[0].shape[0]
+    for bi in range(n_blocks):
+        for ci in range(3):
+            dc_tab = dc_l if ci == 0 else dc_c
+            ac_tab = ac_l if ci == 0 else ac_c
+            zz = qcoefs[ci][bi].reshape(64)[ZIGZAG]
+            diff = int(zz[0]) - preds[ci]
+            preds[ci] = int(zz[0])
+            ssss, bits = _magnitude(diff)
+            length, code = dc_tab[ssss]
+            writer.put(code, length)
+            if ssss:
+                writer.put(bits, ssss)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    length, code = ac_tab[0xF0]  # ZRL
+                    writer.put(code, length)
+                    run -= 16
+                ssss, bits = _magnitude(v)
+                length, code = ac_tab[(run << 4) | ssss]
+                writer.put(code, length)
+                writer.put(bits, ssss)
+                run = 0
+            if last_nz < 63:
+                length, code = ac_tab[0x00]  # EOB
+                writer.put(code, length)
+    writer.flush()
+
+    def dqt(tid: int, qt: np.ndarray) -> bytes:
+        return struct.pack(">HHB", 0xFFDB, 67, tid) + bytes(int(qt[z]) for z in ZIGZAG)
+
+    def dht(cls: int, tid: int, spec: tuple[list[int], list[int]]) -> bytes:
+        bits, vals = spec
+        return (
+            struct.pack(">HH", 0xFFC4, 19 + len(vals))
+            + bytes([(cls << 4) | tid])
+            + bytes(bits)
+            + bytes(vals)
+        )
+
+    sof = struct.pack(
+        ">HHBHHB", 0xFFC0, 17, 8, h, w, 3
+    ) + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    sos = struct.pack(">HHB", 0xFFDA, 12, 3) + bytes(
+        [1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]
+    )
+    app0 = struct.pack(">HH", 0xFFE0, 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    return (
+        b"\xff\xd8"
+        + app0
+        + dqt(0, qt_l)
+        + dqt(1, qt_c)
+        + sof
+        + dht(0, 0, HUFF_DC_LUMA)
+        + dht(1, 0, HUFF_AC_LUMA)
+        + dht(0, 1, HUFF_DC_CHROMA)
+        + dht(1, 1, HUFF_AC_CHROMA)
+        + sos
+        + bytes(writer.buf)
+        + b"\xff\xd9"
+    )
+
+
+# ------------------------------------------------------------------ decoder
+
+
+class _BitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            raise ValueError("bit read past marker")
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy segment")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                self.marker = nxt
+                raise ValueError("bit read past marker")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Consume an RSTn marker at a restart interval boundary."""
+        self.acc = 0
+        self.n = 0
+        if self.marker is None:
+            # reader stopped mid-byte before the marker bytes
+            while self.pos + 1 < len(self.data) and not (
+                self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00
+            ):
+                self.pos += 1
+            self.marker = self.data[self.pos + 1]
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            self.pos += 2
+            self.marker = None
+        else:
+            raise ValueError(f"expected RSTn, found {self.marker!r}")
+
+
+def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, ssss: int) -> int:
+    """F.2.2.1 EXTEND: recover signed value from SSSS magnitude bits."""
+    if ssss == 0:
+        return 0
+    return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+
+
+def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential (SOF0) JPEG into (h, w, 3) RGB uint8."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, [(cid, hsamp, vsamp, qid)])
+    restart_interval = 0
+    rgb = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}, got {payload[pos]:#x}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            raise NotImplementedError("progressive JPEG (SOF2+) not supported")
+        if marker in (0xC9, 0xCB, 0xCD, 0xCF, 0xC8):
+            raise NotImplementedError("arithmetic-coded JPEG not supported")
+        if marker in (0xC1, 0xC3, 0xC5, 0xC7):
+            raise NotImplementedError("non-baseline DCT frame not supported")
+        seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if prec == 0:
+                    vals = np.frombuffer(body[i : i + 64], dtype=np.uint8).astype(np.int64)
+                    i += 64
+                else:
+                    vals = np.frombuffer(body[i : i + 128], dtype=">u2").astype(np.int64)
+                    i += 128
+                nat = np.zeros(64, dtype=np.int64)
+                nat[ZIGZAG] = vals
+                qtables[tid] = nat
+        elif marker == 0xC4:  # DHT — possibly several tables per segment
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                htables[(cls, tid)] = _huff_decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, fh, fw, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision not supported")
+            comps = []
+            for c in range(nc):
+                cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0x0F, qid))
+            frame = (fh, fw, comps)
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy-coded scan follows
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            scan_tabs = {}
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                scan_tabs[cid] = (tabs >> 4, tabs & 0x0F)
+            rgb = _decode_scan(
+                payload,
+                pos + 2 + seg_len,
+                frame,
+                scan_tabs,
+                qtables,
+                htables,
+                restart_interval,
+            )
+            break
+        pos += 2 + seg_len
+    if rgb is None:
+        raise ValueError("no SOS scan found")
+    return rgb
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    frame: tuple,
+    scan_tabs: dict[int, tuple[int, int]],
+    qtables: dict[int, np.ndarray],
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]],
+    restart_interval: int,
+) -> np.ndarray:
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if any(c[1] not in (1, 2) or c[2] not in (1, 2) for c in comps):
+        raise NotImplementedError("sampling factors beyond 2 not supported")
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    reader = _BitReader(data, pos)
+
+    # per component: coefficient block grid and DC predictor
+    grids = []
+    for cid, hs, vs, qid in comps:
+        grids.append(np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64))
+    preds = [0] * len(comps)
+
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.sync_restart()
+                preds = [0] * len(comps)
+            for ci, (cid, hs, vs, qid) in enumerate(comps):
+                dc_tab = htables[(0, scan_tabs[cid][0])]
+                ac_tab = htables[(1, scan_tabs[cid][1])]
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, dtype=np.int64)
+                        ssss = _decode_huff(reader, dc_tab)
+                        diff = _extend(reader.bits(ssss), ssss)
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(reader, ac_tab)
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC coefficient index overflow")
+                            zz[k] = _extend(reader.bits(size), size)
+                            k += 1
+                        grids[ci][my * vs + by, mx * hs + bx] = zz
+            mcu_count += 1
+
+    # dequantize + batched IDCT + reassemble per component
+    planes = []
+    for ci, (cid, hs, vs, qid) in enumerate(comps):
+        gh, gw, _ = grids[ci].shape
+        zz = grids[ci].reshape(-1, 64)
+        nat = np.zeros_like(zz)
+        nat[:, ZIGZAG] = zz
+        coef = (nat * qtables[qid][None, :]).reshape(-1, 8, 8).astype(np.float64)
+        # C^T B C — inverse of the orthonormal forward DCT: both outer
+        # operands index [spatial, frequency] = C[freq, spatial]
+        spatial = np.einsum("xu,nuv,yv->nxy", _DCT.T, coef, _DCT.T)
+        blocks = spatial.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+        plane = np.clip(np.round(blocks + 128), 0, 255)
+        # upsample to full MCU resolution by pixel replication
+        if hs < hmax or vs < vmax:
+            plane = plane.repeat(vmax // vs, axis=0).repeat(hmax // hs, axis=1)
+        planes.append(plane[:fh, :fw])
+
+    if len(planes) == 1:
+        g = planes[0].astype(np.uint8)
+        return np.ascontiguousarray(np.stack([g, g, g], axis=-1))
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

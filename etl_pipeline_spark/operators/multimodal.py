@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_pipeline_spark.operators.jpeg_codec import decode_jpeg_baseline
 from etl_pipeline_spark.operators.media_codecs import (
     decode_bmp,
     decode_ppm,
@@ -187,20 +188,28 @@ _NULL_FEATURES = {
 
 def _extract_features(payload: bytes | None, kind: str | None) -> dict:
     """REAL decode, dispatched on magic bytes: P6 -> PPM, BM -> BMP,
-    RIFF -> WAV. Emits decoded statistics — dimensions from the parsed
+    RIFF -> WAV, FFD8 -> baseline JPEG (pure-Python T.81 decoder,
+    operators/jpeg_codec.py — r6; interop-tested against libjpeg
+    output). Emits decoded statistics — dimensions from the parsed
     header, the integer sum of all decoded pixel bytes / sample values,
     and (images) the md5 of the decoded RGB array, so a wrong de-pad,
-    row flip, or channel order changes the output. Unknown formats raise
-    NotImplementedError (JPEG/MP4 need native libs this container lacks;
-    a real deployment extends this dispatch)."""
+    row flip, or channel order changes the output. Remaining unknown
+    formats (MP4; progressive/arithmetic JPEG inside the decoder) raise
+    NotImplementedError — those need native libs this container lacks;
+    a real deployment extends this dispatch."""
     if payload is None:
         return dict(_NULL_FEATURES)
     n = len(payload)
-    if payload[:2] == b"P6" or payload[:2] == b"BM":
-        img = decode_ppm(payload) if payload[:2] == b"P6" else decode_bmp(payload)
+    if payload[:2] in (b"P6", b"BM", b"\xff\xd8"):
+        if payload[:2] == b"P6":
+            fmt, img = "ppm", decode_ppm(payload)
+        elif payload[:2] == b"BM":
+            fmt, img = "bmp", decode_bmp(payload)
+        else:
+            fmt, img = "jpeg", decode_jpeg_baseline(payload)
         h, w, _ = img.shape
         return {
-            "format": "ppm" if payload[:2] == b"P6" else "bmp",
+            "format": fmt,
             "n_bytes": n,
             "width": w,
             "height": h,

@@ -148,3 +148,100 @@ def test_frame_pipeline_decodes_actual_stream_content(spark):
         frames = decode_ppm_stream(payloads[r["media_id"]])
         local = resize_nearest(frames[r["frame_idx"]], 4, 2)
         assert bytes(r["frame_bytes"]) == local.tobytes()
+
+
+# ------------------------------------------------------------- JPEG (r6)
+
+
+def _gradient(h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            xx * 255 // (w - 1),
+            yy * 255 // (h - 1),
+            (xx + yy) * 255 // (w + h - 2),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_error_bounds():
+    """The pure-Python baseline codec (operators/jpeg_codec.py) must
+    reconstruct within quantization error: constant blocks are DC-only
+    (within 1), smooth gradients stay within a few levels at q90, and
+    non-multiple-of-8 dimensions crop back exactly."""
+    from etl_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    flat = np.full((16, 16, 3), (200, 64, 131), dtype=np.uint8)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(flat, quality=90))
+    assert np.abs(out.astype(int) - flat.astype(int)).max() <= 1
+
+    img = _gradient(24, 40)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=90))
+    diff = np.abs(out.astype(int) - img.astype(int))
+    assert out.shape == (24, 40, 3)
+    assert diff.max() <= 8 and diff.mean() <= 2.0
+
+    odd = _gradient(17, 19)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(odd, quality=75))
+    assert out.shape == (17, 19, 3)
+
+
+def test_jpeg_decodes_real_libjpeg_output():
+    """Interop against an INDEPENDENT encoder: CPython's test-suite JPEGs
+    are libjpeg output. `python.jpg` (JFIF) and `python-raw.jpg` (bare,
+    no APP0) are two different byte streams of the same 16x16 image —
+    both must decode, to IDENTICAL pixels."""
+    import glob
+    import os
+
+    jfif = sorted(glob.glob("/root/.pyenv/versions/*/lib/python3*/test/imghdrdata/python.jpg"))
+    raw = sorted(glob.glob("/root/.pyenv/versions/*/lib/python3*/test/imghdrdata/python-raw.jpg"))
+    if not jfif or not raw:
+        pytest.skip("CPython test-suite JPEG fixtures not present in this container")
+    from etl_pipeline_spark.operators.jpeg_codec import decode_jpeg_baseline
+
+    a = decode_jpeg_baseline(open(jfif[0], "rb").read())
+    b = decode_jpeg_baseline(open(raw[0], "rb").read())
+    assert a.shape == (16, 16, 3)
+    assert np.array_equal(a, b)
+    assert os.path.getsize(jfif[0]) != os.path.getsize(raw[0])  # genuinely distinct streams
+
+
+def test_jpeg_progressive_still_guarded():
+    """Progressive (SOF2) JPEG stays behind the documented guard."""
+    from etl_pipeline_spark.operators.jpeg_codec import decode_jpeg_baseline
+
+    # minimal SOI + SOF2 marker sequence
+    sof2 = b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b" + bytes(9)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_baseline(sof2)
+
+
+def test_jpeg_through_spark_feature_extraction(spark):
+    """End-to-end through the Arrow-batched mapInPandas path: JPEG
+    payloads dispatch on FFD8 magic and the decoded stats line up with a
+    local decode."""
+    from etl_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+    from etl_pipeline_spark.operators.multimodal import extract_media_features
+
+    payloads = {i: encode_jpeg_baseline(_gradient(8 + 8 * i, 16), quality=85) for i in range(3)}
+    media = spark.createDataFrame(
+        [(i, bytearray(p), ("image",)) for i, p in payloads.items()],
+        "media_id long, payload binary, meta struct<kind string>",
+    )
+    rows = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert len(rows) == 3
+    for i, p in payloads.items():
+        local = decode_jpeg_baseline(p)
+        r = rows[i]
+        assert r["format"] == "jpeg"
+        assert (r["width"], r["height"]) == (local.shape[1], local.shape[0])
+        assert r["content_sum"] == int(local.astype(np.int64).sum())
+        assert r["content_md5"] == hashlib.md5(local.tobytes()).hexdigest()
