@@ -58,67 +58,24 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-5 prefix (backlog-drain rotation, VERDICT r4 #1): the 7 queries
-# whose code changed this round lead (F7 superset fix; spatial/
-# pagerank/BOM core extractions; the two LSH wide-column slimmings;
-# the shared map-side co-purchase edge builder), then the
-# never-attested backlog (77 at rotation time; 44 land in this window
-# counting the never-attested triangle query in the changed prefix,
-# the remaining 33 head the r6 window), then backfill
-# oldest-attestation-first. New-query authoring is frozen this round
-# so the window drains the backlog.
+# Round-6 prefix: the 7 queries whose code changed this round lead
+# (the shared map-side co-occurrence core in market-basket / item-CF /
+# pagerank / triangle; the per-step PCA iterate checkpoint; the
+# semdedup within-cluster gather that cleared the new wide-shuffle
+# audit flag; the JPEG branch in the multimodal dispatch), then the
+# FINAL 33 never-attested queries (VERDICT r5 #1 - this window
+# completes the drain: after it lands, every registry query has a
+# driver attestation), then backfill oldest-attestation-first (10
+# r1-attested queries also fit in the window).
 CHECK_PRIORITY: tuple[str, ...] = (
-    "q_scalar_multiformat_ts",  # --- code changed this round: attest first ---
-    "q_spatial_radius_join",
+    "q_market_basket_rules",  # --- code changed this round: attest first ---
+    "q_item_cf_similar",
     "q_pagerank",
-    "q_bom_explosion",
-    "q_dedup_minhash_lsh",
-    "q_knn_lsh_approx",
     "q_triangle_count",
-    "q_knn_pq",  # --- never driver-attested ---
-    "q_hard_negatives",
-    "q_embedding_centroid_health",
-    "q_rfm_segments",
-    "q_lateral_top_orders",
-    "q_recursive_month_spine",
-    "q_event_transitions",
-    "q_markov_stationary",
-    "q_interval_concurrency",
-    "q_interval_window_join",
-    "q_zorder_locality",
-    "q_ewma_smoothing",
-    "q_attribution_last_touch",
-    "q_market_basket_rules",
-    "q_ab_test_ttest",
-    "q_dq_referential_integrity",
-    "q_cohort_ltv",
-    "q_skyline_parts",
-    "q_top_paths",
-    "q_table_profile",
-    "q_rolling_active_users",
-    "q_funnel_time_to_convert",
-    "q_seasonal_hour_profile",
-    "q_seasonal_forecast_eval",
-    "q_attribution_multi_touch",
-    "q_changepoint_mean_shift",
-    "q_funnel_three_step",
     "q_pca_top_component",
-    "q_ab_test_proportions",
-    "q_winsorized_stats",
-    "q_audience_flags",
-    "q_ship_latency_percentiles",
-    "q_asof_tolerance",
-    "q_time_weighted_average",
-    "q_cms_heavy_hitters",
-    "q_knn_classifier_eval",
-    "q_pairwise_tests_bonferroni",
-    "q_hapax_vocabulary",
-    "q_heaps_law_fit",
-    "q_dedup_chunk_rewrite",
-    "q_dedup_repeated_spans",
-    "q_dedup_containment",
     "q_semdedup_clusters",
-    "q_lsh_recall_report",  # ---------------- first-50 window ends above ----------------
+    "q_multimodal_features",
+    "q_lsh_recall_report",  # --- never driver-attested ---
     "q_dedup_prefix_filter",
     "q_snm_recall_report",
     "q_dedup_doc_stitching",
@@ -161,7 +118,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_union_by_name_missing",
     "q_embedding_norms",
     "q_knn_bruteforce_cosine",
-    "q_knn_block_matrix",
+    "q_knn_block_matrix",  # ---------------- first-50 window ends above ----------------
     "q_knn_ivf",
     "q_window_sliding_events",
     "q_embedding_quantization",
@@ -183,7 +140,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_etl_dirty_input_quarantine",
     "q_dq_outlier_zscore",
     "q_multimodal_binary_meta",
-    "q_multimodal_features",
     "q_agg_stats_acctbal",
     "q_rollup_returns",
     "q_conditional_split_counts",
@@ -287,7 +243,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_rare_category_other",
     "q_woe_encoding",
     "q_psi_drift",
-    "q_item_cf_similar",
     "q_degree_powerlaw",
     "q_tokenizer_fertility",
     "q_url_canonical_dedup",
@@ -324,6 +279,51 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_linear_interp_gapfill",
     "q_seasonal_anomaly_days",
     "q_multimodal_shot_cuts",
+    "q_knn_lsh_approx",
+    "q_knn_pq",
+    "q_hard_negatives",
+    "q_embedding_centroid_health",
+    "q_rfm_segments",
+    "q_lateral_top_orders",
+    "q_recursive_month_spine",
+    "q_event_transitions",
+    "q_markov_stationary",
+    "q_interval_concurrency",
+    "q_interval_window_join",
+    "q_zorder_locality",
+    "q_ewma_smoothing",
+    "q_attribution_last_touch",
+    "q_ab_test_ttest",
+    "q_dq_referential_integrity",
+    "q_cohort_ltv",
+    "q_skyline_parts",
+    "q_top_paths",
+    "q_table_profile",
+    "q_rolling_active_users",
+    "q_funnel_time_to_convert",
+    "q_seasonal_hour_profile",
+    "q_seasonal_forecast_eval",
+    "q_attribution_multi_touch",
+    "q_changepoint_mean_shift",
+    "q_funnel_three_step",
+    "q_ab_test_proportions",
+    "q_winsorized_stats",
+    "q_audience_flags",
+    "q_ship_latency_percentiles",
+    "q_asof_tolerance",
+    "q_time_weighted_average",
+    "q_cms_heavy_hitters",
+    "q_bom_explosion",
+    "q_knn_classifier_eval",
+    "q_spatial_radius_join",
+    "q_pairwise_tests_bonferroni",
+    "q_hapax_vocabulary",
+    "q_heaps_law_fit",
+    "q_dedup_minhash_lsh",
+    "q_dedup_chunk_rewrite",
+    "q_dedup_repeated_spans",
+    "q_dedup_containment",
+    "q_scalar_multiformat_ts",
 )
 
 
