@@ -58,14 +58,15 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-6 prefix: the 7 queries whose code changed this round lead
+# Round-6 prefix: the 8 queries whose code changed this round lead
 # (the shared map-side co-occurrence core in market-basket / item-CF /
 # pagerank / triangle; the per-step PCA iterate checkpoint; the
 # semdedup within-cluster gather that cleared the new wide-shuffle
-# audit flag; the JPEG branch in the multimodal dispatch), then the
+# audit flag; the JPEG branch in the multimodal dispatch; the minhash
+# verify re-shape after the sf10 broadcast-OOM incident), then the
 # FINAL 33 never-attested queries (VERDICT r5 #1 - this window
 # completes the drain: after it lands, every registry query has a
-# driver attestation), then backfill oldest-attestation-first (10
+# driver attestation), then backfill oldest-attestation-first (9
 # r1-attested queries also fit in the window).
 CHECK_PRIORITY: tuple[str, ...] = (
     "q_market_basket_rules",  # --- code changed this round: attest first ---
@@ -75,6 +76,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_pca_top_component",
     "q_semdedup_clusters",
     "q_multimodal_features",
+    "q_dedup_minhash_lsh",
     "q_lsh_recall_report",  # --- never driver-attested ---
     "q_dedup_prefix_filter",
     "q_snm_recall_report",
@@ -117,8 +119,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_posexplode_tokens",
     "q_union_by_name_missing",
     "q_embedding_norms",
-    "q_knn_bruteforce_cosine",
-    "q_knn_block_matrix",  # ---------------- first-50 window ends above ----------------
+    "q_knn_bruteforce_cosine",  # ---------------- first-50 window ends above ----------------
+    "q_knn_block_matrix",
     "q_knn_ivf",
     "q_window_sliding_events",
     "q_embedding_quantization",
@@ -319,7 +321,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_pairwise_tests_bonferroni",
     "q_hapax_vocabulary",
     "q_heaps_law_fit",
-    "q_dedup_minhash_lsh",
     "q_dedup_chunk_rewrite",
     "q_dedup_repeated_spans",
     "q_dedup_containment",

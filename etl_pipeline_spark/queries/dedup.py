@@ -167,6 +167,50 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_docs_and_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shingled docs + un-truncated banded-LSH candidate pairs — the
+    front half of q_dedup_minhash_lsh, exposed so the bucket-explode
+    plan contract (no shingle arrays on the explode side,
+    tests/test_plan_assertions.py) stays assertable on the shipped code
+    after the query checkpoints the candidate set for reuse."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - SHINGLE_WIDTH)
+    shingle_arr = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            ),
+        )
+    )
+    # Materialize the shingled docs ONCE (lazily; see module docstring):
+    # both the featurize step and the verify step read them, and the
+    # self-join otherwise re-evaluates the shingle transform per side
+    # (2.5x wall-clock at sf0.1). localCheckpoint doubles as lineage
+    # truncation; a cluster run would use persist(DISK) or a reliable
+    # checkpoint for the same single-materialization property.
+    docs = (
+        d.filter(F.size(toks) >= SHINGLE_WIDTH)
+        .select("doc_id", shingle_arr.alias("shingles"))
+        .localCheckpoint(eager=False)
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
+    feat = tf.transform(docs).select("doc_id", "features").localCheckpoint(eager=False)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist")
+    cand = pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
+        F.col("datasetA.doc_id").alias("doc_a"),
+        F.col("datasetB.doc_id").alias("doc_b"),
+    )
+    return docs, cand
+
+
 @query(
     "q_dedup_minhash_lsh",
     # Self-verifying form (round 2): MinHash-LSH produces CANDIDATE pairs
@@ -223,41 +267,39 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow candidate set with two id-keyed joins (AQE broadcasts the
     candidate side), so the wide column never moves more than once.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    toks = F.split("text", " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - SHINGLE_WIDTH)
-    shingle_arr = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
-            ),
-        )
+    docs, cand = minhash_docs_and_candidates(spark, sf_dir)
+    # referenced twice below (pair stream + membership ids) — materialize
+    # the LSH join once instead of re-running it per consumer
+    cand = cand.localCheckpoint(eager=False)
+    # Restrict the wide shingle arrays to candidate MEMBERS before any
+    # join touches them: broadcast-semi-join on the narrow id set (ids
+    # are 8 bytes; candidate membership is dup-rate-linear, so even a
+    # 1B-doc corpus broadcasts ~100s of MB, and a shuffle semi-join is
+    # the drop-in fallback past that). Without this, the r6 sf10 soak
+    # showed AQE broadcasting the candidate-with-arrays INTERMEDIATE
+    # (row count small, rows ~10 KB of shingles) and exhausting the
+    # driver building it; after it, every join input is candidate-sized
+    # and the arrays cross exactly two candidate-keyed exchanges.
+    member_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    # Materialize the shingled docs ONCE (lazily; see module docstring):
-    # both the featurize step and the verify step read them, and the
-    # self-join otherwise re-evaluates the shingle transform per side
-    # (2.5x wall-clock at sf0.1). localCheckpoint doubles as lineage
-    # truncation; a cluster run would use persist(DISK) or a reliable
-    # checkpoint for the same single-materialization property.
-    docs = (
-        d.filter(F.size(toks) >= SHINGLE_WIDTH)
-        .select("doc_id", shingle_arr.alias("shingles"))
-        .localCheckpoint(eager=False)
+    docs_cand = docs.join(F.broadcast(member_ids), "doc_id", "semi").localCheckpoint(
+        eager=False
     )
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
-    feat = tf.transform(docs).select("doc_id", "features").localCheckpoint(eager=False)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
-    model = lsh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, 1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist")
-    cand = pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
-        F.col("datasetA.doc_id").alias("doc_a"),
-        F.col("datasetB.doc_id").alias("doc_b"),
-    )
-    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # shuffle_hash hints: the array sides must NEVER be broadcast —
+    # member-bounded is not broadcast-safe (10 KB/row at sf10 made a
+    # 25k-row broadcast exhaust the driver); a candidate-keyed shuffled
+    # hash join moves each member's array exactly once with bounded
+    # per-task memory, and the hint pins that against AQE's row-count
+    # heuristics at every scale (plan-asserted).
+    sh_a = docs_cand.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    ).hint("shuffle_hash")
+    sh_b = docs_cand.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    ).hint("shuffle_hash")
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_inter)
     return (

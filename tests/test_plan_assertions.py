@@ -326,9 +326,14 @@ def test_minhash_lsh_bucket_join_excludes_shingle_arrays(spark):
     self-join must carry only (doc_id, features) — the shingle arrays
     (the widest column) may appear in the plan only downstream, re-joined
     onto the narrow candidate set. If `shingles` leaks back into the
-    explode side the 35% wall-clock saving silently reverts."""
-    df = contract.queries()["q_dedup_minhash_lsh"](spark, SF)
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    explode side the 35% wall-clock saving silently reverts. Asserted on
+    the shipped candidate builder (minhash_docs_and_candidates) because
+    the query checkpoints the candidate set, which truncates the explode
+    out of the final plan."""
+    from etl_pipeline_spark.queries.dedup import minhash_docs_and_candidates
+
+    _, cand = minhash_docs_and_candidates(spark, SF)
+    plan = cand._jdf.queryExecution().optimizedPlan().toString()
     # the explode of the hash tables marks the bucket-join side
     explode_lines = [
         ln for ln in plan.splitlines() if "explode" in ln.lower() and "hashes" in ln
@@ -336,3 +341,33 @@ def test_minhash_lsh_bucket_join_excludes_shingle_arrays(spark):
     assert explode_lines, "expected the LSH bucket explode in the plan"
     for ln in explode_lines:
         assert "shingles" not in ln, f"shingle arrays on the explode side: {ln}"
+
+
+def test_minhash_lsh_verify_broadcasts_only_narrow_ids(spark):
+    """The r6 sf10 incident contract: the verify re-attach must never
+    put an array column inside a BroadcastExchange — membership is
+    restricted by broadcasting the NARROW candidate-id set (a semi-join)
+    and the shingle arrays only ever cross candidate-keyed shuffles.
+    (AQE broadcasting the candidate-with-arrays intermediate exhausted
+    the 8g driver at sf10.)"""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_audit import extract_plan_tree
+
+    df = contract.queries()["q_dedup_minhash_lsh"](spark, SF)
+    tree = extract_plan_tree(df._jdf.queryExecution().executedPlan())
+    offenders = []
+
+    def walk(node):
+        if node["cls"].startswith("BroadcastExchange"):
+            offenders.extend(
+                f"{name}:{dtype}"
+                for name, _a, dtype in node["output"]
+                if dtype.startswith(("array<", "map<"))
+            )
+        for c in node["children"]:
+            walk(c)
+
+    walk(tree)
+    assert offenders == [], f"wide columns inside a broadcast: {offenders}"

@@ -92,7 +92,15 @@ GLOBAL_WINDOW_TWINS: dict[str, str] = {
 # a wide column crossing a join shuffle that only needed narrow keys —
 # so any NEW occurrence is a hard failure unless the bound is stated
 # here. Entries are stale-checked like the global-window tables.
-WIDE_SHUFFLE_BOUNDED: dict[str, str] = {}
+WIDE_SHUFFLE_BOUNDED: dict[str, str] = {
+    # verify re-attach: the shingle arrays are semi-joined down to
+    # candidate MEMBERSHIP (broadcast of the narrow id set) before the
+    # candidate-keyed shuffled-hash joins move each member's array
+    # exactly once; shuffle_hash hints pin the no-wide-broadcast
+    # contract (tests/test_plan_assertions.py::
+    # test_minhash_lsh_verify_broadcasts_only_narrow_ids).
+    "q_dedup_minhash_lsh": "arrays member-bounded by candidate semi-join; move once",
+}
 
 # Global windows whose input is structurally bounded far below the
 # corpus BEFORE the window (an aggregate/distinct collapse upstream):

@@ -134,7 +134,7 @@ def bom_scaled(spark, sf_dir: str, sf_label: str):
         F.col("p_partkey").alias("root")
     )
     return bom_walk(roots, edges)
-SEM_K_PER_SF = {"0.01": 8, "0.1": 8, "1": 80}
+SEM_K_PER_SF = {"0.01": 8, "0.1": 8, "1": 80, "10": 800}
 
 
 def semdedup_scaled(spark, sf_dir: str, sf_label: str):
@@ -283,6 +283,58 @@ def build_sf1(spark) -> None:
     out_na.repartition(1).write.mode("overwrite").parquet(f"{SF1_DIR}/nation.parquet")
 
 
+SF10_DIR = "/root/repo/.scratch/scale/sf10"
+SF10_QUERIES = ["q_dedup_minhash_lsh", "q_training_data_prep", "q_semdedup_scaledk"]
+
+
+def build_sf10(spark) -> None:
+    """documents + embeddings a decade past sf1 (VERDICT r5 #7): 10
+    outer copies OF SF1 with a fresh per-copy word prefix ``m<j>_`` —
+    the same vocabulary bijection as the sf1 build, so within-copy
+    shingle/Jaccard structure stays exactly sf0.1's and cross-copy
+    shingle sets are disjoint. doc ids offset by j * 10 * ID_OFFSET
+    (divisible by 3 and 10: the %3 format and %10 eval splits keep
+    their proportions); embedding nudge j * 1e-3 composes with sf1's
+    i * 1e-4 to keep all 100 copies' vectors distinct. Only the two
+    tables the sf10 heavies read are built."""
+    docs = load_tables(spark, SF1_DIR, ("documents",))["documents"]
+    embs = load_tables(spark, SF1_DIR, ("embeddings",))["embeddings"]
+    doc_parts = []
+    emb_parts = []
+    for j in range(COPIES):
+        prefix = F.lit(f"m{j}_")
+        new_text = F.array_join(
+            F.transform(F.split("text", " "), lambda w: F.concat(prefix, w)), " "
+        )
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + j * 10 * ID_OFFSET).alias("doc_id"),
+                new_text.alias("text"),
+                "lang",
+                "source",
+                F.length(new_text).alias("n_chars"),
+            )
+        )
+        emb_parts.append(
+            embs.select(
+                (F.col("vec_id") + j * 10 * ID_OFFSET).alias("vec_id"),
+                "label",
+                F.transform(
+                    "embedding",
+                    lambda x, i: F.when(i == 0, x + F.lit(j * 1e-3)).otherwise(x),
+                ).alias("embedding"),
+            )
+        )
+    out_docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        out_docs = out_docs.unionByName(p)
+    out_embs = emb_parts[0]
+    for p in emb_parts[1:]:
+        out_embs = out_embs.unionByName(p)
+    out_docs.repartition(64).write.mode("overwrite").parquet(f"{SF10_DIR}/documents.parquet")
+    out_embs.repartition(32).write.mode("overwrite").parquet(f"{SF10_DIR}/embeddings.parquet")
+
+
 # FK relations the build must keep copy-local (the r5 review found
 # l_suppkey un-offset — this assertion makes that class of fixture bug
 # fail the build instead of silently warping a soak curve).
@@ -315,7 +367,46 @@ def verify_sf1_fk_structure(spark) -> None:
     print(json.dumps({"sf1_fk_locality": "ok", "relations": len(_FK_RELATIONS)}), flush=True)
 
 
+def main_sf10() -> None:
+    """Decade-past-sf1 spot-soak for the top-3 heavies: sf1 -> sf10
+    slope per 10x, using the scaled-parameter forms where the operator's
+    own scale contract demands it (SemDeDup k)."""
+    spark = get_spark("scale_soak_sf10")
+    if "--skip-build" not in sys.argv:
+        t0 = time.perf_counter()
+        build_sf10(spark)
+        print(json.dumps({"built_sf10_sec": round(time.perf_counter() - t0, 1)}), flush=True)
+
+    from etl_pipeline_spark.queries.base import all_specs
+
+    specs = all_specs()
+    results: dict[str, dict[str, dict]] = {}
+    for sf_label, sf_dir in [("1", SF1_DIR), ("10", SF10_DIR)]:
+        for name in SF10_QUERIES:
+            t0 = time.perf_counter()
+            if name == "q_semdedup_scaledk":
+                n = semdedup_scaled(spark, sf_dir, sf_label).count()
+            else:
+                n = specs[name].fn(spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 2)
+            results.setdefault(name, {})[sf_label] = {"sec": dt, "rows": n}
+            print(json.dumps({"sf": sf_label, "query": name, "sec": dt, "rows": n}), flush=True)
+    summary = {}
+    for name, by_sf in results.items():
+        r1, r10 = by_sf["1"], by_sf["10"]
+        summary[name] = {
+            "sf1_sec": r1["sec"],
+            "sf10_sec": r10["sec"],
+            "t_ratio_10x": round(r10["sec"] / max(r1["sec"], 1e-9), 2),
+            "rows_ratio_10x": round(r10["rows"] / max(r1["rows"], 1), 2),
+        }
+    print(json.dumps({"summary_sf10": summary}))
+
+
 def main() -> None:
+    if "--sf10" in sys.argv:
+        main_sf10()
+        return
     soak = SOAK_QUERIES
     for i, a in enumerate(sys.argv):
         if a == "--queries":
