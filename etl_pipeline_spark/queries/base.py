@@ -58,15 +58,16 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-6 prefix: the 8 queries whose code changed this round lead
+# Round-6 prefix: the 10 queries whose code changed this round lead
 # (the shared map-side co-occurrence core in market-basket / item-CF /
 # pagerank / triangle; the per-step PCA iterate checkpoint; the
 # semdedup within-cluster gather that cleared the new wide-shuffle
-# audit flag; the JPEG branch in the multimodal dispatch; the minhash
-# verify re-shape after the sf10 broadcast-OOM incident), then the
+# audit flag; the JPEG branch in the multimodal dispatch; the
+# minhash + prefix-filter verify re-shapes and the RRF broadcast-side
+# fix after the sf10 broadcast-OOM incident), then the
 # FINAL 33 never-attested queries (VERDICT r5 #1 - this window
 # completes the drain: after it lands, every registry query has a
-# driver attestation), then backfill oldest-attestation-first (9
+# driver attestation), then backfill oldest-attestation-first (7
 # r1-attested queries also fit in the window).
 CHECK_PRIORITY: tuple[str, ...] = (
     "q_market_basket_rules",  # --- code changed this round: attest first ---
@@ -77,8 +78,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_semdedup_clusters",
     "q_multimodal_features",
     "q_dedup_minhash_lsh",
-    "q_lsh_recall_report",  # --- never driver-attested ---
     "q_dedup_prefix_filter",
+    "q_hybrid_rrf_search",
+    "q_lsh_recall_report",  # --- never driver-attested ---
     "q_snm_recall_report",
     "q_dedup_doc_stitching",
     "q_dq_outlier_mad",
@@ -91,7 +93,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_bpe_merge_candidates",
     "q_bm25_top_terms",
     "q_corpus_gini",
-    "q_hybrid_rrf_search",
     "q_lm_bigram_score",
     "q_weighted_sample",
     "q_bloom_decontaminate",

@@ -200,7 +200,25 @@ def minhash_docs_and_candidates(
         .localCheckpoint(eager=False)
     )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
-    feat = tf.transform(docs).select("doc_id", "features").localCheckpoint(eager=False)
+    # shuffle_hash hint: localCheckpoint PRESERVES the origin plan's
+    # statistics, and those trace back to the parquet scan's on-disk
+    # bytes — text columns compress ~100:1, so at sf10 the planner
+    # statically estimated the 1M-row feature table under the 64m
+    # broadcast threshold and approxSimilarityJoin's internal re-attach
+    # join tried to BROADCAST it (5.8 GiB deserialized; driver OOM —
+    # the r6 sf10 incident). The hint propagates into every join over
+    # this table, forcing SORT-MERGE — the only strategy with neither a
+    # driver-sized build (broadcast) nor a task-sized hash map
+    # (shuffle_hash, which OOMed next: 32 concurrent builds share one
+    # local-mode heap); merge spills. The general lesson is pinned
+    # here: never let a compressed-scan size estimate gate a broadcast
+    # of decompressed text-derived data.
+    feat = (
+        tf.transform(docs)
+        .select("doc_id", "features")
+        .localCheckpoint(eager=False)
+        .hint("merge")
+    )
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(feat)
     pairs = model.approxSimilarityJoin(feat, feat, 1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist")
@@ -1147,14 +1165,40 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
         .distinct()
+        .localCheckpoint(eager=False)  # referenced twice: pairs + membership
     )
     # verification: O(candidates) — each pair pulls both docs' shingle
     # ARRAYS and intersects them per-row (the q_dedup_minhash_lsh verify
-    # form), instead of re-expanding candidates through the inverted index
-    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("shset"))
+    # form), instead of re-expanding candidates through the inverted
+    # index. Same membership discipline as that query (r6 sf10 incident):
+    # restrict the corpus shingle sets to candidate MEMBERS via a
+    # broadcast of the narrow id set, and pin shuffle_hash so the text
+    # arrays — whose scan-derived size estimates are ~100:1 optimistic —
+    # can never be chosen as a broadcast side.
+    member_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shset"))
+        .join(F.broadcast(member_ids), "doc_id", "semi")
+        .localCheckpoint(eager=False)
+    )
     verified = (
-        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b")), "doc_b")
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a")).hint(
+                "shuffle_hash"
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b")).hint(
+                "shuffle_hash"
+            ),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",

@@ -1045,8 +1045,12 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("vec_id").alias("q_doc"), F.col("v").alias("qv")
     )
+    # corpus on the streaming side, CAPPED query set explicitly broadcast
+    # (the planner would otherwise pick whichever side estimates smaller —
+    # at toy scale that was the corpus embeddings; r6 wide-broadcast audit)
     vec_scored = (
-        qv.crossJoin(emb.select(F.col("vec_id").alias("nn_doc"), F.col("v").alias("nv")))
+        emb.select(F.col("vec_id").alias("nn_doc"), F.col("v").alias("nv"))
+        .crossJoin(F.broadcast(qv))
         .filter(F.col("q_doc") != F.col("nn_doc"))
         .select(
             "q_doc",

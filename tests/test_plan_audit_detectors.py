@@ -195,3 +195,35 @@ def test_wide_shuffle_broadcast_join_not_flagged(spark):
     j = a.join(F.broadcast(b), a["id"] == b["id2"]).select("id", "payload")
     tree = extract_plan_tree(j._jdf.queryExecution().executedPlan())
     assert wide_join_shuffle_findings(tree) == []
+
+
+def test_wide_broadcast_detected_and_bounded_cases_clean(spark):
+    """r6 sf10 incident class: an array column inside a BroadcastExchange
+    flags; a narrow-key broadcast does not."""
+    from plan_audit import extract_plan_tree, wide_broadcast_findings
+
+    a = spark.range(500).select(
+        "id", F.array_repeat(F.col("id").cast("string"), 20).alias("payload")
+    )
+    b = spark.range(50).select(F.col("id").alias("id2"))
+    wide = a.join(F.broadcast(a.select("id", "payload")
+                              .withColumnRenamed("id", "id2")), a["id"] == F.col("id2"))
+    t1 = extract_plan_tree(wide._jdf.queryExecution().executedPlan())
+    assert wide_broadcast_findings(t1) == ["payload:array"]
+
+    narrow = a.join(F.broadcast(b), a["id"] == b["id2"]).select("id", "payload")
+    t2 = extract_plan_tree(narrow._jdf.queryExecution().executedPlan())
+    assert wide_broadcast_findings(t2) == []
+
+
+def test_wide_broadcast_allowlist_names_registered_queries():
+    from plan_audit import WIDE_BROADCAST_BOUNDED, WIDE_SHUFFLE_BOUNDED
+
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from etl_pipeline_spark.queries.base import REGISTRY, all_specs
+
+    all_specs()
+    for table in (WIDE_BROADCAST_BOUNDED, WIDE_SHUFFLE_BOUNDED):
+        for name, why in table.items():
+            assert name in REGISTRY and why.strip(), name

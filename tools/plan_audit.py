@@ -100,6 +100,28 @@ WIDE_SHUFFLE_BOUNDED: dict[str, str] = {
     # contract (tests/test_plan_assertions.py::
     # test_minhash_lsh_verify_broadcasts_only_narrow_ids).
     "q_dedup_minhash_lsh": "arrays member-bounded by candidate semi-join; move once",
+    "q_dedup_prefix_filter": "arrays member-bounded by candidate semi-join; move once",
+}
+
+# Broadcasts that legitimately carry an array/map column because the
+# broadcast SIDE is input-bounded by construction — a k-row centroid /
+# codebook table, a fixed query set, a 1-row iterate — never a
+# corpus-derived TEXT table admitted by a size estimate (text parquet
+# compresses ~100:1, the r6 sf10 incident; numeric float arrays
+# compress <~2x, so a planner-chosen broadcast of them is
+# scale-adaptive: past the threshold it demotes to a shuffle join).
+# Stale-checked.
+WIDE_BROADCAST_BOUNDED: dict[str, str] = {
+    "q_pca_top_component": "1-row integer iterate (explicit broadcast)",
+    "q_semdedup_clusters": "k-row quantized centroid table",
+    "q_hybrid_rrf_search": "capped query set (explicit broadcast)",
+    "q_knn_bruteforce_cosine": "fixed query set (explicit broadcast)",
+    "q_knn_ivf": "fixed query set + capped probe collect",
+    "q_dedup_embedding_cosine": "numeric float arrays: estimates honest (<~2x), demotes to SMJ at scale",
+    "q_knn_lsh_approx": "candidate re-attach; float-array estimates honest, demotes at scale",
+    "q_knn_pq": "256-cap codebook + per-query distance maps",
+    "q_hard_negatives": "fixed query set (explicit broadcast)",
+    "q_knn_classifier_eval": "fixed eval query set (explicit broadcast)",
 }
 
 # Global windows whose input is structurally bounded far below the
@@ -176,6 +198,10 @@ def extract_plan_tree(jnode) -> dict:
     cls = jnode.getClass().getSimpleName()
     if cls == "AdaptiveSparkPlanExec":
         return extract_plan_tree(jnode.initialPlan())
+    if cls == "ReusedExchangeExec":
+        # a reuse node is a leaf; resolve to the exchange it references so
+        # the detectors see the real exchange kind and its output types
+        return extract_plan_tree(jnode.child())
     out = []
     seq = jnode.output()
     for i in range(seq.size()):
@@ -244,6 +270,31 @@ def wide_join_shuffle_findings(tree: dict) -> list[str]:
     return sorted(finds)
 
 
+def wide_broadcast_findings(tree: dict) -> list[str]:
+    """The r6 sf10 incident, mechanized: ANY array/map column inside a
+    BroadcastExchange is a standing hazard — broadcast builds are
+    driver-memory-bounded and the size estimate that admitted them may
+    trace to COMPRESSED scan bytes (text compresses ~100:1, which is
+    exactly how a 5.8 GiB deserialized feature table statically
+    estimated under the 64m threshold). A finding must either be fixed
+    (narrow the broadcast to keys; re-attach wide data via shuffle) or
+    carry a WIDE_BROADCAST_BOUNDED entry stating why the broadcast side
+    is INPUT-bounded (a k-row centroid table, a fixed query set, a
+    1-row iterate), not merely estimated-small."""
+    finds: set[str] = set()
+    stack = [tree]
+    while stack:
+        node = stack.pop()
+        stack.extend(node["children"])
+        if node["cls"].startswith(("BroadcastExchange", "BroadcastQueryStage")):
+            finds.update(
+                f"{name}:{dtype.split('<', 1)[0]}"
+                for name, _a, dtype in node["output"]
+                if _WIDE_TYPE.match(dtype)
+            )
+    return sorted(finds)
+
+
 def stale_allowlist_entries(observed: dict[str, set[str]]) -> list[str]:
     """Every allowlist entry must still match a flag the plan actually
     exhibits, else the list has outlived the plan it excuses — these
@@ -259,6 +310,9 @@ def stale_allowlist_entries(observed: dict[str, set[str]]) -> list[str]:
     for name in WIDE_SHUFFLE_BOUNDED:
         if name in observed and "wide-shuffle" not in observed[name]:
             stale.append(f"STALE wide-shuffle-allowlist[{name}]")
+    for name in WIDE_BROADCAST_BOUNDED:
+        if name in observed and "wide-broadcast" not in observed[name]:
+            stale.append(f"STALE wide-broadcast-allowlist[{name}]")
     return stale
 
 
@@ -280,6 +334,11 @@ def main() -> None:
     ]
     if bad_wide:
         raise SystemExit(f"WIDE_SHUFFLE_BOUNDED invalid entries: {bad_wide}")
+    bad_wbc = [
+        q for q, why in WIDE_BROADCAST_BOUNDED.items() if q not in REGISTRY or not why.strip()
+    ]
+    if bad_wbc:
+        raise SystemExit(f"WIDE_BROADCAST_BOUNDED invalid entries: {bad_wbc}")
     sys.setrecursionlimit(10_000)  # tree extraction recurses per plan node
     rows = []
     hard_fail: list[str] = []
@@ -293,14 +352,17 @@ def main() -> None:
             hard_fail.append(name)
             continue
         flags, n_ex, n_bc, n_nodes = audit_plan(plan)
-        if "SortMergeJoin" in plan or "ShuffledHashJoin" in plan:
-            wide = wide_join_shuffle_findings(
-                extract_plan_tree(df._jdf.queryExecution().executedPlan())
-            )
-            if wide:
-                flags.add("wide-shuffle")
-        else:
-            wide = []
+        wide: list[str] = []
+        wbc: list[str] = []
+        if "Join" in plan or "Broadcast" in plan:
+            tree = extract_plan_tree(df._jdf.queryExecution().executedPlan())
+            if "SortMergeJoin" in plan or "ShuffledHashJoin" in plan:
+                wide = wide_join_shuffle_findings(tree)
+                if wide:
+                    flags.add("wide-shuffle")
+            wbc = wide_broadcast_findings(tree)
+            if wbc:
+                flags.add("wide-broadcast")
         observed[name] = flags
         shown = set(flags)
         if "wide-shuffle" in flags:
@@ -309,6 +371,13 @@ def main() -> None:
                 shown.add(f"wide-shuffle(bounded: {','.join(wide)})")
             else:
                 shown.add(f"wide-shuffle({','.join(wide)})")
+                hard_fail.append(name)
+        if "wide-broadcast" in flags:
+            shown.discard("wide-broadcast")
+            if name in WIDE_BROADCAST_BOUNDED:
+                shown.add(f"wide-broadcast(bounded: {','.join(wbc)})")
+            else:
+                shown.add(f"wide-broadcast({','.join(wbc)})")
                 hard_fail.append(name)
         if "global-window" in flags:
             if name in GLOBAL_WINDOW_TWINS:
