@@ -371,3 +371,28 @@ def test_skew_join_variants_equal_plain_join(spark, rows):
     )
     assert got_salted == want
     assert got_hybrid == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=33),
+    w=st.integers(min_value=1, max_value=33),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_roundtrip_shape_and_error_bound(h, w, seed):
+    """Pure-Python baseline JPEG codec property: for ARBITRARY uint8
+    RGB images (any dims, including non-multiples of 8 and 1-pixel
+    edges), decode(encode(img, q=95)) preserves shape exactly and stays
+    within a conservative q95 quantization-error envelope."""
+    import numpy as np
+
+    from etl_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=95))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 48
