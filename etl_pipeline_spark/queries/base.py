@@ -58,17 +58,18 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-6 prefix: the 10 queries whose code changed this round lead
+# Round-6 prefix: the 14 queries whose code changed this round lead
 # (the shared map-side co-occurrence core in market-basket / item-CF /
 # pagerank / triangle; the per-step PCA iterate checkpoint; the
 # semdedup within-cluster gather that cleared the new wide-shuffle
-# audit flag; the JPEG branch in the multimodal dispatch; the
-# minhash + prefix-filter verify re-shapes and the RRF broadcast-side
-# fix after the sf10 broadcast-OOM incident), then the
-# FINAL 33 never-attested queries (VERDICT r5 #1 - this window
-# completes the drain: after it lands, every registry query has a
-# driver attestation), then backfill oldest-attestation-first (7
-# r1-attested queries also fit in the window).
+# audit flag; the JPEG branch in the multimodal dispatch; and the
+# broadcast-hazard family fixes the sf10 sweep drove - minhash +
+# prefix-filter verify re-shapes, window-form DF cap, RRF broadcast
+# side, tf-idf/BM25 vocabulary joins), then the FINAL never-attested
+# queries (VERDICT r5 #1 - this window completes the drain: after it
+# lands, every registry query has a driver attestation), then backfill
+# oldest-attestation-first (8 r1-attested queries also fit in the
+# window).
 CHECK_PRIORITY: tuple[str, ...] = (
     "q_market_basket_rules",  # --- code changed this round: attest first ---
     "q_item_cf_similar",
@@ -80,18 +81,19 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_dedup_minhash_lsh",
     "q_dedup_prefix_filter",
     "q_hybrid_rrf_search",
+    "q_dedup_ngram_jaccard_capped",
+    "q_tfidf_top_terms",
+    "q_tfidf_nearest_docs",
+    "q_bm25_top_terms",
     "q_lsh_recall_report",  # --- never driver-attested ---
     "q_snm_recall_report",
     "q_dedup_doc_stitching",
     "q_dq_outlier_mad",
     "q_dq_ks_drift",
     "q_dq_benford_check",
-    "q_tfidf_top_terms",
-    "q_tfidf_nearest_docs",
     "q_text_zipf_fit",
     "q_pmi_collocations",
     "q_bpe_merge_candidates",
-    "q_bm25_top_terms",
     "q_corpus_gini",
     "q_lm_bigram_score",
     "q_weighted_sample",
@@ -119,8 +121,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_sample_hash_10pct",
     "q_posexplode_tokens",
     "q_union_by_name_missing",
-    "q_embedding_norms",
-    "q_knn_bruteforce_cosine",  # ---------------- first-50 window ends above ----------------
+    "q_embedding_norms",  # ---------------- first-50 window ends above ----------------
+    "q_knn_bruteforce_cosine",
     "q_knn_block_matrix",
     "q_knn_ivf",
     "q_window_sliding_events",
@@ -137,7 +139,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_dedup_clusters",
     "q_dedup_minhash_signatures",
     "q_dedup_minhash_pairs",
-    "q_dedup_ngram_jaccard_capped",
     "q_etl_clean_cast_filter",
     "q_etl_audit_row",
     "q_etl_dirty_input_quarantine",

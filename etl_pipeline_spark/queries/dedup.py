@@ -306,18 +306,20 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_cand = docs.join(F.broadcast(member_ids), "doc_id", "semi").localCheckpoint(
         eager=False
     )
-    # shuffle_hash hints: the array sides must NEVER be broadcast —
+    # merge hints: the array sides must NEVER be broadcast —
     # member-bounded is not broadcast-safe (10 KB/row at sf10 made a
-    # 25k-row broadcast exhaust the driver); a candidate-keyed shuffled
-    # hash join moves each member's array exactly once with bounded
-    # per-task memory, and the hint pins that against AQE's row-count
-    # heuristics at every scale (plan-asserted).
+    # 25k-row broadcast exhaust the driver) — and sort-merge rather
+    # than shuffle_hash because SMJ spills where a per-task hash build
+    # competes for the shared heap (32 concurrent builds OOMed the
+    # prefix-filter verify at sf10 in local mode). The hint pins this
+    # against AQE's row-count heuristics at every scale
+    # (plan-asserted: no array in any BroadcastExchange).
     sh_a = docs_cand.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
-    ).hint("shuffle_hash")
+    ).hint("merge")
     sh_b = docs_cand.select(
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-    ).hint("shuffle_hash")
+    ).hint("merge")
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_inter)
     return (
@@ -521,19 +523,29 @@ def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # Materialized once each, lazily (see module docstring): the raw index
-    # feeds the doc-frequency pass AND the cap join; the capped index
-    # feeds both self-join sides and the size table.
-    shingles_all = (
-        d.filter(F.size(toks) >= SHINGLE_WIDTH)
-        .select("doc_id", F.explode(shingle_arr).alias("shingle"))
-        .localCheckpoint(eager=False)
+    # The cap is a WINDOW count over the posting stream (r6): one
+    # shuffle of the postings by shingle, filter in place — no
+    # doc-frequency TABLE exists to join or broadcast at all. The r5
+    # join form let the planner statically broadcast the corpus
+    # VOCABULARY off the compressed-scan estimate at sf10 (the
+    # q_dedup_minhash_lsh incident class), and the shuffle-join fix for
+    # that cost 3x at sf0.1; the window form is faster than both at
+    # every measured scale AND structurally broadcast-free. The capped
+    # index is materialized once, lazily: it feeds both self-join sides
+    # and the size table.
+    shingles_all = d.filter(F.size(toks) >= SHINGLE_WIDTH).select(
+        "doc_id", F.explode(shingle_arr).alias("shingle")
     )
-    dfreq = shingles_all.groupBy("shingle").agg(F.count("*").alias("doc_freq"))
+    # merge hint: the checkpoint preserves the origin plan's scan-derived
+    # size estimate (~100:1 optimistic for text), so without it the
+    # planner statically BROADCASTS one side of the posting self-join at
+    # sf10 and OOMs the driver — the q_dedup_minhash_lsh incident class.
     shingles = (
-        shingles_all.join(dfreq.filter(F.col("doc_freq") <= DF_CAP), "shingle")
+        shingles_all.withColumn("df", F.count("*").over(W.partitionBy("shingle")))
+        .filter(F.col("df") <= DF_CAP)
         .select("doc_id", "shingle")
         .localCheckpoint(eager=False)
+        .hint("merge")
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = shingles.alias("a"), shingles.alias("b")
@@ -1141,21 +1153,29 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     sh = _shingle_stream(d)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    df_tab = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # Doc frequency and doc size are WINDOW counts over the posting
+    # stream (r6): one shuffle by shingle for df, one by doc_id for the
+    # rank and size together — no vocabulary or size TABLE exists to
+    # join or broadcast (the r5 form explicitly broadcast both; the
+    # vocabulary one is the sf10 incident class — corpus-unbounded).
     ranked = (
-        sh.join(F.broadcast(df_tab), "shingle")
+        sh.withColumn("df", F.count("*").over(W.partitionBy("shingle")))
         .withColumn(
             "r",
             F.row_number().over(
                 W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
             ),
         )
-        .join(F.broadcast(sizes), "doc_id")
+        .withColumn("n", F.count("*").over(W.partitionBy("doc_id")))
     )
-    prefix = ranked.filter(
-        F.col("r") <= F.col("n") - F.ceil(F.lit(PF_THRESHOLD) * F.col("n")) + 1
-    ).select("doc_id", "shingle")
+    # merge hint: same checkpoint-preserved-estimate hazard as the capped
+    # query — without it the prefix self-join can statically broadcast a
+    # text-derived side at scale.
+    prefix = (
+        ranked.filter(F.col("r") <= F.col("n") - F.ceil(F.lit(PF_THRESHOLD) * F.col("n")) + 1)
+        .select("doc_id", "shingle")
+        .hint("merge")
+    )
     cand = (
         prefix.alias("pa")
         .join(
@@ -1172,9 +1192,9 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # form), instead of re-expanding candidates through the inverted
     # index. Same membership discipline as that query (r6 sf10 incident):
     # restrict the corpus shingle sets to candidate MEMBERS via a
-    # broadcast of the narrow id set, and pin shuffle_hash so the text
+    # broadcast of the narrow id set, and pin merge joins so the text
     # arrays — whose scan-derived size estimates are ~100:1 optimistic —
-    # can never be chosen as a broadcast side.
+    # can never be chosen as a broadcast side (nor a hash build).
     member_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
@@ -1189,13 +1209,13 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = (
         cand.join(
             sets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a")).hint(
-                "shuffle_hash"
+                "merge"
             ),
             "doc_a",
         )
         .join(
             sets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b")).hint(
-                "shuffle_hash"
+                "merge"
             ),
             "doc_b",
         )

@@ -358,7 +358,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = terms.groupBy("term").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     w = (
-        terms.join(F.broadcast(dfreq), "term")
+        terms.join(dfreq.hint("merge"), "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -447,7 +447,7 @@ def q_tfidf_nearest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = terms.groupBy("term").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     w = (
-        terms.join(F.broadcast(dfreq), "term")
+        terms.join(dfreq.hint("merge"), "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -799,7 +799,7 @@ def q_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
     )
     w = (
-        terms.join(F.broadcast(dfreq), "term")
+        terms.join(dfreq.hint("merge"), "term")
         .join(F.broadcast(dl), "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", "term", "tf", "df", F.round(score, 4).alias("bm25"))
@@ -1001,7 +1001,7 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = terms.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     w = (
-        terms.join(F.broadcast(dfreq), "term")
+        terms.join(dfreq.hint("merge"), "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -108,16 +108,18 @@ WIDE_SHUFFLE_BOUNDED: dict[str, str] = {
 # codebook table, a fixed query set, a 1-row iterate — never a
 # corpus-derived TEXT table admitted by a size estimate (text parquet
 # compresses ~100:1, the r6 sf10 incident; numeric float arrays
-# compress <~2x, so a planner-chosen broadcast of them is
-# scale-adaptive: past the threshold it demotes to a shuffle join).
-# Stale-checked.
+# compress ~5x on the fixtures — a BOUNDED estimate gap, so a
+# planner-chosen broadcast of them is scale-adaptive: past the 64m
+# threshold it demotes to a shuffle join, capping the worst-case
+# deserialized broadcast at threshold x gap, well under driver
+# memory). Stale-checked.
 WIDE_BROADCAST_BOUNDED: dict[str, str] = {
     "q_pca_top_component": "1-row integer iterate (explicit broadcast)",
     "q_semdedup_clusters": "k-row quantized centroid table",
     "q_hybrid_rrf_search": "capped query set (explicit broadcast)",
     "q_knn_bruteforce_cosine": "fixed query set (explicit broadcast)",
     "q_knn_ivf": "fixed query set + capped probe collect",
-    "q_dedup_embedding_cosine": "numeric float arrays: estimates honest (<~2x), demotes to SMJ at scale",
+    "q_dedup_embedding_cosine": "numeric float arrays: estimate gap bounded (~5x), demotes to SMJ at scale",
     "q_knn_lsh_approx": "candidate re-attach; float-array estimates honest, demotes at scale",
     "q_knn_pq": "256-cap codebook + per-query distance maps",
     "q_hard_negatives": "fixed query set (explicit broadcast)",
