@@ -163,6 +163,9 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
                 self.buf.append(0x00)
+        # mask off emitted bits: without this `acc` grows with the whole
+        # entropy stream and every shift re-copies it (quadratic encode)
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> None:
         if self.n:
@@ -321,7 +324,9 @@ class _BitReader:
                 raise ValueError("bit read past marker")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # mask before appending: consumed bits must not accumulate, or
+        # `acc` grows with the stream and decode turns quadratic
+        self.acc = ((self.acc & ((1 << self.n) - 1)) << 8) | b
         self.n += 8
 
     def bit(self) -> int:
@@ -340,14 +345,26 @@ class _BitReader:
         """Consume an RSTn marker at a restart interval boundary."""
         self.acc = 0
         self.n = 0
+        if self.marker == 0xFF:  # _fill stopped on a 0xFF fill byte (B.1.1.2)
+            self.marker = None
+            self.pos += 1
         if self.marker is None:
-            # reader stopped mid-byte before the marker bytes
-            while self.pos + 1 < len(self.data) and not (
-                self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00
-            ):
-                self.pos += 1
-            self.marker = self.data[self.pos + 1]
-        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            # reader stopped mid-byte: skip residual padding (possibly a
+            # stuffed FF 00 pair) and optional 0xFF fill bytes to the marker
+            while self.pos + 1 < len(self.data):
+                b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+                if b0 != 0xFF:
+                    self.pos += 1  # residual padding byte
+                elif b1 == 0x00:
+                    self.pos += 2  # stuffed padding 0xFF
+                elif b1 == 0xFF:
+                    self.pos += 1  # fill byte before the marker
+                else:
+                    self.marker = b1
+                    break
+            if self.marker is None:
+                raise ValueError("truncated entropy segment: no restart marker")
+        if 0xD0 <= self.marker <= 0xD7:
             self.pos += 2
             self.marker = None
         else:
@@ -432,6 +449,8 @@ def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS — entropy-coded scan follows
             if frame is None:
                 raise ValueError("SOS before SOF0")
+            if not body or len(body) < 1 + 2 * body[0] + 3:
+                raise ValueError("truncated SOS header")
             ns = body[0]
             scan_tabs = {}
             for c in range(ns):
@@ -463,6 +482,10 @@ def _decode_scan(
     restart_interval: int,
 ) -> np.ndarray:
     fh, fw, comps = frame
+    if set(scan_tabs) != {c[0] for c in comps}:
+        # legal per T.81 (one scan per component) but rare for baseline;
+        # keep it behind the same explicit guard as progressive
+        raise NotImplementedError("non-interleaved (multi-scan) baseline JPEG not supported")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if any(c[1] not in (1, 2) or c[2] not in (1, 2) for c in comps):

@@ -200,7 +200,7 @@ def minhash_docs_and_candidates(
         .localCheckpoint(eager=False)
     )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
-    # shuffle_hash hint: localCheckpoint PRESERVES the origin plan's
+    # merge hint: localCheckpoint PRESERVES the origin plan's
     # statistics, and those trace back to the parquet scan's on-disk
     # bytes — text columns compress ~100:1, so at sf10 the planner
     # statically estimated the 1M-row feature table under the 64m

@@ -4,6 +4,7 @@ feature extraction, frame sampling + nearest-neighbor resize."""
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pytest
@@ -245,3 +246,62 @@ def test_jpeg_through_spark_feature_extraction(spark):
         assert (r["width"], r["height"]) == (local.shape[1], local.shape[0])
         assert r["content_sum"] == int(local.astype(np.int64).sum())
         assert r["content_md5"] == hashlib.md5(local.tobytes()).hexdigest()
+
+
+def test_jpeg_bit_accumulators_stay_bounded():
+    """r6 review finding: consumed/emitted bits must be masked off the
+    accumulators, else they grow with the whole entropy stream and
+    encode/decode turn quadratic (256px noise went 23.3 s -> 0.30 s)."""
+    from etl_pipeline_spark.operators.jpeg_codec import _BitReader, _BitWriter
+
+    w = _BitWriter()
+    for i in range(10_000):
+        w.put(i & 0x3F, 7)
+    assert w.acc.bit_length() <= w.n  # only unshipped bits remain
+    w.flush()
+
+    r = _BitReader(bytes(w.buf), 0)
+    for _ in range(50_000):
+        r.bit()
+    assert r.acc.bit_length() <= r.n + 8
+
+
+def test_jpeg_truncated_restart_interval_raises_value_error():
+    """A DRI stream truncated before its restart marker must fail with
+    the codec's ValueError contract, not an IndexError (r6 review)."""
+    import numpy as np
+
+    from etl_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    base = encode_jpeg_baseline(_gradient(32, 32), 90)
+    # splice a DRI segment (restart every 1 MCU) after APP0, then truncate
+    # the entropy stream so the expected RSTn never appears
+    dri = b"\xff\xdd\x00\x04\x00\x01"
+    doctored = base[:20] + dri + base[20:-10]
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg_baseline(doctored)
+
+
+def test_jpeg_non_interleaved_scan_guarded():
+    """A baseline file whose SOS names fewer components than the frame
+    (multi-scan form) must hit the explicit NotImplementedError guard,
+    not a KeyError (r6 review)."""
+    import numpy as np
+
+    from etl_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    base = bytearray(encode_jpeg_baseline(np.full((8, 8, 3), 90, dtype=np.uint8), 90))
+    i = bytes(base).find(b"\xff\xda")
+    assert i > 0
+    # rewrite the SOS header to declare a single-component scan (Y only)
+    sos1 = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    old_len = struct.unpack_from(">H", bytes(base), i + 2)[0]
+    doctored = bytes(base[:i]) + sos1 + bytes(base[i + 2 + old_len:])
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_baseline(doctored)

@@ -227,3 +227,28 @@ def test_wide_broadcast_allowlist_names_registered_queries():
     for table in (WIDE_BROADCAST_BOUNDED, WIDE_SHUFFLE_BOUNDED):
         for name, why in table.items():
             assert name in REGISTRY and why.strip(), name
+
+
+def test_wide_shuffle_key_matching_is_exact_not_substring():
+    """r6 review finding: `payload#1` must not hide behind a join key
+    `payload#12` — key membership is exact name#id token comparison."""
+    from plan_audit import wide_join_shuffle_findings
+
+    ex = _node(
+        "ShuffleExchangeExec",
+        output=[("payload", "payload#1", "array<string>"), ("k", "k#3", "bigint")],
+    )
+    join = _node(
+        "SortMergeJoinExec",
+        keys=["payload#12", "k#3"],
+        children=[_node("SortExec", children=[ex]), _node("SortExec", children=[])],
+    )
+    assert wide_join_shuffle_findings(join) == ["payload:array"]
+
+    # the genuinely keyed attribute is still exempt
+    join2 = _node(
+        "SortMergeJoinExec",
+        keys=["payload#1", "k#3"],
+        children=[_node("SortExec", children=[ex]), _node("SortExec", children=[])],
+    )
+    assert wide_join_shuffle_findings(join2) == []

@@ -95,9 +95,9 @@ GLOBAL_WINDOW_TWINS: dict[str, str] = {
 WIDE_SHUFFLE_BOUNDED: dict[str, str] = {
     # verify re-attach: the shingle arrays are semi-joined down to
     # candidate MEMBERSHIP (broadcast of the narrow id set) before the
-    # candidate-keyed shuffled-hash joins move each member's array
-    # exactly once; shuffle_hash hints pin the no-wide-broadcast
-    # contract (tests/test_plan_assertions.py::
+    # candidate-keyed SORT-MERGE joins move each member's array exactly
+    # once; merge hints pin the no-wide-broadcast contract
+    # (tests/test_plan_assertions.py::
     # test_minhash_lsh_verify_broadcasts_only_narrow_ids).
     "q_dedup_minhash_lsh": "arrays member-bounded by candidate semi-join; move once",
     "q_dedup_prefix_filter": "arrays member-bounded by candidate semi-join; move once",
@@ -261,13 +261,20 @@ def wide_join_shuffle_findings(tree: dict) -> list[str]:
         stack.extend(node["children"])
         if node["cls"] not in ("SortMergeJoinExec", "ShuffledHashJoinExec"):
             continue
-        key_blob = " ".join(node["keys"])
+        # exact name#id tokens of the key expressions — substring matching
+        # against the joined key blob let `payload#1` hide behind a key
+        # `payload#12` (r6 review finding), silently suppressing the flag
+        key_tokens = set()
+        for k in node["keys"]:
+            key_tokens.update(re.findall(r"\w+#\d+", k))
         for side in node["children"]:
             ex = first_join_exchange(side)
             if ex is None:
                 continue
             for name, attr_str, dtype in ex["output"]:
-                if _WIDE_TYPE.match(dtype) and attr_str not in key_blob:
+                attr_tok = re.search(r"\w+#\d+", attr_str)
+                is_key = attr_tok is not None and attr_tok.group(0) in key_tokens
+                if _WIDE_TYPE.match(dtype) and not is_key:
                     finds.add(f"{name}:{dtype.split('<', 1)[0]}")
     return sorted(finds)
 
