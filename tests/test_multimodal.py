@@ -305,3 +305,74 @@ def test_jpeg_non_interleaved_scan_guarded():
     doctored = bytes(base[:i]) + sos1 + bytes(base[i + 2 + old_len:])
     with pytest.raises(NotImplementedError):
         decode_jpeg_baseline(doctored)
+
+
+def test_jpeg_grayscale_single_component_decodes():
+    """Single-component (grayscale) baseline JPEG: a test-local Y-only
+    encoder built from the module's own tables exercises the 1-plane
+    decode branch — output replicates the gray channel to (h, w, 3)."""
+    from etl_pipeline_spark.operators.jpeg_codec import (
+        _DCT,
+        _BitWriter,
+        _huff_codes,
+        _magnitude,
+        _quality_scale,
+        HUFF_AC_LUMA,
+        HUFF_DC_LUMA,
+        QT_LUMA,
+        ZIGZAG,
+        decode_jpeg_baseline,
+    )
+
+    gray = np.full((16, 16), 77, dtype=np.uint8)
+    gray[4:12, 4:12] = 200  # one high block so AC paths run too
+    qt = _quality_scale(QT_LUMA, 90)
+    dc_t, ac_t = _huff_codes(*HUFF_DC_LUMA), _huff_codes(*HUFF_AC_LUMA)
+    padded = gray.astype(np.float64) - 128.0
+    blocks = padded.reshape(2, 8, 2, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coefs = np.einsum("ux,nxy,vy->nuv", _DCT, blocks, _DCT)
+    scaled = coefs / qt.reshape(8, 8)
+    q = np.trunc(scaled + np.copysign(0.5, scaled)).astype(np.int64)
+    wtr = _BitWriter()
+    pred = 0
+    for bi in range(q.shape[0]):
+        zz = q[bi].reshape(64)[ZIGZAG]
+        ssss, bits = _magnitude(int(zz[0]) - pred)
+        pred = int(zz[0])
+        ln, code = dc_t[ssss]
+        wtr.put(code, ln)
+        if ssss:
+            wtr.put(bits, ssss)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_t[0xF0]
+                wtr.put(code, ln)
+                run -= 16
+            ssss, bits = _magnitude(v)
+            ln, code = ac_t[(run << 4) | ssss]
+            wtr.put(code, ln)
+            wtr.put(bits, ssss)
+            run = 0
+        if np.any(zz[1:] == 0) or int(zz[63]) == 0:
+            ln, code = ac_t[0x00]  # EOB
+            wtr.put(code, ln)
+    wtr.flush()
+    dqt = struct.pack(">HHB", 0xFFDB, 67, 0) + bytes(int(qt[z]) for z in ZIGZAG)
+    sof = struct.pack(">HHBHHB", 0xFFC0, 11, 8, 16, 16, 1) + bytes([1, 0x11, 0])
+    bits_l, vals_l = HUFF_DC_LUMA
+    dht0 = struct.pack(">HH", 0xFFC4, 19 + len(vals_l)) + bytes([0x00]) + bytes(bits_l) + bytes(vals_l)
+    bits_a, vals_a = HUFF_AC_LUMA
+    dht1 = struct.pack(">HH", 0xFFC4, 19 + len(vals_a)) + bytes([0x10]) + bytes(bits_a) + bytes(vals_a)
+    sos = struct.pack(">HHB", 0xFFDA, 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    payload = (
+        b"\xff\xd8" + dqt + sof + dht0 + dht1 + sos + bytes(wtr.buf) + b"\xff\xd9"
+    )
+    out = decode_jpeg_baseline(payload)
+    assert out.shape == (16, 16, 3)
+    assert np.array_equal(out[..., 0], out[..., 1]) and np.array_equal(out[..., 1], out[..., 2])
+    assert np.abs(out[..., 0].astype(int) - gray.astype(int)).max() <= 6
