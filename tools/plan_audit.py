@@ -25,6 +25,16 @@ it records:
   tree, not the data movement; past the ceiling, planning time and
   driver memory become the risk (the r4 OOM-in-planning incident) and
   the query must checkpoint between iterations instead.
+- ``wide-shuffle`` (r6): an array/map column crossing a shuffled
+  join's exchange that is not a join key — the wide payload rides a
+  shuffle that only needed narrow keys (the r5 minhash/knn-lsh bug
+  class). Hard failure unless WIDE_SHUFFLE_BOUNDED states the bound.
+- ``wide-broadcast`` (r6): an array/map column inside ANY
+  BroadcastExchange. Broadcast builds are driver-memory-bounded and
+  the admitting size estimate may trace to COMPRESSED scan bytes
+  (text ~100:1 — the r6 sf10 driver-OOM incident). Hard failure
+  unless WIDE_BROADCAST_BOUNDED states why the side is input-bounded
+  by construction.
 - exchange count (hash + range shuffles), broadcast count, and plan
   node count, for the record.
 
