@@ -1,0 +1,147 @@
+"""Pure-Python/numpy PNG codec for the X5 multimodal path (r6).
+
+PNG is zlib (stdlib) + per-row byte filters, so unlike JPEG it decodes
+fully from the spec with no native image library:
+
+- **Decoder**: chunk walk with CRC verification, IHDR parse, multi-IDAT
+  concatenation, inflate, per-row unfiltering (None/Sub/Up/Average/
+  Paeth, RFC 2083 §6), then color-type assembly: 0 grayscale (channel
+  replicated), 2 RGB, 3 palette via PLTE (tRNS-transparent entries kept
+  as their palette color), 4 gray+alpha and 6 RGBA (alpha dropped —
+  feature extraction wants pixel statistics, not compositing; the guard
+  comment marks where a compositor would plug in). Bit depth 8 only and
+  no Adam7 interlace — both raise NotImplementedError explicitly, like
+  the JPEG codec's progressive guard.
+- **Encoder**: (h, w, 3) RGB uint8 -> filter-0 rows, one zlib IDAT.
+  Exists for fixtures and round-trip tests.
+
+Interop is tested against real libpng output (CPython's test-suite
+PNGs, palette + tRNS) in tests/test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\x0a"
+
+
+def _chunk(typ: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + typ
+        + body
+        + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) RGB uint8 array as an 8-bit truecolor PNG."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) array, got {pixels.shape}")
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    rows = np.ascontiguousarray(pixels, dtype=np.uint8)
+    raw = b"".join(b"\x00" + rows[r].tobytes() for r in range(h))  # filter 0 per row
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 9))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reverse the per-row filters; raw is (h, 1 + w*bpp) uint8."""
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        ftype = int(raw[r, 0])
+        line = raw[r, 1:].astype(np.int64)
+        prev = out[r - 1].astype(np.int64) if r > 0 else np.zeros(stride, dtype=np.int64)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left -> sequential
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if ftype == 1:
+                    cur[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:
+                    cur[i] = (line[i] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype} on row {r}")
+        out[r] = cur.astype(np.uint8)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG into an (h, w, 3) RGB uint8
+    array (gray replicated; palette expanded; alpha dropped)."""
+    if payload[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError(f"truncated PNG chunk {typ!r}")
+        crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError(f"bad IHDR compression/filter method {comp}/{filt}")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG not supported (8-bit only)")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    raw = zlib.decompress(bytes(idat))
+    stride = 1 + w * channels
+    if len(raw) != h * stride:
+        raise ValueError(f"PNG pixel data: want {h * stride} bytes, got {len(raw)}")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    px = _unfilter(rows, h, w, channels).reshape(h, w, channels)
+    if ctype == 2:
+        return np.ascontiguousarray(px)
+    if ctype == 6:
+        return np.ascontiguousarray(px[..., :3])  # alpha dropped (see module doc)
+    if ctype == 0 or ctype == 4:
+        g = px[..., 0]
+        return np.ascontiguousarray(np.stack([g, g, g], axis=-1))
+    # ctype == 3: palette lookup
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    idx = px[..., 0]
+    if int(idx.max()) >= plte.shape[0]:
+        raise ValueError("PNG palette index out of range")
+    return np.ascontiguousarray(plte[idx])

@@ -87,7 +87,7 @@ def test_extract_features_dispatch_and_unknown_format():
     w = _extract_features(encode_wav(np.full(8000, 3, dtype=np.int16), 8000), "audio")
     assert w["format"] == "wav" and w["duration_ms"] == 1000 and w["content_sum"] == 24000
     with pytest.raises(NotImplementedError):
-        _extract_features(b"\x89PNG\r\n", "image")  # no native libs for PNG
+        _extract_features(b"GIF89a\x01\x00", "image")  # GIF stays undecoded
 
 
 # -------------------------------------------------------- Spark-side paths
@@ -376,3 +376,92 @@ def test_jpeg_grayscale_single_component_decodes():
     assert out.shape == (16, 16, 3)
     assert np.array_equal(out[..., 0], out[..., 1]) and np.array_equal(out[..., 1], out[..., 2])
     assert np.abs(out[..., 0].astype(int) - gray.astype(int)).max() <= 6
+
+
+# ------------------------------------------------------------- PNG (r6)
+
+
+def test_png_roundtrip_is_lossless():
+    """PNG is lossless: decode(encode(img)) must be byte-exact for
+    arbitrary RGB content and dimensions."""
+    from etl_pipeline_spark.operators.png_codec import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    for h, w in [(1, 1), (7, 13), (33, 47)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+def test_png_decodes_real_libpng_output_and_guards():
+    """Interop against independent encoders: CPython's palette+tRNS
+    fixture and a filtered RGBA icon both decode; corrupted CRC and the
+    Adam7 guard fail the documented way."""
+    import glob
+
+    from etl_pipeline_spark.operators.png_codec import decode_png
+
+    fixtures = sorted(
+        glob.glob("/root/.pyenv/versions/3.1*/lib/python3*/test/imghdrdata/python.png")
+    )
+    if not fixtures:
+        pytest.skip("CPython test-suite PNG fixtures not present in this container")
+    data = open(fixtures[0], "rb").read()
+    out = decode_png(data)
+    assert out.shape == (16, 16, 3)
+
+    # corrupt one IDAT byte -> CRC mismatch must be detected
+    i = data.find(b"IDAT") + 8
+    bad = data[:i] + bytes([data[i] ^ 0xFF]) + data[i + 1:]
+    with pytest.raises(ValueError):
+        decode_png(bad)
+
+    # flip the IHDR interlace flag (and fix its CRC) -> explicit guard
+    import struct as _s
+    import zlib as _z
+
+    ih = data.find(b"IHDR")
+    body = bytearray(data[ih + 4 : ih + 4 + 13])
+    body[12] = 1  # Adam7
+    crc = _s.pack(">I", _z.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF)
+    doctored = data[: ih + 4] + bytes(body) + crc + data[ih + 4 + 13 + 4 :]
+    with pytest.raises(NotImplementedError):
+        decode_png(doctored)
+
+
+def test_png_and_jpeg_decoders_agree_on_the_same_source_image():
+    """Cross-FORMAT interop: CPython ships the same 16x16 Python logo as
+    python.png (palette PNG, libpng) and python.jpg (baseline JPEG,
+    libjpeg). Two fully independent decode paths — zlib/filters vs
+    Huffman/IDCT — must reconstruct closely-agreeing pixels."""
+    import glob
+
+    from etl_pipeline_spark.operators.jpeg_codec import decode_jpeg_baseline
+    from etl_pipeline_spark.operators.png_codec import decode_png
+
+    pngs = sorted(glob.glob("/root/.pyenv/versions/3.1*/lib/python3*/test/imghdrdata/python.png"))
+    jpgs = sorted(glob.glob("/root/.pyenv/versions/3.1*/lib/python3*/test/imghdrdata/python.jpg"))
+    if not pngs or not jpgs:
+        pytest.skip("CPython test-suite fixtures not present in this container")
+    p = decode_png(open(pngs[0], "rb").read()).astype(float)
+    j = decode_jpeg_baseline(open(jpgs[0], "rb").read()).astype(float)
+    assert p.shape == j.shape == (16, 16, 3)
+    # same source, one lossy re-encode apart: channel means within ~8 levels
+    assert np.abs(p.reshape(-1, 3).mean(0) - j.reshape(-1, 3).mean(0)).max() < 8
+
+
+def test_png_through_spark_feature_extraction(spark):
+    from etl_pipeline_spark.operators.multimodal import extract_media_features
+    from etl_pipeline_spark.operators.png_codec import decode_png, encode_png
+
+    payloads = {i: encode_png(_gradient(8 + 4 * i, 12)) for i in range(3)}
+    media = spark.createDataFrame(
+        [(i, bytearray(p), ("image",)) for i, p in payloads.items()],
+        "media_id long, payload binary, meta struct<kind string>",
+    )
+    rows = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    for i, p in payloads.items():
+        local = decode_png(p)
+        r = rows[i]
+        assert r["format"] == "png"
+        assert (r["width"], r["height"]) == (local.shape[1], local.shape[0])
+        assert r["content_md5"] == hashlib.md5(local.tobytes()).hexdigest()
