@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_pipeline_spark.operators.jpeg_codec import decode_jpeg_baseline
+from etl_pipeline_spark.operators.gif_codec import decode_gif
 from etl_pipeline_spark.operators.png_codec import decode_png
 from etl_pipeline_spark.operators.media_codecs import (
     decode_bmp,
@@ -192,24 +193,31 @@ def _extract_features(payload: bytes | None, kind: str | None) -> dict:
     RIFF -> WAV, FFD8 -> baseline JPEG (pure-Python T.81 decoder,
     operators/jpeg_codec.py — r6; interop-tested against libjpeg
     output), 89504E47 -> PNG (zlib + per-row filters,
-    operators/png_codec.py — r6; interop-tested against libpng output).
+    operators/png_codec.py — r6; interop-tested against libpng output),
+    GIF8 -> GIF (variable-width LZW, operators/gif_codec.py — r6; image
+    stats are over the FIRST composited frame).
     Emits decoded statistics — dimensions from the parsed
     header, the integer sum of all decoded pixel bytes / sample values,
     and (images) the md5 of the decoded RGB array, so a wrong de-pad,
     row flip, or channel order changes the output. Remaining unknown
-    formats (MP4/GIF; progressive JPEG and interlaced PNG inside the
+    formats (MP4; progressive JPEG and interlaced PNG inside the
     decoders) raise NotImplementedError — those need native libs or
     further spec work; a real deployment extends this dispatch."""
     if payload is None:
         return dict(_NULL_FEATURES)
     n = len(payload)
-    if payload[:2] in (b"P6", b"BM", b"\xff\xd8") or payload[:4] == b"\x89PNG":
+    if (
+        payload[:2] in (b"P6", b"BM", b"\xff\xd8")
+        or payload[:4] in (b"\x89PNG", b"GIF8")
+    ):
         if payload[:2] == b"P6":
             fmt, img = "ppm", decode_ppm(payload)
         elif payload[:2] == b"BM":
             fmt, img = "bmp", decode_bmp(payload)
         elif payload[:4] == b"\x89PNG":
             fmt, img = "png", decode_png(payload)
+        elif payload[:4] == b"GIF8":
+            fmt, img = "gif", decode_gif(payload)[0]
         else:
             fmt, img = "jpeg", decode_jpeg_baseline(payload)
         h, w, _ = img.shape

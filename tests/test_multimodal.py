@@ -87,7 +87,7 @@ def test_extract_features_dispatch_and_unknown_format():
     w = _extract_features(encode_wav(np.full(8000, 3, dtype=np.int16), 8000), "audio")
     assert w["format"] == "wav" and w["duration_ms"] == 1000 and w["content_sum"] == 24000
     with pytest.raises(NotImplementedError):
-        _extract_features(b"GIF89a\x01\x00", "image")  # GIF stays undecoded
+        _extract_features(b"\x00\x00\x00\x20ftypmp42", "video")  # MP4 stays undecoded
 
 
 # -------------------------------------------------------- Spark-side paths
@@ -465,3 +465,96 @@ def test_png_through_spark_feature_extraction(spark):
         assert r["format"] == "png"
         assert (r["width"], r["height"]) == (local.shape[1], local.shape[0])
         assert r["content_md5"] == hashlib.md5(local.tobytes()).hexdigest()
+
+
+# ------------------------------------------------------------- GIF (r6)
+
+
+def _tiny_gif(frames_spec, sw=4, sh=4, transparent=None):
+    """Hand-crafted GIF with a trivially-valid LZW stream: every pixel
+    index is emitted as a literal code preceded by a CLEAR, so the
+    dictionary never grows. frames_spec: list of (left, top, w, h,
+    index_rows). Palette: 4 colors."""
+    palette = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x81, 0, 0)  # GCT, 4 entries
+    out += palette
+    min_code = 2
+    clear = 1 << min_code
+    for fi, (left, top, w, h, rows) in enumerate(frames_spec):
+        if transparent is not None and fi > 0:
+            out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        out += bytes([min_code])
+        # pack 3-bit codes little-endian: CLEAR, idx, CLEAR, idx, ...
+        bits = []
+        for r in rows:
+            for v in r:
+                bits.append((clear, 3))
+                bits.append((v, 3))
+        bits.append((clear + 1, 3))  # EOI
+        acc = n = 0
+        body = bytearray()
+        for code, width in bits:
+            acc |= code << n
+            n += width
+            while n >= 8:
+                body.append(acc & 0xFF)
+                acc >>= 8
+                n -= 8
+        if n:
+            body.append(acc & 0xFF)
+        for i in range(0, len(body), 255):
+            chunk = body[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_multiframe_compositing_and_transparency():
+    """Synthetic 2-frame GIF: frame 2 paints a 2x2 patch at an offset
+    with one transparent pixel — the canvas must composite (transparent
+    keeps frame 1's value)."""
+    from etl_pipeline_spark.operators.gif_codec import decode_gif
+
+    f1 = (0, 0, 4, 4, [[1] * 4] * 4)                      # all red
+    f2 = (1, 1, 2, 2, [[2, 3], [3, 2]])                   # green/blue patch, 3 transparent
+    frames = decode_gif(_tiny_gif([f1, f2], transparent=3))
+    assert len(frames) == 2
+    assert np.array_equal(frames[0][0, 0], [255, 0, 0])
+    # frame 2: (1,1) green, (1,2) transparent -> still red, (2,1) transparent, (2,2) green
+    assert np.array_equal(frames[1][1, 1], [0, 255, 0])
+    assert np.array_equal(frames[1][1, 2], [255, 0, 0])
+    assert np.array_equal(frames[1][2, 2], [0, 255, 0])
+    assert np.array_equal(frames[1][0, 0], [255, 0, 0])  # outside the patch
+
+
+def test_gif_decodes_real_fixture_and_agrees_with_png():
+    """Interop: CPython's python.gif (real GIF-encoder output, 64-color
+    global table) decodes; its first frame agrees with the PNG of the
+    same logo within palette-quantization error."""
+    import glob
+
+    from etl_pipeline_spark.operators.gif_codec import decode_gif
+    from etl_pipeline_spark.operators.png_codec import decode_png
+
+    gifs = sorted(glob.glob("/root/.pyenv/versions/3.1*/lib/python3*/test/imghdrdata/python.gif"))
+    pngs = sorted(glob.glob("/root/.pyenv/versions/3.1*/lib/python3*/test/imghdrdata/python.png"))
+    if not gifs or not pngs:
+        pytest.skip("CPython test-suite fixtures not present in this container")
+    frames = decode_gif(open(gifs[0], "rb").read())
+    assert len(frames) == 1 and frames[0].shape == (16, 16, 3)
+    png = decode_png(open(pngs[0], "rb").read()).astype(float)
+    g = frames[0].astype(float)
+    assert np.abs(png.reshape(-1, 3).mean(0) - g.reshape(-1, 3).mean(0)).max() < 10
+
+
+def test_gif_through_feature_dispatch():
+    from etl_pipeline_spark.operators.gif_codec import decode_gif
+
+    payload = _tiny_gif([(0, 0, 4, 4, [[1, 2, 0, 3]] * 4)])
+    f = _extract_features(payload, "image")
+    local = decode_gif(payload)[0]
+    assert f["format"] == "gif" and (f["width"], f["height"]) == (4, 4)
+    assert f["content_md5"] == hashlib.md5(local.tobytes()).hexdigest()
