@@ -99,11 +99,16 @@ def _lzw_decode(min_code_size: int, data: bytes, expect: int) -> list[int]:
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif(payload: bytes) -> list[np.ndarray]:
+def decode_gif(payload: bytes, max_frames: int | None = None) -> list[np.ndarray]:
     """Decode a GIF87a/89a into a list of (h, w, 3) uint8 RGB frames
-    (the running canvas after each image block)."""
+    (the running canvas after each image block). ``max_frames`` stops
+    decoding early — the feature-extraction dispatch passes 1 so a
+    200-frame animation doesn't pay 200 LZW passes for first-frame
+    stats."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
     sw, sh, flags, bg_idx, _par = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
@@ -120,6 +125,8 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension
+            if pos >= len(payload):
+                raise ValueError("truncated GIF extension block")
             label = payload[pos]
             pos += 1
             if label == 0xF9:  # graphic control
@@ -130,8 +137,14 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block {block:#x} at {pos - 1}")
+        if pos + 10 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
         left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
+        if left + w > sw or top + h > sh:
+            raise ValueError(
+                f"GIF image block ({left},{top})+{w}x{h} exceeds the {sw}x{sh} screen"
+            )
         table = gct
         if iflags & 0x80:
             table, pos = _color_table(payload, pos, 2 << (iflags & 0x07))
@@ -149,17 +162,17 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
             deinter = np.zeros_like(grid)
             deinter[order] = grid
             grid = deinter
-        if int(grid.max()) >= table.shape[0]:
-            raise ValueError("GIF color index out of range")
         region = canvas[top : top + h, left : left + w]
-        rgb = table[grid]
-        if transparent is not None:
-            mask = grid != transparent
-            region[mask] = rgb[mask]
-        else:
-            region[:] = rgb
+        # bounds-check only RENDERED pixels: a transparent index past the
+        # palette is legal and lenient decoders accept it (r6 review)
+        mask = grid != transparent if transparent is not None else np.ones_like(grid, bool)
+        if mask.any() and int(grid[mask].max()) >= table.shape[0]:
+            raise ValueError("GIF color index out of range")
+        region[mask] = table[np.where(mask, grid, 0)][mask]
         frames.append(canvas.copy())
         transparent = None
+        if max_frames is not None and len(frames) >= max_frames:
+            break
     if not frames:
         raise ValueError("GIF contains no image blocks")
     return frames

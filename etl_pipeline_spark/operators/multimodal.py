@@ -1,10 +1,14 @@
 """Multimodal columns — SURVEY.md §2.12 X5 + BASELINE.json.
 
 Images/audio/video are opaque ``binary`` payloads with a typed metadata
-struct, processed by REAL decoders (operators/media_codecs.py): PPM and
-24-bit BMP images, PCM-16 WAV audio, and concatenated-PPM streams for
-video — formats chosen because they decode end-to-end with numpy+struct
-alone (the container ships no Pillow/av/torchaudio). The decode path is
+struct, processed by REAL decoders: PPM and 24-bit BMP images, PCM-16
+WAV audio, and concatenated-PPM streams for video
+(operators/media_codecs.py — numpy+struct only), plus — all pure-Python
+from the public specs, r6 — baseline JPEG (operators/jpeg_codec.py),
+PNG (operators/png_codec.py, stdlib zlib), and GIF
+(operators/gif_codec.py, LZW); the container ships no
+Pillow/av/torchaudio, so every decode path is dependency-light by
+construction. The decode path is
 Arrow-batched ``mapInPandas``: payloads stay executor-local, batches are
 bounded, and the output schema is fixed so Catalyst can prune.
 
@@ -13,8 +17,10 @@ SYNTHESIZED deterministically from ``documents.text`` (md5-derived pixel
 and sample patterns) and then decoded for real — header parsing, row
 de-padding, BGR/bottom-up flips, RIFF chunk walking all execute on every
 row, and the DuckDB oracle reproduces the decoded statistics (including
-the md5 of the full decoded RGB array) analytically. A deployment with
-JPEG/MP4 data swaps the codec dispatch in ``_extract_features``; the
+the md5 of the full decoded RGB array) analytically. JPEG/PNG/GIF data
+dispatches on magic bytes in ``_extract_features`` (pytest-verified
+against real libjpeg/libpng/GIF-encoder fixtures); a deployment with
+MP4 data extends the same dispatch; the
 plumbing — schema, partitioning, batch shape — is unchanged.
 """
 
@@ -206,20 +212,22 @@ def _extract_features(payload: bytes | None, kind: str | None) -> dict:
     if payload is None:
         return dict(_NULL_FEATURES)
     n = len(payload)
-    if (
-        payload[:2] in (b"P6", b"BM", b"\xff\xd8")
-        or payload[:4] in (b"\x89PNG", b"GIF8")
-    ):
-        if payload[:2] == b"P6":
-            fmt, img = "ppm", decode_ppm(payload)
-        elif payload[:2] == b"BM":
-            fmt, img = "bmp", decode_bmp(payload)
-        elif payload[:4] == b"\x89PNG":
-            fmt, img = "png", decode_png(payload)
-        elif payload[:4] == b"GIF8":
-            fmt, img = "gif", decode_gif(payload)[0]
-        else:
-            fmt, img = "jpeg", decode_jpeg_baseline(payload)
+    # single magic -> decoder chain: each format appears exactly once
+    if payload[:2] == b"P6":
+        fmt, img = "ppm", decode_ppm(payload)
+    elif payload[:2] == b"BM":
+        fmt, img = "bmp", decode_bmp(payload)
+    elif payload[:2] == b"\xff\xd8":
+        fmt, img = "jpeg", decode_jpeg_baseline(payload)
+    elif payload[:4] == b"\x89PNG":
+        fmt, img = "png", decode_png(payload)
+    elif payload[:4] == b"GIF8":
+        # max_frames=1: first-frame stats must not pay an N-frame
+        # animation's full LZW cost per row (r6 review)
+        fmt, img = "gif", decode_gif(payload, max_frames=1)[0]
+    else:
+        fmt = img = None
+    if img is not None:
         h, w, _ = img.shape
         return {
             "format": fmt,
