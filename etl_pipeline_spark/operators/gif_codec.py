@@ -131,6 +131,13 @@ def decode_gif(payload: bytes, max_frames: int | None = None) -> list[np.ndarray
             pos += 1
             if label == 0xF9:  # graphic control
                 body, pos = _sub_blocks(payload, pos)
+                # 89a spec fixes the GCE body at 4 bytes (flags, delay lo/hi,
+                # transparent index); a shorter body is corrupt input and must
+                # keep the ValueError contract, not IndexError on body[3]
+                if body and len(body) < 4:
+                    raise ValueError(
+                        f"malformed GIF graphic-control extension: {len(body)}-byte body"
+                    )
                 transparent = body[3] if body and (body[0] & 0x01) else None
             else:  # comment / plain text / application
                 _, pos = _sub_blocks(payload, pos)

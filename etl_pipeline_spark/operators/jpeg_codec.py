@@ -401,6 +401,12 @@ def decode_jpeg_baseline(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}, got {payload[pos]:#x}")
+        if payload[pos + 1] == 0xFF:
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may pad the gap
+            # between segments; the marker type is the byte after the last
+            # 0xFF, so slide forward one and re-check the loop bound
+            pos += 1
+            continue
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break

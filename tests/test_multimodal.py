@@ -654,3 +654,53 @@ def test_png_decodes_real_rgba_icon():
     out = decode_png(open(icons[0], "rb").read())
     assert out.shape == (32, 32, 3)
     assert out.std() > 0  # real content, not a constant plane
+
+
+def test_gif_truncated_gce_raises_value_error():
+    """ADVICE r6: a graphic-control extension whose sub-block body is
+    shorter than the spec's 4 bytes (with the transparency bit set) must
+    keep the ValueError-on-corrupt-input contract, not IndexError on
+    body[3]."""
+    from etl_pipeline_spark.operators.gif_codec import decode_gif
+
+    base = _tiny_gif([(0, 0, 4, 4, [[1] * 4] * 4)])
+    # header (13) + 4-entry GCT (12) = 25 -> image separator; splice a
+    # 2-byte GCE body with the transparency flag set in front of it
+    assert base[25] == 0x2C
+    bad_gce = bytes([0x21, 0xF9, 0x02, 0x01, 0x00, 0x00])
+    doctored = base[:25] + bad_gce + base[25:]
+    with pytest.raises(ValueError, match="graphic-control"):
+        decode_gif(doctored)
+
+
+def test_jpeg_fill_bytes_between_segments_decode():
+    """ADVICE r6 / T.81 B.1.1.2: optional 0xFF fill bytes may pad the gap
+    between segments; a spec-legal stream with such padding must decode
+    to the same pixels as the unpadded stream."""
+    from etl_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    base = encode_jpeg_baseline(_gradient(24, 16), quality=90)
+    want = decode_jpeg_baseline(base)
+
+    # walk the marker structure to find every segment boundary, then
+    # rebuild the stream with two fill bytes in front of each marker
+    # (including the SOS) — never inside a segment body or entropy data
+    bounds = []
+    pos = 2
+    while pos + 4 <= len(base):
+        assert base[pos] == 0xFF
+        bounds.append(pos)
+        if base[pos + 1] == 0xDA:
+            break
+        pos += 2 + struct.unpack_from(">H", base, pos + 2)[0]
+    padded = bytearray(base[:2])
+    prev = 2
+    for b in bounds:
+        padded += base[prev:b] + b"\xff\xff"
+        prev = b
+    padded += base[prev:]
+    assert len(padded) == len(base) + 2 * len(bounds)
+    assert np.array_equal(decode_jpeg_baseline(bytes(padded)), want)

@@ -252,3 +252,42 @@ def test_wide_shuffle_key_matching_is_exact_not_substring():
         children=[_node("SortExec", children=[ex]), _node("SortExec", children=[])],
     )
     assert wide_join_shuffle_findings(join2) == []
+
+
+def test_extract_plan_tree_sees_final_adaptive_plan_post_execution(spark):
+    """ADVICE r6: extract_plan_tree resolved AdaptiveSparkPlanExec to its
+    STATIC initial plan only, so a detector run after execution saw none
+    of AQE's re-planning. It now follows executedPlan() and unwraps the
+    QueryStageExec leaves, so a post-execution audit sees the final
+    adaptive tree — here the wide-shuffle lens still fires on a
+    materialized (stage-wrapped, AQEShuffleRead-interposed) join."""
+    from plan_audit import extract_plan_tree, wide_join_shuffle_findings
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(500).select(
+            "id", F.array_repeat(F.col("id").cast("string"), 20).alias("payload")
+        )
+        b = spark.range(500).select(F.col("id").alias("id2"))
+        j = a.join(b, a["id"] == b["id2"]).select("id", "payload")
+        j.collect()
+        jplan = j._jdf.queryExecution().executedPlan()
+        assert jplan.getClass().getSimpleName() == "AdaptiveSparkPlanExec"
+        assert jplan.isFinalPlan()
+        tree = extract_plan_tree(jplan)
+
+        def classes(n):
+            yield n["cls"]
+            for c in n["children"]:
+                yield from classes(c)
+
+        seen = set(classes(tree))
+        # stages are unwrapped to the plans they wrap ...
+        assert not any(c.endswith("QueryStageExec") for c in seen)
+        assert any(c.startswith("ShuffleExchange") for c in seen)
+        # ... and the detector keeps firing through the final-plan shape
+        assert wide_join_shuffle_findings(tree) == ["payload:array"]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
