@@ -1,0 +1,150 @@
+"""Streaming NEAR-duplicate detection — dedup-on-ingest for a
+continuously-arriving corpus (X2's streaming form; the batch family
+lives in queries/dedup.py).
+
+Shape: each document gets a P-permutation MinHash signature over its
+word-3-gram shingles (pure Column expressions — no ML fit, so the
+operator needs no vocabulary and works on an unbounded stream), the
+signature is banded LSH-style, and each (band, band_hash) bucket runs
+``applyInPandasWithState``: the state holds the first ``cap``
+signatures that landed in the bucket, and an arriving document is
+flagged as a near-duplicate when its signature agrees with a stored one
+on at least ``threshold`` of the P components (the unbiased MinHash
+estimate of Jaccard similarity). First-seen documents register; later
+near-copies emit (doc_id, matched_id, est_sim, band) rows.
+
+Scale: the shuffle key is the band hash — uniform by construction, so
+state spreads evenly across executors; per-bucket state is capped at
+``cap`` signatures (cap * P longs), making total state linear in the
+number of DISTINCT buckets touched, never in stream length. Exactly the
+keyed-DoFn-with-state design the reference's Beam pipeline uses for
+running counts (dataflow_transform.py:75-89), applied to LSH buckets.
+For unbounded multi-day runs, add a state TTL (GroupStateTimeout /
+transformWithState per-key TTL) so cold buckets age out — dedup then
+holds within the TTL horizon, the standard trade on an infinite stream.
+
+Tuning: P=32 permutations in B=8 bands of R=4 rows. A pair colliding in
+some band has banded-LSH probability 1-(1-j^R)^B of being a candidate
+(j = true Jaccard); the signature-agreement verify then filters
+candidates to est >= threshold, so band collisions only GATE which
+pairs are compared — they never flag on their own.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+NUM_PERM = 32
+BANDS = 8
+ROWS_PER_BAND = NUM_PERM // BANDS
+SHINGLE_WIDTH = 3
+
+FLAG_SCHEMA = "doc_id long, matched_id long, est_sim double, band int"
+_STATE_SCHEMA = "ids array<bigint>, sigs array<array<bigint>>"
+
+
+def minhash_signature(text: Column) -> Column:
+    """P-permutation MinHash signature (array<bigint>, length NUM_PERM)
+    of a text column's distinct word-3-gram shingle set. Permutation p
+    is xxhash64(shingle, p) — the seed rides as a second hashed column —
+    and the signature component is the min over shingles. Documents with
+    fewer than SHINGLE_WIDTH words hash their whole text as a single
+    shingle so short records still dedup exactly."""
+    toks = F.split(text, " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - SHINGLE_WIDTH, F.lit(0)))
+    shingles = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        )
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(NUM_PERM - 1)),
+        lambda p: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, p))),
+    )
+
+
+def band_hashes(sig: Column) -> Column:
+    """LSH band keys (array<bigint>, length BANDS): band b hashes the
+    b-th R-slice of the signature."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(BANDS - 1)),
+        lambda b: F.xxhash64(F.slice(sig, b * ROWS_PER_BAND + 1, ROWS_PER_BAND)),
+    )
+
+
+def _make_bucket_processor(threshold: float, cap: int):
+    def process(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        ids, sigs = state.get if state.exists else ([], [])
+        ids = list(ids)
+        sigs = [list(s) for s in sigs]
+        rows: list[tuple[int, list[int]]] = []
+        for pdf in pdfs:
+            for did, sig in zip(pdf["doc_id"], pdf["sig"]):
+                rows.append((int(did), [int(x) for x in sig]))
+        # doc_id order: within a micro-batch the LOWEST id registers
+        # first, so batch boundaries never change who matches whom
+        rows.sort(key=lambda r: r[0])
+        out: list[tuple[int, int, float]] = []
+        for did, sig in rows:
+            best_id, best_est = None, 0.0
+            for mid, msig in zip(ids, sigs):
+                est = sum(a == b for a, b in zip(sig, msig)) / float(NUM_PERM)
+                if est >= threshold and est > best_est:
+                    best_id, best_est = mid, est
+            if best_id is not None:
+                # x/NUM_PERM with NUM_PERM=32 is exact in <= 6 decimals
+                out.append((did, best_id, round(best_est, 6)))
+            elif len(ids) < cap:
+                ids.append(did)
+                sigs.append(sig)
+            # bucket at cap: the doc neither registers nor flags here —
+            # its other BANDS-1 buckets still get to match it
+        state.update((ids, sigs))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "doc_id": [o[0] for o in out],
+                    "matched_id": [o[1] for o in out],
+                    "est_sim": [o[2] for o in out],
+                    "band": [int(key[0])] * len(out),
+                }
+            )
+
+    return process
+
+
+def streaming_neardup_flags(
+    docs: DataFrame, threshold: float = 0.7, cap: int = 64
+) -> DataFrame:
+    """Streaming near-dup flags for docs(doc_id, text): one output row
+    per (band, flagged doc) naming the registered document it collides
+    with and the signature-agreement similarity estimate. A document
+    flagged in ANY band is a near-duplicate; reduce per doc_id
+    downstream (e.g. in foreachBatch: groupBy(doc_id).max(est_sim)) —
+    the per-band rows are kept so the sink can audit which band fired."""
+    sig = minhash_signature(F.col("text"))
+    banded = docs.select("doc_id", sig.alias("sig")).select(
+        "doc_id", "sig", F.posexplode(band_hashes(F.col("sig"))).alias("band", "bh")
+    )
+    return banded.groupBy("band", "bh").applyInPandasWithState(
+        _make_bucket_processor(threshold, cap),
+        outputStructType=FLAG_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

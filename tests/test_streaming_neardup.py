@@ -1,0 +1,103 @@
+"""Streaming near-dup detection (X2-on-ingest): MinHash-banded buckets
+with applyInPandasWithState keep the first-seen signature per bucket and
+flag later near-copies across micro-batch boundaries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "green turtles carry small lanterns across a wooden bridge at dusk "
+    "and nobody in the village notices the parade passing quietly by"
+)
+NEAR = BASE.replace("lanterns", "candles")  # one word of ~33 changed
+OTHER = (
+    "completely different subject matter entirely about compilers "
+    "register allocation spilling and the joys of static single "
+    "assignment form in optimizing backends for modern processors"
+)
+
+
+def _run_stream(spark, tmp, batches, threshold=0.7, cap=64):
+    """Feed batches of (doc_id, text) as one parquet file each, process
+    with maxFilesPerTrigger=1 so state genuinely crosses micro-batches."""
+    from etl_pipeline_spark.streaming.neardup import streaming_neardup_flags
+
+    schema = "doc_id long, text string"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(tmp / "data")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp / "data"))
+    )
+    flags = streaming_neardup_flags(stream, threshold=threshold, cap=cap)
+    name = f"t_neardup_{abs(hash(str(tmp))) % 10_000}"
+    q = (
+        flags.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).collect()
+
+
+def test_streaming_neardup_flags_cross_batch(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("sneardup")
+    rows = _run_stream(
+        spark,
+        tmp,
+        [
+            [(1, BASE), (3, OTHER)],  # batch 1: both register
+            [(2, NEAR)],              # batch 2: near-copy of 1 -> flags
+            [(4, BASE)],              # batch 3: exact copy of 1 -> est 1.0
+        ],
+    )
+    per_doc = {}
+    for r in rows:
+        cur = per_doc.get(r["doc_id"])
+        if cur is None or r["est_sim"] > cur[1]:
+            per_doc[r["doc_id"]] = (r["matched_id"], r["est_sim"])
+    assert set(per_doc) == {2, 4}          # 1 and 3 registered, never flagged
+    assert per_doc[4] == (1, 1.0)          # exact copy: all components agree
+    assert per_doc[2][0] == 1 and per_doc[2][1] >= 0.7
+
+    # cross-check est against a BATCH recompute of the same signatures:
+    # the streaming estimate must equal the component-agreement fraction
+    from etl_pipeline_spark.streaming.neardup import NUM_PERM, minhash_signature
+
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in spark.createDataFrame(
+            [(1, BASE), (2, NEAR), (4, BASE)], "doc_id long, text string"
+        )
+        .select("doc_id", minhash_signature(F.col("text")).alias("sig"))
+        .collect()
+    }
+    want2 = sum(a == b for a, b in zip(sigs[1], sigs[2])) / NUM_PERM
+    assert abs(per_doc[2][1] - want2) < 1e-9
+
+
+def test_streaming_neardup_bucket_cap_and_unrelated(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("sneardup_cap")
+    # cap=1: A registers everywhere; B and C both flag against A (the
+    # cap never blocks matching, only new registrations)
+    rows = _run_stream(
+        spark,
+        tmp,
+        [[(10, BASE)], [(11, BASE)], [(12, BASE), (13, OTHER)]],
+        cap=1,
+    )
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], set()).add(r["matched_id"])
+    assert set(per_doc) == {11, 12}
+    assert per_doc[11] == {10} and per_doc[12] == {10}
+    # 13 is unrelated: registered (bucket cap is per-bucket, and its
+    # buckets are disjoint from BASE's), never flagged
