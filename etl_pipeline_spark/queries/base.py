@@ -58,70 +58,14 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-6 prefix: the 14 queries whose code changed this round lead
-# (the shared map-side co-occurrence core in market-basket / item-CF /
-# pagerank / triangle; the per-step PCA iterate checkpoint; the
-# semdedup within-cluster gather that cleared the new wide-shuffle
-# audit flag; the JPEG branch in the multimodal dispatch; and the
-# broadcast-hazard family fixes the sf10 sweep drove - minhash +
-# prefix-filter verify re-shapes, window-form DF cap, RRF broadcast
-# side, tf-idf/BM25 vocabulary joins), then the FINAL never-attested
-# queries (VERDICT r5 #1 - this window completes the drain: after it
-# lands, every registry query has a driver attestation), then backfill
-# oldest-attestation-first (8 r1-attested queries also fit in the
-# window).
+# Round-7 prefix: the attestation drain completed in r6 (every registry
+# query now has a driver attestation), so this window is almost pure
+# backfill: q_multimodal_features leads (its GIF GCE / JPEG fill-byte
+# codec fixes are the round's only registry-facing code change), then
+# the 49 oldest attestations (r1-era) refresh oldest-first.
 CHECK_PRIORITY: tuple[str, ...] = (
-    "q_market_basket_rules",  # --- code changed this round: attest first ---
-    "q_item_cf_similar",
-    "q_pagerank",
-    "q_triangle_count",
-    "q_pca_top_component",
-    "q_semdedup_clusters",
-    "q_multimodal_features",
-    "q_dedup_minhash_lsh",
-    "q_dedup_prefix_filter",
-    "q_hybrid_rrf_search",
-    "q_dedup_ngram_jaccard_capped",
-    "q_tfidf_top_terms",
-    "q_tfidf_nearest_docs",
-    "q_bm25_top_terms",
-    "q_lsh_recall_report",  # --- never driver-attested ---
-    "q_snm_recall_report",
-    "q_dedup_doc_stitching",
-    "q_dq_outlier_mad",
-    "q_dq_ks_drift",
-    "q_dq_benford_check",
-    "q_text_zipf_fit",
-    "q_pmi_collocations",
-    "q_bpe_merge_candidates",
-    "q_corpus_gini",
-    "q_lm_bigram_score",
-    "q_weighted_sample",
-    "q_bloom_decontaminate",
-    "q_curriculum_buckets",
-    "q_span_corruption_plan",
-    "q_token_budget_allocation",
-    "q_filter_funnel",
-    "q_hashed_linear_score",
-    "q_multimodal_audio_energy",
-    "q_k_anonymity",
-    "q_dp_noisy_counts",
-    "q_pseudonymize_consistent",
-    "q_erasure_cascade",
-    "q_variant_json_stats",
-    "q_null_semantics",
-    "q_scalar_maps",
-    "q_length_band_filter",
-    "q_leakage_safe_split",
-    "q_asof_last_signup",  # --- backfill: oldest attestation first ---
-    "q_grouping_sets_revenue",
-    "q_window_range_frame",
-    "q_window_first_last_nth",
-    "q_ordered_string_agg",
-    "q_sample_hash_10pct",
-    "q_posexplode_tokens",
-    "q_union_by_name_missing",
-    "q_embedding_norms",  # ---------------- first-50 window ends above ----------------
+    "q_multimodal_features",  # --- code changed this round: attest first ---
+    "q_embedding_norms",  # --- backfill: oldest attestation first ---
     "q_knn_bruteforce_cosine",
     "q_knn_block_matrix",
     "q_knn_ivf",
@@ -170,7 +114,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_topk_expensive_orders",
     "q_setop_union_parties",
     "q_setop_intersect_nations",
-    "q_setop_except_nations",
+    "q_setop_except_nations",  # ---------------- first-50 window ends above ----------------
     "q_scalar_string_cleaning",
     "q_scalar_casts",
     "q_scalar_dates",
@@ -327,7 +271,57 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_dedup_repeated_spans",
     "q_dedup_containment",
     "q_scalar_multiformat_ts",
+    "q_asof_last_signup",
+    "q_grouping_sets_revenue",
+    "q_window_range_frame",
+    "q_window_first_last_nth",
+    "q_ordered_string_agg",
+    "q_sample_hash_10pct",
+    "q_posexplode_tokens",
+    "q_union_by_name_missing",
+    "q_triangle_count",
+    "q_market_basket_rules",
+    "q_pca_top_component",
+    "q_pagerank",
+    "q_item_cf_similar",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard_capped",
+    "q_semdedup_clusters",
+    "q_lsh_recall_report",
+    "q_dedup_prefix_filter",
+    "q_snm_recall_report",
+    "q_dedup_doc_stitching",
+    "q_dq_outlier_mad",
+    "q_dq_ks_drift",
+    "q_dq_benford_check",
+    "q_tfidf_top_terms",
+    "q_tfidf_nearest_docs",
+    "q_text_zipf_fit",
+    "q_pmi_collocations",
+    "q_bpe_merge_candidates",
+    "q_bm25_top_terms",
+    "q_corpus_gini",
+    "q_hybrid_rrf_search",
+    "q_lm_bigram_score",
+    "q_weighted_sample",
+    "q_bloom_decontaminate",
+    "q_curriculum_buckets",
+    "q_span_corruption_plan",
+    "q_token_budget_allocation",
+    "q_filter_funnel",
+    "q_hashed_linear_score",
+    "q_multimodal_audio_energy",
+    "q_k_anonymity",
+    "q_dp_noisy_counts",
+    "q_pseudonymize_consistent",
+    "q_erasure_cascade",
+    "q_variant_json_stats",
+    "q_null_semantics",
+    "q_scalar_maps",
+    "q_length_band_filter",
+    "q_leakage_safe_split",
 )
+
 
 
 def all_specs() -> dict[str, QuerySpec]:
