@@ -291,3 +291,45 @@ def test_extract_plan_tree_sees_final_adaptive_plan_post_execution(spark):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_executed_audit_flags_and_errors(spark):
+    """The dynamic pass itself: an unallowlisted wide shuffled join must
+    hard-fail after execution, a clean aggregate must not, and a query
+    that throws records EXEC-ERROR and fails."""
+    from plan_audit import executed_audit
+
+    class _Spec:
+        def __init__(self, fn):
+            self.fn = fn
+
+    def wide(s, sf):
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        a = s.range(300).select(
+            "id", F.array_repeat(F.col("id").cast("string"), 8).alias("payload")
+        )
+        b = s.range(300).select(F.col("id").alias("id2"))
+        return a.join(b, a["id"] == b["id2"]).select("id", "payload")
+
+    def clean(s, sf):
+        return s.range(100).selectExpr("id % 3 AS k").groupBy("k").count()
+
+    def boom(s, sf):
+        raise RuntimeError("synthetic failure")
+
+    specs = {"q_wide": _Spec(wide), "q_clean": _Spec(clean), "q_boom": _Spec(boom)}
+    try:
+        rows, fails = executed_audit(
+            spark, specs, ["q_wide", "q_clean", "q_boom"], "unused"
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    by_name = {r[0]: r for r in rows}
+    assert "wide-shuffle(payload:array)" in by_name["q_wide"][2]
+    assert by_name["q_wide"][1] == "final"
+    assert by_name["q_clean"][2] == "-"
+    assert by_name["q_boom"][1] == "error"
+    assert by_name["q_boom"][2].startswith("EXEC-ERROR")
+    assert fails == ["q_boom", "q_wide"] or fails == ["q_wide", "q_boom"]

@@ -487,8 +487,6 @@ def main() -> None:
             hard_fail.append(name)
         rows.append((name, n_ex, n_bc, n_nodes, ",".join(sorted(shown)) or "-"))
 
-    hard_fail = list(dict.fromkeys(hard_fail + stale_allowlist_entries(observed)))
-
     # dynamic pass over the judge-facing bench + scale sets: final
     # adaptive plans, catching AQE runtime conversions the static pass
     # cannot see (ADVICE r6)
@@ -497,7 +495,16 @@ def main() -> None:
     exec_rows, exec_fails = executed_audit(
         spark, specs, BENCH_QUERIES + SCALE_QUERIES, SF
     )
-    hard_fail = list(dict.fromkeys(hard_fail + exec_fails))
+    # executed-pass findings count as observed for the stale check: an
+    # allowlist entry whose flag fires only in the FINAL adaptive plan
+    # (never statically) is live, not stale
+    for name, _kind, notes in exec_rows:
+        for flag in ("wide-shuffle", "wide-broadcast"):
+            if flag in notes:
+                observed.setdefault(name, set()).add(flag)
+    hard_fail = list(
+        dict.fromkeys(hard_fail + exec_fails + stale_allowlist_entries(observed))
+    )
 
     n_flagged = sum(
         1 for r in rows if r[4] not in ("-",) and not r[4].startswith("PLAN-ERROR")
