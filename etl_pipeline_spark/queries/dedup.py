@@ -30,6 +30,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+import os
+
+from pyspark.storagelevel import StorageLevel
+
+
+def wide_ckpt_level() -> StorageLevel:
+    """Storage level for the WIDE (shingle-array / feature-vector)
+    checkpoints. Default: the engine-standard deserialized memory+disk —
+    fastest when blocks fit (serializing cost a measured +7-49%
+    wall-clock across the sf1 heavies for zero benefit there).
+
+    Set ``SPARK_GRAFT_WIDE_CKPT_SER=1`` for memory-constrained
+    deployments: serialized memory+disk stores these tables at ~wire
+    size instead of paying several-fold JVM object overhead per
+    deserialized UTF8String array. The r7 sf100 soak is the measured
+    motivation: at 1000x sf0.1 on the default 8 GB local-mode heap, the
+    deserialized shingle blocks crowded the heap until the
+    block-manager read-ahead thread OOMed; the serialized form runs the
+    same workload on the same heap. A real cluster with 4-8 GB/core
+    keeps the fast default and flips this only when corpus-per-executor
+    outgrows memory. Read at query-construction time, so one process
+    can soak both forms."""
+    if os.environ.get("SPARK_GRAFT_WIDE_CKPT_SER", "").lower() in ("1", "true", "yes"):
+        return StorageLevel.MEMORY_AND_DISK  # serialized in memory
+    return StorageLevel.MEMORY_AND_DISK_DESER
 
 from etl_pipeline_spark.catalog import load_tables
 from etl_pipeline_spark.operators.semdedup import (
@@ -146,7 +171,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = (
         d.filter(F.size(toks) >= SHINGLE_WIDTH)
         .select("doc_id", F.explode(shingle_arr).alias("shingle"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=wide_ckpt_level())
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = shingles.alias("a")
@@ -197,7 +222,7 @@ def minhash_docs_and_candidates(
     docs = (
         d.filter(F.size(toks) >= SHINGLE_WIDTH)
         .select("doc_id", shingle_arr.alias("shingles"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=wide_ckpt_level())
     )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
     # merge hint: localCheckpoint PRESERVES the origin plan's
@@ -216,7 +241,7 @@ def minhash_docs_and_candidates(
     feat = (
         tf.transform(docs)
         .select("doc_id", "features")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=wide_ckpt_level())
         .hint("merge")
     )
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
@@ -304,7 +329,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     docs_cand = docs.join(F.broadcast(member_ids), "doc_id", "semi").localCheckpoint(
-        eager=False
+        eager=False, storageLevel=wide_ckpt_level()
     )
     # merge hints: the array sides must NEVER be broadcast —
     # member-bounded is not broadcast-safe (10 KB/row at sf10 made a
@@ -544,7 +569,7 @@ def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles_all.withColumn("df", F.count("*").over(W.partitionBy("shingle")))
         .filter(F.col("df") <= DF_CAP)
         .select("doc_id", "shingle")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=wide_ckpt_level())
         .hint("merge")
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
@@ -840,7 +865,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = (
         d.filter(F.size(toks) >= SHINGLE_WIDTH)
         .select("doc_id", F.explode(shingle_arr).alias("shingle"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=wide_ckpt_level())
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = shingles.alias("a")
@@ -1100,7 +1125,7 @@ def _shingle_stream(d: DataFrame) -> DataFrame:
     return (
         d.filter(F.size(toks) >= SHINGLE_WIDTH)
         .select("doc_id", F.explode(shingle_arr).alias("shingle"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=wide_ckpt_level())
     )
 
 

@@ -396,3 +396,19 @@ def test_jpeg_roundtrip_shape_and_error_bound(h, w, seed):
     out = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=95))
     assert out.shape == img.shape
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 48
+
+
+def test_wide_ckpt_level_toggle(monkeypatch):
+    """The wide-checkpoint storage switch: deserialized (fast) by
+    default, serialized memory+disk under SPARK_GRAFT_WIDE_CKPT_SER —
+    the measured memory-constrained regime (r7 sf100 soak)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from etl_pipeline_spark.queries.dedup import wide_ckpt_level
+
+    monkeypatch.delenv("SPARK_GRAFT_WIDE_CKPT_SER", raising=False)
+    assert wide_ckpt_level() == StorageLevel.MEMORY_AND_DISK_DESER
+    monkeypatch.setenv("SPARK_GRAFT_WIDE_CKPT_SER", "1")
+    assert wide_ckpt_level() == StorageLevel.MEMORY_AND_DISK
+    monkeypatch.setenv("SPARK_GRAFT_WIDE_CKPT_SER", "0")
+    assert wide_ckpt_level() == StorageLevel.MEMORY_AND_DISK_DESER

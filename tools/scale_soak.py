@@ -403,9 +403,98 @@ def main_sf10() -> None:
     print(json.dumps({"summary_sf10": summary}))
 
 
+SF100_DIR = "/root/repo/.scratch/scale/sf100"
+# documents-only tier: both sf100 queries read only the documents table,
+# so the embeddings copies (half the build and disk) are skipped.
+SF100_QUERIES = ["q_dedup_minhash_lsh", "q_training_data_prep"]
+
+
+def build_sf100(spark) -> None:
+    """TWO decades past sf1 (r7): 10 outer copies OF SF10 with a fresh
+    vocabulary-bijection prefix ``c<k>_`` — the third compounding of the
+    same structure-preservation argument (within-copy shingle/Jaccard
+    structure stays exactly sf0.1's; cross-copy shingle sets disjoint;
+    expected pair counts ~1000x sf0.1). Doc ids offset by
+    k * 100 * ID_OFFSET (divisible by 3 and 10, and past the sf10 id
+    range: 100 copies * 300M < 30G), so the %3 / %10 splits keep their
+    proportions and ids stay copy-unique. ~5M documents, ~2.5 GB raw
+    text after three prefix layers."""
+    docs = load_tables(spark, SF10_DIR, ("documents",))["documents"]
+    parts = []
+    for k in range(COPIES):
+        prefix = F.lit(f"c{k}_")
+        new_text = F.array_join(
+            F.transform(F.split("text", " "), lambda w: F.concat(prefix, w)), " "
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + k * 100 * ID_OFFSET).alias("doc_id"),
+                new_text.alias("text"),
+                "lang",
+                "source",
+                F.length(new_text).alias("n_chars"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(128).write.mode("overwrite").parquet(f"{SF100_DIR}/documents.parquet")
+
+
+def main_sf100() -> None:
+    """Two-decades-past-sf1 spot-soak: sf10 -> sf100 slope per 10x for
+    the top-2 document heavies. Requires the sf10 fixture (run --sf10
+    first, or --skip-build if sf100 already exists).
+
+    Runs with SPARK_GRAFT_WIDE_CKPT_SER=1: at sf100 the deserialized
+    wide-checkpoint blocks OOMed the default 8 GB local-mode heap (r7;
+    block-manager read-ahead thread died mid-minhash), and the
+    serialized form is the documented memory-constrained switch — this
+    soak is exactly that regime. See queries/dedup.py:wide_ckpt_level."""
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_WIDE_CKPT_SER", "1")
+    spark = get_spark("scale_soak_sf100")
+    if "--skip-build" not in sys.argv:
+        t0 = time.perf_counter()
+        build_sf100(spark)
+        print(
+            json.dumps({"built_sf100_sec": round(time.perf_counter() - t0, 1)}),
+            flush=True,
+        )
+
+    from etl_pipeline_spark.queries.base import all_specs
+
+    specs = all_specs()
+    results: dict[str, dict[str, dict]] = {}
+    for sf_label, sf_dir in [("10", SF10_DIR), ("100", SF100_DIR)]:
+        for name in SF100_QUERIES:
+            t0 = time.perf_counter()
+            n = specs[name].fn(spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 2)
+            results.setdefault(name, {})[sf_label] = {"sec": dt, "rows": n}
+            print(
+                json.dumps({"sf": sf_label, "query": name, "sec": dt, "rows": n}),
+                flush=True,
+            )
+    summary = {}
+    for name, by_sf in results.items():
+        r10, r100 = by_sf["10"], by_sf["100"]
+        summary[name] = {
+            "sf10_sec": r10["sec"],
+            "sf100_sec": r100["sec"],
+            "t_ratio_10x": round(r100["sec"] / max(r10["sec"], 1e-9), 2),
+            "rows_ratio_10x": round(r100["rows"] / max(r10["rows"], 1), 2),
+        }
+    print(json.dumps({"summary_sf100": summary}))
+
+
 def main() -> None:
     if "--sf10" in sys.argv:
         main_sf10()
+        return
+    if "--sf100" in sys.argv:
+        main_sf100()
         return
     soak = SOAK_QUERIES
     for i, a in enumerate(sys.argv):
