@@ -58,13 +58,26 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-7 prefix: the attestation drain completed in r6 (every registry
-# query now has a driver attestation), so this window is almost pure
-# backfill: q_multimodal_features leads (its GIF GCE / JPEG fill-byte
-# codec fixes are the round's only registry-facing code change), then
-# the 49 oldest attestations (r1-era) refresh oldest-first.
+# Round-7 prefix: the attestation drain completed in r6, so after the
+# 13 changed queries (q_multimodal_features for the GIF GCE / JPEG
+# fill-byte codec fixes; the dedup family + its consumers for the
+# wide_ckpt_level storage switch — identical plans under the default
+# env, re-verified in both forms) the window backfills the oldest
+# (r1-era) attestations oldest-first.
 CHECK_PRIORITY: tuple[str, ...] = (
     "q_multimodal_features",  # --- code changed this round: attest first ---
+    "q_dedup_ngram_jaccard",
+    "q_dedup_ngram_jaccard_capped",
+    "q_dedup_minhash_lsh",
+    "q_dedup_containment",
+    "q_dedup_prefix_filter",
+    "q_training_data_prep",
+    "q_dedup_clusters",
+    "q_dedup_canonical_docs",
+    "q_leakage_safe_split",
+    "q_lsh_recall_report",
+    "q_snm_recall_report",
+    "q_dedup_doc_stitching",
     "q_embedding_norms",  # --- backfill: oldest attestation first ---
     "q_knn_bruteforce_cosine",
     "q_knn_block_matrix",
@@ -77,10 +90,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_window_distribution_ranks",
     "q_scalar_dates_extended",
     "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
     "q_dedup_simhash",
     "q_dedup_simhash_pairs",
-    "q_dedup_clusters",
     "q_dedup_minhash_signatures",
     "q_dedup_minhash_pairs",
     "q_etl_clean_cast_filter",
@@ -104,7 +115,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_text_quality_score",
     "q_text_fingerprint",
     "q_text_top_bigrams",
-    "q_text_edit_distance_pairs",
+    "q_text_edit_distance_pairs",  # ---------------- first-50 window ends above ----------------
     "q_join_anti_idle_customers",
     "q_join_cross_region_nation",
     "q_join_range_value_buckets",
@@ -114,7 +125,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_topk_expensive_orders",
     "q_setop_union_parties",
     "q_setop_intersect_nations",
-    "q_setop_except_nations",  # ---------------- first-50 window ends above ----------------
+    "q_setop_except_nations",
     "q_scalar_string_cleaning",
     "q_scalar_casts",
     "q_scalar_dates",
@@ -132,7 +143,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q02_min_cost_supplier",
     "q20_excess_shippers",
     "q21_sole_late_shipper",
-    "q_training_data_prep",
     "q_window_range_frame_partitioned",
     "q_hll_sketch_union",
     "q_window_distribution_ranks_partitioned",
@@ -146,7 +156,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_agg_extrema_by",
     "q_agg_bitwise",
     "q_histogram_values",
-    "q_dedup_canonical_docs",
     "q_dedup_embedding_cosine",
     "q_contamination_check",
     "q_pii_scrub",
@@ -269,7 +278,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_heaps_law_fit",
     "q_dedup_chunk_rewrite",
     "q_dedup_repeated_spans",
-    "q_dedup_containment",
     "q_scalar_multiformat_ts",
     "q_asof_last_signup",
     "q_grouping_sets_revenue",
@@ -284,13 +292,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_pca_top_component",
     "q_pagerank",
     "q_item_cf_similar",
-    "q_dedup_minhash_lsh",
-    "q_dedup_ngram_jaccard_capped",
     "q_semdedup_clusters",
-    "q_lsh_recall_report",
-    "q_dedup_prefix_filter",
-    "q_snm_recall_report",
-    "q_dedup_doc_stitching",
     "q_dq_outlier_mad",
     "q_dq_ks_drift",
     "q_dq_benford_check",
@@ -319,8 +321,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_null_semantics",
     "q_scalar_maps",
     "q_length_band_filter",
-    "q_leakage_safe_split",
 )
+
 
 
 
