@@ -446,15 +446,31 @@ def main_sf100() -> None:
     the top-2 document heavies. Requires the sf10 fixture (run --sf10
     first, or --skip-build if sf100 already exists).
 
-    Runs with SPARK_GRAFT_WIDE_CKPT_SER=1: at sf100 the deserialized
-    wide-checkpoint blocks OOMed the default 8 GB local-mode heap (r7;
-    block-manager read-ahead thread died mid-minhash), and the
-    serialized form is the documented memory-constrained switch — this
-    soak is exactly that regime. See queries/dedup.py:wide_ckpt_level."""
+    Memory regime (r7, measured): the heap stays at the 8 GB default —
+    raising it is the WRONG lever and measurably pathological here
+    (sf10 minhash: 89.5 s at 8g, 160.5 s at 16g, 585.8 s at 64g — giant
+    in-memory hash/sort structures lose to the cache-friendly
+    spill-and-merge path). What actually scales is PARTITIONING:
+
+    - SPARK_GRAFT_WIDE_CKPT_SER=1 — serialized wide checkpoints (the
+      deserialized blocks' JVM object overhead OOMed the block-manager
+      read-ahead thread on the first sf100 attempt);
+    - spark.sql.shuffle.partitions=256 — at the fixed 32, an sf100
+      reduce partition carries ~10x the sf10 bytes and sort spills go
+      multi-pass; 256 keeps per-task shuffle input ~flat, exactly what
+      a cluster does as data grows (AQE coalesces the excess on the
+      smaller sf10 legs);
+    - spark.sql.files.maxPartitionBytes=16m — text parquet decompresses
+      ~100:1, so the default 128m hands one scan task ~10 GB of
+      decompressed shingle arrays (the second sf100 attempt OOMed
+      inside HashingTF exactly there); 16m compressed ~= a few hundred
+      MB decompressed per task."""
     import os
 
     os.environ.setdefault("SPARK_GRAFT_WIDE_CKPT_SER", "1")
     spark = get_spark("scale_soak_sf100")
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     if "--skip-build" not in sys.argv:
         t0 = time.perf_counter()
         build_sf100(spark)
