@@ -18,7 +18,8 @@ join is the standard sub-quadratic LSH candidate generation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_pipeline_spark.catalog import load_tables
 
@@ -113,6 +114,27 @@ def _pairs_over_sig(sig_table: str) -> str:
 
 def minhash_pairs_sql_duckdb() -> str:
     return f"WITH {_sig_cte('duckdb')} {_pairs_over_sig('sig')}"
+
+
+def xxhash_minhash_components(shingles: Column, n_perm: int) -> Column:
+    """The xxhash64 MinHash family shared by the batch LSH candidate
+    generator (queries/dedup.py:minhash_docs_and_candidates) and the
+    streaming near-dup operator (streaming/neardup.py): permutation p is
+    ``xxhash64(shingle, p)`` — the permutation index rides as a second
+    hashed column — and component p of the signature is the min over the
+    document's distinct shingles. Returns array<bigint>, length n_perm.
+
+    This family is NOT cross-engine (DuckDB has no Spark-compatible
+    xxhash64), which is fine for both consumers: the batch LSH query's
+    oracle is the EXACT near-dup SQL (candidates are verified with true
+    Jaccard before emission), and the streaming operator is pinned
+    against a batch recompute of these very expressions. The md5 family
+    above exists for the queries whose ORACLE must reproduce the
+    signatures themselves."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_perm - 1)),
+        lambda p: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, p))),
+    )
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -57,6 +57,7 @@ def wide_ckpt_level() -> StorageLevel:
     return StorageLevel.MEMORY_AND_DISK_DESER
 
 from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.operators.minhash import xxhash_minhash_components
 from etl_pipeline_spark.operators.semdedup import (
     semdedup_assign,
     semdedup_pairs,
@@ -192,6 +193,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LSH_TABLES = 16  # OR-amplified single-hash tables; see minhash_docs_and_candidates
+
+
 def minhash_docs_and_candidates(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -199,9 +203,24 @@ def minhash_docs_and_candidates(
     front half of q_dedup_minhash_lsh, exposed so the bucket-explode
     plan contract (no shingle arrays on the explode side,
     tests/test_plan_assertions.py) stays assertable on the shipped code
-    after the query checkpoints the candidate set for reuse."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    after the query checkpoints the candidate set for reuse.
 
+    Candidate generation is COLUMNAR MinHash (round 7): LSH_TABLES
+    single-hash tables over the xxhash64 family shared with the
+    streaming near-dup operator (operators/minhash.py:
+    xxhash_minhash_components). Each table's bucket key is one signature
+    component; a pair is a candidate if it shares ANY table's bucket —
+    the same OR-amplification Spark ML's MinHashLSH(numHashTables=N)
+    uses, so the miss probability for a pair at the JACCARD_THRESHOLD
+    boundary is (1 - j)^LSH_TABLES = 2^-16 at j=0.5. This replaced the
+    HashingTF + MinHashLSH pipeline because the 2^18-dim sparse feature
+    vectors were pure overhead at scale: the signature is now 16 array
+    expressions over the checkpointed shingle arrays (whole-stage
+    codegen, NO shuffle, no ML fit pass, no feature-vector re-attach
+    join — the object whose broadcast OOMed the r6 sf10 soak and whose
+    HashingTF stage OOMed the r7 sf100 soak no longer exists), and the
+    bucket self-join carries three longs per row.
+    """
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     toks = F.split("text", " ")
     idx = F.sequence(F.lit(0), F.size(toks) - SHINGLE_WIDTH)
@@ -224,32 +243,32 @@ def minhash_docs_and_candidates(
         .select("doc_id", shingle_arr.alias("shingles"))
         .localCheckpoint(eager=False, storageLevel=wide_ckpt_level())
     )
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
-    # merge hint: localCheckpoint PRESERVES the origin plan's
-    # statistics, and those trace back to the parquet scan's on-disk
-    # bytes — text columns compress ~100:1, so at sf10 the planner
-    # statically estimated the 1M-row feature table under the 64m
-    # broadcast threshold and approxSimilarityJoin's internal re-attach
-    # join tried to BROADCAST it (5.8 GiB deserialized; driver OOM —
-    # the r6 sf10 incident). The hint propagates into every join over
-    # this table, forcing SORT-MERGE — the only strategy with neither a
-    # driver-sized build (broadcast) nor a task-sized hash map
-    # (shuffle_hash, which OOMed next: 32 concurrent builds share one
-    # local-mode heap); merge spills. The general lesson is pinned
-    # here: never let a compressed-scan size estimate gate a broadcast
-    # of decompressed text-derived data.
-    feat = (
-        tf.transform(docs)
-        .select("doc_id", "features")
-        .localCheckpoint(eager=False, storageLevel=wide_ckpt_level())
-        .hint("merge")
+    # Signature inline from the checkpointed arrays — column pruning
+    # drops `shingles` right after this Project, so the bucket explode
+    # and its exchange see only (doc_id, table, bucket): three longs.
+    # The column is named `hashes` on purpose: the r5 narrow-explode
+    # plan contract (tests/test_plan_assertions.py) greps explode lines
+    # for it.
+    sig = docs.select(
+        "doc_id",
+        xxhash_minhash_components(F.col("shingles"), LSH_TABLES).alias("hashes"),
     )
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
-    model = lsh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, 1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist")
-    cand = pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
-        F.col("datasetA.doc_id").alias("doc_a"),
-        F.col("datasetB.doc_id").alias("doc_b"),
+    buckets = sig.select("doc_id", F.posexplode("hashes").alias("table", "bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    # Both sides are the same subtree over the checkpointed docs, so the
+    # self-join plans ONE exchange + ReusedExchange. A pair sharing
+    # several tables appears once per table; `distinct` collapses that
+    # before the (expensive) exact-Jaccard verify touches it.
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
     return docs, cand
 
@@ -287,28 +306,32 @@ def minhash_docs_and_candidates(
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection, candidate + verify (X2 scale path):
-    shingle -> sparse vector (HashingTF) -> MinHash signatures -> banded
-    self-join for candidates -> exact Jaccard over the true shingle arrays
-    as the verify step. Seeded, so deterministic.
+    shingle -> columnar xxhash64 MinHash signature (LSH_TABLES
+    components, shared hash family with the streaming near-dup
+    operator) -> single-hash bucket self-join for candidates -> exact
+    Jaccard over the true shingle arrays as the verify step. The hash
+    family is seed-free and engine-deterministic, so deterministic.
 
     Oracle coupling (tag ``exact-recall-oracle``): the oracle is the EXACT
     near-dup SQL, so a hash mismatch here means LSH candidate recall < 1.0
     — an approximation-quality regression, not an engine bug. The LSH
-    parameters were tuned for recall 1.0 on the sf0.001-0.1 fixtures; a
-    new scale factor, fixture regeneration, or Spark hash-function change
-    may legitimately need retuning (raise numHashTables) rather than a
-    correctness fix.
+    parameters were tuned for recall 1.0 on the sf0.001-0.1 fixtures
+    (miss probability per true pair is (1-j)^LSH_TABLES = 2^-16 at the
+    j=0.5 threshold); a new scale factor, fixture regeneration, or Spark
+    hash-function change may legitimately need retuning (raise
+    LSH_TABLES) rather than a correctness fix.
 
-    Scale: approxSimilarityJoin shuffles on (band, signature) buckets —
-    sub-quadratic; the exact-Jaccard verify touches only candidates
-    (candidates << all pairs), via per-pair array_intersect rather than
-    re-running the quadratic inverted-index join. The bucket-explode
-    join carries ONLY (doc_id, features) — shipping the shingle arrays
-    (the widest column, hundreds of strings per doc) through the 8x
-    explode shuffle cost ~35% wall-clock at sf0.1 and would dominate
-    data movement at 100 TB; the verify re-attaches the arrays to the
-    narrow candidate set with two id-keyed joins (AQE broadcasts the
-    candidate side), so the wide column never moves more than once.
+    Scale: the bucket self-join shuffles on (table, bucket) — narrow
+    sub-quadratic candidate generation; the exact-Jaccard verify touches
+    only candidates (candidates << all pairs), via per-pair
+    array_intersect rather than re-running the quadratic inverted-index
+    join. The bucket-explode join carries ONLY (doc_id, table, bucket) —
+    shipping the shingle arrays (the widest column, hundreds of strings
+    per doc) through the 16x explode shuffle cost ~35% wall-clock at
+    sf0.1 when the r5 form did it and would dominate data movement at
+    100 TB; the verify re-attaches the arrays to the narrow candidate
+    set with two id-keyed joins (AQE broadcasts the candidate side), so
+    the wide column never moves more than once.
     """
     docs, cand = minhash_docs_and_candidates(spark, sf_dir)
     # referenced twice below (pair stream + membership ids) — materialize

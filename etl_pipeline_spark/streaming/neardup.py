@@ -57,6 +57,8 @@ def minhash_signature(text: Column) -> Column:
     and the signature component is the min over shingles. Documents with
     fewer than SHINGLE_WIDTH words hash their whole text as a single
     shingle so short records still dedup exactly."""
+    from etl_pipeline_spark.operators.minhash import xxhash_minhash_components
+
     toks = F.split(text, " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - SHINGLE_WIDTH, F.lit(0)))
     shingles = F.array_distinct(
@@ -70,10 +72,7 @@ def minhash_signature(text: Column) -> Column:
             ),
         )
     )
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(NUM_PERM - 1)),
-        lambda p: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, p))),
-    )
+    return xxhash_minhash_components(shingles, NUM_PERM)
 
 
 def band_hashes(sig: Column) -> Column:
