@@ -70,6 +70,46 @@ def load_tables(
     return out
 
 
+def scan_parallel(df: DataFrame, spark: SparkSession, key: str = "doc_id") -> DataFrame:
+    """Small-file parallelism guard for CPU-heavy per-row projections
+    (shingling, hashing, tokenization): a test-SF fixture is often ONE
+    parquet row-group, so the scan yields a single split and a 32-core
+    session runs the whole projection in one task. When the scan's
+    split count is well under the session parallelism, hash-repartition
+    on `key` (deterministic — never round-robin, which would reorder
+    float accumulations) so the expensive expressions above it
+    parallelize. At production scale the scan already yields thousands
+    of splits and this returns the input unchanged — the repartition
+    cost (one shuffle of the raw rows) is only ever paid where the
+    input is small enough for it to be trivial.
+
+    The split estimate comes from source-file metadata (sum of file
+    sizes vs maxPartitionBytes), not df.rdd.getNumPartitions() — the
+    RDD conversion compiles the whole plan and costs ~0.3 s of driver
+    time per call, which out-weighed the gain on sub-second queries.
+    """
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+        total = sum(
+            os.path.getsize(f[len("file:") :] if f.startswith("file:") else f)
+            for f in files
+        )
+        raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        low = raw.lower().rstrip("b")
+        if low and low[-1] in units:
+            max_split = int(low[:-1]) * units[low[-1]]
+        else:
+            max_split = int(low)
+    except Exception:
+        return df
+    est_splits = max(len(files), -(-total // max_split))
+    if est_splits * 2 <= target:
+        return df.repartition(target, key)
+    return df
+
+
 # Timestamp columns whose physical parquet encoding has varied across
 # fixture generations; the engine contract is a plain session-UTC TIMESTAMP
 # either way:

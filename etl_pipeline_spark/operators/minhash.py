@@ -130,10 +130,27 @@ def xxhash_minhash_components(shingles: Column, n_perm: int) -> Column:
     Jaccard before emission), and the streaming operator is pinned
     against a batch recompute of these very expressions. The md5 family
     above exists for the queries whose ORACLE must reproduce the
-    signatures themselves."""
+    signatures themselves.
+
+    Each shingle string is hashed ONCE; the n_perm permutations then
+    hash the resulting long — 1 string hash + n_perm long hashes per
+    shingle instead of n_perm string hashes, which is where the
+    signature time goes at n_perm=16-32 (shingles average ~20 chars).
+    """
+    return xxhash_minhash_from_hashed(
+        F.transform(shingles, lambda s: F.xxhash64(s)), n_perm
+    )
+
+
+def xxhash_minhash_from_hashed(hashed: Column, n_perm: int) -> Column:
+    """Signature components from PRE-HASHED shingles (array<bigint> of
+    xxhash64(shingle)) — for callers that keep the hashed shingle array
+    around anyway (the batch LSH verify pre-filter does exact Jaccard
+    over it). Identical output to xxhash_minhash_components on the same
+    shingle set."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_perm - 1)),
-        lambda p: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, p))),
+        lambda p: F.array_min(F.transform(hashed, lambda h: F.xxhash64(h, p))),
     )
 
 

@@ -56,8 +56,8 @@ def wide_ckpt_level() -> StorageLevel:
         return StorageLevel.MEMORY_AND_DISK  # serialized in memory
     return StorageLevel.MEMORY_AND_DISK_DESER
 
-from etl_pipeline_spark.catalog import load_tables
-from etl_pipeline_spark.operators.minhash import xxhash_minhash_components
+from etl_pipeline_spark.catalog import load_tables, scan_parallel
+from etl_pipeline_spark.operators.minhash import xxhash_minhash_from_hashed
 from etl_pipeline_spark.operators.semdedup import (
     semdedup_assign,
     semdedup_pairs,
@@ -168,9 +168,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Materialized once (lazily; see module docstring): the inverted index
     # feeds BOTH self-join sides plus the size table — without this the
-    # shingle explosion runs 3x.
+    # shingle explosion runs 3x. scan_parallel: the shingle explode is
+    # the CPU-heavy stage, and at test SFs the scan is one split.
     shingles = (
-        d.filter(F.size(toks) >= SHINGLE_WIDTH)
+        scan_parallel(d.filter(F.size(toks) >= SHINGLE_WIDTH), spark)
         .select("doc_id", F.explode(shingle_arr).alias("shingle"))
         .localCheckpoint(eager=False, storageLevel=wide_ckpt_level())
     )
@@ -207,51 +208,65 @@ def minhash_docs_and_candidates(
 
     Candidate generation is COLUMNAR MinHash (round 7): LSH_TABLES
     single-hash tables over the xxhash64 family shared with the
-    streaming near-dup operator (operators/minhash.py:
-    xxhash_minhash_components). Each table's bucket key is one signature
-    component; a pair is a candidate if it shares ANY table's bucket —
-    the same OR-amplification Spark ML's MinHashLSH(numHashTables=N)
-    uses, so the miss probability for a pair at the JACCARD_THRESHOLD
-    boundary is (1 - j)^LSH_TABLES = 2^-16 at j=0.5. This replaced the
-    HashingTF + MinHashLSH pipeline because the 2^18-dim sparse feature
-    vectors were pure overhead at scale: the signature is now 16 array
-    expressions over the checkpointed shingle arrays (whole-stage
-    codegen, NO shuffle, no ML fit pass, no feature-vector re-attach
-    join — the object whose broadcast OOMed the r6 sf10 soak and whose
-    HashingTF stage OOMed the r7 sf100 soak no longer exists), and the
-    bucket self-join carries three longs per row.
+    streaming near-dup operator (operators/minhash.py). Each table's
+    bucket key is one signature component; a pair is a candidate if it
+    shares ANY table's bucket — the same OR-amplification Spark ML's
+    MinHashLSH(numHashTables=N) uses, so the miss probability for a
+    pair at the JACCARD_THRESHOLD boundary is (1 - j)^LSH_TABLES =
+    2^-16 at j=0.5. This replaced the HashingTF + MinHashLSH pipeline
+    because the 2^18-dim sparse feature vectors were pure overhead at
+    scale: the signature is now 16 array expressions over the hashed
+    shingle arrays (whole-stage codegen, NO shuffle, no ML fit pass, no
+    feature-vector re-attach join — the object whose broadcast OOMed
+    the r6 sf10 soak and whose HashingTF stage OOMed the r7 sf100 soak
+    no longer exists), and the bucket self-join carries three longs per
+    row.
+
+    The returned docs frame carries each document's DISTINCT HASHED
+    shingles (array<bigint>, 8 B/shingle) — never the shingle strings.
+    Materializing the string arrays into the checkpoint was the single
+    largest cost of the r5-r6 forms (~4.6 of 6 s at sf0.1): the strings
+    exist only transiently inside this projection, and everything
+    downstream (signatures, bucket keys, the verify's stage-1 exact
+    Jaccard) is arithmetic over the hashes. array_distinct runs AFTER
+    hashing for the same reason — dedup compares 8-byte longs, not
+    ~20-char strings.
     """
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     toks = F.split("text", " ")
     idx = F.sequence(F.lit(0), F.size(toks) - SHINGLE_WIDTH)
-    shingle_arr = F.array_distinct(
+    hashed_shingles = F.array_distinct(
         F.transform(
             idx,
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                )
             ),
         )
     )
-    # Materialize the shingled docs ONCE (lazily; see module docstring):
-    # both the featurize step and the verify step read them, and the
-    # self-join otherwise re-evaluates the shingle transform per side
-    # (2.5x wall-clock at sf0.1). localCheckpoint doubles as lineage
-    # truncation; a cluster run would use persist(DISK) or a reliable
-    # checkpoint for the same single-materialization property.
+    # Materialize the hashed-shingle docs ONCE (lazily; see module
+    # docstring): the signature step and both verify sides read them.
+    # localCheckpoint doubles as lineage truncation; a cluster run would
+    # use persist(DISK) or a reliable checkpoint for the same
+    # single-materialization property.
     docs = (
-        d.filter(F.size(toks) >= SHINGLE_WIDTH)
-        .select("doc_id", shingle_arr.alias("shingles"))
+        scan_parallel(d.filter(F.size(toks) >= SHINGLE_WIDTH), spark)
+        .select("doc_id", hashed_shingles.alias("hsh"))
         .localCheckpoint(eager=False, storageLevel=wide_ckpt_level())
     )
-    # Signature inline from the checkpointed arrays — column pruning
-    # drops `shingles` right after this Project, so the bucket explode
-    # and its exchange see only (doc_id, table, bucket): three longs.
-    # The column is named `hashes` on purpose: the r5 narrow-explode
-    # plan contract (tests/test_plan_assertions.py) greps explode lines
-    # for it.
+    # Signature inline from the checkpointed hashed arrays — column
+    # pruning drops the array right after this Project, so the bucket
+    # explode and its exchange see only (doc_id, table, bucket): three
+    # longs. The column is named `hashes` on purpose: the r5
+    # narrow-explode plan contract (tests/test_plan_assertions.py)
+    # greps explode lines for it.
     sig = docs.select(
         "doc_id",
-        xxhash_minhash_components(F.col("shingles"), LSH_TABLES).alias("hashes"),
+        xxhash_minhash_from_hashed(F.col("hsh"), LSH_TABLES).alias("hashes"),
     )
     buckets = sig.select("doc_id", F.posexplode("hashes").alias("table", "bucket"))
     a = buckets.alias("a")
@@ -329,23 +344,27 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipping the shingle arrays (the widest column, hundreds of strings
     per doc) through the 16x explode shuffle cost ~35% wall-clock at
     sf0.1 when the r5 form did it and would dominate data movement at
-    100 TB; the verify re-attaches the arrays to the narrow candidate
-    set with two id-keyed joins (AQE broadcasts the candidate side), so
-    the wide column never moves more than once.
+    100 TB; the verify re-attaches the hashed arrays (stage-1 screen)
+    and then the shingle strings (stage-2 survivors) to the narrow
+    candidate set with id-keyed sort-merge joins, so each array column
+    moves through candidate-keyed exchanges exactly once per stage.
     """
     docs, cand = minhash_docs_and_candidates(spark, sf_dir)
     # referenced twice below (pair stream + membership ids) — materialize
     # the LSH join once instead of re-running it per consumer
     cand = cand.localCheckpoint(eager=False)
-    # Restrict the wide shingle arrays to candidate MEMBERS before any
-    # join touches them: broadcast-semi-join on the narrow id set (ids
+    # Restrict the wide hashed-shingle arrays to candidate MEMBERS
+    # before any join touches them: broadcast-semi-join on the narrow
+    # id set (ids
     # are 8 bytes; candidate membership is dup-rate-linear, so even a
     # 1B-doc corpus broadcasts ~100s of MB, and a shuffle semi-join is
     # the drop-in fallback past that). Without this, the r6 sf10 soak
     # showed AQE broadcasting the candidate-with-arrays INTERMEDIATE
     # (row count small, rows ~10 KB of shingles) and exhausting the
     # driver building it; after it, every join input is candidate-sized
-    # and the arrays cross exactly two candidate-keyed exchanges.
+    # and each array column crosses exactly two candidate-keyed
+    # exchanges (hashed arrays for the stage-1 screen, shingle strings
+    # for the stage-2 survivors).
     member_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
@@ -362,16 +381,74 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix-filter verify at sf10 in local mode). The hint pins this
     # against AQE's row-count heuristics at every scale
     # (plan-asserted: no array in any BroadcastExchange).
-    sh_a = docs_cand.select(
+    # Two-stage verify. Single-hash buckets are weak filters (any pair
+    # sharing ONE permutation's min is a candidate — ~600x more
+    # candidates than true pairs at sf0.1), so stage 1 computes exact
+    # Jaccard over the 8-byte HASHED shingle arrays for every candidate
+    # — the same screening role approxSimilarityJoin's hashed-feature
+    # distance played in the replaced ML pipeline. A 64-bit collision
+    # could in principle perturb a stage-1 intersection — P ~
+    # n_shingles^2 * 2^-64 per doc, the same epsilon class as LSH
+    # recall itself, and the exact-SQL oracle would surface it as a
+    # hash mismatch at the test SFs.
+    h_a = docs_cand.select(
+        F.col("doc_id").alias("doc_a"), F.col("hsh").alias("h_a")
+    ).hint("merge")
+    h_b = docs_cand.select(
+        F.col("doc_id").alias("doc_b"), F.col("hsh").alias("h_b")
+    ).hint("merge")
+    n_inter_h = F.size(F.array_intersect("h_a", "h_b"))
+    jac_h = n_inter_h.cast("double") / (F.size("h_a") + F.size("h_b") - n_inter_h)
+    pre = (
+        cand.join(h_a, "doc_a")
+        .join(h_b, "doc_b")
+        .filter(jac_h >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        # read twice below (survivor ids + final pair join); survivors
+        # are ~true-pair-count rows, so this materialization is tiny
+        .localCheckpoint(eager=False)
+    )
+    # Stage 2: re-derive the arithmetic from the true shingle STRINGS,
+    # recomputed from the source table for SURVIVOR members only
+    # (output-sized, so the shingle strings never exist at corpus
+    # scale), so the emitted jaccard values owe nothing to the hash
+    # family. merge hints for the same reason as above: string shingle
+    # arrays must never enter a BroadcastExchange, however small the
+    # planner thinks this side is.
+    surv_ids = (
+        pre.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pre.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - SHINGLE_WIDTH)
+    shingle_arr = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        )
+    )
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sdocs = (
+        scan_parallel(d.filter(F.size(toks) >= SHINGLE_WIDTH), spark)
+        .join(F.broadcast(surv_ids), "doc_id", "semi")
+        .select("doc_id", shingle_arr.alias("shingles"))
+    )
+    sh_a = sdocs.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     ).hint("merge")
-    sh_b = docs_cand.select(
+    sh_b = sdocs.select(
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
     ).hint("merge")
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_inter)
     return (
-        cand.join(sh_a, "doc_a")
+        pre.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jac"))
         .filter(F.col("jac") >= JACCARD_THRESHOLD)
@@ -1146,7 +1223,7 @@ def _shingle_stream(d: DataFrame) -> DataFrame:
         )
     )
     return (
-        d.filter(F.size(toks) >= SHINGLE_WIDTH)
+        scan_parallel(d.filter(F.size(toks) >= SHINGLE_WIDTH), d.sparkSession)
         .select("doc_id", F.explode(shingle_arr).alias("shingle"))
         .localCheckpoint(eager=False, storageLevel=wide_ckpt_level())
     )

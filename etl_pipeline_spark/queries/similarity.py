@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.catalog import load_tables, scan_parallel
 from etl_pipeline_spark.queries.base import query
 
 TOP_K = 5
@@ -82,7 +82,12 @@ def q_knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     For a large query set, switch to the block-matrix Pandas-UDF variant
     (see operators/similarity.py) — same semantics, BLAS throughput.
     """
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    # scan_parallel: the cosine scoring runs in the scan stage (the
+    # query side broadcasts), so a single-split test fixture would score
+    # the whole corpus in one task.
+    e = scan_parallel(
+        load_tables(spark, sf_dir, ("embeddings",))["embeddings"], spark, "vec_id"
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -306,7 +311,12 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     column once (rollup-maintenance pattern) and re-use it for every query
     batch; combine with the IVF routing operator to restrict candidates.
     """
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    # scan_parallel: the subspace explode + centroid-distance math runs
+    # in the scan stage (codebook broadcasts), single-task on a
+    # single-split fixture otherwise.
+    e = scan_parallel(
+        load_tables(spark, sf_dir, ("embeddings",))["embeddings"], spark, "vec_id"
+    )
     emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     ed = e.select("vec_id", emb_d.alias("emb"))
     m_col = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")

@@ -12,23 +12,44 @@ from pieces that are each individually verified:
     -> per-language corpus stats
 
 Scale: dedup shuffles on the fingerprint, near-dup pruning is an
-anti-join against the near-dup pair list (here the EXACT n-gram-Jaccard
-pairs so the oracle can verify the composition end-to-end; a 100 TB run
-swaps in q_dedup_minhash_lsh's candidate+verify pairs — same anti-join,
-sub-quadratic pair generation), everything else is narrow — the
-standard shape of a 100 TB corpus build.
+anti-join against the near-dup pair list (by default the EXACT
+n-gram-Jaccard pairs so the oracle can verify the composition
+end-to-end; SPARK_GRAFT_NEARDUP_LSH=1 swaps in q_dedup_minhash_lsh's
+candidate+verify pairs — same anti-join, sub-quadratic pair
+generation, identical output at recall 1.0 — which is how the sf100
+soak runs it), everything else is narrow — the standard shape of a
+100 TB corpus build.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.catalog import load_tables, scan_parallel
 from etl_pipeline_spark.queries.base import REGISTRY, query
-from etl_pipeline_spark.queries.dedup import q_dedup_ngram_jaccard
+from etl_pipeline_spark.queries.dedup import q_dedup_minhash_lsh, q_dedup_ngram_jaccard
 from etl_pipeline_spark.queries.text import TOKEN_RE
+
+
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair source for the prune step. Default: the EXACT
+    inverted-index n-gram-Jaccard join, so the composed oracle verifies
+    the whole pipeline end-to-end. ``SPARK_GRAFT_NEARDUP_LSH=1`` swaps
+    in the MinHash-LSH candidate+verify pairs — the sub-quadratic form a
+    100 TB run uses, and the one whose memory profile survives the sf100
+    soak (the exact join's shingle-agg stage is the measured per-JVM
+    memory floor there). The two emit IDENTICAL (doc_a, doc_b, jaccard)
+    sets whenever LSH candidate recall is 1.0, which the minhash query's
+    own exact-SQL oracle pins at every test SF — so the switch is
+    verified in both positions at sf0.01, like the wide-checkpoint
+    storage switch."""
+    if os.environ.get("SPARK_GRAFT_NEARDUP_LSH") == "1":
+        return q_dedup_minhash_lsh(spark, sf_dir)
+    return q_dedup_ngram_jaccard(spark, sf_dir)
 
 
 def _oracle() -> str:
@@ -83,13 +104,18 @@ def _oracle() -> str:
 def q_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus build: exact dedup -> near-dup prune -> quality
     gate -> token accounting -> deterministic sample -> per-lang stats."""
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # scan_parallel: the fingerprint md5 + regexp normalization and the
+    # downstream token/punct regexps all run in scan stages — serial on
+    # a single-split test fixture otherwise.
+    d = scan_parallel(
+        load_tables(spark, sf_dir, ("documents",))["documents"], spark
+    )
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     wfp = W.partitionBy(F.md5(norm)).orderBy("doc_id")
     exact_kept = (
         d.withColumn("rn", F.row_number().over(wfp)).filter(F.col("rn") == 1).drop("rn")
     )
-    drop_ids = q_dedup_ngram_jaccard(spark, sf_dir).select(
+    drop_ids = _neardup_pairs(spark, sf_dir).select(
         F.col("doc_b").alias("doc_id")
     ).distinct()
     neardup_kept = exact_kept.join(drop_ids, "doc_id", "left_anti")
