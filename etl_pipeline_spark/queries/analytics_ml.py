@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_spark.catalog import load_tables
 from etl_pipeline_spark.queries.base import query
+from etl_pipeline_spark.queries.dedup import wide_ckpt_level
 
 
 # --- Leave-one-out target encoding ------------------------------------------
@@ -229,6 +230,20 @@ def co_purchase_edges(li: DataFrame, support: int) -> DataFrame:
     return co_occurrence_pairs(li, support, "support").select("u", "v")
 
 
+def pagerank_edges(li: DataFrame) -> DataFrame:
+    """Directed (both-ways) co-purchase edge frame behind pagerank_ranks:
+    source-key-partitioned and PERSISTED so every power iteration's join
+    reuses the partitioning (see pagerank_ranks' exchange-budget note —
+    localCheckpoint would lose it; plan-asserted in
+    tests/test_plan_assertions.py)."""
+    und = co_purchase_edges(li, PR_SUPPORT)
+    return (
+        und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(F.col("u"))
+        .persist(wide_ckpt_level())
+    )
+
+
 def pagerank_ranks(li: DataFrame) -> DataFrame:
     """Full (un-limited) rank table behind q_pagerank: every node with
     its degree and final integer rank. Exposed separately so invariants
@@ -236,43 +251,59 @@ def pagerank_ranks(li: DataFrame) -> DataFrame:
     envelope tests/test_session6_operators.py asserts — can be checked
     without the top-k cut.
 
-    Edge derivation: co_purchase_edges (shared with q_triangle_count)."""
-    und = co_purchase_edges(li, PR_SUPPORT)
-    edges = (
-        und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .localCheckpoint(eager=False)
-    )
+    Edge derivation: co_purchase_edges (shared with q_triangle_count).
+
+    Exchange budget (r7): the BIG side never re-shuffles. Edges are
+    hash-repartitioned on the source key once and PERSISTED — persist,
+    not localCheckpoint, deliberately: a cached InMemoryRelation reports
+    its child's outputPartitioning, while localCheckpoint in this Spark
+    build scans a bare ExistingRDD with UNKNOWN partitioning (measured:
+    `repartition(u).localCheckpoint().groupBy(u)` re-exchanges; the
+    persist form does not). Every iteration's edges-ranks join therefore
+    exchanges only the node-cardinality contribution side, |V| << |E|.
+    The rank vector carries (node, od, r, n), so the old per-iteration
+    outdeg join and spine re-join (two more rank-sized exchanges each
+    pass) are gone — this is the "pre-partition edges and ranks" note
+    above, implemented rather than promised. Rank iterates keep
+    localCheckpoint: there the point is constant-depth lineage, their
+    rows are node-sized, and re-deriving them is the cost persist would
+    pin memory to avoid."""
+    edges = pagerank_edges(li)
     outdeg = edges.groupBy("u").agg(F.count("*").alias("od"))
     nn = outdeg.agg(F.count("*").alias("n"))
+    # (node, od, r): od rides the vector so no per-iteration degree join
     r = (
-        outdeg.select(F.col("u").alias("node"))
+        outdeg.select(F.col("u").alias("node"), "od")
         .crossJoin(F.broadcast(nn))
-        .select("node", F.expr(f"CAST({PR_SCALE} AS BIGINT) div n").alias("r"))
+        .select(
+            "node",
+            "od",
+            F.expr(f"CAST({PR_SCALE} AS BIGINT) div n").alias("r"),
+            F.col("n").alias("_n"),
+        )
+        .localCheckpoint(eager=False)
     )
     for _ in range(PR_ITERS):
-        contrib = (
-            r.join(outdeg, r["node"] == outdeg["u"])
-            .select(F.col("node"), F.expr("r div od").alias("c"))
-        )
+        contrib = r.select(F.col("node"), F.expr("r div od").alias("c"))
         inc = (
             edges.join(contrib, edges["u"] == contrib["node"])
             .groupBy(edges["v"])
             .agg(F.sum("c").alias("sc"))
         )
         r = (
-            outdeg.select(F.col("u").alias("node"))
-            .join(inc, F.col("node") == inc["v"], "left")
-            .crossJoin(F.broadcast(nn))
+            r.join(inc, r["node"] == inc["v"], "left")
             .select(
                 "node",
+                "od",
                 F.expr(
-                    f"CAST((15 * (CAST({PR_SCALE} AS BIGINT) div n)) div 100"
+                    f"CAST((15 * (CAST({PR_SCALE} AS BIGINT) div _n)) div 100"
                     " + (85 * COALESCE(sc, 0)) div 100 AS BIGINT)"
                 ).alias("r"),
+                "_n",
             )
             .localCheckpoint(eager=False)
         )
-    return r.join(outdeg, r["node"] == outdeg["u"]).select(
+    return r.select(
         "node", F.col("od").cast("long").alias("degree"), F.col("r").alias("rank_scaled")
     )
 

@@ -360,3 +360,78 @@ def test_minhash_lsh_verify_broadcasts_only_narrow_ids(spark):
     # the audit's own detector, not a re-implementation — so the test and
     # the gate can never disagree about the same plan (r6 review finding)
     assert wide_broadcast_findings(tree) == []
+
+
+def test_persist_preserves_partitioning_checkpoint_does_not(spark):
+    """The q_pagerank exchange-budget contract rests on a Spark behavior
+    measured in this build (4.1.x): a cached InMemoryRelation reports its
+    child's outputPartitioning, so a same-key aggregate above
+    `repartition(k).persist()` re-uses the repartition — while
+    localCheckpoint scans a bare ExistingRDD whose partitioning is
+    UNKNOWN, so the identical aggregate re-exchanges. pagerank's edge
+    frame is persisted (not checkpointed) for exactly this reason; if a
+    Spark upgrade changes either side, revisit that choice."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(2000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("x")
+    )
+
+    cached = base.repartition(F.col("k")).persist()
+    try:
+        agg_c = cached.groupBy("k").agg(F.sum("x").alias("s"))
+        agg_c.collect()
+        final_c = plans.executed(agg_c).split("== Initial Plan ==")[0]
+        # the only exchange in the final plan is the cached REPARTITION_BY_COL
+        # inside the InMemoryRelation — no ENSURE_REQUIREMENTS re-shuffle above it
+        assert "InMemoryTableScan" in final_c
+        ensure = [
+            ln
+            for ln in final_c.splitlines()
+            if "Exchange hashpartitioning" in ln and "ENSURE_REQUIREMENTS" in ln
+        ]
+        assert ensure == [], f"cached partitioning not reused: {ensure}"
+    finally:
+        cached.unpersist()
+
+    ckpt = base.repartition(F.col("k")).localCheckpoint(eager=True)
+    agg_k = ckpt.groupBy("k").agg(F.sum("x").alias("s"))
+    agg_k.collect()
+    final_k = plans.executed(agg_k).split("== Initial Plan ==")[0]
+    assert "Exchange hashpartitioning" in final_k, (
+        "localCheckpoint now PRESERVES partitioning — pagerank (and the "
+        "other repartition+checkpoint sites) can drop their persist "
+        "workaround: " + final_k[:500]
+    )
+
+
+def test_pagerank_edges_are_persisted_and_reuse_partitioning(spark):
+    """Companion to the partitioning test above, on the SHIPPED edge
+    builder (the final q_pagerank plan is checkpoint-truncated, so the
+    cache is invisible there): pagerank_edges is a cached relation whose
+    source-key partitioning a same-key consumer re-uses — the out-degree
+    aggregate, the exact shape every power iteration's join requires,
+    plans with no ENSURE_REQUIREMENTS re-exchange above the cache."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_spark.catalog import load_tables
+    from etl_pipeline_spark.queries.analytics_ml import pagerank_edges
+
+    li = load_tables(spark, SF, ("lineitem",))["lineitem"]
+    edges = pagerank_edges(li)
+    try:
+        outdeg = edges.groupBy("u").agg(F.count("*").alias("od"))
+        outdeg.collect()
+        final = plans.executed(outdeg).split("== Initial Plan ==")[0]
+        assert "InMemoryTableScan" in final or "TableCacheQueryStage" in final, (
+            final[:800]
+        )
+        above_cache = final.split("InMemoryRelation")[0]
+        ensure = [
+            ln
+            for ln in above_cache.splitlines()
+            if "Exchange hashpartitioning" in ln and "ENSURE_REQUIREMENTS" in ln
+        ]
+        assert ensure == [], f"edge partitioning not reused: {ensure}"
+    finally:
+        edges.unpersist()
