@@ -38,9 +38,19 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = MAX
     in O(log n) rounds on any topology and has the same fixpoint."""
     from pyspark.sql import Observation
 
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    # persist, not localCheckpoint: the edge frame is the BIG side of
+    # every round's join and persist keeps the dst-key partitioning
+    # visible to the planner (localCheckpoint in this Spark build scans
+    # an ExistingRDD with unknown partitioning — measured, pinned in
+    # tests/test_plan_assertions.py), so only the node-sized label frame
+    # shuffles per round. Unpersisted before return: every consumer
+    # reads the eagerly-checkpointed labels, never this frame.
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(F.col("dst"))
+        .persist()
+    )
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
     converged = False
     for _ in range(max_iter):
@@ -70,6 +80,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = MAX
         if int(obs.get["changed"] or 0) == 0:
             converged = True
             break
+    sym.unpersist()
     if not converged:
         import warnings
 
