@@ -37,20 +37,13 @@ def dedupe_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", width: int = 3) -> DataFrame:
-    """(id, shingle) distinct word n-gram pairs."""
-    toks = F.split(text_col, " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - width)
-    arr = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(width)]
-            ),
-        )
-    )
-    return df.filter(F.size(toks) >= width).select(
-        F.col(id_col).alias("id"), F.explode(arr).alias("shingle")
-    )
+    """(id, shingle) distinct word n-gram pairs. Tokenizes ONCE via
+    functions/shingles.py — inline split is O(tokens^2) per doc."""
+    from etl_pipeline_spark.functions.shingles import tokenized, word_shingles
+
+    return tokenized(
+        df, id_col, text_col=text_col, min_tokens=width
+    ).select(F.col(id_col).alias("id"), F.explode(word_shingles(width)).alias("shingle"))
 
 
 def jaccard_near_dup_pairs(

@@ -5,7 +5,8 @@ check), this MinHash is built from md5 like operators/simhash.py, so the
 signatures, the banded candidate join AND the estimated Jaccard are all
 bit-identical in DuckDB and value-hash-checked:
 
-  h_i(s)       = first 12 hex chars of md5('<i>|' + shingle) as 48-bit int
+  h(s)         = (first 12 hex chars of md5(shingle) as 48-bit int) mod M
+  h_i(s)       = (A[i] * h(s) + B[i]) mod M,   M = 2^31 - 1 (Carter-Wegman)
   sig_i(doc)   = min over the doc's distinct shingles of h_i(s),  i < 16
   band_j(doc)  = (sig_{4j}, .., sig_{4j+3}) as one string key,    j < 4
   candidates   = pairs sharing ANY band (union of 4 equi-joins)
@@ -41,14 +42,17 @@ def _hex48(md5_expr: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# Token array hoisted into a subquery: referencing split(text) inline
+# re-evaluates it per transform element (O(tokens^2) per doc — measured
+# 2.8 s vs 0.43 s cold on the sf0.01 shingle stream; see
+# functions/shingles.py for the DataFrame-side twin of this fix).
 _SPARK_SHINGLES = f"""
     SELECT doc_id, explode(array_distinct(transform(
-        sequence(0, size(split(text, ' ')) - {SHINGLE_WIDTH}),
-        i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1],
-                       split(text, ' ')[i+2])
+        sequence(0, size(toks) - {SHINGLE_WIDTH}),
+        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
     ))) AS shingle
-    FROM documents
-    WHERE size(split(text, ' ')) >= {SHINGLE_WIDTH}
+    FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents)
+    WHERE size(toks) >= {SHINGLE_WIDTH}
 """
 
 _DUCK_SHINGLES = f"""
@@ -62,19 +66,57 @@ _DUCK_SHINGLES = f"""
 """
 
 
+# Carter-Wegman permutation constants for the 16 signature components:
+# h_i(x) = (A[i] * x + B[i]) mod M over the md5-derived base hash. Fixed
+# literals (not runtime-generated) so the SQL text — and therefore the
+# signatures — is identical across engines and across runs. M is the
+# Mersenne prime 2^31 - 1; a*(x mod M) + b < 2^62 so ANSI-mode BIGINT
+# arithmetic cannot overflow.
+_CW_M = 2_147_483_647
+_CW_A = (
+    1203248318, 394002377, 1482917898, 973360097,
+    560837743, 2122300865, 301051916, 1293086247,
+    1791290746, 848363558, 76474139, 1901561757,
+    489225455, 1022665331, 1659357897, 232127078,
+)
+_CW_B = (
+    1853245938, 1336713364, 525125949, 1875781527,
+    200612970, 1540929600, 632843609, 1897252314,
+    1230667493, 287295574, 1976316105, 762912539,
+    1070763739, 335844348, 60709060, 1586958406,
+)
+
+
 def _sig_cte(engine: str) -> str:
+    """One md5 per shingle, then 16 integer universal-hash mixes.
+
+    The original family hashed every shingle 16 times
+    (md5('<i>|'+shingle)) and decoded 12 hex digits per hash — 16 string
+    hashes + 192 string ops per shingle, which dominated the signature
+    build (~13 s of q_lsh_recall_report's 21.8 s at sf0.01, BOTH
+    engines). Now the string is hashed and hex-decoded ONCE into a
+    48-bit base value, and each component is a Carter-Wegman mix
+    (A[i]*(h mod M) + B[i]) mod M — pure 64-bit arithmetic, identical
+    SQL text in Spark and DuckDB so signatures stay value-hash-checked.
+    The mod-M fold narrows the shingle space to 31 bits; collisions
+    merge shingles CONSISTENTLY on both engines (same function), so the
+    oracle remains exact and the Jaccard-estimate perturbation is the
+    same epsilon class as MinHash sampling error itself."""
     shingles = _SPARK_SHINGLES if engine == "spark" else _DUCK_SHINGLES
-    min_exprs = []
-    for i in range(N_HASHES):
-        md5_expr = f"md5(CONCAT('{i}|', shingle))"
-        min_exprs.append(f"MIN({_hex48(md5_expr)}) AS m{i}")
+    min_exprs = [
+        f"MIN(({_CW_A[i]} * h + {_CW_B[i]}) % {_CW_M}) AS m{i}"
+        for i in range(N_HASHES)
+    ]
     mins = ",\n           ".join(min_exprs)
     return f"""
     shingles AS ({shingles}),
+    hashed AS (
+        SELECT doc_id, {_hex48("md5(shingle)")} % {_CW_M} AS h FROM shingles
+    ),
     sig AS (
         SELECT doc_id,
            {mins}
-        FROM shingles GROUP BY doc_id
+        FROM hashed GROUP BY doc_id
     )
     """
 

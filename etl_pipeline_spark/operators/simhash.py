@@ -72,15 +72,15 @@ def _simhash_cte(tokens_select: str) -> str:
 # discriminative power; shingles carry word order and local context).
 _SHINGLE_WIDTH = 3
 
+# Token array hoisted into a subquery — inline split re-evaluates per
+# transform element, O(tokens^2)/doc (see functions/shingles.py).
 _SPARK_TOKENS = f"""
     SELECT doc_id, explode(array_distinct(transform(
-        sequence(0, size(split(lower(text), ' ')) - {_SHINGLE_WIDTH}),
-        i -> concat_ws(' ', split(lower(text), ' ')[i],
-                       split(lower(text), ' ')[i+1],
-                       split(lower(text), ' ')[i+2])
+        sequence(0, size(toks) - {_SHINGLE_WIDTH}),
+        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
     ))) AS token
-    FROM documents
-    WHERE size(split(lower(text), ' ')) >= {_SHINGLE_WIDTH}
+    FROM (SELECT doc_id, split(lower(text), ' ') AS toks FROM documents)
+    WHERE size(toks) >= {_SHINGLE_WIDTH}
 """
 _DUCK_TOKENS = f"""
     SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(

@@ -57,6 +57,11 @@ def wide_ckpt_level() -> StorageLevel:
     return StorageLevel.MEMORY_AND_DISK_DESER
 
 from etl_pipeline_spark.catalog import load_tables, scan_parallel
+from etl_pipeline_spark.functions.shingles import (
+    hashed_word_shingles,
+    tokenized,
+    word_shingles,
+)
 from etl_pipeline_spark.operators.minhash import xxhash_minhash_from_hashed
 from etl_pipeline_spark.operators.semdedup import (
     semdedup_assign,
@@ -153,26 +158,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     path at 100 TB, with this as the verify step on surviving pairs.
     """
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    toks = F.split("text", " ")
-    # Guard: sequence(0, n) with n < 0 would produce a DESCENDING sequence
-    # in Spark, so short docs are filtered out before shingling (the oracle
-    # filters identically).
-    idx = F.sequence(F.lit(0), F.size(toks) - SHINGLE_WIDTH)
-    shingle_arr = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
-            ),
-        )
-    )
     # Materialized once (lazily; see module docstring): the inverted index
     # feeds BOTH self-join sides plus the size table — without this the
     # shingle explosion runs 3x. scan_parallel: the shingle explode is
     # the CPU-heavy stage, and at test SFs the scan is one split.
+    # tokenized(): min_tokens guards sequence(0, n<0) (DESCENDING in
+    # Spark — short docs drop before shingling; the oracle filters
+    # identically) AND hoists the split (functions/shingles.py).
     shingles = (
-        scan_parallel(d.filter(F.size(toks) >= SHINGLE_WIDTH), spark)
-        .select("doc_id", F.explode(shingle_arr).alias("shingle"))
+        tokenized(
+            scan_parallel(d, spark), "doc_id", min_tokens=SHINGLE_WIDTH
+        )
+        .select("doc_id", F.explode(word_shingles(SHINGLE_WIDTH)).alias("shingle"))
         .localCheckpoint(eager=False, storageLevel=wide_ckpt_level())
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
@@ -233,29 +230,15 @@ def minhash_docs_and_candidates(
     ~20-char strings.
     """
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    toks = F.split("text", " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - SHINGLE_WIDTH)
-    hashed_shingles = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.xxhash64(
-                F.concat_ws(
-                    " ",
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                    F.element_at(toks, i + 3),
-                )
-            ),
-        )
-    )
     # Materialize the hashed-shingle docs ONCE (lazily; see module
     # docstring): the signature step and both verify sides read them.
     # localCheckpoint doubles as lineage truncation; a cluster run would
     # use persist(DISK) or a reliable checkpoint for the same
-    # single-materialization property.
+    # single-materialization property. tokenized() hoists the split
+    # (functions/shingles.py — inline split is O(tokens^2) per doc).
     docs = (
-        scan_parallel(d.filter(F.size(toks) >= SHINGLE_WIDTH), spark)
-        .select("doc_id", hashed_shingles.alias("hsh"))
+        tokenized(scan_parallel(d, spark), "doc_id", min_tokens=SHINGLE_WIDTH)
+        .select("doc_id", hashed_word_shingles(SHINGLE_WIDTH).alias("hsh"))
         .localCheckpoint(eager=False, storageLevel=wide_ckpt_level())
     )
     # Signature inline from the checkpointed hashed arrays — column
@@ -420,24 +403,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pre.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    toks = F.split("text", " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - SHINGLE_WIDTH)
-    shingle_arr = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
-            ),
-        )
-    )
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     sdocs = (
-        scan_parallel(d.filter(F.size(toks) >= SHINGLE_WIDTH), spark)
+        tokenized(scan_parallel(d, spark), "doc_id", min_tokens=SHINGLE_WIDTH)
         .join(F.broadcast(surv_ids), "doc_id", "semi")
-        .select("doc_id", shingle_arr.alias("shingles"))
+        .select("doc_id", word_shingles(SHINGLE_WIDTH).alias("shingles"))
     )
     sh_a = sdocs.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
@@ -638,16 +608,6 @@ def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(cap^2) per shingle; combined with MinHash banding this is the
     production near-dup path."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    toks = F.split("text", " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - SHINGLE_WIDTH)
-    shingle_arr = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
-            ),
-        )
-    )
     # The cap is a WINDOW count over the posting stream (r6): one
     # shuffle of the postings by shingle, filter in place — no
     # doc-frequency TABLE exists to join or broadcast at all. The r5
@@ -658,8 +618,8 @@ def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every measured scale AND structurally broadcast-free. The capped
     # index is materialized once, lazily: it feeds both self-join sides
     # and the size table.
-    shingles_all = d.filter(F.size(toks) >= SHINGLE_WIDTH).select(
-        "doc_id", F.explode(shingle_arr).alias("shingle")
+    shingles_all = tokenized(d, "doc_id", min_tokens=SHINGLE_WIDTH).select(
+        "doc_id", F.explode(word_shingles(SHINGLE_WIDTH)).alias("shingle")
     )
     # merge hint: the checkpoint preserves the origin plan's scan-derived
     # size estimate (~100:1 optimistic for text), so without it the
@@ -952,19 +912,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew risk; the capped variant's stop-shingle drop applies verbatim.
     """
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    toks = F.split("text", " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - SHINGLE_WIDTH)
-    shingle_arr = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
-            ),
-        )
-    )
     shingles = (
-        d.filter(F.size(toks) >= SHINGLE_WIDTH)
-        .select("doc_id", F.explode(shingle_arr).alias("shingle"))
+        tokenized(d, "doc_id", min_tokens=SHINGLE_WIDTH)
+        .select("doc_id", F.explode(word_shingles(SHINGLE_WIDTH)).alias("shingle"))
         .localCheckpoint(eager=False, storageLevel=wide_ckpt_level())
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
@@ -1209,22 +1159,11 @@ REGISTRY["q_lsh_recall_report"].oracle = f"""
 def _shingle_stream(d: DataFrame) -> DataFrame:
     """Distinct word-3-gram shingles per doc (the q_dedup_ngram_jaccard
     construction, factored for reuse), lazily materialized once."""
-    toks = F.split("text", " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - SHINGLE_WIDTH)
-    shingle_arr = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
-            ),
-        )
-    )
     return (
-        scan_parallel(d.filter(F.size(toks) >= SHINGLE_WIDTH), d.sparkSession)
-        .select("doc_id", F.explode(shingle_arr).alias("shingle"))
+        tokenized(
+            scan_parallel(d, d.sparkSession), "doc_id", min_tokens=SHINGLE_WIDTH
+        )
+        .select("doc_id", F.explode(word_shingles(SHINGLE_WIDTH)).alias("shingle"))
         .localCheckpoint(eager=False, storageLevel=wide_ckpt_level())
     )
 

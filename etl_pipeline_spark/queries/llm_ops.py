@@ -18,6 +18,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.functions.shingles import tokenized, word_shingles
 from etl_pipeline_spark.queries.base import query
 from etl_pipeline_spark.queries.text import TOKEN_RE
 
@@ -52,18 +53,10 @@ def _ngram_sql(width: int, who: str) -> str:
 
 
 def _ngrams(df: DataFrame, width: int) -> DataFrame:
-    toks = F.split("text", " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - width)
-    arr = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + k + 1) for k in range(width)]
-            ),
-        )
-    )
-    return df.filter(F.size(toks) >= width).select(
-        "doc_id", F.explode(arr).alias("shingle")
+    # tokenized() hoists the split — inline split is O(tokens^2)/doc
+    # (functions/shingles.py)
+    return tokenized(df, "doc_id", min_tokens=width).select(
+        "doc_id", F.explode(word_shingles(width)).alias("shingle")
     )
 
 
@@ -641,19 +634,7 @@ def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     index and each batch anti-joins against it.
     """
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    toks = F.split("text", " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - NOVELTY_NGRAM)
-    arr = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + k + 1) for k in range(NOVELTY_NGRAM)]
-            ),
-        )
-    )
-    sh = d.filter(F.size(toks) >= NOVELTY_NGRAM).select(
-        "doc_id", F.explode(arr).alias("shingle")
-    )
+    sh = _ngrams(d, NOVELTY_NGRAM)
     first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     joined = sh.join(first_seen, "shingle")
     novel = (F.col("first_doc") == F.col("doc_id")).cast("long")

@@ -238,14 +238,19 @@ def q_text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k is a bounded window per language."""
     from pyspark.sql import Window as W
 
+    from etl_pipeline_spark.functions.shingles import tokenized
+
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    toks = F.split("text", " ")
+    # tokenized() hoists the split (functions/shingles.py); bigrams here
+    # are NOT distinct-per-doc (frequency counting), so the shingle
+    # builder's array_distinct form does not apply.
+    toks = F.col("toks")
     bigram_arr = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 2),
         lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
     )
     counted = (
-        d.filter(F.size(toks) >= 2)
+        tokenized(d, "lang", min_tokens=2)
         .select("lang", F.explode(bigram_arr).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count("*").alias("n"))
