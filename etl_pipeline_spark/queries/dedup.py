@@ -191,7 +191,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LSH_TABLES = 16  # OR-amplified single-hash tables; see minhash_docs_and_candidates
+# Banded LSH over a 16-permutation signature: band b's bucket key hashes
+# the 2-component slice (sig[2b], sig[2b+1]) — see
+# minhash_docs_and_candidates for the recall/candidate-volume analysis.
+LSH_PERMS = 16
+LSH_ROWS = 2
+LSH_BANDS = LSH_PERMS // LSH_ROWS
 
 
 def minhash_docs_and_candidates(
@@ -203,21 +208,35 @@ def minhash_docs_and_candidates(
     tests/test_plan_assertions.py) stays assertable on the shipped code
     after the query checkpoints the candidate set for reuse.
 
-    Candidate generation is COLUMNAR MinHash (round 7): LSH_TABLES
-    single-hash tables over the xxhash64 family shared with the
-    streaming near-dup operator (operators/minhash.py). Each table's
-    bucket key is one signature component; a pair is a candidate if it
-    shares ANY table's bucket — the same OR-amplification Spark ML's
-    MinHashLSH(numHashTables=N) uses, so the miss probability for a
-    pair at the JACCARD_THRESHOLD boundary is (1 - j)^LSH_TABLES =
-    2^-16 at j=0.5. This replaced the HashingTF + MinHashLSH pipeline
-    because the 2^18-dim sparse feature vectors were pure overhead at
-    scale: the signature is now 16 array expressions over the hashed
-    shingle arrays (whole-stage codegen, NO shuffle, no ML fit pass, no
-    feature-vector re-attach join — the object whose broadcast OOMed
-    the r6 sf10 soak and whose HashingTF stage OOMed the r7 sf100 soak
-    no longer exists), and the bucket self-join carries three longs per
-    row.
+    Candidate generation is COLUMNAR banded MinHash: a LSH_PERMS=16
+    permutation xxhash64 signature (family shared with the streaming
+    near-dup operator, operators/minhash.py) banded as LSH_BANDS=8 keys
+    of LSH_ROWS=2 components each; a pair is a candidate if it shares
+    ANY band's bucket. The banding exponent matters at scale: the first
+    r7 form used 16 SINGLE-hash tables (R=1), whose candidate
+    probability for a background pair is ~16j — at sf0.1 that meant
+    155,502 candidates for 256 true pairs (600x junk; the 8x2 banding
+    emits 1,277 with zero true pairs missed, measured). With R=2 the
+    background probability falls to ~8j^2 while the miss probability
+    for a true pair is (1-j^2)^8: 2.8e-4 at j=0.8 (the observed floor
+    of true pairs at every test SF — min jaccard 0.8 at sf0.1, 0.9 at
+    sf0.01), 4% at j=0.6, 10% at the 0.5 threshold boundary. The
+    exact-SQL oracle pins empirical recall 1.0 at the test SFs; the
+    S-curve trade is documented here rather than hidden in an
+    est-jaccard pre-filter. Permutation count was swept (16/24/32 at
+    R=2: all recall-1.0, candidates 1,277/1,831/2,225): the signature
+    is the DOMINANT stage at sf1+ (32 perms doubled sf10 wall-clock
+    against a candidate saving that verify's hash screen had already
+    made cheap), so the sweep picked the cheapest-signature form and
+    banded recall margin is bought with ROWS=2, not more permutations.
+
+    This family replaced the HashingTF + MinHashLSH pipeline because
+    the 2^18-dim sparse feature vectors were pure overhead at scale:
+    the signature is LSH_PERMS array expressions over the hashed
+    shingle arrays (NO shuffle, no ML fit pass, no feature-vector
+    re-attach join — the object whose broadcast OOMed the r6 sf10 soak
+    and whose HashingTF stage OOMed the r7 sf100 soak no longer
+    exists), and the bucket self-join carries three longs per row.
 
     The returned docs frame carries each document's DISTINCT HASHED
     shingles (array<bigint>, 8 B/shingle) — never the shingle strings.
@@ -241,15 +260,28 @@ def minhash_docs_and_candidates(
         .select("doc_id", hashed_word_shingles(SHINGLE_WIDTH).alias("hsh"))
         .localCheckpoint(eager=False, storageLevel=wide_ckpt_level())
     )
-    # Signature inline from the checkpointed hashed arrays — column
-    # pruning drops the array right after this Project, so the bucket
-    # explode and its exchange see only (doc_id, table, bucket): three
-    # longs. The column is named `hashes` on purpose: the r5
-    # narrow-explode plan contract (tests/test_plan_assertions.py)
-    # greps explode lines for it.
-    sig = docs.select(
+    # Signature inline from the checkpointed hashed arrays, banded into
+    # LSH_BANDS bucket keys (xxhash64 of each LSH_ROWS-component slice,
+    # the streaming operator's band construction) — column pruning
+    # drops every array right after this Project, so the bucket explode
+    # and its exchange see only (doc_id, table, bucket): three longs.
+    # The column is named `hashes` on purpose: the r5 narrow-explode
+    # plan contract (tests/test_plan_assertions.py) greps explode lines
+    # for it.
+    # Two projections on purpose: the signature array is referenced by
+    # all LSH_BANDS slices, and an inline expression would be re-
+    # inlined (and re-computed) per band — the same O(n^2) trap
+    # functions/shingles.py documents for split(). A named column is
+    # evaluated once.
+    sig_arr = docs.select(
+        "doc_id", xxhash_minhash_from_hashed(F.col("hsh"), LSH_PERMS).alias("sig")
+    )
+    sig = sig_arr.select(
         "doc_id",
-        xxhash_minhash_from_hashed(F.col("hsh"), LSH_TABLES).alias("hashes"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+            lambda b: F.xxhash64(F.slice(F.col("sig"), b * LSH_ROWS + 1, LSH_ROWS)),
+        ).alias("hashes"),
     )
     buckets = sig.select("doc_id", F.posexplode("hashes").alias("table", "bucket"))
     a = buckets.alias("a")
@@ -304,20 +336,23 @@ def minhash_docs_and_candidates(
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection, candidate + verify (X2 scale path):
-    shingle -> columnar xxhash64 MinHash signature (LSH_TABLES
+    shingle -> columnar xxhash64 MinHash signature (LSH_PERMS
     components, shared hash family with the streaming near-dup
-    operator) -> single-hash bucket self-join for candidates -> exact
-    Jaccard over the true shingle arrays as the verify step. The hash
-    family is seed-free and engine-deterministic, so deterministic.
+    operator) -> banded (LSH_BANDS x LSH_ROWS) bucket self-join for
+    candidates -> exact Jaccard verify. The hash family is seed-free
+    and engine-deterministic, so deterministic.
 
     Oracle coupling (tag ``exact-recall-oracle``): the oracle is the EXACT
     near-dup SQL, so a hash mismatch here means LSH candidate recall < 1.0
     — an approximation-quality regression, not an engine bug. The LSH
     parameters were tuned for recall 1.0 on the sf0.001-0.1 fixtures
-    (miss probability per true pair is (1-j)^LSH_TABLES = 2^-16 at the
-    j=0.5 threshold); a new scale factor, fixture regeneration, or Spark
-    hash-function change may legitimately need retuning (raise
-    LSH_TABLES) rather than a correctness fix.
+    (miss probability per true pair is (1-j^LSH_ROWS)^LSH_BANDS =
+    2.8e-4 at the observed j>=0.8 true-pair floor; see
+    minhash_docs_and_candidates for the full S-curve); a new scale
+    factor, fixture regeneration, or Spark hash-function change may
+    legitimately need retuning (more bands, or LSH_ROWS=1 for maximum
+    recall at the r7-measured candidate-volume cost) rather than a
+    correctness fix.
 
     Scale: the bucket self-join shuffles on (table, bucket) — narrow
     sub-quadratic candidate generation; the exact-Jaccard verify touches
