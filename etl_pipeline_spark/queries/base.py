@@ -58,28 +58,37 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-7 prefix: the attestation drain completed in r6, so after the
-# 13 changed queries (q_multimodal_features for the GIF GCE / JPEG
-# fill-byte codec fixes; the dedup family + its consumers for the
-# wide_ckpt_level storage switch — identical plans under the default
-# env, re-verified in both forms) the window backfills the oldest
-# (r1-era) attestations oldest-first.
+# Round-7 prefix (session 2 re-rotation): the 21 queries whose code
+# changed this session lead — the shingle/tokenize-once family, the
+# banded-LSH minhash family and its consumers, pagerank and the
+# connected-components clustering (persist-partitioned edges), and the
+# scan_parallel-guarded knn queries — then the window backfills the
+# oldest (r1-era) attestations oldest-first. The attestation drain
+# completed in r6: every registered query has at least one full
+# CORRECTNESS_r* pass.
 CHECK_PRIORITY: tuple[str, ...] = (
-    "q_multimodal_features",  # --- code changed this round: attest first ---
-    "q_dedup_ngram_jaccard",
+    "q_dedup_ngram_jaccard",  # --- code changed this round: attest first ---
     "q_dedup_ngram_jaccard_capped",
     "q_dedup_minhash_lsh",
+    "q_dedup_minhash_pairs",
+    "q_dedup_minhash_signatures",
     "q_dedup_containment",
     "q_dedup_prefix_filter",
-    "q_training_data_prep",
+    "q_snm_recall_report",
+    "q_lsh_recall_report",
     "q_dedup_clusters",
     "q_dedup_canonical_docs",
-    "q_leakage_safe_split",
-    "q_lsh_recall_report",
-    "q_snm_recall_report",
-    "q_dedup_doc_stitching",
-    "q_embedding_norms",  # --- backfill: oldest attestation first ---
+    "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
+    "q_contamination_check",
+    "q_shingle_novelty",
+    "q_bloom_decontaminate",
+    "q_training_data_prep",
     "q_knn_bruteforce_cosine",
+    "q_knn_pq",
+    "q_pagerank",
+    "q_text_top_bigrams",
+    "q_embedding_norms",  # --- backfill: oldest attestation first ---
     "q_knn_block_matrix",
     "q_knn_ivf",
     "q_window_sliding_events",
@@ -90,10 +99,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_window_distribution_ranks",
     "q_scalar_dates_extended",
     "q_dedup_exact",
-    "q_dedup_simhash",
-    "q_dedup_simhash_pairs",
-    "q_dedup_minhash_signatures",
-    "q_dedup_minhash_pairs",
     "q_etl_clean_cast_filter",
     "q_etl_audit_row",
     "q_etl_dirty_input_quarantine",
@@ -112,10 +117,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_text_stats_by_lang",
     "q_text_token_counts",
     "q_text_lang_id",
-    "q_text_quality_score",
+    "q_text_quality_score",  # ---------------- first-50 window ends above ----------------
     "q_text_fingerprint",
-    "q_text_top_bigrams",
-    "q_text_edit_distance_pairs",  # ---------------- first-50 window ends above ----------------
+    "q_text_edit_distance_pairs",
     "q_join_anti_idle_customers",
     "q_join_cross_region_nation",
     "q_join_range_value_buckets",
@@ -157,7 +161,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_agg_bitwise",
     "q_histogram_values",
     "q_dedup_embedding_cosine",
-    "q_contamination_check",
     "q_pii_scrub",
     "q_stratified_sample",
     "q_sequence_packing",
@@ -167,7 +170,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_mix_weights",
     "q_vocab_coverage",
     "q_corpus_domain_cap",
-    "q_shingle_novelty",
     "q_multimodal_frame_sample",
     "q01_pricing_summary",
     "q06_revenue_delta",
@@ -237,7 +239,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_seasonal_anomaly_days",
     "q_multimodal_shot_cuts",
     "q_knn_lsh_approx",
-    "q_knn_pq",
     "q_hard_negatives",
     "q_embedding_centroid_health",
     "q_rfm_segments",
@@ -270,14 +271,14 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_asof_tolerance",
     "q_time_weighted_average",
     "q_cms_heavy_hitters",
+    "q_dedup_chunk_rewrite",
+    "q_dedup_repeated_spans",
     "q_bom_explosion",
     "q_knn_classifier_eval",
     "q_spatial_radius_join",
     "q_pairwise_tests_bonferroni",
     "q_hapax_vocabulary",
     "q_heaps_law_fit",
-    "q_dedup_chunk_rewrite",
-    "q_dedup_repeated_spans",
     "q_scalar_multiformat_ts",
     "q_asof_last_signup",
     "q_grouping_sets_revenue",
@@ -290,9 +291,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_triangle_count",
     "q_market_basket_rules",
     "q_pca_top_component",
-    "q_pagerank",
-    "q_item_cf_similar",
     "q_semdedup_clusters",
+    "q_dedup_doc_stitching",
+    "q_item_cf_similar",
     "q_dq_outlier_mad",
     "q_dq_ks_drift",
     "q_dq_benford_check",
@@ -306,12 +307,12 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_hybrid_rrf_search",
     "q_lm_bigram_score",
     "q_weighted_sample",
-    "q_bloom_decontaminate",
     "q_curriculum_buckets",
     "q_span_corruption_plan",
     "q_token_budget_allocation",
     "q_filter_funnel",
     "q_hashed_linear_score",
+    "q_multimodal_features",
     "q_multimodal_audio_energy",
     "q_k_anonymity",
     "q_dp_noisy_counts",
@@ -321,6 +322,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_null_semantics",
     "q_scalar_maps",
     "q_length_band_filter",
+    "q_leakage_safe_split",
 )
 
 
