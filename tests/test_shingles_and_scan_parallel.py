@@ -1,0 +1,86 @@
+"""Direct contracts for the r7 tokenize-once helpers and the
+small-file parallelism guard — the query-level oracles exercise them
+end-to-end, but these pin the helper semantics in isolation so a
+refactor can't silently change them."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_spark.catalog import load_tables, scan_parallel
+from etl_pipeline_spark.functions.shingles import (
+    hashed_word_shingles,
+    tokenized,
+    word_shingles,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _naive_shingles(d, width):
+    # the pre-r7 inline form, kept here as the semantic reference
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - width)
+    arr = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k + 1) for k in range(width)]
+            ),
+        )
+    )
+    return d.filter(F.size(toks) >= width).select(
+        "doc_id", F.explode(arr).alias("shingle")
+    )
+
+
+def test_word_shingles_match_naive_inline_form(spark):
+    d = load_tables(spark, SF, ("documents",))["documents"]
+    hoisted = tokenized(d, "doc_id", min_tokens=3).select(
+        "doc_id", F.explode(word_shingles(3)).alias("shingle")
+    )
+    naive = _naive_shingles(d, 3)
+    assert hoisted.exceptAll(naive).union(naive.exceptAll(hoisted)).count() == 0
+
+
+def test_hashed_word_shingles_are_xxhash64_of_strings(spark):
+    d = load_tables(spark, SF, ("documents",))["documents"]
+    hashed = tokenized(d, "doc_id", min_tokens=3).select(
+        "doc_id", F.explode(hashed_word_shingles(3)).alias("h")
+    )
+    ref = _naive_shingles(d, 3).select("doc_id", F.xxhash64("shingle").alias("h"))
+    assert hashed.exceptAll(ref).union(ref.exceptAll(hashed)).count() == 0
+
+
+def test_tokenized_hoists_split_out_of_the_transform(spark):
+    """The load-bearing plan property: split() appears a bounded number
+    of times (projection + pushed filter), never once per element_at —
+    the inline form's optimized plan embeds it inside the lambda."""
+    d = load_tables(spark, SF, ("documents",))["documents"]
+    hoisted = tokenized(d, "doc_id", min_tokens=3).select(
+        "doc_id", word_shingles(3).alias("s")
+    )
+    plan = hoisted._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") <= 3, plan
+
+
+def test_scan_parallel_repartitions_small_scans_deterministically(spark):
+    d = load_tables(spark, SF, ("documents",))["documents"]
+    out = scan_parallel(d, spark)
+    # the sf0.001 fixture is a single small file; the guard must kick in
+    assert "repartition" in out._jdf.queryExecution().logical().toString().lower()
+    # deterministic: key-hash partitioning, so the row set is unchanged
+    assert out.exceptAll(d).union(d.exceptAll(out)).count() == 0
+
+
+def test_scan_parallel_noop_when_scan_already_parallel(spark):
+    d = load_tables(spark, SF, ("documents",))["documents"]
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # force a tiny split size so the estimated split count exceeds
+        # the session parallelism — the guard must return the input as-is
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        out = scan_parallel(d, spark)
+        assert out is d
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
