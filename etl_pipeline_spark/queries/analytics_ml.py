@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_spark.catalog import load_tables
 from etl_pipeline_spark.queries.base import query
-from etl_pipeline_spark.queries.dedup import wide_ckpt_level
 
 
 # --- Leave-one-out target encoding ------------------------------------------
@@ -240,7 +239,10 @@ def pagerank_edges(li: DataFrame) -> DataFrame:
     return (
         und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .repartition(F.col("u"))
-        .persist(wide_ckpt_level())
+        # plain default persist (MEMORY_AND_DISK, deserialized): the edge
+        # rows are two longs — the wide-checkpoint storage switch is for
+        # shingle/feature arrays and does not apply here
+        .persist()
     )
 
 
