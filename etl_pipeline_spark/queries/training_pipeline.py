@@ -12,13 +12,13 @@ from pieces that are each individually verified:
     -> per-language corpus stats
 
 Scale: dedup shuffles on the fingerprint, near-dup pruning is an
-anti-join against the near-dup pair list (by default the EXACT
-n-gram-Jaccard pairs so the oracle can verify the composition
-end-to-end; SPARK_GRAFT_NEARDUP_LSH=1 swaps in q_dedup_minhash_lsh's
-candidate+verify pairs — same anti-join, sub-quadratic pair
-generation, identical output at recall 1.0 — which is how the sf100
-soak runs it), everything else is narrow — the standard shape of a
-100 TB corpus build.
+anti-join against the near-dup pair list (by default
+q_dedup_minhash_lsh's candidate+verify pairs — the sub-quadratic form
+that completes the sf100 soak; SPARK_GRAFT_NEARDUP_LSH=0 swaps in the
+EXACT n-gram-Jaccard join, identical output at recall 1.0, which the
+oracle — built from the exact-pairs SQL — verifies through the whole
+composition in BOTH modes), everything else is narrow — the standard
+shape of a 100 TB corpus build.
 """
 
 from __future__ import annotations
@@ -36,18 +36,20 @@ from etl_pipeline_spark.queries.text import TOKEN_RE
 
 
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pair source for the prune step. Default: the EXACT
-    inverted-index n-gram-Jaccard join, so the composed oracle verifies
-    the whole pipeline end-to-end. ``SPARK_GRAFT_NEARDUP_LSH=1`` swaps
-    in the MinHash-LSH candidate+verify pairs — the sub-quadratic form a
-    100 TB run uses, and the one whose memory profile survives the sf100
-    soak (the exact join's shingle-agg stage is the measured per-JVM
-    memory floor there). The two emit IDENTICAL (doc_a, doc_b, jaccard)
-    sets whenever LSH candidate recall is 1.0, which the minhash query's
-    own exact-SQL oracle pins at every test SF — so the switch is
-    verified in both positions at sf0.01, like the wide-checkpoint
-    storage switch."""
-    if os.environ.get("SPARK_GRAFT_NEARDUP_LSH") == "1":
+    """Near-dup pair source for the prune step. Default (r7 session 2):
+    the MinHash-LSH candidate+verify pairs — the sub-quadratic form a
+    100 TB run uses, and the one whose memory profile survives the
+    sf100 soak (383.9 s there; the exact join's shingle-agg stage is
+    that tier's measured per-JVM memory floor). The exact
+    inverted-index join remains available with
+    ``SPARK_GRAFT_NEARDUP_LSH=0``. The two emit IDENTICAL
+    (doc_a, doc_b, jaccard) sets whenever LSH candidate recall is 1.0:
+    the minhash query's own exact-SQL oracle pins that at every test
+    SF, THIS query's oracle (built from the exact-pairs SQL) re-pins it
+    through the whole composition, and the switch is oracle-verified in
+    both positions. The default is the scale path on purpose — a
+    default that cannot run at the target scale is the wrong default."""
+    if os.environ.get("SPARK_GRAFT_NEARDUP_LSH", "1") == "1":
         return q_dedup_minhash_lsh(spark, sf_dir)
     return q_dedup_ngram_jaccard(spark, sf_dir)
 
