@@ -70,6 +70,24 @@ def load_tables(
     return out
 
 
+def scan_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of a file-backed DataFrame's source files,
+    or None when the source is not file-backed (or sizes are not
+    stat-able). Shared by the small-file parallelism guard below and
+    the cost-based operator-path selections (e.g. the training
+    pipeline's exact-vs-LSH near-dup prune)."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        return sum(
+            os.path.getsize(f[len("file:") :] if f.startswith("file:") else f)
+            for f in files
+        )
+    except Exception:
+        return None
+
+
 def scan_parallel(df: DataFrame, spark: SparkSession, key: str = "doc_id") -> DataFrame:
     """Small-file parallelism guard for CPU-heavy per-row projections
     (shingling, hashing, tokenization): a test-SF fixture is often ONE
@@ -89,12 +107,11 @@ def scan_parallel(df: DataFrame, spark: SparkSession, key: str = "doc_id") -> Da
     time per call, which out-weighed the gain on sub-second queries.
     """
     target = spark.sparkContext.defaultParallelism
+    total = scan_bytes(df)
+    if total is None:
+        return df
     try:
-        files = df.inputFiles()
-        total = sum(
-            os.path.getsize(f[len("file:") :] if f.startswith("file:") else f)
-            for f in files
-        )
+        n_files = len(df.inputFiles())
         raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
         units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
         low = raw.lower().rstrip("b")
@@ -104,7 +121,7 @@ def scan_parallel(df: DataFrame, spark: SparkSession, key: str = "doc_id") -> Da
             max_split = int(low)
     except Exception:
         return df
-    est_splits = max(len(files), -(-total // max_split))
+    est_splits = max(n_files, -(-total // max_split))
     if est_splits * 2 <= target:
         return df.repartition(target, key)
     return df

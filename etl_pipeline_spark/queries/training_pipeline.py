@@ -12,13 +12,13 @@ from pieces that are each individually verified:
     -> per-language corpus stats
 
 Scale: dedup shuffles on the fingerprint, near-dup pruning is an
-anti-join against the near-dup pair list (by default
-q_dedup_minhash_lsh's candidate+verify pairs — the sub-quadratic form
-that completes the sf100 soak; SPARK_GRAFT_NEARDUP_LSH=0 swaps in the
-EXACT n-gram-Jaccard join, identical output at recall 1.0, which the
-oracle — built from the exact-pairs SQL — verifies through the whole
-composition in BOTH modes), everything else is narrow — the standard
-shape of a 100 TB corpus build.
+anti-join against the near-dup pair list — COST-BASED source selection
+(see _neardup_pairs): the exact n-gram-Jaccard join below a measured
+compressed-bytes crossover (it is faster there), q_dedup_minhash_lsh's
+sub-quadratic candidate+verify pairs above it (the form that completes
+the sf100 soak); identical output at recall 1.0, oracle-verified in
+both forced modes. Everything else is narrow — the standard shape of
+a 100 TB corpus build.
 """
 
 from __future__ import annotations
@@ -35,21 +35,39 @@ from etl_pipeline_spark.queries.dedup import q_dedup_minhash_lsh, q_dedup_ngram_
 from etl_pipeline_spark.queries.text import TOKEN_RE
 
 
+# Compressed-bytes crossover for the near-dup pair source. Measured on
+# the synthetic tiers (one JVM, 8 GB): the exact inverted-index join
+# WINS below it (sf0.1: 2.7 s vs 4.4; sf1: 6.8 vs 14.3), reaches parity
+# at sf10 (115 vs 111 s; 76 MB compressed), and OOMs at sf100 (979 MB;
+# its shingle-agg stage is that tier's per-JVM memory floor) where LSH
+# completes in 938 s. Text parquet decompresses ~100:1, so 256 MB
+# compressed ~ 25 GB of shingles — past any single-task comfort zone.
+NEARDUP_LSH_MIN_BYTES = 256 * 1024 * 1024
+
+
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pair source for the prune step. Default (r7 session 2):
-    the MinHash-LSH candidate+verify pairs — the sub-quadratic form a
-    100 TB run uses, and the one whose memory profile survives the
-    sf100 soak (383.9 s there; the exact join's shingle-agg stage is
-    that tier's measured per-JVM memory floor). The exact
-    inverted-index join remains available with
-    ``SPARK_GRAFT_NEARDUP_LSH=0``. The two emit IDENTICAL
-    (doc_a, doc_b, jaccard) sets whenever LSH candidate recall is 1.0:
-    the minhash query's own exact-SQL oracle pins that at every test
-    SF, THIS query's oracle (built from the exact-pairs SQL) re-pins it
-    through the whole composition, and the switch is oracle-verified in
-    both positions. The default is the scale path on purpose — a
-    default that cannot run at the target scale is the wrong default."""
-    if os.environ.get("SPARK_GRAFT_NEARDUP_LSH", "1") == "1":
+    """Near-dup pair source for the prune step — COST-BASED (r7):
+    below NEARDUP_LSH_MIN_BYTES of compressed documents the EXACT
+    inverted-index n-gram-Jaccard join runs (faster there, and the
+    composed oracle then verifies the pipeline end-to-end through the
+    exact path); above it, q_dedup_minhash_lsh's candidate+verify
+    pairs (the sub-quadratic form that completes the sf100 soak).
+    ``SPARK_GRAFT_NEARDUP_LSH=1/0`` forces either path. The two emit
+    IDENTICAL (doc_a, doc_b, jaccard) sets whenever LSH candidate
+    recall is 1.0: the minhash query's own exact-SQL oracle pins that
+    at every test SF, and THIS query's oracle (built from the
+    exact-pairs SQL) is verified green in BOTH forced modes, so the
+    selection can never change the answer — only the plan."""
+    forced = os.environ.get("SPARK_GRAFT_NEARDUP_LSH")
+    if forced is not None:
+        use_lsh = forced == "1"
+    else:
+        docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+        from etl_pipeline_spark.catalog import scan_bytes
+
+        nbytes = scan_bytes(docs)
+        use_lsh = nbytes is None or nbytes >= NEARDUP_LSH_MIN_BYTES
+    if use_lsh:
         return q_dedup_minhash_lsh(spark, sf_dir)
     return q_dedup_ngram_jaccard(spark, sf_dir)
 

@@ -84,3 +84,31 @@ def test_scan_parallel_noop_when_scan_already_parallel(spark):
         assert out is d
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_neardup_pair_source_is_cost_based(spark, monkeypatch):
+    """The training pipeline's near-dup prune picks its pair source by
+    compressed corpus bytes: exact inverted-index join below the
+    crossover (the test fixtures), LSH above it; env var forces either.
+    The LSH plan is identifiable by its stage-2 array_intersect verify
+    (the band explode itself is checkpoint-truncated out of the final
+    plan); the exact inverted-index join has no array_intersect."""
+    from etl_pipeline_spark.queries import training_pipeline as tp
+
+    def plan_of(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    monkeypatch.delenv("SPARK_GRAFT_NEARDUP_LSH", raising=False)
+    auto = plan_of(tp._neardup_pairs(spark, SF))  # tiny fixture -> exact
+    assert "array_intersect" not in auto
+    monkeypatch.setenv("SPARK_GRAFT_NEARDUP_LSH", "1")
+    forced_lsh = plan_of(tp._neardup_pairs(spark, SF))
+    assert "array_intersect" in forced_lsh
+    monkeypatch.setenv("SPARK_GRAFT_NEARDUP_LSH", "0")
+    forced_exact = plan_of(tp._neardup_pairs(spark, SF))
+    assert "array_intersect" not in forced_exact
+    # above the crossover the auto path flips to LSH
+    monkeypatch.delenv("SPARK_GRAFT_NEARDUP_LSH", raising=False)
+    monkeypatch.setattr(tp, "NEARDUP_LSH_MIN_BYTES", 1)
+    auto_big = plan_of(tp._neardup_pairs(spark, SF))
+    assert "array_intersect" in auto_big
