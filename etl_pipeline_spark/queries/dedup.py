@@ -165,12 +165,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenized(): min_tokens guards sequence(0, n<0) (DESCENDING in
     # Spark — short docs drop before shingling; the oracle filters
     # identically) AND hoists the split (functions/shingles.py).
+    # merge hint: the checkpoint preserves the origin scan's size
+    # estimate (~100:1 optimistic for text), so without it the planner
+    # statically BROADCASTS one side of the posting self-join once the
+    # corpus grows (measured at sf10: a 4.2 GiB broadcast build OOM via
+    # dedup_clusters' eager checkpoint) — the q_dedup_minhash_lsh /
+    # capped-variant incident class, same fix.
     shingles = (
         tokenized(
             scan_parallel(d, spark), "doc_id", min_tokens=SHINGLE_WIDTH
         )
         .select("doc_id", F.explode(word_shingles(SHINGLE_WIDTH)).alias("shingle"))
         .localCheckpoint(eager=False, storageLevel=wide_ckpt_level())
+        .hint("merge")
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = shingles.alias("a")
@@ -947,10 +954,14 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew risk; the capped variant's stop-shingle drop applies verbatim.
     """
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # merge hint for the same reason as q_dedup_ngram_jaccard: never
+    # let the checkpoint's optimistic origin-scan estimate broadcast a
+    # posting-stream side of the self-join
     shingles = (
         tokenized(d, "doc_id", min_tokens=SHINGLE_WIDTH)
         .select("doc_id", F.explode(word_shingles(SHINGLE_WIDTH)).alias("shingle"))
         .localCheckpoint(eager=False, storageLevel=wide_ckpt_level())
+        .hint("merge")
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = shingles.alias("a")
