@@ -58,6 +58,28 @@ def get_spark(
     return spark
 
 
+def release_session_blocks(spark: SparkSession) -> int:
+    """Unpersist every lingering RDD block (lazy localCheckpoints,
+    persists) and clear the SQL cache. Returns the number of RDDs
+    released.
+
+    Why this exists (r7, measured): a long-lived session running many
+    checkpoint-heavy queries back-to-back accumulates their lazily
+    checkpointed blocks — the 14th sf10-scale document query in one
+    8 GB JVM OOMed and poisoned the session (checkpoint blocks are NOT
+    recomputable: `Block rdd_N does not exist` cascades), while every
+    query passed in a fresh JVM. Batch runners (soaks, sweeps, fuzz
+    harnesses) should call this between queries; a cluster deployment
+    with per-job sessions never hits it, which is why it lives in the
+    harness surface rather than inside the queries."""
+    sc = spark.sparkContext
+    rdds = list(sc._jsc.getPersistentRDDs().values())
+    for rdd in rdds:
+        rdd.unpersist()
+    spark.catalog.clearCache()
+    return len(rdds)
+
+
 def cloud_storage_conf(
     provider: str,
     *,

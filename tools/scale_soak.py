@@ -34,7 +34,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 
 from etl_pipeline_spark.catalog import load_tables
-from etl_pipeline_spark.session import get_spark
+from etl_pipeline_spark.session import get_spark, release_session_blocks
 
 SF_SRC = "/root/testdata/sf0.1"
 SF1_DIR = "/root/repo/.scratch/scale/sf1"
@@ -391,6 +391,10 @@ def main_sf10() -> None:
             dt = round(time.perf_counter() - t0, 2)
             results.setdefault(name, {})[sf_label] = {"sec": dt, "rows": n}
             print(json.dumps({"sf": sf_label, "query": name, "sec": dt, "rows": n}), flush=True)
+            # long-session hygiene: lazy-checkpoint blocks accumulate
+            # across heavy queries in one JVM and eventually OOM it
+            # (measured at sf10 — see session.release_session_blocks)
+            release_session_blocks(spark)
     summary = {}
     for name, by_sf in results.items():
         r1, r10 = by_sf["1"], by_sf["10"]
@@ -499,6 +503,7 @@ def main_sf100() -> None:
                 json.dumps({"sf": sf_label, "query": name, "sec": dt, "rows": n}),
                 flush=True,
             )
+            release_session_blocks(spark)
     summary = {}
     for name, by_sf in results.items():
         r10, r100 = by_sf["10"], by_sf["100"]
@@ -553,6 +558,10 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 2)
             results.setdefault(name, {})[sf_label] = {"sec": dt, "rows": n}
             print(json.dumps({"sf": sf_label, "query": name, "sec": dt, "rows": n}), flush=True)
+            # long-session hygiene: lazy-checkpoint blocks accumulate
+            # across heavy queries in one JVM and eventually OOM it
+            # (measured at sf10 — see session.release_session_blocks)
+            release_session_blocks(spark)
 
     # linearity verdicts: wall-clock growth per 10x data growth
     summary = {}
