@@ -234,7 +234,9 @@ def pagerank_edges(li: DataFrame) -> DataFrame:
     source-key-partitioned and PERSISTED so every power iteration's join
     reuses the partitioning (see pagerank_ranks' exchange-budget note —
     localCheckpoint would lose it; plan-asserted in
-    tests/test_plan_assertions.py)."""
+    tests/test_plan_assertions.py). pagerank_ranks unpersists this frame
+    after materializing its final vector; any OTHER direct caller owns
+    the release (`.unpersist()` when done)."""
     und = co_purchase_edges(li, PR_SUPPORT)
     return (
         und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -305,9 +307,21 @@ def pagerank_ranks(li: DataFrame) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-    return r.select(
+    out = r.select(
         "node", F.col("od").cast("long").alias("degree"), F.col("r").alias("rank_scaled")
     )
+    # Materialize the final vector EAGERLY and release the edge cache
+    # before returning (the operators/cluster.py pattern): the iterates
+    # above are lazy checkpoints, so without this the persisted edge
+    # blocks would materialize at the consumer's first action and stay
+    # cached for the session lifetime, accumulating per invocation —
+    # the lingering-block OOM class session.release_session_blocks
+    # documents. The eager checkpoint costs nothing extra (the same
+    # jobs run at the consumer's first action otherwise) and pins only
+    # the node-sized result.
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
 
 
 q_pagerank.__doc__ = q_pagerank.__doc__.format(I=PR_ITERS, K=PR_TOPK)

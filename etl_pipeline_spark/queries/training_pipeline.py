@@ -23,6 +23,7 @@ a 100 TB corpus build.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,14 +60,32 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-pairs SQL) is verified green in BOTH forced modes, so the
     selection can never change the answer — only the plan."""
     forced = os.environ.get("SPARK_GRAFT_NEARDUP_LSH")
+    nbytes = None
     if forced is not None:
         use_lsh = forced == "1"
+        why = f"forced via SPARK_GRAFT_NEARDUP_LSH={forced}"
     else:
         docs = load_tables(spark, sf_dir, ("documents",))["documents"]
         from etl_pipeline_spark.catalog import scan_bytes
 
         nbytes = scan_bytes(docs)
         use_lsh = nbytes is None or nbytes >= NEARDUP_LSH_MIN_BYTES
+        why = (
+            f"scan_bytes={nbytes} vs crossover {NEARDUP_LSH_MIN_BYTES}"
+            if nbytes is not None
+            else "scan_bytes unavailable (defaulting to the scale-safe path)"
+        )
+    # Emit the selection so an output difference at production scale is
+    # ATTRIBUTABLE: above the crossover the kept-document set depends on
+    # LSH candidate recall (see the caveat in q_training_data_prep's
+    # docstring), and without this line two runs of the same corpus
+    # content could differ purely from file size/compression with
+    # nothing in the logs explaining why.
+    logging.getLogger(__name__).info(
+        "q_training_data_prep near-dup pair source: %s (%s)",
+        "banded-LSH" if use_lsh else "exact inverted-index",
+        why,
+    )
     if use_lsh:
         return q_dedup_minhash_lsh(spark, sf_dir)
     return q_dedup_ngram_jaccard(spark, sf_dir)
@@ -123,7 +142,18 @@ def _oracle() -> str:
 )
 def q_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus build: exact dedup -> near-dup prune -> quality
-    gate -> token accounting -> deterministic sample -> per-lang stats."""
+    gate -> token accounting -> deterministic sample -> per-lang stats.
+
+    Recall caveat (applies to THIS query's output, not just the helper):
+    the near-dup prune source is cost-based (_neardup_pairs) — exact
+    inverted-index pairs below a compressed-bytes crossover, banded-LSH
+    pairs above it. The two sources provably agree only when LSH
+    candidate recall is 1.0; near the 0.5 Jaccard threshold the banded
+    scheme's per-pair miss probability can reach ~10%, so above the
+    crossover the kept-document set may differ slightly from the exact
+    path's on adversarial borderline pairs. The selection (and the
+    measured scan bytes) is logged at INFO by _neardup_pairs so any
+    such difference is attributable."""
     # scan_parallel: the fingerprint md5 + regexp normalization and the
     # downstream token/punct regexps all run in scan stages — serial on
     # a single-split test fixture otherwise.

@@ -71,7 +71,17 @@ def release_session_blocks(spark: SparkSession) -> int:
     query passed in a fresh JVM. Batch runners (soaks, sweeps, fuzz
     harnesses) should call this between queries; a cluster deployment
     with per-job sessions never hits it, which is why it lives in the
-    harness surface rather than inside the queries."""
+    harness surface rather than inside the queries.
+
+    PRECONDITION — no live references to prior query results. This
+    unpersists EVERY persistent RDD, including the lazily
+    localCheckpointed blocks of DataFrames a caller still holds;
+    checkpoint blocks are NOT recomputable, so touching such a
+    DataFrame afterwards fails with the same `Block rdd_N does not
+    exist` cascade this function exists to prevent. Callers must drop
+    (or fully consume into plain Python values) every DataFrame from
+    earlier queries before calling — the soak harnesses hold only
+    counts across calls, which is the model to follow."""
     sc = spark.sparkContext
     rdds = list(sc._jsc.getPersistentRDDs().values())
     for rdd in rdds:

@@ -71,13 +71,21 @@ def minhash_signature(text: Column) -> Column:
         idx = F.sequence(
             F.lit(0), F.greatest(F.size(toks) - SHINGLE_WIDTH, F.lit(0))
         )
+        # try_element_at, NOT element_at: for docs shorter than
+        # SHINGLE_WIDTH the idx sequence still emits i=0, and under
+        # Spark 4's default ANSI mode element_at past the array end
+        # throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT — one short record
+        # would fail the whole micro-batch and kill the streaming
+        # query. try_element_at returns NULL out of range and
+        # concat_ws skips nulls, restoring the documented fallback
+        # (whole short text as its single shingle).
         return F.transform(
             idx,
             lambda i: F.concat_ws(
                 " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
+                F.try_element_at(toks, i + 1),
+                F.try_element_at(toks, i + 2),
+                F.try_element_at(toks, i + 3),
             ),
         )
 

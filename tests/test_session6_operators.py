@@ -322,3 +322,18 @@ def test_co_occurrence_pairs_match_self_join_and_survive_mega_basket(spark):
     )
     assert mega.n == 10_000 * 9_999 // 2 - 200 * 199 // 2
     assert mega.s == mega.n  # each mega pair occurs exactly once
+
+
+def test_pagerank_releases_edge_cache(spark):
+    """pagerank_ranks owns its edge cache: the big persisted edge frame
+    must be unpersisted before the function returns (ADVICE r7 — without
+    this, every invocation leaked an edge-sized cache for the session
+    lifetime). Checkpoint blocks of the node-sized result may remain;
+    the DataFrame CacheManager must be empty."""
+    from etl_pipeline_spark.queries.analytics_ml import pagerank_ranks
+
+    spark.catalog.clearCache()
+    li = load_tables(spark, SF, ("lineitem",))["lineitem"]
+    out = pagerank_ranks(li)
+    assert out.count() > 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

@@ -101,3 +101,38 @@ def test_streaming_neardup_bucket_cap_and_unrelated(spark, tmp_path_factory):
     assert per_doc[11] == {10} and per_doc[12] == {10}
     # 13 is unrelated: registered (bucket cap is per-bucket, and its
     # buckets are disjoint from BASE's), never flagged
+
+
+def test_minhash_signature_short_docs(spark):
+    """Docs with fewer than SHINGLE_WIDTH tokens must not crash under
+    Spark 4's default ANSI mode (try_element_at, not element_at — an
+    out-of-range element_at throws and would kill the micro-batch) and
+    must fall back to hashing the whole text as a single shingle."""
+    from etl_pipeline_spark.streaming.neardup import NUM_PERM, minhash_signature
+
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in spark.createDataFrame(
+            [(1, "hi"), (2, "two words"), (3, "hi"), (4, "")],
+            "doc_id long, text string",
+        )
+        .select("doc_id", minhash_signature(F.col("text")).alias("sig"))
+        .collect()
+    }
+    assert all(len(s) == NUM_PERM for s in sigs.values())
+    assert sigs[1] == sigs[3]  # identical short docs -> identical signature
+    assert sigs[1] != sigs[2]
+
+
+def test_streaming_neardup_short_docs(spark, tmp_path_factory):
+    """A 1-token document flows through the streaming dedup end-to-end:
+    registers in batch 1, and its later exact copy flags at est 1.0."""
+    tmp = tmp_path_factory.mktemp("sneardup_short")
+    rows = _run_stream(
+        spark,
+        tmp,
+        [[(20, "hi"), (21, OTHER)], [(22, "hi")]],
+    )
+    per_doc = {r["doc_id"]: (r["matched_id"], r["est_sim"]) for r in rows}
+    assert set(per_doc) == {22}
+    assert per_doc[22] == (20, 1.0)
