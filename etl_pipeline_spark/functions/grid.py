@@ -1,0 +1,54 @@
+"""Saturating fixed-point quantization — the integer-grid contract.
+
+Many queries carry doubles as scaled BIGINTs (``floor(x*scale + 0.5)``)
+so folds and aggregates are bit-identical across engines. That idiom has
+a crash class the clean fixtures never hit: under Spark 4's default ANSI
+mode, ``floor`` of a double past ±2^63 (or the cast of it) throws
+ARITHMETIC_OVERFLOW — one adversarial 1e30 embedding component or 1e18
+event value kills the whole job (adversarial-fixture find, r8).
+
+The fix is SATURATION, applied identically in Spark and in the DuckDB
+oracle SQL: clamp the scaled double to ±GRID_ABS_MAX while still in
+double space, THEN floor and cast. Properties:
+
+- deterministic and engine-identical (LEAST/GREATEST + FLOOR on doubles
+  agree bit-for-bit between Spark and DuckDB);
+- in-grid values (|x*scale| < GRID_ABS_MAX) are quantized exactly as
+  before, so clean-fixture oracle hashes are unchanged;
+- out-of-grid values saturate to the bound instead of crashing — ties
+  between saturated rows resolve through each query's deterministic
+  tie-break columns.
+
+GRID_ABS_MAX = 1e6 keeps every downstream fold not just long-safe but
+DOUBLE-EXACT, because DuckDB evaluates list_dot_product and friends in
+doubles: a 64-dim dot of saturated vectors is ≤ 64·(1e6)² = 6.4e13 <
+2^53, leaving ~128× headroom for the small integer multipliers queries
+apply on top (7·rel − 3·sim etc.). Squared distances (≤ 4e12/dim·64 ≈
+2.6e14) and per-group sums stay exact the same way. Clean fixtures use
+<0.1% of the bound (embeddings quantize to ≤1e3, money to ≤1e6 cents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+GRID_ABS_MAX = 10**6
+
+
+def sat_quantize(x: Column, scale: float | int = 1) -> Column:
+    """``floor(clamp(x*scale + 0.5, ±GRID_ABS_MAX))`` as BIGINT."""
+    xs = x.cast("double") * float(scale) + F.lit(0.5)
+    clamped = F.least(
+        F.greatest(xs, F.lit(-float(GRID_ABS_MAX))), F.lit(float(GRID_ABS_MAX))
+    )
+    return F.floor(clamped).cast("long")
+
+
+def sat_quantize_sql(expr: str, scale: float | int = 1) -> str:
+    """DuckDB twin of :func:`sat_quantize` — interpolate into oracle SQL."""
+    g = float(GRID_ABS_MAX)
+    return (
+        f"CAST(FLOOR(LEAST(GREATEST(({expr}) * {float(scale)} + 0.5, "
+        f"-{g}), {g})) AS BIGINT)"
+    )

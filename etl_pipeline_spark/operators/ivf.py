@@ -102,10 +102,12 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         F.col("cell").alias("neighbor_cell"),
         F.round(
-            dot(F.col("q_emb"), F.col("embedding"))
-            / (
+            # try_divide: zero-norm embedding -> NULL cos (ranks last,
+            # = DuckDB's double 0/0), not an ANSI job kill
+            F.try_divide(
+                dot(F.col("q_emb"), F.col("embedding")),
                 F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
-                * F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(dot(F.col("embedding"), F.col("embedding"))),
             ),
             DIST_ROUND,
         ).alias("cos_sim"),
@@ -192,10 +194,12 @@ def ivf_topk_indexed(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cell").alias("neighbor_cell"),
         F.round(
-            dot(F.col("q_emb"), F.col("embedding"))
-            / (
+            # try_divide: zero-norm embedding -> NULL cos (ranks last,
+            # = DuckDB's double 0/0), not an ANSI job kill
+            F.try_divide(
+                dot(F.col("q_emb"), F.col("embedding")),
                 F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
-                * F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(dot(F.col("embedding"), F.col("embedding"))),
             ),
             DIST_ROUND,
         ).alias("cos_sim"),

@@ -149,8 +149,13 @@ def _synth_media_df(spark: SparkSession, sf_dir: str, synth, kind_col, mime: str
 
     @F.pandas_udf(T.BinaryType())
     def build(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        # NULL text -> NULL payload (missing media): one null source row
+        # must not kill the batch; _extract_features already emits the
+        # null-feature row for a NULL payload, and the oracles mirror
+        # via MD5(NULL) = NULL (adversarial-fixture find, r8)
         return pd.Series(
-            [synth(int(i), t) for i, t in zip(doc_id, text)], dtype=object
+            [None if t is None else synth(int(i), t) for i, t in zip(doc_id, text)],
+            dtype=object,
         )
 
     return d.select(

@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from etl_pipeline_spark.functions.grid import sat_quantize
+
 SEM_QUANT = 10000  # centroid quantization denominator
 
 
@@ -35,7 +37,10 @@ def vec_dot(x: Column, y: Column) -> Column:
 
 
 def vec_cosine(x: Column, y: Column) -> Column:
-    return vec_dot(x, y) / (F.sqrt(vec_dot(x, x)) * F.sqrt(vec_dot(y, y)))
+    # try_divide: a zero-norm vector makes cosine undefined — NULL (ranks
+    # last, matching DuckDB's double-div-by-zero), not an ANSI crash that
+    # would kill the job on one degenerate row (adversarial-fixture find).
+    return F.try_divide(vec_dot(x, y), F.sqrt(vec_dot(x, x)) * F.sqrt(vec_dot(y, y)))
 
 
 def seed_centroids(
@@ -46,8 +51,10 @@ def seed_centroids(
     comp = emb.select(
         (F.col(id_col) % k).alias("seed"), F.posexplode(vec_col).alias("pos0", "val")
     )
+    # sat_quantize (functions/grid.py): saturate extreme components on
+    # the shared grid instead of overflowing the long sum under ANSI
     cent = comp.groupBy("seed", "pos0").agg(
-        F.sum(F.floor(F.col("val") * SEM_QUANT + 0.5).cast("long")).alias("qsum"),
+        F.sum(sat_quantize(F.col("val"), SEM_QUANT)).alias("qsum"),
         F.count("*").alias("n"),
     )
     return (

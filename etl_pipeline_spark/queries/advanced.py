@@ -1588,17 +1588,33 @@ IV_WINDOW_US = 21600 * 1_000_000  # 6-hour maintenance windows
 _IV_SQL = f"""
     SELECT event_id, event_type, value,
            EPOCH_US(ts) AS s_us,
-           EPOCH_US(ts) + (CAST(TRUNC(value * 60) AS BIGINT) + {IV_BASE_SEC}) * 1000000 AS e_us
+           EPOCH_US(ts) + (CAST(FLOOR(LEAST(GREATEST(value * 60, -{IV_BASE_SEC}.0),
+                                            1000000.0)) AS BIGINT)
+                           + {IV_BASE_SEC}) * 1000000 AS e_us
     FROM events
 """
 
 
 def _intervals(e: DataFrame) -> DataFrame:
     """Half-open event intervals [s_us, e_us) in epoch micros: start = ts,
-    duration = trunc(value*60) + base seconds. Integer micros everywhere,
-    so bin and overlap arithmetic is exact in both engines."""
+    duration = floor(value*60) + base seconds, with the scaled value
+    CLAMPED to [-base, 1e6] before flooring — an adversarial 1e18 value
+    would otherwise overflow the micros multiply under ANSI (job kill),
+    and a negative value would put the end before the start; clamped,
+    the worst cases are an empty interval and an ~11.6-day one, in both
+    engines identically (FLOOR on both sides — the old TRUNC twin
+    disagreed with floor on fractional negatives). Integer micros
+    everywhere, so bin and overlap arithmetic is exact in both engines."""
     s_us = F.unix_micros(F.col("ts"))
-    dur_us = (F.floor(F.col("value") * 60).cast("long") + IV_BASE_SEC) * 1_000_000
+    dur_us = (
+        F.floor(
+            F.least(
+                F.greatest(F.col("value") * 60, F.lit(-float(IV_BASE_SEC))),
+                F.lit(1000000.0),
+            )
+        ).cast("long")
+        + IV_BASE_SEC
+    ) * 1_000_000
     return e.select(
         "event_id", "event_type", "value", s_us.alias("s_us"), (s_us + dur_us).alias("e_us")
     )

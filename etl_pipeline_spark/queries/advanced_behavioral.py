@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_spark.catalog import load_tables
 from etl_pipeline_spark.queries.advanced import ATTR_WINDOW_US
+from etl_pipeline_spark.functions.grid import sat_quantize, sat_quantize_sql
 from etl_pipeline_spark.queries.base import query
 
 
@@ -263,11 +264,14 @@ def q_ab_test_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = arms.filter(F.col("arm") == "B").select(
         "event_type", F.col("n").alias("n_b"), F.col("m").alias("m_b"), F.col("s2").alias("s2_b")
     )
+    # try_divide: singleton or constant arms (se 0, n-1 = 0) yield NULL
+    # like DuckDB's double division — not an ANSI DIVIDE_BY_ZERO kill
     se2 = F.col("s2_a") / F.col("n_a") + F.col("s2_b") / F.col("n_b")
-    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(se2)
-    df = F.pow(se2, 2) / (
-        F.pow(F.col("s2_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
-        + F.pow(F.col("s2_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+    t = F.try_divide(F.col("m_a") - F.col("m_b"), F.sqrt(se2))
+    df = F.try_divide(
+        F.pow(se2, 2),
+        F.try_divide(F.pow(F.col("s2_a") / F.col("n_a"), 2), F.col("n_a") - 1)
+        + F.try_divide(F.pow(F.col("s2_b") / F.col("n_b"), 2), F.col("n_b") - 1),
     )
     return a.join(b, "event_type").select(
         "event_type",
@@ -376,7 +380,7 @@ def q_dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (
         SELECT user_id, event_type, CAST(ts AS DATE) AS d,
-               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+               CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT) AS cents
         FROM events
     ),
     cohorts AS (SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY user_id),
@@ -424,7 +428,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.to_date("ts").alias("d"),
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        sat_quantize(F.col("value"), 100).alias("cents"),
     )
     cohorts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     sizes = cohorts.groupBy("cohort_day").agg(F.count("*").alias("cohort_users"))
@@ -791,7 +795,7 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- the mean on exact .00005 halves where library ROUNDs diverge
         SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
                COUNT(*) AS n_events,
-               FLOOR(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) * 100.0 / COUNT(*) + 0.5)
+               FLOOR(SUM(CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT)) * 100.0 / COUNT(*) + 0.5)
                    / 10000.0 AS avg_value
         FROM events GROUP BY 1, 2
     ),
@@ -814,7 +818,7 @@ def q_seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type peaks. Nothing scales beyond the event count's single pass.
     """
     e = load_tables(spark, sf_dir, ("events",))["events"]
-    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    cents = sat_quantize(F.col("value"), 100)
     cells = e.groupBy(
         "event_type", F.hour("ts").cast("long").alias("hour_of_day")
     ).agg(
@@ -973,7 +977,7 @@ def q_seasonal_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ev AS (
         SELECT event_id, user_id, event_type,
-               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT) AS cents,
                EPOCH_US(ts) AS us
         FROM events
     ),
@@ -1024,7 +1028,7 @@ def q_attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        sat_quantize(F.col("value"), 100).alias("cents"),
         F.unix_micros("ts").alias("us"),
     )
     w = W.partitionBy("user_id").orderBy("us").rangeBetween(-ATTR_WINDOW_US, -1)
@@ -1079,7 +1083,7 @@ def q_attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (
         SELECT event_type, event_id, EPOCH_US(ts) AS us,
-               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+               CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT) AS cents
         FROM events
     ),
     pre AS (
@@ -1136,7 +1140,7 @@ def q_changepoint_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "event_id",
         F.unix_micros("ts").alias("us"),
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        sat_quantize(F.col("value"), 100).alias("cents"),
     )
     w = (
         W.partitionBy("event_type")
@@ -1295,7 +1299,7 @@ def _pca_oracle() -> str:
     base = f"""
     q AS (
         SELECT vec_id,
-               LIST(CAST(FLOOR(val * {PCA_QUANT} + 0.5) AS BIGINT) ORDER BY pos) AS qv
+               LIST({sat_quantize_sql("val", PCA_QUANT)} ORDER BY pos) AS qv
         FROM (
             SELECT vec_id, g AS pos, embedding[g]::DOUBLE AS val
             FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(g)
@@ -1380,7 +1384,7 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.select(
         "vec_id",
         F.transform(
-            "embedding", lambda x: F.floor(x.cast("double") * PCA_QUANT + 0.5).cast("long")
+            "embedding", lambda x: sat_quantize(x, PCA_QUANT)
         ).alias("qv"),
     ).localCheckpoint(eager=False)
     idot = lambda x, y: F.aggregate(  # integer dot product  # noqa: E731
@@ -1437,7 +1441,7 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select((F.col("pos0") + 1).alias("dim"), "ua", "udot")
     return dims.crossJoin(F.broadcast(lam)).select(
         "dim",
-        F.round(F.col("ua") / F.sqrt(F.col("udot")), 4).alias("loading"),
+        F.round(F.try_divide(F.col("ua"), F.sqrt(F.col("udot"))), 4).alias("loading"),
         F.round(F.col("lam_raw") / (float(PCA_QUANT) * PCA_QUANT), 4).alias("lambda_top"),
         F.round("explained", 4).alias("explained_ratio"),
     )
@@ -1515,7 +1519,12 @@ def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_a = F.col("x_a").cast("double") / F.col("n_a")
     p_b = F.col("x_b").cast("double") / F.col("n_b")
     pool = (F.col("x_a") + F.col("x_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
-    z = (p_a - p_b) / F.sqrt(pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    # try_divide: a degenerate pool (all successes / all failures) must
+    # yield NULL like DuckDB's double division, not an ANSI crash
+    z = F.try_divide(
+        p_a - p_b,
+        F.sqrt(pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+    )
     return w.select(
         "n_a", "x_a", "n_b", "x_b",
         F.round(p_a, 6).alias("rate_a"),
@@ -1534,7 +1543,7 @@ def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doubles in both engines over the same inputs); clamped values fold
     # to integer cents with explicit half-up before averaging, so the
     # robust mean is exact until the final edge division.
-    oracle="""
+    oracle=f"""
     WITH th AS (
         SELECT event_type,
                QUANTILE_CONT(value, 0.05) AS lo,
@@ -1543,7 +1552,7 @@ def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     clamped AS (
         SELECT e.event_type,
-               CAST(FLOOR(LEAST(GREATEST(e.value, t.lo), t.hi) * 100 + 0.5) AS BIGINT)
+               {sat_quantize_sql("LEAST(GREATEST(e.value, t.lo), t.hi)", 100)}
                    AS cents
         FROM events e JOIN th t ON e.event_type = t.event_type
     )
@@ -1578,11 +1587,11 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "lo",
         "hi",
-        F.floor(
-            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")) * 100 + 0.5
-        )
-        .cast("long")
-        .alias("cents"),
+        # sat_quantize: a tiny group's p95 can itself be an adversarial
+        # extreme, so the winsorize clamp alone doesn't bound the cents
+        sat_quantize(
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 100
+        ).alias("cents"),
     )
     return clamped.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
@@ -1824,7 +1833,7 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
         SELECT event_type,
-               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT) AS cents,
                (LEAD(EPOCH_US(ts)) OVER (
                    PARTITION BY event_type ORDER BY ts, event_id
                ) - EPOCH_US(ts)) // 1000 AS hold_ms
@@ -1858,7 +1867,7 @@ def q_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, ("events",))["events"]
     seq = e.select(
         "event_type",
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        sat_quantize(F.col("value"), 100).alias("cents"),
         F.expr(
             "(lead(unix_micros(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id)"
             " - unix_micros(ts)) div 1000"

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.functions.grid import sat_quantize, sat_quantize_sql
 from etl_pipeline_spark.queries.base import query
 
 
@@ -476,7 +477,7 @@ def _km_oracle() -> str:
     base = f"""
     WITH q AS (
         SELECT vec_id, g - 1 AS pos,
-               CAST(FLOOR(embedding[g]::DOUBLE * {KM_QUANT} + 0.5) AS BIGINT) AS qd
+               {sat_quantize_sql("embedding[g]::DOUBLE", KM_QUANT)} AS qd
         FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(g)
     ),
     c0 AS (
@@ -540,11 +541,12 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration DAG constant-depth.
     """
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    # sat_quantize: saturating grid (functions/grid.py) — a 1e30
+    # component must saturate, not ANSI-overflow the whole job
     qv = e.select(
         "vec_id",
         F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * KM_QUANT + 0.5).cast("long"),
+            "embedding", lambda x: sat_quantize(x, KM_QUANT)
         ).alias("qv"),
     ).localCheckpoint(eager=False)
 
@@ -612,8 +614,8 @@ DB_MINPTS = 8  # neighbors (incl. self) required for a core point
     oracle=f"""
     WITH p AS (
         SELECT vec_id,
-               CAST(FLOOR(embedding[1]::DOUBLE * {DB_QUANT} + 0.5) AS BIGINT) AS qx,
-               CAST(FLOOR(embedding[2]::DOUBLE * {DB_QUANT} + 0.5) AS BIGINT) AS qy
+               {sat_quantize_sql("embedding[1]::DOUBLE", DB_QUANT)} AS qx,
+               {sat_quantize_sql("embedding[2]::DOUBLE", DB_QUANT)} AS qy
         FROM embeddings
     ),
     c AS (SELECT vec_id, qx, qy, qx // {DB_EPS} AS cx, qy // {DB_EPS} AS cy FROM p),
@@ -679,14 +681,14 @@ def dbscan_classify(
 ) -> DataFrame:
     """Parameterized core of q_dbscan_classify over any (vec_id,
     embedding) DataFrame — the soak harness scales eps with density."""
+    # sat_quantize: Spark's floor(double) silently saturates at
+    # Long.MAX while DuckDB's BIGINT cast throws — the shared clamp
+    # keeps both engines identical AND keeps downstream squared
+    # distances inside long range (functions/grid.py)
     p = e.select(
         "vec_id",
-        F.floor(F.col("embedding").getItem(0).cast("double") * DB_QUANT + 0.5)
-        .cast("long")
-        .alias("qx"),
-        F.floor(F.col("embedding").getItem(1).cast("double") * DB_QUANT + 0.5)
-        .cast("long")
-        .alias("qy"),
+        sat_quantize(F.col("embedding").getItem(0), DB_QUANT).alias("qx"),
+        sat_quantize(F.col("embedding").getItem(1), DB_QUANT).alias("qy"),
     )
     c = p.select(
         "vec_id", "qx", "qy",
@@ -768,8 +770,8 @@ def dbscan_classify(
     WITH tx AS (
         SELECT user_id, ts, event_id,
                CASE WHEN event_type = 'purchase'
-                    THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
-                    ELSE -CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS delta
+                    THEN CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT)
+                    ELSE -CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT) END AS delta
         FROM events
         WHERE event_type IN ('purchase', 'view')
     ),
@@ -821,7 +823,7 @@ def q_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth, inventory with floor, credit drawdown).
     """
     e = load_tables(spark, sf_dir, ("events",))["events"]
-    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    cents = sat_quantize(F.col("value"), 100)
     tx = e.filter(F.col("event_type").isin("purchase", "view")).select(
         "user_id",
         "ts",
@@ -968,7 +970,7 @@ def _mmr_oracle() -> str:
     return f"""
     WITH qv AS MATERIALIZED (
         SELECT vec_id,
-               LIST(CAST(FLOOR(embedding[g]::DOUBLE * 1000 + 0.5) AS BIGINT)
+               LIST({sat_quantize_sql("embedding[g]::DOUBLE", 1000)}
                     ORDER BY g) AS v
         FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(g)
         GROUP BY vec_id
@@ -1016,7 +1018,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = e.select(
         "vec_id",
         F.transform(
-            "embedding", lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long")
+            "embedding", lambda x: sat_quantize(x, 1000)
         ).alias("v"),
     )
     idot = lambda x, y: F.aggregate(  # noqa: E731
@@ -1699,7 +1701,7 @@ KNN_EVAL_K = 5
     oracle=f"""
     WITH qv AS MATERIALIZED (
         SELECT vec_id, label,
-               LIST(CAST(FLOOR(embedding[g]::DOUBLE * 1000 + 0.5) AS BIGINT)
+               LIST({sat_quantize_sql("embedding[g]::DOUBLE", 1000)}
                     ORDER BY g) AS v
         FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(g)
         GROUP BY vec_id, label
@@ -1760,7 +1762,7 @@ def q_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.transform(
-            "embedding", lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long")
+            "embedding", lambda x: sat_quantize(x, 1000)
         ).alias("v"),
     ).localCheckpoint(eager=False)
     ev = qv.filter(

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.functions.grid import sat_quantize, sat_quantize_sql
 from etl_pipeline_spark.queries.base import EPOCH, query
 
 
@@ -477,7 +478,7 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
         SELECT event_type AS grp,
-               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+               CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT) AS cents
         FROM events WHERE event_type IN ('purchase', 'view')
     ),
     dv AS (
@@ -529,7 +530,7 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, ("events",))["events"]
     v = e.filter(F.col("event_type").isin("purchase", "view")).select(
         F.col("event_type").alias("grp"),
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        sat_quantize(F.col("value"), 100).alias("cents"),
     )
     dv = v.groupBy("cents").agg(
         F.count("*").alias("t"),
@@ -814,7 +815,7 @@ def q_sample_size_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
         SELECT event_type AS grp,
-               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+               CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT) AS cents
         FROM events WHERE event_type IN ('purchase', 'view')
     ),
     dv AS (
@@ -868,7 +869,7 @@ def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, ("events",))["events"]
     v = e.filter(F.col("event_type").isin("purchase", "view")).select(
         F.col("event_type").alias("grp"),
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        sat_quantize(F.col("value"), 100).alias("cents"),
     )
     dv = v.groupBy("cents").agg(
         F.count("*").alias("t"),
@@ -993,9 +994,9 @@ def q_anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
         SELECT event_type AS g, COUNT(*) AS n,
-               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
-               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
-                        * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS q
+               CAST(SUM(CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT)
+                        * CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT)) AS BIGINT) AS q
         FROM events GROUP BY 1
     ),
     pairs AS (
@@ -1034,7 +1035,7 @@ def q_pairwise_tests_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth axis.
     """
     e = load_tables(spark, sf_dir, ("events",))["events"]
-    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    cents = sat_quantize(F.col("value"), 100)
     m = e.groupBy(F.col("event_type").alias("g")).agg(
         F.count("*").alias("n"),
         F.sum(cents).alias("s"),
@@ -1051,9 +1052,14 @@ def q_pairwise_tests_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, F.col("g1") < F.col("g2"))
     mean1 = F.col("s1") * 1.0 / F.col("n1")
     mean2 = F.col("s2") * 1.0 / F.col("n2")
-    var1 = (F.col("q1") - F.col("s1") * mean1) / (F.col("n1") - 1)
-    var2 = (F.col("q2") - F.col("s2") * mean2) / (F.col("n2") - 1)
-    tt = (mean1 - mean2) / F.sqrt(var1 / F.col("n1") + var2 / F.col("n2"))
+    # try_divide throughout the t-statistic: a singleton group (n=1) or
+    # two constant groups (pooled se 0) must yield NULL like DuckDB's
+    # double division, not an ANSI DIVIDE_BY_ZERO job kill
+    var1 = F.try_divide(F.col("q1") - F.col("s1") * mean1, F.col("n1") - 1)
+    var2 = F.try_divide(F.col("q2") - F.col("s2") * mean2, F.col("n2") - 1)
+    tt = F.try_divide(
+        mean1 - mean2, F.sqrt(var1 / F.col("n1") + var2 / F.col("n2"))
+    )
     return pairs.select(
         "g1",
         "g2",

@@ -57,6 +57,7 @@ def wide_ckpt_level() -> StorageLevel:
     return StorageLevel.MEMORY_AND_DISK_DESER
 
 from etl_pipeline_spark.catalog import load_tables, scan_parallel
+from etl_pipeline_spark.functions.grid import sat_quantize_sql
 from etl_pipeline_spark.functions.shingles import (
     hashed_word_shingles,
     tokenized,
@@ -747,10 +748,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_a",
             "vec_b",
             F.round(
-                dot(F.col("emb_a"), F.col("emb_b"))
-                / (
+                # try_divide: zero-norm embedding -> NULL cos (ranks
+                # last, = DuckDB's double 0/0), not an ANSI job kill
+                F.try_divide(
+                    dot(F.col("emb_a"), F.col("emb_b")),
                     F.sqrt(dot(F.col("emb_a"), F.col("emb_a")))
-                    * F.sqrt(dot(F.col("emb_b"), F.col("emb_b")))
+                    * F.sqrt(dot(F.col("emb_b"), F.col("emb_b"))),
                 ),
                 4,
             ).alias("cos_sim"),
@@ -1015,7 +1018,7 @@ SEM_QUANT = 10000  # centroid quantization denominator (exact integer sums)
     ),
     cent AS (
         SELECT seed, pos,
-               CAST(SUM(CAST(FLOOR(val * {SEM_QUANT} + 0.5) AS BIGINT)) AS BIGINT) AS qsum,
+               CAST(SUM({sat_quantize_sql("val", SEM_QUANT)}) AS BIGINT) AS qsum,
                COUNT(*) AS n
         FROM comp GROUP BY seed, pos
     ),

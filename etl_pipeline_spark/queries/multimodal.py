@@ -73,13 +73,18 @@ def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id AS media_id,
            CASE WHEN fmt = 2 THEN 'audio' ELSE 'image' END AS kind,
-           CASE fmt WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
-           CAST(CASE fmt WHEN 0 THEN 11 + LENGTH(CAST(h AS VARCHAR)) + 48 * h
-                         WHEN 1 THEN 54 + 48 * h
-                         ELSE 44 + 2 * n_samp END AS BIGINT) AS n_bytes,
-           CAST(CASE WHEN fmt = 2 THEN NULL ELSE 16 END AS INTEGER) AS width,
-           CAST(CASE WHEN fmt = 2 THEN NULL ELSE h END AS INTEGER) AS height,
-           CAST(CASE WHEN fmt = 2 THEN n_samp // 8 ELSE NULL END AS BIGINT) AS duration_ms,
+           -- NULL text -> NULL payload (missing media): the Spark side
+           -- emits the null-feature row (n_bytes 0, rest NULL)
+           CASE WHEN hx IS NULL THEN NULL
+                ELSE CASE fmt WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'wav' END
+           END AS format,
+           CAST(CASE WHEN hx IS NULL THEN 0
+                     WHEN fmt = 0 THEN 11 + LENGTH(CAST(h AS VARCHAR)) + 48 * h
+                     WHEN fmt = 1 THEN 54 + 48 * h
+                     ELSE 44 + 2 * n_samp END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN hx IS NULL OR fmt = 2 THEN NULL ELSE 16 END AS INTEGER) AS width,
+           CAST(CASE WHEN hx IS NULL OR fmt = 2 THEN NULL ELSE h END AS INTEGER) AS height,
+           CAST(CASE WHEN hx IS NOT NULL AND fmt = 2 THEN n_samp // 8 ELSE NULL END AS BIGINT) AS duration_ms,
            CAST(tile_sum * (CASE WHEN fmt = 2 THEN n_samp ELSE 48 * h END) // 32 AS BIGINT) AS content_sum,
            CASE WHEN fmt = 2 THEN NULL ELSE md5(repeat(hx, (3 * h) // 2)) END AS content_md5
     FROM m
@@ -104,7 +109,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the oracle reproduces the md5 and pixel sum exactly — verifying
     # stream walking, stride, resize output shape, and hashing.
     oracle="""
-    WITH m AS (SELECT doc_id, md5(text) AS hx, 2 + doc_id % 5 AS nf FROM documents),
+    WITH m AS (SELECT doc_id, md5(text) AS hx, 2 + doc_id % 5 AS nf FROM documents
+               WHERE text IS NOT NULL),
     f AS (SELECT doc_id, hx, UNNEST(generate_series(0, nf - 1)) AS frame_idx FROM m)
     SELECT doc_id AS media_id,
            CAST(frame_idx AS INTEGER) AS frame_idx,
@@ -144,7 +150,8 @@ SHOT_CUT_MILLI = 16_000  # |mean delta| >= 16 intensity units flags a cut
     # pipeline: stream decode -> per-frame intensity (mapInPandas) ->
     # lag window -> threshold.
     oracle=f"""
-    WITH m AS (SELECT doc_id, md5(text) AS hx, 2 + doc_id % 5 AS nf FROM documents),
+    WITH m AS (SELECT doc_id, md5(text) AS hx, 2 + doc_id % 5 AS nf FROM documents
+               WHERE text IS NOT NULL),
     f AS (SELECT doc_id, hx, UNNEST(generate_series(0, nf - 1)) AS j FROM m),
     v AS (
         SELECT doc_id, j,
@@ -215,7 +222,7 @@ def q_multimodal_shot_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH a AS (
         SELECT doc_id, md5(text) AS hx, 2 * (1 + doc_id % 5) AS n_windows
-        FROM documents WHERE doc_id % 3 = 2
+        FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL
     ),
     ch AS (
         SELECT doc_id, hx, n_windows,

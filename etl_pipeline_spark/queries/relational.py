@@ -550,7 +550,9 @@ _SALT_BUCKETS = 8
     -- true .xx5 ties whose double representation depends on sum order
     SELECT e.event_type,
            COUNT(*) AS n_events,
-           FLOOR((SUM(CAST(ROUND(e.value * d.weight * 1000) AS BIGINT)) + 5) / 10) / 100.0
+           FLOOR((SUM(CAST(ROUND(LEAST(GREATEST(e.value * d.weight * 1000,
+                                                -1000000000000.0),
+                                       1000000000000.0)) AS BIGINT)) + 5) / 10) / 100.0
                AS weighted_value
     FROM events e JOIN dim d ON e.event_type = d.event_type
     GROUP BY e.event_type
@@ -585,7 +587,15 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted_dim = dim.crossJoin(
         spark.range(_SALT_BUCKETS).select(F.col("id").alias("salt"))
     )
-    milli = F.round(F.col("value") * F.col("weight") * 1000).cast("long")
+    # clamp to ±1e12 milli-units before the BIGINT cast (same bound in
+    # the oracle): an adversarial 1e18 value otherwise CAST_OVERFLOWs
+    # and kills the job under ANSI; the clean range tops out ~2.7e6
+    milli = F.round(
+        F.least(
+            F.greatest(F.col("value") * F.col("weight") * 1000, F.lit(-1.0e12)),
+            F.lit(1.0e12),
+        )
+    ).cast("long")
     return (
         salted_fact.join(salted_dim.hint("shuffle_hash"), ["event_type", "salt"])
         .groupBy("event_type")

@@ -172,22 +172,36 @@ def q_scalar_multiformat_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_scalar_json_props",
+    # json_valid guard + TRY_CAST: DuckDB's json_extract_string THROWS
+    # on malformed JSON and CAST('[]') throws on non-numeric extracts,
+    # where Spark's get_json_object/try_cast quietly yield NULL — the
+    # guarded form makes both engines agree that bad rows contribute
+    # nothing (adversarial-fixture find, r8)
     oracle="""
+    WITH ex AS (
+        SELECT event_type,
+               TRY_CAST(CASE WHEN json_valid(props)
+                             THEN json_extract_string(props, '$.k') END
+                        AS BIGINT) AS k
+        FROM events
+    )
     SELECT event_type,
-           COUNT(*)                                               AS n_events,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-    FROM events
+           COUNT(*)               AS n_events,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k)                 AS min_k,
+           MAX(k)                 AS max_k
+    FROM ex
     GROUP BY event_type
     """,
     tags=("scalar", "F14"),
 )
 def q_scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from a string column (F14 <- dataflow.py:212
-    ``json.loads``): ``get_json_object`` keeps the parse JVM-side."""
+    ``json.loads``): ``get_json_object`` keeps the parse JVM-side.
+    try_cast, not cast: a non-scalar '$.k' (e.g. ``{"k": []}``) must
+    yield NULL, not an ANSI CAST_INVALID_INPUT job kill."""
     e = load_tables(spark, sf_dir, ("events",))["events"]
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(k).alias("sum_k"),
@@ -200,7 +214,7 @@ def q_scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scalar_regexp_extract",
     oracle="""
     SELECT source,
-           CAST(REGEXP_EXTRACT(source, 'src([0-9]+)', 1) AS BIGINT) AS src_num,
+           TRY_CAST(REGEXP_EXTRACT(source, 'src([0-9]+)', 1) AS BIGINT) AS src_num,
            COUNT(*) AS n_docs
     FROM documents
     GROUP BY source
@@ -208,13 +222,15 @@ def q_scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "regex"),
 )
 def q_scalar_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regex group extraction + cast (F10-style id-from-name parsing)."""
+    """Regex group extraction + cast (F10-style id-from-name parsing).
+    try_cast: a non-matching source yields '' from regexp_extract, and
+    casting that must give NULL, not an ANSI job kill."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     return d.groupBy("source").agg(
         F.count("*").alias("n_docs")
     ).select(
         "source",
-        F.regexp_extract("source", r"src([0-9]+)", 1).cast("long").alias("src_num"),
+        F.regexp_extract("source", r"src([0-9]+)", 1).try_cast("long").alias("src_num"),
         "n_docs",
     )
 
@@ -446,7 +462,10 @@ def q_hof_array_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(k) AS BIGINT) AS max_k,
            CAST(SUM(k) AS BIGINT) AS sum_k
     FROM (
-        SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        SELECT event_type,
+               TRY_CAST(CASE WHEN json_valid(props)
+                             THEN json_extract_string(props, '$.k') END
+                        AS BIGINT) AS k
         FROM events
     )
     GROUP BY event_type
@@ -467,7 +486,10 @@ def q_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate itself is a bounded (event_type) grid.
     """
     e = load_tables(spark, sf_dir, ("events",))["events"]
-    v = F.parse_json("props")
+    # try_parse_json: malformed props must ingest as NULL variant, not
+    # throw — parse_json on one bad payload kills the job (r8 find);
+    # try_variant_get then propagates NULL for missing/mistyped paths
+    v = F.try_parse_json("props")
     k = F.try_variant_get(v, "$.k", "long")
     return (
         e.select("event_type", k.alias("k"))

@@ -31,6 +31,13 @@ def _cosine(a, b):
     ``F.zip_with`` + ``F.aggregate`` evaluate element-by-element in array
     order — same accumulation order as DuckDB's list_dot_product — so the
     doubles agree to the last ulp in practice.
+
+    Zero-norm vectors: cosine is undefined, and under Spark 4's default
+    ANSI mode a plain ``/`` THROWS on the zero denominator — one
+    all-zeros embedding row would kill the whole job (adversarial-fixture
+    find, r8). ``try_divide`` yields NULL instead, which is exactly what
+    DuckDB's double division by zero returns, so both engines agree:
+    the row ranks last (NULLS LAST in DESC on both) instead of crashing.
     """
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -43,7 +50,7 @@ def _cosine(a, b):
     nb = F.sqrt(
         F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
     )
-    return dot / (na * nb)
+    return F.try_divide(dot, na * nb)
 
 
 @query(

@@ -490,7 +490,11 @@ def q_tfidf_nearest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_doc",
             "nn_doc",
             "n_shared_terms",
-            F.round(F.col("dot") / (F.col("qn") * F.col("nn")), 4).alias("cos_sim"),
+            # try_divide: a zero-norm doc (all terms at idf 0) -> NULL
+            # like DuckDB's double 0/0, not an ANSI job kill
+            F.round(
+                F.try_divide(F.col("dot"), F.col("qn") * F.col("nn")), 4
+            ).alias("cos_sim"),
         )
     )
     win = W.partitionBy("q_doc").orderBy(F.desc("cos_sim"), F.asc("nn_doc"))
@@ -1030,7 +1034,11 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex_scored = (
         dots.join(F.broadcast(norms.select(F.col("doc_id").alias("q_doc"), F.col("nrm").alias("qn"))), "q_doc")
         .join(F.broadcast(norms.select(F.col("doc_id").alias("nn_doc"), F.col("nrm").alias("nn"))), "nn_doc")
-        .select("q_doc", "nn_doc", F.round(F.col("dot") / (F.col("qn") * F.col("nn")), 4).alias("s"))
+        .select(
+            "q_doc",
+            "nn_doc",
+            F.round(F.try_divide(F.col("dot"), F.col("qn") * F.col("nn")), 4).alias("s"),
+        )
     )
     wl = W.partitionBy("q_doc").orderBy(F.desc("s"), F.asc("nn_doc"))
     lex = (
@@ -1061,8 +1069,13 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_doc",
             "nn_doc",
             F.round(
-                dot(F.col("qv"), F.col("nv"))
-                / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("nv"), F.col("nv")))),
+                # try_divide: zero-norm vector -> NULL score (ranks
+                # last, = DuckDB's double 0/0), not an ANSI job kill
+                F.try_divide(
+                    dot(F.col("qv"), F.col("nv")),
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("nv"), F.col("nv"))),
+                ),
                 6,
             ).alias("s"),
         )

@@ -1,0 +1,161 @@
+"""Build the ADVERSARIAL test fixture: sf0.001 plus the malformed /
+degenerate / non-ASCII rows a 100 TB production corpus inevitably
+contains. One bad record must never kill a 1000-executor job — Spark 4
+runs with ANSI mode ON, so out-of-range array indexing, fallible casts,
+and integer division are all crash classes, and the round-7 advisor
+found exactly one of them (streaming shingles on sub-width docs) that
+every clean fixture missed.
+
+Usage:
+    python tools/make_adversarial_fixture.py [out_dir]   # default .fuzzdata/sfadv
+
+Then run the full oracle sweep against it:
+    python tools/check_oracle.py --sf-dir .fuzzdata/sfadv
+
+The adversarial rows are APPENDED to the sf0.001 tables (ids continue
+past the originals), so every query still has its normal signal plus
+the nasty tail. Everything is deterministic — no RNG — so Spark and
+the DuckDB oracle see byte-identical inputs.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = Path("/root/testdata/sf0.001")
+
+ADVERSARIAL_TEXTS: list[tuple[str | None, str | None]] = [
+    # (text, lang) — lang defaults to "en" when None is not intended
+    ("", "en"),                                      # empty string
+    ("hello", "en"),                                 # 1 token (< shingle width)
+    ("hello world", "en"),                           # 2 tokens
+    ("   ", "en"),                                   # whitespace-only
+    ("a  b   c", "en"),                              # runs of spaces -> empty split tokens
+    ("line1\nline2\ttabbed end", "en"),              # newlines / tabs
+    ("!!! ??? ... ;;; ###", "en"),                   # punctuation-only
+    ("你好 世界 数据 处理 引擎 查询 优化 执行", "zh"),  # CJK
+    ("🚀 🔥 ✨ data 🚀 🔥 ✨ pipeline", "en"),        # emoji (non-BMP)
+    ("café naïve résumé déjà vu über garçon", "fr"),  # combining accents
+    ("x" * 5000, "en"),                              # one 5000-char token
+    (("spam " * 500).strip(), "en"),                 # one word repeated 500x
+    ("123 456 789 000 111 222", "en"),               # digits only
+    ("bell\x07char and del\x7fchar", "en"),          # control characters
+    ("مرحبا بالعالم هذا اختبار للنص", "en"),          # RTL script
+    ("a", "en"),                                     # single character
+    ("  padded text here  ", "en"),                  # leading/trailing space
+    ("he said \"hi\" and 'bye' \\ backslash", "en"),  # quotes / escapes
+    ('{"k": 1, "v": [1, 2]}', "en"),                 # JSON-looking text
+    ("a+b*c?(d)[e]{2}|f^g$h", "en"),                 # regex metacharacters
+    (None, "en"),                                    # NULL text
+    ("normal text with a null lang tail", None),      # NULL lang
+    ("the fast key order sort table scan merge part window small hash "
+     "scan join order batch batch batch stream spark window window dup",
+     "es"),                                          # exact dup of doc 0
+    (" ".join(f"tok{i % 97}" for i in range(2000)), "en"),  # 2000-token doc
+]
+
+
+def build(out_dir: Path) -> None:
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    # --- untouched relational tables -----------------------------------
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem"):
+        shutil.copyfile(SRC / f"{t}.parquet", out_dir / f"{t}.parquet")
+
+    # --- documents + adversarial tail ----------------------------------
+    docs = pq.read_table(SRC / "documents.parquet")
+    base_id = max(docs.column("doc_id").to_pylist()) + 1
+    rows = {
+        "doc_id": [], "text": [], "lang": [], "source": [], "n_chars": [],
+    }
+    for i, (text, lang) in enumerate(ADVERSARIAL_TEXTS):
+        rows["doc_id"].append(base_id + i)
+        rows["text"].append(text)
+        rows["lang"].append(lang)
+        rows["source"].append("adversarial")
+        rows["n_chars"].append(len(text) if text is not None else 0)
+    tail = pa.table(rows).cast(pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+        ("source", pa.string()), ("n_chars", pa.int64()),
+    ]))
+    pq.write_table(
+        pa.concat_tables([docs.select(tail.column_names), tail]),
+        out_dir / "documents.parquet",
+    )
+
+    # --- embeddings + adversarial tail ---------------------------------
+    emb = pq.read_table(SRC / "embeddings.parquet")
+    dim = len(emb.column("embedding")[0].as_py())
+    vec0 = emb.column("embedding")[0].as_py()
+    vbase = max(emb.column("vec_id").to_pylist()) + 1
+    adv_vecs: list[tuple[list[float] | None, int]] = [
+        ([0.0] * dim, 0),                        # zero vector (cosine 0/0)
+        (vec0, 1),                               # exact duplicate of vec 0
+        ([1e30] * dim, 2),                       # float32-overflow magnitude
+        ([1e-40] * dim, 3),                      # subnormal magnitude
+        ([1.0] * dim, 4),                        # constant components
+        ([-1.0] * dim, 5),                       # negated constant
+    ]
+    et = {
+        "vec_id": [vbase + i for i in range(len(adv_vecs))],
+        "embedding": [v for v, _ in adv_vecs],
+        "label": [lb for _, lb in adv_vecs],
+    }
+    etail = pa.table(et).cast(pa.schema([
+        ("vec_id", pa.int64()),
+        ("embedding", pa.list_(pa.float32())),
+        ("label", pa.int32()),
+    ]))
+    pq.write_table(
+        pa.concat_tables([emb.select(etail.column_names).cast(etail.schema),
+                          etail]),
+        out_dir / "embeddings.parquet",
+    )
+
+    # --- events + adversarial tail -------------------------------------
+    ev = pq.read_table(SRC / "events.parquet")
+    ebase = max(ev.column("event_id").to_pylist()) + 1
+    ts_type = ev.schema.field("ts").type
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    adv_events = [
+        # (event_type, value, props)
+        ("purchase", 0.0, "not json at all"),
+        ("purchase", -1.5, ""),
+        ("click", 1e18, "{broken"),
+        ("view", 0.0, None),
+        ("", 2.5, '{"k": 1}'),
+        ("tipo-ñandú 🚀", 3.5, '{"k": []}'),
+        ("error", 4.5, '{"k": null}'),
+        ("signup", 5.5, '{"K": 7}'),  # wrong-case key
+    ]
+    etab = {
+        "event_id": [ebase + i for i in range(len(adv_events))],
+        "ts": [t0 + dt.timedelta(seconds=i) for i in range(len(adv_events))],
+        "user_id": [10_000 + i for i in range(len(adv_events))],
+        "event_type": [e for e, _, _ in adv_events],
+        "value": [v for _, v, _ in adv_events],
+        "props": [p for _, _, p in adv_events],
+    }
+    evtail = pa.table(etab).cast(pa.schema([
+        ("event_id", pa.int64()), ("ts", ts_type), ("user_id", pa.int64()),
+        ("event_type", pa.string()), ("value", pa.float64()),
+        ("props", pa.string()),
+    ]))
+    pq.write_table(
+        pa.concat_tables([ev.select(evtail.column_names).cast(evtail.schema),
+                          evtail]),
+        out_dir / "events.parquet",
+    )
+    print(f"adversarial fixture written to {out_dir}")
+
+
+if __name__ == "__main__":
+    out = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(".fuzzdata/sfadv")
+    build(out)
