@@ -500,11 +500,15 @@ def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(emb_d, lambda x: F.abs(x))) / 127.0
     with_scale = e.select("vec_id", "label", emb_d.alias("emb"), scale.alias("scale"))
+    # try_divide: the all-zeros vector has scale 0 — its round-trip MSE
+    # is undefined (NULL, matching DuckDB's x/0 -> NULL inside the list
+    # transform), not an ANSI DIVIDE_BY_ZERO job kill (r8 find)
     sq_err = F.aggregate(
         F.transform(
             F.col("emb"),
             lambda x: F.pow(
-                x - F.floor(x / F.col("scale") + 0.5) * F.col("scale"), F.lit(2)
+                x - F.floor(F.try_divide(x, F.col("scale")) + 0.5) * F.col("scale"),
+                F.lit(2),
             ),
         ),
         F.lit(0.0),
@@ -1704,7 +1708,11 @@ def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(make_timestamp(wbin * {IV_WINDOW_US}), '%Y-%m-%d %H:%M:%S') AS w_start,
            COUNT(iv.event_id) AS n_events,
-           ROUND(COALESCE(SUM(iv.value), 0), 2) AS sum_value
+           ROUND(COALESCE((CAST(SUM(CAST(ROUND(LEAST(GREATEST(iv.value * 100,
+                                                              -1000000000000.0),
+                                                     1000000000000.0))
+                                         AS DECIMAL(38,0)))
+                           AS DOUBLE) / 100), 0), 2) AS sum_value
     FROM w LEFT JOIN iv
       ON iv.s_us < (wbin + 1) * {IV_WINDOW_US} AND iv.e_us > wbin * {IV_WINDOW_US}
     GROUP BY wbin
@@ -1752,7 +1760,29 @@ def q_interval_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("wbin")
         .agg(
             F.count("event_id").alias("n_events"),
-            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("sum_value"),
+            # order-independent integer-cents sum (the _exact_sum
+            # pattern) with a ±1e12-cent clamp: a plain double SUM's
+            # last ulp depends on summation order once an adversarial
+            # 1e18 value lands in the window, and even the exact DECIMAL
+            # sum diverges at the final DECIMAL->DOUBLE conversion when
+            # the total needs >53 bits — clamped, the total stays
+            # double-exact and clean values are untouched (r8 find)
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.round(
+                            F.least(
+                                F.greatest(F.col("value") * 100, F.lit(-1.0e12)),
+                                F.lit(1.0e12),
+                            )
+                        ).cast("decimal(38,0)")
+                    )
+                    .cast("double")
+                    / 100,
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("sum_value"),
         )
         .select(
             F.date_format(

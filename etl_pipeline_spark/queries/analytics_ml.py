@@ -874,21 +874,30 @@ def _wp_oracle() -> str:
         ) WHERE token <> '' GROUP BY token
     ),
     vocab(frag, is_cont) AS (VALUES {vocab_values_sql()}),
+    -- LATERAL best-match with an [UNK] fallback: when no fragment
+    -- matches (out-of-alphabet characters — digits, emoji, CJK), emit
+    -- '[UNK]' and advance ONE codepoint, exactly like the Python
+    -- tokenizer's UNK branch; the old oracle simply stopped the
+    -- recursion there and silently dropped the word's tail
+    -- (adversarial-fixture find, r8)
     step AS (
         SELECT word, word AS rest, 0 AS pos, CAST(NULL AS VARCHAR) AS piece
         FROM words
         UNION ALL
-        SELECT s.word, SUBSTR(s.rest, LEN(v.frag) + 1, 100000),
-               s.pos + LEN(v.frag),
-               CASE WHEN s.pos = 0 THEN v.frag ELSE '##' || v.frag END
-        FROM step s JOIN vocab v
-          ON v.is_cont = CASE WHEN s.pos = 0 THEN 0 ELSE 1 END
-         AND SUBSTR(s.rest, 1, LEN(v.frag)) = v.frag
+        SELECT s.word,
+               CASE WHEN b.frag IS NULL THEN SUBSTR(s.rest, 2, 100000)
+                    ELSE SUBSTR(s.rest, LEN(b.frag) + 1, 100000) END,
+               s.pos + COALESCE(LEN(b.frag), 1),
+               CASE WHEN b.frag IS NULL THEN '[UNK]'
+                    WHEN s.pos = 0 THEN b.frag
+                    ELSE '##' || b.frag END
+        FROM step s LEFT JOIN LATERAL (
+            SELECT v.frag FROM vocab v
+            WHERE v.is_cont = CASE WHEN s.pos = 0 THEN 0 ELSE 1 END
+              AND SUBSTR(s.rest, 1, LEN(v.frag)) = v.frag
+            ORDER BY LEN(v.frag) DESC LIMIT 1
+        ) b ON TRUE
         WHERE s.rest <> ''
-          AND LEN(v.frag) = (
-              SELECT MAX(LEN(v2.frag)) FROM vocab v2
-              WHERE v2.is_cont = CASE WHEN s.pos = 0 THEN 0 ELSE 1 END
-                AND SUBSTR(s.rest, 1, LEN(v2.frag)) = v2.frag)
     )
     SELECT piece,
            CAST(SUM(w.wc) AS BIGINT) AS n_tokens,
@@ -1501,19 +1510,24 @@ def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     uw AS (SELECT DISTINCT word FROM words),
     vocab(frag, is_cont) AS (VALUES __VOCAB__),
+    -- LATERAL best-match + [UNK] fallback, same recurrence as the
+    -- q_wordpiece_tokenize oracle: out-of-alphabet characters advance
+    -- one codepoint and still count one emitted piece, matching the
+    -- Python tokenizer (r8 — the old form stopped and undercounted)
     step AS (
         SELECT word, word AS rest, 0 AS pos, 0 AS emitted FROM uw
         UNION ALL
-        SELECT s.word, SUBSTR(s.rest, LEN(v.frag) + 1, 100000),
-               s.pos + LEN(v.frag), 1
-        FROM step s JOIN vocab v
-          ON v.is_cont = CASE WHEN s.pos = 0 THEN 0 ELSE 1 END
-         AND SUBSTR(s.rest, 1, LEN(v.frag)) = v.frag
+        SELECT s.word,
+               CASE WHEN b.frag IS NULL THEN SUBSTR(s.rest, 2, 100000)
+                    ELSE SUBSTR(s.rest, LEN(b.frag) + 1, 100000) END,
+               s.pos + COALESCE(LEN(b.frag), 1), 1
+        FROM step s LEFT JOIN LATERAL (
+            SELECT v.frag FROM vocab v
+            WHERE v.is_cont = CASE WHEN s.pos = 0 THEN 0 ELSE 1 END
+              AND SUBSTR(s.rest, 1, LEN(v.frag)) = v.frag
+            ORDER BY LEN(v.frag) DESC LIMIT 1
+        ) b ON TRUE
         WHERE s.rest <> ''
-          AND LEN(v.frag) = (
-              SELECT MAX(LEN(v2.frag)) FROM vocab v2
-              WHERE v2.is_cont = CASE WHEN s.pos = 0 THEN 0 ELSE 1 END
-                AND SUBSTR(s.rest, 1, LEN(v2.frag)) = v2.frag)
     ),
     wp AS (
         SELECT word, CAST(SUM(emitted) AS BIGINT) AS n_pieces

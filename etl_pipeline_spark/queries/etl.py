@@ -316,7 +316,10 @@ def q_dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
     )
-    rz = F.lit(MAD_SCALE) * (F.col("value") - F.col("med")) / F.col("mad")
+    # try_divide: a singleton/constant group has MAD 0 — its modified
+    # z-score is undefined (NULL, matching DuckDB's double division),
+    # not an ANSI DIVIDE_BY_ZERO job kill (r8 adversarial find)
+    rz = F.try_divide(F.lit(MAD_SCALE) * (F.col("value") - F.col("med")), F.col("mad"))
     is_out = F.abs(rz) > MAD_CUTOFF
     return (
         e.join(F.broadcast(med), "event_type")
@@ -326,8 +329,14 @@ def q_dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.round(F.any_value("med"), 4).alias("med"),
             F.round(F.any_value("mad"), 4).alias("mad"),
-            F.sum(is_out.cast("long")).alias("n_outliers"),
-            F.round(F.sum(is_out.cast("double")) / F.count("*"), 4).alias("outlier_share"),
+            # when/otherwise, not a bare cast: an undefined z-score (MAD
+            # 0 -> NULL rz) counts as NOT an outlier, matching the
+            # oracle's CASE ... ELSE 0 — a bare cast propagates NULL
+            # into the sums instead
+            F.sum(F.when(is_out, 1).otherwise(0).cast("long")).alias("n_outliers"),
+            F.round(
+                F.sum(F.when(is_out, 1.0).otherwise(0.0)) / F.count("*"), 4
+            ).alias("outlier_share"),
         )
     )
 
@@ -399,10 +408,18 @@ def q_dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("a_cnt").over(wall).alias("na"),
         F.sum("b_cnt").over(wall).alias("nb"),
     )
-    d = F.abs(F.col("ca").cast("double") / F.col("na") - F.col("cb").cast("double") / F.col("nb"))
+    # try_divide: a type with all its rows in one half has an empty ECDF
+    # on the other side — the KS statistic is undefined (NULL, matching
+    # DuckDB), not an ANSI DIVIDE_BY_ZERO job kill (r8 adversarial find)
+    d = F.abs(
+        F.try_divide(F.col("ca").cast("double"), F.col("na"))
+        - F.try_divide(F.col("cb").cast("double"), F.col("nb"))
+    )
     crit = F.lit(KS_CRIT) * F.sqrt(
-        (F.any_value("na") + F.any_value("nb")).cast("double")
-        / (F.any_value("na") * F.any_value("nb"))
+        F.try_divide(
+            (F.any_value("na") + F.any_value("nb")).cast("double"),
+            F.any_value("na") * F.any_value("nb"),
+        )
     )
     return cum.groupBy("event_type").agg(
         F.any_value("na").alias("n_first_half"),

@@ -186,16 +186,15 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stratified_sample",
+    # rate via CASE, not a rates-table join: a NULL lang must fall into
+    # the default stratum (Spark's otherwise(3)), and an equi-join on
+    # lang would silently DROP null-lang rows instead
     oracle="""
-    WITH rates AS (
-        SELECT lang, CASE WHEN lang = 'en' THEN 8 ELSE 3 END AS keep_16ths
-        FROM (SELECT DISTINCT lang FROM documents)
-    ),
-    kept AS (
-        SELECT d.doc_id, d.lang, d.n_chars
-        FROM documents d JOIN rates r ON d.lang = r.lang
-        WHERE CAST(('0x' || SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 1)) AS INTEGER)
-              < r.keep_16ths
+    WITH kept AS (
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER)
+              < CASE WHEN lang = 'en' THEN 8 ELSE 3 END
     )
     SELECT lang,
            COUNT(*) AS n_kept,

@@ -520,6 +520,15 @@ def q_embedding_centroid_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the array-fold alternative (zip_with against a broadcast
     centroid array) halves shuffle bytes at cluster scale and is the
     documented upgrade path.
+
+    Determinism contract: the 4-decimal rounding makes the report
+    engine-identical for embeddings of sane magnitude (|x| up to ~1e6).
+    A pathological component (e.g. 1e30) still computes — nothing
+    crashes — but double summation ORDER then shifts the low bits by
+    more than the rounding absorbs, so cross-engine hashes may differ
+    on exactly the rows such a vector dominates. That is inherent to
+    IEEE doubles, and deliberately NOT masked: this query is the health
+    check that should surface such vectors (max_dist explodes).
     """
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     dims = e.select(

@@ -265,28 +265,43 @@ def q_text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_text_edit_distance_pairs",
-    oracle="""
+    # The prefixes are ASCII-FOLDED (each non-ASCII codepoint -> '?')
+    # before the distance on BOTH sides: Spark's levenshtein counts
+    # codepoints while DuckDB's counts BYTES, so unfolded non-ASCII
+    # text diverges across engines (adversarial-fixture find, r8).
+    # Folding makes bytes == codepoints; distinct non-ASCII codepoints
+    # compare equal, a documented coarsening of this modality.
+    oracle=r"""
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(LEVENSHTEIN(LEFT(a.text, 80), LEFT(b.text, 80)) AS BIGINT)
-               AS prefix_edit_distance
+           CAST(LEVENSHTEIN(regexp_replace(LEFT(a.text, 80), '[^\x00-\x7f]', '?', 'g'),
+                            regexp_replace(LEFT(b.text, 80), '[^\x00-\x7f]', '?', 'g'))
+                AS BIGINT) AS prefix_edit_distance
     FROM documents a JOIN documents b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
     WHERE ABS(a.n_chars - b.n_chars) <= 10
-      AND LEVENSHTEIN(LEFT(a.text, 80), LEFT(b.text, 80)) <= 40
+      AND LEVENSHTEIN(regexp_replace(LEFT(a.text, 80), '[^\x00-\x7f]', '?', 'g'),
+                      regexp_replace(LEFT(b.text, 80), '[^\x00-\x7f]', '?', 'g')) <= 40
     """,
     tags=("text", "dedup", "X2", "fuzzy"),
 )
 def q_text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy near-dup via Levenshtein on 80-char prefixes — the
-    edit-distance modality of dedup, blocked by (lang, source, length
-    proximity) so the quadratic distance computation only runs inside
-    small candidate blocks (the classic blocking strategy at scale)."""
+    """Fuzzy near-dup via Levenshtein on ASCII-folded 80-char prefixes —
+    the edit-distance modality of dedup, blocked by (lang, source,
+    length proximity) so the quadratic distance computation only runs
+    inside small candidate blocks (the classic blocking strategy at
+    scale). Non-ASCII codepoints fold to '?' so the distance is
+    engine-portable (byte-based vs codepoint-based levenshtein
+    implementations agree on ASCII)."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     a = d.alias("a")
     b = d.alias("b")
-    dist = F.levenshtein(
-        F.substring(F.col("a.text"), 1, 80), F.substring(F.col("b.text"), 1, 80)
-    )
+
+    def _folded(col):
+        return F.regexp_replace(
+            F.substring(col, 1, 80), r"[^\x00-\x7F]", "?"
+        )
+
+    dist = F.levenshtein(_folded(F.col("a.text")), _folded(F.col("b.text")))
     return (
         a.join(
             b,

@@ -1,0 +1,86 @@
+"""Adversarial-content robustness — the r8 campaign, pinned.
+
+A production corpus at 100 TB always contains poison records: empty /
+sub-shingle-width / unicode / control-character / NULL documents,
+zero-norm or 1e30-magnitude embeddings, malformed JSON props, 1e18
+event values. Under Spark 4's default ANSI mode each of those was a
+whole-job kill (DIVIDE_BY_ZERO on cosine norms, ARITHMETIC_OVERFLOW on
+integer-grid quantization, CAST_INVALID_INPUT on JSON extracts, UDF
+crashes on NULL text) until r8 hardened every reachable site — see
+functions/grid.py and tools/make_adversarial_fixture.py.
+
+This test rebuilds the adversarial fixture and runs one representative
+query per crash class END TO END with ``collect()``. collect, NOT
+count: count() lets Catalyst prune the very projection that crashes
+(that pruning hid the MAD divide-by-zero during the original triage).
+
+The full cross-engine gate (every query vs its DuckDB oracle on the
+adversarial fixture) is the slower tool run:
+    python tools/make_adversarial_fixture.py && \
+    python tools/check_oracle.py --sf-dir .fuzzdata/sfadv
+Known exception: q_embedding_centroid_health hash-diverges on the 1e30
+vector (double summation order; documented in its docstring).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as contract
+
+# one per hardened crash class; all complete in ~1-3 s each at this SF
+ADV_QUERIES = [
+    "q_knn_bruteforce_cosine",     # try_divide: zero-norm cosine
+    "q_knn_ivf",                   # try_divide inside IVF re-rank
+    "q_dedup_embedding_cosine",    # try_divide: blocked self-join cosine
+    "q_semdedup_clusters",         # sat_quantize: centroid integer sums
+    "q_kmeans_lloyd",              # sat_quantize: 1e30 embedding grid
+    "q_dbscan_classify",           # sat_quantize: floor-saturation parity
+    "q_mmr_rerank",                # sat_quantize: integer dot products
+    "q_pca_top_component",         # sat_quantize + try_divide loadings
+    "q_scalar_json_props",         # try_cast: '$.k' = [] / malformed JSON
+    "q_variant_json_stats",        # try_parse_json: malformed VARIANT
+    "q_scalar_regexp_extract",     # try_cast: empty regexp extract
+    "q_join_salted_skew",          # milli-unit clamp before BIGINT cast
+    "q_interval_concurrency",      # clamped value-derived durations
+    "q_interval_window_join",      # clamped exact-cents window sums
+    "q_time_weighted_average",     # sat_quantize cents * hold_ms
+    "q_dq_outlier_mad",            # try_divide MAD=0; NULL -> not-outlier
+    "q_dq_ks_drift",               # try_divide: one-sided ECDF
+    "q_embedding_quantization",    # try_divide: zero int8 scale
+    "q_stratified_sample",         # NULL lang -> default stratum
+    "q_multimodal_features",       # NULL text -> NULL payload, null row
+    "q_multimodal_frame_sample",   # NULL payload skipped in frame walk
+]
+
+
+@pytest.fixture(scope="module")
+def adv_dir(tmp_path_factory):
+    from tools.make_adversarial_fixture import build
+
+    out = tmp_path_factory.mktemp("sfadv")
+    build(out)
+    return str(out)
+
+
+@pytest.mark.parametrize("name", ADV_QUERIES)
+def test_adversarial_query_collects(spark, adv_dir, name):
+    rows = contract.queries()[name](spark, adv_dir).collect()
+    assert rows is not None  # completing the collect IS the assertion
+
+
+def test_streaming_signature_on_adversarial_texts(spark, adv_dir):
+    """The streaming minhash signature (the original r7-advice crash:
+    ANSI element_at past the array end) over every adversarial text."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_spark.catalog import load_tables
+    from etl_pipeline_spark.streaming.neardup import NUM_PERM, minhash_signature
+
+    d = load_tables(spark, adv_dir, ("documents",))["documents"]
+    rows = (
+        d.filter(F.col("text").isNotNull())
+        .select(minhash_signature(F.col("text")).alias("sig"))
+        .collect()
+    )
+    assert all(len(r["sig"]) == NUM_PERM for r in rows)
