@@ -1875,7 +1875,7 @@ EWMA_ALPHA = 0.5  # power of two => every weight is IEEE-exact
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN {EWMA_WIN - 1} PRECEDING AND CURRENT ROW
                ) AS l
-        FROM events
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
     )
     SELECT user_id, event_id, value,
            ROUND(
@@ -1904,6 +1904,10 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     order is pinned, so results don't depend on partitioning or engine.
     """
     e = load_tables(spark, sf_dir, ("events",))["events"]
+    # exclude NULL ts (unorderable; engines disagree on NULL sort
+    # position) and NULL value (nothing to smooth; an all-NULL frame
+    # made the closed-form denominator 0 -> ANSI crash) on both sides
+    e = e.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -1084,7 +1084,7 @@ def q_attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ev AS (
         SELECT event_type, event_id, EPOCH_US(ts) AS us,
                CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT) AS cents
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     pre AS (
         SELECT event_type, event_id, us,
@@ -1136,7 +1136,10 @@ def q_changepoint_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB like every running-total here.
     """
     e = load_tables(spark, sf_dir, ("events",))["events"]
-    ev = e.select(
+    # NULL ts rows are excluded on both sides: they cannot be placed in
+    # the time order, and the engines disagree on NULL sort position
+    # (Spark NULLS FIRST asc vs DuckDB NULLS LAST) — r8 wave-2 find
+    ev = e.filter(F.col("ts").isNotNull()).select(
         "event_type",
         "event_id",
         F.unix_micros("ts").alias("us"),

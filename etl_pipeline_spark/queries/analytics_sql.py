@@ -157,7 +157,7 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                MIN(DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE))) AS fd,
                MAX(DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE))) AS ld
-        FROM events GROUP BY user_id
+        FROM events WHERE ts IS NOT NULL GROUP BY user_id
     ),
     expanded AS (
         SELECT user_id, UNNEST(GENERATE_SERIES(fd, ld)) AS day
@@ -190,12 +190,21 @@ def q_udtf_span_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="user_id long, day long", useArrow=True)
     class SpanDays:
         def eval(self, user_id: int, fd: int, ld: int):
+            # a user with no timestamped events has no span; a None
+            # bound must not crash the UDTF worker (r8 wave-2 find)
+            if fd is None or ld is None:
+                return
             for day in range(fd, ld + 1):
                 yield user_id, day
 
     e = load_tables(spark, sf_dir, ("events",))["events"]
     day = F.datediff(F.to_date("ts"), F.lit(EPOCH)).cast("long")
-    u = e.groupBy("user_id").agg(F.min(day).alias("fd"), F.max(day).alias("ld"))
+    # NULL ts rows excluded on both sides (oracle: WHERE ts IS NOT NULL)
+    u = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min(day).alias("fd"), F.max(day).alias("ld"))
+    )
     # UDTF lateral application: register + SQL form keeps the plan explicit
     spark.udtf.register("span_days", SpanDays)
     u.createOrReplaceTempView("user_spans")

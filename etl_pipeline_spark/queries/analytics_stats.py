@@ -167,7 +167,7 @@ KM_CENSOR_FROM = 27  # users still active in the last 3 fixture days are censore
         SELECT user_id,
                MIN(DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE))) AS fd,
                MAX(DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE))) AS ld
-        FROM events GROUP BY user_id
+        FROM events WHERE ts IS NOT NULL GROUP BY user_id
     ),
     lt AS (
         SELECT user_id, ld - fd AS t,
@@ -226,7 +226,14 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_tables(spark, sf_dir, ("events",))["events"]
     day = F.datediff(F.to_date("ts"), F.lit(EPOCH)).cast("long")
-    u = e.groupBy("user_id").agg(F.min(day).alias("fd"), F.max(day).alias("ld"))
+    # NULL ts rows are excluded on both sides: a user with only
+    # timestamp-less events has no lifetime, and a NULL t would sort
+    # differently across engines (r8 wave-2 find)
+    u = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min(day).alias("fd"), F.max(day).alias("ld"))
+    )
     lt = u.select(
         (F.col("ld") - F.col("fd")).alias("t"),
         F.when(F.col("ld") >= KM_CENSOR_FROM, 1).otherwise(0).alias("censored"),

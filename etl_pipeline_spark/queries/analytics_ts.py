@@ -34,7 +34,7 @@ ACF_MAX_LAG = 7
     WITH daily AS (
         SELECT DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
                COUNT(*) AS x
-        FROM events GROUP BY 1
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     b AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily),
     spine AS (SELECT UNNEST(GENERATE_SERIES(mn, mx)) AS d FROM b),
@@ -74,9 +74,9 @@ def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_tables(spark, sf_dir, ("events",))["events"]
     daily = (
-        e.groupBy(
-            F.datediff(F.to_date("ts"), F.lit(EPOCH)).cast("long").alias("d")
-        ).agg(F.count("*").alias("x"))
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.datediff(F.to_date("ts"), F.lit(EPOCH)).cast("long").alias("d"))
+        .agg(F.count("*").alias("x"))
     )
     bounds = daily.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
     spine = bounds.select(F.explode(F.sequence("mn", "mx")).alias("d"))
@@ -127,7 +127,7 @@ SAX_ALPHA = 4  # alphabet size (a-d)
         SELECT event_type,
                DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
                COUNT(*) AS x
-        FROM events GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     seg AS (
         SELECT event_type, d // {SAX_SEG_DAYS} AS seg,
@@ -162,7 +162,10 @@ def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first aggregate regardless of fact-table size.
     """
     e = load_tables(spark, sf_dir, ("events",))["events"]
-    daily = e.groupBy(
+    # a timestamp-less event has no place in a daily series; NULL d
+    # would also ORDER differently across engines (Spark NULLS FIRST
+    # asc vs DuckDB NULLS LAST) — exclude identically on both sides
+    daily = e.filter(F.col("ts").isNotNull()).groupBy(
         "event_type",
         F.datediff(F.to_date("ts"), F.lit(EPOCH)).cast("long").alias("d"),
     ).agg(F.count("*").alias("x"))
@@ -197,7 +200,7 @@ def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
                COUNT(*) AS x
-        FROM events GROUP BY 1
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     tr AS (
         SELECT d, x,
@@ -241,7 +244,7 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter the fact-table volume.
     """
     e = load_tables(spark, sf_dir, ("events",))["events"]
-    daily = e.groupBy(
+    daily = e.filter(F.col("ts").isNotNull()).groupBy(
         F.datediff(F.to_date("ts"), F.lit(EPOCH)).cast("long").alias("d")
     ).agg(F.count("*").alias("x"))
     w7 = Window.orderBy("d").rowsBetween(-3, 3)
@@ -488,7 +491,7 @@ def q_linear_interp_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
                COUNT(*) AS x
-        FROM events GROUP BY 1
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     tr AS (
         SELECT d, x,
@@ -550,7 +553,7 @@ def q_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual series.
     """
     e = load_tables(spark, sf_dir, ("events",))["events"]
-    daily = e.groupBy(
+    daily = e.filter(F.col("ts").isNotNull()).groupBy(
         F.datediff(F.to_date("ts"), F.lit(EPOCH)).cast("long").alias("d")
     ).agg(F.count("*").alias("x"))
     w7 = Window.orderBy("d").rowsBetween(-3, 3)

@@ -351,7 +351,7 @@ KS_CRIT = 1.36  # ~95% two-sample Kolmogorov-Smirnov critical coefficient
     WITH sided AS (
         SELECT event_type, value,
                CASE WHEN ts < TIMESTAMP '{KS_CUTOFF}' THEN 1 ELSE 0 END AS in_a
-        FROM events
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
     ),
     grouped AS (
         SELECT event_type, value,
@@ -393,6 +393,11 @@ def q_dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct count; the verdict column is unchanged.
     """
     e = load_tables(spark, sf_dir, ("events",))["events"]
+    # exclude NULL ts (cannot be assigned a half: Spark's NULL predicate
+    # would drop it from both counts while the oracle's CASE ELSE puts
+    # it in the second half) and NULL value (unrankable in an ECDF;
+    # engines disagree on NULL sort position) — r8 wave-2 find
+    e = e.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
     in_a = (F.col("ts") < F.lit(KS_CUTOFF).cast("timestamp")).cast("long")
     grouped = (
         e.select("event_type", "value", in_a.alias("in_a"))

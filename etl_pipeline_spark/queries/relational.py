@@ -820,6 +820,7 @@ def q_setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*)                AS n_events,
            ROUND((CAST(SUM(CAST(ROUND((value) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100), 2)    AS sum_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY DATE_TRUNC('hour', ts), event_type
     """,
     tags=("window", "streaming", "event-time"),

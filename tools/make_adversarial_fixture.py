@@ -125,23 +125,29 @@ def build(out_dir: Path) -> None:
     import datetime as dt
     t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
     adv_events = [
-        # (event_type, value, props)
-        ("purchase", 0.0, "not json at all"),
-        ("purchase", -1.5, ""),
-        ("click", 1e18, "{broken"),
-        ("view", 0.0, None),
-        ("", 2.5, '{"k": 1}'),
-        ("tipo-ñandú 🚀", 3.5, '{"k": []}'),
-        ("error", 4.5, '{"k": null}'),
-        ("signup", 5.5, '{"K": 7}'),  # wrong-case key
+        # (event_type, value, props, ts_offset_sec_or_None)
+        ("purchase", 0.0, "not json at all", 0),
+        ("purchase", -1.5, "", 1),
+        ("click", 1e18, "{broken", 2),
+        ("view", 0.0, None, 3),
+        ("", 2.5, '{"k": 1}', 4),
+        ("tipo-ñandú 🚀", 3.5, '{"k": []}', 5),
+        ("error", 4.5, '{"k": null}', 6),
+        ("signup", 5.5, '{"K": 7}', 7),  # wrong-case key
+        # wave 2 (r8): NULL core columns — the classic poison rows for
+        # windows, watermarks, intervals, and grouped aggregates
+        ("purchase", 6.5, '{"k": 2}', None),   # NULL ts
+        ("view", None, '{"k": 3}', 9),         # NULL value
+        (None, 7.5, '{"k": 4}', 10),           # NULL event_type
     ]
     etab = {
         "event_id": [ebase + i for i in range(len(adv_events))],
-        "ts": [t0 + dt.timedelta(seconds=i) for i in range(len(adv_events))],
+        "ts": [None if off is None else t0 + dt.timedelta(seconds=off)
+               for _, _, _, off in adv_events],
         "user_id": [10_000 + i for i in range(len(adv_events))],
-        "event_type": [e for e, _, _ in adv_events],
-        "value": [v for _, v, _ in adv_events],
-        "props": [p for _, _, p in adv_events],
+        "event_type": [e for e, _, _, _ in adv_events],
+        "value": [v for _, v, _, _ in adv_events],
+        "props": [p for _, _, p, _ in adv_events],
     }
     evtail = pa.table(etab).cast(pa.schema([
         ("event_id", pa.int64()), ("ts", ts_type), ("user_id", pa.int64()),
