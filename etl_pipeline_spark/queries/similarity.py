@@ -553,3 +553,119 @@ def q_embedding_centroid_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("dist_to_centroid"), 4).alias("max_dist"),
         )
     )
+
+
+# --- Embedding ingest contract validation ------------------------------------
+
+EMB_GRID_BOUND = 1_000_000.0  # |component| beyond this saturates the int grid
+
+
+@query(
+    "q_dq_embedding_contract",
+    # The validator an embedding pipeline runs AT INGEST — it surfaces
+    # exactly the poison rows the r8 adversarial campaign hunted: NULL
+    # payloads, dimension drift (vs the corpus's modal dim), zero-norm
+    # vectors (undefined cosine), non-finite components, and components
+    # beyond the integer-grid saturation bound (functions/grid.py).
+    # Downstream consumers (kNN, PQ, IVF, SemDeDup) keep their
+    # fixed-dim contract because this gate runs first.
+    oracle=f"""
+    WITH dims AS (
+        SELECT LEN(embedding) AS d, COUNT(*) AS n FROM embeddings
+        WHERE embedding IS NOT NULL GROUP BY 1
+    ),
+    modal AS (SELECT d FROM dims ORDER BY n DESC, d ASC LIMIT 1),
+    checks AS (
+        SELECT e.vec_id,
+               e.embedding IS NULL AS is_null,
+               e.embedding IS NOT NULL AND LEN(e.embedding) <> m.d AS dim_violation,
+               e.embedding IS NOT NULL AND COALESCE(list_bool_or(
+                   list_transform(e.embedding, x -> isnan(x) OR isinf(x))
+               ), FALSE) AS nonfinite,
+               e.embedding IS NOT NULL AND COALESCE(NOT list_bool_or(
+                   list_transform(e.embedding, x -> x <> 0)
+               ), TRUE) AS zero_norm,
+               e.embedding IS NOT NULL AND COALESCE(list_bool_or(
+                   list_transform(e.embedding, x -> ABS(x) > {EMB_GRID_BOUND})
+               ), FALSE) AS out_of_grid
+        FROM embeddings e CROSS JOIN modal m
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                                   AS n_vecs,
+           CAST((SELECT d FROM modal) AS BIGINT)                      AS modal_dim,
+           CAST(SUM(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)   AS n_null,
+           CAST(SUM(CASE WHEN dim_violation THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_violations,
+           CAST(SUM(CASE WHEN nonfinite THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+           CAST(SUM(CASE WHEN zero_norm THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+           CAST(SUM(CASE WHEN out_of_grid THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_grid,
+           CAST(SUM(CASE WHEN NOT (is_null OR dim_violation OR nonfinite
+                                   OR zero_norm OR out_of_grid)
+                         THEN 1 ELSE 0 END) AS BIGINT)                AS n_clean
+    FROM checks
+    """,
+    tags=("similarity", "X3", "dq", "embedding-qa", "contract"),
+)
+def q_dq_embedding_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding ingest-contract report: one row of corpus-level counts
+    for every vector defect class that would otherwise surface as a
+    mid-job crash or silent ranking corruption downstream — NULL
+    embeddings, dimension drift vs the modal dim, non-finite
+    components, zero-norm vectors (cosine undefined; excluded by the
+    try_divide NULL convention), and components past the integer-grid
+    saturation bound. Run this BEFORE the kNN/PQ/IVF/SemDeDup family;
+    their fixed-dim, finite-value contract is enforced here, once.
+
+    Scale: one narrow map pass over the corpus (every check is a
+    per-row array fold) plus a dimension histogram whose cardinality is
+    the number of distinct dims (~1); the final aggregate is a single
+    row. No shuffle of vector payloads.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    emb = F.col("embedding")
+    dims = (
+        e.filter(emb.isNotNull())
+        .groupBy(F.size(emb).alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    modal = dims.orderBy(F.desc("n"), F.asc("d")).limit(1).select("d")
+    isfinite_bad = F.exists(
+        emb, lambda x: F.isnan(x.cast("double")) | (F.abs(x) > F.lit(float("1e308")))
+    )
+    checks = e.crossJoin(F.broadcast(modal)).select(
+        F.col("d"),
+        emb.isNull().alias("is_null"),
+        (emb.isNotNull() & (F.size(emb) != F.col("d"))).alias("dim_violation"),
+        (emb.isNotNull() & F.coalesce(isfinite_bad, F.lit(False))).alias("nonfinite"),
+        (
+            emb.isNotNull()
+            & F.coalesce(~F.exists(emb, lambda x: x != 0), F.lit(True))
+        ).alias("zero_norm"),
+        (
+            emb.isNotNull()
+            & F.coalesce(
+                F.exists(emb, lambda x: F.abs(x) > F.lit(EMB_GRID_BOUND)),
+                F.lit(False),
+            )
+        ).alias("out_of_grid"),
+    )
+    flag = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")  # noqa: E731
+    return checks.agg(
+        F.count("*").alias("n_vecs"),
+        F.first(F.col("d")).cast("long").alias("modal_dim"),
+        flag("is_null").alias("n_null"),
+        flag("dim_violation").alias("n_dim_violations"),
+        flag("nonfinite").alias("n_nonfinite"),
+        flag("zero_norm").alias("n_zero_norm"),
+        flag("out_of_grid").alias("n_out_of_grid"),
+        F.sum(
+            F.when(
+                ~(
+                    F.col("is_null")
+                    | F.col("dim_violation")
+                    | F.col("nonfinite")
+                    | F.col("zero_norm")
+                    | F.col("out_of_grid")
+                ),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_clean"),
+    )

@@ -84,3 +84,17 @@ def test_streaming_signature_on_adversarial_texts(spark, adv_dir):
         .collect()
     )
     assert all(len(r["sig"]) == NUM_PERM for r in rows)
+
+
+def test_embedding_contract_flags_adversarial_rows(spark, adv_dir):
+    """The ingest validator must FLAG the adversarial embedding rows:
+    the zero vector, the 1e30-magnitude vector (out of the integer-grid
+    bound), and nothing spuriously on the clean majority."""
+    r = contract.queries()["q_dq_embedding_contract"](spark, adv_dir).collect()[0]
+    assert r.modal_dim == 64
+    assert r.n_zero_norm == 1           # the all-zeros vector
+    assert r.n_out_of_grid >= 1         # the 1e30 vector
+    assert r.n_dim_violations == 0      # fixture keeps the dim contract
+    assert r.n_clean == r.n_vecs - r.n_null - r.n_dim_violations \
+        - r.n_nonfinite - r.n_zero_norm - r.n_out_of_grid + \
+        0  # defect classes are disjoint on this fixture
