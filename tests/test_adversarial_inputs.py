@@ -98,3 +98,33 @@ def test_embedding_contract_flags_adversarial_rows(spark, adv_dir):
     assert r.n_clean == r.n_vecs - r.n_null - r.n_dim_violations \
         - r.n_nonfinite - r.n_zero_norm - r.n_out_of_grid + \
         0  # defect classes are disjoint on this fixture
+
+
+def test_embedding_contract_flags_dim_and_nan(spark):
+    """Defect classes the shared fixture deliberately does not plant
+    (they would break the fixed-dim contract for every ANN consumer):
+    a wrong-dimension vector and a NaN component, probed inline."""
+    import math
+
+    from etl_pipeline_spark.queries.similarity import q_dq_embedding_contract
+
+    rows = [
+        (1, [1.0] * 8, 0),
+        (2, [2.0] * 8, 1),
+        (3, [3.0] * 8, 2),
+        (4, [1.0, 2.0, 3.0], 3),                # dim violation (vs modal 8)
+        (5, [float("nan")] + [1.0] * 7, 4),     # non-finite component
+        (6, None, 5),                           # NULL embedding
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        r = q_dq_embedding_contract(spark, d).collect()[0]
+    assert r.modal_dim == 8
+    assert r.n_dim_violations == 1
+    assert r.n_nonfinite == 1
+    assert r.n_null == 1
+    assert r.n_clean == 3
