@@ -28,9 +28,16 @@ def _update_profile(
     n, total, last_ts = state.get if state.exists else (0, 0.0, None)
     for pdf in pdfs:
         n += len(pdf)
+        # .sum() skips NaN (NULL values) — a value-less event still
+        # counts in n_events but adds nothing to the total
         total += float(pdf["value"].sum())
-        batch_max = pdf["ts"].max()
-        last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+        # dropna: a NULL ts arrives as NaT, and serializing NaT into
+        # the timestamp state column crashes the micro-batch
+        # ("NaTType does not support timetuple" — r8 streaming fuzz);
+        # a timestamp-less event must not move last_ts either way
+        batch_max = pdf["ts"].dropna().max()
+        if pd.notna(batch_max):
+            last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
     state.update((n, total, last_ts))
     yield pd.DataFrame(
         {
@@ -77,8 +84,12 @@ class _ProfileProcessor(StatefulProcessor):
         for pdf in rows:
             n += len(pdf)
             total += float(pdf["value"].sum())
-            batch_max = int(pdf["ts"].astype("int64").max()) // 1000  # ns -> us
-            last_us = batch_max if last_us is None else max(last_us, batch_max)
+            # dropna BEFORE astype: NaT.astype(int64) is Long.MIN, which
+            # would silently poison the max for an all-NULL-ts key
+            ts_clean = pdf["ts"].dropna()
+            if len(ts_clean):
+                batch_max = int(ts_clean.astype("int64").max()) // 1000  # ns -> us
+                last_us = batch_max if last_us is None else max(last_us, batch_max)
         self._state.update((n, total, last_us))
         yield pd.DataFrame(
             {

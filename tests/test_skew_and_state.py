@@ -182,3 +182,40 @@ def test_hybrid_skew_join_equivalence_and_plan(spark):
     assert "BroadcastHashJoin" in plan, plan[:600]
     # the cold branch still exists as a non-broadcast join
     assert plan.count("Join") >= 2, plan[:600]
+
+
+def test_stateful_profiles_null_ts_and_value(spark, tmp_path_factory):
+    """NULL ts / NULL value rows must fold into the keyed state without
+    killing the micro-batch (r8 streaming fuzz: NaT cannot serialize
+    into the timestamp state column) and with the documented semantics:
+    the row counts in n_events, a NULL value adds nothing, and a NULL
+    ts never moves last_ts — in either direction."""
+    from etl_pipeline_spark.streaming.stateful import running_user_profiles
+
+    d = tmp_path_factory.mktemp("state_null_src")
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:05:00", 1, 1.0),
+            (None, 1, 2.5),                    # NULL ts: counts, no last_ts move
+            ("2024-01-01 00:20:00", 2, None),  # NULL value: counts, adds 0
+            (None, 3, None),                   # all-NULL key: state still forms
+        ],
+        "ts_s string, user_id long, value double",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "user_id", "value")
+    df.write.parquet(str(d / "data"))
+    stream = spark.readStream.schema(df.schema).parquet(str(d / "data"))
+    q = (
+        running_user_profiles(stream)
+        .writeStream.format("memory")
+        .queryName("t_profiles_null")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["user_id"]: r for r in spark.table("t_profiles_null").collect()}
+    assert rows[1]["n_events"] == 2 and rows[1]["total_value"] == 3.5
+    assert str(rows[1]["last_ts"]) == "2024-01-01 00:05:00"
+    assert rows[2]["n_events"] == 1 and rows[2]["total_value"] == 0.0
+    assert rows[3]["n_events"] == 1 and rows[3]["total_value"] == 0.0
+    assert rows[3]["last_ts"] is None
