@@ -67,7 +67,8 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 # backfills oldest-attestation-first. Every registered query has at
 # least one full CORRECTNESS_r* pass (drain completed r6).
 CHECK_PRIORITY: tuple[str, ...] = (
-    "q_dq_embedding_contract",  # --- NEW this round: attest first ---
+    "q_dq_pk_uniqueness",  # --- NEW this round: attest first ---
+    "q_dq_embedding_contract",  # --- NEW this round ---
     "q_ab_test_proportions",  # --- code changed this round ---
     "q_ab_test_ttest",
     "q_attribution_multi_touch",

@@ -485,3 +485,78 @@ def q_dq_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.pow(obs - benford, F.lit(2)) / benford * F.col("n"), 4).alias("chi2_term"),
         )
     )
+
+
+# --- Primary-key uniqueness audit --------------------------------------------
+
+# Declared logical key per fixture table. Every deterministic tie-break
+# in the registry (ORDER BY ..., <key>) and every keyed MERGE/dedup
+# assumes these are unique — this audit is where that assumption is
+# CHECKED instead of silently violated by a botched ingest (duplicate
+# ids break cross-engine tie-break determinism unfixably, because no
+# column distinguishes the copies).
+PK_COLUMNS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("region", ("r_regionkey",)),
+    ("nation", ("n_nationkey",)),
+    ("customer", ("c_custkey",)),
+    ("supplier", ("s_suppkey",)),
+    ("part", ("p_partkey",)),
+    ("orders", ("o_orderkey",)),
+    # lineitem declares the TPC-H key; the SYNTHETIC fixture violates it
+    # (line numbers are not unique per order) and the audit truthfully
+    # reports that — the one fixture table no tie-break may lean on
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("events", ("event_id",)),
+    ("documents", ("doc_id",)),
+    ("embeddings", ("vec_id",)),
+)
+
+
+def _pk_oracle() -> str:
+    parts = []
+    for t, cols in PK_COLUMNS:
+        key = ", ".join(cols)
+        parts.append(f"""
+    SELECT '{t}' AS table_name,
+           CAST(SUM(c) AS BIGINT)                          AS n_rows,
+           CAST(COUNT(*) AS BIGINT)                        AS n_keys,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+           CAST(SUM(c) - COUNT(*) AS BIGINT)               AS n_extra_rows
+    FROM (SELECT {key}, COUNT(*) AS c FROM {t} GROUP BY {key})""")
+    return "\n    UNION ALL".join(parts)
+
+
+@query(
+    "q_dq_pk_uniqueness",
+    oracle=_pk_oracle(),
+    tags=("etl", "dq", "contract", "uniqueness"),
+)
+def q_dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit over every fixture table: per table,
+    row count, distinct declared-key count, number of duplicated keys,
+    and the surplus rows those duplicates carry. The third ingest gate
+    (with q_dq_embedding_contract and the staged-CSV quarantine):
+    duplicate ids don't crash anything downstream, but they silently
+    break keep-first dedup semantics and make ORDER BY tie-breaks
+    nondeterministic across engines — catch them at the door.
+
+    Scale: one grouped count per table keyed on its PK (map-combined;
+    the duplicate summary aggregates the GROUPED table, never raw
+    rows), 10 independent single-row results unioned — each table scan
+    prunes to the key columns only.
+    """
+    tables = load_tables(spark, sf_dir, tuple(t for t, _ in PK_COLUMNS))
+    out = None
+    for t, cols in PK_COLUMNS:
+        per_key = tables[t].groupBy(*[F.col(c) for c in cols]).agg(
+            F.count("*").alias("c")
+        )
+        agg = per_key.agg(
+            F.lit(t).alias("table_name"),
+            F.sum("c").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("long").alias("n_dup_keys"),
+            (F.sum("c") - F.count("*")).alias("n_extra_rows"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

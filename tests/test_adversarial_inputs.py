@@ -128,3 +128,35 @@ def test_embedding_contract_flags_dim_and_nan(spark):
     assert r.n_nonfinite == 1
     assert r.n_null == 1
     assert r.n_clean == 3
+
+
+def test_pk_uniqueness_flags_planted_duplicates(spark, tmp_path_factory):
+    """The PK audit must count duplicate keys exactly: plant two copies
+    of one doc_id in an otherwise-clean copy of the fixture."""
+    import shutil
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = Path("/root/testdata/sf0.001")
+    d = tmp_path_factory.mktemp("pkdup")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        shutil.copyfile(src / f"{t}.parquet", d / f"{t}.parquet")
+    docs = pq.read_table(src / "documents.parquet")
+    pq.write_table(pa.concat_tables([docs, docs.slice(0, 2)]), d / "documents.parquet")
+
+    rows = {r.table_name: r for r in
+            contract.queries()["q_dq_pk_uniqueness"](spark, str(d)).collect()}
+    assert rows["documents"].n_dup_keys == 2
+    assert rows["documents"].n_extra_rows == 2
+    # every table is key-clean EXCEPT the planted documents and
+    # lineitem, whose synthetic fixture genuinely violates the declared
+    # TPC-H (orderkey, linenumber) key — the audit's first real find
+    assert all(
+        rows[t].n_dup_keys == 0
+        for t in rows
+        if t not in ("documents", "lineitem")
+    )
+    assert rows["lineitem"].n_dup_keys > 0
