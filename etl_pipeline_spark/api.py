@@ -272,6 +272,24 @@ def repetition_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("repetition", F.round(rep, 4))
 
 
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top2_max: float = 0.20,
+    dup5_max: float = 0.15,
+) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021, Table A1) over any
+    (id, text) frame: per-doc character fraction covered by the most
+    frequent word 2-gram and by duplicate word 5-grams, plus the keep
+    decision at the paper's thresholds. Returns
+    ``(id_col, n_words, top2_char_frac, dup5_char_frac, keep)``."""
+    from etl_pipeline_spark.queries.text import gopher_repetition as _impl
+
+    d = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    return _impl(d, top2_max, dup5_max).withColumnRenamed("doc_id", id_col)
+
+
 def dedupe_incremental(
     batch: DataFrame, corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame]:

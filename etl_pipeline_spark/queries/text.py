@@ -177,6 +177,178 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher repetition thresholds (Rae et al. 2021, arXiv:2112.11446,
+# Table A1): drop a document when the most frequent word 2-gram covers
+# > 20% of its characters, or duplicate word 5-grams cover > 15%.
+GOPHER_TOP2_MAX = 0.20
+GOPHER_DUP5_MAX = 0.15
+
+
+@query(
+    "q_text_gopher_repetition",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               COALESCE(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''), [])
+                   AS t
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, t, LEN(t) AS nw,
+               COALESCE(LIST_SUM(LIST_TRANSFORM(t, x -> LEN(x))), 0) AS wc
+        FROM base
+    ),
+    grams AS (
+        SELECT doc_id, 2 AS n, t[i] || ' ' || t[i+1] AS g,
+               LEN(t[i]) + LEN(t[i+1]) AS c
+        FROM sized, UNNEST(GENERATE_SERIES(1, nw - 1)) AS s(i)
+        UNION ALL
+        SELECT doc_id, 5,
+               t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4],
+               LEN(t[i])+LEN(t[i+1])+LEN(t[i+2])+LEN(t[i+3])+LEN(t[i+4])
+        FROM sized, UNNEST(GENERATE_SERIES(1, nw - 4)) AS s(i)
+    ),
+    counted AS (
+        SELECT doc_id, n, g, COUNT(*) AS cnt, MIN(c) AS c
+        FROM grams GROUP BY doc_id, n, g
+    ),
+    top2 AS (
+        SELECT doc_id, cnt * c AS top2_chars,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, g DESC) AS rn
+        FROM counted WHERE n = 2
+    ),
+    dup5 AS (
+        SELECT doc_id, SUM(cnt * c) AS dup5_chars
+        FROM counted WHERE n = 5 AND cnt >= 2 GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.nw AS BIGINT) AS n_words,
+           ROUND(COALESCE(t.top2_chars / NULLIF(s.wc, 0), 0.0), 4)
+               AS top2_char_frac,
+           ROUND(COALESCE(d.dup5_chars / NULLIF(s.wc, 0), 0.0), 4)
+               AS dup5_char_frac,
+           (ROUND(COALESCE(t.top2_chars / NULLIF(s.wc, 0), 0.0), 4)
+                <= {GOPHER_TOP2_MAX}
+            AND ROUND(COALESCE(d.dup5_chars / NULLIF(s.wc, 0), 0.0), 4)
+                <= {GOPHER_DUP5_MAX}) AS keep
+    FROM sized s
+    LEFT JOIN (SELECT doc_id, top2_chars FROM top2 WHERE rn = 1) t
+           USING (doc_id)
+    LEFT JOIN dup5 d USING (doc_id)
+    """,
+    tags=("text", "X4", "quality", "gopher"),
+)
+def q_text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021, Table A1): per document,
+    the character fraction covered by the single most frequent word
+    2-gram and by all duplicate word 5-grams, plus the keep decision at
+    the paper's 0.20 / 0.15 thresholds. See :func:`gopher_repetition`
+    for the semantics and the scale notes.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return gopher_repetition(d)
+
+
+def gopher_repetition(
+    d: DataFrame,
+    top2_max: float = GOPHER_TOP2_MAX,
+    dup5_max: float = GOPHER_DUP5_MAX,
+) -> DataFrame:
+    """Per-doc Gopher repetition report over any (doc_id, text) frame:
+    ``(doc_id, n_words, top2_char_frac, dup5_char_frac, keep)``.
+
+    Character accounting counts word characters over every occurrence
+    (overlaps double-counted), the convention the open reimplementations
+    (Dolma, RefinedWeb) use; ties for the top 2-gram break to the
+    lexicographically largest gram so the report is deterministic across
+    engines and partitionings.
+
+    Scale: the n-gram stream is generated map-side from each document's
+    token array (two streamed transforms, no self-join) and aggregated
+    on the (doc_id, n, gram) key — one well-distributed shuffle, then a
+    doc-keyed rollup. No UDFs; everything stays in whole-stage codegen.
+    Docs shorter than the gram width contribute no gram rows and are
+    re-attached by the final left join with fractions of 0.0 (that also
+    covers NULL/empty text, which adversarial corpora do contain).
+    """
+    base = (
+        d.select(
+            "doc_id",
+            F.coalesce(
+                F.filter(F.split("text", " "), lambda x: x != ""),
+                F.expr("array()"),
+            ).alias("t"),
+        )
+        .select(
+            "doc_id",
+            "t",
+            F.size("t").alias("nw"),
+            F.aggregate(
+                "t", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+            ).alias("wc"),
+        )
+    )
+
+    def grams(n: int):
+        # CASE guard: sequence(1, k) with k <= 0 would DESCEND in Spark,
+        # fabricating grams for sub-width docs; the typed-empty branch
+        # keeps them gram-free (array() coerces to the struct type).
+        return F.expr(
+            f"CASE WHEN nw >= {n} THEN transform(sequence(1, nw - {n - 1}), "
+            f"i -> struct({n} AS n, concat_ws(' ', slice(t, i, {n})) AS g, "
+            f"aggregate(slice(t, i, {n}), 0L, (a, x) -> a + length(x)) AS c)) "
+            f"ELSE array() END"
+        )
+
+    counted = (
+        base.select("doc_id", F.explode(F.concat(grams(2), grams(5))).alias("gr"))
+        .select("doc_id", "gr.n", "gr.g", "gr.c")
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count("*").alias("cnt"), F.min("c").alias("c"))
+    )
+    # One doc-keyed rollup for both rules: struct-max picks (max cnt,
+    # then max gram) for the top-2-gram — its chars ride as the third
+    # field and never influence the ordering (cnt+g is already unique).
+    metrics = (
+        counted.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("n") == 2,
+                    F.struct(
+                        F.col("cnt"),
+                        F.col("g"),
+                        (F.col("cnt") * F.col("c")).alias("chars"),
+                    ),
+                )
+            ).alias("top2"),
+            F.sum(
+                F.when(
+                    (F.col("n") == 5) & (F.col("cnt") >= 2),
+                    F.col("cnt") * F.col("c"),
+                )
+            ).alias("dup5_chars"),
+        )
+        .select("doc_id", F.col("top2.chars").alias("top2_chars"), "dup5_chars")
+    )
+    top2f = F.round(
+        F.coalesce(F.try_divide(F.col("top2_chars"), F.col("wc")), F.lit(0.0)), 4
+    )
+    dup5f = F.round(
+        F.coalesce(F.try_divide(F.col("dup5_chars"), F.col("wc")), F.lit(0.0)), 4
+    )
+    return base.join(metrics, "doc_id", "left").select(
+        "doc_id",
+        F.col("nw").cast("long").alias("n_words"),
+        top2f.alias("top2_char_frac"),
+        dup5f.alias("dup5_char_frac"),
+        (
+            (top2f <= F.lit(top2_max)) & (dup5f <= F.lit(dup5_max))
+        ).alias("keep"),
+    )
+
+
 @query(
     "q_text_fingerprint",
     oracle="""

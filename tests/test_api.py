@@ -432,3 +432,41 @@ def test_wordpiece_tokens_on_distinct_words(spark):
     rows = {r["word"]: r for r in api.wordpiece_tokens(df).collect()}
     assert rows["batch"]["pieces"] == ["bat", "##ch"]
     assert rows["spark"]["n_pieces"] == 1
+
+
+def test_gopher_repetition_planted_docs(spark):
+    """The two Gopher repetition rules fire on planted pathological docs
+    and pass clean ones; sub-width/NULL/empty docs report 0.0 (r8)."""
+    docs = spark.createDataFrame(
+        [
+            # top 2-gram "aa bb" covers ALL word chars -> top2 rule fires
+            (1, "aa bb aa bb aa bb"),
+            # 20 distinct 4-char words -> top2_frac = 8/80 = 0.1 -> keep
+            (2, " ".join(f"wrd{chr(97 + i)}" for i in range(20))),
+            # cyclic 5-token pattern: every 5-gram window duplicates ->
+            # dup5_chars = 16 windows * 5 chars over wc=20 (overlaps
+            # double-counted by the documented Dolma convention)
+            (3, " ".join(["p", "q", "r", "s", "t"] * 4)),
+            (4, ""),
+            (5, None),
+            (6, "one"),  # sub-width: no grams at all
+        ],
+        "id long, body string",
+    )
+    rows = {
+        r["id"]: r
+        for r in api.gopher_repetition(docs, text_col="body", id_col="id").collect()
+    }
+    assert len(rows) == 6
+    r1 = rows[1]
+    assert (r1["n_words"], r1["top2_char_frac"], r1["dup5_char_frac"]) == (6, 1.0, 0.0)
+    assert not r1["keep"]
+    r2 = rows[2]
+    assert (r2["n_words"], r2["top2_char_frac"]) == (20, 0.1)
+    assert r2["keep"]
+    r3 = rows[3]
+    assert (r3["n_words"], r3["top2_char_frac"], r3["dup5_char_frac"]) == (20, 0.4, 4.0)
+    assert not r3["keep"]
+    for i in (4, 5, 6):
+        r = rows[i]
+        assert (r["top2_char_frac"], r["dup5_char_frac"], r["keep"]) == (0.0, 0.0, True)
