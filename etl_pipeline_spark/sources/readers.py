@@ -122,3 +122,48 @@ def with_file_metadata(df: DataFrame) -> DataFrame:
         F.col("_metadata.file_size").alias("_file_size"),
         F.col("_metadata.file_modification_time").alias("_file_mtime"),
     )
+
+
+def read_parquet_evolved(
+    spark: SparkSession,
+    path: str,
+    contract: str | T.StructType | None = None,
+) -> DataFrame:
+    """Schema-evolution parquet read (r8): merge per-file footers so a
+    directory written by several pipeline versions (columns added over
+    time) reads as ONE unified schema, with pre-evolution rows NULL in
+    the later columns. A plain ``spark.read.parquet`` infers from a
+    single arbitrary footer — on an evolved directory that silently
+    DROPS the new columns (or the old ones), the classic 100 TB
+    lakehouse trap this reader closes.
+
+    ``contract`` (DDL string or StructType) additionally pins the read
+    to a declared schema, the production posture where readers must not
+    drift with writers: declared columns are try_cast to their declared
+    type (cast-incompatible drift surfaces as NULL, not a job abort —
+    ANSI mode is on), columns missing from every file come back as
+    typed NULLs, and undeclared extras are dropped. Column order is the
+    contract's.
+
+    Scale: mergeSchema unions FOOTERS (driver-side metadata, one small
+    task per file), not data; scans still prune columns and push
+    filters per file, so the evolved read plans identically to a plain
+    one. For >100k-file directories pin a contract instead — then the
+    footer sweep can be skipped entirely by future callers reading with
+    ``spark.read.schema(contract)``.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if contract is None:
+        return df
+    schema = (
+        T.StructType.fromDDL(contract) if isinstance(contract, str) else contract
+    )
+    cols = []
+    for field in schema.fields:
+        if field.name in df.columns:
+            cols.append(
+                F.col(field.name).try_cast(field.dataType).alias(field.name)
+            )
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)

@@ -49,3 +49,40 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     assert {"id", "v", "score", "part"} <= set(df.columns)
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_read_parquet_evolved_contract(spark, tmp_path):
+    """read_parquet_evolved pins an evolved directory to a declared
+    contract: missing columns come back as typed NULLs, type drift
+    try_casts (never aborts under ANSI), undeclared extras drop, and
+    column pruning still reaches the scan (r8)."""
+    from etl_pipeline_spark.sources.readers import read_parquet_evolved
+
+    p = str(tmp_path / "contract_evolving")
+    # v1 writer: no score column; v stores castable + uncastable longs-as-strings
+    spark.createDataFrame(
+        [(1, "10"), (2, "oops")], "id long, v string"
+    ).write.parquet(p + "/batch=1")
+    # v2 writer: added score, plus an undeclared debug column
+    spark.createDataFrame(
+        [(3, "30", 9.5, "x")], "id long, v string, score double, dbg string"
+    ).write.parquet(p + "/batch=2")
+
+    df = read_parquet_evolved(
+        spark, p, contract="id long, v long, score double, missing_flag boolean"
+    )
+    assert df.columns == ["id", "v", "score", "missing_flag"]
+    assert dict(df.dtypes)["v"] == "bigint"
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["v"] == 10 and rows[2]["v"] is None  # try_cast drift
+    assert rows[1]["score"] is None and rows[3]["score"] == 9.5
+    assert all(r["missing_flag"] is None for r in rows.values())
+
+    # merged read without contract keeps every observed column
+    merged = read_parquet_evolved(spark, p)
+    assert {"id", "v", "score", "dbg"} <= set(merged.columns)
+
+    # column pruning survives the evolved read: a 1-column projection
+    # must scan only that column (plus the partition dir column)
+    plan = read_parquet_evolved(spark, p).select("id")._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<id:bigint>" in plan, plan
