@@ -1300,3 +1300,106 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_hybrid_rrf_search.__doc__ = q_hybrid_rrf_search.__doc__.format(
     L=RRF_LIST, K=RRF_K, T=RRF_TOPK
 )
+
+
+# --- Document ingest contract validation (r8, ingest-gate trio) -------------
+
+TEXT_MAX_CHARS = 100_000  # door bound for pathological single documents
+# C0 control chars except \t \n \r, plus DEL — the bytes that break
+# tokenizers, terminals, and JSONL re-serialization downstream.
+_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+@query(
+    "q_dq_text_contract",
+    oracle=f"""
+    WITH checks AS (
+        SELECT doc_id,
+               text IS NULL                                          AS is_null,
+               text IS NOT NULL AND LENGTH(TRIM(text)) = 0           AS is_empty,
+               text IS NOT NULL AND
+                   REGEXP_MATCHES(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]')
+                                                                     AS has_control,
+               text IS NOT NULL AND CONTAINS(text, CHR(65533))       AS has_replacement,
+               text IS NOT NULL AND
+                   COALESCE(n_chars, -1) <> LENGTH(text)             AS len_mismatch,
+               text IS NOT NULL AND LENGTH(text) > {TEXT_MAX_CHARS}  AS oversize,
+               lang IS NULL                                          AS null_lang
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                                        AS n_docs,
+           CAST(SUM(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)        AS n_null_text,
+           CAST(SUM(CASE WHEN is_empty THEN 1 ELSE 0 END) AS BIGINT)       AS n_empty,
+           CAST(SUM(CASE WHEN has_control THEN 1 ELSE 0 END) AS BIGINT)    AS n_control,
+           CAST(SUM(CASE WHEN has_replacement THEN 1 ELSE 0 END) AS BIGINT) AS n_replacement,
+           CAST(SUM(CASE WHEN len_mismatch THEN 1 ELSE 0 END) AS BIGINT)   AS n_len_mismatch,
+           CAST(SUM(CASE WHEN oversize THEN 1 ELSE 0 END) AS BIGINT)       AS n_oversize,
+           CAST(SUM(CASE WHEN null_lang THEN 1 ELSE 0 END) AS BIGINT)      AS n_null_lang,
+           CAST(SUM(CASE WHEN NOT (is_null OR is_empty OR has_control
+                                   OR has_replacement OR len_mismatch
+                                   OR oversize OR null_lang)
+                         THEN 1 ELSE 0 END) AS BIGINT)                     AS n_clean
+    FROM checks
+    """,
+    tags=("text", "X4", "dq", "contract"),
+)
+def q_dq_text_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document ingest-contract report — the text half of the r8
+    ingest-gate trio (with q_dq_embedding_contract and
+    q_dq_pk_uniqueness): one row of corpus-level counts for the text
+    defect classes that crash or silently corrupt downstream stages.
+    NULL and whitespace-only text (every tokenizer's zero-gram case),
+    C0 control bytes / DEL (break JSONL re-serialization and terminal
+    tooling), U+FFFD replacement chars (upstream encoding damage),
+    declared-vs-actual length drift (stale n_chars metadata), oversize
+    documents past the {M}-char door bound, and NULL lang
+    (breaks per-language routing). Validate at the door, once, instead
+    of every consumer tolerating poison rows.
+
+    Scale: one narrow map pass (text, n_chars, lang only — the scan
+    prunes everything else) folding to a single row; no shuffle of
+    document payloads, no UDFs.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = F.col("text")
+    checks = d.select(
+        t.isNull().alias("is_null"),
+        (t.isNotNull() & (F.length(F.trim(t)) == 0)).alias("is_empty"),
+        (t.isNotNull() & t.rlike(_CTRL_RE)).alias("has_control"),
+        (t.isNotNull() & t.contains(F.lit("�"))).alias("has_replacement"),
+        (
+            t.isNotNull() & (F.coalesce(F.col("n_chars"), F.lit(-1)) != F.length(t))
+        ).alias("len_mismatch"),
+        (t.isNotNull() & (F.length(t) > TEXT_MAX_CHARS)).alias("oversize"),
+        F.col("lang").isNull().alias("null_lang"),
+    )
+    flag = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")  # noqa: E731
+    return checks.agg(
+        F.count("*").alias("n_docs"),
+        flag("is_null").alias("n_null_text"),
+        flag("is_empty").alias("n_empty"),
+        flag("has_control").alias("n_control"),
+        flag("has_replacement").alias("n_replacement"),
+        flag("len_mismatch").alias("n_len_mismatch"),
+        flag("oversize").alias("n_oversize"),
+        flag("null_lang").alias("n_null_lang"),
+        F.sum(
+            F.when(
+                ~(
+                    F.col("is_null")
+                    | F.col("is_empty")
+                    | F.col("has_control")
+                    | F.col("has_replacement")
+                    | F.col("len_mismatch")
+                    | F.col("oversize")
+                    | F.col("null_lang")
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_clean"),
+    )
+
+
+q_dq_text_contract.__doc__ = q_dq_text_contract.__doc__.format(M=TEXT_MAX_CHARS)

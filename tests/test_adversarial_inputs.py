@@ -160,3 +160,46 @@ def test_pk_uniqueness_flags_planted_duplicates(spark, tmp_path_factory):
         if t not in ("documents", "lineitem")
     )
     assert rows["lineitem"].n_dup_keys > 0
+
+
+def test_text_contract_flags_adversarial_rows(spark, adv_dir):
+    """The text-door validator flags exactly the planted poison docs:
+    NULL text, empty + whitespace-only, the control-character doc, the
+    NULL-lang doc — and nothing spuriously on the clean majority."""
+    r = contract.queries()["q_dq_text_contract"](spark, adv_dir).collect()[0]
+    assert r.n_null_text == 1
+    assert r.n_empty == 2            # "" and "   "
+    assert r.n_control == 1          # bell + DEL doc
+    assert r.n_replacement == 0      # fixture plants none
+    assert r.n_len_mismatch == 0     # fixture n_chars is consistent
+    assert r.n_oversize == 0
+    assert r.n_null_lang == 1
+    # defect classes are disjoint on this fixture
+    assert r.n_clean == r.n_docs - 1 - 2 - 1 - 1
+
+
+def test_text_contract_flags_replacement_and_drift(spark):
+    """Classes the shared fixture does not plant, probed inline:
+    U+FFFD replacement chars, stale n_chars metadata, and an oversize
+    doc past the door bound."""
+    import os
+    import tempfile
+
+    from etl_pipeline_spark.queries.text import TEXT_MAX_CHARS, q_dq_text_contract
+
+    rows = [
+        (1, "clean document text", "en", "s", 19),
+        (2, "enc�ding damage", "en", "s", 15),      # replacement char
+        (3, "short", "en", "s", 999),                    # n_chars drift
+        (4, "x" * (TEXT_MAX_CHARS + 1), "en", "s", TEXT_MAX_CHARS + 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        r = q_dq_text_contract(spark, d).collect()[0]
+    assert r.n_replacement == 1
+    assert r.n_len_mismatch == 1
+    assert r.n_oversize == 1
+    assert r.n_clean == 1
