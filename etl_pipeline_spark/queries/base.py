@@ -58,68 +58,23 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-8 prefix: the 45 queries whose code or oracle changed in the
-# adversarial-robustness campaign lead — the saturating-grid family
-# (kmeans/dbscan/mmr/knn-eval/semdedup/pca + event-value cents),
-# try_divide cosine/statistics sites, guarded JSON scalars, the
-# multimodal NULL-payload path, the rewritten wordpiece/fertility
-# oracles, and pagerank (edge-cache release) — then the window
-# backfills oldest-attestation-first. Every registered query has at
-# least one full CORRECTNESS_r* pass (drain completed r6).
+# Round-8 (session 2) prefix: the two operators added this session
+# (q_text_gopher_repetition, q_dq_text_contract) lead, followed by the
+# r8-session-1 ingest-gate pair which the driver has not yet attested,
+# then oldest-attestation-first backfill. Every query registered before
+# this round has at least one full CORRECTNESS_r* pass.
 CHECK_PRIORITY: tuple[str, ...] = (
-    "q_dq_pk_uniqueness",  # --- NEW this round: attest first ---
-    "q_dq_embedding_contract",  # --- NEW this round ---
-    "q_ab_test_proportions",  # --- code changed this round ---
-    "q_ab_test_ttest",
-    "q_attribution_multi_touch",
-    "q_changepoint_mean_shift",
-    "q_clamped_running_balance",
-    "q_cliffs_delta",
-    "q_cohort_ltv",
-    "q_dbscan_classify",
-    "q_dedup_embedding_cosine",
-    "q_dq_ks_drift",
-    "q_dq_outlier_mad",
-    "q_embedding_centroid_health",
-    "q_embedding_quantization",
-    "q_hybrid_rrf_search",
-    "q_interval_concurrency",
-    "q_interval_window_join",
-    "q_join_salted_skew",
-    "q_kmeans_lloyd",
-    "q_knn_classifier_eval",
-    "q_knn_ivf",
-    "q_linear_interp_gapfill",
-    "q_mann_whitney",
-    "q_mmr_rerank",
-    "q_multimodal_audio_energy",
-    "q_multimodal_features",
-    "q_multimodal_frame_sample",
-    "q_multimodal_shot_cuts",
-    "q_pairwise_tests_bonferroni",
-    "q_pca_top_component",
-    "q_scalar_json_props",
-    "q_scalar_regexp_extract",
-    "q_seasonal_hour_profile",
-    "q_semdedup_clusters",
-    "q_stratified_sample",
-    "q_text_edit_distance_pairs",
-    "q_tfidf_nearest_docs",
-    "q_time_weighted_average",
-    "q_tokenizer_fertility",
-    "q_training_data_prep",
-    "q_variant_json_stats",
-    "q_winsorized_stats",
-    "q_wordpiece_tokenize",
-    "q_pagerank",
-    "q_knn_bruteforce_cosine",
-    "q_knn_lsh_approx",
+    "q_text_gopher_repetition",  # --- code changed this round: attest first ---
+    "q_dq_text_contract",
+    "q_dq_embedding_contract",  # --- never driver-attested ---
+    "q_dq_pk_uniqueness",
     "q_text_quality_score",  # --- backfill: oldest attestation first ---
     "q_text_fingerprint",
+    "q_text_edit_distance_pairs",
     "q_join_anti_idle_customers",
     "q_join_cross_region_nation",
     "q_join_range_value_buckets",
-    "q_window_rank_orders",  # ---------------- first-50 window ends above ----------------
+    "q_window_rank_orders",
     "q_window_running_spend",
     "q_window_lag_events",
     "q_topk_expensive_orders",
@@ -129,6 +84,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_scalar_string_cleaning",
     "q_scalar_casts",
     "q_scalar_dates",
+    "q_scalar_json_props",
+    "q_scalar_regexp_extract",
     "q_scalar_math",
     "q_scalar_arrays",
     "q_scalar_conditional_nonempty",
@@ -154,19 +111,23 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_agg_extrema_by",
     "q_agg_bitwise",
     "q_histogram_values",
+    "q_dedup_embedding_cosine",
     "q_pii_scrub",
-    "q_sequence_packing",
+    "q_stratified_sample",
+    "q_sequence_packing",  # ---------------- first-50 window ends above ----------------
     "q_repetition_score",
     "q_doc_chunking",
     "q_token_entropy",
     "q_mix_weights",
     "q_vocab_coverage",
     "q_corpus_domain_cap",
+    "q_multimodal_frame_sample",
     "q01_pricing_summary",
     "q06_revenue_delta",
     "q_cube_orders",
     "q03_order_revenue_topk",
     "q05_nation_revenue",
+    "q_join_salted_skew",
     "q_window_tumbling_events",
     "q_join_full_outer_reconcile",
     "q_hof_array_pipeline",
@@ -184,10 +145,16 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q13_order_count_distribution",
     "q_target_encoding",
     "q_rake_keywords",
+    "q_kmeans_lloyd",
+    "q_dbscan_classify",
+    "q_clamped_running_balance",
+    "q_wordpiece_tokenize",
+    "q_mmr_rerank",
     "q_rare_category_other",
     "q_woe_encoding",
     "q_psi_drift",
     "q_degree_powerlaw",
+    "q_tokenizer_fertility",
     "q_url_canonical_dedup",
     "q_dataset_card",
     "q_data_skew_report",
@@ -209,38 +176,56 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_survival_km",
     "q_moments_skew_kurtosis",
     "q_theil_sen_trend",
+    "q_mann_whitney",
     "q_correlation_matrix",
     "q_chi_square_contingency",
     "q_sample_size_power",
+    "q_cliffs_delta",
     "q_anova_weekday",
     "q_autocorr_daily",
     "q_sax_symbols",
     "q_seasonal_decompose",
     "q_interval_merge",
+    "q_linear_interp_gapfill",
     "q_seasonal_anomaly_days",
+    "q_multimodal_shot_cuts",
+    "q_knn_lsh_approx",
     "q_hard_negatives",
+    "q_embedding_centroid_health",
     "q_rfm_segments",
     "q_lateral_top_orders",
     "q_recursive_month_spine",
     "q_event_transitions",
     "q_markov_stationary",
+    "q_interval_concurrency",
+    "q_interval_window_join",
     "q_zorder_locality",
     "q_ewma_smoothing",
     "q_attribution_last_touch",
+    "q_ab_test_ttest",
     "q_dq_referential_integrity",
+    "q_cohort_ltv",
     "q_skyline_parts",
     "q_top_paths",
     "q_table_profile",
     "q_rolling_active_users",
     "q_funnel_time_to_convert",
+    "q_seasonal_hour_profile",
     "q_seasonal_forecast_eval",
+    "q_attribution_multi_touch",
+    "q_changepoint_mean_shift",
     "q_funnel_three_step",
+    "q_ab_test_proportions",
+    "q_winsorized_stats",
     "q_audience_flags",
     "q_ship_latency_percentiles",
     "q_asof_tolerance",
+    "q_time_weighted_average",
     "q_cms_heavy_hitters",
     "q_bom_explosion",
+    "q_knn_classifier_eval",
     "q_spatial_radius_join",
+    "q_pairwise_tests_bonferroni",
     "q_hapax_vocabulary",
     "q_heaps_law_fit",
     "q_dedup_chunk_rewrite",
@@ -256,15 +241,21 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_union_by_name_missing",
     "q_triangle_count",
     "q_market_basket_rules",
+    "q_pca_top_component",
     "q_item_cf_similar",
+    "q_semdedup_clusters",
     "q_dedup_doc_stitching",
+    "q_dq_outlier_mad",
+    "q_dq_ks_drift",
     "q_dq_benford_check",
     "q_tfidf_top_terms",
+    "q_tfidf_nearest_docs",
     "q_text_zipf_fit",
     "q_pmi_collocations",
     "q_bpe_merge_candidates",
     "q_bm25_top_terms",
     "q_corpus_gini",
+    "q_hybrid_rrf_search",
     "q_lm_bigram_score",
     "q_weighted_sample",
     "q_curriculum_buckets",
@@ -272,25 +263,32 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_token_budget_allocation",
     "q_filter_funnel",
     "q_hashed_linear_score",
+    "q_multimodal_features",
+    "q_multimodal_audio_energy",
     "q_k_anonymity",
     "q_dp_noisy_counts",
     "q_pseudonymize_consistent",
     "q_erasure_cascade",
+    "q_variant_json_stats",
     "q_null_semantics",
     "q_scalar_maps",
     "q_length_band_filter",
     "q_leakage_safe_split",
     "q_embedding_norms",
+    "q_knn_bruteforce_cosine",
     "q_knn_pq",
     "q_knn_block_matrix",
+    "q_knn_ivf",
     "q_window_sliding_events",
     "q_session_windows_batch",
+    "q_embedding_quantization",
     "q_approx_aggregates",
     "q_unpivot_balance_metrics",
     "q_funnel_conversion",
     "q_retention_cohorts",
     "q_window_distribution_ranks",
     "q_scalar_dates_extended",
+    "q_pagerank",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash_lsh",
@@ -325,6 +323,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_distinct_nation_segments",
     "q_join_outer_order_counts",
     "q_join_semi_big_orders",
+    "q_training_data_prep",
 )
 
 # first-50 window: 50 entries; oldest-attested in window: r2; left out: 206

@@ -412,3 +412,67 @@ def test_wide_ckpt_level_toggle(monkeypatch):
     assert wide_ckpt_level() == StorageLevel.MEMORY_AND_DISK
     monkeypatch.setenv("SPARK_GRAFT_WIDE_CKPT_SER", "0")
     assert wide_ckpt_level() == StorageLevel.MEMORY_AND_DISK_DESER
+
+
+# --- Gopher repetition vs pure-Python reference (r8 session 2) -------------
+
+_gopher_doc = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=3), min_size=0, max_size=40
+).map(" ".join)
+
+
+def _gopher_ref(text: str | None):
+    """Reference implementation of the Gopher repetition fractions:
+    top-2-gram chars (max count, ties to lexicographically largest gram)
+    and duplicate-5-gram chars over all occurrences, / total word chars."""
+    toks = [t for t in (text or "").split(" ") if t]
+    wc = sum(len(t) for t in toks)
+    from collections import Counter
+
+    def gram_chars(n):
+        grams = [tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        return Counter(grams), grams
+
+    top2 = 0
+    c2, _ = gram_chars(2)
+    if c2:
+        best = max(c2.items(), key=lambda kv: (kv[1], " ".join(kv[0])))
+        top2 = best[1] * sum(len(w) for w in best[0])
+    c5, _ = gram_chars(5)
+    dup5 = sum(
+        cnt * sum(len(w) for w in g) for g, cnt in c5.items() if cnt >= 2
+    )
+    # HALF_UP like Spark/DuckDB round() — Python's round is half-even
+    # and diverges on exact binary halves (e.g. 5/32 -> .1562 vs .1563)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r4(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    f2 = r4(top2 / wc) if wc else 0.0
+    f5 = r4(dup5 / wc) if wc else 0.0
+    return len(toks), f2, f5
+
+
+@given(docs=st.lists(_gopher_doc, min_size=1, max_size=8))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_gopher_repetition_matches_reference(spark, docs):
+    """The distributed n-gram pipeline equals the sequential definition
+    on arbitrary token streams (tiny alphabet maximizes collisions and
+    top-gram ties, stressing the cross-engine tie-break)."""
+    from etl_pipeline_spark.queries.text import gopher_repetition
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["top2_char_frac"], r["dup5_char_frac"])
+        for r in gopher_repetition(df).collect()
+    }
+    assert len(got) == len(docs)
+    for i, text in enumerate(docs):
+        assert got[i] == _gopher_ref(text), (i, text)
