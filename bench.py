@@ -48,6 +48,8 @@ SCALE_QUERIES = [
     "q_hashed_linear_score",
     # session-6: iterative integer PageRank over the co-purchase graph
     "q_pagerank",
+    # r8 session-2: Gopher repetition rules (map-side n-gram stream)
+    "q_text_gopher_repetition",
 ]
 
 

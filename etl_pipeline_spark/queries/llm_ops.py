@@ -1357,3 +1357,158 @@ def q_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_hashed_linear_score.__doc__ = q_hashed_linear_score.__doc__.format(D=FH_DIMS)
+
+
+# --- DSIR importance scoring (data selection) --------------------------------
+
+DSIR_BUCKETS = 256  # hashed n-gram feature space (paper uses 10k; bounded
+#                     here so the log-ratio table stays a tiny broadcast)
+DSIR_SALT = "#dsir"
+DSIR_TOPK = 50
+DSIR_SCALE = 1_000_000  # micro-nats: per-feature log-ratios quantized to
+#                         integers so per-doc sums are order-free exact
+
+
+@query(
+    "q_dsir_importance",
+    # DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    # arXiv:2302.03169): score raw-pool documents by how target-like
+    # their hashed n-gram distribution is, log p_target(f) - log p_raw(f)
+    # summed over feature occurrences, and keep the top slice. The
+    # target here is the corpus's English docs; production swaps in a
+    # curated target set with the same plan. Deterministic top-k stands
+    # in for the paper's Gumbel resampling (noise is not
+    # cross-engine-reproducible); per-feature log-ratios quantize to
+    # integer micro-nats BEFORE the per-doc sum so scores are
+    # bit-identical across engines and partitionings.
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               COALESCE(lang, '') = 'en' AS is_tgt,
+               COALESCE(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''), [])
+                   AS t
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, is_tgt,
+               {_hex32_sql("g || '" + DSIR_SALT + "'")} % {DSIR_BUCKETS} AS f
+        FROM (
+            SELECT doc_id, is_tgt, UNNEST(t) AS g FROM base
+            UNION ALL
+            SELECT doc_id, is_tgt, t[i] || ' ' || t[i+1] AS g
+            FROM base, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS s(i)
+        ) g
+    ),
+    tgt AS (SELECT f, COUNT(*) AS ct FROM feats WHERE is_tgt GROUP BY f),
+    raw AS (SELECT f, COUNT(*) AS cr FROM feats WHERE NOT is_tgt GROUP BY f),
+    tot AS (SELECT (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS tt,
+                   (SELECT COALESCE(SUM(cr), 0) FROM raw) AS tr),
+    ratio AS (
+        SELECT r.f,
+               CAST(ROUND({DSIR_SCALE}.0 * LN(
+                   ((COALESCE(tg.ct, 0) + 1.0) * (tot.tr + {DSIR_BUCKETS}))
+                   / ((r.cr + 1.0) * (tot.tt + {DSIR_BUCKETS}))
+               )) AS BIGINT) AS t_micro
+        FROM raw r LEFT JOIN tgt tg USING (f) CROSS JOIN tot
+    ),
+    docf AS (
+        SELECT doc_id, f, COUNT(*) AS c FROM feats
+        WHERE NOT is_tgt GROUP BY doc_id, f
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.c) AS BIGINT)              AS n_feats,
+           CAST(SUM(d.c * r.t_micro) AS BIGINT)  AS dsir_micro_nats
+    FROM docf d JOIN ratio r USING (f)
+    GROUP BY d.doc_id
+    ORDER BY dsir_micro_nats DESC, d.doc_id
+    LIMIT {DSIR_TOPK}
+    """,
+    tags=("llm", "data-selection", "dsir", "X4"),
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (Xie et al. 2023): rank raw-pool
+    documents by sum over hashed word uni+bigram occurrences of
+    log p_target(f) - log p_raw(f) (Laplace-smoothed bag-of-hashed-
+    ngrams), returning the {K} most target-like docs. Target = the
+    corpus's English documents; raw pool = everything else (NULL lang
+    included). Docs with no features (NULL/empty text) have no evidence
+    and cannot be selected.
+
+    Scale: features hash into {B} buckets at the map side, so both LM
+    count tables and the log-ratio table are <= {B} rows — broadcast,
+    never shuffled wide. The only corpus-sized shuffle keys are
+    (doc_id, f) for per-doc feature counts and the final doc-keyed sum;
+    the top-k plans as TakeOrderedAndProject. Per-feature log-ratios
+    are quantized to integer micro-nats before summing, so the score is
+    exact and partitioning-independent (the double log differs across
+    engines only below the quantization step).
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+
+    def h32(col):
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+    base = d.select(
+        "doc_id",
+        (F.coalesce(F.col("lang"), F.lit("")) == "en").alias("is_tgt"),
+        F.coalesce(
+            F.filter(F.split("text", " "), lambda x: x != ""), F.expr("array()")
+        ).alias("t"),
+    )
+    unis = base.select("doc_id", "is_tgt", F.explode("t").alias("g"))
+    bis = base.select(
+        "doc_id",
+        "is_tgt",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
+                "i -> concat_ws(' ', slice(t, i, 2))) ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    feats = unis.unionAll(bis).select(
+        "doc_id",
+        "is_tgt",
+        (h32(F.concat("g", F.lit(DSIR_SALT))) % DSIR_BUCKETS).alias("f"),
+    )
+    tgt = feats.filter("is_tgt").groupBy("f").agg(F.count("*").alias("ct"))
+    raw = feats.filter(~F.col("is_tgt")).groupBy("f").agg(F.count("*").alias("cr"))
+    tot = (
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+        .crossJoin(raw.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("tr")))
+    )
+    ratio = (
+        raw.join(tgt, "f", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "f",
+            F.round(
+                F.lit(float(DSIR_SCALE))
+                * F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) * (F.col("tr") + DSIR_BUCKETS))
+                    / ((F.col("cr") + 1.0) * (F.col("tt") + DSIR_BUCKETS))
+                )
+            )
+            .cast("long")
+            .alias("t_micro"),
+        )
+    )
+    docf = (
+        feats.filter(~F.col("is_tgt"))
+        .groupBy("doc_id", "f")
+        .agg(F.count("*").alias("c"))
+    )
+    scored = (
+        docf.join(F.broadcast(ratio), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.sum(F.col("c") * F.col("t_micro")).cast("long").alias("dsir_micro_nats"),
+        )
+    )
+    return scored.orderBy(F.desc("dsir_micro_nats"), "doc_id").limit(DSIR_TOPK)
+
+
+q_dsir_importance.__doc__ = q_dsir_importance.__doc__.format(
+    K=DSIR_TOPK, B=DSIR_BUCKETS
+)

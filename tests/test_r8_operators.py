@@ -1,0 +1,34 @@
+"""r8 session-2 operator semantics: DSIR importance scoring."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    """A raw-pool doc written in the target (en) vocabulary must score
+    above one written in a disjoint vocabulary: its hashed n-grams carry
+    positive log p_target/p_raw evidence, the off-target doc's negative."""
+    from etl_pipeline_spark.queries.llm_ops import q_dsir_importance
+
+    tgt_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        # target set (lang=en) establishes the target LM
+        (1, tgt_text, "en", "s", len(tgt_text)),
+        (2, "the quick dog jumps over the brown fox once more", "en", "s", 49),
+        # raw pool: doc 10 reuses the target vocabulary, doc 11 does not
+        (10, "the quick brown dog jumps over the lazy fox", "de", "s", 44),
+        (11, "zzz yyy xxx www vvv uuu ttt sss rrr qqq", "de", "s", 39),
+        (12, None, "de", "s", 0),      # no features -> never selected
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = q_dsir_importance(spark, d).collect()
+    got = {r["doc_id"]: r["dsir_micro_nats"] for r in out}
+    assert set(got) == {10, 11}            # raw pool only, no NULL-text doc
+    assert got[10] > got[11]               # target-like ranks first
+    assert got[10] > 0 > got[11]           # and the signs carry the evidence
