@@ -290,6 +290,31 @@ def gopher_repetition(
     return _impl(d, top2_max, dup5_max).withColumnRenamed("doc_id", id_col)
 
 
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023) over explicit frames: score
+    ``raw`` docs by hashed-ngram log p_target/p_raw against the
+    ``target`` set and return the ``k`` most target-like as
+    ``(id_col, n_feats, dsir_micro_nats)``. Integer micro-nat scores,
+    deterministic top-k (ties break to the lowest id)."""
+    from etl_pipeline_spark.queries.llm_ops import dsir_topk
+
+    def shaped(df: DataFrame, is_tgt: bool) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(is_tgt).alias("is_tgt"),
+            F.col(text_col).alias("text"),
+        )
+
+    docs = shaped(target, True).unionAll(shaped(raw, False))
+    return dsir_topk(docs, k).withColumnRenamed("doc_id", id_col)
+
+
 def dedupe_incremental(
     batch: DataFrame, corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame]:

@@ -1444,13 +1444,28 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines only below the quantization step).
     """
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dsir_topk(
+        d.select(
+            "doc_id",
+            (F.coalesce(F.col("lang"), F.lit("")) == "en").alias("is_tgt"),
+            "text",
+        )
+    )
+
+
+def dsir_topk(docs: DataFrame, k: int = DSIR_TOPK) -> DataFrame:
+    """DSIR core over any (doc_id, is_tgt, text) frame: rows with
+    ``is_tgt`` true define the target LM, the rest are the scored raw
+    pool. Returns the ``k`` highest-scoring raw docs as
+    ``(doc_id, n_feats, dsir_micro_nats)`` — see q_dsir_importance for
+    semantics and scale notes."""
 
     def h32(col):
         return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
-    base = d.select(
+    base = docs.select(
         "doc_id",
-        (F.coalesce(F.col("lang"), F.lit("")) == "en").alias("is_tgt"),
+        "is_tgt",
         F.coalesce(
             F.filter(F.split("text", " "), lambda x: x != ""), F.expr("array()")
         ).alias("t"),
@@ -1506,7 +1521,7 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c") * F.col("t_micro")).cast("long").alias("dsir_micro_nats"),
         )
     )
-    return scored.orderBy(F.desc("dsir_micro_nats"), "doc_id").limit(DSIR_TOPK)
+    return scored.orderBy(F.desc("dsir_micro_nats"), "doc_id").limit(k)
 
 
 q_dsir_importance.__doc__ = q_dsir_importance.__doc__.format(

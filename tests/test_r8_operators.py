@@ -32,3 +32,21 @@ def test_dsir_ranks_target_like_docs_first(spark):
     assert set(got) == {10, 11}            # raw pool only, no NULL-text doc
     assert got[10] > got[11]               # target-like ranks first
     assert got[10] > 0 > got[11]           # and the signs carry the evidence
+
+
+def test_api_dsir_select_explicit_frames(spark):
+    """The library surface takes explicit (raw, target) frames with
+    custom column names and agrees with the registry query's semantics."""
+    from etl_pipeline_spark import api
+
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma alpha beta"), (101, "beta gamma alpha beta gamma")],
+        "id long, body string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma beta"), (2, "delta epsilon zeta eta")],
+        "id long, body string",
+    )
+    out = api.dsir_select(raw, target, k=1, text_col="body", id_col="id").collect()
+    assert len(out) == 1 and out[0]["id"] == 1
+    assert out[0]["dsir_micro_nats"] > 0
