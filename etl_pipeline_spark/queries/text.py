@@ -1403,3 +1403,142 @@ def q_dq_text_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_dq_text_contract.__doc__ = q_dq_text_contract.__doc__.format(M=TEXT_MAX_CHARS)
+
+
+# Gopher quality rules (Rae et al. 2021, Table A1 — the non-repetition
+# half; q_text_gopher_repetition carries the repetition half).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_WLEN, GOPHER_MAX_WLEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL = 0.1
+GOPHER_MAX_BULLET = 0.9
+GOPHER_MAX_ELLIPSIS = 0.3
+GOPHER_MIN_ALPHA = 0.8
+GOPHER_MIN_STOP = 2
+
+
+@query(
+    "q_text_gopher_quality",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               COALESCE(text, '') AS tx,
+               COALESCE(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''), [])
+                   AS t,
+               COALESCE(STRING_SPLIT(text, CHR(10)), []) AS lns
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               LEN(t) AS nw,
+               COALESCE(LIST_SUM(LIST_TRANSFORM(t, x -> LEN(x))), 0) AS wc,
+               LEN(tx) - LEN(REPLACE(tx, '#', ''))
+                   + (LEN(tx) - LEN(REPLACE(tx, '...', ''))) // 3 AS n_sym,
+               LEN(LIST_FILTER(lns, l -> REGEXP_MATCHES(TRIM(l), '^[-*•]')))
+                   AS n_bullet,
+               LEN(LIST_FILTER(lns, l -> TRIM(l) LIKE '%...')) AS n_ell,
+               LEN(lns) AS n_lines,
+               LEN(LIST_FILTER(t, x -> REGEXP_MATCHES(x, '[A-Za-z]'))) AS n_alpha,
+               LEN(LIST_FILTER({list(GOPHER_STOPWORDS)!r},
+                               s -> LIST_CONTAINS(t, s))) AS n_stop
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(nw AS BIGINT)                                        AS n_words,
+           ROUND(COALESCE(wc / NULLIF(nw, 0), 0.0), 4)               AS mean_word_len,
+           ROUND(COALESCE(n_sym / NULLIF(nw, 0), 0.0), 4)            AS symbol_ratio,
+           ROUND(COALESCE(n_bullet / NULLIF(n_lines, 0), 0.0), 4)    AS bullet_line_frac,
+           ROUND(COALESCE(n_ell / NULLIF(n_lines, 0), 0.0), 4)       AS ellipsis_line_frac,
+           ROUND(COALESCE(n_alpha / NULLIF(nw, 0), 0.0), 4)          AS alpha_word_frac,
+           CAST(n_stop AS BIGINT)                                    AS n_stopwords_present,
+           (nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AND COALESCE(wc / NULLIF(nw, 0), 0.0) BETWEEN {GOPHER_MIN_WLEN} AND {GOPHER_MAX_WLEN}
+            AND COALESCE(n_sym / NULLIF(nw, 0), 0.0) < {GOPHER_MAX_SYMBOL}
+            AND COALESCE(n_bullet / NULLIF(n_lines, 0), 0.0) < {GOPHER_MAX_BULLET}
+            AND COALESCE(n_ell / NULLIF(n_lines, 0), 0.0) < {GOPHER_MAX_ELLIPSIS}
+            AND COALESCE(n_alpha / NULLIF(nw, 0), 0.0) >= {GOPHER_MIN_ALPHA}
+            AND n_stop >= {GOPHER_MIN_STOP})                          AS keep
+    FROM feat
+    """,
+    tags=("text", "X4", "quality", "gopher"),
+)
+def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, Table A1 — the
+    non-repetition half, companion to q_text_gopher_repetition): per
+    document, word count in [50, 100k], mean word length in [3, 10],
+    symbol-to-word ratio ('#' chars + '...' occurrences) < 0.1, < 90%
+    of lines bullet-led, < 30% ellipsis-terminated, >= 80% of words
+    with an alphabetic character, and >= 2 of the paper's eight stop
+    words present — plus the conjunctive keep decision. Ratios on
+    empty/NULL docs report 0.0 (the word-count floor rejects them).
+
+    Scale: entirely per-row column math over the hoisted token and line
+    arrays — no shuffle, no UDFs; the scan prunes to (doc_id, text).
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = d.select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("tx"),
+        F.coalesce(
+            F.filter(F.split("text", " "), lambda x: x != ""), F.expr("array()")
+        ).alias("t"),
+        F.coalesce(F.split("text", "\n"), F.expr("array()")).alias("lns"),
+    )
+    feat = base.select(
+        "doc_id",
+        F.size("t").alias("nw"),
+        F.aggregate(
+            "t", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("wc"),
+        (
+            F.length("tx")
+            - F.length(F.replace(F.col("tx"), F.lit("#")))
+            + (
+                F.length("tx") - F.length(F.replace(F.col("tx"), F.lit("...")))
+            ).cast("long")
+            / F.lit(3)
+        )
+        .cast("long")
+        .alias("n_sym"),
+        F.size(
+            F.filter(F.col("lns"), lambda l: F.trim(l).rlike(r"^[-*•]"))
+        ).alias("n_bullet"),
+        F.size(F.filter(F.col("lns"), lambda l: F.trim(l).endswith("..."))).alias(
+            "n_ell"
+        ),
+        F.size("lns").alias("n_lines"),
+        F.size(F.filter(F.col("t"), lambda x: x.rlike("[A-Za-z]"))).alias("n_alpha"),
+        F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+                lambda s: F.array_contains(F.col("t"), s),
+            )
+        ).alias("n_stop"),
+    )
+    def ratio(num, den):
+        return F.coalesce(F.try_divide(F.col(num), F.nullif(F.col(den), F.lit(0))), F.lit(0.0))
+
+    mean_wlen = ratio("wc", "nw")
+    sym = ratio("n_sym", "nw")
+    bullet = ratio("n_bullet", "n_lines")
+    ell = ratio("n_ell", "n_lines")
+    alpha = ratio("n_alpha", "nw")
+    return feat.select(
+        "doc_id",
+        F.col("nw").cast("long").alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(sym, 4).alias("symbol_ratio"),
+        F.round(bullet, 4).alias("bullet_line_frac"),
+        F.round(ell, 4).alias("ellipsis_line_frac"),
+        F.round(alpha, 4).alias("alpha_word_frac"),
+        F.col("n_stop").cast("long").alias("n_stopwords_present"),
+        (
+            F.col("nw").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+            & mean_wlen.between(GOPHER_MIN_WLEN, GOPHER_MAX_WLEN)
+            & (sym < GOPHER_MAX_SYMBOL)
+            & (bullet < GOPHER_MAX_BULLET)
+            & (ell < GOPHER_MAX_ELLIPSIS)
+            & (alpha >= GOPHER_MIN_ALPHA)
+            & (F.col("n_stop") >= GOPHER_MIN_STOP)
+        ).alias("keep"),
+    )

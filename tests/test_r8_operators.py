@@ -50,3 +50,36 @@ def test_api_dsir_select_explicit_frames(spark):
     out = api.dsir_select(raw, target, k=1, text_col="body", id_col="id").collect()
     assert len(out) == 1 and out[0]["id"] == 1
     assert out[0]["dsir_micro_nats"] > 0
+
+
+def test_gopher_quality_rules_fire_individually(spark):
+    """Each non-repetition Gopher rule fires on a doc crafted to break
+    exactly that rule while a compliant doc passes all seven."""
+    from etl_pipeline_spark.queries.text import q_text_gopher_quality
+
+    good = ("the data and that pipeline have run with scale " * 6).strip()  # 54 words
+    rows = [
+        (1, good, "en", "s", len(good)),
+        (2, "the and of to be", "en", "s", 16),              # < 50 words
+        (3, ("the of " + "# " * 60).strip(), "en", "s", 0),  # symbol ratio
+        (4, ("12 34 " * 30 + "the of and").strip(), "en", "s", 0),  # alpha frac
+        (5, ("word " * 60).strip(), "en", "s", 0),           # < 2 stopwords
+        (6, "\n".join("- item " + "the of and be to with have that" for _ in range(9))
+             + "\nplain tail line", "en", "s", 0),           # 9/10 bullet lines
+        (7, None, "en", "s", 0),
+    ]
+    rows = [(i, t, l, s, len(t) if t else 0) for (i, t, l, s, _) in rows]
+    import os, tempfile
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r["doc_id"]: r for r in q_text_gopher_quality(spark, d).collect()}
+    assert got[1]["keep"], got[1]
+    assert not got[2]["keep"] and got[2]["n_words"] < 50
+    assert not got[3]["keep"] and got[3]["symbol_ratio"] > 0.1
+    assert not got[4]["keep"] and got[4]["alpha_word_frac"] < 0.8
+    assert not got[5]["keep"] and got[5]["n_stopwords_present"] < 2
+    assert not got[6]["keep"] and got[6]["bullet_line_frac"] == 0.9
+    assert not got[7]["keep"] and got[7]["n_words"] == 0
