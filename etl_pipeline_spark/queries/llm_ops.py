@@ -1527,3 +1527,141 @@ def dsir_topk(docs: DataFrame, k: int = DSIR_TOPK) -> DataFrame:
 q_dsir_importance.__doc__ = q_dsir_importance.__doc__.format(
     K=DSIR_TOPK, B=DSIR_BUCKETS
 )
+
+
+# --- UniMax language-budget allocation ---------------------------------------
+
+UNIMAX_EPOCH_CAP = 2  # max epochs any language's corpus may repeat
+UNIMAX_BUDGET = 50_000  # total training-token budget to allocate
+
+
+@query(
+    "q_unimax_allocation",
+    # UniMax (Chung et al., ICLR 2023): allocate a total token budget as
+    # UNIFORMLY as possible across languages, subject to a per-language
+    # epoch cap — the fairer alternative to temperature sampling
+    # (q_token_budget_allocation's mT5 rule) that never over-repeats
+    # low-resource languages. Closed-form waterfilling over the
+    # cap-ascending language order: the largest prefix m whose caps fit
+    # under the budget with the remainder shared uniformly is exactly
+    # the capped set; everyone else gets the integer-uniform share.
+    oracle=f"""
+    WITH tok AS (
+        SELECT COALESCE(lang, 'und') AS lang,
+               SUM(LEN(COALESCE(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                            x -> x <> ''), []))) AS c
+        FROM documents GROUP BY 1
+    ),
+    ord AS (
+        SELECT lang, c, {UNIMAX_EPOCH_CAP} * c AS cap,
+               ROW_NUMBER() OVER (ORDER BY {UNIMAX_EPOCH_CAP} * c, lang) AS i,
+               COUNT(*) OVER () AS k,
+               COALESCE(SUM({UNIMAX_EPOCH_CAP} * c) OVER (
+                   ORDER BY {UNIMAX_EPOCH_CAP} * c, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+        FROM tok
+    ),
+    flags AS (
+        SELECT *, CASE WHEN cap * (k - i + 1) + pfx <= {UNIMAX_BUDGET}
+                       THEN i ELSE 0 END AS ci
+        FROM ord
+    ),
+    mm AS (SELECT *, MAX(ci) OVER () AS m FROM flags),
+    pf AS (
+        SELECT *, COALESCE(MAX(CASE WHEN i <= m THEN pfx + cap END)
+                           OVER (), 0) AS pfxm
+        FROM mm
+    )
+    SELECT lang,
+           CAST(c AS BIGINT)   AS corpus_tokens,
+           CAST(cap AS BIGINT) AS cap_tokens,
+           CAST(CASE WHEN i <= m THEN cap
+                     ELSE ({UNIMAX_BUDGET} - pfxm) // (k - m)
+                END AS BIGINT) AS alloc_tokens,
+           ROUND(COALESCE(CASE WHEN i <= m THEN cap
+                               ELSE ({UNIMAX_BUDGET} - pfxm) // (k - m)
+                          END / NULLIF(c, 0), 0.0), 4) AS epochs,
+           (i <= m) AS capped
+    FROM pf
+    """,
+    tags=("llm", "mixing", "unimax", "X4"),
+)
+def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (Chung et al., ICLR 2023): split a
+    {B}-token training budget across languages as uniformly as possible
+    with no language repeated beyond {E} epochs. Languages whose entire
+    {E}-epoch corpus fits under the uniform waterline are capped at it;
+    the rest share the remaining budget integer-uniformly. Reports
+    per-language corpus/cap/allocated tokens, implied epochs, and the
+    capped flag. All arithmetic is integer (token counts and div), so
+    the allocation is exact and engine-independent.
+
+    Scale: one corpus-wide aggregate to per-language token counts, then
+    the waterfill runs on the LANGUAGE DIMENSION (~6 rows) — the global
+    windows operate on that collapsed table, never on corpus rows
+    (GLOBAL_WINDOW_BOUNDED entry; same class as q_mix_weights).
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    tok = (
+        d.select(
+            F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
+            F.size(
+                F.coalesce(
+                    F.filter(F.split("text", " "), lambda x: x != ""),
+                    F.expr("array()"),
+                )
+            ).alias("n"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("n").alias("c"))
+    )
+    cap = (F.lit(UNIMAX_EPOCH_CAP) * F.col("c")).cast("long")
+    w_ord = W.orderBy(cap, "lang")
+    w_all = W.partitionBy()
+    ord_ = tok.select(
+        "lang",
+        "c",
+        cap.alias("cap"),
+        F.row_number().over(w_ord).alias("i"),
+        F.count("*").over(w_all).alias("k"),
+        F.coalesce(
+            F.sum(cap).over(w_ord.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("pfx"),
+    )
+    flags = ord_.withColumn(
+        "ci",
+        F.when(
+            F.col("cap") * (F.col("k") - F.col("i") + 1) + F.col("pfx")
+            <= UNIMAX_BUDGET,
+            F.col("i"),
+        ).otherwise(0),
+    )
+    mm = flags.withColumn("m", F.max("ci").over(w_all))
+    pf = mm.withColumn(
+        "pfxm",
+        F.coalesce(
+            F.max(
+                F.when(F.col("i") <= F.col("m"), F.col("pfx") + F.col("cap"))
+            ).over(w_all),
+            F.lit(0),
+        ),
+    )
+    alloc = F.when(F.col("i") <= F.col("m"), F.col("cap")).otherwise(
+        F.expr(f"CAST(({UNIMAX_BUDGET} - pfxm) div (k - m) AS BIGINT)")
+    )
+    return pf.select(
+        "lang",
+        F.col("c").cast("long").alias("corpus_tokens"),
+        F.col("cap").cast("long").alias("cap_tokens"),
+        alloc.cast("long").alias("alloc_tokens"),
+        F.round(
+            F.coalesce(F.try_divide(alloc, F.nullif(F.col("c"), F.lit(0))), F.lit(0.0)),
+            4,
+        ).alias("epochs"),
+        (F.col("i") <= F.col("m")).alias("capped"),
+    )
+
+
+q_unimax_allocation.__doc__ = q_unimax_allocation.__doc__.format(
+    B=UNIMAX_BUDGET, E=UNIMAX_EPOCH_CAP
+)

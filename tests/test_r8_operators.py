@@ -83,3 +83,32 @@ def test_gopher_quality_rules_fire_individually(spark):
     assert not got[5]["keep"] and got[5]["n_stopwords_present"] < 2
     assert not got[6]["keep"] and got[6]["bullet_line_frac"] == 0.9
     assert not got[7]["keep"] and got[7]["n_words"] == 0
+
+
+def test_unimax_waterfilling_exact(spark):
+    """Hand-computed waterfill: caps ascend 200 / 30000 / 40000 under a
+    50k budget with E=2 — the tiny language caps at 2.0 epochs, the two
+    big ones split the remainder integer-uniformly."""
+    import os, tempfile
+
+    from etl_pipeline_spark.queries.llm_ops import q_unimax_allocation
+
+    def doc(i, lang, n):
+        t = ("w " * n).strip()
+        return (i, t, lang, "s", len(t))
+
+    df = spark.createDataFrame(
+        [doc(1, "aa", 100), doc(2, "bb", 15000), doc(3, "cc", 20000)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r["lang"]: r for r in q_unimax_allocation(spark, d).collect()}
+    assert got["aa"]["capped"] and got["aa"]["alloc_tokens"] == 200
+    assert got["aa"]["epochs"] == 2.0
+    # remaining 49800 // 2 = 24900 each
+    assert not got["bb"]["capped"] and got["bb"]["alloc_tokens"] == 24900
+    assert not got["cc"]["capped"] and got["cc"]["alloc_tokens"] == 24900
+    assert got["bb"]["epochs"] == 1.66 and got["cc"]["epochs"] == 1.245
+    total = sum(r["alloc_tokens"] for r in got.values())
+    assert total == 50000  # budget exactly spent (remainder 0 here)

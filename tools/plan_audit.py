@@ -160,6 +160,7 @@ GLOBAL_WINDOW_BOUNDED: dict[str, str] = {
     "q_text_zipf_fit": "vocabulary-sized after term-count collapse (Heaps-sublinear)",
     "q_ratio_to_report": "group-count rows after fact aggregate",
     "q_mix_weights": "5-row language dimension",
+    "q_unimax_allocation": "language-dimension waterfill after token aggregate (~6 rows)",
 }
 
 
