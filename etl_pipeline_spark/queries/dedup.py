@@ -576,6 +576,56 @@ def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_soft_weights",
+    # Soft deduplication: downweight duplicated content instead of
+    # deleting it (the commonness-reweighting practice, e.g. SoftDeDup)
+    # — every doc keeps sampling weight 1/|near-dup cluster|, so a
+    # cluster contributes one doc's worth of expected tokens while
+    # retaining intra-cluster diversity. Composes the CC fixpoint with
+    # a cluster-size window exactly like q_dedup_canonical_docs.
+    oracle=f"""
+    WITH comp AS (
+        {clusters_oracle(REGISTRY["q_dedup_ngram_jaccard"].oracle)}
+    ),
+    sized AS (
+        SELECT cluster_id, doc_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM comp
+    )
+    SELECT doc_id, cluster_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           ROUND(1.0 / cluster_size, 4) AS weight,
+           cluster_size > 1 AS is_dup
+    FROM sized
+    """,
+    tags=("dedup", "X2", "clustering", "soft-dedup"),
+)
+def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication weights: instead of dropping near-duplicates,
+    give every document sampling weight 1/|cluster| over its near-dup
+    connected component — a cluster then contributes one document's
+    worth of expected training mass while keeping intra-cluster
+    diversity available to the sampler (the delete-free alternative to
+    q_dedup_canonical_docs; singletons keep weight 1.0).
+
+    Scale: the CC labels (operators/cluster.py) plus one cluster-keyed
+    count window — cluster sizes are bounded by near-dup semantics, so
+    no hot window partition; output is corpus-sized but narrow.
+    """
+    comp = dedup_clusters(spark, sf_dir)
+    sized = comp.withColumn(
+        "cluster_size", F.count("*").over(W.partitionBy("cluster_id"))
+    )
+    return sized.select(
+        "doc_id",
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.round(F.lit(1.0) / F.col("cluster_size"), 4).alias("weight"),
+        (F.col("cluster_size") > 1).alias("is_dup"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checkable MinHash (operators/minhash.py): md5-based hash family
 # shared bit-for-bit with DuckDB — signatures, banded candidates, and

@@ -112,3 +112,26 @@ def test_unimax_waterfilling_exact(spark):
     assert got["bb"]["epochs"] == 1.66 and got["cc"]["epochs"] == 1.245
     total = sum(r["alloc_tokens"] for r in got.values())
     assert total == 50000  # budget exactly spent (remainder 0 here)
+
+
+def test_soft_weights_conserve_cluster_mass(spark):
+    """Soft-dedup invariants on the real fixture: weights in (0, 1],
+    each cluster's weights sum to ~1.0, singletons weigh exactly 1.0,
+    and every doc keeps exactly one row (nothing deleted)."""
+    from collections import defaultdict
+
+    from etl_pipeline_spark.queries.dedup import q_dedup_soft_weights
+
+    rows = q_dedup_soft_weights(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500 and len({r["doc_id"] for r in rows}) == 500
+    by_cluster = defaultdict(list)
+    for r in rows:
+        assert 0 < r["weight"] <= 1.0
+        assert r["is_dup"] == (r["cluster_size"] > 1)
+        if r["cluster_size"] == 1:
+            assert r["weight"] == 1.0
+        by_cluster[r["cluster_id"]].append(r)
+    assert any(len(v) > 1 for v in by_cluster.values())  # fixture has dups
+    for members in by_cluster.values():
+        assert len(members) == members[0]["cluster_size"]
+        assert abs(sum(m["weight"] for m in members) - 1.0) < 1e-3
