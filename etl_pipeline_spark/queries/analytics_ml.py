@@ -328,6 +328,142 @@ def pagerank_ranks(li: DataFrame) -> DataFrame:
 q_pagerank.__doc__ = q_pagerank.__doc__.format(I=PR_ITERS, K=PR_TOPK)
 
 
+# --- Label-propagation communities over the co-purchase graph ----------------
+
+LPA_ITERS = 4
+LPA_TOPK = 20
+
+
+def _lpa_oracle() -> str:
+    """Unrolled {LPA_ITERS}-round synchronous label propagation in
+    DuckDB SQL — same co-purchase edge CTE as the PageRank oracle."""
+    lines = [
+        f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {PR_SUPPORT}
+    ),
+    edges AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges)"""
+    ]
+    for i in range(1, LPA_ITERS + 1):
+        lines.append(
+            f""",
+    c{i} AS (
+        SELECT e.v AS node, l.label, COUNT(*) AS cnt
+        FROM edges e JOIN l{i - 1} l ON l.node = e.u
+        GROUP BY 1, 2
+    ),
+    l{i} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY cnt DESC, label) AS rn
+            FROM c{i}
+        ) r WHERE rn = 1
+    )"""
+        )
+    lines.append(
+        f"""
+    SELECT CAST(label AS BIGINT)    AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM l{LPA_ITERS} GROUP BY label
+    ORDER BY n_members DESC, community
+    LIMIT {LPA_TOPK}
+    """
+    )
+    return "".join(lines)
+
+
+@query(
+    "q_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("graph", "communities", "iterative", "custom-op"),
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    part co-purchase graph (q_pagerank's edges): every node starts as
+    its own label; each of {I} rounds every node adopts the most
+    frequent label among its neighbors, ties to the smallest label —
+    fully deterministic, so the oracle unrolls the identical recurrence
+    as chained CTEs. Returns the {K} largest communities with their
+    size and node-id span. (Sync LPA can oscillate on bipartite-ish
+    structures; the operator is DEFINED as the fixed-round snapshot,
+    which is what makes it engine- and partitioning-independent.)
+
+    Scale: the per-round plan is join labels to edges on the source key
+    -> count (dst, label) -> per-dst argmax. Edges come from
+    pagerank_edges — source-partitioned and persisted once, so every
+    round's big-side join reuses that partitioning and only the
+    node-sized label vector exchanges (the q_pagerank exchange-budget
+    argument); rounds localCheckpoint to keep lineage constant-depth.
+    The per-dst argmax is a struct-min aggregate, not a window — no
+    single-partition stage anywhere.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    edges = pagerank_edges(li)
+    labels = lpa_labels(edges)
+    out = (
+        labels.groupBy("label")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .select(
+            F.col("label").cast("long").alias("community"),
+            F.col("n_members").cast("long"),
+            F.col("min_node").cast("long"),
+            F.col("max_node").cast("long"),
+        )
+        .orderBy(F.desc("n_members"), "community")
+        .limit(LPA_TOPK)
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    return out
+
+
+q_label_propagation.__doc__ = q_label_propagation.__doc__.format(
+    I=LPA_ITERS, K=LPA_TOPK
+)
+
+
+def lpa_labels(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """Full (node, label) table after ``iters`` synchronous LPA rounds
+    over a directed both-ways edge frame (u, v) — the loop behind
+    q_label_propagation, exposed so invariants over the whole labeling
+    (partition coverage, component containment) are testable without
+    the top-k cut. Caller owns the edge frame's persistence."""
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        nbr = edges.join(labels, edges["u"] == labels["node"]).select(
+            edges["v"].alias("dst"), "label"
+        )
+        counts = nbr.groupBy("dst", "label").agg(F.count("*").alias("cnt"))
+        labels = (
+            counts.groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+                ).alias("s")
+            )
+            .select(F.col("dst").alias("node"), F.col("s.label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
 # --- RAKE keyword extraction -------------------------------------------------
 
 RAKE_STOPWORDS = ("the", "a")

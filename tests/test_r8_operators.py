@@ -135,3 +135,35 @@ def test_soft_weights_conserve_cluster_mass(spark):
     for members in by_cluster.values():
         assert len(members) == members[0]["cluster_size"]
         assert abs(sum(m["weight"] for m in members) - 1.0) < 1e-3
+
+
+def test_lpa_labels_partition_within_components(spark):
+    """LPA structural invariants on the real graph: the labeling covers
+    every node exactly once, every label is a member node, and no
+    community spans two connected components (labels only travel along
+    edges)."""
+    from etl_pipeline_spark.catalog import load_tables
+    from etl_pipeline_spark.operators.cluster import connected_components
+    from etl_pipeline_spark.queries.analytics_ml import (
+        lpa_labels,
+        pagerank_edges,
+    )
+    from pyspark.sql import functions as F
+
+    li = load_tables(spark, "/root/testdata/sf0.001", ("lineitem",))["lineitem"]
+    edges = pagerank_edges(li)
+    labels = {r["node"]: r["label"] for r in lpa_labels(edges).collect()}
+    nodes = {r["u"] for r in edges.select("u").distinct().collect()}
+    und = edges.filter(F.col("u") < F.col("v")).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    comp_df = connected_components(
+        edges.select(F.col("u").alias("node")).distinct(), und
+    )
+    edges.unpersist()
+    cols = comp_df.columns
+    comp = {r[cols[0]]: r[cols[1]] for r in comp_df.collect()}
+    assert set(labels) == nodes                      # total, exactly once
+    assert set(labels.values()) <= nodes             # labels are real nodes
+    for node, label in labels.items():               # no cross-component leak
+        assert comp[node] == comp[label], (node, label)
