@@ -58,14 +58,18 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-8 (session 2) prefix: the three operators added this session
-# (q_dsir_importance, q_text_gopher_repetition, q_dq_text_contract)
-# lead, followed by the r8-session-1 ingest-gate pair which the driver
-# has not yet attested, then oldest-attestation-first backfill. Every
-# query registered before this round has at least one full
-# CORRECTNESS_r* pass.
+# Round-8 (session 2) prefix: the seven operators added this session
+# (gopher repetition/quality, text contract, DSIR, UniMax, soft-dedup
+# weights, label propagation) lead, followed by the r8-session-1
+# ingest-gate pair which the driver has not yet attested, then
+# oldest-attestation-first backfill. Every query registered before this
+# round has at least one full CORRECTNESS_r* pass.
 CHECK_PRIORITY: tuple[str, ...] = (
-    "q_dsir_importance",  # --- code changed this round: attest first ---
+    "q_text_gopher_quality",  # --- code changed this round: attest first ---
+    "q_unimax_allocation",
+    "q_dedup_soft_weights",
+    "q_label_propagation",
+    "q_dsir_importance",
     "q_text_gopher_repetition",
     "q_dq_text_contract",
     "q_dq_embedding_contract",  # --- never driver-attested ---
@@ -111,11 +115,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_theta_set_ops",
     "q_agg_regression",
     "q_agg_extrema_by",
-    "q_agg_bitwise",
+    "q_agg_bitwise",  # ---------------- first-50 window ends above ----------------
     "q_histogram_values",
     "q_dedup_embedding_cosine",
     "q_pii_scrub",
-    "q_stratified_sample",  # ---------------- first-50 window ends above ----------------
+    "q_stratified_sample",
     "q_sequence_packing",
     "q_repetition_score",
     "q_doc_chunking",
