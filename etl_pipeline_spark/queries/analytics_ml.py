@@ -1971,3 +1971,98 @@ def q_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- k-core decomposition over the co-purchase graph -------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    """Unrolled {KCORE_ROUNDS}-round k-core peel in DuckDB SQL — same
+    co-purchase edge CTE as the PageRank/LPA oracles."""
+    lines = [
+        f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {PR_SUPPORT}
+    ),
+    edges AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+    a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM edges)"""
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        lines.append(
+            f""",
+    d{i} AS MATERIALIZED (
+        SELECT e.u AS node, COUNT(*) AS deg
+        FROM edges e
+        JOIN a{i - 1} au ON au.node = e.u
+        JOIN a{i - 1} av ON av.node = e.v
+        GROUP BY e.u
+    ),
+    a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {KCORE_K})"""
+        )
+    lines.append(
+        f"""
+    SELECT CAST(d.node AS BIGINT) AS node, CAST(d.deg AS BIGINT) AS core_degree
+    FROM d{KCORE_ROUNDS} d JOIN a{KCORE_ROUNDS} a ON a.node = d.node
+    """
+    )
+    return "".join(lines)
+
+
+@query(
+    "q_kcore_nodes",
+    oracle=_kcore_oracle(),
+    tags=("graph", "kcore", "iterative", "custom-op"),
+)
+def q_kcore_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{K}-core decomposition of the part co-purchase graph: {R} rounds
+    of synchronous peeling (drop nodes whose degree among survivors is
+    below {K}), returning the surviving nodes with their within-core
+    degree — the dense-subgraph skeleton behind cohesion analytics and
+    graph-sampling pipelines. Fixed-round snapshot like
+    q_label_propagation, so the recurrence is deterministic and the
+    oracle unrolls it as chained CTEs; on this graph the peel reaches
+    its fixpoint well inside {R} rounds.
+
+    Scale: each round is two semi-join-shaped joins of the persisted
+    source-partitioned edge frame against the shrinking alive set
+    (node-sized, broadcast-eligible) and one degree count on the source
+    key — the edge frame never re-shuffles (q_pagerank's
+    exchange-budget argument) and the alive vector only shrinks.
+    """
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    edges = pagerank_edges(li)
+    alive = edges.select(F.col("u").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
+    deg = None
+    for _ in range(KCORE_ROUNDS):
+        au = alive.select(F.col("node").alias("un"))
+        av = alive.select(F.col("node").alias("vn"))
+        deg = (
+            edges.join(au, edges["u"] == F.col("un"))
+            .join(av, edges["v"] == F.col("vn"))
+            .groupBy(edges["u"].alias("node"))
+            .agg(F.count("*").alias("deg"))
+            .localCheckpoint(eager=False)
+        )
+        alive = deg.filter(F.col("deg") >= KCORE_K).select("node")
+    out = (
+        deg.filter(F.col("deg") >= KCORE_K)
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("deg").cast("long").alias("core_degree"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    return out
+
+
+q_kcore_nodes.__doc__ = q_kcore_nodes.__doc__.format(K=KCORE_K, R=KCORE_ROUNDS)

@@ -167,3 +167,27 @@ def test_lpa_labels_partition_within_components(spark):
     assert set(labels.values()) <= nodes             # labels are real nodes
     for node, label in labels.items():               # no cross-component leak
         assert comp[node] == comp[label], (node, label)
+
+
+def test_kcore_nodes_satisfy_core_property(spark):
+    """Every surviving node's reported core degree counts only edges to
+    other survivors and meets the K threshold; re-peeling the survivor
+    set changes nothing (the fixed-round snapshot reached the fixpoint)."""
+    from collections import Counter
+
+    from etl_pipeline_spark.catalog import load_tables
+    from etl_pipeline_spark.queries.analytics_ml import (
+        KCORE_K,
+        pagerank_edges,
+        q_kcore_nodes,
+    )
+
+    li = load_tables(spark, "/root/testdata/sf0.001", ("lineitem",))["lineitem"]
+    core = {r["node"]: r["core_degree"] for r in
+            q_kcore_nodes(spark, "/root/testdata/sf0.001").collect()}
+    assert core and all(d >= KCORE_K for d in core.values())
+    edges = pagerank_edges(li)
+    pairs = [(r["u"], r["v"]) for r in edges.collect()]
+    edges.unpersist()
+    deg = Counter(u for u, v in pairs if u in core and v in core)
+    assert dict(deg) == core  # reported degree == within-core degree (fixpoint)
