@@ -1542,3 +1542,100 @@ def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_stop") >= GOPHER_MIN_STOP)
         ).alias("keep"),
     )
+
+
+# --- Cross-source quality calibration ---------------------------------------
+
+CALIB_SCALE = 1_000_000  # integer micro-units for the raw score
+CALIB_KEEP = 0.5  # keep the top half of each source
+
+
+@query(
+    "q_quality_calibrated",
+    # Absolute quality thresholds bias multi-source corpora: a cutoff
+    # tuned on a clean source deletes most of a noisy-but-valuable one.
+    # The standard fix is WITHIN-SOURCE calibration — rank each doc
+    # against its own source and keep a fixed quantile per source. The
+    # raw score here is the stopword-density proxy in exact integer
+    # micro-units, so ranks (and therefore percent_rank ties) are
+    # bit-identical across engines.
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, source,
+               COALESCE(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                        x -> x <> '')), 0) AS n_tok,
+               COALESCE(LEN(REGEXP_EXTRACT_ALL(LOWER(COALESCE(text, '')),
+                   '\\b(the|a|and|of|to)\\b')), 0) AS n_stop
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               CASE WHEN n_tok = 0 THEN 0
+                    ELSE ({CALIB_SCALE} * n_stop) // n_tok END AS score_micro
+        FROM feat
+    )
+    SELECT doc_id, source,
+           CAST(score_micro AS BIGINT) AS score_micro,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY source
+                                      ORDER BY score_micro), 4) AS source_pct,
+           PERCENT_RANK() OVER (PARTITION BY source ORDER BY score_micro)
+               >= {CALIB_KEEP} AS keep_calibrated
+    FROM scored
+    """,
+    tags=("text", "X4", "quality", "calibration"),
+)
+def q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source quality calibration: score every document (stopword
+    density in exact integer micro-units), percent-rank it AGAINST ITS
+    OWN SOURCE, and keep the top {P:.0%} of each source — the
+    cross-source fairness alternative to one absolute threshold, which
+    over-deletes noisy-but-valuable sources in multi-source corpora.
+    Integer scores make rank ties (and so percent_rank) bit-identical
+    across engines; NULL/empty docs score 0 and fall below the cut.
+
+    Scale: one map pass for the score, one window partitioned by
+    source — partitions are source-sized, so for very large single
+    sources swap the exact percent_rank for the KLL-quantile cut
+    (q_kll_quantile_merge) with the same keep semantics.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n_tok = F.coalesce(
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")), F.lit(0)
+    )
+    n_stop = F.coalesce(
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                F.lit(r"\b(the|a|and|of|to)\b"),
+            )
+        ),
+        F.lit(0),
+    )
+    feat = d.select(
+        "doc_id",
+        "source",
+        n_tok.cast("long").alias("n_tok"),
+        n_stop.cast("long").alias("n_stop"),
+    )
+    scored = feat.select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"CASE WHEN n_tok = 0 THEN 0L"
+            f" ELSE (CAST({CALIB_SCALE} AS BIGINT) * n_stop) div n_tok END"
+        ).alias("score_micro"),
+    )
+    w = W.partitionBy("source").orderBy("score_micro")
+    pct = F.percent_rank().over(w)
+    return scored.select(
+        "doc_id",
+        "source",
+        F.col("score_micro").cast("long").alias("score_micro"),
+        F.round(pct, 4).alias("source_pct"),
+        (pct >= CALIB_KEEP).alias("keep_calibrated"),
+    )
+
+
+q_quality_calibrated.__doc__ = q_quality_calibrated.__doc__.format(
+    P=1 - CALIB_KEEP
+)

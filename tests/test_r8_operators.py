@@ -191,3 +191,35 @@ def test_kcore_nodes_satisfy_core_property(spark):
     edges.unpersist()
     deg = Counter(u for u, v in pairs if u in core and v in core)
     assert dict(deg) == core  # reported degree == within-core degree (fixpoint)
+
+
+def test_quality_calibration_is_per_source(spark):
+    """Calibration must rank within source: a mediocre doc in a weak
+    source survives while a better-scoring doc in a strong source is
+    cut — the exact failure an absolute threshold would invert."""
+    import os, tempfile
+
+    from etl_pipeline_spark.queries.text import q_quality_calibrated
+
+    def doc(i, src, n_stop, n_other=10):
+        t = " ".join(["the"] * n_stop + ["word"] * n_other)
+        return (i, t, "en", src, len(t))
+
+    rows = [
+        # strong source: stopword densities 8,6,4,2 of 10+n
+        doc(1, "strong", 8), doc(2, "strong", 6),
+        doc(3, "strong", 4), doc(4, "strong", 2),
+        # weak source: densities 3,1 — doc 5 tops ITS source
+        doc(5, "weak", 3), doc(6, "weak", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r["doc_id"]: r for r in q_quality_calibrated(spark, d).collect()}
+    assert got[5]["keep_calibrated"]           # best of the weak source
+    assert not got[3]["keep_calibrated"]       # scores above doc 5 globally...
+    assert got[3]["score_micro"] > got[5]["score_micro"]  # ...yet is cut
+    assert got[1]["keep_calibrated"] and got[2]["keep_calibrated"]
+    assert not got[4]["keep_calibrated"] and not got[6]["keep_calibrated"]
