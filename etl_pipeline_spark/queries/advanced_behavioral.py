@@ -1886,3 +1886,175 @@ def q_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twap"),
         (F.floor(F.sum("cents") * 100.0 / F.count("*") + 0.5) / 10000.0).alias("plain_mean"),
     )
+
+
+# --- Per-node clustering coefficient + degree assortativity ------------------
+
+
+@query(
+    "q_node_clustering",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_SUPPORT}
+    ),
+    deg AS (
+        SELECT k, COUNT(*) AS d FROM (
+            SELECT u AS k FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY k
+    ),
+    tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    node_tris AS (
+        SELECT k, COUNT(*) AS t FROM (
+            SELECT x AS k FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY k
+    )
+    SELECT CAST(deg.k AS BIGINT) AS node,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(nt.t, 0) AS BIGINT) AS n_triangles,
+           ROUND(CASE WHEN deg.d >= 2
+                      THEN 2.0 * COALESCE(nt.t, 0) / (deg.d * (deg.d - 1))
+                      ELSE 0.0 END, 6) AS clustering
+    FROM deg LEFT JOIN node_tris nt ON nt.k = deg.k
+    """,
+    tags=("graph", "triangle", "clustering", "custom-op"),
+)
+def q_node_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the co-purchase graph:
+    2·T_v / (d_v·(d_v−1)) with T_v the triangles through v — the
+    node-level refinement of q_triangle_count's global coefficient
+    (Watts-Strogatz local clustering). Nodes of degree < 2 report 0.
+
+    Scale: the same canonically-oriented wedge join enumerates each
+    triangle once; its three corners then stream through one node-keyed
+    count. Degree and triangle tables join on the node key — no new
+    shuffle shape beyond the triangle census; wedge volume remains the
+    cost and the q_triangle_count mitigations (degree orientation, hub
+    caps) apply unchanged.
+    """
+    from etl_pipeline_spark.queries.analytics_ml import co_purchase_edges
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    edges = co_purchase_edges(li, TRI_SUPPORT).localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("u").alias("k"))
+        .unionAll(edges.select(F.col("v").alias("k")))
+        .groupBy("k")
+        .agg(F.count("*").alias("d"))
+    )
+    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    corners = (
+        tri.select(F.col("x").alias("k"))
+        .unionAll(tri.select(F.col("y").alias("k")))
+        .unionAll(tri.select(F.col("z").alias("k")))
+        .groupBy("k")
+        .agg(F.count("*").alias("t"))
+    )
+    out = deg.join(corners, "k", "left")
+    return out.select(
+        F.col("k").cast("long").alias("node"),
+        F.col("d").cast("long").alias("degree"),
+        F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+        F.round(
+            F.when(
+                F.col("d") >= 2,
+                2.0
+                * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+            ).otherwise(0.0),
+            6,
+        ).alias("clustering"),
+    )
+
+
+@query(
+    "q_degree_assortativity",
+    # Newman (2002) degree-correlation coefficient: Pearson r of the
+    # endpoint degrees over every ordered edge. Every sum is an exact
+    # BIGINT (degrees are small ints), so the one double expression at
+    # the end evaluates from identical integers on both engines.
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS MATERIALIZED (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_SUPPORT}
+    ),
+    edges AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT u AS k, COUNT(*) AS d FROM edges GROUP BY 1),
+    pairs AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM edges e JOIN deg du ON du.k = e.u JOIN deg dv ON dv.k = e.v
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pairs
+    )
+    SELECT m AS n_ordered_edges,
+           ROUND((m * sxy - sx * sx) /
+                 SQRT((m * sxx - sx * sx) * (m * sxx - sx * sx * 1.0)), 6)
+               AS assortativity
+    FROM s
+    """,
+    tags=("graph", "assortativity", "custom-op"),
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman 2002):
+    Pearson correlation of endpoint degrees over all ordered edges —
+    positive means hubs attach to hubs, negative means hub-and-spoke.
+    Symmetrized edges make the x and y marginals identical, so the
+    denominator is the x-variance term squared under the root; every
+    accumulated sum is exact integer, leaving one deterministic double
+    expression.
+
+    Scale: two broadcast-sized degree joins onto the edge stream and a
+    single global aggregate — the map-combined sums shuffle one row per
+    partition. No per-node state, no windows.
+    """
+    from etl_pipeline_spark.queries.analytics_ml import co_purchase_edges
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    und = co_purchase_edges(li, TRI_SUPPORT)
+    edges = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    deg = edges.groupBy(F.col("u").alias("k")).agg(F.count("*").alias("d"))
+    pairs = (
+        edges.join(deg.select(F.col("k").alias("u"), F.col("d").alias("x")), "u")
+        .join(deg.select(F.col("k").alias("v"), F.col("d").alias("y")), "v")
+        .select("x", "y")
+    )
+    s = pairs.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return s.select(
+        F.col("m").alias("n_ordered_edges"),
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx"))
+            / F.sqrt(
+                (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx") * F.lit(1.0))
+            ),
+            6,
+        ).alias("assortativity"),
+    )

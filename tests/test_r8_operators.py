@@ -223,3 +223,67 @@ def test_quality_calibration_is_per_source(spark):
     assert got[3]["score_micro"] > got[5]["score_micro"]  # ...yet is cut
     assert got[1]["keep_calibrated"] and got[2]["keep_calibrated"]
     assert not got[4]["keep_calibrated"] and not got[6]["keep_calibrated"]
+
+
+def test_node_clustering_matches_sequential_and_global(spark):
+    """Per-node clustering equals a pure-Python adjacency computation on
+    the real graph, and corner counts tie out to 3x the global triangle
+    census."""
+    from itertools import combinations
+
+    from etl_pipeline_spark.catalog import load_tables
+    from etl_pipeline_spark.queries.advanced_behavioral import (
+        TRI_SUPPORT,
+        q_node_clustering,
+        q_triangle_count,
+    )
+    from etl_pipeline_spark.queries.analytics_ml import co_purchase_edges
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["node"]: r for r in q_node_clustering(spark, sf).collect()}
+    li = load_tables(spark, sf, ("lineitem",))["lineitem"]
+    adj = {}
+    for r in co_purchase_edges(li, TRI_SUPPORT).collect():
+        adj.setdefault(r["u"], set()).add(r["v"])
+        adj.setdefault(r["v"], set()).add(r["u"])
+    assert set(got) == set(adj)
+    total_corners = 0
+    for node, nbrs in adj.items():
+        t = sum(1 for a, b in combinations(sorted(nbrs), 2) if b in adj.get(a, ()))
+        g = got[node]
+        assert g["degree"] == len(nbrs) and g["n_triangles"] == t, node
+        want = round(2.0 * t / (len(nbrs) * (len(nbrs) - 1)), 6) if len(nbrs) >= 2 else 0.0
+        assert abs(g["clustering"] - want) < 1e-9, node
+        total_corners += t
+    n_tri = q_triangle_count(spark, sf).collect()[0]["n_triangles"]
+    assert total_corners == 3 * n_tri
+
+
+def test_degree_assortativity_matches_sequential(spark):
+    """The one-row assortativity equals a pure-Python Pearson over the
+    ordered edge endpoint degrees."""
+    import math
+    from collections import Counter
+
+    from etl_pipeline_spark.catalog import load_tables
+    from etl_pipeline_spark.queries.advanced_behavioral import (
+        TRI_SUPPORT,
+        q_degree_assortativity,
+    )
+    from etl_pipeline_spark.queries.analytics_ml import co_purchase_edges
+
+    sf = "/root/testdata/sf0.001"
+    li = load_tables(spark, sf, ("lineitem",))["lineitem"]
+    und = [(r["u"], r["v"]) for r in co_purchase_edges(li, TRI_SUPPORT).collect()]
+    edges = und + [(v, u) for u, v in und]
+    deg = Counter(u for u, _ in edges)
+    xs = [(deg[u], deg[v]) for u, v in edges]
+    m = len(xs)
+    sx = sum(x for x, _ in xs)
+    sxx = sum(x * x for x, _ in xs)
+    sxy = sum(x * y for x, y in xs)
+    want = round((m * sxy - sx * sx) / (m * sxx - sx * sx), 6)
+    row = q_degree_assortativity(spark, sf).collect()[0]
+    assert row["n_ordered_edges"] == m
+    assert abs(row["assortativity"] - want) < 1e-9
+    assert -1.0 <= row["assortativity"] <= 1.0
