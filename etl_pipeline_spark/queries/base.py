@@ -58,14 +58,17 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-8 (session 2) prefix: the nine operators added this session
+# Round-8 (session 2) prefix: the eleven operators added this session
 # (gopher repetition/quality, text contract, DSIR, UniMax, soft-dedup
-# weights, label propagation, k-core, quality calibration) lead, followed by the r8-session-1
+# weights, label propagation, k-core, quality calibration, per-node
+# clustering, degree assortativity) lead, followed by the r8-session-1
 # ingest-gate pair which the driver has not yet attested, then
 # oldest-attestation-first backfill. Every query registered before this
 # round has at least one full CORRECTNESS_r* pass.
 CHECK_PRIORITY: tuple[str, ...] = (
-    "q_kcore_nodes",  # --- code changed this round: attest first ---
+    "q_node_clustering",  # --- code changed this round: attest first ---
+    "q_degree_assortativity",
+    "q_kcore_nodes",
     "q_quality_calibrated",
     "q_label_propagation",
     "q_dedup_soft_weights",
@@ -113,9 +116,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_udaf_trimmed_mean",
     "q_ratio_to_report",
     "q_scd2_user_values",
-    "q_kll_quantile_merge",
+    "q_kll_quantile_merge",  # ---------------- first-50 window ends above ----------------
     "q_theta_set_ops",
-    "q_agg_regression",  # ---------------- first-50 window ends above ----------------
+    "q_agg_regression",
     "q_agg_extrema_by",
     "q_agg_bitwise",
     "q_histogram_values",
