@@ -315,6 +315,60 @@ def dsir_select(
     return dsir_topk(docs, k).withColumnRenamed("doc_id", id_col)
 
 
+def unimax_allocation(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    budget: int,
+    epoch_cap: int = 2,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al., ICLR 2023) over any
+    frame: sum ``token_col`` per ``strata_col``, then waterfill
+    ``budget`` tokens as uniformly as possible with no stratum repeated
+    beyond ``epoch_cap`` epochs. Returns per-stratum
+    ``(strata_col, corpus_tokens, cap_tokens, alloc_tokens, epochs,
+    capped)``; all integer arithmetic."""
+    from etl_pipeline_spark.queries.llm_ops import unimax_waterfill
+
+    counts = (
+        df.select(
+            F.coalesce(F.col(strata_col).cast("string"), F.lit("und")).alias("lang"),
+            F.col(token_col).alias("n"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("n").alias("c"))
+    )
+    return unimax_waterfill(counts, budget, epoch_cap).withColumnRenamed(
+        "lang", strata_col
+    )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Delete-free soft deduplication over any (id, text) frame: near-dup
+    pairs above the Jaccard ``threshold`` cluster by connected
+    components, and every row keeps sampling weight 1/|cluster|
+    (singletons 1.0). Returns ``(id_col, cluster_id, cluster_size,
+    weight, is_dup)``."""
+    pairs = jaccard_near_dup_pairs(df, text_col=text_col, id_col=id_col,
+                                   threshold=threshold)
+    clusters = cluster_near_dups(df, pairs, id_col=id_col)
+    sized = clusters.withColumn(
+        "cluster_size", F.count("*").over(W.partitionBy("cluster_id"))
+    )
+    return sized.select(
+        F.col(id_col),
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.round(F.lit(1.0) / F.col("cluster_size"), 4).alias("weight"),
+        (F.col("cluster_size") > 1).alias("is_dup"),
+    )
+
+
 def dedupe_incremental(
     batch: DataFrame, corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame]:

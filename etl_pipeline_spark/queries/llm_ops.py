@@ -1615,10 +1615,21 @@ def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.sum("n").alias("c"))
     )
-    cap = (F.lit(UNIMAX_EPOCH_CAP) * F.col("c")).cast("long")
+    return unimax_waterfill(tok)
+
+
+def unimax_waterfill(
+    counts: DataFrame,
+    budget: int = UNIMAX_BUDGET,
+    epoch_cap: int = UNIMAX_EPOCH_CAP,
+) -> DataFrame:
+    """UniMax waterfill core over any (stratum, count) frame with
+    columns ``(lang, c)`` — see q_unimax_allocation for semantics. The
+    windows run on the collapsed stratum dimension, never on raw rows."""
+    cap = (F.lit(epoch_cap) * F.col("c")).cast("long")
     w_ord = W.orderBy(cap, "lang")
     w_all = W.partitionBy()
-    ord_ = tok.select(
+    ord_ = counts.select(
         "lang",
         "c",
         cap.alias("cap"),
@@ -1632,7 +1643,7 @@ def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci",
         F.when(
             F.col("cap") * (F.col("k") - F.col("i") + 1) + F.col("pfx")
-            <= UNIMAX_BUDGET,
+            <= budget,
             F.col("i"),
         ).otherwise(0),
     )
@@ -1647,7 +1658,7 @@ def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     alloc = F.when(F.col("i") <= F.col("m"), F.col("cap")).otherwise(
-        F.expr(f"CAST(({UNIMAX_BUDGET} - pfxm) div (k - m) AS BIGINT)")
+        F.expr(f"CAST(({budget} - pfxm) div (k - m) AS BIGINT)")
     )
     return pf.select(
         "lang",

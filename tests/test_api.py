@@ -470,3 +470,36 @@ def test_gopher_repetition_planted_docs(spark):
     for i in (4, 5, 6):
         r = rows[i]
         assert (r["top2_char_frac"], r["dup5_char_frac"], r["keep"]) == (0.0, 0.0, True)
+
+
+def test_unimax_allocation_custom_frame(spark):
+    """Waterfill over an arbitrary (stratum, tokens) frame: tiny stratum
+    caps at epoch_cap, the rest split the remainder uniformly."""
+    df = spark.createDataFrame(
+        [("web", 100), ("web", 14900), ("code", 100), ("books", 20000), (None, 50)],
+        "domain string, n_tok long",
+    )
+    got = {r["domain"]: r for r in
+           api.unimax_allocation(df, "domain", "n_tok", budget=50_000, epoch_cap=2).collect()}
+    # caps: code 200, und 100, web 30000, books 40000
+    assert got["code"]["capped"] and got["code"]["alloc_tokens"] == 200
+    assert got["und"]["capped"] and got["und"]["alloc_tokens"] == 100
+    # remaining 49700 // 2 = 24850 each
+    assert got["web"]["alloc_tokens"] == 24850 and not got["web"]["capped"]
+    assert got["books"]["alloc_tokens"] == 24850 and not got["books"]["capped"]
+
+
+def test_soft_dedup_weights_custom_frame(spark):
+    """Near-identical docs share weight; the unique doc keeps 1.0."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+            (3, "completely different text about nothing shared here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in api.soft_dedup_weights(df).collect()}
+    assert got[1]["cluster_size"] == 2 and got[1]["weight"] == 0.5
+    assert got[2]["cluster_id"] == got[1]["cluster_id"] and got[2]["is_dup"]
+    assert got[3]["cluster_size"] == 1 and got[3]["weight"] == 1.0 and not got[3]["is_dup"]
