@@ -2058,3 +2058,102 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# --- Adamic-Adar link prediction ----------------------------------------------
+
+AA_TOPK = 50
+AA_SCALE = 1_000_000
+
+
+@query(
+    "q_link_prediction_aa",
+    # Adamic-Adar (2003): score each NON-adjacent pair by the sum over
+    # common neighbors of 1/ln(degree) — frequent co-neighbors matter
+    # less when they are hubs. Per-neighbor terms quantize to integer
+    # micro-units before the per-pair sum, so scores are order-free
+    # exact; a common neighbor is adjacent to both endpoints, so its
+    # degree is >= 2 and ln never hits zero.
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS MATERIALIZED (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_SUPPORT}
+    ),
+    edges AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT u AS k, COUNT(*) AS d FROM edges GROUP BY 1),
+    wedges AS (
+        SELECT e1.v AS x, e1.u AS y, e2.v AS z
+        FROM edges e1 JOIN edges e2 ON e2.u = e1.u AND e1.v < e2.v
+    ),
+    cand AS (
+        SELECT w.x, w.z,
+               COUNT(*) AS n_common,
+               CAST(SUM(CAST(ROUND({AA_SCALE} / LN(d.d)) AS BIGINT)) AS BIGINT)
+                   AS aa_micro
+        FROM wedges w
+        JOIN deg d ON d.k = w.y
+        LEFT JOIN und ON und.u = w.x AND und.v = w.z
+        WHERE und.u IS NULL
+        GROUP BY w.x, w.z
+    )
+    SELECT CAST(x AS BIGINT) AS part_a,
+           CAST(z AS BIGINT) AS part_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           aa_micro
+    FROM cand
+    ORDER BY aa_micro DESC, part_a, part_b
+    LIMIT {AA_TOPK}
+    """,
+    tags=("graph", "link-prediction", "custom-op"),
+)
+def q_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the co-purchase graph: for every
+    non-adjacent part pair, sum 1/ln(degree) over their common
+    neighbors (hub co-neighbors count less) and return the {K}
+    highest-scoring predicted links — the classic related-item
+    candidate generator next to q_item_cf_similar's co-occurrence
+    cosine. Per-neighbor terms quantize to integer micro-units before
+    the pair sum, so scores are exact across engines and partitionings.
+
+    Scale: wedges enumerate per middle vertex (x < z dedupes each pair
+    once per neighbor), so the cost is sum(d^2) exactly like the
+    triangle census, and the same hub mitigations apply (degree caps,
+    support prefilter). The existing-edge exclusion is a broadcast-
+    eligible anti-join on the narrow (u, v) key; top-k plans as
+    TakeOrderedAndProject.
+    """
+    from etl_pipeline_spark.queries.analytics_ml import co_purchase_edges
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    und = co_purchase_edges(li, TRI_SUPPORT).localCheckpoint(eager=False)
+    edges = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = edges.groupBy(F.col("u").alias("k")).agg(F.count("*").alias("d"))
+    e1 = edges.select(F.col("u").alias("y"), F.col("v").alias("x"))
+    e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    wedges = e1.join(e2, "y").filter(F.col("x") < F.col("z"))
+    term = F.round(F.lit(AA_SCALE) / F.log(F.col("d"))).cast("long")
+    scored = (
+        wedges.join(deg.withColumnRenamed("k", "y"), "y")
+        .join(
+            und.select(F.col("u").alias("x"), F.col("v").alias("z")),
+            ["x", "z"],
+            "left_anti",
+        )
+        .groupBy("x", "z")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum(term).cast("long").alias("aa_micro"),
+        )
+    )
+    return scored.select(
+        F.col("x").cast("long").alias("part_a"),
+        F.col("z").cast("long").alias("part_b"),
+        F.col("n_common").cast("long").alias("n_common"),
+        "aa_micro",
+    ).orderBy(F.desc("aa_micro"), "part_a", "part_b").limit(AA_TOPK)
+
+
+q_link_prediction_aa.__doc__ = q_link_prediction_aa.__doc__.format(K=AA_TOPK)

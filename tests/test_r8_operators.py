@@ -287,3 +287,44 @@ def test_degree_assortativity_matches_sequential(spark):
     assert row["n_ordered_edges"] == m
     assert abs(row["assortativity"] - want) < 1e-9
     assert -1.0 <= row["assortativity"] <= 1.0
+
+
+def test_adamic_adar_matches_sequential(spark):
+    """AA predictions equal a pure-Python common-neighbor computation:
+    no predicted pair is an existing edge, counts and micro-scores
+    match, and the returned set is the true top slice."""
+    import math
+    from itertools import combinations
+
+    from etl_pipeline_spark.catalog import load_tables
+    from etl_pipeline_spark.queries.advanced_behavioral import (
+        AA_SCALE,
+        AA_TOPK,
+        TRI_SUPPORT,
+        q_link_prediction_aa,
+    )
+    from etl_pipeline_spark.queries.analytics_ml import co_purchase_edges
+
+    sf = "/root/testdata/sf0.001"
+    li = load_tables(spark, sf, ("lineitem",))["lineitem"]
+    und = {(r["u"], r["v"]) for r in co_purchase_edges(li, TRI_SUPPORT).collect()}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {}
+    for y, nbrs in adj.items():
+        t = round(AA_SCALE / math.log(len(nbrs)))
+        for x, z in combinations(sorted(nbrs), 2):
+            if (x, z) not in und:
+                n, s = want.get((x, z), (0, 0))
+                want[(x, z)] = (n + 1, s + t)
+    rows = q_link_prediction_aa(spark, sf).collect()
+    assert 0 < len(rows) <= AA_TOPK
+    for r in rows:
+        key = (r["part_a"], r["part_b"])
+        assert key not in und
+        assert want[key] == (r["n_common"], r["aa_micro"]), key
+    got_scores = [r["aa_micro"] for r in rows]
+    true_top = sorted((s for _, s in want.values()), reverse=True)[: len(rows)]
+    assert got_scores == true_top
