@@ -1549,3 +1549,135 @@ def q_dedup_doc_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_dedup_doc_stitching.__doc__ = q_dedup_doc_stitching.__doc__.format(K=STITCH_WORDS)
+
+
+# --- Winnowing fingerprints (MOSS) -------------------------------------------
+
+from etl_pipeline_spark.queries.llm_ops import _hex32_sql  # noqa: E402
+
+WIN_K = 4  # tokens per k-gram
+WIN_W = 5  # k-gram hashes per winnowing window
+WIN_DF_CAP = 50  # drop fingerprints shared by more docs (stop-phrases)
+WIN_TOPK = 25
+
+
+@query(
+    "q_winnowing_pairs",
+    # Winnowing (Schleimer et al., SIGMOD 2003 — the MOSS fingerprinter):
+    # hash every word k-gram, keep the MINIMUM hash of each sliding
+    # window of w consecutive k-grams. Guarantee: any shared token run
+    # of length >= w + k - 1 contributes at least one shared
+    # fingerprint, with a bounded fraction of hashes retained — the
+    # robust local-fingerprint alternative to whole-doc md5 (exact
+    # dedup) and MinHash (global resemblance). Pairs sharing the most
+    # fingerprints are the copy-suspect report.
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               COALESCE(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''), [])
+                   AS t
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(
+                   GENERATE_SERIES(1, LEN(t) - {WIN_K - 1}),
+                   i -> {_hex32_sql("t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]")}
+               ) AS h
+        FROM base WHERE LEN(t) >= {WIN_K}
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id,
+                   UNNEST(LIST_TRANSFORM(
+                       GENERATE_SERIES(1, LEN(h) - {WIN_W - 1}),
+                       i -> LIST_MIN(h[i : i + {WIN_W - 1}])
+                   )) AS fp
+            FROM hashed WHERE LEN(h) >= {WIN_W}
+        ) s
+    ),
+    good AS (
+        SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {WIN_DF_CAP}
+    ),
+    kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN good g ON g.fp = f.fp)
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+           CAST(b.doc_id AS BIGINT) AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    ORDER BY shared_fps DESC, doc_a, doc_b
+    LIMIT {WIN_TOPK}
+    """,
+    tags=("dedup", "X2", "winnowing", "fingerprint"),
+)
+def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing copy-suspect pairs (MOSS, Schleimer et al. 2003): hash
+    word {K}-grams, keep each sliding window's minimum hash as a
+    fingerprint (any shared run of >= {G} tokens then shares a
+    fingerprint), drop stop-phrase fingerprints above a document
+    frequency of {C}, and report the {T} doc pairs sharing the most
+    fingerprints — local-overlap detection that exact-md5 misses and
+    MinHash only sees globally.
+
+    Scale: fingerprint extraction is entirely map-side over the hoisted
+    token array (the windowed min never materializes per-window state
+    beyond the hash array); the pair report is the DF-capped
+    inverted-index join q_dedup_ngram_jaccard uses, with the same
+    posting-list bound — the cap is what keeps stop-phrase postings
+    from going quadratic at corpus scale.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = d.select(
+        "doc_id",
+        F.coalesce(
+            F.filter(F.split("text", " "), lambda x: x != ""), F.expr("array()")
+        ).alias("t"),
+    )
+    hashed = base.filter(F.size("t") >= WIN_K).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(t) - {WIN_K - 1}), "
+            f"i -> conv(substring(md5(concat_ws(' ', slice(t, i, {WIN_K}))), 1, 8), 16, 10))"
+        ).cast("array<long>").alias("h"),
+    )
+    fps = (
+        hashed.filter(F.size("h") >= WIN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(h) - {WIN_W - 1}), "
+                        f"i -> array_min(slice(h, i, {WIN_W})))"
+                    )
+                )
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+    good = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= WIN_DF_CAP
+    )
+    kept = fps.join(good.select("fp"), "fp")
+    a = kept.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
+    b = kept.select(F.col("fp"), F.col("doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+    )
+    return (
+        pairs.select(
+            F.col("doc_a").cast("long"),
+            F.col("doc_b").cast("long"),
+            "shared_fps",
+        )
+        .orderBy(F.desc("shared_fps"), "doc_a", "doc_b")
+        .limit(WIN_TOPK)
+    )
+
+
+q_winnowing_pairs.__doc__ = q_winnowing_pairs.__doc__.format(
+    K=WIN_K, G=WIN_W + WIN_K - 1, C=WIN_DF_CAP, T=WIN_TOPK
+)

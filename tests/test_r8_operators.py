@@ -328,3 +328,33 @@ def test_adamic_adar_matches_sequential(spark):
     got_scores = [r["aa_micro"] for r in rows]
     true_top = sorted((s for _, s in want.values()), reverse=True)[: len(rows)]
     assert got_scores == true_top
+
+
+def test_winnowing_guarantee_on_planted_overlap(spark):
+    """The winnowing guarantee: two docs sharing a token run of length
+    >= w + k - 1 share at least one fingerprint and surface as a pair;
+    docs with no shared run do not."""
+    import os, tempfile
+
+    from etl_pipeline_spark.queries.dedup import (
+        WIN_K,
+        WIN_W,
+        q_winnowing_pairs,
+    )
+
+    shared_run = " ".join(f"common{i}" for i in range(WIN_W + WIN_K - 1))
+    rows = [
+        (1, "intro words here " + shared_run + " tail one alpha beta", "en", "s", 0),
+        (2, "different opening " + shared_run + " other ending gamma", "en", "s", 0),
+        (3, " ".join(f"unrelated{i}" for i in range(20)), "en", "s", 0),
+    ]
+    rows = [(i, t, l, s, len(t)) for (i, t, l, s, _) in rows]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        pairs = {(r["doc_a"], r["doc_b"]): r["shared_fps"]
+                 for r in q_winnowing_pairs(spark, d).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(3 not in p for p in pairs)
