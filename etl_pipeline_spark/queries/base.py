@@ -58,15 +58,17 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-8 (session 2) prefix: the eleven operators added this session
+# Round-8 (session 2) prefix: the thirteen operators added this session
 # (gopher repetition/quality, text contract, DSIR, UniMax, soft-dedup
 # weights, label propagation, k-core, quality calibration, per-node
-# clustering, degree assortativity) lead, followed by the r8-session-1
+# clustering, degree assortativity, Adamic-Adar links, winnowing) lead, followed by the r8-session-1
 # ingest-gate pair which the driver has not yet attested, then
 # oldest-attestation-first backfill. Every query registered before this
 # round has at least one full CORRECTNESS_r* pass.
 CHECK_PRIORITY: tuple[str, ...] = (
-    "q_node_clustering",  # --- code changed this round: attest first ---
+    "q_link_prediction_aa",  # --- code changed this round: attest first ---
+    "q_winnowing_pairs",
+    "q_node_clustering",
     "q_degree_assortativity",
     "q_kcore_nodes",
     "q_quality_calibrated",
@@ -114,9 +116,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_window_distribution_ranks_partitioned",
     "q_timeseries_gapfill",
     "q_udaf_trimmed_mean",
-    "q_ratio_to_report",
+    "q_ratio_to_report",  # ---------------- first-50 window ends above ----------------
     "q_scd2_user_values",
-    "q_kll_quantile_merge",  # ---------------- first-50 window ends above ----------------
+    "q_kll_quantile_merge",
     "q_theta_set_ops",
     "q_agg_regression",
     "q_agg_extrema_by",
@@ -256,9 +258,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_item_cf_similar",
     "q_semdedup_clusters",
     "q_dedup_doc_stitching",
-    "q_dq_outlier_mad",
-    "q_dq_ks_drift",
-    "q_dq_benford_check",
     "q_tfidf_top_terms",
     "q_tfidf_nearest_docs",
     "q_text_zipf_fit",
@@ -274,6 +273,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_token_budget_allocation",
     "q_filter_funnel",
     "q_hashed_linear_score",
+    "q_dq_outlier_mad",
+    "q_dq_ks_drift",
+    "q_dq_benford_check",
     "q_multimodal_features",
     "q_multimodal_audio_energy",
     "q_k_anonymity",
@@ -314,11 +316,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_lsh_recall_report",
     "q_dedup_prefix_filter",
     "q_snm_recall_report",
-    "q_etl_clean_cast_filter",
-    "q_etl_quarantine_conservation",
-    "q_etl_audit_row",
-    "q_etl_dirty_input_quarantine",
-    "q_dq_outlier_zscore",
     "q_text_stats_by_lang",
     "q_text_token_counts",
     "q_text_lang_id",
@@ -326,6 +323,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_contamination_check",
     "q_shingle_novelty",
     "q_bloom_decontaminate",
+    "q_etl_clean_cast_filter",
+    "q_etl_quarantine_conservation",
+    "q_etl_audit_row",
+    "q_etl_dirty_input_quarantine",
+    "q_dq_outlier_zscore",
     "q_multimodal_binary_meta",
     "q_agg_stats_acctbal",
     "q_rollup_returns",
