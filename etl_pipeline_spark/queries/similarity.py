@@ -669,3 +669,90 @@ def q_dq_embedding_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long").alias("n_clean"),
     )
+
+
+# --- Per-dimension embedding profile ------------------------------------------
+
+from etl_pipeline_spark.functions.grid import sat_quantize_sql  # noqa: E402
+
+DIMP_SCALE = 1000  # milli-unit grid for the per-dim sums
+
+
+@query(
+    "q_embedding_dim_profile",
+    # The per-DIMENSION companion to q_dq_embedding_contract's per-row
+    # gate: corpus statistics for every embedding dimension on the
+    # saturating milli-unit grid (exact integer sums -> deterministic
+    # moments), flagging dead (constant) dimensions — the degenerate
+    # axes that silently waste PQ codebook bits and IVF cell resolution.
+    oracle=f"""
+    WITH comp AS (
+        SELECT i AS dim,
+               {sat_quantize_sql("embedding[i]", DIMP_SCALE)} AS q
+        FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS s(i)
+        WHERE embedding IS NOT NULL
+    ),
+    agg AS (
+        SELECT dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q) AS BIGINT) AS sx,
+               CAST(SUM(q * q) AS BIGINT) AS sxx,
+               CAST(MIN(q) AS BIGINT) AS min_milli,
+               CAST(MAX(q) AS BIGINT) AS max_milli,
+               CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        FROM comp GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           ROUND(sx / (1.0 * n), 4)                              AS mean_milli,
+           ROUND(SQRT((n * sxx - sx * sx) / (1.0 * n * (n - 1))), 4)
+                                                                  AS std_milli,
+           min_milli, max_milli,
+           ROUND(n_zero / (1.0 * n), 4)                          AS zero_frac,
+           (min_milli = max_milli)                                AS dead_dim
+    FROM agg
+    """,
+    tags=("similarity", "X3", "dq", "embedding-qa"),
+)
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile: count, mean/std (milli-unit
+    saturating grid — integer sums, so the moments are exact and
+    engine-identical), min/max, zero fraction, and a dead-dimension
+    flag for every embedding axis. Dead or near-constant dimensions
+    waste PQ codebook bits and IVF cell resolution; this is the
+    column-wise companion the per-row contract gate
+    (q_dq_embedding_contract) cannot see.
+
+    Scale: one posexplode map pass over the embedding column and a
+    dim-keyed aggregate — the group count equals the dimensionality
+    (~64), so the shuffle is a few integer sums per partition per dim.
+    """
+    from etl_pipeline_spark.functions.grid import sat_quantize
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    comp = e.filter(F.col("embedding").isNotNull()).select(
+        F.posexplode("embedding").alias("pos", "x")
+    ).select((F.col("pos") + 1).alias("dim"), sat_quantize(F.col("x"), DIMP_SCALE).alias("q"))
+    agg = comp.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sx"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sxx"),
+        F.min("q").cast("long").alias("min_milli"),
+        F.max("q").cast("long").alias("max_milli"),
+        F.sum(F.when(F.col("q") == 0, 1).otherwise(0)).cast("long").alias("n_zero"),
+    )
+    return agg.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        F.round(F.col("sx") / (1.0 * F.col("n")), 4).alias("mean_milli"),
+        F.round(
+            F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                / (1.0 * F.col("n") * (F.col("n") - 1))
+            ),
+            4,
+        ).alias("std_milli"),
+        "min_milli",
+        "max_milli",
+        F.round(F.col("n_zero") / (1.0 * F.col("n")), 4).alias("zero_frac"),
+        (F.col("min_milli") == F.col("max_milli")).alias("dead_dim"),
+    )

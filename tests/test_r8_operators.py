@@ -358,3 +358,29 @@ def test_winnowing_guarantee_on_planted_overlap(spark):
                  for r in q_winnowing_pairs(spark, d).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 1
     assert all(3 not in p for p in pairs)
+
+
+def test_embedding_dim_profile_flags_dead_dim(spark):
+    """A planted constant dimension flags dead_dim; a live dimension's
+    exact integer-grid moments match a hand computation."""
+    import os, tempfile
+
+    from etl_pipeline_spark.queries.similarity import q_embedding_dim_profile
+
+    rows = [
+        (1, [0.5, 1.0, 0.0], 0),
+        (2, [0.5, 2.0, 0.0], 0),
+        (3, [0.5, 3.0, 4.0], 0),
+        (4, None, 0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        got = {r["dim"]: r for r in q_embedding_dim_profile(spark, d).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["dead_dim"] and got[1]["std_milli"] == 0.0
+    d2 = got[2]  # q = 1000, 2000, 3000 -> mean 2000, sample std 1000
+    assert (d2["n"], d2["mean_milli"], d2["std_milli"]) == (3, 2000.0, 1000.0)
+    assert not d2["dead_dim"] and d2["zero_frac"] == 0.0
+    d3 = got[3]  # 0, 0, 4000: zero_frac 2/3
+    assert d3["zero_frac"] == 0.6667 and d3["max_milli"] == 4000
