@@ -58,15 +58,17 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-8 (session 2) prefix: the thirteen operators added this session
+# Round-8 (session 2) prefix: the fourteen operators added this session
 # (gopher repetition/quality, text contract, DSIR, UniMax, soft-dedup
 # weights, label propagation, k-core, quality calibration, per-node
-# clustering, degree assortativity, Adamic-Adar links, winnowing) lead, followed by the r8-session-1
+# clustering, degree assortativity, Adamic-Adar links, winnowing, embedding
+# dim profile) lead, followed by the r8-session-1
 # ingest-gate pair which the driver has not yet attested, then
 # oldest-attestation-first backfill. Every query registered before this
 # round has at least one full CORRECTNESS_r* pass.
 CHECK_PRIORITY: tuple[str, ...] = (
-    "q_link_prediction_aa",  # --- code changed this round: attest first ---
+    "q_embedding_dim_profile",  # --- code changed this round: attest first ---
+    "q_link_prediction_aa",
     "q_winnowing_pairs",
     "q_node_clustering",
     "q_degree_assortativity",
@@ -115,8 +117,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_hll_sketch_union",
     "q_window_distribution_ranks_partitioned",
     "q_timeseries_gapfill",
-    "q_udaf_trimmed_mean",
-    "q_ratio_to_report",  # ---------------- first-50 window ends above ----------------
+    "q_udaf_trimmed_mean",  # ---------------- first-50 window ends above ----------------
+    "q_ratio_to_report",
     "q_scd2_user_values",
     "q_kll_quantile_merge",
     "q_theta_set_ops",
