@@ -30,6 +30,29 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# The embeddings table's DECLARED ingest contract (TESTDATA.md: fixed
+# dim-64 float vectors). q_dq_embedding_contract measures violations of
+# it (NULL vectors, dimension drift); every downstream ANN / clustering
+# consumer admits only conforming rows through `embedding_door` — a NULL
+# or 70-dim vector must degrade one row, never kill a zip_with /
+# list_dot_product over the other 100 TB.
+EMB_DIM = 64
+
+# DuckDB twin of the same door, for oracle SQL interpolation.
+def emb_door_sql(col: str = "embedding") -> str:
+    return f"({col} IS NOT NULL AND LEN({col}) = {EMB_DIM})"
+
+
+EMB_DOOR_SQL = emb_door_sql()
+
+
+def embedding_door(df: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """Admit only contract-conforming embedding rows (non-NULL, declared
+    dimension). The drift rows this drops are exactly what
+    q_dq_embedding_contract counts — consumers enforce the contract, the
+    gate reports on it."""
+    return df.filter(F.col("embedding").isNotNull() & (F.size("embedding") == dim))
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")

@@ -35,20 +35,46 @@ from pyspark.sql import functions as F
 
 GRID_ABS_MAX = 10**6
 
+# Money paths (cent grids, scale=100) must not saturate legitimate
+# amounts: 1e6 would clip anything past $10,000 (advisor find, r8).
+# Money never feeds an integer dot product, so the only requirement is
+# long-safety of the downstream SUM: ±1e12 cents leaves ~9.2e6× SUM
+# headroom before BIGINT overflow and matches the clamp the interval /
+# salted-skew queries already use. Doubles represent every integer up
+# to 2^53, so floor/cast at this bound stays engine-exact too.
+MONEY_ABS_MAX = 10**12
 
-def sat_quantize(x: Column, scale: float | int = 1) -> Column:
-    """``floor(clamp(x*scale + 0.5, ±GRID_ABS_MAX))`` as BIGINT."""
+
+def sat_quantize(
+    x: Column, scale: float | int = 1, abs_max: float | int = GRID_ABS_MAX
+) -> Column:
+    """``floor(clamp(x*scale + 0.5, ±abs_max))`` as BIGINT.
+
+    ``abs_max`` defaults to the embedding grid bound (double-exact dot
+    products); pass :data:`MONEY_ABS_MAX` for currency paths where
+    clipping at 1e6 would corrupt legitimate values.
+    """
     xs = x.cast("double") * float(scale) + F.lit(0.5)
-    clamped = F.least(
-        F.greatest(xs, F.lit(-float(GRID_ABS_MAX))), F.lit(float(GRID_ABS_MAX))
-    )
+    clamped = F.least(F.greatest(xs, F.lit(-float(abs_max))), F.lit(float(abs_max)))
     return F.floor(clamped).cast("long")
 
 
-def sat_quantize_sql(expr: str, scale: float | int = 1) -> str:
+def sat_quantize_sql(
+    expr: str, scale: float | int = 1, abs_max: float | int = GRID_ABS_MAX
+) -> str:
     """DuckDB twin of :func:`sat_quantize` — interpolate into oracle SQL."""
-    g = float(GRID_ABS_MAX)
+    g = float(abs_max)
     return (
         f"CAST(FLOOR(LEAST(GREATEST(({expr}) * {float(scale)} + 0.5, "
         f"-{g}), {g})) AS BIGINT)"
     )
+
+
+def sat_cents(x: Column) -> Column:
+    """Money-path quantizer: dollars → saturating cent grid at ±1e12."""
+    return sat_quantize(x, 100, MONEY_ABS_MAX)
+
+
+def sat_cents_sql(expr: str) -> str:
+    """DuckDB twin of :func:`sat_cents`."""
+    return sat_quantize_sql(expr, 100, MONEY_ABS_MAX)

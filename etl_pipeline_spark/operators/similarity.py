@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.catalog import embedding_door, load_tables
 
 
 def knn_block_matrix(
@@ -33,8 +33,12 @@ def knn_block_matrix(
     top_k: int = 5,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for query vectors (vec_id < n_queries)
-    via per-partition numpy matmul + global window top-k."""
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    via per-partition numpy matmul + global window top-k.
+
+    embedding_door: np.stack hard-requires rectangular input — one NULL
+    or off-dimension drift vector in a batch would kill the whole UDF
+    task, so only contract-conforming rows enter the matmul."""
+    e = embedding_door(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     q_rows = (
         e.filter(F.col("vec_id") < n_queries)
         .select("vec_id", "embedding")

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.catalog import EMB_DOOR_SQL, emb_door_sql, load_tables
 from etl_pipeline_spark.queries.base import query
 
 
@@ -294,13 +294,20 @@ def q_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(list_max(list_transform(embedding::DOUBLE[], x -> ABS(x))), 4)
                AS max_abs
     FROM embeddings
+    WHERE embedding IS NOT NULL
     """,
     tags=("similarity", "X3", "array"),
 )
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector hygiene stats (norm, max component) — the pre-flight checks
-    of an embedding pipeline, as pure array expressions."""
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    of an embedding pipeline, as pure array expressions.
+
+    Off-dimension (drift) vectors stay IN — n_dims is one of the hygiene
+    columns — but a NULL vector has no norm on either engine, so only
+    NULL rows are dropped (full-door consumers use embedding_door)."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].filter(
+        F.col("embedding").isNotNull()
+    )
     emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     dot = F.aggregate(
         F.zip_with(emb_d, emb_d, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
@@ -325,7 +332,7 @@ from etl_pipeline_spark.queries.similarity import N_QUERIES, TOP_K  # noqa: E402
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-        WHERE vec_id < {N_QUERIES}
+        WHERE vec_id < {N_QUERIES} AND {EMB_DOOR_SQL}
     ),
     scored AS (
         SELECT q.q_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
@@ -335,7 +342,7 @@ from etl_pipeline_spark.queries.similarity import N_QUERIES, TOP_K  # noqa: E402
                   SQRT(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
                  4) AS cos_sim
         FROM q, embeddings e
-        WHERE e.vec_id <> q.q_id
+        WHERE e.vec_id <> q.q_id AND {emb_door_sql('e.embedding')}
     ),
     ranked AS (
         SELECT *, ROW_NUMBER() OVER (

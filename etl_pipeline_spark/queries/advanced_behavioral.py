@@ -16,9 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.catalog import EMB_DOOR_SQL, embedding_door, load_tables
 from etl_pipeline_spark.queries.advanced import ATTR_WINDOW_US
-from etl_pipeline_spark.functions.grid import sat_quantize, sat_quantize_sql
+from etl_pipeline_spark.functions.grid import MONEY_ABS_MAX, sat_cents, sat_quantize, sat_quantize_sql
 from etl_pipeline_spark.queries.base import query
 
 
@@ -380,7 +380,7 @@ def q_dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (
         SELECT user_id, event_type, CAST(ts AS DATE) AS d,
-               CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT) AS cents
+               CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000000000.0), 1000000000000.0)) AS BIGINT) AS cents
         FROM events
     ),
     cohorts AS (SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY user_id),
@@ -428,7 +428,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.to_date("ts").alias("d"),
-        sat_quantize(F.col("value"), 100).alias("cents"),
+        sat_cents(F.col("value")).alias("cents"),
     )
     cohorts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     sizes = cohorts.groupBy("cohort_day").agg(F.count("*").alias("cohort_users"))
@@ -795,7 +795,7 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- the mean on exact .00005 halves where library ROUNDs diverge
         SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
                COUNT(*) AS n_events,
-               FLOOR(SUM(CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT)) * 100.0 / COUNT(*) + 0.5)
+               FLOOR(SUM(CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000000000.0), 1000000000000.0)) AS BIGINT)) * 100.0 / COUNT(*) + 0.5)
                    / 10000.0 AS avg_value
         FROM events GROUP BY 1, 2
     ),
@@ -818,7 +818,7 @@ def q_seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type peaks. Nothing scales beyond the event count's single pass.
     """
     e = load_tables(spark, sf_dir, ("events",))["events"]
-    cents = sat_quantize(F.col("value"), 100)
+    cents = sat_cents(F.col("value"))
     cells = e.groupBy(
         "event_type", F.hour("ts").cast("long").alias("hour_of_day")
     ).agg(
@@ -977,7 +977,7 @@ def q_seasonal_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ev AS (
         SELECT event_id, user_id, event_type,
-               CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT) AS cents,
+               CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000000000.0), 1000000000000.0)) AS BIGINT) AS cents,
                EPOCH_US(ts) AS us
         FROM events
     ),
@@ -1028,7 +1028,7 @@ def q_attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        sat_quantize(F.col("value"), 100).alias("cents"),
+        sat_cents(F.col("value")).alias("cents"),
         F.unix_micros("ts").alias("us"),
     )
     w = W.partitionBy("user_id").orderBy("us").rangeBetween(-ATTR_WINDOW_US, -1)
@@ -1083,7 +1083,7 @@ def q_attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (
         SELECT event_type, event_id, EPOCH_US(ts) AS us,
-               CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT) AS cents
+               CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000000000.0), 1000000000000.0)) AS BIGINT) AS cents
         FROM events WHERE ts IS NOT NULL
     ),
     pre AS (
@@ -1143,7 +1143,7 @@ def q_changepoint_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "event_id",
         F.unix_micros("ts").alias("us"),
-        sat_quantize(F.col("value"), 100).alias("cents"),
+        sat_cents(F.col("value")).alias("cents"),
     )
     w = (
         W.partitionBy("event_type")
@@ -1306,6 +1306,7 @@ def _pca_oracle() -> str:
         FROM (
             SELECT vec_id, g AS pos, embedding[g]::DOUBLE AS val
             FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(g)
+            WHERE {EMB_DOOR_SQL}
         ) GROUP BY vec_id
     ),
     u0 AS (
@@ -1383,7 +1384,7 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise makes iterative linear algebra unreproducible across
     cluster sizes.
     """
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = embedding_door(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     q = e.select(
         "vec_id",
         F.transform(
@@ -1555,7 +1556,7 @@ def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     clamped AS (
         SELECT e.event_type,
-               {sat_quantize_sql("LEAST(GREATEST(e.value, t.lo), t.hi)", 100)}
+               {sat_quantize_sql("LEAST(GREATEST(e.value, t.lo), t.hi)", 100, MONEY_ABS_MAX)}
                    AS cents
         FROM events e JOIN th t ON e.event_type = t.event_type
     )
@@ -1593,7 +1594,9 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sat_quantize: a tiny group's p95 can itself be an adversarial
         # extreme, so the winsorize clamp alone doesn't bound the cents
         sat_quantize(
-            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 100
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")),
+            100,
+            MONEY_ABS_MAX,
         ).alias("cents"),
     )
     return clamped.groupBy("event_type").agg(
@@ -1836,7 +1839,7 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
         SELECT event_type,
-               CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT) AS cents,
+               CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000000000.0), 1000000000000.0)) AS BIGINT) AS cents,
                (LEAD(EPOCH_US(ts)) OVER (
                    PARTITION BY event_type ORDER BY ts, event_id
                ) - EPOCH_US(ts)) // 1000 AS hold_ms
@@ -1846,7 +1849,9 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n_intervals,
            CAST(SUM(hold_ms) AS BIGINT) AS total_ms,
-           FLOOR(SUM(cents * hold_ms) * 100.0 / SUM(hold_ms) + 0.5) / 10000.0
+           -- HUGEINT accumulation (Spark: DECIMAL(38,0)): a saturated
+           -- 1e12-cent value times a multi-day hold overflows BIGINT
+           FLOOR(SUM(CAST(cents AS HUGEINT) * hold_ms) * 100.0 / SUM(hold_ms) + 0.5) / 10000.0
                AS twap,
            FLOOR(SUM(cents) * 100.0 / COUNT(*) + 0.5) / 10000.0 AS plain_mean
     FROM held GROUP BY event_type
@@ -1863,14 +1868,15 @@ def q_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one LEAD window per type (the timeline sort every
     sequential-op here shares) and one integer-exact aggregate —
-    millisecond weights times cent values stay inside int64 at any
-    fixture scale. At 100 TB the window splits by day with carried
+    millisecond weights times cent values accumulate in DECIMAL(38,0)
+    (saturated 1e12-cent poison values times multi-day holds pass
+    int64). At 100 TB the window splits by day with carried
     boundary rows, like every timeline operator in this repo.
     """
     e = load_tables(spark, sf_dir, ("events",))["events"]
     seq = e.select(
         "event_type",
-        sat_quantize(F.col("value"), 100).alias("cents"),
+        sat_cents(F.col("value")).alias("cents"),
         F.expr(
             "(lead(unix_micros(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id)"
             " - unix_micros(ts)) div 1000"
@@ -1881,7 +1887,14 @@ def q_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_intervals"),
         F.sum("hold_ms").alias("total_ms"),
         (
-            F.floor(F.sum(F.col("cents") * F.col("hold_ms")) * 100.0 / F.sum("hold_ms") + 0.5)
+            # DECIMAL(38,0) accumulation (oracle: HUGEINT): saturated
+            # 1e12-cent values times multi-day holds overflow BIGINT
+            F.floor(
+                F.sum(F.col("cents").cast("decimal(38,0)") * F.col("hold_ms"))
+                * 100.0
+                / F.sum("hold_ms")
+                + 0.5
+            )
             / 10000.0
         ).alias("twap"),
         (F.floor(F.sum("cents") * 100.0 / F.count("*") + 0.5) / 10000.0).alias("plain_mean"),

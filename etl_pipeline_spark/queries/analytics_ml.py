@@ -20,8 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_pipeline_spark.catalog import load_tables
-from etl_pipeline_spark.functions.grid import sat_quantize, sat_quantize_sql
+from etl_pipeline_spark.catalog import EMB_DOOR_SQL, embedding_door, load_tables
+from etl_pipeline_spark.functions.grid import sat_cents, sat_quantize, sat_quantize_sql
 from etl_pipeline_spark.queries.base import query
 
 
@@ -249,7 +249,7 @@ def pagerank_edges(li: DataFrame) -> DataFrame:
     )
 
 
-def pagerank_ranks(li: DataFrame) -> DataFrame:
+def pagerank_ranks_lazy(li: DataFrame, checkpoint_last: bool = True):
     """Full (un-limited) rank table behind q_pagerank: every node with
     its degree and final integer rank. Exposed separately so invariants
     over the WHOLE vector — e.g. the truncation-loss mass-conservation
@@ -257,6 +257,10 @@ def pagerank_ranks(li: DataFrame) -> DataFrame:
     without the top-k cut.
 
     Edge derivation: co_purchase_edges (shared with q_triangle_count).
+
+    Returns (rank_frame, edges) LAZILY — callers either eagerly
+    checkpoint and unpersist (pagerank_ranks, the production path) or
+    audit the un-checkpointed plan (q_pagerank_lazy).
 
     Exchange budget (r7): the BIG side never re-shuffles. Edges are
     hash-repartitioned on the source key once and PERSISTED — persist,
@@ -288,41 +292,62 @@ def pagerank_ranks(li: DataFrame) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    for _ in range(PR_ITERS):
+    for it in range(PR_ITERS):
         contrib = r.select(F.col("node"), F.expr("r div od").alias("c"))
         inc = (
             edges.join(contrib, edges["u"] == contrib["node"])
             .groupBy(edges["v"])
             .agg(F.sum("c").alias("sc"))
         )
-        r = (
-            r.join(inc, r["node"] == inc["v"], "left")
-            .select(
-                "node",
-                "od",
-                F.expr(
-                    f"CAST((15 * (CAST({PR_SCALE} AS BIGINT) div _n)) div 100"
-                    " + (85 * COALESCE(sc, 0)) div 100 AS BIGINT)"
-                ).alias("r"),
-                "_n",
-            )
-            .localCheckpoint(eager=False)
+        r = r.join(inc, r["node"] == inc["v"], "left").select(
+            "node",
+            "od",
+            F.expr(
+                f"CAST((15 * (CAST({PR_SCALE} AS BIGINT) div _n)) div 100"
+                " + (85 * COALESCE(sc, 0)) div 100 AS BIGINT)"
+            ).alias("r"),
+            "_n",
         )
+        # checkpoint_last=False is the plan-audit form: even a LAZY
+        # checkpoint plans as a bare `Scan ExistingRDD`, so auditing
+        # requires the final round left un-truncated (the audited plan
+        # is then one real round: the repeating unit at scale)
+        if checkpoint_last or it < PR_ITERS - 1:
+            r = r.localCheckpoint(eager=False)
     out = r.select(
         "node", F.col("od").cast("long").alias("degree"), F.col("r").alias("rank_scaled")
     )
-    # Materialize the final vector EAGERLY and release the edge cache
-    # before returning (the operators/cluster.py pattern): the iterates
-    # above are lazy checkpoints, so without this the persisted edge
-    # blocks would materialize at the consumer's first action and stay
-    # cached for the session lifetime, accumulating per invocation —
-    # the lingering-block OOM class session.release_session_blocks
-    # documents. The eager checkpoint costs nothing extra (the same
-    # jobs run at the consumer's first action otherwise) and pins only
-    # the node-sized result.
+    return out, edges
+
+
+def pagerank_ranks(li: DataFrame) -> DataFrame:
+    """Eager form of :func:`pagerank_ranks_lazy` — what q_pagerank runs.
+
+    Materialize the final vector EAGERLY and release the edge cache
+    before returning (the operators/cluster.py pattern): the iterates
+    are lazy checkpoints, so without this the persisted edge blocks
+    would materialize at the consumer's first action and stay cached
+    for the session lifetime, accumulating per invocation — the
+    lingering-block OOM class session.release_session_blocks documents.
+    The eager checkpoint costs nothing extra (the same jobs run at the
+    consumer's first action otherwise) and pins only the node-sized
+    result."""
+    out, edges = pagerank_ranks_lazy(li)
     out = out.localCheckpoint(eager=True)
     edges.unpersist()
     return out
+
+
+def q_pagerank_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint (lazy) form of q_pagerank for the plan audit: an
+    eagerly checkpointed result plans as a bare `Scan ExistingRDD`,
+    which blinded tools/plan_audit.py to the iterative plan it exists
+    to police (r8 judge finding). This twin is the SAME construction
+    minus the final eager checkpoint, so the audit sees the real
+    final-iteration join/aggregate shape. Never executed — plan-only."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    out, _edges = pagerank_ranks_lazy(li, checkpoint_last=False)
+    return out.orderBy(F.desc("rank_scaled"), "node").limit(PR_TOPK)
 
 
 q_pagerank.__doc__ = q_pagerank.__doc__.format(I=PR_ITERS, K=PR_TOPK)
@@ -405,9 +430,27 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-dst argmax is a struct-min aggregate, not a window — no
     single-partition stage anywhere.
     """
+    out, edges = _lpa_frame_lazy(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
+
+
+q_label_propagation.__doc__ = q_label_propagation.__doc__.format(
+    I=LPA_ITERS, K=LPA_TOPK
+)
+
+
+def _lpa_frame_lazy(
+    spark: SparkSession, sf_dir: str, checkpoint_last: bool = True
+):
+    """q_label_propagation's construction minus the final eager
+    checkpoint; returns (frame, edges). Shared by the query (which
+    checkpoints and unpersists) and q_label_propagation_lazy (which
+    the plan audit uses to see the real iterative plan)."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     edges = pagerank_edges(li)
-    labels = lpa_labels(edges)
+    labels = lpa_labels(edges, checkpoint_last=checkpoint_last)
     out = (
         labels.groupBy("label")
         .agg(
@@ -423,18 +466,19 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_members"), "community")
         .limit(LPA_TOPK)
-        .localCheckpoint(eager=True)
     )
-    edges.unpersist()
-    return out
+    return out, edges
 
 
-q_label_propagation.__doc__ = q_label_propagation.__doc__.format(
-    I=LPA_ITERS, K=LPA_TOPK
-)
+def q_label_propagation_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint plan-audit twin of q_label_propagation (see
+    q_pagerank_lazy for the rationale). Never executed — plan-only."""
+    return _lpa_frame_lazy(spark, sf_dir, checkpoint_last=False)[0]
 
 
-def lpa_labels(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+def lpa_labels(
+    edges: DataFrame, iters: int = LPA_ITERS, checkpoint_last: bool = True
+) -> DataFrame:
     """Full (node, label) table after ``iters`` synchronous LPA rounds
     over a directed both-ways edge frame (u, v) — the loop behind
     q_label_propagation, exposed so invariants over the whole labeling
@@ -446,7 +490,7 @@ def lpa_labels(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=False)
     )
-    for _ in range(iters):
+    for it in range(iters):
         nbr = edges.join(labels, edges["u"] == labels["node"]).select(
             edges["v"].alias("dst"), "label"
         )
@@ -459,8 +503,11 @@ def lpa_labels(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
                 ).alias("s")
             )
             .select(F.col("dst").alias("node"), F.col("s.label").alias("label"))
-            .localCheckpoint(eager=False)
         )
+        # see pagerank_ranks_lazy: the audit form leaves the final round
+        # un-checkpointed so the plan shows the real per-round shape
+        if checkpoint_last or it < iters - 1:
+            labels = labels.localCheckpoint(eager=False)
     return labels
 
 
@@ -615,6 +662,7 @@ def _km_oracle() -> str:
         SELECT vec_id, g - 1 AS pos,
                {sat_quantize_sql("embedding[g]::DOUBLE", KM_QUANT)} AS qd
         FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(g)
+        WHERE {EMB_DOOR_SQL}
     ),
     c0 AS (
         SELECT vec_id % {KM_K} AS cluster, pos,
@@ -676,7 +724,7 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster, dim)-keyed aggregation. localCheckpoints keep the
     iteration DAG constant-depth.
     """
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = embedding_door(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     # sat_quantize: saturating grid (functions/grid.py) — a 1e30
     # component must saturate, not ANSI-overflow the whole job
     qv = e.select(
@@ -753,6 +801,7 @@ DB_MINPTS = 8  # neighbors (incl. self) required for a core point
                {sat_quantize_sql("embedding[1]::DOUBLE", DB_QUANT)} AS qx,
                {sat_quantize_sql("embedding[2]::DOUBLE", DB_QUANT)} AS qy
         FROM embeddings
+        WHERE {EMB_DOOR_SQL}
     ),
     c AS (SELECT vec_id, qx, qy, qx // {DB_EPS} AS cx, qy // {DB_EPS} AS cy FROM p),
     probes AS (
@@ -808,7 +857,7 @@ def q_dbscan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     it shrinks as density grows (the sf1 soak runs eps=10), keeping
     per-cell occupancy and the candidate volume flat.
     """
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = embedding_door(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     return dbscan_classify(spark, e)
 
 
@@ -906,8 +955,8 @@ def dbscan_classify(
     WITH tx AS (
         SELECT user_id, ts, event_id,
                CASE WHEN event_type = 'purchase'
-                    THEN CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT)
-                    ELSE -CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT) END AS delta
+                    THEN CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000000000.0), 1000000000000.0)) AS BIGINT)
+                    ELSE -CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000000000.0), 1000000000000.0)) AS BIGINT) END AS delta
         FROM events
         WHERE event_type IN ('purchase', 'view')
     ),
@@ -959,7 +1008,7 @@ def q_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth, inventory with floor, credit drawdown).
     """
     e = load_tables(spark, sf_dir, ("events",))["events"]
-    cents = sat_quantize(F.col("value"), 100)
+    cents = sat_cents(F.col("value"))
     tx = e.filter(F.col("event_type").isin("purchase", "view")).select(
         "user_id",
         "ts",
@@ -1118,6 +1167,7 @@ def _mmr_oracle() -> str:
                LIST({sat_quantize_sql("embedding[g]::DOUBLE", 1000)}
                     ORDER BY g) AS v
         FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(g)
+        WHERE {EMB_DOOR_SQL}
         GROUP BY vec_id
     ),
     qry AS (SELECT v FROM qv WHERE vec_id = {MMR_QID}),
@@ -1159,7 +1209,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pool ({P} rows, {P}x{P} dots) regardless of corpus size —
     per-query constant work, embarrassingly parallel across queries.
     """
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = embedding_door(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     qv = e.select(
         "vec_id",
         F.transform(
@@ -1854,6 +1904,7 @@ KNN_EVAL_K = 5
                LIST({sat_quantize_sql("embedding[g]::DOUBLE", 1000)}
                     ORDER BY g) AS v
         FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(g)
+        WHERE {EMB_DOOR_SQL}
         GROUP BY vec_id, label
     ),
     ev AS MATERIALIZED (
@@ -1907,7 +1958,7 @@ def q_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs this same shape); the ANN indexes (IVF/LSH/PQ) substitute for
     the exact scan when the corpus is 100 TB.
     """
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = embedding_door(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     qv = e.select(
         "vec_id",
         "label",
@@ -2036,13 +2087,29 @@ def q_kcore_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — the edge frame never re-shuffles (q_pagerank's
     exchange-budget argument) and the alive vector only shrinks.
     """
+    out, edges = _kcore_frame_lazy(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
+
+
+q_kcore_nodes.__doc__ = q_kcore_nodes.__doc__.format(K=KCORE_K, R=KCORE_ROUNDS)
+
+
+def _kcore_frame_lazy(
+    spark: SparkSession, sf_dir: str, checkpoint_last: bool = True
+):
+    """q_kcore_nodes' construction minus the final eager checkpoint;
+    returns (frame, edges). Shared by the query (which checkpoints and
+    unpersists) and q_kcore_nodes_lazy (which the plan audit uses to
+    see the real peel-round plan)."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     edges = pagerank_edges(li)
     alive = edges.select(F.col("u").alias("node")).distinct().localCheckpoint(
         eager=False
     )
     deg = None
-    for _ in range(KCORE_ROUNDS):
+    for it in range(KCORE_ROUNDS):
         au = alive.select(F.col("node").alias("un"))
         av = alive.select(F.col("node").alias("vn"))
         deg = (
@@ -2050,19 +2117,20 @@ def q_kcore_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(av, edges["v"] == F.col("vn"))
             .groupBy(edges["u"].alias("node"))
             .agg(F.count("*").alias("deg"))
-            .localCheckpoint(eager=False)
         )
+        # see pagerank_ranks_lazy: the audit form leaves the final round
+        # un-checkpointed so the plan shows the real peel-round shape
+        if checkpoint_last or it < KCORE_ROUNDS - 1:
+            deg = deg.localCheckpoint(eager=False)
         alive = deg.filter(F.col("deg") >= KCORE_K).select("node")
-    out = (
-        deg.filter(F.col("deg") >= KCORE_K)
-        .select(
-            F.col("node").cast("long").alias("node"),
-            F.col("deg").cast("long").alias("core_degree"),
-        )
-        .localCheckpoint(eager=True)
+    out = deg.filter(F.col("deg") >= KCORE_K).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("deg").cast("long").alias("core_degree"),
     )
-    edges.unpersist()
-    return out
+    return out, edges
 
 
-q_kcore_nodes.__doc__ = q_kcore_nodes.__doc__.format(K=KCORE_K, R=KCORE_ROUNDS)
+def q_kcore_nodes_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint plan-audit twin of q_kcore_nodes (see
+    q_pagerank_lazy for the rationale). Never executed — plan-only."""
+    return _kcore_frame_lazy(spark, sf_dir, checkpoint_last=False)[0]

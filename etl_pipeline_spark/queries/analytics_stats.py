@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_pipeline_spark.catalog import load_tables
-from etl_pipeline_spark.functions.grid import sat_quantize, sat_quantize_sql
+from etl_pipeline_spark.functions.grid import sat_cents, sat_quantize, sat_quantize_sql
 from etl_pipeline_spark.queries.base import EPOCH, query
 
 
@@ -485,7 +485,7 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
         SELECT event_type AS grp,
-               CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT) AS cents
+               CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000000000.0), 1000000000000.0)) AS BIGINT) AS cents
         FROM events WHERE event_type IN ('purchase', 'view')
     ),
     dv AS (
@@ -537,7 +537,7 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, ("events",))["events"]
     v = e.filter(F.col("event_type").isin("purchase", "view")).select(
         F.col("event_type").alias("grp"),
-        sat_quantize(F.col("value"), 100).alias("cents"),
+        sat_cents(F.col("value")).alias("cents"),
     )
     dv = v.groupBy("cents").agg(
         F.count("*").alias("t"),
@@ -822,7 +822,7 @@ def q_sample_size_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
         SELECT event_type AS grp,
-               CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT) AS cents
+               CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000000000.0), 1000000000000.0)) AS BIGINT) AS cents
         FROM events WHERE event_type IN ('purchase', 'view')
     ),
     dv AS (
@@ -876,7 +876,7 @@ def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, ("events",))["events"]
     v = e.filter(F.col("event_type").isin("purchase", "view")).select(
         F.col("event_type").alias("grp"),
-        sat_quantize(F.col("value"), 100).alias("cents"),
+        sat_cents(F.col("value")).alias("cents"),
     )
     dv = v.groupBy("cents").agg(
         F.count("*").alias("t"),
@@ -1001,9 +1001,12 @@ def q_anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
         SELECT event_type AS g, COUNT(*) AS n,
-               CAST(SUM(CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT)) AS BIGINT) AS s,
-               CAST(SUM(CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT)
-                        * CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT)) AS BIGINT) AS q
+               CAST(SUM(CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000000000.0), 1000000000000.0)) AS BIGINT)) AS BIGINT) AS s,
+               -- squares accumulate in HUGEINT: a saturated cent value is
+               -- 1e12, its square 1e24 — past BIGINT (Spark mirrors with
+               -- DECIMAL(38,0); both convert to identical doubles below)
+               SUM(CAST(CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000000000.0), 1000000000000.0)) AS BIGINT) AS HUGEINT)
+                   * CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000000000.0), 1000000000000.0)) AS BIGINT)) AS q
         FROM events GROUP BY 1
     ),
     pairs AS (
@@ -1042,11 +1045,14 @@ def q_pairwise_tests_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth axis.
     """
     e = load_tables(spark, sf_dir, ("events",))["events"]
-    cents = sat_quantize(F.col("value"), 100)
+    cents = sat_cents(F.col("value"))
     m = e.groupBy(F.col("event_type").alias("g")).agg(
         F.count("*").alias("n"),
         F.sum(cents).alias("s"),
-        F.sum(cents * cents).alias("q"),
+        # squares in DECIMAL(38,0): saturated cents (±1e12) square to 1e24,
+        # past BIGINT — the oracle mirrors with HUGEINT; both sides feed the
+        # t-statistic through the same exact-integer → double conversion
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("q"),
     )
     a = m.select(
         F.col("g").alias("g1"), F.col("n").alias("n1"),

@@ -385,7 +385,7 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
-               CAST(SUM(CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT)) AS BIGINT)
+               CAST(SUM(CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000000000.0), 1000000000000.0)) AS BIGINT)) AS BIGINT)
                    // COUNT(*) AS v
         FROM events WHERE event_type = 'purchase' AND user_id % 5 = 0
         GROUP BY 1
@@ -441,7 +441,7 @@ def q_linear_interp_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.datediff(F.to_date("ts"), F.lit(EPOCH)).cast("long").alias("d"))
         .agg(
             F.expr(
-                "CAST(sum(CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000.0), 1000000.0)) AS BIGINT)) AS BIGINT)"
+                "CAST(sum(CAST(FLOOR(LEAST(GREATEST((value) * 100.0 + 0.5, -1000000000000.0), 1000000000000.0)) AS BIGINT)) AS BIGINT)"
                 " div count(*)"
             ).alias("v")
         )

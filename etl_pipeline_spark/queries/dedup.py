@@ -56,7 +56,7 @@ def wide_ckpt_level() -> StorageLevel:
         return StorageLevel.MEMORY_AND_DISK  # serialized in memory
     return StorageLevel.MEMORY_AND_DISK_DESER
 
-from etl_pipeline_spark.catalog import load_tables, scan_parallel
+from etl_pipeline_spark.catalog import EMB_DOOR_SQL, emb_door_sql, embedding_door, load_tables, scan_parallel
 from etl_pipeline_spark.functions.grid import sat_quantize_sql
 from etl_pipeline_spark.functions.shingles import (
     hashed_word_shingles,
@@ -756,6 +756,7 @@ def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
                  4) AS cos_sim
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
+         AND {emb_door_sql('a.embedding')} AND {emb_door_sql('b.embedding')}
     ),
     ranked AS (
         SELECT *, ROW_NUMBER() OVER (
@@ -782,7 +783,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     block sizes stay bounded; the within-block quadratic cost is then
     (corpus/cells) x cell_size, not corpus squared.
     """
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = embedding_door(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     a = e.select("label", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = e.select("label", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     dot = lambda x, y: F.aggregate(  # noqa: E731
@@ -1061,6 +1062,7 @@ SEM_QUANT = 10000  # centroid quantization denominator (exact integer sums)
     oracle=f"""
     WITH emb AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE {EMB_DOOR_SQL}
     ),
     comp AS (
         SELECT vec_id, vec_id % {SEM_K} AS seed, g AS pos, v[g] AS val
@@ -1149,7 +1151,7 @@ def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the within-cluster join switches to the capped/banded forms the other
     X2 queries implement.
     """
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = embedding_door(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     emb = e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )

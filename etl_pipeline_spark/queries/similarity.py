@@ -18,7 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from etl_pipeline_spark.catalog import load_tables, scan_parallel
+from etl_pipeline_spark.catalog import (
+    EMB_DOOR_SQL,
+    emb_door_sql,
+    embedding_door,
+    load_tables,
+    scan_parallel,
+)
 from etl_pipeline_spark.queries.base import query
 
 TOP_K = 5
@@ -58,7 +64,7 @@ def _cosine(a, b):
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-        WHERE vec_id < {N_QUERIES}
+        WHERE vec_id < {N_QUERIES} AND {EMB_DOOR_SQL}
     ),
     scored AS (
         SELECT q.q_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
@@ -68,7 +74,7 @@ def _cosine(a, b):
                   SQRT(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
                  4) AS cos_sim
         FROM q, embeddings e
-        WHERE e.vec_id <> q.q_id
+        WHERE e.vec_id <> q.q_id AND {emb_door_sql('e.embedding')}
     ),
     ranked AS (
         SELECT *, ROW_NUMBER() OVER (
@@ -93,7 +99,9 @@ def q_knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query side broadcasts), so a single-split test fixture would score
     # the whole corpus in one task.
     e = scan_parallel(
-        load_tables(spark, sf_dir, ("embeddings",))["embeddings"], spark, "vec_id"
+        embedding_door(load_tables(spark, sf_dir, ("embeddings",))["embeddings"]),
+        spark,
+        "vec_id",
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
@@ -125,7 +133,7 @@ def q_knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
-        WHERE vec_id < {N_QUERIES}
+        WHERE vec_id < {N_QUERIES} AND {EMB_DOOR_SQL}
     ),
     scored AS (
         SELECT q.q_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
@@ -135,7 +143,7 @@ def q_knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                   SQRT(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
                  4) AS cos_sim
         FROM q, embeddings e
-        WHERE e.vec_id <> q.q_id
+        WHERE e.vec_id <> q.q_id AND {emb_door_sql('e.embedding')}
     ),
     ranked AS (
         SELECT *, ROW_NUMBER() OVER (
@@ -175,7 +183,9 @@ def q_knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    # embedding_door: array_to_vector on a NULL / drift-dimension vector
+    # would kill the fit; only contract-conforming rows are indexed
+    e = embedding_door(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     # One materialization, lazy (see dedup module docstring): fit, the
     # query side, and the corpus side otherwise each re-run the
     # vectorization; eager=False keeps query construction job-free.
@@ -235,6 +245,7 @@ _PQ_SUBD2 = (
     oracle=f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        WHERE {EMB_DOOR_SQL}
     ),
     ms AS (SELECT UNNEST(GENERATE_SERIES(0, {PQ_M - 1})) AS m),
     cent AS (
@@ -322,7 +333,9 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in the scan stage (codebook broadcasts), single-task on a
     # single-split fixture otherwise.
     e = scan_parallel(
-        load_tables(spark, sf_dir, ("embeddings",))["embeddings"], spark, "vec_id"
+        embedding_door(load_tables(spark, sf_dir, ("embeddings",))["embeddings"]),
+        spark,
+        "vec_id",
     )
     emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     ed = e.select("vec_id", emb_d.alias("emb"))
@@ -413,7 +426,7 @@ HARD_NEG_K = 3
     oracle=f"""
     WITH q AS (
         SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
-        FROM embeddings WHERE vec_id < {N_QUERIES}
+        FROM embeddings WHERE vec_id < {N_QUERIES} AND {EMB_DOOR_SQL}
     ),
     scored AS (
         SELECT q.q_id, q.q_label, e.vec_id AS neg_id, e.label AS neg_label,
@@ -424,6 +437,7 @@ HARD_NEG_K = 3
                  4) AS cos_sim
         FROM q, embeddings e
         WHERE e.vec_id <> q.q_id AND e.label <> q.q_label
+          AND {emb_door_sql('e.embedding')}
     )
     SELECT q_id, q_label, neg_id, neg_label, cos_sim, rank
     FROM (
@@ -450,7 +464,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange; swap in the IVF/LSH/PQ index paths for large corpora, with
     the label filter applied to candidates before the exact re-rank.
     """
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e = embedding_door(load_tables(spark, sf_dir, ("embeddings",))["embeddings"])
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
@@ -530,6 +544,15 @@ def q_embedding_centroid_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE doubles, and deliberately NOT masked: this query is the health
     check that should surface such vectors (max_dist explodes).
     """
+    # DELIBERATELY un-doored and un-quantized (the registry's one
+    # documented cross-engine hash exception, pinned by
+    # tests/test_adversarial_inputs.py::
+    # test_centroid_health_ieee_divergence_detected_not_absorbed):
+    # applying sat_quantize or embedding_door here would CLAMP or DROP
+    # the very 1e30-magnitude outliers this health check exists to
+    # surface. The cost is bounded: values agree to relative ~1e-12
+    # (summation-order low bits), only rows such a vector dominates can
+    # hash-diverge, and max_dist explodes — the detection signal.
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     dims = e.select(
         "vec_id",
@@ -696,7 +719,10 @@ DIMP_SCALE = 1000  # milli-unit grid for the per-dim sums
         SELECT dim,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(q) AS BIGINT) AS sx,
-               CAST(SUM(q * q) AS BIGINT) AS sxx,
+               -- HUGEINT accumulation (Spark: DECIMAL(38,0)): saturated
+               -- q=1e6 squares to 1e12, so n*sxx ~ n^2*1e12 ANSI-overflows
+               -- BIGINT past ~3M vectors (advisor find, r8)
+               SUM(CAST(q AS HUGEINT) * q) AS sxx,
                CAST(MIN(q) AS BIGINT) AS min_milli,
                CAST(MAX(q) AS BIGINT) AS max_milli,
                CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
@@ -704,7 +730,10 @@ DIMP_SCALE = 1000  # milli-unit grid for the per-dim sums
     )
     SELECT CAST(dim AS BIGINT) AS dim, n,
            ROUND(sx / (1.0 * n), 4)                              AS mean_milli,
-           ROUND(SQRT((n * sxx - sx * sx) / (1.0 * n * (n - 1))), 4)
+           -- NULLIF: a dimension observed in exactly one vector (drift)
+           -- must yield NULL on both engines, not Spark-NaN vs DuckDB-NULL
+           ROUND(SQRT((n * sxx - CAST(sx AS HUGEINT) * sx)
+                      / NULLIF(1.0 * n * (n - 1), 0)), 4)
                                                                   AS std_milli,
            min_milli, max_milli,
            ROUND(n_zero / (1.0 * n), 4)                          AS zero_frac,
@@ -735,22 +764,27 @@ def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = comp.groupBy("dim").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("q").cast("long").alias("sx"),
-        F.sum(F.col("q") * F.col("q")).cast("long").alias("sxx"),
+        # DECIMAL(38,0) accumulation (oracle: HUGEINT): saturated q=1e6
+        # squares to 1e12, so n*sxx ~ n^2*1e12 ANSI-overflows BIGINT past
+        # ~3M vectors (advisor find, r8)
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("sxx"),
         F.min("q").cast("long").alias("min_milli"),
         F.max("q").cast("long").alias("max_milli"),
         F.sum(F.when(F.col("q") == 0, 1).otherwise(0)).cast("long").alias("n_zero"),
+    )
+    # try_divide: a dimension observed in exactly one vector (drift) has
+    # n*(n-1)=0 — must yield NULL on both engines, not Spark-NaN vs
+    # DuckDB-NULL (advisor find, r8)
+    var = F.try_divide(
+        F.col("n").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sx"),
+        1.0 * F.col("n") * (F.col("n") - 1),
     )
     return agg.select(
         F.col("dim").cast("long").alias("dim"),
         "n",
         F.round(F.col("sx") / (1.0 * F.col("n")), 4).alias("mean_milli"),
-        F.round(
-            F.sqrt(
-                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                / (1.0 * F.col("n") * (F.col("n") - 1))
-            ),
-            4,
-        ).alias("std_milli"),
+        F.round(F.sqrt(var), 4).alias("std_milli"),
         "min_milli",
         "max_milli",
         F.round(F.col("n_zero") / (1.0 * F.col("n")), 4).alias("zero_frac"),

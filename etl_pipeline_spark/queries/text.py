@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.catalog import EMB_DOOR_SQL, embedding_door, load_tables
 from etl_pipeline_spark.queries.base import query
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbol
@@ -1134,7 +1134,8 @@ RRF_QUERY_CAP = 5000  # ...and doc_id < CAP: the query workload is a fixed
             GROUP BY qa.doc_id, wb.doc_id
         ) WHERE rank_lex <= {RRF_LIST}
     ),
-    emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE {EMB_DOOR_SQL}),
     vec AS (
         SELECT q_doc, nn_doc, rank_vec FROM (
             SELECT a.vec_id AS q_doc, b.vec_id AS nn_doc,
@@ -1234,7 +1235,7 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_doc", "nn_doc", "rank_lex")
     )
 
-    emb = d["embeddings"].select(
+    emb = embedding_door(d["embeddings"]).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     dot = lambda x, y: F.aggregate(  # noqa: E731

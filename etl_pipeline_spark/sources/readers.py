@@ -143,7 +143,12 @@ def read_parquet_evolved(
     type (cast-incompatible drift surfaces as NULL, not a job abort —
     ANSI mode is on), columns missing from every file come back as
     typed NULLs, and undeclared extras are dropped. Column order is the
-    contract's.
+    contract's. Drift is masked at BOTH levels (advisor find, r8):
+    value-level failures null per-row via try_cast, and ANALYSIS-level
+    drift — a declared BIGINT column that became array/struct in newer
+    files, where even try_cast is unresolvable — nulls the whole column
+    (the analyzer itself decides castability, so the check can never
+    disagree with Spark's Cast.canCast).
 
     Scale: mergeSchema unions FOOTERS (driver-side metadata, one small
     task per file), not data; scans still prune columns and push
@@ -158,12 +163,23 @@ def read_parquet_evolved(
     schema = (
         T.StructType.fromDDL(contract) if isinstance(contract, str) else contract
     )
+    from pyspark.errors import AnalysisException
+
     cols = []
     for field in schema.fields:
-        if field.name in df.columns:
-            cols.append(
-                F.col(field.name).try_cast(field.dataType).alias(field.name)
-            )
-        else:
-            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        null_col = F.lit(None).cast(field.dataType).alias(field.name)
+        if field.name not in df.columns:
+            cols.append(null_col)
+            continue
+        cast_col = F.col(field.name).try_cast(field.dataType).alias(field.name)
+        try:
+            # analysis only (no jobs): lets Spark's own analyzer rule on
+            # castability — try_cast nulls runtime failures but a
+            # structurally impossible cast (BIGINT declared, array/struct
+            # arrived) raises DATATYPE_MISMATCH here, which the contract
+            # promises to surface as a NULL column, not a job abort
+            df.select(cast_col).schema
+            cols.append(cast_col)
+        except AnalysisException:
+            cols.append(null_col)
     return df.select(*cols)

