@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from etl_pipeline_spark.operators.jpeg_codec import decode_jpeg_baseline
+from etl_pipeline_spark.operators.jpeg_codec import decode_jpeg
 from etl_pipeline_spark.operators.gif_codec import decode_gif
 from etl_pipeline_spark.operators.png_codec import decode_png
 from etl_pipeline_spark.operators.media_codecs import (
@@ -201,8 +201,9 @@ _NULL_FEATURES = {
 
 def _extract_features(payload: bytes | None, kind: str | None) -> dict:
     """REAL decode, dispatched on magic bytes: P6 -> PPM, BM -> BMP,
-    RIFF -> WAV, FFD8 -> baseline JPEG (pure-Python T.81 decoder,
-    operators/jpeg_codec.py — r6; interop-tested against libjpeg
+    RIFF -> WAV, FFD8 -> JPEG, baseline AND progressive SOF2
+    (pure-Python T.81 decoder, operators/jpeg_codec.py — r6 baseline,
+    r9 progressive; interop-tested against libjpeg
     output), 89504E47 -> PNG (zlib + per-row filters,
     operators/png_codec.py — r6; interop-tested against libpng output),
     GIF8 -> GIF (variable-width LZW, operators/gif_codec.py — r6; image
@@ -211,7 +212,7 @@ def _extract_features(payload: bytes | None, kind: str | None) -> dict:
     header, the integer sum of all decoded pixel bytes / sample values,
     and (images) the md5 of the decoded RGB array, so a wrong de-pad,
     row flip, or channel order changes the output. Remaining unknown
-    formats (MP4; progressive JPEG and interlaced PNG inside the
+    formats (MP4; arithmetic-coded JPEG and interlaced PNG inside the
     decoders) raise NotImplementedError — those need native libs or
     further spec work; a real deployment extends this dispatch."""
     if payload is None:
@@ -223,7 +224,7 @@ def _extract_features(payload: bytes | None, kind: str | None) -> dict:
     elif payload[:2] == b"BM":
         fmt, img = "bmp", decode_bmp(payload)
     elif payload[:2] == b"\xff\xd8":
-        fmt, img = "jpeg", decode_jpeg_baseline(payload)
+        fmt, img = "jpeg", decode_jpeg(payload)
     elif payload[:4] == b"\x89PNG":
         fmt, img = "png", decode_png(payload)
     elif payload[:4] == b"GIF8":

@@ -2037,17 +2037,29 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulated sum is exact integer, leaving one deterministic double
     expression.
 
-    Scale: two broadcast-sized degree joins onto the edge stream and a
-    single global aggregate — the map-combined sums shuffle one row per
-    partition. No per-node state, no windows.
+    Scale: reuses the shared source-partitioned PERSISTED edge frame
+    (pagerank_edges — TRI_SUPPORT == PR_SUPPORT, so it is the same edge
+    set), so the degree count and the x-side join both reuse the edge
+    partitioning and only the y-side join re-exchanges the attached
+    stream once; the final aggregate is map-combined (one row per
+    partition). The r9 sf10 soak measured the old lazily-checkpointed
+    form (unknown partitioning, three full edge shuffles at a fixed
+    width) at 12.7x/decade — this form exists because of that number.
     """
-    from etl_pipeline_spark.queries.analytics_ml import co_purchase_edges
+    out, edges = _assortativity_frame_lazy(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
+
+
+def _assortativity_frame_lazy(spark: SparkSession, sf_dir: str):
+    """q_degree_assortativity minus the final eager checkpoint; returns
+    (frame, edges) — shared by the query and the plan audit's lazy twin
+    (see q_pagerank_lazy for the blind-root rationale)."""
+    from etl_pipeline_spark.queries.analytics_ml import pagerank_edges
 
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    und = co_purchase_edges(li, TRI_SUPPORT)
-    edges = und.unionAll(
-        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
+    edges = pagerank_edges(li)
     deg = edges.groupBy(F.col("u").alias("k")).agg(F.count("*").alias("d"))
     pairs = (
         edges.join(deg.select(F.col("k").alias("u"), F.col("d").alias("x")), "u")
@@ -2060,7 +2072,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
     )
-    return s.select(
+    out = s.select(
         F.col("m").alias("n_ordered_edges"),
         F.round(
             (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx"))
@@ -2071,6 +2083,13 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+    return out, edges
+
+
+def q_degree_assortativity_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint plan-audit twin of q_degree_assortativity (see
+    q_pagerank_lazy for the rationale). Never executed — plan-only."""
+    return _assortativity_frame_lazy(spark, sf_dir)[0]
 
 
 # --- Adamic-Adar link prediction ----------------------------------------------

@@ -704,3 +704,62 @@ def test_jpeg_fill_bytes_between_segments_decode():
     padded += base[prev:]
     assert len(padded) == len(base) + 2 * len(bounds)
     assert np.array_equal(decode_jpeg_baseline(bytes(padded)), want)
+
+
+def test_progressive_jpeg_decodes_byte_exactly():
+    """Progressive (SOF2) decode — r9: the progressive encoder transmits
+    exactly the quantized coefficients of the baseline encoder at the
+    same quality, so decoding the progressive file must reproduce the
+    baseline decode BYTE-EXACTLY. Shapes/qualities chosen to exercise
+    every Annex G path: spectral-selection band splits, successive
+    approximation (Al=1 first + Al=0 refinement), EOB runs spanning
+    blocks (constant image), ZRL + correction-bit-dense refinement
+    (noise), long zero runs (sparse spikes), non-multiple-of-8 dims."""
+    import numpy as np
+
+    from etl_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = []
+    grad = rng.integers(0, 256, size=(24, 33, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:24, 0:33]
+    cases.append((((grad.astype(np.int64) + yy[..., None] * 3 + xx[..., None] * 2) % 256).astype(np.uint8), 90))
+    cases.append((np.full((80, 80, 3), 130, dtype=np.uint8), 90))       # EOB runs
+    cases.append((rng.integers(0, 256, size=(48, 56, 3), dtype=np.uint8), 30))   # dense AC
+    cases.append((rng.integers(0, 256, size=(48, 56, 3), dtype=np.uint8), 100))  # max quality
+    spikes = np.zeros((40, 40, 3), dtype=np.uint8)
+    spikes[::7, ::5] = 255
+    cases.append((spikes, 75))
+    cases.append((rng.integers(0, 256, size=(65, 17, 3), dtype=np.uint8), 50))   # ragged dims
+    for img, q in cases:
+        prog = encode_jpeg_progressive(img, quality=q)
+        base = encode_jpeg_baseline(img, quality=q)
+        # really SOF2: the frame marker sits after APP0 + two DQTs
+        assert prog[2:4] == b"\xff\xe0" and b"\xff\xc2" in prog[:200]
+        assert np.array_equal(decode_jpeg(prog), decode_jpeg(base)), (img.shape, q)
+
+
+def test_progressive_jpeg_through_multimodal_dispatch():
+    """The multimodal feature extractor's magic-byte dispatch must
+    decode a progressive payload like any other JPEG (same dimensions
+    and content hash as its baseline twin)."""
+    import numpy as np
+
+    from etl_pipeline_spark.operators.jpeg_codec import (
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+    from etl_pipeline_spark.operators.multimodal import _extract_features
+
+    img = np.arange(24 * 16 * 3, dtype=np.int64).reshape(24, 16, 3) % 256
+    img = img.astype(np.uint8)
+    fp = _extract_features(encode_jpeg_progressive(img), "image")
+    fb = _extract_features(encode_jpeg_baseline(img), "image")
+    assert fp["format"] == fb["format"] == "jpeg"
+    assert (fp["width"], fp["height"]) == (fb["width"], fb["height"]) == (16, 24)
+    assert fp["content_md5"] == fb["content_md5"]
+    assert fp["content_sum"] == fb["content_sum"]

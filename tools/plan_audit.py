@@ -92,6 +92,9 @@ PLAN_NODE_CEILING = 1500
 # cannot silently opt out of the audit.
 def _lazy_forms():
     from etl_pipeline_spark.operators.cluster import dedup_clusters_lazy
+    from etl_pipeline_spark.queries.advanced_behavioral import (
+        q_degree_assortativity_lazy,
+    )
     from etl_pipeline_spark.queries.analytics_ml import (
         q_kcore_nodes_lazy,
         q_label_propagation_lazy,
@@ -106,6 +109,9 @@ def _lazy_forms():
         # fourth blind query): the CC fixpoint eagerly checkpoints per
         # round for convergence observation
         "q_dedup_clusters": dedup_clusters_lazy,
+        # r9: rewritten onto the persisted edge frame after its sf10
+        # slope exposed the lazily-checkpointed triple-shuffle form
+        "q_degree_assortativity": q_degree_assortativity_lazy,
     }
 
 
