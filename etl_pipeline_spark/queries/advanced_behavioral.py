@@ -2153,15 +2153,32 @@ def q_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: wedges enumerate per middle vertex (x < z dedupes each pair
     once per neighbor), so the cost is sum(d^2) exactly like the
     triangle census, and the same hub mitigations apply (degree caps,
-    support prefilter). The existing-edge exclusion is a broadcast-
-    eligible anti-join on the narrow (u, v) key; top-k plans as
-    TakeOrderedAndProject.
+    support prefilter). Exchange budget (r9): the shared PERSISTED
+    source-partitioned edge frame (pagerank_edges — same support) feeds
+    both wedge legs, whose join key IS the source key, so the wedge
+    join, the degree count, and the degree re-attach all reuse one edge
+    partitioning — only the (x, z) pair aggregate shuffles. The
+    existing-edge exclusion is an anti-join on the narrow (u, v) key;
+    top-k plans as TakeOrderedAndProject.
     """
-    from etl_pipeline_spark.queries.analytics_ml import co_purchase_edges
+    out, edges = _aa_frame_lazy(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
+
+
+q_link_prediction_aa.__doc__ = q_link_prediction_aa.__doc__.format(K=AA_TOPK)
+
+
+def _aa_frame_lazy(spark: SparkSession, sf_dir: str):
+    """q_link_prediction_aa minus the final eager checkpoint; returns
+    (frame, edges) — shared by the query and the plan audit's lazy twin
+    (see q_pagerank_lazy for the blind-root rationale)."""
+    from etl_pipeline_spark.queries.analytics_ml import pagerank_edges
 
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    und = co_purchase_edges(li, TRI_SUPPORT).localCheckpoint(eager=False)
-    edges = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = pagerank_edges(li)
+    und = edges.filter(F.col("u") < F.col("v"))
     deg = edges.groupBy(F.col("u").alias("k")).agg(F.count("*").alias("d"))
     e1 = edges.select(F.col("u").alias("y"), F.col("v").alias("x"))
     e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
@@ -2180,12 +2197,16 @@ def q_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term).cast("long").alias("aa_micro"),
         )
     )
-    return scored.select(
+    out = scored.select(
         F.col("x").cast("long").alias("part_a"),
         F.col("z").cast("long").alias("part_b"),
         F.col("n_common").cast("long").alias("n_common"),
         "aa_micro",
     ).orderBy(F.desc("aa_micro"), "part_a", "part_b").limit(AA_TOPK)
+    return out, edges
 
 
-q_link_prediction_aa.__doc__ = q_link_prediction_aa.__doc__.format(K=AA_TOPK)
+def q_link_prediction_aa_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint plan-audit twin of q_link_prediction_aa (see
+    q_pagerank_lazy for the rationale). Never executed — plan-only."""
+    return _aa_frame_lazy(spark, sf_dir)[0]

@@ -67,57 +67,44 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 # oldest-attestation-first backfill. Every query registered before this
 # round has at least one full CORRECTNESS_r* pass.
 CHECK_PRIORITY: tuple[str, ...] = (
-    "q_embedding_dim_profile",  # --- code changed this round: attest first ---
-    "q_link_prediction_aa",
-    "q_winnowing_pairs",
-    "q_node_clustering",
-    "q_degree_assortativity",
-    "q_kcore_nodes",
-    "q_quality_calibrated",
+    "q_cohort_ltv",  # --- code changed this round: attest first ---
+    "q_seasonal_hour_profile",
+    "q_attribution_multi_touch",
+    "q_changepoint_mean_shift",
+    "q_time_weighted_average",
+    "q_winsorized_stats",
+    "q_clamped_running_balance",
+    "q_linear_interp_gapfill",
+    "q_mann_whitney",
+    "q_cliffs_delta",
+    "q_pairwise_tests_bonferroni",
+    "q_knn_bruteforce_cosine",
+    "q_knn_lsh_approx",
+    "q_knn_pq",
+    "q_hard_negatives",
+    "q_embedding_dim_profile",
+    "q_knn_ivf",
+    "q_knn_block_matrix",
+    "q_knn_classifier_eval",
+    "q_kmeans_lloyd",
+    "q_dbscan_classify",
+    "q_mmr_rerank",
+    "q_pca_top_component",
+    "q_semdedup_clusters",
+    "q_dedup_embedding_cosine",
+    "q_hybrid_rrf_search",
+    "q_embedding_norms",
+    "q_pagerank",
     "q_label_propagation",
+    "q_kcore_nodes",
+    "q_degree_assortativity",
+    "q_link_prediction_aa",
+    "q_dedup_clusters",
+    "q_dedup_canonical_docs",
     "q_dedup_soft_weights",
-    "q_text_gopher_quality",
-    "q_unimax_allocation",
-    "q_dsir_importance",
-    "q_text_gopher_repetition",
-    "q_dq_text_contract",
-    "q_dq_embedding_contract",  # --- never driver-attested ---
-    "q_dq_pk_uniqueness",
-    "q_text_quality_score",  # --- backfill: oldest attestation first ---
-    "q_text_fingerprint",
-    "q_text_edit_distance_pairs",
-    "q_join_anti_idle_customers",
-    "q_join_cross_region_nation",
-    "q_join_range_value_buckets",
-    "q_window_rank_orders",
-    "q_window_running_spend",
-    "q_window_lag_events",
-    "q_topk_expensive_orders",
-    "q_setop_union_parties",
-    "q_setop_intersect_nations",
-    "q_setop_except_nations",
-    "q_scalar_string_cleaning",
-    "q_scalar_casts",
-    "q_scalar_dates",
-    "q_scalar_json_props",
-    "q_scalar_regexp_extract",
-    "q_scalar_math",
-    "q_scalar_arrays",
-    "q_scalar_conditional_nonempty",
-    "q_scalar_file_lineage",
-    "q_scalar_string_extras",
-    "q18_large_orders",
-    "q_agg_percentiles",
-    "q12_late_shipments",
-    "q16_supplier_diversity",
-    "q02_min_cost_supplier",
-    "q20_excess_shippers",
-    "q21_sole_late_shipper",
-    "q_window_range_frame_partitioned",
-    "q_hll_sketch_union",
-    "q_window_distribution_ranks_partitioned",
-    "q_timeseries_gapfill",
-    "q_udaf_trimmed_mean",  # ---------------- first-50 window ends above ----------------
+    "q_multimodal_features",
+    "q_multimodal_frame_sample",
+    "q_udaf_trimmed_mean",  # --- backfill: oldest attestation first ---
     "q_ratio_to_report",
     "q_scd2_user_values",
     "q_kll_quantile_merge",
@@ -126,17 +113,15 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_agg_extrema_by",
     "q_agg_bitwise",
     "q_histogram_values",
-    "q_dedup_embedding_cosine",
     "q_pii_scrub",
     "q_stratified_sample",
     "q_sequence_packing",
     "q_repetition_score",
-    "q_doc_chunking",
+    "q_doc_chunking",  # ---------------- first-50 window ends above ----------------
     "q_token_entropy",
     "q_mix_weights",
     "q_vocab_coverage",
     "q_corpus_domain_cap",
-    "q_multimodal_frame_sample",
     "q01_pricing_summary",
     "q06_revenue_delta",
     "q_cube_orders",
@@ -160,11 +145,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q13_order_count_distribution",
     "q_target_encoding",
     "q_rake_keywords",
-    "q_kmeans_lloyd",
-    "q_dbscan_classify",
-    "q_clamped_running_balance",
     "q_wordpiece_tokenize",
-    "q_mmr_rerank",
     "q_rare_category_other",
     "q_woe_encoding",
     "q_psi_drift",
@@ -191,21 +172,16 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_survival_km",
     "q_moments_skew_kurtosis",
     "q_theil_sen_trend",
-    "q_mann_whitney",
     "q_correlation_matrix",
     "q_chi_square_contingency",
     "q_sample_size_power",
-    "q_cliffs_delta",
     "q_anova_weekday",
     "q_autocorr_daily",
     "q_sax_symbols",
     "q_seasonal_decompose",
     "q_interval_merge",
-    "q_linear_interp_gapfill",
     "q_seasonal_anomaly_days",
     "q_multimodal_shot_cuts",
-    "q_knn_lsh_approx",
-    "q_hard_negatives",
     "q_embedding_centroid_health",
     "q_rfm_segments",
     "q_lateral_top_orders",
@@ -219,28 +195,20 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_attribution_last_touch",
     "q_ab_test_ttest",
     "q_dq_referential_integrity",
-    "q_cohort_ltv",
     "q_skyline_parts",
     "q_top_paths",
     "q_table_profile",
     "q_rolling_active_users",
     "q_funnel_time_to_convert",
-    "q_seasonal_hour_profile",
     "q_seasonal_forecast_eval",
-    "q_attribution_multi_touch",
-    "q_changepoint_mean_shift",
     "q_funnel_three_step",
     "q_ab_test_proportions",
-    "q_winsorized_stats",
     "q_audience_flags",
     "q_ship_latency_percentiles",
     "q_asof_tolerance",
-    "q_time_weighted_average",
     "q_cms_heavy_hitters",
     "q_bom_explosion",
-    "q_knn_classifier_eval",
     "q_spatial_radius_join",
-    "q_pairwise_tests_bonferroni",
     "q_hapax_vocabulary",
     "q_heaps_law_fit",
     "q_dedup_chunk_rewrite",
@@ -256,9 +224,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_union_by_name_missing",
     "q_triangle_count",
     "q_market_basket_rules",
-    "q_pca_top_component",
     "q_item_cf_similar",
-    "q_semdedup_clusters",
     "q_dedup_doc_stitching",
     "q_tfidf_top_terms",
     "q_tfidf_nearest_docs",
@@ -267,7 +233,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_bpe_merge_candidates",
     "q_bm25_top_terms",
     "q_corpus_gini",
-    "q_hybrid_rrf_search",
     "q_lm_bigram_score",
     "q_weighted_sample",
     "q_curriculum_buckets",
@@ -278,7 +243,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_dq_outlier_mad",
     "q_dq_ks_drift",
     "q_dq_benford_check",
-    "q_multimodal_features",
     "q_multimodal_audio_energy",
     "q_k_anonymity",
     "q_dp_noisy_counts",
@@ -289,11 +253,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_scalar_maps",
     "q_length_band_filter",
     "q_leakage_safe_split",
-    "q_embedding_norms",
-    "q_knn_bruteforce_cosine",
-    "q_knn_pq",
-    "q_knn_block_matrix",
-    "q_knn_ivf",
     "q_window_sliding_events",
     "q_session_windows_batch",
     "q_embedding_quantization",
@@ -303,14 +262,11 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_retention_cohorts",
     "q_window_distribution_ranks",
     "q_scalar_dates_extended",
-    "q_pagerank",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
     "q_dedup_simhash_pairs",
-    "q_dedup_clusters",
-    "q_dedup_canonical_docs",
     "q_dedup_minhash_signatures",
     "q_dedup_minhash_pairs",
     "q_dedup_ngram_jaccard_capped",
@@ -339,6 +295,50 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_join_outer_order_counts",
     "q_join_semi_big_orders",
     "q_training_data_prep",
+    "q_window_range_frame_partitioned",
+    "q_dq_embedding_contract",
+    "q_hll_sketch_union",
+    "q_window_distribution_ranks_partitioned",
+    "q_timeseries_gapfill",
+    "q_node_clustering",
+    "q_text_quality_score",
+    "q_text_gopher_repetition",
+    "q_text_fingerprint",
+    "q_text_edit_distance_pairs",
+    "q_dq_text_contract",
+    "q_text_gopher_quality",
+    "q_quality_calibrated",
+    "q_dsir_importance",
+    "q_unimax_allocation",
+    "q_winnowing_pairs",
+    "q_dq_pk_uniqueness",
+    "q_join_anti_idle_customers",
+    "q_join_cross_region_nation",
+    "q_join_range_value_buckets",
+    "q_window_rank_orders",
+    "q_window_running_spend",
+    "q_window_lag_events",
+    "q_topk_expensive_orders",
+    "q_setop_union_parties",
+    "q_setop_intersect_nations",
+    "q_setop_except_nations",
+    "q_scalar_string_cleaning",
+    "q_scalar_casts",
+    "q_scalar_dates",
+    "q_scalar_json_props",
+    "q_scalar_regexp_extract",
+    "q_scalar_math",
+    "q_scalar_arrays",
+    "q_scalar_conditional_nonempty",
+    "q_scalar_file_lineage",
+    "q_scalar_string_extras",
+    "q18_large_orders",
+    "q_agg_percentiles",
+    "q12_late_shipments",
+    "q16_supplier_diversity",
+    "q02_min_cost_supplier",
+    "q20_excess_shippers",
+    "q21_sole_late_shipper",
 )
 
 # first-50 window: 50 entries; oldest-attested in window: r2; left out: 206

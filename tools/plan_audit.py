@@ -94,6 +94,7 @@ def _lazy_forms():
     from etl_pipeline_spark.operators.cluster import dedup_clusters_lazy
     from etl_pipeline_spark.queries.advanced_behavioral import (
         q_degree_assortativity_lazy,
+        q_link_prediction_aa_lazy,
     )
     from etl_pipeline_spark.queries.analytics_ml import (
         q_kcore_nodes_lazy,
@@ -112,6 +113,9 @@ def _lazy_forms():
         # r9: rewritten onto the persisted edge frame after its sf10
         # slope exposed the lazily-checkpointed triple-shuffle form
         "q_degree_assortativity": q_degree_assortativity_lazy,
+        # r9: same persisted-edge rewrite (wedge legs join on the edge
+        # source key, so the whole wedge census reuses one partitioning)
+        "q_link_prediction_aa": q_link_prediction_aa_lazy,
     }
 
 
