@@ -175,8 +175,13 @@ class _BitWriter:
         self.acc &= (1 << self.n) - 1
 
     def flush(self) -> None:
+        # pad with 1-bits to EXACTLY the byte boundary. The r9 restart
+        # work exposed a latent off-by-one here (9-n pad bits): the
+        # emitted byte was identical, but one pad bit stayed in `acc` —
+        # invisible at end-of-stream, yet at a restart boundary it
+        # prepended the next MCU's first Huffman code (1-bit shift).
         if self.n:
-            self.put(0x7F, 7 - ((self.n - 1) % 8) + 1)  # pad with 1-bits
+            self.put(0x7F, 8 - self.n)
 
 
 def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
@@ -240,8 +245,22 @@ def _quantized_zigzag(
     return h, w, qzz, qt_l, qt_c
 
 
-def encode_jpeg_baseline(pixels: np.ndarray, quality: int = 90) -> bytes:
-    """Encode an (h, w, 3) RGB uint8 array as a baseline 4:4:4 JFIF JPEG."""
+def _emit_restart(writer: _BitWriter, count: int) -> None:
+    """Pad to a byte boundary and emit RSTn (n cycles 0-7) — T.81 E.1.4.
+    The flush pad may byte-stuff an 0xFF; the decoder's sync_restart
+    consumes either representation."""
+    writer.flush()
+    writer.buf += bytes([0xFF, 0xD0 + ((count - 1) % 8)])
+
+
+def encode_jpeg_baseline(
+    pixels: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """Encode an (h, w, 3) RGB uint8 array as a baseline 4:4:4 JFIF JPEG.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (DC predictors reset) — exists so the decoder's
+    restart resynchronization path has a self-made fixture."""
     h, w, qzz, qt_l, qt_c = _quantized_zigzag(pixels, quality)
 
     dc_l, ac_l = _huff_codes(*HUFF_DC_LUMA), _huff_codes(*HUFF_AC_LUMA)
@@ -251,6 +270,9 @@ def encode_jpeg_baseline(pixels: np.ndarray, quality: int = 90) -> bytes:
     preds = [0, 0, 0]
     n_blocks = qzz[0].shape[0]
     for bi in range(n_blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            _emit_restart(writer, bi // restart_interval)
+            preds = [0, 0, 0]
         for ci in range(3):
             dc_tab = dc_l if ci == 0 else dc_c
             ac_tab = ac_l if ci == 0 else ac_c
@@ -302,6 +324,9 @@ def encode_jpeg_baseline(pixels: np.ndarray, quality: int = 90) -> bytes:
         [1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]
     )
     app0 = struct.pack(">HH", 0xFFE0, 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dri = (
+        struct.pack(">HHH", 0xFFDD, 4, restart_interval) if restart_interval else b""
+    )
     return (
         b"\xff\xd8"
         + app0
@@ -312,6 +337,7 @@ def encode_jpeg_baseline(pixels: np.ndarray, quality: int = 90) -> bytes:
         + dht(1, 0, HUFF_AC_LUMA)
         + dht(0, 1, HUFF_DC_CHROMA)
         + dht(1, 1, HUFF_AC_CHROMA)
+        + dri
         + sos
         + bytes(writer.buf)
         + b"\xff\xd9"
@@ -873,13 +899,16 @@ def _emit_eobrun(w: _BitWriter, ac: dict, eobrun: int, pending: list[int]) -> No
         w.put(b, 1)
 
 
-def _scan_dc_first(qzz: list[np.ndarray], al: int) -> bytes:
+def _scan_dc_first(qzz: list[np.ndarray], al: int, ri: int = 0) -> bytes:
     """Interleaved DC first scan: diffs of the point-transformed DC
     values (arithmetic shift by Al, G.1.2.1) with the K.3 DC tables."""
     dc_l, dc_c = _huff_codes(*HUFF_DC_LUMA), _huff_codes(*HUFF_DC_CHROMA)
     w = _BitWriter()
     preds = [0, 0, 0]
     for bi in range(qzz[0].shape[0]):
+        if ri and bi and bi % ri == 0:
+            _emit_restart(w, bi // ri)
+            preds = [0, 0, 0]
         for ci in range(3):
             tab = dc_l if ci == 0 else dc_c
             v = int(qzz[ci][bi][0]) >> al
@@ -894,18 +923,20 @@ def _scan_dc_first(qzz: list[np.ndarray], al: int) -> bytes:
     return bytes(w.buf)
 
 
-def _scan_dc_refine(qzz: list[np.ndarray], al: int) -> bytes:
+def _scan_dc_refine(qzz: list[np.ndarray], al: int, ri: int = 0) -> bytes:
     """Interleaved DC refinement: one raw bit per block — bit Al of the
     DC value (G.1.2.1; no Huffman coding in DC refinement)."""
     w = _BitWriter()
     for bi in range(qzz[0].shape[0]):
+        if ri and bi and bi % ri == 0:
+            _emit_restart(w, bi // ri)
         for ci in range(3):
             w.put((int(qzz[ci][bi][0]) >> al) & 1, 1)
     w.flush()
     return bytes(w.buf)
 
 
-def _scan_ac_first(qzz_c: np.ndarray, ss: int, se: int, al: int) -> bytes:
+def _scan_ac_first(qzz_c: np.ndarray, ss: int, se: int, al: int, ri: int = 0) -> bytes:
     """Single-component AC first scan for band [Ss, Se] at precision Al
     (G.1.2.2): run/size symbols over the point-transformed magnitudes,
     all-zero-band blocks folded into EOB runs."""
@@ -913,6 +944,11 @@ def _scan_ac_first(qzz_c: np.ndarray, ss: int, se: int, al: int) -> bytes:
     w = _BitWriter()
     eobrun = 0
     for bi in range(qzz_c.shape[0]):
+        if ri and bi and bi % ri == 0:
+            # an EOB run may not cross a restart boundary (E.1.4)
+            _emit_eobrun(w, ac, eobrun, [])
+            eobrun = 0
+            _emit_restart(w, bi // ri)
         zz = qzz_c[bi]
         r = 0
         for k in range(ss, se + 1):
@@ -943,7 +979,7 @@ def _scan_ac_first(qzz_c: np.ndarray, ss: int, se: int, al: int) -> bytes:
     return bytes(w.buf)
 
 
-def _scan_ac_refine(qzz_c: np.ndarray, ss: int, se: int, al: int) -> bytes:
+def _scan_ac_refine(qzz_c: np.ndarray, ss: int, se: int, al: int, ri: int = 0) -> bytes:
     """Single-component AC refinement scan (G.1.2.3): newly-nonzero
     coefficients code as run/1 + sign, already-nonzero coefficients
     contribute correction bits buffered until the next Huffman symbol
@@ -954,6 +990,13 @@ def _scan_ac_refine(qzz_c: np.ndarray, ss: int, se: int, al: int) -> bytes:
     eobrun = 0
     pending: list[int] = []  # correction bits deferred to the next EOBn
     for bi in range(qzz_c.shape[0]):
+        if ri and bi and bi % ri == 0:
+            # close the EOB run (and its buffered correction bits)
+            # before the boundary — neither may cross it (E.1.4)
+            _emit_eobrun(w, ac, eobrun, pending)
+            eobrun = 0
+            pending = []
+            _emit_restart(w, bi // ri)
         zz = qzz_c[bi]
         absval = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
         eob = ss - 1  # band position of the last NEWLY-nonzero coefficient
@@ -1004,7 +1047,9 @@ def _scan_ac_refine(qzz_c: np.ndarray, ss: int, se: int, al: int) -> bytes:
     return bytes(w.buf)
 
 
-def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
     """Encode an (h, w, 3) RGB uint8 array as a PROGRESSIVE (SOF2) 4:4:4
     JFIF JPEG exercising both progressive mechanisms: spectral selection
     (DC scan, split Y AC bands, per-chroma AC scans) and successive
@@ -1037,19 +1082,23 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90) -> bytes:
     ) + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
     app0 = struct.pack(">HH", 0xFFE0, 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     all_comps = [(1, 0, 0), (2, 1, 0), (3, 1, 0)]
+    dri = (
+        struct.pack(">HHH", 0xFFDD, 4, restart_interval) if restart_interval else b""
+    )
+    ri = restart_interval
     scans = [
         # first pass at Al=1: DC interleaved, Y AC split 1-5 / 6-63,
         # then each chroma's full AC band
-        (sos(all_comps, 0, 0, 0, 1), _scan_dc_first(qzz, 1)),
-        (sos([(1, 0, 0)], 1, 5, 0, 1), _scan_ac_first(qzz[0], 1, 5, 1)),
-        (sos([(1, 0, 0)], 6, 63, 0, 1), _scan_ac_first(qzz[0], 6, 63, 1)),
-        (sos([(2, 0, 0)], 1, 63, 0, 1), _scan_ac_first(qzz[1], 1, 63, 1)),
-        (sos([(3, 0, 0)], 1, 63, 0, 1), _scan_ac_first(qzz[2], 1, 63, 1)),
+        (sos(all_comps, 0, 0, 0, 1), _scan_dc_first(qzz, 1, ri)),
+        (sos([(1, 0, 0)], 1, 5, 0, 1), _scan_ac_first(qzz[0], 1, 5, 1, ri)),
+        (sos([(1, 0, 0)], 6, 63, 0, 1), _scan_ac_first(qzz[0], 6, 63, 1, ri)),
+        (sos([(2, 0, 0)], 1, 63, 0, 1), _scan_ac_first(qzz[1], 1, 63, 1, ri)),
+        (sos([(3, 0, 0)], 1, 63, 0, 1), _scan_ac_first(qzz[2], 1, 63, 1, ri)),
         # refinement pass to Al=0
-        (sos(all_comps, 0, 0, 1, 0), _scan_dc_refine(qzz, 0)),
-        (sos([(1, 0, 0)], 1, 63, 1, 0), _scan_ac_refine(qzz[0], 1, 63, 0)),
-        (sos([(2, 0, 0)], 1, 63, 1, 0), _scan_ac_refine(qzz[1], 1, 63, 0)),
-        (sos([(3, 0, 0)], 1, 63, 1, 0), _scan_ac_refine(qzz[2], 1, 63, 0)),
+        (sos(all_comps, 0, 0, 1, 0), _scan_dc_refine(qzz, 0, ri)),
+        (sos([(1, 0, 0)], 1, 63, 1, 0), _scan_ac_refine(qzz[0], 1, 63, 0, ri)),
+        (sos([(2, 0, 0)], 1, 63, 1, 0), _scan_ac_refine(qzz[1], 1, 63, 0, ri)),
+        (sos([(3, 0, 0)], 1, 63, 1, 0), _scan_ac_refine(qzz[2], 1, 63, 0, ri)),
     ]
     out = (
         b"\xff\xd8"
@@ -1060,6 +1109,7 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90) -> bytes:
         + dht(0, 0, HUFF_DC_LUMA)
         + dht(0, 1, HUFF_DC_CHROMA)
         + dht(1, 0, HUFF_AC_PROG)
+        + dri
     )
     for header, entropy in scans:
         out += header + entropy

@@ -763,3 +763,35 @@ def test_progressive_jpeg_through_multimodal_dispatch():
     assert (fp["width"], fp["height"]) == (fb["width"], fb["height"]) == (16, 24)
     assert fp["content_md5"] == fb["content_md5"]
     assert fp["content_sum"] == fb["content_sum"]
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """Restart markers end-to-end (the decode path only a truncation
+    test touched before r9): both encoders can emit DRI + RSTn, and
+    decode of a restart-carrying stream must equal the restart-free
+    decode exactly — DC predictors and EOB runs reset at each boundary.
+    Building this fixture exposed a latent _BitWriter.flush off-by-one
+    (one pad bit retained in the accumulator) that corrupted every
+    post-restart MCU; the ri=1 case pins it at every boundary."""
+    import numpy as np
+
+    from etl_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape, q, ri in [
+        ((24, 33, 3), 90, 1),   # restart after EVERY MCU — the flush pin
+        ((48, 56, 3), 60, 2),
+        ((65, 17, 3), 50, 5),
+        ((80, 80, 3), 75, 7),
+    ]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        ref = decode_jpeg(encode_jpeg_baseline(img, q))
+        base = encode_jpeg_baseline(img, q, restart_interval=ri)
+        prog = encode_jpeg_progressive(img, q, restart_interval=ri)
+        assert b"\xff\xdd" in base and b"\xff\xd0" in base  # DRI + RST0
+        assert np.array_equal(ref, decode_jpeg(base)), (shape, q, ri)
+        assert np.array_equal(ref, decode_jpeg(prog)), (shape, q, ri)
