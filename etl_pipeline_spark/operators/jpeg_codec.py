@@ -17,13 +17,16 @@ format gap VERDICT r5 left open — is implemented from the public spec:
   interleaved DC / non-interleaved AC geometry, restarts. Arithmetic
   coding, hierarchical frames, and 12-bit precision raise
   NotImplementedError — the guard the multimodal dispatch documents.
-- **Encoders**: baseline and progressive, 4:4:4 (no subsampling),
-  Annex K.1 quantization tables with the libjpeg linear quality
+- **Encoders**: baseline and progressive, 4:4:4 or 4:2:0 (box-averaged
+  chroma, 4 luma blocks per MCU), optional restart intervals (DRI +
+  RSTn), Annex K.1 quantization tables with the libjpeg linear quality
   scaling; baseline uses the Annex K.3 example Huffman tables, the
   progressive scans a flat custom AC table covering the EOBn symbols
   K.3 lacks. Both transmit identical quantized coefficients for the
-  same pixels/quality, so either decode path must reproduce the other
-  byte-exactly — the cross-validation the fixture tests pin.
+  same pixels/quality/subsampling, so either decode path must reproduce
+  the other byte-exactly — the cross-validation the fixture tests pin
+  (including the 4:2:0 interleaved-DC vs non-interleaved-AC geometry
+  asymmetry and restart resynchronization in every scan type).
 
 Interop is tested against real libjpeg output (CPython's test-suite
 JPEGs) in tests/test_multimodal.py.
@@ -203,46 +206,68 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 
 def _quantized_zigzag(
-    pixels: np.ndarray, quality: int
-) -> tuple[int, int, list[np.ndarray], np.ndarray, np.ndarray]:
-    """Shared front half of both encoders: RGB -> BT.601 YCbCr -> 8x8
-    orthonormal DCT -> half-up quantization, per component, blocks in
-    raster order with coefficients in ZIGZAG order. Returns
-    (h, w, [qzz_y, qzz_cb, qzz_cr] each (n_blocks, 64), qt_l, qt_c) —
-    baseline and progressive encodes of the same pixels transmit the
-    IDENTICAL coefficients, which is what makes the cross-validation
-    test byte-exact."""
+    pixels: np.ndarray, quality: int, subsampling: str = "444"
+) -> tuple[int, int, list[np.ndarray], list[tuple[int, int]], np.ndarray, np.ndarray]:
+    """Shared front half of both encoders: RGB -> BT.601 YCbCr ->
+    (optional 2x2 chroma box downsample) -> 8x8 orthonormal DCT ->
+    half-up quantization. Returns (h, w, grids, samp, qt_l, qt_c) where
+    grids[ci] is a (block_rows, block_cols, 64) ZIGZAG-ordered grid
+    covering the MCU-padded area and samp[ci] = (hs, vs) sampling
+    factors ((2, 2) luma / (1, 1) chroma for "420"; all (1, 1) for
+    "444"). Baseline and progressive encodes of the same pixels
+    transmit IDENTICAL coefficients, which is what makes the
+    cross-validation tests byte-exact."""
     if pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError(f"expected (h, w, 3) array, got {pixels.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     h, w, _ = pixels.shape
     rgb = pixels.astype(np.float64)
     y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
     cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
     cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
 
+    if subsampling == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+
+        def down2(p: np.ndarray) -> np.ndarray:
+            # 2x2 box average after edge-padding to even dims
+            pe = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+            return (
+                pe.reshape(pe.shape[0] // 2, 2, pe.shape[1] // 2, 2).mean(axis=(1, 3))
+            )
+
+        planes = [y, down2(cb), down2(cr)]
+    else:
+        samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
     qt_l = _quality_scale(QT_LUMA, quality)
     qt_c = _quality_scale(QT_CHROMA, quality)
-
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-
-    def plane_blocks(plane: np.ndarray) -> np.ndarray:
-        padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
-        blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
-        return blocks.reshape(-1, 8, 8)
-
-    planes = [plane_blocks(p) for p in (y, cb, cr)]
-    coefs = [np.einsum("ux,nxy,vy->nuv", _DCT, b, _DCT) for b in planes]
 
     def quantize(c: np.ndarray, qt: np.ndarray) -> np.ndarray:
         scaled = c / qt.reshape(8, 8)
         return np.trunc(scaled + np.copysign(0.5, scaled)).astype(np.int64)
 
-    qzz = [
-        quantize(coefs[0], qt_l).reshape(-1, 64)[:, ZIGZAG],
-        quantize(coefs[1], qt_c).reshape(-1, 64)[:, ZIGZAG],
-        quantize(coefs[2], qt_c).reshape(-1, 64)[:, ZIGZAG],
-    ]
-    return h, w, qzz, qt_l, qt_c
+    grids = []
+    for ci, (plane, (hs, vs)) in enumerate(zip(planes, samp)):
+        bh, bw = mcuy * vs, mcux * hs  # MCU-padded block grid
+        ph, pw = bh * 8, bw * 8
+        padded = np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        ) - 128.0
+        blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        coef = np.einsum("ux,nxy,vy->nuv", _DCT, blocks, _DCT)
+        q = quantize(coef, qt_l if ci == 0 else qt_c)
+        grids.append(q.reshape(-1, 64)[:, ZIGZAG].reshape(bh, bw, 64))
+    return h, w, grids, samp, qt_l, qt_c
 
 
 def _emit_restart(writer: _BitWriter, count: int) -> None:
@@ -254,55 +279,72 @@ def _emit_restart(writer: _BitWriter, count: int) -> None:
 
 
 def encode_jpeg_baseline(
-    pixels: np.ndarray, quality: int = 90, restart_interval: int = 0
+    pixels: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
-    """Encode an (h, w, 3) RGB uint8 array as a baseline 4:4:4 JFIF JPEG.
+    """Encode an (h, w, 3) RGB uint8 array as a baseline JFIF JPEG,
+    4:4:4 (default) or 4:2:0 (``subsampling="420"`` — 2x2 luma blocks
+    per MCU, box-averaged chroma).
 
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     that many MCUs (DC predictors reset) — exists so the decoder's
     restart resynchronization path has a self-made fixture."""
-    h, w, qzz, qt_l, qt_c = _quantized_zigzag(pixels, quality)
+    h, w, grids, samp, qt_l, qt_c = _quantized_zigzag(pixels, quality, subsampling)
 
     dc_l, ac_l = _huff_codes(*HUFF_DC_LUMA), _huff_codes(*HUFF_AC_LUMA)
     dc_c, ac_c = _huff_codes(*HUFF_DC_CHROMA), _huff_codes(*HUFF_AC_CHROMA)
 
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
     writer = _BitWriter()
     preds = [0, 0, 0]
-    n_blocks = qzz[0].shape[0]
-    for bi in range(n_blocks):
-        if restart_interval and bi and bi % restart_interval == 0:
-            _emit_restart(writer, bi // restart_interval)
-            preds = [0, 0, 0]
-        for ci in range(3):
-            dc_tab = dc_l if ci == 0 else dc_c
-            ac_tab = ac_l if ci == 0 else ac_c
-            zz = qzz[ci][bi]
-            diff = int(zz[0]) - preds[ci]
-            preds[ci] = int(zz[0])
-            ssss, bits = _magnitude(diff)
-            length, code = dc_tab[ssss]
+
+    def encode_block(ci: int, zz: np.ndarray) -> None:
+        dc_tab = dc_l if ci == 0 else dc_c
+        ac_tab = ac_l if ci == 0 else ac_c
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        ssss, bits = _magnitude(diff)
+        length, code = dc_tab[ssss]
+        writer.put(code, length)
+        if ssss:
+            writer.put(bits, ssss)
+        run = 0
+        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = ac_tab[0xF0]  # ZRL
+                writer.put(code, length)
+                run -= 16
+            ssss, bits = _magnitude(v)
+            length, code = ac_tab[(run << 4) | ssss]
             writer.put(code, length)
-            if ssss:
-                writer.put(bits, ssss)
+            writer.put(bits, ssss)
             run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    length, code = ac_tab[0xF0]  # ZRL
-                    writer.put(code, length)
-                    run -= 16
-                ssss, bits = _magnitude(v)
-                length, code = ac_tab[(run << 4) | ssss]
-                writer.put(code, length)
-                writer.put(bits, ssss)
-                run = 0
-            if last_nz < 63:
-                length, code = ac_tab[0x00]  # EOB
-                writer.put(code, length)
+        if last_nz < 63:
+            length, code = ac_tab[0x00]  # EOB
+            writer.put(code, length)
+
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                _emit_restart(writer, mcu // restart_interval)
+                preds = [0, 0, 0]
+            for ci, (hs, vs) in enumerate(samp):
+                for by in range(vs):
+                    for bx in range(hs):
+                        encode_block(ci, grids[ci][my * vs + by, mx * hs + bx])
+            mcu += 1
     writer.flush()
 
     def dqt(tid: int, qt: np.ndarray) -> bytes:
@@ -317,9 +359,13 @@ def encode_jpeg_baseline(
             + bytes(vals)
         )
 
-    sof = struct.pack(
-        ">HHBHHB", 0xFFC0, 17, 8, h, w, 3
-    ) + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    sof = struct.pack(">HHBHHB", 0xFFC0, 17, 8, h, w, 3) + bytes(
+        [
+            1, (samp[0][0] << 4) | samp[0][1], 0,
+            2, (samp[1][0] << 4) | samp[1][1], 1,
+            3, (samp[2][0] << 4) | samp[2][1], 1,
+        ]
+    )
     sos = struct.pack(">HHB", 0xFFDA, 12, 3) + bytes(
         [1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]
     )
@@ -899,57 +945,95 @@ def _emit_eobrun(w: _BitWriter, ac: dict, eobrun: int, pending: list[int]) -> No
         w.put(b, 1)
 
 
-def _scan_dc_first(qzz: list[np.ndarray], al: int, ri: int = 0) -> bytes:
+def _scan_dc_first(
+    grids: list[np.ndarray],
+    samp: list[tuple[int, int]],
+    mcuy: int,
+    mcux: int,
+    al: int,
+    ri: int = 0,
+) -> bytes:
     """Interleaved DC first scan: diffs of the point-transformed DC
-    values (arithmetic shift by Al, G.1.2.1) with the K.3 DC tables."""
+    values (arithmetic shift by Al, G.1.2.1) with the K.3 DC tables,
+    MCU order with hs x vs luma blocks per MCU."""
     dc_l, dc_c = _huff_codes(*HUFF_DC_LUMA), _huff_codes(*HUFF_DC_CHROMA)
     w = _BitWriter()
     preds = [0, 0, 0]
-    for bi in range(qzz[0].shape[0]):
-        if ri and bi and bi % ri == 0:
-            _emit_restart(w, bi // ri)
-            preds = [0, 0, 0]
-        for ci in range(3):
-            tab = dc_l if ci == 0 else dc_c
-            v = int(qzz[ci][bi][0]) >> al
-            diff = v - preds[ci]
-            preds[ci] = v
-            ssss, bits = _magnitude(diff)
-            length, code = tab[ssss]
-            w.put(code, length)
-            if ssss:
-                w.put(bits, ssss)
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and mcu and mcu % ri == 0:
+                _emit_restart(w, mcu // ri)
+                preds = [0, 0, 0]
+            for ci, (hs, vs) in enumerate(samp):
+                tab = dc_l if ci == 0 else dc_c
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = int(grids[ci][my * vs + by, mx * hs + bx][0]) >> al
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        ssss, bits = _magnitude(diff)
+                        length, code = tab[ssss]
+                        w.put(code, length)
+                        if ssss:
+                            w.put(bits, ssss)
+            mcu += 1
     w.flush()
     return bytes(w.buf)
 
 
-def _scan_dc_refine(qzz: list[np.ndarray], al: int, ri: int = 0) -> bytes:
+def _scan_dc_refine(
+    grids: list[np.ndarray],
+    samp: list[tuple[int, int]],
+    mcuy: int,
+    mcux: int,
+    al: int,
+    ri: int = 0,
+) -> bytes:
     """Interleaved DC refinement: one raw bit per block — bit Al of the
     DC value (G.1.2.1; no Huffman coding in DC refinement)."""
     w = _BitWriter()
-    for bi in range(qzz[0].shape[0]):
-        if ri and bi and bi % ri == 0:
-            _emit_restart(w, bi // ri)
-        for ci in range(3):
-            w.put((int(qzz[ci][bi][0]) >> al) & 1, 1)
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and mcu and mcu % ri == 0:
+                _emit_restart(w, mcu // ri)
+            for ci, (hs, vs) in enumerate(samp):
+                for by in range(vs):
+                    for bx in range(hs):
+                        w.put(
+                            (int(grids[ci][my * vs + by, mx * hs + bx][0]) >> al) & 1,
+                            1,
+                        )
+            mcu += 1
     w.flush()
     return bytes(w.buf)
 
 
-def _scan_ac_first(qzz_c: np.ndarray, ss: int, se: int, al: int, ri: int = 0) -> bytes:
+def _ni_blocks(grid: np.ndarray, bh: int, bw: int):
+    """Raster iterator over a component's NON-INTERLEAVED block grid —
+    the ceil(sample-dims / 8) sub-rectangle of the MCU-padded grid
+    (T.81 A.2.2; must mirror the decoder's _noninterleaved_dims)."""
+    for by in range(bh):
+        for bx in range(bw):
+            yield grid[by, bx]
+
+
+def _scan_ac_first(
+    grid: np.ndarray, bh: int, bw: int, ss: int, se: int, al: int, ri: int = 0
+) -> bytes:
     """Single-component AC first scan for band [Ss, Se] at precision Al
     (G.1.2.2): run/size symbols over the point-transformed magnitudes,
     all-zero-band blocks folded into EOB runs."""
     ac = _huff_codes(*HUFF_AC_PROG)
     w = _BitWriter()
     eobrun = 0
-    for bi in range(qzz_c.shape[0]):
+    for bi, zz in enumerate(_ni_blocks(grid, bh, bw)):
         if ri and bi and bi % ri == 0:
             # an EOB run may not cross a restart boundary (E.1.4)
             _emit_eobrun(w, ac, eobrun, [])
             eobrun = 0
             _emit_restart(w, bi // ri)
-        zz = qzz_c[bi]
         r = 0
         for k in range(ss, se + 1):
             t = int(zz[k])
@@ -979,7 +1063,9 @@ def _scan_ac_first(qzz_c: np.ndarray, ss: int, se: int, al: int, ri: int = 0) ->
     return bytes(w.buf)
 
 
-def _scan_ac_refine(qzz_c: np.ndarray, ss: int, se: int, al: int, ri: int = 0) -> bytes:
+def _scan_ac_refine(
+    grid: np.ndarray, bh: int, bw: int, ss: int, se: int, al: int, ri: int = 0
+) -> bytes:
     """Single-component AC refinement scan (G.1.2.3): newly-nonzero
     coefficients code as run/1 + sign, already-nonzero coefficients
     contribute correction bits buffered until the next Huffman symbol
@@ -989,7 +1075,7 @@ def _scan_ac_refine(qzz_c: np.ndarray, ss: int, se: int, al: int, ri: int = 0) -
     w = _BitWriter()
     eobrun = 0
     pending: list[int] = []  # correction bits deferred to the next EOBn
-    for bi in range(qzz_c.shape[0]):
+    for bi, zz in enumerate(_ni_blocks(grid, bh, bw)):
         if ri and bi and bi % ri == 0:
             # close the EOB run (and its buffered correction bits)
             # before the boundary — neither may cross it (E.1.4)
@@ -997,7 +1083,6 @@ def _scan_ac_refine(qzz_c: np.ndarray, ss: int, se: int, al: int, ri: int = 0) -
             eobrun = 0
             pending = []
             _emit_restart(w, bi // ri)
-        zz = qzz_c[bi]
         absval = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
         eob = ss - 1  # band position of the last NEWLY-nonzero coefficient
         for i, a in enumerate(absval):
@@ -1048,17 +1133,36 @@ def _scan_ac_refine(qzz_c: np.ndarray, ss: int, se: int, al: int, ri: int = 0) -
 
 
 def encode_jpeg_progressive(
-    pixels: np.ndarray, quality: int = 90, restart_interval: int = 0
+    pixels: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
-    """Encode an (h, w, 3) RGB uint8 array as a PROGRESSIVE (SOF2) 4:4:4
-    JFIF JPEG exercising both progressive mechanisms: spectral selection
-    (DC scan, split Y AC bands, per-chroma AC scans) and successive
-    approximation (every first scan at Al=1, then DC and AC refinement
-    scans at Al=0). Transmits exactly the same quantized coefficients as
-    encode_jpeg_baseline at the same quality, so decode of either form
-    yields byte-identical pixels — the fixture contract the decoder
-    tests pin."""
-    h, w, qzz, qt_l, qt_c = _quantized_zigzag(pixels, quality)
+    """Encode an (h, w, 3) RGB uint8 array as a PROGRESSIVE (SOF2) JFIF
+    JPEG — 4:4:4 (default) or 4:2:0 — exercising both progressive
+    mechanisms: spectral selection (DC scan, split Y AC bands,
+    per-chroma AC scans) and successive approximation (every first scan
+    at Al=1, then DC and AC refinement scans at Al=0). DC scans are
+    interleaved in MCU order (4 luma blocks per MCU at 4:2:0); AC scans
+    are single-component over each component's NON-interleaved block
+    grid, which at 4:2:0 is a strict sub-rectangle of the MCU-padded
+    luma grid — the geometry asymmetry real libjpeg files carry.
+    Transmits exactly the quantized coefficients of
+    encode_jpeg_baseline at the same quality/subsampling, so decode of
+    either form yields byte-identical pixels — the fixture contract the
+    decoder tests pin."""
+    h, w, grids, samp, qt_l, qt_c = _quantized_zigzag(pixels, quality, subsampling)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    def ni_dims(ci: int) -> tuple[int, int]:
+        # mirrors the decoder's _noninterleaved_dims
+        hs, vs = samp[ci]
+        ch = -(-h * vs // vmax)
+        cw = -(-w * hs // hmax)
+        return -(-ch // 8), -(-cw // 8)
 
     def dqt(tid: int, qt: np.ndarray) -> bytes:
         return struct.pack(">HHB", 0xFFDB, 67, tid) + bytes(int(qt[z]) for z in ZIGZAG)
@@ -1077,28 +1181,33 @@ def encode_jpeg_progressive(
         body = b"".join(bytes([cid, (td << 4) | ta]) for cid, td, ta in comps)
         return head + body + bytes([ss, se, (ah << 4) | al])
 
-    sof2 = struct.pack(
-        ">HHBHHB", 0xFFC2, 17, 8, h, w, 3
-    ) + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    sof2 = struct.pack(">HHBHHB", 0xFFC2, 17, 8, h, w, 3) + bytes(
+        [
+            1, (samp[0][0] << 4) | samp[0][1], 0,
+            2, (samp[1][0] << 4) | samp[1][1], 1,
+            3, (samp[2][0] << 4) | samp[2][1], 1,
+        ]
+    )
     app0 = struct.pack(">HH", 0xFFE0, 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     all_comps = [(1, 0, 0), (2, 1, 0), (3, 1, 0)]
     dri = (
         struct.pack(">HHH", 0xFFDD, 4, restart_interval) if restart_interval else b""
     )
     ri = restart_interval
+    (ybh, ybw), (cbh, cbw), (crh, crw) = ni_dims(0), ni_dims(1), ni_dims(2)
     scans = [
         # first pass at Al=1: DC interleaved, Y AC split 1-5 / 6-63,
         # then each chroma's full AC band
-        (sos(all_comps, 0, 0, 0, 1), _scan_dc_first(qzz, 1, ri)),
-        (sos([(1, 0, 0)], 1, 5, 0, 1), _scan_ac_first(qzz[0], 1, 5, 1, ri)),
-        (sos([(1, 0, 0)], 6, 63, 0, 1), _scan_ac_first(qzz[0], 6, 63, 1, ri)),
-        (sos([(2, 0, 0)], 1, 63, 0, 1), _scan_ac_first(qzz[1], 1, 63, 1, ri)),
-        (sos([(3, 0, 0)], 1, 63, 0, 1), _scan_ac_first(qzz[2], 1, 63, 1, ri)),
+        (sos(all_comps, 0, 0, 0, 1), _scan_dc_first(grids, samp, mcuy, mcux, 1, ri)),
+        (sos([(1, 0, 0)], 1, 5, 0, 1), _scan_ac_first(grids[0], ybh, ybw, 1, 5, 1, ri)),
+        (sos([(1, 0, 0)], 6, 63, 0, 1), _scan_ac_first(grids[0], ybh, ybw, 6, 63, 1, ri)),
+        (sos([(2, 0, 0)], 1, 63, 0, 1), _scan_ac_first(grids[1], cbh, cbw, 1, 63, 1, ri)),
+        (sos([(3, 0, 0)], 1, 63, 0, 1), _scan_ac_first(grids[2], crh, crw, 1, 63, 1, ri)),
         # refinement pass to Al=0
-        (sos(all_comps, 0, 0, 1, 0), _scan_dc_refine(qzz, 0, ri)),
-        (sos([(1, 0, 0)], 1, 63, 1, 0), _scan_ac_refine(qzz[0], 1, 63, 0, ri)),
-        (sos([(2, 0, 0)], 1, 63, 1, 0), _scan_ac_refine(qzz[1], 1, 63, 0, ri)),
-        (sos([(3, 0, 0)], 1, 63, 1, 0), _scan_ac_refine(qzz[2], 1, 63, 0, ri)),
+        (sos(all_comps, 0, 0, 1, 0), _scan_dc_refine(grids, samp, mcuy, mcux, 0, ri)),
+        (sos([(1, 0, 0)], 1, 63, 1, 0), _scan_ac_refine(grids[0], ybh, ybw, 1, 63, 0, ri)),
+        (sos([(2, 0, 0)], 1, 63, 1, 0), _scan_ac_refine(grids[1], cbh, cbw, 1, 63, 0, ri)),
+        (sos([(3, 0, 0)], 1, 63, 1, 0), _scan_ac_refine(grids[2], crh, crw, 1, 63, 0, ri)),
     ]
     out = (
         b"\xff\xd8"

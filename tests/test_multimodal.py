@@ -795,3 +795,45 @@ def test_jpeg_restart_intervals_roundtrip():
         assert b"\xff\xdd" in base and b"\xff\xd0" in base  # DRI + RST0
         assert np.array_equal(ref, decode_jpeg(base)), (shape, q, ri)
         assert np.array_equal(ref, decode_jpeg(prog)), (shape, q, ri)
+
+
+def test_jpeg_420_subsampled_baseline_and_progressive():
+    """4:2:0 end-to-end — the sampling geometry most real camera /
+    libjpeg files carry: 4 luma blocks per MCU in interleaved scans,
+    and (progressive) single-component AC scans over each component's
+    NON-interleaved block grid, a strict sub-rectangle of the padded
+    MCU grid. Progressive decode must equal baseline decode
+    byte-exactly at the same quality/subsampling (same transmitted
+    coefficients), with and without restart markers; a flat image must
+    come back within rounding (chroma averaging is exact on it)."""
+    import numpy as np
+
+    from etl_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    for shape, q, ri in [
+        ((24, 33, 3), 90, 0),   # ragged dims: MCU padding on both axes
+        ((48, 56, 3), 60, 2),   # restarts in every scan type
+        ((16, 16, 3), 95, 1),   # exactly one MCU column/row boundary
+        ((9, 25, 3), 85, 0),    # sub-MCU height
+    ]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        ref = decode_jpeg(encode_jpeg_baseline(img, q, subsampling="420"))
+        assert ref.shape == shape
+        prog = encode_jpeg_progressive(
+            img, q, restart_interval=ri, subsampling="420"
+        )
+        assert np.array_equal(ref, decode_jpeg(prog)), (shape, q, ri)
+        if ri:
+            base_r = encode_jpeg_baseline(
+                img, q, restart_interval=ri, subsampling="420"
+            )
+            assert np.array_equal(ref, decode_jpeg(base_r)), (shape, q, ri)
+
+    flat = np.full((24, 24, 3), (180, 60, 120), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(flat, 90, subsampling="420"))
+    assert np.abs(out.astype(int) - flat.astype(int)).max() <= 1
