@@ -9,11 +9,14 @@ fully from the spec with no native image library:
   replicated), 2 RGB, 3 palette via PLTE (tRNS-transparent entries kept
   as their palette color), 4 gray+alpha and 6 RGBA (alpha dropped —
   feature extraction wants pixel statistics, not compositing; the guard
-  comment marks where a compositor would plug in). Bit depth 8 only and
-  no Adam7 interlace — both raise NotImplementedError explicitly, like
-  the JPEG codec's progressive guard.
-- **Encoder**: (h, w, 3) RGB uint8 -> filter-0 rows, one zlib IDAT.
-  Exists for fixtures and round-trip tests.
+  comment marks where a compositor would plug in), and — r9 — Adam7
+  interlace: seven per-pass filtered sub-images reassembled onto the
+  pass grid, empty passes contributing no bytes. Bit depth 8 only
+  (16-bit raises NotImplementedError, like the JPEG codec's
+  arithmetic-coding guard).
+- **Encoder**: (h, w, 3) RGB uint8 -> filter-0 rows, one zlib IDAT,
+  sequential or Adam7-interlaced. Exists for fixtures and round-trip
+  tests (PNG is lossless, so interlaced decode must be byte-exact).
 
 Interop is tested against real libpng output (CPython's test-suite
 PNGs, palette + tRNS) in tests/test_multimodal.py.
@@ -38,14 +41,75 @@ def _chunk(typ: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """Encode an (h, w, 3) RGB uint8 array as an 8-bit truecolor PNG."""
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass — RFC
+# 2083 §2.6. A pass whose sub-image is empty for the given dimensions
+# contributes NOTHING to the stream (not even filter bytes).
+ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _filter_rows(sub: np.ndarray, cycle: bool) -> list[bytes]:
+    """Serialize a (ph, pw, ch) sub-image as filtered rows. cycle=False
+    emits filter 0 everywhere; cycle=True cycles None/Sub/Up/Average/
+    Paeth by row index so decode fixtures exercise every filter —
+    including Up/Average/Paeth against the PREVIOUS ROW OF THE PASS,
+    the neighbor semantics Adam7 makes subtle."""
+    ph, pw, ch = sub.shape
+    out = []
+    prev = np.zeros((pw * ch,), dtype=np.int64)
+    for r in range(ph):
+        cur = sub[r].reshape(-1).astype(np.int64)
+        f = (r % 5) if cycle else 0
+        a = np.concatenate([np.zeros(ch, dtype=np.int64), cur[:-ch]])
+        if f == 0:
+            enc = cur
+        elif f == 1:  # Sub
+            enc = cur - a
+        elif f == 2:  # Up
+            enc = cur - prev
+        elif f == 3:  # Average
+            enc = cur - (a + prev) // 2
+        else:  # Paeth
+            c = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]])
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c))
+            enc = cur - pred
+        out.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    return out
+
+
+def encode_png(
+    pixels: np.ndarray, interlace: bool = False, filter_cycle: bool = False
+) -> bytes:
+    """Encode an (h, w, 3) RGB uint8 array as an 8-bit truecolor PNG,
+    sequential (default) or Adam7-interlaced (``interlace=True`` — the
+    seven-pass pixel shuffle; exists so the decoder's interlace
+    reassembly has self-made fixtures; PNG is lossless, so interlaced
+    decode must reproduce the input byte-exactly)."""
     if pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError(f"expected (h, w, 3) array, got {pixels.shape}")
     h, w, _ = pixels.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
     rows = np.ascontiguousarray(pixels, dtype=np.uint8)
-    raw = b"".join(b"\x00" + rows[r].tobytes() for r in range(h))  # filter 0 per row
+    if interlace:
+        parts = []
+        for x0, y0, xs, ys in ADAM7:
+            sub = rows[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass: no bytes at all
+            parts.extend(_filter_rows(np.ascontiguousarray(sub), filter_cycle))
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(_filter_rows(rows, filter_cycle))
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
@@ -124,19 +188,45 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError(f"bad IHDR compression/filter method {comp}/{filt}")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if depth != 8:
         raise NotImplementedError(f"{depth}-bit PNG not supported (8-bit only)")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"unknown PNG color type {ctype}")
     raw = zlib.decompress(bytes(idat))
-    stride = 1 + w * channels
-    if len(raw) != h * stride:
-        raise ValueError(f"PNG pixel data: want {h * stride} bytes, got {len(raw)}")
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
-    px = _unfilter(rows, h, w, channels).reshape(h, w, channels)
+    if interlace == 1:
+        # Adam7 (r9): seven independently-filtered sub-images, each
+        # unfiltered with its OWN row geometry then scattered onto the
+        # pass grid; empty passes contribute no bytes
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, xs, ys in ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = 1 + pw * channels
+            seg = raw[off : off + ph * stride]
+            if len(seg) != ph * stride:
+                raise ValueError("truncated Adam7 pass data")
+            off += ph * stride
+            rows = np.frombuffer(seg, dtype=np.uint8).reshape(ph, stride)
+            sub = _unfilter(rows, ph, pw, channels).reshape(ph, pw, channels)
+            px[y0::ys, x0::xs] = sub
+        if off != len(raw):
+            raise ValueError(
+                f"PNG Adam7 data: consumed {off} of {len(raw)} bytes"
+            )
+    else:
+        stride = 1 + w * channels
+        if len(raw) != h * stride:
+            raise ValueError(
+                f"PNG pixel data: want {h * stride} bytes, got {len(raw)}"
+            )
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+        px = _unfilter(rows, h, w, channels).reshape(h, w, channels)
     if ctype == 2:
         return np.ascontiguousarray(px)
     if ctype == 6:

@@ -394,8 +394,9 @@ def test_png_roundtrip_is_lossless():
 
 def test_png_decodes_real_libpng_output_and_guards():
     """Interop against independent encoders: CPython's palette+tRNS
-    fixture and a filtered RGBA icon both decode; corrupted CRC and the
-    Adam7 guard fail the documented way."""
+    fixture and a filtered RGBA icon both decode; corrupted CRC fails
+    the documented way, and a sequential stream mislabeled Adam7 is a
+    detected layout mismatch (interlace itself is supported since r9)."""
     import glob
 
     from etl_pipeline_spark.operators.png_codec import decode_png
@@ -421,10 +422,13 @@ def test_png_decodes_real_libpng_output_and_guards():
 
     ih = data.find(b"IHDR")
     body = bytearray(data[ih + 4 : ih + 4 + 13])
-    body[12] = 1  # Adam7
+    body[12] = 1  # relabel as Adam7
     crc = _s.pack(">I", _z.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF)
     doctored = data[: ih + 4] + bytes(body) + crc + data[ih + 4 + 13 + 4 :]
-    with pytest.raises(NotImplementedError):
+    # Adam7 is SUPPORTED since r9, so a sequential stream relabeled as
+    # interlaced is now a data-layout mismatch (the seven passes expect
+    # different byte counts), detected as ValueError — not a guard
+    with pytest.raises(ValueError):
         decode_png(doctored)
 
 
@@ -837,3 +841,26 @@ def test_jpeg_420_subsampled_baseline_and_progressive():
     flat = np.full((24, 24, 3), (180, 60, 120), dtype=np.uint8)
     out = decode_jpeg(encode_jpeg_baseline(flat, 90, subsampling="420"))
     assert np.abs(out.astype(int) - flat.astype(int)).max() <= 1
+
+
+def test_png_adam7_interlace_roundtrips_byte_exactly():
+    """Adam7 interlace (r9 — the PNG codec's last real guard): seven
+    independently filtered sub-images reassembled onto the pass grid.
+    PNG is lossless, so interlaced decode must equal the input
+    byte-exactly — across shapes with EMPTY passes (1x1, 3x2, 2-wide,
+    2-tall) and with every filter type cycling inside each pass
+    (Up/Average/Paeth against the previous row OF THE PASS, the
+    neighbor semantics interlacing makes subtle)."""
+    import numpy as np
+
+    from etl_pipeline_spark.operators.png_codec import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1, 3), (3, 2, 3), (9, 7, 3), (33, 17, 3), (2, 50, 3), (50, 2, 3)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for filter_cycle in (False, True):
+            data = encode_png(px, interlace=True, filter_cycle=filter_cycle)
+            assert data[8 + 8 + 12] == 1  # IHDR interlace byte
+            assert np.array_equal(decode_png(data), px), (shape, filter_cycle)
+        # the sequential path keeps roundtripping with cycled filters too
+        assert np.array_equal(decode_png(encode_png(px, filter_cycle=True)), px)
