@@ -14,9 +14,11 @@ format gap VERDICT r5 left open — is implemented from the public spec:
   by channel replication. Progressive scans implement the full Annex G
   decode surface: spectral selection, successive approximation (DC and
   AC first + refinement passes), EOB runs with correction bits,
-  interleaved DC / non-interleaved AC geometry, restarts. Arithmetic
-  coding, hierarchical frames, and 12-bit precision raise
-  NotImplementedError — the guard the multimodal dispatch documents.
+  interleaved DC / non-interleaved AC geometry, restarts. Baseline
+  multi-scan (the legal one-scan-per-component non-interleaved form)
+  decodes through the same grid accumulator. Arithmetic coding,
+  hierarchical frames, and 12-bit precision raise NotImplementedError
+  — the guard the multimodal dispatch documents.
 - **Encoders**: baseline and progressive, 4:4:4 or 4:2:0 (box-averaged
   chroma, 4 luma blocks per MCU), optional restart intervals (DRI +
   RSTn), Annex K.1 quantization tables with the libjpeg linear quality
@@ -219,7 +221,7 @@ def _quantized_zigzag(
     cross-validation tests byte-exact."""
     if pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError(f"expected (h, w, 3) array, got {pixels.shape}")
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "422", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     h, w, _ = pixels.shape
     rgb = pixels.astype(np.float64)
@@ -227,17 +229,19 @@ def _quantized_zigzag(
     cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
     cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
 
+    def down2(p: np.ndarray, dy: int, dx: int) -> np.ndarray:
+        # dy x dx box average after edge-padding to the divisor grid
+        pe = np.pad(p, ((0, (-h) % dy), (0, (-w) % dx)), mode="edge")
+        return pe.reshape(
+            pe.shape[0] // dy, dy, pe.shape[1] // dx, dx
+        ).mean(axis=(1, 3))
+
     if subsampling == "420":
         samp = [(2, 2), (1, 1), (1, 1)]
-
-        def down2(p: np.ndarray) -> np.ndarray:
-            # 2x2 box average after edge-padding to even dims
-            pe = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
-            return (
-                pe.reshape(pe.shape[0] // 2, 2, pe.shape[1] // 2, 2).mean(axis=(1, 3))
-            )
-
-        planes = [y, down2(cb), down2(cr)]
+        planes = [y, down2(cb, 2, 2), down2(cr, 2, 2)]
+    elif subsampling == "422":
+        samp = [(2, 1), (1, 1), (1, 1)]
+        planes = [y, down2(cb, 1, 2), down2(cr, 1, 2)]
     else:
         samp = [(1, 1), (1, 1), (1, 1)]
         planes = [y, cb, cr]
@@ -283,14 +287,19 @@ def encode_jpeg_baseline(
     quality: int = 90,
     restart_interval: int = 0,
     subsampling: str = "444",
+    interleaved: bool = True,
 ) -> bytes:
-    """Encode an (h, w, 3) RGB uint8 array as a baseline JFIF JPEG,
-    4:4:4 (default) or 4:2:0 (``subsampling="420"`` — 2x2 luma blocks
-    per MCU, box-averaged chroma).
+    """Encode an (h, w, 3) RGB uint8 array as a baseline JFIF JPEG —
+    4:4:4 (default), 4:2:2, or 4:2:0 (box-averaged chroma); one
+    interleaved scan (default) or, with ``interleaved=False``, the
+    legal one-scan-per-component NON-interleaved form (each component's
+    full DC+AC blocks over its own ceil-dims grid — the r9 fixture for
+    the decoder's multi-scan baseline path).
 
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
-    that many MCUs (DC predictors reset) — exists so the decoder's
-    restart resynchronization path has a self-made fixture."""
+    that many MCUs (interleaved) / blocks (non-interleaved); DC
+    predictors reset — exists so the decoder's restart
+    resynchronization path has a self-made fixture."""
     h, w, grids, samp, qt_l, qt_c = _quantized_zigzag(pixels, quality, subsampling)
 
     dc_l, ac_l = _huff_codes(*HUFF_DC_LUMA), _huff_codes(*HUFF_AC_LUMA)
@@ -334,18 +343,39 @@ def encode_jpeg_baseline(
             length, code = ac_tab[0x00]  # EOB
             writer.put(code, length)
 
-    mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                _emit_restart(writer, mcu // restart_interval)
-                preds = [0, 0, 0]
-            for ci, (hs, vs) in enumerate(samp):
-                for by in range(vs):
-                    for bx in range(hs):
-                        encode_block(ci, grids[ci][my * vs + by, mx * hs + bx])
-            mcu += 1
-    writer.flush()
+    if interleaved:
+        mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    _emit_restart(writer, mcu // restart_interval)
+                    preds = [0, 0, 0]
+                for ci, (hs, vs) in enumerate(samp):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            encode_block(ci, grids[ci][my * vs + by, mx * hs + bx])
+                mcu += 1
+        writer.flush()
+        scan_payloads = None
+    else:
+        # one scan per component over its NON-interleaved ceil-dims grid
+        scan_payloads = []
+        for ci, (hs, vs) in enumerate(samp):
+            writer = _BitWriter()
+            preds = [0, 0, 0]
+            ch = -(-h * vs // vmax)
+            cw = -(-w * hs // hmax)
+            bh, bw = -(-ch // 8), -(-cw // 8)
+            n = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and n and n % restart_interval == 0:
+                        _emit_restart(writer, n // restart_interval)
+                        preds = [0, 0, 0]
+                    encode_block(ci, grids[ci][by, bx])
+                    n += 1
+            writer.flush()
+            scan_payloads.append(bytes(writer.buf))
 
     def dqt(tid: int, qt: np.ndarray) -> bytes:
         return struct.pack(">HHB", 0xFFDB, 67, tid) + bytes(int(qt[z]) for z in ZIGZAG)
@@ -366,9 +396,19 @@ def encode_jpeg_baseline(
             3, (samp[2][0] << 4) | samp[2][1], 1,
         ]
     )
-    sos = struct.pack(">HHB", 0xFFDA, 12, 3) + bytes(
-        [1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]
-    )
+    if interleaved:
+        scans_out = struct.pack(">HHB", 0xFFDA, 12, 3) + bytes(
+            [1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]
+        ) + bytes(writer.buf)
+    else:
+        scans_out = b""
+        for ci, payload_bytes in enumerate(scan_payloads):
+            td_ta = 0x00 if ci == 0 else 0x11
+            scans_out += (
+                struct.pack(">HHB", 0xFFDA, 8, 1)
+                + bytes([ci + 1, td_ta, 0, 63, 0])
+                + payload_bytes
+            )
     app0 = struct.pack(">HH", 0xFFE0, 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     dri = (
         struct.pack(">HHH", 0xFFDD, 4, restart_interval) if restart_interval else b""
@@ -384,8 +424,7 @@ def encode_jpeg_baseline(
         + dht(0, 1, HUFF_DC_CHROMA)
         + dht(1, 1, HUFF_AC_CHROMA)
         + dri
-        + sos
-        + bytes(writer.buf)
+        + scans_out
         + b"\xff\xd9"
     )
 
@@ -579,16 +618,53 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 scan_cids.append(cid)
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             if not progressive:
-                rgb = _decode_scan(
+                if set(scan_tabs) == {c[0] for c in frame[2]}:
+                    # classic interleaved single-scan baseline fast path
+                    rgb = _decode_scan(
+                        payload,
+                        pos + 2 + seg_len,
+                        frame,
+                        scan_tabs,
+                        qtables,
+                        htables,
+                        restart_interval,
+                    )
+                    break
+                # non-interleaved baseline (r9): one scan per component,
+                # legal per T.81; accumulate like progressive and
+                # reconstruct at EOI
+                if len(scan_cids) != 1:
+                    raise NotImplementedError(
+                        "baseline scans over a strict component subset "
+                        "with ns > 1 not supported"
+                    )
+                if grids is None:
+                    comps = frame[2]
+                    if any(
+                        c[1] not in (1, 2) or c[2] not in (1, 2) for c in comps
+                    ):
+                        raise NotImplementedError(
+                            "sampling factors beyond 2 not supported"
+                        )
+                    hmax = max(c[1] for c in comps)
+                    vmax = max(c[2] for c in comps)
+                    mcux = -(-frame[1] // (8 * hmax))
+                    mcuy = -(-frame[0] // (8 * vmax))
+                    grids = [
+                        np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+                        for _cid, hs, vs, _qid in comps
+                    ]
+                pos = _decode_sequential_ni_scan(
                     payload,
                     pos + 2 + seg_len,
                     frame,
+                    grids,
+                    scan_cids[0],
                     scan_tabs,
-                    qtables,
                     htables,
                     restart_interval,
                 )
-                break
+                continue
             pos = _decode_progressive_scan(
                 payload,
                 pos + 2 + seg_len,
@@ -605,7 +681,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             )
             continue
         pos += 2 + seg_len
-    if progressive:
+    if progressive or (grids is not None and rgb is None):
+        # progressive, or multi-scan non-interleaved baseline
         if grids is None:
             raise ValueError("no SOF2 frame found")
         return _reconstruct(frame, grids, qtables)
@@ -629,9 +706,10 @@ def _decode_scan(
 ) -> np.ndarray:
     fh, fw, comps = frame
     if set(scan_tabs) != {c[0] for c in comps}:
-        # legal per T.81 (one scan per component) but rare for baseline;
-        # keep it behind the same explicit guard as progressive
-        raise NotImplementedError("non-interleaved (multi-scan) baseline JPEG not supported")
+        # unreachable from decode_jpeg (partial scans route through
+        # _decode_sequential_ni_scan since r9); kept as an internal
+        # sanity check for direct callers
+        raise ValueError("_decode_scan requires a full-component scan")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if any(c[1] not in (1, 2) or c[2] not in (1, 2) for c in comps):
@@ -720,6 +798,56 @@ def _reconstruct(
 
 
 # ------------------------------------------------------ progressive decoder
+
+
+def _decode_sequential_ni_scan(
+    data: bytes,
+    pos: int,
+    frame: tuple,
+    grids: list[np.ndarray],
+    scan_cid: int,
+    scan_tabs: dict[int, tuple[int, int]],
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]],
+    restart_interval: int,
+) -> int:
+    """One NON-interleaved baseline-sequential scan (r9): a single
+    component's full DC+AC blocks in raster order over its own
+    ceil-dims grid (T.81 A.2.2) — the legal one-scan-per-component
+    baseline form some encoders emit. Fills the component's coefficient
+    grid and returns the payload position of the next marker."""
+    cid_to_ci = {c[0]: i for i, c in enumerate(frame[2])}
+    ci = cid_to_ci[scan_cid]
+    dc_tab = htables[(0, scan_tabs[scan_cid][0])]
+    ac_tab = htables[(1, scan_tabs[scan_cid][1])]
+    bh, bw = _noninterleaved_dims(frame, ci)
+    reader = _BitReader(data, pos)
+    pred = 0
+    n = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and n and n % restart_interval == 0:
+                reader.sync_restart()
+                pred = 0
+            zz = grids[ci][by, bx]
+            ssss = _decode_huff(reader, dc_tab)
+            pred += _extend(reader.bits(ssss), ssss)
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                rs = _decode_huff(reader, ac_tab)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC coefficient index overflow")
+                zz[k] = _extend(reader.bits(size), size)
+                k += 1
+            n += 1
+    return _next_marker_pos(data, reader)
 
 
 def _next_marker_pos(data: bytes, reader: "_BitReader") -> int:

@@ -10,10 +10,11 @@ fully from the spec with no native image library:
   as their palette color), 4 gray+alpha and 6 RGBA (alpha dropped —
   feature extraction wants pixel statistics, not compositing; the guard
   comment marks where a compositor would plug in), and — r9 — Adam7
-  interlace: seven per-pass filtered sub-images reassembled onto the
-  pass grid, empty passes contributing no bytes. Bit depth 8 only
-  (16-bit raises NotImplementedError, like the JPEG codec's
-  arithmetic-coding guard).
+  interlace (seven per-pass filtered sub-images reassembled onto the
+  pass grid, empty passes contributing no bytes) plus 16-bit depth
+  (filters unfilter at the 2-byte lane width per RFC 2083 §6.2, then
+  samples reduce to 8-bit by MSB — the standard depth reduction).
+  Sub-byte depths (1/2/4-bit) keep a NotImplementedError guard.
 - **Encoder**: (h, w, 3) RGB uint8 -> filter-0 rows, one zlib IDAT,
   sequential or Adam7-interlaced. Exists for fixtures and round-trip
   tests (PNG is lossless, so interlaced decode must be byte-exact).
@@ -88,7 +89,10 @@ def _filter_rows(sub: np.ndarray, cycle: bool) -> list[bytes]:
 
 
 def encode_png(
-    pixels: np.ndarray, interlace: bool = False, filter_cycle: bool = False
+    pixels: np.ndarray,
+    interlace: bool = False,
+    filter_cycle: bool = False,
+    depth16: bool = False,
 ) -> bytes:
     """Encode an (h, w, 3) RGB uint8 array as an 8-bit truecolor PNG,
     sequential (default) or Adam7-interlaced (``interlace=True`` — the
@@ -98,8 +102,18 @@ def encode_png(
     if pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError(f"expected (h, w, 3) array, got {pixels.shape}")
     h, w, _ = pixels.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
-    rows = np.ascontiguousarray(pixels, dtype=np.uint8)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 16 if depth16 else 8, 2, 0, 0, 1 if interlace else 0
+    )
+    if depth16:
+        # widen by replication (v * 257 = (v << 8) | v): the standard
+        # 8-to-16 expansion whose MSB round-trips exactly
+        wide = pixels.astype(">u2") * 257
+        rows = np.ascontiguousarray(
+            wide.view(np.uint8).reshape(h, w, 6)
+        )
+    else:
+        rows = np.ascontiguousarray(pixels, dtype=np.uint8)
     if interlace:
         parts = []
         for x0, y0, xs, ys in ADAM7:
@@ -190,11 +204,17 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"bad IHDR compression/filter method {comp}/{filt}")
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG not supported (8-bit only)")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"{depth}-bit PNG not supported (8/16-bit only)")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"unknown PNG color type {ctype}")
+    if depth == 16 and ctype == 3:
+        raise ValueError("16-bit palette PNG is not a legal combination")
+    # PNG filters operate on BYTES with bpp = channels * bytes-per-sample
+    # (RFC 2083 §6.2), so 16-bit planes unfilter at twice the lane width
+    # and samples reduce to 8-bit by taking the MSB afterwards
+    sample_bytes = depth // 8
     raw = zlib.decompress(bytes(idat))
     if interlace == 1:
         # Adam7 (r9): seven independently-filtered sub-images, each
@@ -207,26 +227,30 @@ def decode_png(payload: bytes) -> np.ndarray:
             ph = (h - y0 + ys - 1) // ys
             if pw <= 0 or ph <= 0:
                 continue
-            stride = 1 + pw * channels
+            stride = 1 + pw * channels * sample_bytes
             seg = raw[off : off + ph * stride]
             if len(seg) != ph * stride:
                 raise ValueError("truncated Adam7 pass data")
             off += ph * stride
             rows = np.frombuffer(seg, dtype=np.uint8).reshape(ph, stride)
-            sub = _unfilter(rows, ph, pw, channels).reshape(ph, pw, channels)
+            sub = _unfilter(rows, ph, pw, channels * sample_bytes).reshape(
+                ph, pw, channels, sample_bytes
+            )[..., 0]  # MSB for 16-bit; identity for 8-bit
             px[y0::ys, x0::xs] = sub
         if off != len(raw):
             raise ValueError(
                 f"PNG Adam7 data: consumed {off} of {len(raw)} bytes"
             )
     else:
-        stride = 1 + w * channels
+        stride = 1 + w * channels * sample_bytes
         if len(raw) != h * stride:
             raise ValueError(
                 f"PNG pixel data: want {h * stride} bytes, got {len(raw)}"
             )
         rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
-        px = _unfilter(rows, h, w, channels).reshape(h, w, channels)
+        px = _unfilter(rows, h, w, channels * sample_bytes).reshape(
+            h, w, channels, sample_bytes
+        )[..., 0]  # MSB for 16-bit; identity for 8-bit
     if ctype == 2:
         return np.ascontiguousarray(px)
     if ctype == 6:

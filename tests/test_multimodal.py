@@ -285,10 +285,11 @@ def test_jpeg_truncated_restart_interval_raises_value_error():
         decode_jpeg_baseline(doctored)
 
 
-def test_jpeg_non_interleaved_scan_guarded():
-    """A baseline file whose SOS names fewer components than the frame
-    (multi-scan form) must hit the explicit NotImplementedError guard,
-    not a KeyError (r6 review)."""
+def test_jpeg_partial_multicomponent_scan_guarded():
+    """Single-component baseline scans are SUPPORTED since r9 (the
+    non-interleaved form); the remaining guard is a baseline scan over
+    a strict SUBSET of components with ns > 1 — that must still hit the
+    explicit NotImplementedError, not a KeyError (r6 review)."""
     import numpy as np
 
     from etl_pipeline_spark.operators.jpeg_codec import (
@@ -299,10 +300,12 @@ def test_jpeg_non_interleaved_scan_guarded():
     base = bytearray(encode_jpeg_baseline(np.full((8, 8, 3), 90, dtype=np.uint8), 90))
     i = bytes(base).find(b"\xff\xda")
     assert i > 0
-    # rewrite the SOS header to declare a single-component scan (Y only)
-    sos1 = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    # rewrite the SOS header to declare a TWO-component scan (Y + Cb)
+    sos2 = b"\xff\xda" + struct.pack(">HB", 10, 2) + bytes(
+        [1, 0x00, 2, 0x11, 0, 63, 0]
+    )
     old_len = struct.unpack_from(">H", bytes(base), i + 2)[0]
-    doctored = bytes(base[:i]) + sos1 + bytes(base[i + 2 + old_len:])
+    doctored = bytes(base[:i]) + sos2 + bytes(base[i + 2 + old_len:])
     with pytest.raises(NotImplementedError):
         decode_jpeg_baseline(doctored)
 
@@ -864,3 +867,80 @@ def test_png_adam7_interlace_roundtrips_byte_exactly():
             assert np.array_equal(decode_png(data), px), (shape, filter_cycle)
         # the sequential path keeps roundtripping with cycled filters too
         assert np.array_equal(decode_png(encode_png(px, filter_cycle=True)), px)
+
+
+def test_png_16bit_depth_decodes_via_msb():
+    """16-bit PNGs (r9): filters operate on BYTES at the 2-byte lane
+    width, samples reduce to 8-bit by MSB. The encoder widens by
+    replication (v*257), whose MSB round-trips exactly — pinned across
+    interlace and filter-cycling combinations."""
+    import numpy as np
+
+    from etl_pipeline_spark.operators.png_codec import decode_png, encode_png
+
+    rng = np.random.default_rng(9)
+    for shape in [(1, 1, 3), (9, 7, 3), (33, 17, 3)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for interlace in (False, True):
+            for filter_cycle in (False, True):
+                data = encode_png(
+                    px, interlace=interlace, filter_cycle=filter_cycle, depth16=True
+                )
+                assert data[8 + 8 + 8] == 16  # IHDR bit depth
+                assert np.array_equal(decode_png(data), px), (
+                    shape, interlace, filter_cycle,
+                )
+
+
+def test_jpeg_noninterleaved_baseline_decodes_byte_exactly():
+    """Non-interleaved baseline (r9 — the last legal-stream guard): one
+    scan per component, each walking its OWN ceil-dims block grid.
+    Same quantized coefficients as the interleaved form, so decode must
+    match byte-exactly — across subsamplings (where the Y scan grid is
+    a sub-rectangle of the padded MCU grid) and restart intervals
+    (counted in blocks, not MCUs, per T.81)."""
+    import numpy as np
+
+    from etl_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(4)
+    for shape, q, ri, sub in [
+        ((24, 33, 3), 90, 0, "444"),
+        ((16, 16, 3), 95, 2, "444"),
+        ((9, 25, 3), 85, 0, "420"),
+        ((48, 56, 3), 60, 3, "420"),
+        ((32, 40, 3), 75, 0, "422"),
+    ]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        ref = decode_jpeg(encode_jpeg_baseline(img, q, subsampling=sub))
+        ni = encode_jpeg_baseline(
+            img, q, restart_interval=ri, subsampling=sub, interleaved=False
+        )
+        assert ni.count(b"\xff\xda") >= 3  # really one SOS per component
+        assert np.array_equal(ref, decode_jpeg(ni)), (shape, q, ri, sub)
+
+
+def test_jpeg_422_subsampling_cross_validates():
+    """4:2:2 (horizontal-only chroma): progressive decode equals
+    baseline decode byte-exactly, and a flat image reconstructs within
+    rounding (the chroma average is exact on it)."""
+    import numpy as np
+
+    from etl_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(6)
+    for shape, q, ri in [((24, 33, 3), 90, 0), ((16, 16, 3), 95, 1), ((48, 56, 3), 60, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        ref = decode_jpeg(encode_jpeg_baseline(img, q, subsampling="422"))
+        prog = encode_jpeg_progressive(img, q, restart_interval=ri, subsampling="422")
+        assert np.array_equal(ref, decode_jpeg(prog)), (shape, q, ri)
+    flat = np.full((24, 24, 3), (180, 60, 120), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(flat, 90, subsampling="422"))
+    assert np.abs(out.astype(int) - flat.astype(int)).max() <= 1
