@@ -476,3 +476,62 @@ def test_gopher_repetition_matches_reference(spark, docs):
     assert len(got) == len(docs)
     for i, text in enumerate(docs):
         assert got[i] == _gopher_ref(text), (i, text)
+
+
+# --------------------------------------------------------- codec properties
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+    interlace=st.booleans(),
+    depth16=st.booleans(),
+    filter_cycle=st.booleans(),
+)
+def test_png_roundtrip_property(h, w, seed, interlace, depth16, filter_cycle):
+    """PNG is lossless: decode(encode(px)) == px for EVERY combination
+    of interlace / bit depth / per-row filter choice and any dimensions
+    (including shapes whose trailing Adam7 passes are empty)."""
+    import numpy as np
+
+    from etl_pipeline_spark.operators.png_codec import decode_png, encode_png
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    data = encode_png(
+        px, interlace=interlace, filter_cycle=filter_cycle, depth16=depth16
+    )
+    assert np.array_equal(decode_png(data), px)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+    quality=st.integers(30, 100),
+    sub=st.sampled_from(["444", "422", "420"]),
+    ri=st.integers(0, 3),
+)
+def test_jpeg_form_equivalence_property(h, w, seed, quality, sub, ri):
+    """Every JPEG stream form that transmits the same quantized
+    coefficients must decode to the same pixels: interleaved baseline
+    (the reference), non-interleaved baseline, and progressive —
+    with or without restart markers, at any subsampling/quality/shape."""
+    import numpy as np
+
+    from etl_pipeline_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    ref = decode_jpeg(encode_jpeg_baseline(px, quality, subsampling=sub))
+    ni = encode_jpeg_baseline(
+        px, quality, restart_interval=ri, subsampling=sub, interleaved=False
+    )
+    prog = encode_jpeg_progressive(px, quality, restart_interval=ri, subsampling=sub)
+    assert np.array_equal(ref, decode_jpeg(ni))
+    assert np.array_equal(ref, decode_jpeg(prog))
