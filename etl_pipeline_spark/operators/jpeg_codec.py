@@ -282,6 +282,20 @@ def _emit_restart(writer: _BitWriter, count: int) -> None:
     writer.buf += bytes([0xFF, 0xD0 + ((count - 1) % 8)])
 
 
+def _dqt_segment(tid: int, qt: np.ndarray) -> bytes:
+    return struct.pack(">HHB", 0xFFDB, 67, tid) + bytes(int(qt[z]) for z in ZIGZAG)
+
+
+def _dht_segment(cls: int, tid: int, spec: tuple[list[int], list[int]]) -> bytes:
+    bits, vals = spec
+    return (
+        struct.pack(">HH", 0xFFC4, 19 + len(vals))
+        + bytes([(cls << 4) | tid])
+        + bytes(bits)
+        + bytes(vals)
+    )
+
+
 def encode_jpeg_baseline(
     pixels: np.ndarray,
     quality: int = 90,
@@ -377,18 +391,6 @@ def encode_jpeg_baseline(
             writer.flush()
             scan_payloads.append(bytes(writer.buf))
 
-    def dqt(tid: int, qt: np.ndarray) -> bytes:
-        return struct.pack(">HHB", 0xFFDB, 67, tid) + bytes(int(qt[z]) for z in ZIGZAG)
-
-    def dht(cls: int, tid: int, spec: tuple[list[int], list[int]]) -> bytes:
-        bits, vals = spec
-        return (
-            struct.pack(">HH", 0xFFC4, 19 + len(vals))
-            + bytes([(cls << 4) | tid])
-            + bytes(bits)
-            + bytes(vals)
-        )
-
     sof = struct.pack(">HHBHHB", 0xFFC0, 17, 8, h, w, 3) + bytes(
         [
             1, (samp[0][0] << 4) | samp[0][1], 0,
@@ -416,13 +418,13 @@ def encode_jpeg_baseline(
     return (
         b"\xff\xd8"
         + app0
-        + dqt(0, qt_l)
-        + dqt(1, qt_c)
+        + _dqt_segment(0, qt_l)
+        + _dqt_segment(1, qt_c)
         + sof
-        + dht(0, 0, HUFF_DC_LUMA)
-        + dht(1, 0, HUFF_AC_LUMA)
-        + dht(0, 1, HUFF_DC_CHROMA)
-        + dht(1, 1, HUFF_AC_CHROMA)
+        + _dht_segment(0, 0, HUFF_DC_LUMA)
+        + _dht_segment(1, 0, HUFF_AC_LUMA)
+        + _dht_segment(0, 1, HUFF_DC_CHROMA)
+        + _dht_segment(1, 1, HUFF_AC_CHROMA)
         + dri
         + scans_out
         + b"\xff\xd9"
@@ -594,14 +596,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if progressive:
                 if any(c[1] not in (1, 2) or c[2] not in (1, 2) for c in comps):
                     raise NotImplementedError("sampling factors beyond 2 not supported")
-                hmax = max(c[1] for c in comps)
-                vmax = max(c[2] for c in comps)
-                mcux = -(-fw // (8 * hmax))
-                mcuy = -(-fh // (8 * vmax))
-                grids = [
-                    np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
-                    for _cid, hs, vs, _qid in comps
-                ]
+                grids = _alloc_coeff_grids(frame)
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS — entropy-coded scan follows
@@ -646,14 +641,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         raise NotImplementedError(
                             "sampling factors beyond 2 not supported"
                         )
-                    hmax = max(c[1] for c in comps)
-                    vmax = max(c[2] for c in comps)
-                    mcux = -(-frame[1] // (8 * hmax))
-                    mcuy = -(-frame[0] // (8 * vmax))
-                    grids = [
-                        np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
-                        for _cid, hs, vs, _qid in comps
-                    ]
+                    grids = _alloc_coeff_grids(frame)
                 pos = _decode_sequential_ni_scan(
                     payload,
                     pos + 2 + seg_len,
@@ -695,6 +683,51 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 decode_jpeg_baseline = decode_jpeg
 
 
+def _alloc_coeff_grids(frame: tuple) -> list[np.ndarray]:
+    """Per-component MCU-padded zigzag coefficient grids for a frame."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    return [
+        np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+        for _cid, hs, vs, _qid in comps
+    ]
+
+
+def _decode_block_sequential(
+    reader: "_BitReader",
+    dc_tab: dict[tuple[int, int], int],
+    ac_tab: dict[tuple[int, int], int],
+    zz: np.ndarray,
+    pred: int,
+) -> int:
+    """One full sequential DC+AC block (F.2.2): DC diff + EXTEND into
+    the running predictor, then run/size AC symbols with ZRL/EOB.
+    Returns the updated predictor. Shared by the interleaved and
+    non-interleaved baseline scan decoders so the T.81 recurrence lives
+    in exactly one place (review find, r9)."""
+    ssss = _decode_huff(reader, dc_tab)
+    pred += _extend(reader.bits(ssss), ssss)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = _decode_huff(reader, ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient index overflow")
+        zz[k] = _extend(reader.bits(size), size)
+        k += 1
+    return pred
+
+
 def _decode_scan(
     data: bytes,
     pos: int,
@@ -718,10 +751,7 @@ def _decode_scan(
     mcuy = -(-fh // (8 * vmax))
     reader = _BitReader(data, pos)
 
-    # per component: coefficient block grid and DC predictor
-    grids = []
-    for cid, hs, vs, qid in comps:
-        grids.append(np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64))
+    grids = _alloc_coeff_grids(frame)
     preds = [0] * len(comps)
 
     mcu_count = 0
@@ -735,26 +765,13 @@ def _decode_scan(
                 ac_tab = htables[(1, scan_tabs[cid][1])]
                 for by in range(vs):
                     for bx in range(hs):
-                        zz = np.zeros(64, dtype=np.int64)
-                        ssss = _decode_huff(reader, dc_tab)
-                        diff = _extend(reader.bits(ssss), ssss)
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(reader, ac_tab)
-                            run, size = rs >> 4, rs & 0x0F
-                            if size == 0:
-                                if run == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC coefficient index overflow")
-                            zz[k] = _extend(reader.bits(size), size)
-                            k += 1
-                        grids[ci][my * vs + by, mx * hs + bx] = zz
+                        preds[ci] = _decode_block_sequential(
+                            reader,
+                            dc_tab,
+                            ac_tab,
+                            grids[ci][my * vs + by, mx * hs + bx],
+                            preds[ci],
+                        )
             mcu_count += 1
 
     return _reconstruct(frame, grids, qtables)
@@ -828,24 +845,9 @@ def _decode_sequential_ni_scan(
             if restart_interval and n and n % restart_interval == 0:
                 reader.sync_restart()
                 pred = 0
-            zz = grids[ci][by, bx]
-            ssss = _decode_huff(reader, dc_tab)
-            pred += _extend(reader.bits(ssss), ssss)
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                rs = _decode_huff(reader, ac_tab)
-                run, size = rs >> 4, rs & 0x0F
-                if size == 0:
-                    if run == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("AC coefficient index overflow")
-                zz[k] = _extend(reader.bits(size), size)
-                k += 1
+            pred = _decode_block_sequential(
+                reader, dc_tab, ac_tab, grids[ci][by, bx], pred
+            )
             n += 1
     return _next_marker_pos(data, reader)
 
@@ -978,6 +980,13 @@ def _decode_progressive_scan(
                         r -= 1
                     k += 1
                 if newval:
+                    # the advance loop must have stopped at an in-band
+                    # zero-history position; running off the band end is
+                    # a malformed stream (review find, r9) — raise the
+                    # decoder's documented error, not a numpy IndexError
+                    # (se == 63) or a silent out-of-band write (se < 63)
+                    if k > se:
+                        raise ValueError("AC coefficient index overflow")
                     zz[k] = newval
                 k += 1
         if state["eobrun"] > 0:
@@ -1286,23 +1295,11 @@ def encode_jpeg_progressive(
     mcuy = -(-h // (8 * vmax))
 
     def ni_dims(ci: int) -> tuple[int, int]:
-        # mirrors the decoder's _noninterleaved_dims
+        # THE decoder's geometry, not a mirror of it (review find, r9):
+        # a drifting copy here would break the byte-exact cross-check
         hs, vs = samp[ci]
-        ch = -(-h * vs // vmax)
-        cw = -(-w * hs // hmax)
-        return -(-ch // 8), -(-cw // 8)
-
-    def dqt(tid: int, qt: np.ndarray) -> bytes:
-        return struct.pack(">HHB", 0xFFDB, 67, tid) + bytes(int(qt[z]) for z in ZIGZAG)
-
-    def dht(cls: int, tid: int, spec: tuple[list[int], list[int]]) -> bytes:
-        bits, vals = spec
-        return (
-            struct.pack(">HH", 0xFFC4, 19 + len(vals))
-            + bytes([(cls << 4) | tid])
-            + bytes(bits)
-            + bytes(vals)
-        )
+        frame_like = (h, w, [(i + 1, s[0], s[1], 0) for i, s in enumerate(samp)])
+        return _noninterleaved_dims(frame_like, ci)
 
     def sos(comps: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
         head = struct.pack(">HHB", 0xFFDA, 6 + 2 * len(comps), len(comps))
@@ -1340,12 +1337,12 @@ def encode_jpeg_progressive(
     out = (
         b"\xff\xd8"
         + app0
-        + dqt(0, qt_l)
-        + dqt(1, qt_c)
+        + _dqt_segment(0, qt_l)
+        + _dqt_segment(1, qt_c)
         + sof2
-        + dht(0, 0, HUFF_DC_LUMA)
-        + dht(0, 1, HUFF_DC_CHROMA)
-        + dht(1, 0, HUFF_AC_PROG)
+        + _dht_segment(0, 0, HUFF_DC_LUMA)
+        + _dht_segment(0, 1, HUFF_DC_CHROMA)
+        + _dht_segment(1, 0, HUFF_AC_PROG)
         + dri
     )
     for header, entropy in scans:

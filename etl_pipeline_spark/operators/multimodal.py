@@ -212,8 +212,8 @@ def _extract_features(payload: bytes | None, kind: str | None) -> dict:
     header, the integer sum of all decoded pixel bytes / sample values,
     and (images) the md5 of the decoded RGB array, so a wrong de-pad,
     row flip, or channel order changes the output. Remaining unknown
-    formats (MP4; arithmetic-coded JPEG and 16-bit PNG inside the
-    decoders) raise NotImplementedError — those need native libs or
+    formats (MP4; arithmetic-coded JPEG and sub-byte-depth PNG inside
+    the decoders) raise NotImplementedError — those need native libs or
     further spec work; a real deployment extends this dispatch."""
     if payload is None:
         return dict(_NULL_FEATURES)

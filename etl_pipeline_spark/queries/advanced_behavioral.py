@@ -2089,7 +2089,9 @@ def _assortativity_frame_lazy(spark: SparkSession, sf_dir: str):
 def q_degree_assortativity_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-checkpoint plan-audit twin of q_degree_assortativity (see
     q_pagerank_lazy for the rationale). Never executed — plan-only."""
-    return _assortativity_frame_lazy(spark, sf_dir)[0]
+    out, edges = _assortativity_frame_lazy(spark, sf_dir)
+    edges.unpersist()  # see q_pagerank_lazy
+    return out
 
 
 # --- Adamic-Adar link prediction ----------------------------------------------
@@ -2209,4 +2211,6 @@ def _aa_frame_lazy(spark: SparkSession, sf_dir: str):
 def q_link_prediction_aa_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-checkpoint plan-audit twin of q_link_prediction_aa (see
     q_pagerank_lazy for the rationale). Never executed — plan-only."""
-    return _aa_frame_lazy(spark, sf_dir)[0]
+    out, edges = _aa_frame_lazy(spark, sf_dir)
+    edges.unpersist()  # see q_pagerank_lazy
+    return out

@@ -346,7 +346,12 @@ def q_pagerank_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
     minus the final eager checkpoint, so the audit sees the real
     final-iteration join/aggregate shape. Never executed — plan-only."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    out, _edges = pagerank_ranks_lazy(li, checkpoint_last=False)
+    out, edges = pagerank_ranks_lazy(li, checkpoint_last=False)
+    # release the never-materialized persist registration immediately:
+    # "plan-only" is a caller promise, and a later same-session action
+    # whose plan matches the cached fragment would otherwise materialize
+    # blocks no code path releases (review find, r9)
+    edges.unpersist()
     return out.orderBy(F.desc("rank_scaled"), "node").limit(PR_TOPK)
 
 
@@ -473,7 +478,9 @@ def _lpa_frame_lazy(
 def q_label_propagation_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-checkpoint plan-audit twin of q_label_propagation (see
     q_pagerank_lazy for the rationale). Never executed — plan-only."""
-    return _lpa_frame_lazy(spark, sf_dir, checkpoint_last=False)[0]
+    out, edges = _lpa_frame_lazy(spark, sf_dir, checkpoint_last=False)
+    edges.unpersist()  # see q_pagerank_lazy
+    return out
 
 
 def lpa_labels(
@@ -2151,4 +2158,6 @@ def _kcore_frame_lazy(
 def q_kcore_nodes_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-checkpoint plan-audit twin of q_kcore_nodes (see
     q_pagerank_lazy for the rationale). Never executed — plan-only."""
-    return _kcore_frame_lazy(spark, sf_dir, checkpoint_last=False)[0]
+    out, edges = _kcore_frame_lazy(spark, sf_dir, checkpoint_last=False)
+    edges.unpersist()  # see q_pagerank_lazy
+    return out

@@ -170,16 +170,27 @@ def read_parquet_evolved(
         null_col = F.lit(None).cast(field.dataType).alias(field.name)
         if field.name not in df.columns:
             cols.append(null_col)
-            continue
-        cast_col = F.col(field.name).try_cast(field.dataType).alias(field.name)
+        else:
+            cols.append(F.col(field.name).try_cast(field.dataType).alias(field.name))
+    try:
+        # ONE analysis pass for the whole contract (no jobs): lets
+        # Spark's own analyzer rule on castability — try_cast nulls
+        # runtime failures, but a structurally impossible cast (BIGINT
+        # declared, array/struct arrived) raises DATATYPE_MISMATCH here,
+        # which the contract promises to surface as a NULL column, not a
+        # job abort. The no-drift common case pays a single round-trip;
+        # only a failing contract falls back to the per-column probe to
+        # isolate which columns are unresolvable (review find, r9).
+        out = df.select(*cols)
+        out.schema
+        return out
+    except AnalysisException:
+        pass
+    probed = []
+    for field, col in zip(schema.fields, cols):
         try:
-            # analysis only (no jobs): lets Spark's own analyzer rule on
-            # castability — try_cast nulls runtime failures but a
-            # structurally impossible cast (BIGINT declared, array/struct
-            # arrived) raises DATATYPE_MISMATCH here, which the contract
-            # promises to surface as a NULL column, not a job abort
-            df.select(cast_col).schema
-            cols.append(cast_col)
+            df.select(col).schema
+            probed.append(col)
         except AnalysisException:
-            cols.append(null_col)
-    return df.select(*cols)
+            probed.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*probed)

@@ -944,3 +944,30 @@ def test_jpeg_422_subsampling_cross_validates():
     flat = np.full((24, 24, 3), (180, 60, 120), dtype=np.uint8)
     out = decode_jpeg(encode_jpeg_baseline(flat, 90, subsampling="422"))
     assert np.abs(out.astype(int) - flat.astype(int)).max() <= 1
+
+
+def test_progressive_ac_refine_band_overflow_is_valueerror():
+    """A malformed AC-refinement stream whose run extends past the
+    spectral band end must raise the decoder's documented ValueError —
+    not a numpy IndexError (se == 63) or a silent out-of-band write
+    (se < 63): review find, r9. Crafted stream: run-15/size-1 over a
+    15-position all-zero band leaves the write position at se+1."""
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_pipeline_spark.operators import jpeg_codec as J
+
+    ac = J._huff_codes(*J.HUFF_AC_PROG)
+    w = J._BitWriter()
+    length, code = ac[0xF1]  # run 15, size 1
+    w.put(code, length)
+    w.put(1, 1)  # sign bit for the newly-nonzero coefficient
+    w.flush()
+    data = bytes(w.buf) + b"\xff\xd9"
+    frame = (8, 8, [(1, 1, 1, 0)])
+    grids = [np.zeros((1, 1, 64), dtype=np.int64)]
+    htables = {(1, 0): J._huff_decode_table(*J.HUFF_AC_PROG)}
+    with _pytest.raises(ValueError, match="AC coefficient index overflow"):
+        J._decode_progressive_scan(
+            data, 0, frame, grids, [1], {1: (0, 0)}, htables, 0, 49, 63, 1, 0
+        )
