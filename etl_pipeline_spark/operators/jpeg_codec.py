@@ -19,9 +19,10 @@ format gap VERDICT r5 left open — is implemented from the public spec:
   decodes through the same grid accumulator. Arithmetic coding,
   hierarchical frames, and 12-bit precision raise NotImplementedError
   — the guard the multimodal dispatch documents.
-- **Encoders**: baseline and progressive, 4:4:4 or 4:2:0 (box-averaged
-  chroma, 4 luma blocks per MCU), optional restart intervals (DRI +
-  RSTn), Annex K.1 quantization tables with the libjpeg linear quality
+- **Encoders**: baseline (interleaved or the legal non-interleaved
+  one-scan-per-component form) and progressive; 4:4:4, 4:2:2, or 4:2:0
+  (box-averaged chroma); optional restart intervals (DRI +
+  RSTn); Annex K.1 quantization tables with the libjpeg linear quality
   scaling; baseline uses the Annex K.3 example Huffman tables, the
   progressive scans a flat custom AC table covering the EOBn symbols
   K.3 lacks. Both transmit identical quantized coefficients for the

@@ -522,6 +522,75 @@ def build_sf100(spark) -> None:
     out.repartition(128).write.mode("overwrite").parquet(f"{SF100_DIR}/documents.parquet")
 
 
+SF100_GRAPH_QUERIES = ["q_label_propagation", "q_kcore_scaled"]
+
+
+def build_sf100_lineitem(spark) -> None:
+    """lineitem two decades past sf1 (r9): 10 outer copies of the sf10
+    lineitem with all three keys offset by k * 100 * ID_OFFSET — 1000
+    disjoint copies of the sf0.1 co-purchase graph, so edge volume
+    scales exactly 1000x with no cross-copy densification. ~13 GB;
+    callers may delete after the campaign (this builder is the
+    recipe)."""
+    li = load_tables(spark, SF10_DIR, ("lineitem",))["lineitem"]
+    parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + k * 100 * ID_OFFSET)
+        .withColumn("l_partkey", F.col("l_partkey") + k * 100 * ID_OFFSET)
+        .withColumn("l_suppkey", F.col("l_suppkey") + k * 100 * ID_OFFSET)
+        for k in range(COPIES)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(256).write.mode("overwrite").parquet(f"{SF100_DIR}/lineitem.parquet")
+
+
+def main_sf100_graph() -> None:
+    """Two-decades graph campaign (r9): sf10 -> sf100 slope for the
+    co-purchase graph family leads. Memory regime per the r7 sf100
+    lesson: shuffle.partitions=256 (partition count, not heap, is the
+    lever); lineitem is numeric parquet (no 100:1 text decompression),
+    so the default scan split stands."""
+    spark = get_spark("scale_soak_sf100_graph")
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    if "--skip-build" not in sys.argv:
+        t0 = time.perf_counter()
+        build_sf100_lineitem(spark)
+        print(
+            json.dumps({"built_sf100_lineitem_sec": round(time.perf_counter() - t0, 1)}),
+            flush=True,
+        )
+
+    from etl_pipeline_spark.queries.base import all_specs
+
+    specs = all_specs()
+    results: dict[str, dict[str, dict]] = {}
+    for sf_label, sf_dir in [("10", SF10_DIR), ("100", SF100_DIR)]:
+        for name in SF100_GRAPH_QUERIES:
+            t0 = time.perf_counter()
+            if name == "q_kcore_scaled":
+                n = kcore_scaled(spark, sf_dir, sf_label).count()
+            else:
+                n = specs[name].fn(spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 2)
+            results.setdefault(name, {})[sf_label] = {"sec": dt, "rows": n}
+            print(
+                json.dumps({"sf": sf_label, "query": name, "sec": dt, "rows": n}),
+                flush=True,
+            )
+            release_session_blocks(spark)
+    summary = {}
+    for name, by_sf in results.items():
+        r10, r100 = by_sf["10"], by_sf["100"]
+        summary[name] = {
+            "sf10_sec": r10["sec"],
+            "sf100_sec": r100["sec"],
+            "t_ratio_10x": round(r100["sec"] / max(r10["sec"], 1e-9), 2),
+            "rows_ratio_10x": round(r100["rows"] / max(r10["rows"], 1), 2),
+        }
+    print(json.dumps({"summary_sf100_graph": summary}))
+
+
 def main_sf100() -> None:
     """Two-decades-past-sf1 spot-soak: sf10 -> sf100 slope per 10x for
     the top-2 document heavies. Requires the sf10 fixture (run --sf10
@@ -596,6 +665,9 @@ def main_sf100() -> None:
 def main() -> None:
     if "--sf10" in sys.argv:
         main_sf10()
+        return
+    if "--sf100-graph" in sys.argv:
+        main_sf100_graph()
         return
     if "--sf100" in sys.argv:
         main_sf100()
