@@ -136,13 +136,18 @@ def main() -> None:
     spark = get_spark("bench")
     specs = all_specs()
 
-    # Warm the JVM + parquet footer caches so timed queries measure query
-    # execution, not session startup or first-touch file listing: one
-    # trivial action per table the bench set reads.
+    # Warm the JVM, parquet footers, AND the data pages the bench set
+    # reads: a full count() per table pulls every file through the OS
+    # page cache, so timed queries measure execution, not disk state.
+    # (limit(1) warmed only footers — measured r9: after another job's
+    # 60 GB spill churn evicted the cache, the core set read 24.3 s on
+    # an otherwise-idle host vs 7.2 s one run later. The CPU-bound
+    # mt-canary cannot see IO contention, so cold-cache variance must
+    # be engineered out rather than normalized away.)
     from etl_pipeline_spark.catalog import load_tables
 
     for df in load_tables(spark, sf_dir).values():
-        df.limit(1).count()
+        df.count()
 
     def time_set(names: list[str]) -> dict[str, float]:
         timings: dict[str, float] = {}
