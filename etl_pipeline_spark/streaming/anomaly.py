@@ -8,6 +8,19 @@ rows whenever a cell's volume departs from its baseline by more than
 for count data). The monitoring loop every platform runs: baseline
 refreshed daily by batch, scored continuously by the stream.
 
+Scoring unit (r9 review): a cell is ONE (event_date, hour) slot of one
+event_type — the same unit as the baseline's per-day-per-hour
+expectation — so a multi-day availableNow backlog scores each day's
+hour-10 separately instead of stacking them into one 3x-expected
+false alarm. Outage detection (r9 review): every hour slot the batch's
+timestamps TOUCH is scored against every baseline event_type, with
+missing cells counted as zero — a producer that dies no longer
+vanishes from the join; it shows up as z = -expected/sqrt(expected).
+Caveat, documented rather than hidden: the batch's first/last touched
+slots may be only partially covered by real wall-clock time, so their
+volume-drop alerts are conservative noise; a watermark-closed variant
+would score only complete slots.
+
 Exactly-once: alerts write to batch_id-keyed subdirectories (overwrite
 on foreachBatch replay — the streaming/sketches.py pattern), so a crash
 between write and checkpoint commit cannot duplicate alerts.
@@ -59,11 +72,36 @@ def start_anomaly_alerts(
     b = F.broadcast(baseline)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # one cell = one (event_date, hour) slot (r9 review: grouping by
+        # hour alone stacked every day of a backlog into one cell)
         cells = batch_df.groupBy(
-            "event_type", F.hour("ts").alias("hour_of_day")
+            F.to_date("ts").alias("event_date"),
+            F.hour("ts").alias("hour_of_day"),
+            "event_type",
         ).agg(F.count("*").alias("n_observed"))
+        # every hour slot the batch touches x every baseline event_type:
+        # zero-arrival cells must be SCORED, not dropped (r9 review — a
+        # dead producer is exactly the alert this monitor exists for)
+        slots = batch_df.agg(
+            F.date_trunc("hour", F.min("ts")).alias("mn"),
+            F.date_trunc("hour", F.max("ts")).alias("mx"),
+        ).select(
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("slot")
+        ).select(
+            F.to_date("slot").alias("event_date"),
+            F.hour("slot").alias("hour_of_day"),
+        )
+        expected_cells = slots.join(
+            b.select("event_type", "hour_of_day", "expected_per_day"),
+            "hour_of_day",
+        )
         scored = (
-            cells.join(b, ["event_type", "hour_of_day"], "left")
+            expected_cells.join(
+                cells, ["event_date", "hour_of_day", "event_type"], "full_outer"
+            )
+            .withColumn("n_observed", F.coalesce("n_observed", F.lit(0)))
             .withColumn("expected", F.coalesce("expected_per_day", F.lit(0.0)))
             .withColumn(
                 "z_poisson",
@@ -72,6 +110,7 @@ def start_anomaly_alerts(
             )
         )
         alerts = scored.filter(F.abs(F.col("z_poisson")) >= sigma).select(
+            "event_date",
             "event_type",
             "hour_of_day",
             "n_observed",

@@ -48,6 +48,10 @@ def start_file_ingest(
     def process_batch(batch_df, batch_id: int) -> None:
         from pyspark.sql import Observation
 
+        # persist: the clean and quarantine branches otherwise each
+        # re-read the micro-batch's CSV files and re-run the transform
+        # lineage (r9 review) — one cached scan feeds both writes
+        batch_df.persist()
         clean, quarantine = transform_covid(batch_df)
         # observe captures the clean count DURING the main write (A3), so
         # the covid transform and the batch read run exactly once — no
@@ -66,6 +70,7 @@ def start_file_ingest(
         audit_record(spark, f"{input_dir} (batch {batch_id})", n).write.mode(
             "overwrite"
         ).parquet(f"{output_dir}/audit/batch_id={batch_id}")
+        batch_df.unpersist()
 
     writer = raw.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -60,7 +60,11 @@ def enrich_with_dimension(
 
     Scale: state-free (unlike stream-stream joins) — the only cost is
     the broadcast, bounded by the dimension size."""
-    # Frame-qualified references: an unqualified F.col(key) == F.col(key)
-    # raises AMBIGUOUS_REFERENCE whenever the two sides share the column
-    # name (the common case: joining on the same-named key).
+    # Same-named keys join on the NAME LIST, which deduplicates the key
+    # column in the output (r9 review: the frame-qualified form kept
+    # BOTH copies, so the AMBIGUOUS_REFERENCE merely moved to the first
+    # downstream reference). Differently-named keys keep the qualified
+    # predicate — no ambiguity exists there.
+    if stream_key == dim_key:
+        return stream.join(F.broadcast(dim), [stream_key], how)
     return stream.join(F.broadcast(dim), stream[stream_key] == dim[dim_key], how)

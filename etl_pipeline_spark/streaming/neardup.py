@@ -119,6 +119,7 @@ def _make_bucket_processor(threshold: float, cap: int):
         # first, so batch boundaries never change who matches whom
         rows.sort(key=lambda r: r[0])
         out: list[tuple[int, int, float]] = []
+        n_before = len(ids)
         for did, sig in rows:
             best_id, best_est = None, 0.0
             for mid, msig in zip(ids, sigs):
@@ -133,7 +134,12 @@ def _make_bucket_processor(threshold: float, cap: int):
                 sigs.append(sig)
             # bucket at cap: the doc neither registers nor flags here —
             # its other BANDS-1 buckets still get to match it
-        state.update((ids, sigs))
+        if len(ids) != n_before:
+            # update only when the bucket actually grew (r9 review): a
+            # steady-state bucket otherwise rewrites cap x NUM_PERM longs
+            # of unchanged state to the store every micro-batch it
+            # appears in — pure checkpoint write amplification
+            state.update((ids, sigs))
         if out:
             yield pd.DataFrame(
                 {

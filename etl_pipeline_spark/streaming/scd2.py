@@ -3,19 +3,25 @@ q_scd2_user_values (queries/advanced.py): a file-source change feed is
 folded into a type-2 dimension table per micro-batch with foreachBatch.
 
 Incremental invariant: each batch recomputes validity intervals ONLY for
-the keys it touches (their open rows are re-derived together with the new
-changes via the same LEAD window), while rows of untouched keys are
-carried over verbatim — so maintenance cost per batch is
-O(batch + open rows of touched keys), never O(dimension history).
+the keys it touches — every existing row of a touched key collapses back
+to its (valid_from, value) change point, the batch's changes join the
+per-key timeline, and ONE LEAD window re-derives the intervals — while
+rows of untouched keys are carried over verbatim. Maintenance cost per
+batch is O(batch + rows of touched keys), never O(dimension). The full
+per-key re-derivation (not just the open row — the r9 review found the
+open-row-only fold left OVERLAPPING intervals when a change arrived
+older than the open row) makes arbitrarily late changes land exactly
+where a full recompute would put them.
 
 Crash safety / exactly-once: every batch publishes a full dimension
 snapshot under ``dim_dir/v=<batch_id>/`` and then points the ``_LATEST``
 marker at it. A crash mid-write leaves a partial version directory but
-the marker still names the previous complete snapshot; Structured
-Streaming replays the batch after restart, the partial directory is
-overwritten (same deterministic content), and the marker moves exactly
-once. Snapshots are derived purely from (previous snapshot, batch), so
-replays are idempotent.
+the marker still names the previous complete snapshot, so the replay
+recomputes from the correct base. A crash AFTER the marker move but
+BEFORE the checkpoint commit is the other half of the window (r9
+review): the replayed batch would re-fold into a snapshot that already
+contains it, so ``process`` skips any batch whose id is <= the marker —
+replays are idempotent from either side of the crash.
 
 At 100 TB the snapshot-per-batch becomes a MERGE into a key-partitioned
 table (or a format with transactional upsert); the per-batch plan — semi
@@ -32,11 +38,17 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
-def _read_latest(spark: SparkSession, dim_dir: str, schema: str) -> DataFrame:
+def _latest_version(dim_dir: str) -> int | None:
     marker = os.path.join(dim_dir, "_LATEST")
     if os.path.exists(marker):
         with open(marker) as fh:
-            version = fh.read().strip()
+            return int(fh.read().strip())
+    return None
+
+
+def _read_latest(spark: SparkSession, dim_dir: str, schema: str) -> DataFrame:
+    version = _latest_version(dim_dir)
+    if version is not None:
         return spark.read.parquet(os.path.join(dim_dir, f"v={version}"))
     return spark.createDataFrame([], schema)
 
@@ -60,23 +72,26 @@ def apply_scd2_batch(spark: SparkSession, dim: DataFrame, batch: DataFrame) -> D
     """Fold one batch of changes (user_id, ts, value) into the SCD2 table.
 
     Pure function of (dim, batch) — the unit the streaming writer and the
-    tests share. Duplicate (user_id, ts) changes keep the highest value
-    deterministically.
+    tests share. Every existing row of a touched key collapses to its
+    (valid_from, value) change point; the union of those points with the
+    batch dedups per (user_id, ts) keeping the highest value (so a change
+    at exactly an existing boundary resolves deterministically — r9
+    review: the old open-row-only merge left that tie to window order),
+    and one LEAD pass re-derives the intervals. Late changes older than
+    the open row therefore split the correct HISTORICAL interval instead
+    of overlapping it.
     """
-    changes = (
-        batch.select("user_id", "ts", "value")
+    changes = batch.select("user_id", "ts", "value")
+    touched = changes.select("user_id").distinct()
+    carried = dim.join(touched, "user_id", "left_anti")
+    history_as_changes = dim.join(touched, "user_id", "left_semi").select(
+        "user_id", F.col("valid_from").alias("ts"), "value"
+    )
+    merged = (
+        history_as_changes.unionByName(changes)
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("value"))
     )
-    touched = changes.select("user_id").distinct()
-    carried = dim.join(touched, "user_id", "left_anti")
-    closed_touched = dim.filter(~F.col("is_current")).join(touched, "user_id", "left_semi")
-    open_as_changes = (
-        dim.filter(F.col("is_current"))
-        .join(touched, "user_id", "left_semi")
-        .select("user_id", F.col("valid_from").alias("ts"), "value")
-    )
-    merged = open_as_changes.unionByName(changes)
     w = W.partitionBy("user_id").orderBy("ts")
     nxt = F.lead("ts").over(w)
     recomputed = merged.select(
@@ -86,7 +101,7 @@ def apply_scd2_batch(spark: SparkSession, dim: DataFrame, batch: DataFrame) -> D
         "value",
         nxt.isNull().alias("is_current"),
     )
-    return carried.unionByName(closed_touched).unionByName(recomputed)
+    return carried.unionByName(recomputed)
 
 
 def start_scd2_maintenance(
@@ -101,6 +116,13 @@ def start_scd2_maintenance(
     stream = spark.readStream.schema(schema).json(input_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # replay guard (r9 review): a crash AFTER the marker move but
+        # BEFORE the checkpoint commit re-delivers this batch against a
+        # snapshot that already contains it — folding it again would
+        # duplicate intervals. The marker is the applied high-water mark.
+        done = _latest_version(dim_dir)
+        if done is not None and done >= batch_id:
+            return
         spark_b = batch_df.sparkSession
         dim = _read_latest(spark_b, dim_dir, DIM_SCHEMA)
         new_dim = apply_scd2_batch(spark_b, dim, batch_df)

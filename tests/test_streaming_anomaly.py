@@ -59,3 +59,74 @@ def test_anomaly_alerts_fire_only_off_baseline(spark, tmp_path):
     q2.awaitTermination(120)
     again = read_alerts(spark, alert_dir).collect()
     assert len(again) == len(alerts)
+
+
+def test_anomaly_multiday_backlog_does_not_stack_days(spark, tmp_path):
+    """r9 review find: an availableNow backlog spanning 3 days used to
+    merge every day's hour-10 into one cell (3x expected -> false
+    alarm). Each (event_date, hour) slot must score separately: three
+    healthy days of exactly-expected volume produce ZERO alerts."""
+    hist_rows = []
+    eid = 0
+    for day in (1, 2):
+        for i in range(12):
+            hist_rows.append((eid, f"2024-01-0{day} 10:{i:02d}:00", "click"))
+            eid += 1
+    hist = spark.createDataFrame(
+        hist_rows, "event_id long, ts string, event_type string"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    base = seasonal_baseline(hist)  # click@10 -> 12/day
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    lines = []
+    for day in (3, 4, 5):  # three healthy days, exactly expected volume
+        lines += [
+            _event(1000 * day + i, f"2024-01-0{day} 10:{i:02d}:00", "click")
+            for i in range(12)
+        ]
+    (inp / "live.jsonl").write_text("\n".join(lines) + "\n")
+    q = start_anomaly_alerts(
+        spark, str(inp), base, str(tmp_path / "alerts"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    click_alerts = [
+        r
+        for r in read_alerts(spark, str(tmp_path / "alerts")).collect()
+        if r.event_type == "click" and r.hour_of_day == 10
+    ]
+    assert click_alerts == []  # 12 observed vs 12 expected per slot
+
+
+def test_anomaly_total_outage_alerts(spark, tmp_path):
+    """r9 review find: a producer that dies entirely used to vanish
+    from the observed-side join and never alert. A batch whose touched
+    slots include an hour where a high-volume type sent NOTHING must
+    emit a z = -expected/sqrt(expected) volume-drop alert."""
+    hist_rows = []
+    eid = 0
+    for day in (1, 2):
+        for i in range(25):
+            hist_rows.append((eid, f"2024-01-0{day} 10:{i:02d}:00", "click"))
+            eid += 1
+    hist = spark.createDataFrame(
+        hist_rows, "event_id long, ts string, event_type string"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    base = seasonal_baseline(hist)  # click@10 -> 25/day
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    # the click producer is DEAD; only view events arrive, spanning hour 10
+    lines = [_event(500 + i, f"2024-01-03 10:{i:02d}:00", "view") for i in range(5)]
+    (inp / "live.jsonl").write_text("\n".join(lines) + "\n")
+    q = start_anomaly_alerts(
+        spark, str(inp), base, str(tmp_path / "alerts"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    alerts = {
+        (r.event_type, r.hour_of_day): r
+        for r in read_alerts(spark, str(tmp_path / "alerts")).collect()
+    }
+    assert ("click", 10) in alerts  # z = (0-25)/5 = -5
+    assert alerts[("click", 10)].n_observed == 0
+    assert alerts[("click", 10)].z_poisson == -5.0

@@ -101,3 +101,76 @@ def test_scd2_batch_replay_is_idempotent(spark):
     # and folding a duplicate change stream collapses deterministically
     dup = batch.unionByName(batch)
     assert _snap(apply_scd2_batch(spark, empty, dup)) == _snap(once)
+
+
+def test_scd2_late_change_older_than_open_row(spark):
+    """r9 review find: a change OLDER than the key's open row must split
+    the correct historical interval, not overlap it. The old
+    open-row-only fold kept the closed [t1,t3) row verbatim while
+    re-deriving [t2,t3) — two rows valid over [t2,t3)."""
+    base = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-03 00:00:00", 3.0),
+    ]
+    dim = apply_scd2_batch(
+        spark, spark.createDataFrame([], DIM_SCHEMA), _df(spark, base)
+    )
+    late = [(1, "2024-01-02 00:00:00", 2.0)]
+    out = apply_scd2_batch(spark, dim, _df(spark, late))
+    assert _snap(out) == _snap(_ground_truth(spark, base + late))
+    # no overlapping validity: each row's valid_to equals the next's valid_from
+    rows = sorted(out.collect(), key=lambda r: r.valid_from)
+    for a, b in zip(rows, rows[1:]):
+        assert str(a.valid_to) == str(b.valid_from)
+
+
+def test_scd2_change_at_open_row_boundary_is_deterministic(spark):
+    """r9 review find: a change whose ts EQUALS the open row's
+    valid_from must resolve by the documented max-value rule (and never
+    emit a zero-length interval), not by window tie order."""
+    base = [(7, "2024-01-01 00:00:00", 5.0)]
+    dim = apply_scd2_batch(
+        spark, spark.createDataFrame([], DIM_SCHEMA), _df(spark, base)
+    )
+    tie = [(7, "2024-01-01 00:00:00", 9.0)]
+    for _ in range(3):  # determinism: same result every evaluation
+        out = apply_scd2_batch(spark, dim, _df(spark, tie))
+        rows = out.collect()
+        assert len(rows) == 1
+        assert rows[0].value == 9.0 and rows[0].is_current
+        assert rows[0].valid_to is None
+
+
+def test_scd2_replay_after_publish_is_idempotent(spark, tmp_path):
+    """r9 review find: a crash AFTER the _LATEST marker move but BEFORE
+    the checkpoint commit re-delivers the batch against a snapshot that
+    already contains it; the maintenance job must skip it, not fold it
+    twice. Simulated by deleting the checkpoint and re-running the
+    stream over the same input."""
+    inp = tmp_path / "changes"
+    dim = tmp_path / "dim"
+    ckpt = tmp_path / "ckpt"
+    for p in (inp, dim):
+        os.makedirs(p, exist_ok=True)
+    rows = [
+        (1, "2024-01-01 10:00:00", 10.0),
+        (1, "2024-01-02 10:00:00", 12.0),
+    ]
+    _write_changes(str(inp / "b1.json"), rows)
+    q = start_scd2_maintenance(spark, str(inp), str(dim), str(ckpt))
+    q.awaitTermination()
+    first = _snap(_read_latest(spark, str(dim), DIM_SCHEMA))
+    # crash window simulation: checkpoint lost, marker already moved
+    import shutil
+
+    shutil.rmtree(ckpt)
+    q = start_scd2_maintenance(spark, str(inp), str(dim), str(ckpt) + "2")
+    q.awaitTermination()
+    assert _snap(_read_latest(spark, str(dim), DIM_SCHEMA)) == first
+    assert first == _snap(_ground_truth(spark, rows))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, v) for u, t, v in rows], "user_id BIGINT, ts STRING, value DOUBLE"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
