@@ -82,6 +82,11 @@ class SyntheticEventsReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        if partition is None:
+            # rows=0 makes partitions() return []; PySpark's worker then
+            # substitutes [None] (plan_data_source_read.py) — an empty
+            # DataFrame must come back, not an AttributeError (r9 review)
+            return
         for i in range(partition.start, partition.end):
             yield _row(i)
 

@@ -25,17 +25,25 @@ def _with_corrupt_field(schema: T.StructType) -> T.StructType:
     return T.StructType([*schema.fields, T.StructField(CORRUPT_COL, T.StringType(), True)])
 
 
-def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def split_quarantine(df: DataFrame, return_raw: bool = False):
     """Split a PERMISSIVE-read DataFrame into (clean, quarantine).
 
     Quarantined rows keep the raw record text for later repair — the
     reference logged a warning and dropped them (dataflow_transform.py:26-30).
     Spark requires caching the raw frame before filtering on the corrupt
     column (it is populated at parse time).
+
+    Cache ownership (r9 review): the load-bearing cache() pins one copy
+    of the raw input per call, which accumulates across a loop over many
+    files. Callers that loop should pass ``return_raw=True`` to receive
+    (clean, quarantine, raw) and ``raw.unpersist()`` once both branches
+    are written; the two-element default stays for one-shot reads.
     """
     df = df.cache()
     bad = df.filter(F.col(CORRUPT_COL).isNotNull())
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    if return_raw:
+        return good, bad, df
     return good, bad
 
 
@@ -165,13 +173,26 @@ def read_parquet_evolved(
     )
     from pyspark.errors import AnalysisException
 
+    # column membership must match Spark's resolution rules: with the
+    # default spark.sql.caseSensitive=false, a file column `Event_ID`
+    # RESOLVES for a contract field `event_id`, so a case-sensitive
+    # membership test would null out real data silently (r9 review)
+    case_sensitive = (
+        str(spark.conf.get("spark.sql.caseSensitive", "false")).lower() == "true"
+    )
+    if case_sensitive:
+        present = {c: c for c in df.columns}
+    else:
+        present = {c.lower(): c for c in df.columns}
+
     cols = []
     for field in schema.fields:
         null_col = F.lit(None).cast(field.dataType).alias(field.name)
-        if field.name not in df.columns:
+        actual = present.get(field.name if case_sensitive else field.name.lower())
+        if actual is None:
             cols.append(null_col)
         else:
-            cols.append(F.col(field.name).try_cast(field.dataType).alias(field.name))
+            cols.append(F.col(actual).try_cast(field.dataType).alias(field.name))
     try:
         # ONE analysis pass for the whole contract (no jobs): lets
         # Spark's own analyzer rule on castability — try_cast nulls

@@ -50,7 +50,10 @@ def audit_record(
 ) -> DataFrame:
     """One-row audit entry (Q5 <- dataflow_transform.py:91-106): basename,
     ingestion time, the load's record count, full input path, status."""
-    now = datetime.now(timezone.utc).replace(tzinfo=None)
+    # tz-AWARE: PySpark converts aware datetimes to the correct instant;
+    # a naive datetime is interpreted in the SESSION timezone, shifting
+    # audit times by the UTC offset on non-UTC clusters (r9 review)
+    now = datetime.now(timezone.utc)
     row = [
         (
             os.path.basename(input_path),
@@ -77,10 +80,13 @@ def write_with_audit(
     ``df.observe`` metrics could replace the extra count action entirely."""
     spark = df.sparkSession
     df = df.cache()
-    df.write.mode(mode).saveAsTable(main_table)
-    n = df.count()
-    append_table(audit_record(spark, input_path, n), audit_table)
-    df.unpersist()
+    try:
+        df.write.mode(mode).saveAsTable(main_table)
+        n = df.count()
+        append_table(audit_record(spark, input_path, n), audit_table)
+    finally:
+        # a failed write must not leak the cache for the app lifetime
+        df.unpersist()
     return n
 
 
@@ -165,19 +171,32 @@ def _acquire_writer_lock(path: str) -> str:
                 try:
                     os.kill(holder, 0)
                     alive = True
-                except (ProcessLookupError, PermissionError):
+                except ProcessLookupError:
                     alive = False
+                except PermissionError:
+                    # EPERM means the process EXISTS but belongs to
+                    # another user — stealing here is the double-writer
+                    # race the lock prevents (r9 review)
+                    alive = True
             if alive:
                 raise ConcurrentWriterError(
                     f"{path}: writer lock held by live pid {holder}; "
                     "plain-parquet swaps are single-writer (use a "
                     "transactional table format for concurrent writers)"
                 )
-            # stale lock from a dead writer: remove and retry
+            # stale lock from a dead writer: take it over ATOMICALLY by
+            # renaming it to a unique name first (r9 review: a plain
+            # remove raced a concurrent waiter — both could compute
+            # alive=False, and the second remove would delete the first
+            # waiter's FRESH lock, re-opening the double-writer window).
+            # Only the waiter whose rename succeeds deletes the stale
+            # file; the loser loops and re-examines the new state.
+            takeover = f"{lock}.steal.{os.getpid()}"
             try:
-                os.remove(lock)
+                os.rename(lock, takeover)
             except FileNotFoundError:
-                pass
+                continue  # someone else already took it; retry
+            os.remove(takeover)
 
 
 def _release_writer_lock(lock: str) -> None:
@@ -254,10 +273,32 @@ def compact_parquet(
         n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
         df = spark.read.parquet(path)
         tmp = path.rstrip("/") + "__compacting"
-        writer = df.coalesce(n_out).write.mode("overwrite")
         if partition_col:
-            writer = writer.partitionBy(partition_col)
-        writer.parquet(tmp)
+            # partitioned layout (r9 review): coalesce(n_out) +
+            # partitionBy writes up to n_out files PER partition value —
+            # compaction could multiply the small-file count it exists
+            # to fix. Hash-repartitioning on the partition column gives
+            # each value to exactly one task = one file per partition
+            # directory, the standard compacted layout; n_out tasks
+            # bound parallelism and per-task memory.
+            writer = (
+                df.repartition(n_out, F.col(partition_col))
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+            )
+            writer.parquet(tmp)
+            n_files = len(
+                [
+                    f
+                    for f in globlib.glob(
+                        os.path.join(tmp, "**", "*.parquet"), recursive=True
+                    )
+                    if os.path.isfile(f)
+                ]
+            )
+            _verified_swap(spark, path, tmp)
+            return n_files
+        df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
         _verified_swap(spark, path, tmp)
         return n_out
     finally:
@@ -353,6 +394,21 @@ def upsert_parquet(
                 f"{dup_key}; MERGE source must be unique on {key_cols} "
                 "(dedupe upstream with a documented tie-break)"
             )
+        null_key = (
+            updates.filter(
+                " OR ".join(f"`{c}` IS NULL" for c in key_cols)
+            )
+            .limit(1)
+            .count()
+        )
+        if null_key:
+            # NULL keys break the uniqueness contract silently: the
+            # null-unsafe anti-join never matches an existing NULL-key
+            # row, so the update would be APPENDED beside it (r9 review)
+            raise ValueError(
+                f"upsert_parquet: updates batch has NULL in {key_cols}; "
+                "MERGE keys must be non-null (filter or impute upstream)"
+            )
         if os.path.isdir(path):
             existing = spark.read.parquet(path)
             kept = existing.join(
@@ -362,12 +418,19 @@ def upsert_parquet(
         else:
             merged = updates
         tmp = path.rstrip("/") + "__compacting"
-        merged.write.mode("overwrite").parquet(tmp)
+        # observe captures the row count DURING the rewrite — the old
+        # final count() re-scanned the entire merged table (r9 review)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        merged.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(tmp)
         if os.path.isdir(path):
             _verified_swap(spark, path, tmp)
         else:
             shutil.move(tmp, path)
-        return spark.read.parquet(path).count()
+        return int(obs.get["n"] or 0)
     finally:
         _release_writer_lock(lock)
 

@@ -74,3 +74,14 @@ def test_stream_reader_replays_same_rows(spark, tmp_path):
         spark.read.format("synthetic_events").option("rows", 150).load()
     )
     assert got.exceptAll(batch).count() == 0
+
+
+def test_synthetic_source_rows_zero_returns_empty(spark):
+    """r9 review find: rows=0 made partitions() return [], which
+    PySpark's worker substitutes with [None]; read(None) crashed with
+    AttributeError instead of yielding an empty DataFrame."""
+    _register(spark)
+    out = (
+        spark.read.format("synthetic_events").option("rows", 0).load().collect()
+    )
+    assert out == []

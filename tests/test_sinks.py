@@ -283,3 +283,93 @@ def test_analyze_table_statistics_feed_the_optimizer(spark, tmp_path_factory):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", old_cbo)
         spark.sql("DROP TABLE IF EXISTS statsdb.o_small")
+
+
+def test_writer_lock_stale_takeover_and_eperm_semantics(tmp_path):
+    """r9 review finds: a stale lock (dead pid) is taken over ATOMICALLY
+    (rename-then-delete, so two waiters can't each delete a fresh lock),
+    and the takeover path acquires successfully."""
+    import os
+
+    from etl_pipeline_spark.sources.sinks import (
+        _acquire_writer_lock,
+        _lock_path,
+        _release_writer_lock,
+    )
+
+    path = str(tmp_path / "data")
+    lock = _lock_path(path)
+    # plant a stale lock from a guaranteed-dead pid (fork + exit)
+    pid = os.fork()
+    if pid == 0:
+        os._exit(0)
+    os.waitpid(pid, 0)
+    with open(lock, "w") as fh:
+        fh.write(str(pid))
+    got = _acquire_writer_lock(path)  # must steal, not raise
+    assert os.path.exists(lock)
+    assert open(lock).read().strip() == str(os.getpid())
+    _release_writer_lock(got)
+    # no leftover takeover temp files
+    assert not [f for f in os.listdir(tmp_path) if ".steal." in f]
+
+
+def test_audit_record_timestamp_is_utc_instant(spark):
+    """r9 review find: a NAIVE utc datetime is re-interpreted in the
+    session timezone, shifting audit times by the UTC offset. The
+    tz-aware datetime must store the true instant under any session tz."""
+    from datetime import datetime, timezone
+
+    from etl_pipeline_spark.sources.sinks import audit_record
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        row = audit_record(spark, "/in/x.csv", 5).collect()[0]
+        # collect() returns naive datetimes in the driver's SYSTEM tz
+        # (UTC on this host); with the old naive-`now` code under a
+        # Los_Angeles session tz the stored instant shifted +7h, which
+        # this bound catches
+        got = row.ingestion_time.replace(tzinfo=timezone.utc)
+        now = datetime.now(timezone.utc)
+        assert abs((now - got).total_seconds()) < 300
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_upsert_rejects_null_keys(spark, tmp_path):
+    """r9 review find: a NULL key passes the dup check but the
+    null-unsafe anti-join appends it beside an existing NULL-key row —
+    the upsert must fail fast instead."""
+    import pytest as _pytest
+
+    from etl_pipeline_spark.sources.sinks import upsert_parquet
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    upsert_parquet(spark, path, base, ["k"])
+    nullkey = spark.createDataFrame([(None, "b")], "k long, v string")
+    with _pytest.raises(ValueError, match="NULL"):
+        upsert_parquet(spark, path, nullkey, ["k"])
+
+
+def test_compact_partitioned_layout_one_file_per_partition(spark, tmp_path):
+    """r9 review find: coalesce(n)+partitionBy wrote up to n files PER
+    partition value — compaction could multiply the small files it
+    exists to remove. The partitioned path must come back with one file
+    per partition directory and report the real output count."""
+    import glob
+    import os
+
+    from etl_pipeline_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "t")
+    df = spark.range(3000).selectExpr("id", "CAST(id % 5 AS STRING) AS day")
+    # fragment: many tiny files per partition
+    df.repartition(20).write.partitionBy("day").parquet(path)
+    before = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    assert before > 20
+    n = compact_parquet(spark, path, target_file_mb=128, partition_col="day")
+    after = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    assert len(after) == n == 5  # one file per day value
+    assert spark.read.parquet(path).count() == 3000

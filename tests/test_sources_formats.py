@@ -107,3 +107,44 @@ def test_read_parquet_evolved_analysis_impossible_drift(spark, tmp_path):
     row = df.collect()[0]
     assert row["id"] == 1 and row["tag"] == "a"
     assert row["v"] is None  # structurally impossible cast -> typed NULL
+
+
+def test_read_parquet_evolved_case_insensitive_contract(spark, tmp_path):
+    """r9 review find: files with `Event_ID` satisfy a contract field
+    `event_id` under Spark's default case-insensitive resolution — the
+    membership check must not null out real data over casing."""
+    from etl_pipeline_spark.sources.readers import read_parquet_evolved
+
+    p = str(tmp_path / "cased")
+    spark.createDataFrame(
+        [(1, "x"), (2, "y")], "Event_ID long, Val string"
+    ).write.parquet(p)
+    df = read_parquet_evolved(spark, p, contract="event_id long, val string")
+    rows = {r["event_id"]: r["val"] for r in df.collect()}
+    assert rows == {1: "x", 2: "y"}
+
+
+def test_split_quarantine_returns_cache_handle_on_request(spark, tmp_path):
+    """r9 review find: the load-bearing cache() leaked one pinned copy
+    per input in loops; return_raw=True hands the caller the parent to
+    unpersist, while the two-element default keeps its shape."""
+    from etl_pipeline_spark.sources.readers import read_csv_with_schema, split_quarantine
+    from pyspark.sql import types as T
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,v\n1,a\nbad-line-no-comma\n2,b\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    good, bad = read_csv_with_schema(spark, str(p), schema)  # 2-tuple unchanged
+    assert good.count() == 2 and bad.count() == 1
+    raw_df = spark.read.schema("id long, v string, _corrupt_record string").option(
+        "header", "true"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).csv(str(p))
+    g, b, raw = split_quarantine(raw_df, return_raw=True)
+    assert g.count() == 2 and b.count() == 1
+    assert raw.is_cached
+    raw.unpersist()
+    assert not raw.is_cached
