@@ -31,9 +31,18 @@ def normalized_fingerprint(text_col: Column) -> Column:
 
 def dedupe_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id row per normalized-text fingerprint
-    (deterministic dropDuplicates)."""
+    (deterministic dropDuplicates). Rows with NULL text pass through
+    unchanged — md5(NULL) is NULL and window partitioning groups NULL
+    keys together, so deduping them would silently delete every
+    NULL-text document but one (r9 review)."""
     w = W.partitionBy(normalized_fingerprint(F.col(text_col))).orderBy(id_col)
-    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    deduped = (
+        df.filter(F.col(text_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return deduped.unionByName(df.filter(F.col(text_col).isNull()))
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", width: int = 3) -> DataFrame:
@@ -146,12 +155,18 @@ def knn_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact brute-force cosine top-k (query set = lowest n ids)."""
+    """Exact brute-force cosine top-k (query set = lowest n ids).
+
+    The query set really is the n LOWEST ids (r9 review: the old
+    ``id < n_queries`` filter returned an EMPTY query set on any table
+    whose ids are not dense 0-based — e.g. ids 1000..1999 — silently
+    producing zero results)."""
     emb = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
-    q = df.filter(F.col(id_col) < n_queries).select(
+    lowest = df.select(id_col).orderBy(id_col).limit(n_queries)
+    q = df.join(F.broadcast(lowest), id_col, "left_semi").select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
     )
     cos = dot(emb("q_emb"), emb(vec_col)) / (
@@ -247,12 +262,16 @@ def pack_sequences(
     df: DataFrame,
     token_col: str,
     order_col: str = "doc_id",
-    partition_col: str | None = "lang",
+    partition_col: str | None = None,
     budget: int = 256,
 ) -> DataFrame:
     """Greedy stream packing: assign each row the chunk its running token
     offset falls in (rows stay contiguous; a boundary row overflows its
-    chunk rather than splitting). Adds a ``chunk_id`` column."""
+    chunk rather than splitting). Adds a ``chunk_id`` column.
+    ``partition_col`` packs independent streams per value (pass "lang"
+    for per-language packing); the default is ONE stream — a general
+    frame need not have a lang column (r9 review: the old "lang"
+    default crashed any frame without one)."""
     w = (
         (W.partitionBy(partition_col) if partition_col else W.partitionBy())
         .orderBy(order_col)
@@ -375,13 +394,17 @@ def dedupe_incremental(
     """Incremental corpus build: split an incoming batch into (fresh,
     dups) against the EXISTING corpus by normalized fingerprint — the
     anti-join form of exact dedup that a continuously-ingesting pipeline
-    runs per batch. Returns (fresh, dups); fresh is itself exact-deduped
-    within the batch (keep-lowest-id)."""
+    runs per batch. Returns (fresh, dups) with CONSERVATION: every batch
+    row lands in exactly one side (r9 review — intra-batch extra copies
+    previously vanished from both, under-counting any dup audit). fresh
+    is exact-deduped within the batch (keep-lowest-id) and unseen by the
+    corpus; dups is everything else — corpus matches AND later
+    intra-batch copies."""
     fp = normalized_fingerprint(F.col(text_col))
     seen = corpus.select(fp.alias("_fp")).distinct()
     keyed = dedupe_exact(batch, text_col, id_col).withColumn("_fp", fp)
     fresh = keyed.join(seen, "_fp", "left_anti").drop("_fp")
-    dups = keyed.join(seen, "_fp", "left_semi").drop("_fp")
+    dups = batch.join(fresh.select(id_col), id_col, "left_anti")
     return fresh, dups
 
 
@@ -712,7 +735,14 @@ def cms_topk_report(df: DataFrame, item_col: str, k: int = 20) -> DataFrame:
     counters = cms_increments(
         df.select(F.col(item_col).alias("word")), "word"
     )
-    top = counts.orderBy(F.col("exact_cnt").desc(), F.col("word").asc()).limit(k)
+    # lazy checkpoint: `top` feeds both the join's left side and the
+    # sketch's probe set — without it the exact count + TakeOrdered scan
+    # over the full corpus executes twice (r9 review)
+    top = (
+        counts.orderBy(F.col("exact_cnt").desc(), F.col("word").asc())
+        .limit(k)
+        .localCheckpoint(eager=False)
+    )
     return (
         top.join(cms_estimate(counters, top.select("word"), "word"), "word")
         .select(

@@ -37,8 +37,11 @@ RAW_SCHEMA = T.StructType(
 )
 
 
-def transform_covid(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """P2-P8 chain. Returns (clean, quarantine).
+def transform_covid(raw: DataFrame, return_flagged: bool = False):
+    """P2-P8 chain. Returns (clean, quarantine) — or, with
+    ``return_flagged=True``, (clean, quarantine, flagged) so looping
+    callers can release the load-bearing flagged cache once both
+    branches are written (r9 review: one leaked cache per invocation).
 
     Clean rows: trimmed entity, strict-parsed Day, truncating int cast,
     deaths > 0 (the warehouse-side WHERE, airflow.py:115), plus the
@@ -74,6 +77,8 @@ def transform_covid(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     quarantine = flagged.filter(F.col("reject_reason").isNotNull()).select(
         "entity", "Day", "total_confirmed_deaths", "reject_reason"
     )
+    if return_flagged:
+        return clean, quarantine, flagged
     return clean, quarantine
 
 
@@ -94,17 +99,26 @@ def run_covid_pipeline(
 ) -> CovidPipelineResult:
     """End-to-end: CSV -> quarantine-split parse -> transform -> overwrite
     main + quarantine tables -> append audit row (pipeline A+B complete)."""
-    raw, corrupt = read_csv_with_schema(spark, input_csv, RAW_SCHEMA)
+    raw, corrupt, raw_cached = read_csv_with_schema(
+        spark, input_csv, RAW_SCHEMA, return_raw=True
+    )
     audit_path = input_csv if isinstance(input_csv, str) else ",".join(input_csv)
-    clean, quarantine = transform_covid(raw)
+    clean, quarantine, flagged = transform_covid(raw, return_flagged=True)
     clean = clean.cache()
-    overwrite_table(clean, main_table)
-    overwrite_table(quarantine, quarantine_table)
-    n_out = clean.count()
-    n_quar = quarantine.count()
-    n_corrupt = corrupt.count()
-    append_table(audit_record(spark, audit_path, n_out), audit_table)
-    clean.unpersist()
+    try:
+        overwrite_table(clean, main_table)
+        overwrite_table(quarantine, quarantine_table)
+        n_out = clean.count()
+        n_quar = quarantine.count()
+        n_corrupt = corrupt.count()
+        append_table(audit_record(spark, audit_path, n_out), audit_table)
+    finally:
+        # release EVERYTHING this invocation pinned (r9 review: the
+        # permissive-read cache and the flagged cache each leaked one
+        # full input copy per call in ingest loops)
+        clean.unpersist()
+        flagged.unpersist()
+        raw_cached.unpersist()
     return CovidPipelineResult(
         input_rows=n_out + n_quar + n_corrupt,
         output_rows=n_out,

@@ -91,6 +91,6 @@ def daily_report(spark: SparkSession, delivered_table: str = "delivered") -> Dat
     """The Looker daily report (README.md:241): orders and revenue per day."""
     return (
         spark.table(delivered_table)
-        .groupBy(F.to_date("date", "yyyy-MM-dd").alias("day"))
+        .groupBy(F.try_to_date("date", "yyyy-MM-dd").alias("day"))
         .agg(F.count("*").alias("n_orders"), F.round(F.sum("amount"), 2).alias("revenue"))
     )

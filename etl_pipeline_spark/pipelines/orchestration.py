@@ -34,7 +34,11 @@ class IngestParameters:
 
 
 def validate_and_prepare(
-    spark: SparkSession, input_glob: str, fmt: str = "csv", min_records: int = 1
+    spark: SparkSession,
+    input_glob: str,
+    fmt: str = "csv",
+    min_records: int = 1,
+    check_metadata: bool = False,
 ) -> IngestParameters:
     """Sensor + list + validate (S8/S9/Q1): enumerate files matching the
     glob (the batch stand-in for the arrival sensor), run the distributed
@@ -43,9 +47,15 @@ def validate_and_prepare(
     paths = sorted(globlib.glob(input_glob))
     if not paths:
         raise FileGateError(f"no files match {input_glob}")
-    summary = file_gate(spark, paths, fmt=fmt, min_records=min_records)
-    if not summary.all_valid or summary.errors:
-        raise FileGateError(f"validation failed: {summary.errors}")
+    summary = file_gate(
+        spark, paths, fmt=fmt, min_records=min_records, check_metadata=check_metadata
+    )
+    # gate on HARD errors only: metadata "warning: ..." entries are
+    # documented as advisory and must never fail a healthy load (r9
+    # review: one 101 MB input aborted the whole ingest)
+    hard = [e for e in summary.errors if not e.startswith("warning: ")]
+    if not summary.all_valid or hard:
+        raise FileGateError(f"validation failed: {hard or summary.errors}")
     return IngestParameters(
         input_paths=paths, expected_record_count=summary.total_records
     )

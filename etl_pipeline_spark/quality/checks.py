@@ -31,8 +31,20 @@ class FileGateError(ValueError):
 
 def require_columns(df: DataFrame, required: list[str]) -> DataFrame:
     """Fail fast if required columns are missing (Q3). Returns df for
-    chaining."""
-    missing = [c for c in required if c not in df.columns]
+    chaining. Membership follows Spark's own resolution rules — with
+    the default spark.sql.caseSensitive=false a frame column `Entity`
+    satisfies a required `entity` (r9 review: the case-sensitive test
+    hard-failed loads every downstream reference would resolve fine)."""
+    case_sensitive = (
+        str(
+            df.sparkSession.conf.get("spark.sql.caseSensitive", "false")
+        ).lower()
+        == "true"
+    )
+    have = set(df.columns) if case_sensitive else {c.lower() for c in df.columns}
+    missing = [
+        c for c in required if (c if case_sensitive else c.lower()) not in have
+    ]
     if missing:
         raise MissingColumnsError(f"missing required columns: {missing}")
     return df
@@ -240,9 +252,27 @@ def file_gate(
     # Input paths join the counts on scheme-normalized FULL paths (never
     # basenames — two dirs may share filenames), left outer so a file the
     # reader produced zero records for surfaces as cnt NULL.
+    # corrupt/unparseable rows must not count as records (r9 review: a
+    # truncated JSON file parsed to one _corrupt_record-only row and
+    # PASSED the gate). Validity derives from the PAYLOAD columns (any
+    # non-null field), never from _corrupt_record: referencing only the
+    # corrupt column on a raw read is refused by Spark, and the cache
+    # workaround breaks input_file_name() (empty on InMemoryRelation) —
+    # a corrupt row has every payload field null, so the tests agree.
+    payload = [c for c in df.columns if c != "_corrupt_record"]
+    if "_corrupt_record" in df.columns:
+        valid_row = (
+            F.coalesce(*[F.col(c).isNotNull() for c in payload], F.lit(False))
+            if payload
+            else F.lit(False)
+        )
+    else:
+        valid_row = F.lit(True)
+    # nullif(0): a file whose rows are ALL corrupt must look exactly like
+    # a no-records file to the NULL-keyed validity logic below
     counts_df = df.groupBy(
         _strip_scheme(F.input_file_name()).alias("norm_path")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ).agg(F.nullif(F.sum(valid_row.cast("long")), F.lit(0)).alias("cnt"))
     paths_df = spark.createDataFrame(
         [(p,) for p in paths], "path string"
     ).withColumn("norm_path", _strip_scheme(F.col("path")))

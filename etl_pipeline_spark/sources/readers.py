@@ -52,8 +52,9 @@ def read_csv_with_schema(
     path: str,
     schema: T.StructType,
     header: bool = True,
+    return_raw: bool = False,
     **options: str,
-) -> tuple[DataFrame, DataFrame]:
+):
     """CSV scan with declared schema (S1+S2): header skipped like
     ``skip_header_lines=1`` (dataflow_transform.py:170), malformed lines
     captured PERMISSIVE-ly. Returns (clean, quarantine).
@@ -70,7 +71,7 @@ def read_csv_with_schema(
     )
     for k, v in options.items():
         reader = reader.option(k, v)
-    return split_quarantine(reader.csv(path))
+    return split_quarantine(reader.csv(path), return_raw=return_raw)
 
 
 def read_csv_autodetect(spark: SparkSession, path: str, **options: str) -> DataFrame:

@@ -100,9 +100,10 @@ def test_file_gate_extension_dispatch_mixed_dir(spark, datadir):
     ]
     summary = file_gate(spark, paths, fmt=None)
     assert summary.total_files == 4
-    # 2 + 1 json records, 3 jsonl lines (the corrupt line still counts as a
-    # read record pre-quarantine), 2 non-empty text lines
-    assert summary.total_records == 3 + 3 + 2
+    # 2 + 1 json records, 2 VALID jsonl lines (r9 review: the corrupt
+    # line used to count as a record, letting garbage files through the
+    # gate — unparseable rows now count as zero), 2 non-empty text lines
+    assert summary.total_records == 3 + 2 + 2
     assert summary.all_valid
 
 
@@ -188,3 +189,43 @@ def test_file_gate_distributed_bounded_driver(spark, tmp_path, monkeypatch):
     assert summary.total_records == 7
     assert summary.per_file == {}  # capped: nothing per-file on the driver
     assert [e for e in summary.errors if "doc_3.jsonl: no records" in e]
+
+
+def test_file_gate_rejects_all_corrupt_file(spark, tmp_path):
+    """r9 review find: a file whose every row is unparseable used to
+    pass the gate as one valid record (the _corrupt_record row counted);
+    it must now look exactly like an empty file and fail."""
+    import pytest as _pytest
+
+    bad = tmp_path / "garbage.jsonl"
+    bad.write_text("this is not json\nneither is this\n")
+    ok = tmp_path / "good.jsonl"
+    ok.write_text('{"id": 1}\n{"id": 2}\n')
+    summary = file_gate(spark, [str(bad), str(ok)], fmt="jsonl")
+    assert not summary.all_valid
+    assert any("garbage.jsonl" in e for e in summary.errors)
+    assert summary.total_records == 2  # only the parseable records
+
+
+def test_validate_and_prepare_warnings_are_advisory(spark, tmp_path):
+    """r9 review find: metadata 'warning: ...' entries are documented as
+    advisory but used to abort the load via the errors list; a healthy
+    load with one old/large file must pass the gate."""
+    import datetime as dt
+    import os
+
+    from etl_pipeline_spark.pipelines.orchestration import validate_and_prepare
+
+    p = tmp_path / "data.jsonl"
+    p.write_text('{"id": 1}\n{"id": 2}\n')
+    # make the file look 30 days old -> 'warning: ... old file ...'
+    old = (dt.datetime.now() - dt.timedelta(days=30)).timestamp()
+    os.utime(p, (old, old))
+    params = validate_and_prepare(
+        spark,
+        str(tmp_path / "*.jsonl"),
+        fmt="jsonl",
+        min_records=1,
+        check_metadata=True,  # generates the 'warning: ... old file' entry
+    )
+    assert params.expected_record_count == 2
