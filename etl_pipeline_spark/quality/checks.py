@@ -9,7 +9,9 @@ jobs over the files) instead of downloading every file into one worker
 from __future__ import annotations
 
 import datetime as _dt
+import operator
 from dataclasses import dataclass, field
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -261,8 +263,12 @@ def file_gate(
     # a corrupt row has every payload field null, so the tests agree.
     payload = [c for c in df.columns if c != "_corrupt_record"]
     if "_corrupt_record" in df.columns:
+        # "any non-null payload field" must be an OR over every column:
+        # isNotNull never returns NULL, so a coalesce() chain would collapse
+        # to the FIRST column's test alone and reject healthy rows whose
+        # first (for JSON: alphabetically first) field is legitimately null.
         valid_row = (
-            F.coalesce(*[F.col(c).isNotNull() for c in payload], F.lit(False))
+            reduce(operator.or_, [F.col(c).isNotNull() for c in payload])
             if payload
             else F.lit(False)
         )

@@ -1948,36 +1948,50 @@ def q_node_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-level refinement of q_triangle_count's global coefficient
     (Watts-Strogatz local clustering). Nodes of degree < 2 report 0.
 
-    Scale: the same canonically-oriented wedge join enumerates each
-    triangle once; its three corners then stream through one node-keyed
-    count. Degree and triangle tables join on the node key — no new
-    shuffle shape beyond the triangle census; wedge volume remains the
-    cost and the q_triangle_count mitigations (degree orientation, hub
-    caps) apply unchanged.
+    T_v is computed as the number of CLOSED WEDGES centered at v (each
+    triangle x-y-z closes exactly one x<z wedge at each of its three
+    corners), so one center-keyed count replaces the r9 three-corner
+    union without changing the result.
+
+    Exchange budget (r10 — the rewrite that took assortativity from
+    12.7x to 2.5x/decade and AA from 4.4x to 2.1x, applied here after
+    the r9 sf10 soak measured this query's lazily-checkpointed edge
+    frame at 5.9x/decade, the family's worst): both wedge legs read the
+    shared PERSISTED source-partitioned directed edge frame
+    (pagerank_edges — TRI_SUPPORT == PR_SUPPORT, same edge set) and
+    join on that source key, so the wedge join re-exchanges NOTHING;
+    the degree count reuses the same partitioning; only the (x, z)
+    closure semi-join and the final center/degree joins shuffle, and
+    those streams are wedge- and node-sized, never edge-rebuild-sized.
     """
-    from etl_pipeline_spark.queries.analytics_ml import co_purchase_edges
+    out, edges = _node_clustering_frame_lazy(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
+
+
+def _node_clustering_frame_lazy(spark: SparkSession, sf_dir: str):
+    """q_node_clustering minus the final eager checkpoint; returns
+    (frame, edges) — shared by the query and the plan audit's lazy twin
+    (see q_pagerank_lazy for the blind-root rationale)."""
+    from etl_pipeline_spark.queries.analytics_ml import pagerank_edges
 
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    edges = co_purchase_edges(li, TRI_SUPPORT).localCheckpoint(eager=False)
-    deg = (
-        edges.select(F.col("u").alias("k"))
-        .unionAll(edges.select(F.col("v").alias("k")))
-        .groupBy("k")
-        .agg(F.count("*").alias("d"))
-    )
-    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    edges = pagerank_edges(li)  # directed both-ways, persisted on u
+    # out-degree of the directed frame == undirected degree
+    deg = edges.groupBy(F.col("u").alias("k")).agg(F.count("*").alias("d"))
+    e1 = edges.select(F.col("u").alias("y"), F.col("v").alias("x"))
     e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
-    e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
-    corners = (
-        tri.select(F.col("x").alias("k"))
-        .unionAll(tri.select(F.col("y").alias("k")))
-        .unionAll(tri.select(F.col("z").alias("k")))
-        .groupBy("k")
+    wedges = e1.join(e2, "y").filter(F.col("x") < F.col("z"))
+    und = edges.filter(F.col("u") < F.col("v")).select(
+        F.col("u").alias("x"), F.col("v").alias("z")
+    )
+    node_tris = (
+        wedges.join(und, ["x", "z"], "left_semi")
+        .groupBy(F.col("y").alias("k"))
         .agg(F.count("*").alias("t"))
     )
-    out = deg.join(corners, "k", "left")
-    return out.select(
+    out = deg.join(node_tris, "k", "left").select(
         F.col("k").cast("long").alias("node"),
         F.col("d").cast("long").alias("degree"),
         F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
@@ -1991,6 +2005,15 @@ def q_node_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("clustering"),
     )
+    return out, edges
+
+
+def q_node_clustering_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint plan-audit twin of q_node_clustering (see
+    q_pagerank_lazy for the rationale). Never executed — plan-only."""
+    out, edges = _node_clustering_frame_lazy(spark, sf_dir)
+    edges.unpersist()  # see q_pagerank_lazy
+    return out
 
 
 @query(

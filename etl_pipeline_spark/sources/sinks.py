@@ -196,6 +196,24 @@ def _acquire_writer_lock(path: str) -> str:
                 os.rename(lock, takeover)
             except FileNotFoundError:
                 continue  # someone else already took it; retry
+            # rename succeeded, but rename does not verify CONTENT: between
+            # our staleness read and the rename, another waiter may have
+            # completed its own takeover and created a FRESH lock — which
+            # is what we just renamed. Confirm the captured file still
+            # holds the dead pid we observed; otherwise put the live lock
+            # back and loop (we will then see a live holder and raise).
+            try:
+                captured = int(open(takeover).read().strip() or "0")
+            except (OSError, ValueError):
+                captured = -1
+            if captured != holder:
+                try:
+                    os.rename(takeover, lock)
+                except OSError:
+                    # a third waiter already re-created the lock; our
+                    # captured copy is garbage — drop it and re-examine
+                    os.remove(takeover)
+                continue
             os.remove(takeover)
 
 

@@ -14,14 +14,18 @@ older than the open row) makes arbitrarily late changes land exactly
 where a full recompute would put them.
 
 Crash safety / exactly-once: every batch publishes a full dimension
-snapshot under ``dim_dir/v=<batch_id>/`` and then points the ``_LATEST``
-marker at it. A crash mid-write leaves a partial version directory but
+snapshot under ``dim_dir/v=<version>/`` (a monotonic counter, decoupled
+from the batch id) and then points the ``_LATEST`` marker at it. A crash mid-write leaves a partial version directory but
 the marker still names the previous complete snapshot, so the replay
 recomputes from the correct base. A crash AFTER the marker move but
 BEFORE the checkpoint commit is the other half of the window (r9
 review): the replayed batch would re-fold into a snapshot that already
-contains it, so ``process`` skips any batch whose id is <= the marker —
-replays are idempotent from either side of the crash.
+contains it, so ``process`` skips a batch whose id AND content
+fingerprint both match the marker — a true crash replay. An id-only
+skip would be wrong (r10 review): a REBUILT checkpoint restarts batch
+ids at 0 and may bundle new change files with replayed ones; those
+batches fold instead (safe — the fold dedups change points per
+(user_id, ts), so the replayed portion is a no-op).
 
 At 100 TB the snapshot-per-batch becomes a MERGE into a key-partitioned
 table (or a format with transactional upsert); the per-batch plan — semi
@@ -38,12 +42,44 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
-def _latest_version(dim_dir: str) -> int | None:
+def _latest_marker(dim_dir: str) -> tuple[int | None, int | None, str | None]:
+    """(snapshot version, applied batch id, batch fingerprint) from
+    ``_LATEST``. The snapshot version is a MONOTONIC counter decoupled
+    from the batch id (r10: a rebuilt checkpoint restarts batch ids at 0,
+    and publishing v=<batch_id> would overwrite the very snapshot the
+    fold is reading). Older single/two-line markers parse with the first
+    line serving as both version and batch id."""
     marker = os.path.join(dim_dir, "_LATEST")
     if os.path.exists(marker):
         with open(marker) as fh:
-            return int(fh.read().strip())
-    return None
+            lines = fh.read().splitlines()
+        version = int(lines[0].strip())
+        batch_id = int(lines[1].strip()) if len(lines) > 1 else version
+        fingerprint = lines[2].strip() if len(lines) > 2 else None
+        return version, batch_id, fingerprint
+    return None, None, None
+
+
+def _latest_version(dim_dir: str) -> int | None:
+    return _latest_marker(dim_dir)[0]
+
+
+def _batch_fingerprint(df: DataFrame) -> str:
+    """Order-independent content hash of a micro-batch: row count plus a
+    commutative sum of per-row xxhash64 over every column. Cheap (one
+    map-side-combined aggregate) and stable across partitionings — the
+    key that distinguishes a true crash replay (same id, same content)
+    from a rebuilt checkpoint whose batch 0 bundles NEW files."""
+    cols = [F.col(c).cast("string") for c in df.columns]
+    # DECIMAL(38,0) accumulation: summing raw xxhash64 longs overflows
+    # BIGINT (ANSI mode raises) after a handful of rows
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return f"{row['n']}:{row['h']}"
 
 
 def _read_latest(spark: SparkSession, dim_dir: str, schema: str) -> DataFrame:
@@ -53,12 +89,18 @@ def _read_latest(spark: SparkSession, dim_dir: str, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
-def _publish(df: DataFrame, dim_dir: str, batch_id: int) -> None:
-    out = os.path.join(dim_dir, f"v={batch_id}")
+def _publish(
+    df: DataFrame,
+    dim_dir: str,
+    version: int,
+    batch_id: int,
+    fingerprint: str = "",
+) -> None:
+    out = os.path.join(dim_dir, f"v={version}")
     df.write.mode("overwrite").parquet(out)
     marker = os.path.join(dim_dir, "_LATEST")
     with open(marker + ".tmp", "w") as fh:
-        fh.write(str(batch_id))
+        fh.write(f"{version}\n{batch_id}\n{fingerprint}")
     os.replace(marker + ".tmp", marker)  # atomic on POSIX
 
 
@@ -118,15 +160,23 @@ def start_scd2_maintenance(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # replay guard (r9 review): a crash AFTER the marker move but
         # BEFORE the checkpoint commit re-delivers this batch against a
-        # snapshot that already contains it — folding it again would
-        # duplicate intervals. The marker is the applied high-water mark.
-        done = _latest_version(dim_dir)
-        if done is not None and done >= batch_id:
+        # snapshot that already contains it. Skipping on id alone is NOT
+        # safe (r10 review): a rebuilt checkpoint restarts batch ids at 0,
+        # and its batch 0 may bundle NEW change files alongside replayed
+        # ones — an id-only (or >=) skip silently drops the new data. So
+        # skip only a TRUE replay: same id AND same content fingerprint.
+        # Anything else folds — apply_scd2_batch is idempotent for the
+        # replayed portion (change points dedup per (user_id, ts)), so
+        # re-folding mixed replay+new batches is correct.
+        fingerprint = _batch_fingerprint(batch_df)
+        version, done_id, done_fp = _latest_marker(dim_dir)
+        if done_id == batch_id and done_fp == fingerprint:
             return
         spark_b = batch_df.sparkSession
         dim = _read_latest(spark_b, dim_dir, DIM_SCHEMA)
         new_dim = apply_scd2_batch(spark_b, dim, batch_df)
-        _publish(new_dim, dim_dir, batch_id)
+        new_version = 0 if version is None else version + 1
+        _publish(new_dim, dim_dir, new_version, batch_id, fingerprint)
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -314,6 +314,59 @@ def test_writer_lock_stale_takeover_and_eperm_semantics(tmp_path):
     assert not [f for f in os.listdir(tmp_path) if ".steal." in f]
 
 
+def test_writer_lock_steal_does_not_delete_fresh_lock(tmp_path, monkeypatch):
+    """r10 review find: rename does not verify CONTENT — between the
+    staleness read and the rename, another waiter can complete its own
+    takeover and create a FRESH lock, which the first waiter's rename
+    then captures and deletes, re-opening the double-writer window. The
+    takeover must verify the captured pid equals the stale pid it
+    observed and put a mismatched (live) lock back."""
+    import os
+
+    import pytest as _pytest
+
+    from etl_pipeline_spark.sources.sinks import (
+        ConcurrentWriterError,
+        _acquire_writer_lock,
+        _lock_path,
+    )
+
+    path = str(tmp_path / "data")
+    lock = _lock_path(path)
+    # dead pid for the staleness read
+    pid = os.fork()
+    if pid == 0:
+        os._exit(0)
+    os.waitpid(pid, 0)
+    with open(lock, "w") as fh:
+        fh.write(str(pid))  # stale lock that OUR waiter will observe
+
+    # inject the race exactly inside the window: when our waiter calls
+    # os.rename(lock, takeover), first simulate the OTHER waiter winning
+    # — it steals the stale lock and re-creates a fresh lock holding its
+    # (live) pid — so the rename captures the FRESH lock, not the stale.
+    real_rename = os.rename
+    fired = {"n": 0}
+
+    def racing_rename(src, dst):
+        if src == lock and ".steal." in dst and fired["n"] == 0:
+            fired["n"] += 1
+            with open(lock, "w") as fh:
+                fh.write(str(os.getpid()))  # live pid: the winner's lock
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    # with content verification the mismatch is detected, the fresh lock
+    # is restored, the loop re-reads a LIVE holder and raises — instead
+    # of deleting the winner's lock and double-writing.
+    with _pytest.raises(ConcurrentWriterError):
+        _acquire_writer_lock(path)
+    assert os.path.exists(lock)
+    assert open(lock).read().strip() == str(os.getpid())
+    assert fired["n"] == 1
+    assert not [f for f in os.listdir(tmp_path) if ".steal." in f]
+
+
 def test_audit_record_timestamp_is_utc_instant(spark):
     """r9 review find: a NAIVE utc datetime is re-interpreted in the
     session timezone, shifting audit times by the UTC offset. The

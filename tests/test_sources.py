@@ -207,6 +207,25 @@ def test_file_gate_rejects_all_corrupt_file(spark, tmp_path):
     assert summary.total_records == 2  # only the parseable records
 
 
+def test_file_gate_null_first_column_rows_are_valid(spark, tmp_path):
+    """r10 review find: 'any non-null payload field' was built with
+    coalesce over isNotNull predicates — isNotNull never returns NULL, so
+    the chain collapsed to the FIRST (for JSON: alphabetically first)
+    column's test alone. A healthy file whose first column is sparse
+    reported 0 records and failed the gate."""
+    p = tmp_path / "sparse_first.jsonl"
+    # "aaa" sorts first in the inferred schema and is null on every row;
+    # each row is still valid via "zzz"
+    p.write_text('{"aaa": null, "zzz": 1}\n{"aaa": null, "zzz": 2}\n')
+    # mixing in one corrupt line forces the _corrupt_record column (the
+    # branch under test) to exist
+    with open(p, "a") as fh:
+        fh.write("not json\n")
+    summary = file_gate(spark, [str(p)], fmt="jsonl")
+    assert summary.total_records == 2
+    assert summary.all_valid
+
+
 def test_validate_and_prepare_warnings_are_advisory(spark, tmp_path):
     """r9 review find: metadata 'warning: ...' entries are documented as
     advisory but used to abort the load via the errors list; a healthy

@@ -170,6 +170,40 @@ def test_scd2_replay_after_publish_is_idempotent(spark, tmp_path):
     assert first == _snap(_ground_truth(spark, rows))
 
 
+def test_scd2_rebuilt_checkpoint_with_new_files_is_not_dropped(spark, tmp_path):
+    """r10 review find: batch ids restart at 0 when the checkpoint is
+    rebuilt, so the rebuilt stream's batch 0 bundles NEW change files
+    alongside replayed ones. The old id-only replay guard (done >=
+    batch_id) silently dropped that whole batch — data loss. The
+    fingerprint-qualified guard must fold it instead."""
+    inp = tmp_path / "changes"
+    dim = tmp_path / "dim"
+    ckpt = tmp_path / "ckpt"
+    for p in (inp, dim):
+        os.makedirs(p, exist_ok=True)
+    batch1 = [
+        (1, "2024-01-01 10:00:00", 10.0),
+        (2, "2024-01-02 09:00:00", 5.0),
+    ]
+    _write_changes(str(inp / "b1.json"), batch1)
+    q = start_scd2_maintenance(spark, str(inp), str(dim), str(ckpt))
+    q.awaitTermination()
+    # checkpoint rebuilt from scratch + a NEW file arrives: the restarted
+    # stream's batch 0 contains b1.json AND b2.json
+    import shutil
+
+    shutil.rmtree(ckpt)
+    batch2 = [
+        (1, "2024-01-05 08:00:00", 20.0),
+        (3, "2024-01-04 12:00:00", 7.0),
+    ]
+    _write_changes(str(inp / "b2.json"), batch2)
+    q = start_scd2_maintenance(spark, str(inp), str(dim), str(ckpt))
+    q.awaitTermination()
+    got = _snap(_read_latest(spark, str(dim), DIM_SCHEMA))
+    assert got == _snap(_ground_truth(spark, batch1 + batch2))
+
+
 def _df(spark, rows):
     return spark.createDataFrame(
         [(u, t, v) for u, t, v in rows], "user_id BIGINT, ts STRING, value DOUBLE"

@@ -95,9 +95,11 @@ def _lazy_forms():
     from etl_pipeline_spark.queries.advanced_behavioral import (
         q_degree_assortativity_lazy,
         q_link_prediction_aa_lazy,
+        q_node_clustering_lazy,
     )
     from etl_pipeline_spark.queries.analytics_ml import (
         q_kcore_nodes_lazy,
+        q_kcore_support1_lazy,
         q_label_propagation_lazy,
         q_pagerank_lazy,
     )
@@ -106,6 +108,9 @@ def _lazy_forms():
         "q_pagerank": q_pagerank_lazy,
         "q_label_propagation": q_label_propagation_lazy,
         "q_kcore_nodes": q_kcore_nodes_lazy,
+        # r10: the support-1 peel registered as an oracle query (r9
+        # judge #2) gets the same audit twin as its support-2 sibling
+        "q_kcore_support1": q_kcore_support1_lazy,
         # the detector's own find (the judge listed three; this was the
         # fourth blind query): the CC fixpoint eagerly checkpoints per
         # round for convergence observation
@@ -116,6 +121,9 @@ def _lazy_forms():
         # r9: same persisted-edge rewrite (wedge legs join on the edge
         # source key, so the whole wedge census reuses one partitioning)
         "q_link_prediction_aa": q_link_prediction_aa_lazy,
+        # r10: same rewrite — closed-wedge-per-center triangle count off
+        # the persisted edge frame (was the family's worst decade slope)
+        "q_node_clustering": q_node_clustering_lazy,
     }
 
 
