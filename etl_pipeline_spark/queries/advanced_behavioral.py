@@ -1948,21 +1948,18 @@ def q_node_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-level refinement of q_triangle_count's global coefficient
     (Watts-Strogatz local clustering). Nodes of degree < 2 report 0.
 
-    T_v is computed as the number of CLOSED WEDGES centered at v (each
-    triangle x-y-z closes exactly one x<z wedge at each of its three
-    corners), so one center-keyed count replaces the r9 three-corner
-    union without changing the result.
-
-    Exchange budget (r10 — the rewrite that took assortativity from
-    12.7x to 2.5x/decade and AA from 4.4x to 2.1x, applied here after
-    the r9 sf10 soak measured this query's lazily-checkpointed edge
-    frame at 5.9x/decade, the family's worst): both wedge legs read the
-    shared PERSISTED source-partitioned directed edge frame
-    (pagerank_edges — TRI_SUPPORT == PR_SUPPORT, same edge set) and
-    join on that source key, so the wedge join re-exchanges NOTHING;
-    the degree count reuses the same partitioning; only the (x, z)
-    closure semi-join and the final center/degree joins shuffle, and
-    those streams are wedge- and node-sized, never edge-rebuild-sized.
+    Exchange budget AND wedge volume (r10, same-session sf10 A/B of
+    three forms x2 reps): the id-ORIENTED census (wedges x<y<z, each
+    triangle enumerated once, corners unioned) is kept — a
+    center-per-closed-wedge variant enumerates the full C(d,2) wedges
+    per center and measured ~1.5x slower; and the edge source is the
+    HALF-SIZE canonical frame itself, source-partitioned and PERSISTED
+    (not the 2x-row directed pagerank_edges, whose build cost this
+    query never amortizes: directed 23.4/24.2 s vs this form's
+    24.4/20.5 s vs the r9 lazily-checkpointed form's 35.1/22.5 s). The
+    e2 wedge leg joins on the persisted partitioning key (no
+    exchange); e1, the closure semi-join, and the corner count
+    exchange wedge- or node-sized streams only.
     """
     out, edges = _node_clustering_frame_lazy(spark, sf_dir)
     out = out.localCheckpoint(eager=True)
@@ -1974,24 +1971,37 @@ def _node_clustering_frame_lazy(spark: SparkSession, sf_dir: str):
     """q_node_clustering minus the final eager checkpoint; returns
     (frame, edges) — shared by the query and the plan audit's lazy twin
     (see q_pagerank_lazy for the blind-root rationale)."""
-    from etl_pipeline_spark.queries.analytics_ml import pagerank_edges
+    from etl_pipeline_spark.queries.analytics_ml import co_purchase_edges
 
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    edges = pagerank_edges(li)  # directed both-ways, persisted on u
-    # out-degree of the directed frame == undirected degree
-    deg = edges.groupBy(F.col("u").alias("k")).agg(F.count("*").alias("d"))
-    e1 = edges.select(F.col("u").alias("y"), F.col("v").alias("x"))
-    e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
-    wedges = e1.join(e2, "y").filter(F.col("x") < F.col("z"))
-    und = edges.filter(F.col("u") < F.col("v")).select(
-        F.col("u").alias("x"), F.col("v").alias("z")
+    # canonical (u < v) half-size frame, source-partitioned + persisted
+    und = co_purchase_edges(li, TRI_SUPPORT).repartition(F.col("u")).persist()
+    deg = (
+        und.select(F.col("u").alias("k"))
+        .unionAll(und.select(F.col("v").alias("k")))
+        .groupBy("k")
+        .agg(F.count("*").alias("d"))
     )
-    node_tris = (
-        wedges.join(und, ["x", "z"], "left_semi")
-        .groupBy(F.col("y").alias("k"))
+    # oriented wedge census: x < y < z by construction, each triangle
+    # enumerated exactly once; e2's join key IS the edge partitioning key
+    e1 = und.select(F.col("v").alias("y"), F.col("u").alias("x"))
+    e2 = und.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(
+            und.select(F.col("u").alias("x"), F.col("v").alias("z")),
+            ["x", "z"],
+            "left_semi",
+        )
+    )
+    corners = (
+        tri.select(F.col("x").alias("k"))
+        .unionAll(tri.select(F.col("y").alias("k")))
+        .unionAll(tri.select(F.col("z").alias("k")))
+        .groupBy("k")
         .agg(F.count("*").alias("t"))
     )
-    out = deg.join(node_tris, "k", "left").select(
+    out = deg.join(corners, "k", "left").select(
         F.col("k").cast("long").alias("node"),
         F.col("d").cast("long").alias("degree"),
         F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
@@ -2005,7 +2015,7 @@ def _node_clustering_frame_lazy(spark: SparkSession, sf_dir: str):
             6,
         ).alias("clustering"),
     )
-    return out, edges
+    return out, und
 
 
 def q_node_clustering_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -72,6 +72,14 @@ def start_anomaly_alerts(
     b = F.broadcast(baseline)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # malformed-row guard (r10 adversarial fuzz): corrupt feed lines
+        # parse to all-null rows; without the filter a burst of garbage
+        # accumulates in a NULL-(date, type) cell whose expected is 0 and
+        # fires a phantom alert with NULL keys. An arrival without a
+        # timestamp and type is not a scorable arrival.
+        batch_df = batch_df.filter(
+            F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+        )
         # one cell = one (event_date, hour) slot (r9 review: grouping by
         # hour alone stacked every day of a backlog into one cell)
         cells = batch_df.groupBy(

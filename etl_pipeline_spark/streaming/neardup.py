@@ -162,6 +162,14 @@ def streaming_neardup_flags(
     flagged in ANY band is a near-duplicate; reduce per doc_id
     downstream (e.g. in foreachBatch: groupBy(doc_id).max(est_sim)) —
     the per-band rows are kept so the sink can audit which band fired."""
+    # malformed-row guard (r10 adversarial fuzz): a NULL text hashes
+    # identically to "" end-to-end, so a missing-content row would
+    # REGISTER in every bucket and then claim each genuinely-empty doc
+    # as its est-1.0 duplicate (and a NULL doc_id would crash the state
+    # processor's int()). Missing content is not empty content — such
+    # rows pass through unregistered and unflagged, same class as the
+    # r9 NULL-text fix in the batch dedup library.
+    docs = docs.filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
     sig = minhash_signature(F.col("text"))
     banded = docs.select("doc_id", sig.alias("sig")).select(
         "doc_id", "sig", F.posexplode(band_hashes(F.col("sig"))).alias("band", "bh")

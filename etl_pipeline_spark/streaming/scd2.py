@@ -123,7 +123,16 @@ def apply_scd2_batch(spark: SparkSession, dim: DataFrame, batch: DataFrame) -> D
     the open row therefore split the correct HISTORICAL interval instead
     of overlapping it.
     """
-    changes = batch.select("user_id", "ts", "value")
+    # malformed-row guard (r10 adversarial fuzz): a corrupt feed line
+    # parses to an all-null row and a partial record can carry a null
+    # key or timestamp — folding those plants NULL-keyed rows and
+    # NULL-valid_from intervals in the dimension (breaking the interval
+    # invariant for the key). A change is only a change with both its
+    # identity and its time; anything else is dropped here, the same
+    # posture as the batch quarantine split (P3).
+    changes = batch.select("user_id", "ts", "value").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     touched = changes.select("user_id").distinct()
     carried = dim.join(touched, "user_id", "left_anti")
     history_as_changes = dim.join(touched, "user_id", "left_semi").select(

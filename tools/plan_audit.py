@@ -121,8 +121,8 @@ def _lazy_forms():
         # r9: same persisted-edge rewrite (wedge legs join on the edge
         # source key, so the whole wedge census reuses one partitioning)
         "q_link_prediction_aa": q_link_prediction_aa_lazy,
-        # r10: same rewrite — closed-wedge-per-center triangle count off
-        # the persisted edge frame (was the family's worst decade slope)
+        # r10: same persisted-edge rewrite (id-oriented wedge census kept
+        # — orientation beats exchange count here, measured at sf10)
         "q_node_clustering": q_node_clustering_lazy,
     }
 
