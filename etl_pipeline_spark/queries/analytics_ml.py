@@ -2110,20 +2110,33 @@ def kcore_peel(
     k: int = KCORE_K,
     rounds: int = KCORE_ROUNDS,
     checkpoint_last: bool = True,
+    early_exit: bool = True,
 ) -> DataFrame:
     """Fixed-round synchronous k-core peel over a directed both-ways
     edge frame (u, v): drop nodes whose degree among survivors is below
     ``k``, ``rounds`` times; returns the surviving (node, core_degree)
-    frame LAZILY. Exposed with tunable (k, rounds) because the peel's
+    frame. Exposed with tunable (k, rounds) because the peel's
     useful parameterization scales with graph density — the registry's
     3-core over support-2 co-purchase edges is legitimately empty above
     sf0.01, so the scale soak runs a support-1 / re-parameterized form
     where the peel does real work (r8 judge #4). Caller owns the edge
-    frame's persistence."""
+    frame's persistence.
+
+    ``early_exit`` (r10, A/B-measured at sf10: 36.8/39.3 s vs
+    54.6/62.5 s — the support-1 graph reaches fixpoint after round 2
+    and the remaining 6 rounds were no-op edge-sized joins): stop when
+    a round leaves the alive COUNT unchanged. Count equality implies
+    set equality because peeling only shrinks the alive set, and every
+    round past the fixpoint is an identity, so the result is exactly
+    the fixed-``rounds`` answer (the unrolled oracle still matches).
+    Costs one count() action per round, so the rounds materialize
+    eagerly — callers that must stay plan-only (the audit's lazy twin)
+    pass early_exit=False."""
     alive = edges.select(F.col("u").alias("node")).distinct().localCheckpoint(
         eager=False
     )
     deg = None
+    prev_n = None
     for it in range(rounds):
         au = alive.select(F.col("node").alias("un"))
         av = alive.select(F.col("node").alias("vn"))
@@ -2138,6 +2151,12 @@ def kcore_peel(
         if checkpoint_last or it < rounds - 1:
             deg = deg.localCheckpoint(eager=False)
         alive = deg.filter(F.col("deg") >= k).select("node")
+        if early_exit:
+            alive = alive.localCheckpoint(eager=True)
+            n = alive.count()
+            if n == prev_n:
+                break
+            prev_n = n
     return deg.filter(F.col("deg") >= k).select(
         F.col("node").cast("long").alias("node"),
         F.col("deg").cast("long").alias("core_degree"),
@@ -2153,7 +2172,10 @@ def _kcore_frame_lazy(
     see the real peel-round plan)."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     edges = pagerank_edges(li)
-    out = kcore_peel(edges, checkpoint_last=checkpoint_last)
+    # the lazy (plan-only) form must not run actions: no early exit
+    out = kcore_peel(
+        edges, checkpoint_last=checkpoint_last, early_exit=checkpoint_last
+    )
     return out, edges
 
 
@@ -2199,6 +2221,6 @@ def q_kcore_support1_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_pagerank_lazy for the rationale). Never executed — plan-only."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     edges = pagerank_edges(li, support=1)
-    out = kcore_peel(edges, checkpoint_last=False)
+    out = kcore_peel(edges, checkpoint_last=False, early_exit=False)
     edges.unpersist()  # see q_pagerank_lazy
     return out

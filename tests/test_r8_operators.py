@@ -384,3 +384,23 @@ def test_embedding_dim_profile_flags_dead_dim(spark):
     assert not d2["dead_dim"] and d2["zero_frac"] == 0.0
     d3 = got[3]  # 0, 0, 4000: zero_frac 2/3
     assert d3["zero_frac"] == 0.6667 and d3["max_milli"] == 4000
+
+
+def test_kcore_early_exit_equals_full_rounds(spark):
+    """r10: the peel stops when a round leaves the alive count unchanged
+    (count equality implies set equality — peeling only shrinks), so the
+    early-exit result must be IDENTICAL to the full fixed-round peel the
+    unrolled oracle computes, on both registered parameterizations."""
+    from etl_pipeline_spark.catalog import load_tables
+    from etl_pipeline_spark.queries.analytics_ml import kcore_peel, pagerank_edges
+
+    li = load_tables(spark, "/root/testdata/sf0.001", ("lineitem",))["lineitem"]
+    for support in (2, 1):
+        edges = pagerank_edges(li, support=support)
+        fast = {(r.node, r.core_degree) for r in kcore_peel(edges).collect()}
+        full = {
+            (r.node, r.core_degree)
+            for r in kcore_peel(edges, early_exit=False).collect()
+        }
+        edges.unpersist()
+        assert fast == full
