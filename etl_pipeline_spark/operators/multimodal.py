@@ -181,6 +181,29 @@ def synthesize_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _synth_media_df(spark, sf_dir, _synth_video, F.lit("video"), "video/x-ppm-stream")
 
 
+def _synth_video_avi(doc_id: int, text: str) -> bytes:
+    """Same frame content as _synth_video (constant-valued 8x4 frames,
+    frame j's value = md5-hex byte j%32) packed as MJPEG-in-AVI.
+    Constant gray frames round-trip the JPEG codec EXACTLY (constant
+    block -> DC-only spectrum, Cb=Cr=128 -> zero chroma), verified over
+    every byte value in tests — so the q_multimodal_frame_sample oracle
+    applies to this container verbatim."""
+    from etl_pipeline_spark.operators.avi_codec import encode_avi_mjpeg
+
+    hexd = hashlib.md5(text.encode("utf-8")).hexdigest().encode("ascii")
+    n_frames = 2 + doc_id % 5
+    frames = [np.full((4, 8, 3), hexd[j % 32], dtype=np.uint8) for j in range(n_frames)]
+    return encode_avi_mjpeg(frames, fps=10, quality=90)
+
+
+def synthesize_video_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MJPEG-in-AVI payloads from documents — real RIFF
+    containers holding real baseline JPEGs."""
+    return _synth_media_df(
+        spark, sf_dir, _synth_video_avi, F.lit("video"), "video/x-msvideo"
+    )
+
+
 # ------------------------------------------------------- feature extraction
 
 FEATURE_SCHEMA = (
@@ -245,6 +268,26 @@ def _extract_features(payload: bytes | None, kind: str | None) -> dict:
             "content_md5": hashlib.md5(img.tobytes()).hexdigest(),
         }
     if payload[:4] == b"RIFF":
+        # RIFF is a container family: the form type at bytes 8:12 picks
+        # the decoder (WAVE audio vs AVI MJPEG video — r10)
+        if payload[8:12] == b"AVI ":
+            from etl_pipeline_spark.operators.avi_codec import (
+                avi_main_header,
+                decode_avi_mjpeg,
+            )
+
+            hdr = avi_main_header(payload)
+            frames = decode_avi_mjpeg(payload)
+            all_px = np.concatenate([f.reshape(-1) for f in frames])
+            return {
+                "format": "avi-mjpeg",
+                "n_bytes": n,
+                "width": int(hdr["width"]),
+                "height": int(hdr["height"]),
+                "duration_ms": len(frames) * hdr["usec_per_frame"] // 1000,
+                "content_sum": int(all_px.astype(np.int64).sum()),
+                "content_md5": hashlib.md5(all_px.tobytes()).hexdigest(),
+            }
         rate, samples = decode_wav(payload)
         return {
             "format": "wav",
@@ -288,6 +331,21 @@ def extract_media_features(media: DataFrame, batch_limit: int = 1024) -> DataFra
 
 # ----------------------------------------------------------- frame sampling
 
+
+def _video_frames(payload: bytes | None) -> list:
+    """Container dispatch for video payloads: RIFF-AVI (MJPEG frames via
+    the T.81 decoder — r10) or the concatenated-PPM stream. Shared by
+    frame sampling and per-frame intensity so both pipelines accept
+    either container."""
+    if not payload:
+        return []
+    if payload[:4] == b"RIFF":
+        from etl_pipeline_spark.operators.avi_codec import decode_avi_mjpeg
+
+        return decode_avi_mjpeg(payload)
+    return decode_ppm_stream(payload)
+
+
 FRAME_SCHEMA = (
     "media_id long, frame_idx int, frame_bytes binary, frame_md5 string, "
     "width int, height int, pixel_sum long"
@@ -311,7 +369,7 @@ def sample_frames(
         for pdf in batches:
             out_rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                frames = decode_ppm_stream(payload) if payload else []
+                frames = _video_frames(payload)
                 for idx in range(0, len(frames), every_kth):
                     resized = resize_nearest(frames[idx], out_width, out_height)
                     raw = resized.tobytes()
@@ -365,7 +423,7 @@ def frame_intensity_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             out_rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                frames = decode_ppm_stream(payload) if payload else []
+                frames = _video_frames(payload)
                 for idx, frame in enumerate(frames):
                     total = int(frame.astype(np.int64).sum())
                     n = int(frame.size)

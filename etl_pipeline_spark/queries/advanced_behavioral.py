@@ -72,28 +72,45 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged: orient by DEGREE instead of id (caps wedge fan-out at
     sqrt-degree), cap or sample hub vertices, and pre-filter edges by
     support as done here (support >= {SUP} drops the accidental-co-order
-    noise that makes retail graphs dense).
+    noise that makes retail graphs dense). Edge source (r10): the
+    half-size canonical frame, source-partitioned and PERSISTED — the
+    form the q_node_clustering sf10 A/B picked over both the lazy
+    checkpoint (unknown partitioning) and the 2x-row directed frame —
+    so the e2 wedge leg joins on the partitioning key without an
+    exchange.
     """
+    out, edges = _triangle_frame_lazy(spark, sf_dir)
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
+
+
+def _triangle_frame_lazy(spark: SparkSession, sf_dir: str):
+    """q_triangle_count minus the final eager checkpoint; returns
+    (frame, edges) — shared by the query and the plan audit's lazy twin
+    (see q_pagerank_lazy for the blind-root rationale)."""
     from etl_pipeline_spark.queries.analytics_ml import co_purchase_edges
 
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    edges = co_purchase_edges(li, TRI_SUPPORT).localCheckpoint(eager=False)
+    edges = co_purchase_edges(li, TRI_SUPPORT).repartition(F.col("u")).persist()
     deg = (
         edges.select(F.col("u").alias("k"))
         .unionAll(edges.select(F.col("v").alias("k")))
         .groupBy("k")
         .agg(F.count("*").alias("d"))
     )
-    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e1 = edges.select(F.col("v").alias("y"), F.col("u").alias("x"))
     e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
     e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(F.count("*").alias("n_triangles"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"], "left_semi").agg(
+        F.count("*").alias("n_triangles")
+    )
     stats = deg.agg(
         F.count("*").alias("n_vertices"),
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
     )
     n_edges = edges.agg(F.count("*").alias("n_edges"))
-    return (
+    out = (
         stats.crossJoin(n_edges)
         .crossJoin(tri)
         .select(
@@ -106,6 +123,15 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    return out, edges
+
+
+def q_triangle_count_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-checkpoint plan-audit twin of q_triangle_count (see
+    q_pagerank_lazy for the rationale). Never executed — plan-only."""
+    out, edges = _triangle_frame_lazy(spark, sf_dir)
+    edges.unpersist()  # see q_pagerank_lazy
+    return out
 
 
 q_triangle_count.__doc__ = q_triangle_count.__doc__.format(SUP=TRI_SUPPORT)

@@ -138,6 +138,56 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_multimodal_avi_frames",
+    # Same frame CONTENT as q_multimodal_frame_sample — constant-valued
+    # 8x4 frames, frame j's value = md5-hex byte j%32 — but packed as
+    # MJPEG-in-AVI: every frame is a real baseline JPEG inside a real
+    # RIFF container (operators/avi_codec.py). Constant gray frames
+    # round-trip the JPEG codec EXACTLY (constant block -> DC-only
+    # spectrum, quantization exact; Cb=Cr=128 -> zero chroma; verified
+    # over every byte value in tests), so the SAME analytic oracle
+    # checks the full container walk + entropy decode + resize + hash
+    # pipeline byte-for-byte.
+    oracle="""
+    WITH m AS (SELECT doc_id, md5(text) AS hx, 2 + doc_id % 5 AS nf FROM documents
+               WHERE text IS NOT NULL),
+    f AS (SELECT doc_id, hx, UNNEST(generate_series(0, nf - 1)) AS frame_idx FROM m)
+    SELECT doc_id AS media_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           md5(repeat(substr(hx, CAST(frame_idx % 32 AS INTEGER) + 1, 1), 24)) AS frame_md5,
+           CAST(4 AS INTEGER) AS width,
+           CAST(2 AS INTEGER) AS height,
+           CAST(unicode(substr(hx, CAST(frame_idx % 32 AS INTEGER) + 1, 1)) * 24 AS BIGINT) AS pixel_sum
+    FROM f
+    WHERE frame_idx % 2 = 0
+    """,
+    tags=("multimodal", "X5", "pandas-udf", "frames", "real-decode", "container"),
+)
+def q_multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling from MJPEG-in-AVI containers (r10 — closes the
+    AVI half of the X5 video-container guard): real RIFF chunk walk,
+    real T.81 JPEG decode per frame, every-2nd-frame sampling, real
+    nearest-neighbor resize — same mapInPandas pipeline as
+    q_multimodal_frame_sample, dispatched on the container magic.
+
+    Scale: identical posture to the PPM-stream path — payloads never
+    leave executors, decode is Arrow-batched, output rows are small and
+    columnar. MP4/ISO-BMFF and non-MJPG codecs remain guarded (they
+    need entropy decoders with no operator semantics of their own)."""
+    from etl_pipeline_spark.operators.multimodal import synthesize_video_avi
+
+    frames = sample_frames(
+        synthesize_video_avi(spark, sf_dir),
+        every_kth=2,
+        out_width=4,
+        out_height=2,
+    )
+    return frames.select(
+        "media_id", "frame_idx", "frame_md5", "width", "height", "pixel_sum"
+    )
+
+
 SHOT_CUT_MILLI = 16_000  # |mean delta| >= 16 intensity units flags a cut
 
 

@@ -971,3 +971,101 @@ def test_progressive_ac_refine_band_overflow_is_valueerror():
         J._decode_progressive_scan(
             data, 0, frame, grids, [1], {1: (0, 0)}, htables, 0, 49, 63, 1, 0
         )
+
+
+# ----------------------------------------------------- MJPEG-in-AVI (r10)
+
+
+def test_avi_mjpeg_roundtrip_exact_for_constant_frames():
+    """Constant gray frames survive the JPEG round trip EXACTLY
+    (constant block -> DC-only spectrum; Cb=Cr=128 -> zero chroma), for
+    every value the synthesis can emit — the property the shared
+    analytic oracle relies on."""
+    from etl_pipeline_spark.operators.avi_codec import (
+        avi_main_header,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    values = [ord(c) for c in "0123456789abcdef"]
+    frames = [np.full((4, 8, 3), v, dtype=np.uint8) for v in values]
+    avi = encode_avi_mjpeg(frames, fps=10, quality=90)
+    hdr = avi_main_header(avi)
+    assert (hdr["width"], hdr["height"], hdr["n_frames"]) == (8, 4, 16)
+    assert hdr["codec"] == "MJPG" and hdr["usec_per_frame"] == 100_000
+    dec = decode_avi_mjpeg(avi)
+    assert len(dec) == 16
+    assert all(np.array_equal(a, b) for a, b in zip(dec, frames))
+
+
+def test_avi_container_walk_payloads_and_padding():
+    """The container hands back the exact JPEG bytes it stored (odd
+    sizes exercise RIFF word-alignment padding), tolerates JUNK chunks
+    and 'rec ' groupings like real AVIs carry, and rejects malformed or
+    non-MJPG input with the documented errors."""
+    import struct as _struct
+
+    from etl_pipeline_spark.operators.avi_codec import (
+        avi_frame_payloads,
+        encode_avi_mjpeg,
+    )
+    from etl_pipeline_spark.operators.jpeg_codec import encode_jpeg_baseline
+
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(3)]
+    avi = encode_avi_mjpeg(frames, quality=75)
+    pays = avi_frame_payloads(avi)
+    want = [encode_jpeg_baseline(f, quality=75) for f in frames]
+    assert pays == want
+    assert any(len(p) % 2 == 1 for p in pays)  # padding path exercised
+
+    # JUNK chunk between hdrl and movi + frames wrapped in a 'rec ' list
+    def chunk(cc, body):
+        return cc + _struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    hdrl_end = avi.index(b"LIST", 12)
+    movi_at = avi.index(b"movi") - 8
+    hdrl = avi[12:movi_at]
+    rec = chunk(b"LIST", b"rec " + b"".join(chunk(b"00dc", p) for p in want))
+    body = b"AVI " + hdrl + chunk(b"JUNK", b"\x00" * 11) + chunk(b"LIST", b"movi" + rec)
+    weird = b"RIFF" + _struct.pack("<I", len(body)) + body
+    assert avi_frame_payloads(weird) == want
+
+    with pytest.raises(ValueError):
+        avi_frame_payloads(b"RIFF" + _struct.pack("<I", 4) + b"WAVE")
+    with pytest.raises(ValueError):
+        avi_frame_payloads(avi[:40])  # truncated chunk
+    # non-MJPG codec fourcc is guarded, named in the message
+    h264 = avi.replace(b"vidsMJPG", b"vidsH264", 1)
+    with pytest.raises(NotImplementedError, match="H264"):
+        avi_frame_payloads(h264)
+
+
+def test_avi_features_and_frame_pipeline(spark):
+    """End-to-end through the Spark seams: _extract_features dispatches
+    RIFF-AVI to the MJPEG decoder (width/height/duration from the
+    container header, content stats from decoded pixels), and
+    sample_frames over an AVI payload equals the PPM-stream pipeline on
+    identical frame content."""
+    from etl_pipeline_spark.operators.avi_codec import encode_avi_mjpeg
+    from etl_pipeline_spark.operators.multimodal import (
+        _extract_features,
+        sample_frames,
+    )
+
+    frames = [np.full((4, 8, 3), v, dtype=np.uint8) for v in (48, 97, 102)]
+    avi = encode_avi_mjpeg(frames, fps=10, quality=90)
+    feats = _extract_features(avi, "video")
+    assert feats["format"] == "avi-mjpeg"
+    assert (feats["width"], feats["height"]) == (8, 4)
+    assert feats["duration_ms"] == 300
+    assert feats["content_sum"] == sum(v * 96 for v in (48, 97, 102))
+
+    media = spark.createDataFrame(
+        [(1, bytearray(avi))], "media_id long, payload binary"
+    ).select("media_id", "payload")
+    rows = sample_frames(media, every_kth=2, out_width=4, out_height=2).collect()
+    assert [(r.frame_idx, r.pixel_sum) for r in sorted(rows, key=lambda r: r.frame_idx)] == [
+        (0, 48 * 24),
+        (2, 102 * 24),
+    ]
