@@ -72,45 +72,34 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged: orient by DEGREE instead of id (caps wedge fan-out at
     sqrt-degree), cap or sample hub vertices, and pre-filter edges by
     support as done here (support >= {SUP} drops the accidental-co-order
-    noise that makes retail graphs dense). Edge source (r10): the
-    half-size canonical frame, source-partitioned and PERSISTED — the
-    form the q_node_clustering sf10 A/B picked over both the lazy
-    checkpoint (unknown partitioning) and the 2x-row directed frame —
-    so the e2 wedge leg joins on the partitioning key without an
-    exchange.
+    noise that makes retail graphs dense). Edge source: the lazy
+    checkpoint is KEPT here after an r10 A/B — the persisted
+    repartitioned frame that won for q_node_clustering at sf10 measured
+    25-30% SLOWER for this query at sf0.1 (warm 1.4-1.8 s vs
+    1.8-2.1 s), where the extra repartition+persist is never amortized;
+    the single-result census reads the frame five times either way and
+    the checkpoint materializes it once just the same.
     """
-    out, edges = _triangle_frame_lazy(spark, sf_dir)
-    out = out.localCheckpoint(eager=True)
-    edges.unpersist()
-    return out
-
-
-def _triangle_frame_lazy(spark: SparkSession, sf_dir: str):
-    """q_triangle_count minus the final eager checkpoint; returns
-    (frame, edges) — shared by the query and the plan audit's lazy twin
-    (see q_pagerank_lazy for the blind-root rationale)."""
     from etl_pipeline_spark.queries.analytics_ml import co_purchase_edges
 
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    edges = co_purchase_edges(li, TRI_SUPPORT).repartition(F.col("u")).persist()
+    edges = co_purchase_edges(li, TRI_SUPPORT).localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("k"))
         .unionAll(edges.select(F.col("v").alias("k")))
         .groupBy("k")
         .agg(F.count("*").alias("d"))
     )
-    e1 = edges.select(F.col("v").alias("y"), F.col("u").alias("x"))
+    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
     e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
     e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"], "left_semi").agg(
-        F.count("*").alias("n_triangles")
-    )
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(F.count("*").alias("n_triangles"))
     stats = deg.agg(
         F.count("*").alias("n_vertices"),
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
     )
     n_edges = edges.agg(F.count("*").alias("n_edges"))
-    out = (
+    return (
         stats.crossJoin(n_edges)
         .crossJoin(tri)
         .select(
@@ -123,15 +112,6 @@ def _triangle_frame_lazy(spark: SparkSession, sf_dir: str):
             ),
         )
     )
-    return out, edges
-
-
-def q_triangle_count_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-checkpoint plan-audit twin of q_triangle_count (see
-    q_pagerank_lazy for the rationale). Never executed — plan-only."""
-    out, edges = _triangle_frame_lazy(spark, sf_dir)
-    edges.unpersist()  # see q_pagerank_lazy
-    return out
 
 
 q_triangle_count.__doc__ = q_triangle_count.__doc__.format(SUP=TRI_SUPPORT)

@@ -96,7 +96,6 @@ def _lazy_forms():
         q_degree_assortativity_lazy,
         q_link_prediction_aa_lazy,
         q_node_clustering_lazy,
-        q_triangle_count_lazy,
     )
     from etl_pipeline_spark.queries.analytics_ml import (
         q_kcore_nodes_lazy,
@@ -125,9 +124,6 @@ def _lazy_forms():
         # r10: same persisted-edge rewrite (id-oriented wedge census kept
         # — orientation beats exchange count here, measured at sf10)
         "q_node_clustering": q_node_clustering_lazy,
-        # r10: triangle census moved onto the same persisted half-size
-        # frame (the form the node_clustering A/B picked)
-        "q_triangle_count": q_triangle_count_lazy,
     }
 
 
