@@ -210,3 +210,37 @@ def test_cms_stream_degenerate_lines_match_batch_recompute(spark, tmp_path):
     )
     want = {(r.d, r.pos): r.counter for r in cms_increments(words).collect()}
     assert got == want and len(got) > 0
+
+
+def test_windowed_aggs_ignore_corrupt_and_null_ts_rows(spark, tmp_path):
+    """Corrupt JSONL lines parse to all-null rows (null event-time); the
+    windowed aggregations must neither crash (a null event-time in a
+    watermark pipeline) nor emit a NULL-window group — only real
+    arrivals are counted."""
+    from etl_pipeline_spark.streaming.windows import tumbling_counts
+
+    inp = tmp_path / "ev"
+    os.makedirs(inp)
+    with open(inp / "e.json", "w") as fh:
+        fh.write(json.dumps({"ts": "2024-01-01 10:05:00", "user_id": 1, "event_type": "click", "value": 1.0}) + "\n")
+        fh.write(json.dumps({"ts": "2024-01-01 10:20:00", "user_id": 2, "event_type": "click", "value": 2.0}) + "\n")
+        for i in range(50):
+            fh.write(f"GARBAGE {i}\n")
+        fh.write(json.dumps({"ts": None, "user_id": 3, "event_type": "view", "value": 9.0}) + "\n")
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, event_type string, value double"
+    ).json(str(inp))
+    q = (
+        tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("t_adv_win")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_adv_win").collect()
+    assert all(r.window_start is not None for r in rows)
+    got = {(str(r.window_start), r.event_type): (r.n_events, r.sum_value) for r in rows}
+    assert got == {("2024-01-01 10:00:00", "click"): (2, 3.0)}
