@@ -90,19 +90,47 @@ def idempotent_batch_writer(output_dir: str):
     (the flaw in the round-1 two-step design: dying after the data append
     but before the ledger append meant the replay appended again).
 
-    A completed write is marked by Spark's ``_SUCCESS`` file; replays of
-    fully-committed batches are skipped as a fast path, and partially
-    written directories (crash mid-write) are simply overwritten.
+    A completed write is marked by Spark's ``_SUCCESS`` file plus a
+    ``_FINGERPRINT`` sidecar (content hash of the batch, written AFTER
+    the parquet commit). The fast path skips only a TRUE replay — same
+    batch id AND same content (r10 review, the SCD2 class): a REBUILT
+    checkpoint restarts batch ids at 0, and its batch 0 may bundle NEW
+    files with replayed ones — an id-only skip silently drops the new
+    data, so a fingerprint mismatch overwrites instead. A crash between
+    the parquet commit and the sidecar write leaves ``_SUCCESS`` without
+    ``_FINGERPRINT``; the replay then rewrites the directory (idempotent
+    overwrite), closing that window too.
+
+    Caveat, documented not hidden: after a checkpoint REBUILD the new
+    batch 0 re-bundles data that older ``batch_id=1..N`` directories
+    already hold — a partitioned append layout cannot reconcile that
+    (the checkpoint and the output directory are one recovery unit;
+    clear them together, exactly as Spark's own sink contract states).
+    The fingerprint guard turns the failure from SILENT LOSS into
+    correct-or-visibly-duplicated, and the SCD2 sink shows the
+    snapshot-shaped alternative that fully self-heals.
 
     Downstream reads ``spark.read.parquet(output_dir)`` and sees batch_id
     as a partition column.
     """
     import os
 
+    from etl_pipeline_spark.streaming.util import batch_fingerprint
+
     def process(batch_df, batch_id: int) -> None:
         dest = os.path.join(output_dir, f"batch_id={batch_id}")
+        fp = batch_fingerprint(batch_df)
+        fp_file = os.path.join(dest, "_FINGERPRINT")
         if os.path.exists(os.path.join(dest, "_SUCCESS")):
-            return  # replay of a fully-committed batch
+            try:
+                with open(fp_file) as fh:
+                    if fh.read().strip() == fp:
+                        return  # true replay: same id, same content
+            except OSError:
+                pass  # committed parquet, no sidecar: crash window — rewrite
         batch_df.write.mode("overwrite").parquet(dest)
+        with open(fp_file + ".tmp", "w") as fh:
+            fh.write(fp)
+        os.replace(fp_file + ".tmp", fp_file)
 
     return process

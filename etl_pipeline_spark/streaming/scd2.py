@@ -64,22 +64,11 @@ def _latest_version(dim_dir: str) -> int | None:
     return _latest_marker(dim_dir)[0]
 
 
-def _batch_fingerprint(df: DataFrame) -> str:
-    """Order-independent content hash of a micro-batch: row count plus a
-    commutative sum of per-row xxhash64 over every column. Cheap (one
-    map-side-combined aggregate) and stable across partitionings — the
-    key that distinguishes a true crash replay (same id, same content)
-    from a rebuilt checkpoint whose batch 0 bundles NEW files."""
-    cols = [F.col(c).cast("string") for c in df.columns]
-    # DECIMAL(38,0) accumulation: summing raw xxhash64 longs overflows
-    # BIGINT (ANSI mode raises) after a handful of rows
-    row = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(
-            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")), F.lit(0)
-        ).alias("h"),
-    ).collect()[0]
-    return f"{row['n']}:{row['h']}"
+# shared with the idempotent batch writer (streaming/util.py) — the
+# same rebuilt-checkpoint class applies to both sinks
+from etl_pipeline_spark.streaming.util import (  # noqa: E402
+    batch_fingerprint as _batch_fingerprint,
+)
 
 
 def _read_latest(spark: SparkSession, dim_dir: str, schema: str) -> DataFrame:
