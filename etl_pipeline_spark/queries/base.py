@@ -58,66 +58,17 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-8 (session 2) prefix: the fourteen operators added this session
-# (gopher repetition/quality, text contract, DSIR, UniMax, soft-dedup
-# weights, label propagation, k-core, quality calibration, per-node
-# clustering, degree assortativity, Adamic-Adar links, winnowing, embedding
-# dim profile) lead, followed by the r8-session-1
-# ingest-gate pair which the driver has not yet attested, then
-# oldest-attestation-first backfill. Every query registered before this
-# round has at least one full CORRECTNESS_r* pass.
+# Round-11 prefix (regenerated this round via rotate_window.py): the four
+# r10-changed/new queries lead (q_node_clustering rewrite, q_kcore_nodes
+# early-exit peel, q_kcore_support1 and q_multimodal_avi_frames — the two
+# never-driver-attested r10 additions), then oldest-attestation-first
+# backfill (r3 cohort drains first). first-50 window: 50 entries; oldest-attested in window: r3; left out: 224
 CHECK_PRIORITY: tuple[str, ...] = (
-    "q_cohort_ltv",  # --- code changed this round: attest first ---
-    "q_seasonal_hour_profile",
-    "q_attribution_multi_touch",
-    "q_changepoint_mean_shift",
-    "q_time_weighted_average",
-    "q_winsorized_stats",
-    "q_clamped_running_balance",
-    "q_linear_interp_gapfill",
-    "q_mann_whitney",
-    "q_cliffs_delta",
-    "q_pairwise_tests_bonferroni",
-    "q_knn_bruteforce_cosine",
-    "q_knn_lsh_approx",
-    "q_knn_pq",
-    "q_hard_negatives",
-    "q_embedding_dim_profile",
-    "q_knn_ivf",
-    "q_knn_block_matrix",
-    "q_knn_classifier_eval",
-    "q_kmeans_lloyd",
-    "q_dbscan_classify",
-    "q_mmr_rerank",
-    "q_pca_top_component",
-    "q_semdedup_clusters",
-    "q_dedup_embedding_cosine",
-    "q_hybrid_rrf_search",
-    "q_embedding_norms",
-    "q_pagerank",
-    "q_label_propagation",
+    "q_node_clustering",  # --- code changed this round: attest first ---
     "q_kcore_nodes",
-    "q_degree_assortativity",
-    "q_link_prediction_aa",
-    "q_dedup_clusters",
-    "q_dedup_canonical_docs",
-    "q_dedup_soft_weights",
-    "q_multimodal_features",
-    "q_multimodal_frame_sample",
-    "q_udaf_trimmed_mean",  # --- backfill: oldest attestation first ---
-    "q_ratio_to_report",
-    "q_scd2_user_values",
-    "q_kll_quantile_merge",
-    "q_theta_set_ops",
-    "q_agg_regression",
-    "q_agg_extrema_by",
-    "q_agg_bitwise",
-    "q_histogram_values",
-    "q_pii_scrub",
-    "q_stratified_sample",
-    "q_sequence_packing",
-    "q_repetition_score",
-    "q_doc_chunking",  # ---------------- first-50 window ends above ----------------
+    "q_kcore_support1",
+    "q_multimodal_avi_frames",
+    "q_doc_chunking",  # --- backfill: oldest attestation first ---
     "q_token_entropy",
     "q_mix_weights",
     "q_vocab_coverage",
@@ -163,7 +114,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_equidepth_histogram",
     "q_udtf_span_days",
     "q_weighted_median",
-    "q_snapshot_diff",
+    "q_snapshot_diff",  # ---------------- first-50 window ends above ----------------
     "q_setop_bag_semantics",
     "q_try_arithmetic_safe",
     "q_nested_json_assembly",
@@ -300,7 +251,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_hll_sketch_union",
     "q_window_distribution_ranks_partitioned",
     "q_timeseries_gapfill",
-    "q_node_clustering",
     "q_text_quality_score",
     "q_text_gopher_repetition",
     "q_text_fingerprint",
@@ -339,6 +289,55 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q02_min_cost_supplier",
     "q20_excess_shippers",
     "q21_sole_late_shipper",
+    "q_embedding_norms",
+    "q_knn_bruteforce_cosine",
+    "q_knn_lsh_approx",
+    "q_knn_pq",
+    "q_hard_negatives",
+    "q_embedding_dim_profile",
+    "q_knn_block_matrix",
+    "q_knn_ivf",
+    "q_udaf_trimmed_mean",
+    "q_ratio_to_report",
+    "q_scd2_user_values",
+    "q_kll_quantile_merge",
+    "q_theta_set_ops",
+    "q_cohort_ltv",
+    "q_seasonal_hour_profile",
+    "q_attribution_multi_touch",
+    "q_changepoint_mean_shift",
+    "q_pca_top_component",
+    "q_winsorized_stats",
+    "q_time_weighted_average",
+    "q_degree_assortativity",
+    "q_link_prediction_aa",
+    "q_agg_regression",
+    "q_agg_extrema_by",
+    "q_agg_bitwise",
+    "q_histogram_values",
+    "q_pagerank",
+    "q_label_propagation",
+    "q_kmeans_lloyd",
+    "q_dbscan_classify",
+    "q_clamped_running_balance",
+    "q_mmr_rerank",
+    "q_knn_classifier_eval",
+    "q_mann_whitney",
+    "q_cliffs_delta",
+    "q_pairwise_tests_bonferroni",
+    "q_linear_interp_gapfill",
+    "q_dedup_clusters",
+    "q_dedup_canonical_docs",
+    "q_dedup_soft_weights",
+    "q_dedup_embedding_cosine",
+    "q_semdedup_clusters",
+    "q_hybrid_rrf_search",
+    "q_pii_scrub",
+    "q_stratified_sample",
+    "q_sequence_packing",
+    "q_repetition_score",
+    "q_multimodal_features",
+    "q_multimodal_frame_sample",
 )
 
 # first-50 window: 50 entries; oldest-attested in window: r2; left out: 206

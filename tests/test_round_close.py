@@ -1,0 +1,93 @@
+"""Mechanical round-close guard for the driver attestation window.
+
+Judge r10 finding #1: NOTES_r10 claimed a CHECK_PRIORITY rotation that
+never landed, so the driver burned its 50 attestation slots re-checking
+the previous round's exact set while the round's new/changed queries
+shipped unattested. These tests make that failure impossible to miss:
+
+1. the spliced CHECK_PRIORITY[:50] must equal the window the rotation
+   tool computed (catches "ran the tool, forgot the splice");
+2. any registry query with NO attestation in any CORRECTNESS_r*.json
+   must sit inside the first-50 window;
+3. any query whose live fingerprint (fn source + oracle SQL) drifted
+   from tools/attest_manifest.json — i.e. changed since the last
+   rotation — must sit inside the first-50 window. Changing a query and
+   not re-running tools/rotate_window.py --changed fails the suite.
+
+No Spark session needed; pure registry/file checks.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import pytest
+
+from etl_pipeline_spark.queries.base import CHECK_PRIORITY, REGISTRY, all_specs
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MANIFEST = os.path.join(REPO, "tools", "attest_manifest.json")
+WINDOW = 50
+
+
+@pytest.fixture(scope="module")
+def registry():
+    all_specs()
+    return REGISTRY
+
+
+@pytest.fixture(scope="module")
+def manifest():
+    with open(MANIFEST) as fh:
+        return json.load(fh)
+
+
+def _attested() -> set[str]:
+    names: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        if re.search(r"r(\d+)", os.path.basename(path)):
+            names.update(json.load(open(path)))
+    return names
+
+
+def test_window_matches_rotation_manifest(registry, manifest):
+    """The spliced first-50 must be exactly what rotate_window computed."""
+    assert list(CHECK_PRIORITY[:WINDOW]) == manifest["window"], (
+        "CHECK_PRIORITY[:50] in queries/base.py does not match the window "
+        "recorded by the last `python tools/rotate_window.py` run — the "
+        "rotation was computed but never spliced (or base.py was hand-edited)."
+    )
+
+
+def test_never_attested_queries_inside_window(registry):
+    attested = _attested()
+    never = [q for q in registry if q not in attested]
+    outside = [q for q in never if q not in CHECK_PRIORITY[:WINDOW]]
+    assert not outside, (
+        f"never-driver-attested queries outside the first-50 window: {outside}; "
+        "re-run tools/rotate_window.py"
+    )
+
+
+def test_changed_queries_inside_window(registry, manifest):
+    """Implementation drift since the last rotation forces re-rotation."""
+    from tools.rotate_window import query_fingerprint
+
+    fps = manifest["fingerprints"]
+    unknown = [q for q in registry if q not in fps]
+    assert not unknown, (
+        f"queries registered after the last rotation: {unknown}; "
+        "re-run tools/rotate_window.py --changed <new names>"
+    )
+    drifted = [
+        q for q, spec in registry.items()
+        if query_fingerprint(spec) != fps[q] and q not in CHECK_PRIORITY[:WINDOW]
+    ]
+    assert not drifted, (
+        f"queries changed since the last rotation but outside the first-50 "
+        f"attestation window: {drifted}; re-run tools/rotate_window.py "
+        f"--changed {' '.join(drifted)} and splice the result into base.py"
+    )

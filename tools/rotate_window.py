@@ -14,11 +14,23 @@ Prints the full tuple body for queries/base.py plus a summary of what
 landed inside the first-50 window. Run after registering new queries:
 
     python tools/rotate_window.py --changed q_foo q_bar ...
+
+Also writes tools/attest_manifest.json — a per-query fingerprint
+(sha256 of the query function's source + its oracle SQL) snapshotted at
+rotation time. tests/test_round_close.py compares live fingerprints
+against this manifest: any query whose implementation drifts after
+rotation must re-appear in the first-50 window (re-run this tool with
+--changed), so NOTES can never claim a rotation that didn't land
+(judge r10 finding #1). The fingerprint covers the registered function
+body and oracle only — a behavior change made purely in a shared helper
+must still be declared via --changed by hand.
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
+import inspect
 import json
 import re
 import sys
@@ -26,6 +38,13 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 WINDOW = 50
+MANIFEST = "/root/repo/tools/attest_manifest.json"
+
+
+def query_fingerprint(spec) -> str:
+    """sha256 over the query fn's source text + oracle SQL (or '-')."""
+    src = inspect.getsource(spec.fn)
+    return hashlib.sha256((src + "\x00" + (spec.oracle or "-")).encode()).hexdigest()
 
 
 def main() -> None:
@@ -73,6 +92,11 @@ def main() -> None:
     print(f"\n# first-50 window: {len(in_window)} entries; "
           f"oldest-attested in window: r{min((latest.get(q, 99) for q in in_window), default=0)}; "
           f"left out: {len(order) - WINDOW}")
+
+    manifest = {q: query_fingerprint(REGISTRY[q]) for q in names}
+    with open(MANIFEST, "w") as fh:
+        json.dump({"window": order[:WINDOW], "fingerprints": manifest}, fh, indent=1, sort_keys=True)
+    print(f"# wrote {MANIFEST}: {len(manifest)} fingerprints", file=sys.stderr)
 
 
 if __name__ == "__main__":
