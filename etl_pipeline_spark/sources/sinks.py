@@ -145,85 +145,126 @@ def _marker_path(path: str) -> str:
     return path.rstrip("/") + "__swap_verified"
 
 
+# lock path -> open fd holding the kernel flock; the flock lives exactly
+# as long as this fd (or the process) does, so a crashed writer's lock
+# evaporates without any steal protocol
+_WRITER_LOCK_FDS: dict[str, int] = {}
+
+
 def _acquire_writer_lock(path: str) -> str:
-    """Single-writer guard for the parquet swap protocol. Creates
-    ``<path>__lock`` exclusively (O_EXCL) containing this pid; a second
-    writer gets :class:`ConcurrentWriterError` instead of silently racing
-    the rename window. A lock left by a crashed process (pid no longer
-    alive on this host) is stolen — liveness is checked with signal 0.
+    """Single-writer guard for the parquet swap protocol, built on
+    ``fcntl.flock`` so the kernel serializes contention.
+
+    Earlier revisions used O_EXCL pid files with a rename-based stale-lock
+    steal; r10's advisor showed the steal itself reopened a double-writer
+    window (while the live lock is renamed away for content inspection,
+    the path is vacant, a third writer O_EXCL-creates its own lock, and
+    the rename-back silently replaces it — POSIX rename never fails on an
+    existing destination). flock removes the whole class: a live holder
+    makes ``LOCK_EX | LOCK_NB`` fail, a dead holder's flock is released by
+    the kernel automatically, and no file is ever renamed or deleted while
+    possibly live.
+
+    The lock FILE still records the holder pid, for diagnostics and as a
+    belt-and-braces liveness check: a lock file containing a live pid but
+    carrying no flock (written by an out-of-band process, or a holder on
+    another NFS client where flock visibility is not guaranteed) is still
+    refused, not stolen. Only a genuinely dead pid (signal-0 probe;
+    EPERM counts as alive, r9 review) is taken over.
+
+    Local-filesystem guard for local/driver-side swaps; truly concurrent
+    multi-host writers need a transactional table format.
     """
+    import fcntl
     import os
 
     lock = _lock_path(path)
     while True:
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            # flock held -> the holder process is alive right now
+            holder = _read_lock_pid(fd)
             os.close(fd)
-            return lock
-        except FileExistsError:
-            try:
-                holder = int(open(lock).read().strip() or "0")
-            except (OSError, ValueError):
-                holder = 0
-            alive = False
-            if holder > 0:
-                try:
-                    os.kill(holder, 0)
-                    alive = True
-                except ProcessLookupError:
-                    alive = False
-                except PermissionError:
-                    # EPERM means the process EXISTS but belongs to
-                    # another user — stealing here is the double-writer
-                    # race the lock prevents (r9 review)
-                    alive = True
-            if alive:
-                raise ConcurrentWriterError(
-                    f"{path}: writer lock held by live pid {holder}; "
-                    "plain-parquet swaps are single-writer (use a "
-                    "transactional table format for concurrent writers)"
-                )
-            # stale lock from a dead writer: take it over ATOMICALLY by
-            # renaming it to a unique name first (r9 review: a plain
-            # remove raced a concurrent waiter — both could compute
-            # alive=False, and the second remove would delete the first
-            # waiter's FRESH lock, re-opening the double-writer window).
-            # Only the waiter whose rename succeeds deletes the stale
-            # file; the loser loops and re-examines the new state.
-            takeover = f"{lock}.steal.{os.getpid()}"
-            try:
-                os.rename(lock, takeover)
-            except FileNotFoundError:
-                continue  # someone else already took it; retry
-            # rename succeeded, but rename does not verify CONTENT: between
-            # our staleness read and the rename, another waiter may have
-            # completed its own takeover and created a FRESH lock — which
-            # is what we just renamed. Confirm the captured file still
-            # holds the dead pid we observed; otherwise put the live lock
-            # back and loop (we will then see a live holder and raise).
-            try:
-                captured = int(open(takeover).read().strip() or "0")
-            except (OSError, ValueError):
-                captured = -1
-            if captured != holder:
-                try:
-                    os.rename(takeover, lock)
-                except OSError:
-                    # a third waiter already re-created the lock; our
-                    # captured copy is garbage — drop it and re-examine
-                    os.remove(takeover)
-                continue
-            os.remove(takeover)
+            raise ConcurrentWriterError(
+                f"{path}: writer lock held by live pid {holder}; "
+                "plain-parquet swaps are single-writer (use a "
+                "transactional table format for concurrent writers)"
+            )
+        # flock acquired — but between our open() and flock() the previous
+        # holder may have released by unlink-then-close, leaving us locking
+        # an orphaned inode while a new writer locks a fresh file at the
+        # same path. Revalidate that our fd still IS the path.
+        try:
+            st_path = os.stat(lock)
+        except FileNotFoundError:
+            os.close(fd)
+            continue
+        if (st_path.st_dev, st_path.st_ino) != (
+            (st := os.fstat(fd)).st_dev,
+            st.st_ino,
+        ):
+            os.close(fd)
+            continue
+        holder = _read_lock_pid(fd)
+        if holder > 0 and _pid_alive(holder):
+            # pid-file-only holder (no flock): refuse rather than steal.
+            # holder == our own pid can only be an out-of-band file —
+            # genuine re-entrant acquisition already failed the flock
+            # above (two open()s give independent descriptions that
+            # conflict) — so it is refused like any other live pid.
+            os.close(fd)
+            raise ConcurrentWriterError(
+                f"{path}: writer lock file names live pid {holder} "
+                "(flock not held — out-of-band or cross-host writer); "
+                "refusing to steal a possibly-active lock"
+            )
+        os.ftruncate(fd, 0)
+        os.lseek(fd, 0, os.SEEK_SET)  # _read_lock_pid advanced the offset
+        os.write(fd, str(os.getpid()).encode())
+        os.fsync(fd)
+        _WRITER_LOCK_FDS[lock] = fd
+        return lock
+
+
+def _read_lock_pid(fd: int) -> int:
+    import os
+
+    try:
+        os.lseek(fd, 0, os.SEEK_SET)
+        return int(os.read(fd, 64).decode().strip() or "0")
+    except (OSError, ValueError):
+        return 0
+
+
+def _pid_alive(pid: int) -> bool:
+    import os
+
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        # EPERM: the process EXISTS but belongs to another user —
+        # treating it as dead is the double-writer race (r9 review)
+        return True
 
 
 def _release_writer_lock(lock: str) -> None:
     import os
 
+    # unlink BEFORE closing: a waiter that already open()ed this inode
+    # will win its flock only after our close, then fail the path/inode
+    # revalidation and retry against the fresh path
     try:
         os.remove(lock)
     except FileNotFoundError:
         pass
+    fd = _WRITER_LOCK_FDS.pop(lock, None)
+    if fd is not None:
+        os.close(fd)
 
 
 def _verified_swap(spark, path: str, tmp: str) -> None:

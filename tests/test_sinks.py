@@ -286,9 +286,10 @@ def test_analyze_table_statistics_feed_the_optimizer(spark, tmp_path_factory):
 
 
 def test_writer_lock_stale_takeover_and_eperm_semantics(tmp_path):
-    """r9 review finds: a stale lock (dead pid) is taken over ATOMICALLY
-    (rename-then-delete, so two waiters can't each delete a fresh lock),
-    and the takeover path acquires successfully."""
+    """r9 review find, r11 protocol: a stale lock file (dead pid, no
+    flock) is taken over — the flock acquires immediately and the pid
+    content is rewritten — while a live pid still refuses (see the
+    concurrent test above); EPERM on the signal-0 probe counts as alive."""
     import os
 
     from etl_pipeline_spark.sources.sinks import (
@@ -314,13 +315,14 @@ def test_writer_lock_stale_takeover_and_eperm_semantics(tmp_path):
     assert not [f for f in os.listdir(tmp_path) if ".steal." in f]
 
 
-def test_writer_lock_steal_does_not_delete_fresh_lock(tmp_path, monkeypatch):
-    """r10 review find: rename does not verify CONTENT — between the
-    staleness read and the rename, another waiter can complete its own
-    takeover and create a FRESH lock, which the first waiter's rename
-    then captures and deletes, re-opening the double-writer window. The
-    takeover must verify the captured pid equals the stale pid it
-    observed and put a mismatched (live) lock back."""
+def test_writer_lock_flock_serializes_contention(tmp_path):
+    """r11 (advisor r10 medium): the rename-based stale-lock steal itself
+    reopened a double-writer window (while the live lock was renamed away
+    for inspection, a third writer could O_EXCL-create its own lock and
+    the rename-back silently replaced it). The protocol is now flock-based:
+    the kernel serializes contention, so a second acquisition against a
+    HELD flock — even from the same process via an independent fd — is
+    refused, and no lock file is ever renamed or deleted while live."""
     import os
 
     import pytest as _pytest
@@ -329,42 +331,65 @@ def test_writer_lock_steal_does_not_delete_fresh_lock(tmp_path, monkeypatch):
         ConcurrentWriterError,
         _acquire_writer_lock,
         _lock_path,
+        _release_writer_lock,
     )
 
     path = str(tmp_path / "data")
     lock = _lock_path(path)
-    # dead pid for the staleness read
-    pid = os.fork()
-    if pid == 0:
-        os._exit(0)
-    os.waitpid(pid, 0)
-    with open(lock, "w") as fh:
-        fh.write(str(pid))  # stale lock that OUR waiter will observe
+    got = _acquire_writer_lock(path)
+    assert got == lock and os.path.exists(lock)
+    assert open(lock).read().strip() == str(os.getpid())
+    with _pytest.raises(ConcurrentWriterError):
+        _acquire_writer_lock(path)  # flock conflict, not pid inspection
+    # the refused attempt must not have damaged the held lock
+    assert open(lock).read().strip() == str(os.getpid())
+    _release_writer_lock(got)
+    assert not os.path.exists(lock)
+    # after release the path is acquirable again
+    got2 = _acquire_writer_lock(path)
+    _release_writer_lock(got2)
 
-    # inject the race exactly inside the window: when our waiter calls
-    # os.rename(lock, takeover), first simulate the OTHER waiter winning
-    # — it steals the stale lock and re-creates a fresh lock holding its
-    # (live) pid — so the rename captures the FRESH lock, not the stale.
-    real_rename = os.rename
+
+def test_writer_lock_revalidates_inode_after_release_race(tmp_path, monkeypatch):
+    """r11: the classic flock-unlink race — a waiter open()s the lock
+    file, the holder releases by unlink-then-close, the waiter's flock
+    then succeeds on the ORPHANED inode while a new writer could lock a
+    fresh file at the same path. The acquirer must detect the path/fd
+    inode mismatch, drop the orphan, and retry against the live path."""
+    import os
+
+    from etl_pipeline_spark.sources.sinks import (
+        _acquire_writer_lock,
+        _lock_path,
+        _release_writer_lock,
+    )
+
+    path = str(tmp_path / "data")
+    lock = _lock_path(path)
+    with open(lock, "w") as fh:
+        fh.write("")  # fresh lock file the "new writer" would use
+    orphan = str(tmp_path / "orphan")
+    with open(orphan, "w") as fh:
+        fh.write("0")
+
+    real_open = os.open
     fired = {"n": 0}
 
-    def racing_rename(src, dst):
-        if src == lock and ".steal." in dst and fired["n"] == 0:
+    def orphan_open(p, flags, *a, **kw):
+        # first open of the lock path lands on the orphan inode, exactly
+        # as if the holder unlinked the path after our open
+        if p == lock and fired["n"] == 0:
             fired["n"] += 1
-            with open(lock, "w") as fh:
-                fh.write(str(os.getpid()))  # live pid: the winner's lock
-        real_rename(src, dst)
+            return real_open(orphan, flags, *a, **kw)
+        return real_open(p, flags, *a, **kw)
 
-    monkeypatch.setattr(os, "rename", racing_rename)
-    # with content verification the mismatch is detected, the fresh lock
-    # is restored, the loop re-reads a LIVE holder and raises — instead
-    # of deleting the winner's lock and double-writing.
-    with _pytest.raises(ConcurrentWriterError):
-        _acquire_writer_lock(path)
+    monkeypatch.setattr(os, "open", orphan_open)
+    got = _acquire_writer_lock(path)  # must retry, not return the orphan
+    assert fired["n"] == 1
     assert os.path.exists(lock)
     assert open(lock).read().strip() == str(os.getpid())
-    assert fired["n"] == 1
-    assert not [f for f in os.listdir(tmp_path) if ".steal." in f]
+    assert open(orphan).read().strip() == "0"  # orphan untouched
+    _release_writer_lock(got)
 
 
 def test_audit_record_timestamp_is_utc_instant(spark):
