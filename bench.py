@@ -131,8 +131,14 @@ def _wait_for_idle() -> list[float]:
     for attempt in range(IDLE_WAIT_MAX_ATTEMPTS):
         c = round(_mt_canary_sec(), 3)
         history.append(c)
+        # stable floor = the LAST THREE probes sit within the band of
+        # each other (r10 advisor: comparing the current probe against
+        # the all-history min declares a still-decaying contention
+        # sequence like 3.0, 2.5, 2.1 idle — every new minimum trivially
+        # satisfies c <= min(history) * band)
+        last3 = history[-3:]
         if c <= IDLE_MT_CANARY_SEC or (
-            len(history) >= 3 and c <= min(history) * IDLE_FLOOR_BAND
+            len(last3) == 3 and max(last3) <= min(last3) * IDLE_FLOOR_BAND
         ):
             break
         if attempt < IDLE_WAIT_MAX_ATTEMPTS - 1:

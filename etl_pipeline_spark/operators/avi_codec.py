@@ -133,6 +133,7 @@ def avi_main_header(data: bytes) -> dict:
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     out: dict = {}
+    strl_index = 0
     for fourcc, body in _walk(data, 12, 8 + struct.unpack("<I", data[4:8])[0]):
         if fourcc == b"LIST" and body[:4] == b"hdrl":
             for f2, b2 in _walk(body, 4, len(body)):
@@ -141,13 +142,20 @@ def avi_main_header(data: bytes) -> dict:
                     out.update(
                         usec_per_frame=vals[0],
                         n_frames=vals[4],
+                        n_streams=vals[6],
                         width=vals[8],
                         height=vals[9],
                     )
-                elif f2 == b"LIST" and b2[:4] == b"strl" and "codec" not in out:
-                    for f3, b3 in _walk(b2, 4, len(b2)):
-                        if f3 == b"strh" and b3[:4] == b"vids":
-                            out["codec"] = b3[4:8].decode("ascii", "replace")
+                elif f2 == b"LIST" and b2[:4] == b"strl":
+                    # movi chunk ids encode the stream as the strl's
+                    # ordinal position within hdrl, two ASCII decimal
+                    # digits ("00dc" = stream 0 compressed video)
+                    if "codec" not in out:
+                        for f3, b3 in _walk(b2, 4, len(b2)):
+                            if f3 == b"strh" and b3[:4] == b"vids":
+                                out["codec"] = b3[4:8].decode("ascii", "replace")
+                                out["video_stream"] = strl_index
+                    strl_index += 1
     if "n_frames" not in out:
         raise ValueError("AVI without an avih header")
     return out
@@ -169,15 +177,19 @@ def _walk(data: bytes, pos: int, end: int):
 
 
 def avi_frame_payloads(data: bytes) -> list[bytes]:
-    """Extract the compressed video frame payloads (``00dc``/``00db``
-    chunks inside ``LIST movi``) in stream order. Unknown chunks and
-    lists (JUNK, rec  groupings, extra streams) are skipped, matching
-    how real players walk the container."""
+    """Extract the VIDEO stream's compressed frame payloads
+    (``NNdc``/``NNdb`` chunks inside ``LIST movi``) in stream order.
+    Unknown chunks and lists (JUNK, ``rec `` groupings) are skipped,
+    matching how real players walk the container, and chunks are
+    filtered on the video stream's two-digit id prefix (r10 advisor: a
+    suffix-only match would interleave an audio/second stream's
+    ``01dc`` frames into the output)."""
     header = avi_main_header(data)  # validates magic + avih presence
     if header.get("codec") not in (None, "MJPG"):
         raise NotImplementedError(
             f"AVI codec {header['codec']!r} not supported (only MJPG)"
         )
+    want = b"%02d" % header.get("video_stream", 0)
     frames: list[bytes] = []
     end = 8 + struct.unpack("<I", data[4:8])[0]
     for fourcc, body in _walk(data, 12, end):
@@ -187,9 +199,9 @@ def avi_frame_payloads(data: bytes) -> list[bytes]:
                     frames.extend(
                         bytes(b2)
                         for c2, b2 in _walk(cbody, 4, len(cbody))
-                        if c2[2:4] in (b"dc", b"db")
+                        if c2[:2] == want and c2[2:4] in (b"dc", b"db")
                     )
-                elif cid[2:4] in (b"dc", b"db"):
+                elif cid[:2] == want and cid[2:4] in (b"dc", b"db"):
                     frames.append(bytes(cbody))
     return frames
 

@@ -278,6 +278,11 @@ def _extract_features(payload: bytes | None, kind: str | None) -> dict:
 
             hdr = avi_main_header(payload)
             frames = decode_avi_mjpeg(payload)
+            if not frames:
+                # structurally valid AVI whose movi list carries no video
+                # chunks: a deliberate ValueError, not an opaque
+                # np.concatenate failure inside the task (r10 advisor)
+                raise ValueError("AVI with no video frames")
             all_px = np.concatenate([f.reshape(-1) for f in frames])
             return {
                 "format": "avi-mjpeg",

@@ -505,3 +505,28 @@ def test_soft_dedup_weights_custom_frame(spark):
     assert got[1]["cluster_size"] == 2 and got[1]["weight"] == 0.5
     assert got[2]["cluster_id"] == got[1]["cluster_id"] and got[2]["is_dup"]
     assert got[3]["cluster_size"] == 1 and got[3]["weight"] == 1.0 and not got[3]["is_dup"]
+
+
+def test_bench_idle_floor_requires_last_three_probe_band(monkeypatch):
+    """r10 advisor: the stable-floor break compared the CURRENT probe to
+    the all-history min (which includes itself), so any new minimum at
+    probe >= 3 ended the wait — a steadily decaying contention sequence
+    was declared idle while still draining. The floor now requires the
+    LAST THREE probes to sit within the band of each other."""
+    import bench
+
+    monkeypatch.setattr(bench, "IDLE_WAIT_SEC", 0)
+    # decaying contention: every probe a new min, never a flat floor,
+    # all above the absolute threshold -> must exhaust the budget
+    decaying = iter([3.0, 2.5, 2.1, 1.95, 1.92, 1.905])
+    monkeypatch.setattr(bench, "_mt_canary_sec", lambda: next(decaying))
+    hist = bench._wait_for_idle()
+    assert len(hist) == bench.IDLE_WAIT_MAX_ATTEMPTS
+    # flat floor above the absolute threshold -> breaks at probe 3
+    flat = iter([2.6, 1.91, 1.90, 1.92, 1.90, 1.90])
+    monkeypatch.setattr(bench, "_mt_canary_sec", lambda: next(flat))
+    hist = bench._wait_for_idle()
+    assert len(hist) == 4  # 2.6 then three probes within 5% of each other
+    # absolute threshold still breaks immediately
+    monkeypatch.setattr(bench, "_mt_canary_sec", lambda: 0.5)
+    assert len(bench._wait_for_idle()) == 1

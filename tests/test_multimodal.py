@@ -1069,3 +1069,85 @@ def test_avi_features_and_frame_pipeline(spark):
         (0, 48 * 24),
         (2, 102 * 24),
     ]
+
+
+def test_avi_two_stream_filters_on_video_stream_prefix():
+    """r10 advisor: frame extraction matched any '??dc'/'??db' chunk by
+    SUFFIX, so a second stream's '01dc' chunks would interleave into the
+    video output. Chunk ids are now filtered on the parsed video
+    stream's two-digit prefix: with an audio strl FIRST (video stream
+    index 1), only the '01dc' payloads come back and the audio stream's
+    '00wb'/'00dc' chunks are skipped."""
+    import struct as _struct
+
+    from etl_pipeline_spark.operators.avi_codec import (
+        avi_frame_payloads,
+        avi_main_header,
+        encode_avi_mjpeg,
+    )
+    from etl_pipeline_spark.operators.jpeg_codec import encode_jpeg_baseline
+
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(2)]
+    avi = encode_avi_mjpeg(frames, quality=80)
+    want = [encode_jpeg_baseline(f, quality=80) for f in frames]
+
+    def chunk(cc, body):
+        return cc + _struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    # rebuild hdrl with an auds strl BEFORE the vids strl, so the video
+    # stream's movi id prefix becomes "01"
+    movi_at = avi.index(b"movi") - 8
+    hdrl_list = avi[12:movi_at]
+    avih_at = hdrl_list.index(b"avih")
+    avih_size = _struct.unpack("<I", hdrl_list[avih_at + 4 : avih_at + 8])[0]
+    avih = hdrl_list[avih_at : avih_at + 8 + avih_size]
+    vids_strl_at = hdrl_list.index(b"LIST", avih_at)
+    vids_strl_size = _struct.unpack(
+        "<I", hdrl_list[vids_strl_at + 4 : vids_strl_at + 8]
+    )[0]
+    vids_strl = hdrl_list[vids_strl_at : vids_strl_at + 8 + vids_strl_size]
+    auds_strl = chunk(b"LIST", b"strl" + chunk(b"strh", b"auds" + b"\x00" * 52))
+    hdrl = chunk(b"LIST", b"hdrl" + avih + auds_strl + vids_strl)
+
+    audio_noise = [b"\x01\x02\x03\x04", want[0][:10]]
+    movi_chunks = (
+        chunk(b"00wb", audio_noise[0])   # audio stream data
+        + chunk(b"01dc", want[0])        # video frame 0
+        + chunk(b"00dc", audio_noise[1]) # hostile: dc suffix, stream 0
+        + chunk(b"01dc", want[1])        # video frame 1
+    )
+    body = b"AVI " + hdrl + chunk(b"LIST", b"movi" + movi_chunks)
+    two_stream = b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    hdr = avi_main_header(two_stream)
+    assert hdr["video_stream"] == 1 and hdr["codec"] == "MJPG"
+    assert avi_frame_payloads(two_stream) == want
+
+
+def test_avi_with_no_video_frames_raises_named_error(spark):
+    """r10 advisor: a structurally valid AVI whose movi list carries zero
+    frame chunks must fail with a deliberate ValueError, not an opaque
+    np.concatenate error inside the pandas UDF task."""
+    import struct as _struct
+
+    from etl_pipeline_spark.operators.avi_codec import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from etl_pipeline_spark.operators.multimodal import _extract_features
+
+    frames = [np.full((4, 4, 3), 7, dtype=np.uint8)]
+    avi = encode_avi_mjpeg(frames, quality=90)
+
+    def chunk(cc, body):
+        return cc + _struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    movi_at = avi.index(b"movi") - 8
+    hdrl = avi[12:movi_at]
+    body = b"AVI " + hdrl + chunk(b"LIST", b"movi")
+    empty = b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    assert decode_avi_mjpeg(empty) == []  # container walk itself is fine
+    with pytest.raises(ValueError, match="no video frames"):
+        _extract_features(empty, "video")
