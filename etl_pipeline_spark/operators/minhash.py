@@ -8,9 +8,18 @@ bit-identical in DuckDB and value-hash-checked:
   h(s)         = (first 12 hex chars of md5(shingle) as 48-bit int) mod M
   h_i(s)       = (A[i] * h(s) + B[i]) mod M,   M = 2^31 - 1 (Carter-Wegman)
   sig_i(doc)   = min over the doc's distinct shingles of h_i(s),  i < 16
-  band_j(doc)  = (sig_{4j}, .., sig_{4j+3}) as one string key,    j < 4
-  candidates   = pairs sharing ANY band (union of 4 equi-joins)
+  band_j(doc)  = (sig_{2j}, sig_{2j+1}) as one join key,          j < 8
+  candidates   = pairs sharing ANY band (union of 8 equi-joins)
   est_jaccard  = (# of matching signature components) / 16,  kept >= 0.4
+
+Banding is 8 bands x 2 rows — the same S-curve as the flagship xxhash
+LSH (queries/dedup.py LSH_BANDS/LSH_ROWS): knee (1/8)^(1/2) ~= 0.354,
+true-pair miss probability (1-j^2)^8 = 2.8e-4 at j = 0.8, the observed
+fixture floor. The original 4 bands x 4 rows put the knee at
+(1/4)^(1/4) ~= 0.707 and deterministically MISSED the sf0.1 floor pair
+(doc 1568/2466, j = 0.8, recall 0.9961) — found by the r11 recall gate
+(tools/recall_gate.py); both engines agreed on the low-recall candidate
+set, so no oracle could see it.
 
 Scale: the signature build is one groupBy(doc) over the shingle explode
 (16 mins computed as parallel aggregates, no extra explode); the banded
@@ -25,7 +34,7 @@ from pyspark.sql import functions as F
 from etl_pipeline_spark.catalog import load_tables
 
 N_HASHES = 16
-N_BANDS = 4
+N_BANDS = 8
 ROWS_PER_BAND = N_HASHES // N_BANDS
 HEX_CHARS = 12  # 48-bit values
 EST_JACCARD_MIN = 0.4
@@ -138,7 +147,8 @@ def _pairs_over_sig(sig_table: str) -> str:
             FROM {sig_table} a JOIN {sig_table} b
               ON """
         + " AND ".join(
-            f"a.m{4 * j + r} = b.m{4 * j + r}" for r in range(ROWS_PER_BAND)
+            f"a.m{ROWS_PER_BAND * j + r} = b.m{ROWS_PER_BAND * j + r}"
+            for r in range(ROWS_PER_BAND)
         )
         + "\n             AND a.doc_id < b.doc_id"
         for j in range(N_BANDS)
@@ -203,7 +213,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side materializes signatures once (cache + view) so the
-    4-band UNION does not rebuild them per branch."""
+    8-band UNION does not rebuild them per branch."""
     load_tables(spark, sf_dir, ("documents",))
     sig = spark.sql(minhash_signatures_sql("spark")).cache()
     sig.createOrReplaceTempView("minhash_sig")

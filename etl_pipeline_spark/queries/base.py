@@ -58,16 +58,18 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-11 prefix (regenerated this round via rotate_window.py): the four
-# r10-changed/new queries lead (q_node_clustering rewrite, q_kcore_nodes
-# early-exit peel, q_kcore_support1 and q_multimodal_avi_frames — the two
-# never-driver-attested r10 additions), then oldest-attestation-first
-# backfill (r3 cohort drains first). first-50 window: 50 entries; oldest-attested in window: r3; left out: 224
+# Round-11 prefix (regenerated via rotate_window.py): the four r10-changed/
+# never-attested queries plus the two md5-LSH queries retuned this round
+# (q_dedup_minhash_pairs / q_lsh_recall_report: banding 4x4 -> 8x2 after the
+# recall gate found the deterministic j=0.8 miss at sf0.1) lead, then
+# oldest-attestation-first backfill (r3 cohort drains first). first-50 window: 50 entries; oldest-attested in window: r3; left out: 224
 CHECK_PRIORITY: tuple[str, ...] = (
     "q_node_clustering",  # --- code changed this round: attest first ---
     "q_kcore_nodes",
     "q_kcore_support1",
     "q_multimodal_avi_frames",
+    "q_dedup_minhash_pairs",
+    "q_lsh_recall_report",
     "q_doc_chunking",  # --- backfill: oldest attestation first ---
     "q_token_entropy",
     "q_mix_weights",
@@ -112,9 +114,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_entity_resolution_fs",
     "q_gaps_islands",
     "q_equidepth_histogram",
-    "q_udtf_span_days",
+    "q_udtf_span_days",  # ---------------- first-50 window ends above ----------------
     "q_weighted_median",
-    "q_snapshot_diff",  # ---------------- first-50 window ends above ----------------
+    "q_snapshot_diff",
     "q_setop_bag_semantics",
     "q_try_arithmetic_safe",
     "q_nested_json_assembly",
@@ -219,10 +221,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_dedup_simhash",
     "q_dedup_simhash_pairs",
     "q_dedup_minhash_signatures",
-    "q_dedup_minhash_pairs",
     "q_dedup_ngram_jaccard_capped",
     "q_dedup_containment",
-    "q_lsh_recall_report",
     "q_dedup_prefix_filter",
     "q_snm_recall_report",
     "q_text_stats_by_lang",

@@ -174,6 +174,15 @@ def build(out_dir: Path) -> None:
     )
     print(f"adversarial fixture written to {out_dir}")
 
+    # recall contract check at regeneration time (r10 judge #3): a new
+    # similarity profile may legitimately need banding retuned — fail
+    # HERE, not rounds later when a dedup oracle quietly agrees with a
+    # low-recall candidate set on both engines
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.recall_gate import assert_lsh_recall
+
+    print(f"recall gate: {assert_lsh_recall(str(out_dir))}")
+
 
 if __name__ == "__main__":
     out = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(".fuzzdata/sfadv")
