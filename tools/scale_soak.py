@@ -426,7 +426,18 @@ def main_sf10() -> None:
     demands it (SemDeDup k, k-core support). --graph runs the r8 graph
     family instead of the document heavies; --softdedup re-runs
     q_dedup_soft_weights with the widened CC shuffle (judge #7)."""
-    spark = get_spark("scale_soak_sf10")
+    # reducer.maxSizeInFlight 48m -> 16m (r11, measured): the residual
+    # shuffle-side GCLocker retries at sf10 (r10 NOTES #4, 33-46 MB
+    # allocations) are the reducer's in-flight fetch buffers becoming G1
+    # humongous allocations in the single 8 GB soak JVM; 16m drops them
+    # under the region threshold (0 warnings, warm wall-clock unchanged;
+    # A/B in BASELINE.md — shuffle.file.buffer=1m measured WORSE). This
+    # is single-JVM GC hygiene, not a cluster recommendation: multi-host
+    # deployments size in-flight for fetch throughput instead.
+    spark = get_spark(
+        "scale_soak_sf10",
+        extra_conf={"spark.reducer.maxSizeInFlight": "16m"},
+    )
     if "--skip-build" not in sys.argv:
         t0 = time.perf_counter()
         build_sf10(spark)
