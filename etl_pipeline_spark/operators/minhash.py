@@ -82,21 +82,32 @@ _DUCK_SHINGLES = f"""
 # Mersenne prime 2^31 - 1; a*(x mod M) + b < 2^62 so ANSI-mode BIGINT
 # arithmetic cannot overflow.
 _CW_M = 2_147_483_647
+# Components 16-31 (r11) extend the family for the 32-permutation
+# streaming-parity signature (streaming/neardup.py NUM_PERM=32); the
+# first 16 are untouched so every 16-perm oracle string is byte-stable.
 _CW_A = (
     1203248318, 394002377, 1482917898, 973360097,
     560837743, 2122300865, 301051916, 1293086247,
     1791290746, 848363558, 76474139, 1901561757,
     489225455, 1022665331, 1659357897, 232127078,
+    1085920612, 879187131, 899922483, 1555219523,
+    1193281379, 1517107591, 2020979363, 1757983499,
+    2043819091, 2032283419, 1720704083, 1752593550,
+    805568952, 160440960, 1084057740, 1632057858,
 )
 _CW_B = (
     1853245938, 1336713364, 525125949, 1875781527,
     200612970, 1540929600, 632843609, 1897252314,
     1230667493, 287295574, 1976316105, 762912539,
     1070763739, 335844348, 60709060, 1586958406,
+    342306680, 717777934, 613934333, 183351642,
+    246949543, 1374813416, 1584347247, 615055284,
+    920348541, 979897161, 1413175306, 936388165,
+    162627457, 1930014342, 557147990, 1293990660,
 )
 
 
-def _sig_cte(engine: str) -> str:
+def _sig_cte(engine: str, n_hashes: int = N_HASHES) -> str:
     """One md5 per shingle, then 16 integer universal-hash mixes.
 
     The original family hashed every shingle 16 times
@@ -114,7 +125,7 @@ def _sig_cte(engine: str) -> str:
     shingles = _SPARK_SHINGLES if engine == "spark" else _DUCK_SHINGLES
     min_exprs = [
         f"MIN(({_CW_A[i]} * h + {_CW_B[i]}) % {_CW_M}) AS m{i}"
-        for i in range(N_HASHES)
+        for i in range(n_hashes)
     ]
     mins = ",\n           ".join(min_exprs)
     return f"""
@@ -130,9 +141,45 @@ def _sig_cte(engine: str) -> str:
     """
 
 
-def minhash_signatures_sql(engine: str) -> str:
-    cols = ", ".join(f"m{i}" for i in range(N_HASHES))
-    return f"WITH {_sig_cte(engine)} SELECT doc_id, {cols} FROM sig"
+def minhash_signatures_sql(engine: str, n_hashes: int = N_HASHES) -> str:
+    cols = ", ".join(f"m{i}" for i in range(n_hashes))
+    return (
+        f"WITH {_sig_cte(engine, n_hashes)} SELECT doc_id, {cols} FROM sig"
+    )
+
+
+def md5_minhash_components(shingles: Column, n_perm: int) -> Column:
+    """Column-side twin of the md5 Carter-Wegman SQL family: signature
+    component i is MIN over the shingle array of
+    ``(A[i] * (hex48(md5(s)) % M) + B[i]) % M`` — bit-identical to
+    :func:`_sig_cte`'s aggregate on the same shingle set (pinned by
+    test), so operators built from Column expressions (the streaming
+    near-dup family switch) stay DuckDB-cross-checkable. Returns
+    array<bigint>, length ``n_perm`` (<= 32 constants available)."""
+    if n_perm > len(_CW_A):
+        raise ValueError(f"md5 family has {len(_CW_A)} components, not {n_perm}")
+    a_arr = F.array(*[F.lit(a) for a in _CW_A[:n_perm]])
+    b_arr = F.array(*[F.lit(b) for b in _CW_B[:n_perm]])
+    hashed = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, HEX_CHARS), 16, 10).cast(
+            "bigint"
+        )
+        % _CW_M,
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_perm - 1)),
+        lambda p: F.array_min(
+            F.transform(
+                hashed,
+                lambda h: (
+                    F.element_at(a_arr, p + 1) * h
+                    + F.element_at(b_arr, p + 1)
+                )
+                % F.lit(_CW_M),
+            )
+        ),
+    )
 
 
 def _pairs_over_sig(sig_table: str) -> str:

@@ -58,11 +58,11 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-11 prefix (regenerated via rotate_window.py): the four r10-changed/
-# never-attested queries plus the two md5-LSH queries retuned this round
-# (q_dedup_minhash_pairs / q_lsh_recall_report: banding 4x4 -> 8x2 after the
-# recall gate found the deterministic j=0.8 miss at sf0.1) lead, then
-# oldest-attestation-first backfill (r3 cohort drains first). first-50 window: 50 entries; oldest-attested in window: r3; left out: 224
+# Round-11 prefix (regenerated via rotate_window.py): the r10-changed/
+# never-attested four, the two md5-LSH queries rebanded 4x4 -> 8x2 (recall
+# gate found the deterministic j=0.8 miss at sf0.1), and the new
+# q_streaming_neardup_parity (streaming semantics under the driver's hash)
+# lead; then oldest-attestation-first backfill. first-50 window: 50 entries; oldest-attested in window: r3; left out: 225
 CHECK_PRIORITY: tuple[str, ...] = (
     "q_node_clustering",  # --- code changed this round: attest first ---
     "q_kcore_nodes",
@@ -70,6 +70,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_multimodal_avi_frames",
     "q_dedup_minhash_pairs",
     "q_lsh_recall_report",
+    "q_streaming_neardup_parity",
     "q_doc_chunking",  # --- backfill: oldest attestation first ---
     "q_token_entropy",
     "q_mix_weights",
@@ -113,8 +114,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_shapley_attribution",
     "q_entity_resolution_fs",
     "q_gaps_islands",
-    "q_equidepth_histogram",
-    "q_udtf_span_days",  # ---------------- first-50 window ends above ----------------
+    "q_equidepth_histogram",  # ---------------- first-50 window ends above ----------------
+    "q_udtf_span_days",
     "q_weighted_median",
     "q_snapshot_diff",
     "q_setop_bag_semantics",

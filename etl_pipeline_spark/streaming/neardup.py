@@ -50,14 +50,23 @@ FLAG_SCHEMA = "doc_id long, matched_id long, est_sim double, band int"
 _STATE_SCHEMA = "ids array<bigint>, sigs array<array<bigint>>"
 
 
-def minhash_signature(text: Column) -> Column:
+def minhash_signature(text: Column, family: str = "xxhash") -> Column:
     """P-permutation MinHash signature (array<bigint>, length NUM_PERM)
     of a text column's distinct word-3-gram shingle set. Permutation p
     is xxhash64(shingle, p) — the seed rides as a second hashed column —
     and the signature component is the min over shingles. Documents with
     fewer than SHINGLE_WIDTH words hash their whole text as a single
-    shingle so short records still dedup exactly."""
-    from etl_pipeline_spark.operators.minhash import xxhash_minhash_components
+    shingle so short records still dedup exactly.
+
+    ``family="md5"`` (r11) swaps in the engine-portable md5
+    Carter-Wegman family (operators/minhash.py, 32 components) over the
+    SAME shingles — the batch-parity bridge: the streaming operator
+    under md5 is pytest-pinned equal to q_streaming_neardup_parity,
+    whose DuckDB oracle the driver hashes."""
+    from etl_pipeline_spark.operators.minhash import (
+        md5_minhash_components,
+        xxhash_minhash_components,
+    )
 
     # The token array is BOUND as a lambda variable (one-element array
     # wrapper) instead of repeated as a plain expression: Catalyst
@@ -92,6 +101,8 @@ def minhash_signature(text: Column) -> Column:
     shingles = F.array_distinct(
         F.flatten(F.transform(F.array(F.split(text, " ")), _shingles))
     )
+    if family == "md5":
+        return md5_minhash_components(shingles, NUM_PERM)
     return xxhash_minhash_components(shingles, NUM_PERM)
 
 
@@ -102,6 +113,41 @@ def band_hashes(sig: Column) -> Column:
         F.sequence(F.lit(0), F.lit(BANDS - 1)),
         lambda b: F.xxhash64(F.slice(sig, b * ROWS_PER_BAND + 1, ROWS_PER_BAND)),
     )
+
+
+def process_bucket_rows(
+    rows: list[tuple[int, list[int]]],
+    ids: list[int],
+    sigs: list[list[int]],
+    threshold: float,
+    cap: int,
+    n_perm: int = NUM_PERM,
+) -> list[tuple[int, int, float]]:
+    """The bucket register/flag induction, shared VERBATIM by the
+    streaming state processor and the batch-parity oracle query
+    (queries/dedup.py q_streaming_neardup_parity): process ``rows``
+    (pre-sorted by doc_id) against the registered ``ids``/``sigs``
+    (mutated in place); a doc flags against the EARLIEST registered doc
+    with the maximal signature agreement >= threshold, flagged docs do
+    not register, unflagged docs register while the bucket is under
+    ``cap``. Returns the (doc_id, matched_id, est) flag rows."""
+    out: list[tuple[int, int, float]] = []
+    for did, sig in rows:
+        best_id, best_est = None, 0.0
+        for mid, msig in zip(ids, sigs):
+            est = sum(a == b for a, b in zip(sig, msig)) / float(n_perm)
+            if est >= threshold and est > best_est:
+                best_id, best_est = mid, est
+        if best_id is not None:
+            # x/n_perm with n_perm a power of two is exact in <= 6
+            # decimals
+            out.append((did, best_id, round(best_est, 6)))
+        elif len(ids) < cap:
+            ids.append(did)
+            sigs.append(sig)
+        # bucket at cap: the doc neither registers nor flags here —
+        # its other BANDS-1 buckets still get to match it
+    return out
 
 
 def _make_bucket_processor(threshold: float, cap: int):
@@ -118,22 +164,8 @@ def _make_bucket_processor(threshold: float, cap: int):
         # doc_id order: within a micro-batch the LOWEST id registers
         # first, so batch boundaries never change who matches whom
         rows.sort(key=lambda r: r[0])
-        out: list[tuple[int, int, float]] = []
         n_before = len(ids)
-        for did, sig in rows:
-            best_id, best_est = None, 0.0
-            for mid, msig in zip(ids, sigs):
-                est = sum(a == b for a, b in zip(sig, msig)) / float(NUM_PERM)
-                if est >= threshold and est > best_est:
-                    best_id, best_est = mid, est
-            if best_id is not None:
-                # x/NUM_PERM with NUM_PERM=32 is exact in <= 6 decimals
-                out.append((did, best_id, round(best_est, 6)))
-            elif len(ids) < cap:
-                ids.append(did)
-                sigs.append(sig)
-            # bucket at cap: the doc neither registers nor flags here —
-            # its other BANDS-1 buckets still get to match it
+        out = process_bucket_rows(rows, ids, sigs, threshold, cap)
         if len(ids) != n_before:
             # update only when the bucket actually grew (r9 review): a
             # steady-state bucket otherwise rewrites cap x NUM_PERM longs
@@ -154,7 +186,10 @@ def _make_bucket_processor(threshold: float, cap: int):
 
 
 def streaming_neardup_flags(
-    docs: DataFrame, threshold: float = 0.7, cap: int = 64
+    docs: DataFrame,
+    threshold: float = 0.7,
+    cap: int = 64,
+    family: str = "xxhash",
 ) -> DataFrame:
     """Streaming near-dup flags for docs(doc_id, text): one output row
     per (band, flagged doc) naming the registered document it collides
@@ -170,7 +205,7 @@ def streaming_neardup_flags(
     # rows pass through unregistered and unflagged, same class as the
     # r9 NULL-text fix in the batch dedup library.
     docs = docs.filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
-    sig = minhash_signature(F.col("text"))
+    sig = minhash_signature(F.col("text"), family=family)
     banded = docs.select("doc_id", sig.alias("sig")).select(
         "doc_id", "sig", F.posexplode(band_hashes(F.col("sig"))).alias("band", "bh")
     )
