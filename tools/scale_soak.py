@@ -545,6 +545,103 @@ def build_sf100_lineitem(spark) -> None:
     out.repartition(256).write.mode("overwrite").parquet(f"{SF100_DIR}/lineitem.parquet")
 
 
+SF50_EDGE_DIR = "/root/repo/.scratch/scale/sf50_edges_s1"
+SF10_EDGE_DIR = "/root/repo/.scratch/scale/sf10_edges_s1"
+PEEL_COPIES = 5  # sf50: the largest slice one host's disk carries (see below)
+
+
+def main_sf100_peel() -> None:
+    """Largest-feasible scale slice for the graph family's early-exit
+    k-core peel (r10 judge #7b). The r9 full-campaign boundary was the
+    EDGE BUILD: the exact co-purchase pair stream at 600M lineitem rows
+    needs more simultaneous shuffle-spill disk than one host has. The
+    peel itself never touches lineitem — and the sf fixtures are
+    DISJOINT copies by construction, so edges(sfN*10) is EXACTLY N
+    node-offset copies of edges(sf10): materialize the sf10 support-1
+    edge frame once (its build spill is the already-proven sf10
+    regime), stamp out offset copies to parquet, and run the peel at
+    both scales from the materialized frames.
+
+    The slice is sf50 (PEEL_COPIES=5, ~1.2B directed edges): at sf100
+    (2.39B edges) even the peel's FIRST u-repartition hits the same
+    single-host disk wall the r9 campaign documented — measured r11:
+    shuffle spill (~48 GB) + DISK_ONLY edge blocks (~38 GB) + the 14 GB
+    fixture exceed this host's ~64 GB free; with 32 or 16 threads and
+    256/512 reduce partitions the run dies in UNABLE_TO_ACQUIRE or
+    ENOSPC. sf50 halves every term and fits. The peel slope per 5x is
+    the recorded capability number; the cluster story is unchanged
+    (aggregate scratch ~= shuffle bytes, distributed across executors).
+    """
+    spark = get_spark("scale_soak_sf100_peel")
+    # partitioning, not heap, is the sf100 lever (r7): 512 reduce
+    # partitions keep the 2.39B-row repartition's per-task input at
+    # sf10-like bytes; 32m scan splits bound the map-side row batches
+    spark.conf.set("spark.sql.shuffle.partitions", "512")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "32m")
+
+    from etl_pipeline_spark.queries.analytics_ml import kcore_peel, pagerank_edges
+
+    if "--skip-build" not in sys.argv:
+        t0 = time.perf_counter()
+        li = load_tables(spark, SF10_DIR, ("lineitem",))["lineitem"]
+        e10 = pagerank_edges(li, support=1)
+        e10.write.mode("overwrite").parquet(SF10_EDGE_DIR)
+        e10.unpersist()
+        e10 = spark.read.parquet(SF10_EDGE_DIR)
+        # one map-only append per copy: no global shuffle of the copied
+        # frame (a repartition(256) across all copies OOMed — the peel
+        # re-keys on u itself, so pre-shuffling buys nothing here)
+        for k in range(PEEL_COPIES):
+            e10.select(
+                (F.col("u") + k * 100 * ID_OFFSET).alias("u"),
+                (F.col("v") + k * 100 * ID_OFFSET).alias("v"),
+            ).write.mode("overwrite" if k == 0 else "append").parquet(
+                SF50_EDGE_DIR
+            )
+        print(
+            json.dumps({"built_edge_frames_sec": round(time.perf_counter() - t0, 1)}),
+            flush=True,
+        )
+
+    from pyspark.storagelevel import StorageLevel
+
+    results = {}
+    for sf_label, d in [("10", SF10_EDGE_DIR), ("50", SF50_EDGE_DIR)]:
+        # DISK_ONLY on BOTH legs (r7 sf100 lesson, applied to persist):
+        # the deserialized default put ~38 GB of edge blocks into the
+        # 8 GB unified pool at sf100 and starved execution memory
+        # (UNABLE_TO_ACQUIRE at 64 KB); what the peel reuses is the u
+        # partitioning, not block residency
+        edges = (
+            spark.read.parquet(d)
+            .repartition(F.col("u"))
+            .persist(StorageLevel.DISK_ONLY)
+        )
+        edges.count()  # materialize outside the timed window
+        t0 = time.perf_counter()
+        n = kcore_peel(edges).localCheckpoint(eager=True).count()
+        dt = round(time.perf_counter() - t0, 2)
+        edges.unpersist()
+        results[sf_label] = {"sec": dt, "rows": n}
+        print(json.dumps({"sf": sf_label, "peel_sec": dt, "rows": n}), flush=True)
+        release_session_blocks(spark)
+    print(
+        json.dumps(
+            {
+                "summary_sf50_peel": {
+                    "t_ratio_5x": round(
+                        results["50"]["sec"] / max(results["10"]["sec"], 1e-9), 2
+                    ),
+                    "rows_ratio_5x": round(
+                        results["50"]["rows"] / max(results["10"]["rows"], 1), 2
+                    ),
+                }
+            }
+        ),
+        flush=True,
+    )
+
+
 def main_sf100_graph() -> None:
     """Two-decades graph campaign (r9): sf10 -> sf100 slope for the
     co-purchase graph family leads. Memory regime per the r7 sf100
@@ -665,6 +762,9 @@ def main_sf100() -> None:
 def main() -> None:
     if "--sf10" in sys.argv:
         main_sf10()
+        return
+    if "--sf100-peel" in sys.argv:
+        main_sf100_peel()
         return
     if "--sf100-graph" in sys.argv:
         main_sf100_graph()
