@@ -29,7 +29,20 @@ N_BITS = 48
 HEX_CHARS = N_BITS // 4  # 12
 N_BANDS = 4
 BAND_BITS = N_BITS // N_BANDS  # 12
-MAX_HAMMING = 6
+# Pigeonhole EXACTNESS contract (r11): with N_BANDS equality bands, a
+# pair at Hamming distance d <= N_BANDS - 1 cannot touch every band, so
+# at least one band matches and the pair is GUARANTEED a candidate —
+# recall at the threshold is structural, not tuned (Manku, Jain & Das
+# Sarma, WWW 2007 use the same k=3 radius on 64-bit fingerprints). The
+# previous MAX_HAMMING=6 silently exceeded the guarantee: pairs at d in
+# 4..6 could spread their bits across all 4 bands and were in fact
+# missed on the fixtures (1/25 truth pairs at sf0.01, 18/243 at sf0.1,
+# both engines agreeing — found by this round's knee-vs-contract
+# defect-class sweep). Exactness at d=6 would need >= 7 bands of <= 7
+# bits, whose 2^-7 per-band collision rate makes the candidate join
+# effectively quadratic at scale — the radius moves to the guarantee,
+# not the guarantee to the radius.
+MAX_HAMMING = N_BANDS - 1  # 3
 
 # digit value of one lowercase hex char — identical wording in both engines
 _DIGIT = "(INSTR('0123456789abcdef', SUBSTR(md5(token), {pos}, 1)) - 1)"
@@ -100,32 +113,45 @@ def simhash_sql(engine: str) -> str:
     return f"WITH {_simhash_cte(tokens)} SELECT doc_id, simhash FROM sim"
 
 
-def simhash_pairs_sql(engine: str) -> str:
-    """Banded candidate join + Hamming filter.
-
-    4 bands of 12 bits; a pair is a candidate when ANY band matches
-    (union of 4 equi-joins — no OR-join nested loop); survivors filter on
-    popcount of the XOR. DuckDB spells xor as a function, Spark as ``^``.
-    """
-    tokens = _SPARK_TOKENS if engine == "spark" else _DUCK_TOKENS
+def pairs_over_signatures_sql(sim_table: str, engine: str) -> str:
+    """Banded join + Hamming filter over any (doc_id, simhash) relation —
+    engine-independent text except the xor spelling. Exposed separately
+    so the pigeonhole-exactness property can be tested on PLANTED
+    signatures at exact Hamming distances (tests/test_r4b_operators.py),
+    not only on hashed fixture text."""
     xor = "(sim_a ^ sim_b)" if engine == "spark" else "xor(sim_a, sim_b)"
     band_joins = "\n        UNION\n        ".join(
         f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    a.simhash AS sim_a, b.simhash AS sim_b
-            FROM sim a JOIN sim b
+            FROM {sim_table} a JOIN {sim_table} b
               ON (a.simhash & CAST({((1 << BAND_BITS) - 1) << (i * BAND_BITS)} AS BIGINT)) =
                  (b.simhash & CAST({((1 << BAND_BITS) - 1) << (i * BAND_BITS)} AS BIGINT))
              AND a.doc_id < b.doc_id"""
         for i in range(N_BANDS)
     )
     return f"""
-    WITH {_simhash_cte(tokens)},
-    cand AS (
+    SELECT doc_a, doc_b, CAST(bit_count({xor}) AS BIGINT) AS hamming
+    FROM (
         {band_joins}
     )
-    SELECT doc_a, doc_b, CAST(bit_count({xor}) AS BIGINT) AS hamming
-    FROM cand
     WHERE bit_count({xor}) <= {MAX_HAMMING}
+    """
+
+
+def simhash_pairs_sql(engine: str) -> str:
+    """Banded candidate join + Hamming filter.
+
+    4 bands of 12 bits; a pair matches when ANY band matches (union of
+    4 equi-joins — no OR-join nested loop); survivors filter on
+    popcount of the XOR, whose <= MAX_HAMMING = N_BANDS - 1 threshold
+    makes the output EXACTLY the pairs within the Hamming radius (see
+    the pigeonhole note at MAX_HAMMING). DuckDB spells xor as a
+    function, Spark as ``^``.
+    """
+    tokens = _SPARK_TOKENS if engine == "spark" else _DUCK_TOKENS
+    return f"""
+    WITH {_simhash_cte(tokens)}
+    {pairs_over_signatures_sql('sim', engine)}
     """
 
 
@@ -144,19 +170,4 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = spark.sql(simhash_sql("spark")).cache()
     sig.createOrReplaceTempView("sim_signatures")
     sig.count()  # force materialization before the self-joins
-    band_joins = "\n        UNION\n        ".join(
-        f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   a.simhash AS sim_a, b.simhash AS sim_b
-            FROM sim_signatures a JOIN sim_signatures b
-              ON (a.simhash & CAST({((1 << BAND_BITS) - 1) << (i * BAND_BITS)} AS BIGINT)) =
-                 (b.simhash & CAST({((1 << BAND_BITS) - 1) << (i * BAND_BITS)} AS BIGINT))
-             AND a.doc_id < b.doc_id"""
-        for i in range(N_BANDS)
-    )
-    return spark.sql(
-        f"""
-        SELECT doc_a, doc_b, CAST(bit_count(sim_a ^ sim_b) AS BIGINT) AS hamming
-        FROM ({band_joins})
-        WHERE bit_count(sim_a ^ sim_b) <= {MAX_HAMMING}
-        """
-    )
+    return spark.sql(pairs_over_signatures_sql("sim_signatures", "spark"))

@@ -59,10 +59,12 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
 # Round-11 prefix (regenerated via rotate_window.py): the r10-changed/
-# never-attested four, the two md5-LSH queries rebanded 4x4 -> 8x2 (recall
-# gate found the deterministic j=0.8 miss at sf0.1), and the new
-# q_streaming_neardup_parity (streaming semantics under the driver's hash)
-# lead; then oldest-attestation-first backfill. first-50 window: 50 entries; oldest-attested in window: r3; left out: 225
+# never-attested four; the two md5-LSH queries rebanded 4x4 -> 8x2 (recall
+# gate found the deterministic j=0.8 miss at sf0.1); the new
+# q_streaming_neardup_parity (streaming semantics under the driver's hash);
+# and q_dedup_simhash_pairs (Hamming radius aligned to the 4-band pigeonhole
+# guarantee, 6 -> 3 — same knee-vs-contract defect class). Then
+# oldest-attestation-first backfill. first-50 window: 50 entries; oldest-attested in window: r3; left out: 225
 CHECK_PRIORITY: tuple[str, ...] = (
     "q_node_clustering",  # --- code changed this round: attest first ---
     "q_kcore_nodes",
@@ -71,6 +73,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_dedup_minhash_pairs",
     "q_lsh_recall_report",
     "q_streaming_neardup_parity",
+    "q_dedup_simhash_pairs",
     "q_doc_chunking",  # --- backfill: oldest attestation first ---
     "q_token_entropy",
     "q_mix_weights",
@@ -113,8 +116,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_fifo_allocation",
     "q_shapley_attribution",
     "q_entity_resolution_fs",
-    "q_gaps_islands",
-    "q_equidepth_histogram",  # ---------------- first-50 window ends above ----------------
+    "q_gaps_islands",  # ---------------- first-50 window ends above ----------------
+    "q_equidepth_histogram",
     "q_udtf_span_days",
     "q_weighted_median",
     "q_snapshot_diff",
@@ -220,7 +223,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
-    "q_dedup_simhash_pairs",
     "q_dedup_minhash_signatures",
     "q_dedup_ngram_jaccard_capped",
     "q_dedup_containment",

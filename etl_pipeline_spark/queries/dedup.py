@@ -1700,7 +1700,7 @@ q_winnowing_pairs.__doc__ = q_winnowing_pairs.__doc__.format(
 SNP_THRESHOLD = 0.7
 SNP_CAP = 64
 SNP_PERMS = 32
-SNP_BANDS = 8
+SNP_BANDS = 16  # mirrors streaming/neardup.py BANDS (r11 knee fix: 16x2)
 SNP_ROWS = SNP_PERMS // SNP_BANDS
 
 

@@ -23,11 +23,19 @@ For unbounded multi-day runs, add a state TTL (GroupStateTimeout /
 transformWithState per-key TTL) so cold buckets age out — dedup then
 holds within the TTL horizon, the standard trade on an infinite stream.
 
-Tuning: P=32 permutations in B=8 bands of R=4 rows. A pair colliding in
-some band has banded-LSH probability 1-(1-j^R)^B of being a candidate
-(j = true Jaccard); the signature-agreement verify then filters
-candidates to est >= threshold, so band collisions only GATE which
-pairs are compared — they never flag on their own.
+Tuning: P=32 permutations in B=16 bands of R=2 rows. A pair colliding
+in some band has banded-LSH probability 1-(1-j^R)^B of being a
+candidate (j = true Jaccard); the signature-agreement verify then
+filters candidates to est >= threshold, so band collisions only GATE
+which pairs are compared — they never flag on their own. The gate's
+S-curve knee (1/B)^(1/R) must sit comfortably BELOW the verify
+threshold or the gate silently eats true pairs: the original 8x4
+banding put the knee at 0.595 against the 0.7 default threshold —
+an 11 percent gating miss for a pair at exactly j=0.7 (r11
+knee-vs-contract sweep, the same defect class as the batch md5
+rebanding). 16x2 moves the knee to 0.25: gate miss 2.1e-5 at j=0.7,
+at the cost of one extra state row per doc per band (16 buckets/doc
+vs 8; per-bucket state is unchanged and still cap-bounded).
 """
 
 from __future__ import annotations
@@ -42,7 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 NUM_PERM = 32
-BANDS = 8
+BANDS = 16
 ROWS_PER_BAND = NUM_PERM // BANDS
 SHINGLE_WIDTH = 3
 

@@ -203,3 +203,102 @@ def test_span_corruption_invariants(spark):
         assert 0 <= r.mask_ratio <= 1
     # corpus-level realized ratio near the 1/16-start * ~3-len expectation
     assert 0.05 < total_masked / total_tokens < 0.35
+
+
+def test_simhash_pigeonhole_exactness_on_planted_signatures(spark):
+    """r11 knee-vs-contract sweep: 4 equality bands GUARANTEE a candidate
+    only for Hamming distance <= 3 (pigeonhole); the old MAX_HAMMING=6
+    silently exceeded that and missed fixture truth pairs at d in 4..6
+    (1/25 at sf0.01 — both engines agreeing, invisible to the oracle).
+    The threshold now equals the guarantee. Planted signatures prove the
+    theorem edge: every pair at d <= 3 is emitted REGARDLESS of which
+    bits differ, and a d=4 pair whose diffs hit all four bands — the
+    exact shape the old contract missed — is excluded by contract."""
+    import duckdb
+
+    from etl_pipeline_spark.operators.simhash import (
+        BAND_BITS,
+        MAX_HAMMING,
+        N_BANDS,
+        pairs_over_signatures_sql,
+    )
+
+    assert MAX_HAMMING == N_BANDS - 1  # the theorem's precondition
+
+    base = 0x2F_5A3C_9E14  # arbitrary 48-bit signature
+    rows = [(0, base)]
+    # d=1..3 partners: flip d bits spread across DIFFERENT bands (the
+    # adversarial placement for small d)
+    for d in (1, 2, 3):
+        sig = base
+        for b in range(d):
+            sig ^= 1 << (b * BAND_BITS + 5)
+        rows.append((d, sig))
+    # d=4 partner with one flipped bit in EVERY band: no band matches
+    sig4 = base
+    for b in range(4):
+        sig4 ^= 1 << (b * BAND_BITS + 7)
+    rows.append((4, sig4))
+
+    # Spark side
+    spark.createDataFrame(rows, "doc_id long, simhash long").createOrReplaceTempView(
+        "planted_sim"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in spark.sql(pairs_over_signatures_sql("planted_sim", "spark")).collect()
+    }
+    want_with_base = {(0, 1, 1), (0, 2, 2), (0, 3, 3)}
+    assert want_with_base <= got
+    assert not any(4 in (a, b) and h > MAX_HAMMING for a, b, h in got)
+    assert (0, 4, 4) not in got  # all-bands-touched pair excluded by contract
+
+    # DuckDB twin over the same planted relation: identical rows
+    con = duckdb.connect()
+    con.execute("CREATE TABLE planted_sim(doc_id BIGINT, simhash BIGINT)")
+    con.executemany("INSERT INTO planted_sim VALUES (?, ?)", rows)
+    duck = set(
+        (a, b, h)
+        for a, b, h in con.execute(
+            pairs_over_signatures_sql("planted_sim", "duckdb")
+        ).fetchall()
+    )
+    assert duck == got
+
+
+def test_simhash_recall_exact_on_fixtures(spark):
+    """Truth audit on the real fixtures: every document pair within the
+    Hamming radius (computed ALL-PAIRS, no banding) is emitted by the
+    banded operator at sf0.001 and sf0.01 — the structural-recall claim
+    the pigeonhole contract makes, checked empirically where the old
+    threshold measurably failed. DuckDB computes both sides (the banded
+    SQL is engine-identical by construction; the oracle sweep pins
+    Spark==DuckDB on the registered query separately)."""
+    import duckdb
+
+    from etl_pipeline_spark.operators.simhash import (
+        MAX_HAMMING,
+        simhash_pairs_sql,
+        simhash_sql,
+    )
+
+    for sf in ("sf0.001", "sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet')"
+        )
+        truth = set(
+            (a, b)
+            for a, b in con.execute(
+                f"""WITH s AS ({simhash_sql('duckdb')})
+                SELECT a.doc_id, b.doc_id FROM s a JOIN s b
+                ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}"""
+            ).fetchall()
+        )
+        got = set(
+            (a, b) for a, b, _ in con.execute(simhash_pairs_sql("duckdb")).fetchall()
+        )
+        assert got == truth, (sf, truth - got, got - truth)
+        assert truth  # fixture carries in-radius pairs; the test is not vacuous
