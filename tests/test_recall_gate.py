@@ -101,3 +101,35 @@ def test_adversarial_fixture_build_runs_the_gate(tmp_path):
     out = tmp_path / "sfadv"
     build(Path(out))  # raises AssertionError if the rebuilt profile drops recall
     assert (out / "documents.parquet").exists()
+
+
+def test_banded_operator_knees_sit_below_their_thresholds():
+    """Standing invariant for the r11 defect class: every banded
+    approximate operator's candidate-generation knee (the similarity at
+    which a pair has 50% candidate probability, (1/B)^(1/R)) must sit
+    comfortably BELOW the operator's own contract threshold, and
+    SimHash's Hamming radius must equal its pigeonhole guarantee. A
+    future retune that moves a knee onto its threshold fails here
+    before it can silently eat true pairs at a fixture regeneration."""
+    from etl_pipeline_spark.operators import minhash, simhash
+    from etl_pipeline_spark.queries import dedup
+    from etl_pipeline_spark.streaming import neardup
+
+    def knee(bands: int, rows: int) -> float:
+        return (1.0 / bands) ** (1.0 / rows)
+
+    # flagship xxhash LSH: candidates gate the 0.5-Jaccard verify
+    assert knee(dedup.LSH_BANDS, dedup.LSH_ROWS) <= 0.5 - 0.1
+    # md5 engine-portable family: same 0.5 threshold (q_dedup_* family)
+    assert knee(minhash.N_BANDS, minhash.ROWS_PER_BAND) <= 0.5 - 0.1
+    # streaming near-dup: candidates gate the 0.7 signature-agreement
+    # verify (default threshold in streaming_neardup_flags)
+    assert knee(neardup.BANDS, neardup.ROWS_PER_BAND) <= 0.7 - 0.2
+    # batch parity twin mirrors the streaming banding exactly
+    assert (dedup.SNP_BANDS, dedup.SNP_ROWS) == (
+        neardup.BANDS,
+        neardup.ROWS_PER_BAND,
+    )
+    assert dedup.SNP_THRESHOLD == 0.7
+    # SimHash: the radius IS the pigeonhole guarantee, never beyond
+    assert simhash.MAX_HAMMING == simhash.N_BANDS - 1
