@@ -242,6 +242,7 @@ def main() -> None:
     if not mt_idle:
         precheck2 = _wait_for_idle()
         timings2 = time_set(BENCH_QUERIES)
+        scale2 = time_set(SCALE_QUERIES) if sets != "core" else {}
         end2 = round(_mt_canary_sec(), 3)
         begin2 = precheck2[-1]
         floor2 = min(precheck2 + [end2])
@@ -256,6 +257,10 @@ def main() -> None:
             "idle_precheck": precheck2,
             "mt_canary_end_sec": end2,
             "queries": {k: round(v, 3) for k, v in timings2.items()},
+            # the scale set is cross-round-compared too; re-time it in
+            # the same clean window (skipped under SPARK_GRAFT_BENCH_SETS=core)
+            "scale_value": round(sum(scale2.values()), 3),
+            "scale_queries": {k: round(v, 3) for k, v in scale2.items()},
         }
 
     total = round(sum(timings.values()), 3)
