@@ -257,14 +257,30 @@ def _release_writer_lock(lock: str) -> None:
 
     # unlink BEFORE closing: a waiter that already open()ed this inode
     # will win its flock only after our close, then fail the path/inode
-    # revalidation and retry against the fresh path
-    try:
-        os.remove(lock)
-    except FileNotFoundError:
-        pass
+    # revalidation and retry against the fresh path. The close sits in a
+    # finally so a failing unlink (transient EIO etc.) cannot leak the
+    # held fd and wedge the path for the process lifetime — a leftover
+    # lock FILE is recoverable (flock-free, stolen by the next
+    # acquirer); a leaked held fd is not. On unlink failure the pid is
+    # also blanked through the still-open fd, otherwise the remnant
+    # names OUR still-live pid and the refuse-don't-steal guard would
+    # wedge this process's own next acquisition (r11 crash sweep).
     fd = _WRITER_LOCK_FDS.pop(lock, None)
-    if fd is not None:
-        os.close(fd)
+    try:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+        except Exception:
+            if fd is not None:
+                try:
+                    os.ftruncate(fd, 0)
+                except OSError:
+                    pass
+            raise
+    finally:
+        if fd is not None:
+            os.close(fd)
 
 
 def _verified_swap(spark, path: str, tmp: str) -> None:

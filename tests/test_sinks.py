@@ -451,3 +451,138 @@ def test_compact_partitioned_layout_one_file_per_partition(spark, tmp_path):
     after = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     assert len(after) == n == 5  # one file per day value
     assert spark.read.parquet(path).count() == 3000
+
+
+def test_compaction_crash_sweep_every_fs_mutation_point(spark, tmp_path_factory):
+    """r11 systematic crash-injection: kill the REAL compact_parquet at
+    EVERY filesystem mutation (each shutil.move / shutil.rmtree /
+    os.remove touching the table's paths), then run recover_compaction
+    and assert the table's CONTENT equals either the pre-compact data
+    (rolled back) or the compacted data (committed; values identical
+    anyway) — never lost, never partial. The prior tests pinned the
+    three recovery states individually; this enumerates every reachable
+    crash point so a future re-ordering of the protocol's steps cannot
+    open an unprotected window without failing here."""
+    import os
+    import shutil
+
+    from etl_pipeline_spark.sources.sinks import (
+        compact_parquet,
+        recover_compaction,
+    )
+
+    class SimulatedCrash(RuntimeError):
+        pass
+
+    def content(path):
+        return sorted(r["id"] for r in spark.read.parquet(path).collect())
+
+    root = tmp_path_factory.mktemp("crash_sweep")
+    golden = str(root / "golden")
+    spark.range(500).withColumnRenamed("id", "id").repartition(8).write.parquet(golden)
+    want = list(range(500))
+    assert content(golden) == want
+
+    real_move, real_rmtree, real_remove = shutil.move, shutil.rmtree, os.remove
+
+    def run_with_crash_at(n: int, out: str) -> tuple[int, bool]:
+        """Crash at the n-th tracked fs mutation; returns (total tracked
+        mutations seen, whether the crash fired)."""
+        seen = {"n": 0}
+
+        def tracked(real):
+            def wrapper(p, *a, **kw):
+                if str(p).startswith(out):
+                    seen["n"] += 1
+                    if seen["n"] == n:
+                        raise SimulatedCrash(f"injected at mutation {n}: {p}")
+                return real(p, *a, **kw)
+
+            return wrapper
+
+        shutil.move = tracked(real_move)
+        shutil.rmtree = tracked(real_rmtree)
+        os.remove = tracked(real_remove)
+        fired = False
+        try:
+            compact_parquet(spark, out, target_file_mb=1)
+        except SimulatedCrash:
+            fired = True
+        finally:
+            shutil.move, shutil.rmtree, os.remove = (
+                real_move,
+                real_rmtree,
+                real_remove,
+            )
+        return seen["n"], fired
+
+    # discover the number of mutation points with a no-crash dry run
+    probe = str(root / "probe")
+    shutil.copytree(golden, probe)
+    total, fired = run_with_crash_at(10**9, probe)
+    assert not fired and total >= 3, f"expected a multi-step protocol, saw {total}"
+
+    for n in range(1, total + 1):
+        out = str(root / f"t{n}")
+        shutil.copytree(golden, out)
+        _, fired = run_with_crash_at(n, out)
+        assert fired, f"mutation {n} unreachable though {total} were counted"
+        recover_compaction(out)
+        assert content(out) == want, f"data lost after crash at mutation {n}"
+        # the protocol's scratch never leaks past recovery. __lock is
+        # exempt: a crash inside the release itself can leave the FILE,
+        # but the kernel flock died with the holder, so the next
+        # acquisition steals it — proven by the follow-up compaction.
+        for suffix in ("__old", "__compacting", "__swap_verified"):
+            assert not os.path.exists(out + suffix), (n, suffix)
+        # and the table is still fully operational: a clean compaction
+        # after recovery succeeds (re-acquiring any leftover lock file)
+        compact_parquet(spark, out, target_file_mb=1)
+        assert content(out) == want
+
+
+def test_compaction_crash_during_failed_verify_restore(spark, tmp_path_factory):
+    """Nested failure: the verify read fails (new data unreadable) AND
+    the restore path's own rmtree crashes — the worst reachable state.
+    recover_compaction must still bring back the good copy."""
+    import os
+    import shutil
+
+    from etl_pipeline_spark.sources import sinks as S
+
+    root = tmp_path_factory.mktemp("crash_nested")
+    out = str(root / "tbl")
+    spark.range(300).write.parquet(out)
+    want = sorted(r["id"] for r in spark.read.parquet(out).collect())
+
+    real_swap = S._verified_swap
+
+    def sabotaged_swap(spark_, path, tmp):
+        # corrupt the new copy so the verify read fails, then crash the
+        # restore's rmtree
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                with open(os.path.join(tmp, f), "wb") as fh:
+                    fh.write(b"not parquet")
+        real_rmtree = shutil.rmtree
+
+        def crashing_rmtree(p, *a, **kw):
+            raise RuntimeError("injected: restore rmtree died")
+
+        shutil.rmtree = crashing_rmtree
+        try:
+            real_swap(spark_, path, tmp)
+        finally:
+            shutil.rmtree = real_rmtree
+
+    S._verified_swap = sabotaged_swap
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            S.compact_parquet(spark, out, target_file_mb=1)
+    finally:
+        S._verified_swap = real_swap
+
+    S.recover_compaction(out)
+    assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == want
