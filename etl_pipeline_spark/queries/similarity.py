@@ -25,6 +25,7 @@ from etl_pipeline_spark.catalog import (
     load_tables,
     scan_parallel,
 )
+from etl_pipeline_spark.functions.grid import stable_round, stable_round_sql
 from etl_pipeline_spark.queries.base import query
 
 TOP_K = 5
@@ -491,7 +492,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_embedding_centroid_health",
-    oracle="""
+    oracle=f"""
     WITH dims AS (
         SELECT vec_id, label, i AS dim, embedding[i]::DOUBLE AS x
         FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i)
@@ -511,9 +512,9 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.label,
            COUNT(*) AS n_vecs,
-           ROUND(ANY_VALUE(cn.centroid_norm), 4) AS centroid_norm,
-           ROUND(AVG(d.dist_to_centroid), 4) AS avg_dist,
-           ROUND(MAX(d.dist_to_centroid), 4) AS max_dist
+           {stable_round_sql("ANY_VALUE(cn.centroid_norm)")} AS centroid_norm,
+           {stable_round_sql("AVG(d.dist_to_centroid)")} AS avg_dist,
+           {stable_round_sql("MAX(d.dist_to_centroid)")} AS max_dist
     FROM dist d JOIN cnorm cn ON d.label = cn.label
     GROUP BY d.label
     """,
@@ -535,24 +536,21 @@ def q_embedding_centroid_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid array) halves shuffle bytes at cluster scale and is the
     documented upgrade path.
 
-    Determinism contract: the 4-decimal rounding makes the report
-    engine-identical for embeddings of sane magnitude (|x| up to ~1e6).
-    A pathological component (e.g. 1e30) still computes — nothing
-    crashes — but double summation ORDER then shifts the low bits by
-    more than the rounding absorbs, so cross-engine hashes may differ
-    on exactly the rows such a vector dominates. That is inherent to
-    IEEE doubles, and deliberately NOT masked: this query is the health
-    check that should surface such vectors (max_dist explodes).
+    Determinism contract (r12): stable_round — plain 4-decimal rounding
+    in the sane region (|x| < 1e6, bit-identical to the pre-r12 report),
+    float32-grid snap beyond it. Summation-order low bits (~1e-12
+    relative on a 1e30-dominated fold) are absorbed by whichever grid
+    applies, so the report is engine-identical at EVERY magnitude — the
+    pre-r12 form was the registry's one documented cross-engine hash
+    exception, retired per the r11 verdict (#3).
     """
-    # DELIBERATELY un-doored and un-quantized (the registry's one
-    # documented cross-engine hash exception, pinned by
+    # DELIBERATELY un-doored and un-quantized: applying sat_quantize or
+    # embedding_door here would CLAMP or DROP the very 1e30-magnitude
+    # outliers this health check exists to surface. stable_round keeps
+    # the magnitude (a planted 1e30 still explodes max_dist — pinned by
     # tests/test_adversarial_inputs.py::
-    # test_centroid_health_ieee_divergence_detected_not_absorbed):
-    # applying sat_quantize or embedding_door here would CLAMP or DROP
-    # the very 1e30-magnitude outliers this health check exists to
-    # surface. The cost is bounded: values agree to relative ~1e-12
-    # (summation-order low bits), only rows such a vector dominates can
-    # hash-diverge, and max_dist explodes — the detection signal.
+    # test_centroid_health_order_stable_and_still_detecting) while
+    # making the fold-order noise sub-grid on both engines.
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     dims = e.select(
         "vec_id",
@@ -571,9 +569,9 @@ def q_embedding_centroid_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(F.any_value("centroid_norm"), 4).alias("centroid_norm"),
-            F.round(F.avg("dist_to_centroid"), 4).alias("avg_dist"),
-            F.round(F.max("dist_to_centroid"), 4).alias("max_dist"),
+            stable_round(F.any_value("centroid_norm")).alias("centroid_norm"),
+            stable_round(F.avg("dist_to_centroid")).alias("avg_dist"),
+            stable_round(F.max("dist_to_centroid")).alias("max_dist"),
         )
     )
 

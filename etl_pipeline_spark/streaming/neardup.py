@@ -35,7 +35,11 @@ an 11 percent gating miss for a pair at exactly j=0.7 (r11
 knee-vs-contract sweep, the same defect class as the batch md5
 rebanding). 16x2 moves the knee to 0.25: gate miss 2.1e-5 at j=0.7,
 at the cost of one extra state row per doc per band (16 buckets/doc
-vs 8; per-bucket state is unchanged and still cap-bounded).
+vs 8; per-bucket state is unchanged and still cap-bounded). r12 claws
+back half that state growth by carrying signatures in a 31-bit
+component domain (SIG_MASK below — identity for the md5 family), and
+adds a stored geometry sentinel so a stale checkpoint fails loudly
+instead of silently orphaning registered state (r11 advisor #2).
 """
 
 from __future__ import annotations
@@ -54,8 +58,37 @@ BANDS = 16
 ROWS_PER_BAND = NUM_PERM // BANDS
 SHINGLE_WIDTH = 3
 
+# Signature components are carried and stored in a 31-bit domain (r12
+# state-cost cut, r11 verdict #6): each component is masked to its low
+# 31 bits at the source, so the shuffled payload and the per-bucket
+# state hold array<int> instead of array<bigint> — half the bytes per
+# registered signature. Semantics: the md5 Carter-Wegman family
+# (the batch-parity bridge) is ALREADY sub-2^31 (mod M = 2^31 - 1), so
+# the mask is the identity there — flags, est values and the pytest
+# parity with q_streaming_neardup_parity are bit-unchanged. For the
+# xxhash family the mask adds a 2^-31 per-component false-agreement
+# probability (est bias (1-j)*2^-31) and the same 2^-31 extra band
+# collisions — collisions only ADD verify candidates; the agreement
+# verify still gates every flag. Measured A/B in BASELINE.md r12.
+SIG_MASK = (1 << 31) - 1
+
 FLAG_SCHEMA = "doc_id long, matched_id long, est_sim double, band int"
-_STATE_SCHEMA = "ids array<bigint>, sigs array<array<bigint>>"
+_STATE_SCHEMA = "ids array<bigint>, sigs array<array<int>>, geom int"
+# pre-r12 layout, kept ONLY for the equivalence pin + state-size A/B
+_WIDE_STATE_SCHEMA = "ids array<bigint>, sigs array<array<bigint>>"
+
+# Geometry sentinel stored in every state row (r11 advisor #2): a
+# banding/permutation retune (like r11's silent 8x4 -> 16x2) leaves an
+# old checkpoint's state keyed under band hashes the new geometry never
+# probes — previously-registered docs silently stopped matching and the
+# orphaned rows lived forever. Now a restart against mismatched state
+# fails LOUDLY, through two layers: (a) the state SCHEMA changed in r12
+# (sigs array<int> + this field), so any pre-r12 checkpoint fails
+# Spark's state-schema compatibility validation (or the 3-tuple unpack)
+# at restart; (b) any FUTURE retune changes this value, and the first
+# bucket read under a stale checkpoint raises with instructions. Derived
+# from the constants so no edit can forget to bump it.
+_STATE_GEOM = NUM_PERM * 10_000 + BANDS * 100 + ROWS_PER_BAND
 
 
 def minhash_signature(text: Column, family: str = "xxhash") -> Column:
@@ -158,11 +191,26 @@ def process_bucket_rows(
     return out
 
 
-def _make_bucket_processor(threshold: float, cap: int):
+def _make_bucket_processor(threshold: float, cap: int, wide_state: bool = False):
     def process(
         key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
-        ids, sigs = state.get if state.exists else ([], [])
+        if state.exists:
+            if wide_state:
+                ids, sigs = state.get
+            else:
+                ids, sigs, geom = state.get
+                if geom != _STATE_GEOM:
+                    raise ValueError(
+                        "streaming near-dup state geometry mismatch: "
+                        f"checkpoint state carries {geom}, this code is "
+                        f"{_STATE_GEOM} (NUM_PERM*10000 + BANDS*100 + "
+                        "ROWS_PER_BAND). A banding retune invalidates "
+                        "registered state — restart the query from a "
+                        "FRESH checkpoint/state directory."
+                    )
+        else:
+            ids, sigs = [], []
         ids = list(ids)
         sigs = [list(s) for s in sigs]
         rows: list[tuple[int, list[int]]] = []
@@ -179,7 +227,7 @@ def _make_bucket_processor(threshold: float, cap: int):
             # steady-state bucket otherwise rewrites cap x NUM_PERM longs
             # of unchanged state to the store every micro-batch it
             # appears in — pure checkpoint write amplification
-            state.update((ids, sigs))
+            state.update((ids, sigs) if wide_state else (ids, sigs, _STATE_GEOM))
         if out:
             yield pd.DataFrame(
                 {
@@ -198,13 +246,20 @@ def streaming_neardup_flags(
     threshold: float = 0.7,
     cap: int = 64,
     family: str = "xxhash",
+    _wide_state: bool = False,
 ) -> DataFrame:
     """Streaming near-dup flags for docs(doc_id, text): one output row
     per (band, flagged doc) naming the registered document it collides
     with and the signature-agreement similarity estimate. A document
     flagged in ANY band is a near-duplicate; reduce per doc_id
     downstream (e.g. in foreachBatch: groupBy(doc_id).max(est_sim)) —
-    the per-band rows are kept so the sink can audit which band fired."""
+    the per-band rows are kept so the sink can audit which band fired.
+
+    ``_wide_state=True`` runs the pre-r12 layout (unmasked bigint
+    signatures in state) — kept ONLY so the compact/wide equivalence
+    pin and the state-size A/B can execute both forms; never use it in
+    production, and never point it at a compact-form checkpoint (the
+    schema guard will refuse)."""
     # malformed-row guard (r10 adversarial fuzz): a NULL text hashes
     # identically to "" end-to-end, so a missing-content row would
     # REGISTER in every bucket and then claim each genuinely-empty doc
@@ -214,13 +269,21 @@ def streaming_neardup_flags(
     # r9 NULL-text fix in the batch dedup library.
     docs = docs.filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
     sig = minhash_signature(F.col("text"), family=family)
+    if not _wide_state:
+        # 31-bit component domain (see SIG_MASK): identity for the md5
+        # family, half the shuffle + state bytes for both. The band
+        # keys hash the masked slices, so the compact and wide forms
+        # use DIFFERENT bucket keys — they are separate state universes
+        # (fresh checkpoint each; the geometry/schema guards above make
+        # a mix-up loud, not silent).
+        sig = F.transform(sig, lambda x: x.bitwiseAND(F.lit(SIG_MASK)).cast("int"))
     banded = docs.select("doc_id", sig.alias("sig")).select(
         "doc_id", "sig", F.posexplode(band_hashes(F.col("sig"))).alias("band", "bh")
     )
     return banded.groupBy("band", "bh").applyInPandasWithState(
-        _make_bucket_processor(threshold, cap),
+        _make_bucket_processor(threshold, cap, wide_state=_wide_state),
         outputStructType=FLAG_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
+        stateStructType=_WIDE_STATE_SCHEMA if _wide_state else _STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -530,3 +530,74 @@ def test_bench_idle_floor_requires_last_three_probe_band(monkeypatch):
     # absolute threshold still breaks immediately
     monkeypatch.setattr(bench, "_mt_canary_sec", lambda: 0.5)
     assert len(bench._wait_for_idle()) == 1
+
+
+def test_bench_summary_line_fits_driver_tail_capture():
+    """r11 judge #1: BENCH_r11.json shipped parsed:null because the one
+    self-describing JSON line grew past the driver's 2000-char stdout
+    tail. The FINAL line must now be a compact summary guaranteed under
+    SUMMARY_LINE_BUDGET (< 1900) even in the worst realistic case: both
+    query sets populated with real (long) query names, a fully populated
+    idle_rerun, and a detail-file pointer."""
+    import json
+
+    import bench
+
+    core = {name: 12.345 for name in bench.BENCH_QUERIES}
+    scale = {name: 123.456 for name in bench.SCALE_QUERIES}
+    full = {
+        "metric": "headline_queries_wall_clock",
+        "value_per_mt_canary": 3.235,
+        "mt_canary_idle": False,
+        "idle_basis": "contended",
+        "idle_precheck": [2.345] * bench.IDLE_WAIT_MAX_ATTEMPTS,
+        "idle_rerun": {
+            "value": 44.244,
+            "value_per_mt_canary": 2.292,
+            "mt_canary_sec": 1.852,
+            "mt_canary_idle": True,
+            "idle_precheck": [1.852] * bench.IDLE_WAIT_MAX_ATTEMPTS,
+            "mt_canary_end_sec": 1.853,
+            "queries": dict(core),
+            "scale_value": 111.206,
+            "scale_queries": dict(scale),
+        },
+        "mt_canary_end_sec": 12.308,
+        "loadavg_1m": 35.55,
+        "value": 146.321,
+        "unit": "sec",
+        "queries": core,
+        "scale_value": 111.206,
+        "scale_queries": scale,
+        "pagerank_phases": {"edge_build": 11.288, "iterate": 10.064},
+        "canary_sec": 10.641,
+        "mt_canary_sec": 11.954,
+        "value_per_canary": 19.866,
+        "queries_per_mt_canary": dict(core),
+        "sf": 0.1,
+    }
+    detail_line, summary_line = bench.render_output_lines(
+        full, "/root/repo/bench_detail.json"
+    )
+    assert len(summary_line) < bench.SUMMARY_LINE_BUDGET
+    summary = json.loads(summary_line)
+    detail = json.loads(detail_line)
+    # the driver-contract fields survive in the final line
+    for key in ("metric", "value", "unit", "queries", "sf",
+                "value_per_mt_canary", "scale_value", "mt_canary_idle",
+                "idle_basis", "mt_canary_end_sec"):
+        assert key in summary, key
+    assert summary["queries"] == core
+    assert "truncated" not in summary  # nothing shed in the realistic case
+    # idle_rerun survives as scalars only; its bulky maps are detail-only
+    assert summary["idle_rerun"]["value"] == 44.244
+    assert "queries" not in summary["idle_rerun"]
+    assert summary["detail_file"] == "/root/repo/bench_detail.json"
+    assert detail == full  # the detail line is the untrimmed payload
+    # degenerate guard: a pathological payload sheds visibly, not silently
+    bloated = dict(full)
+    bloated["queries"] = {f"q_very_long_query_name_{i:04d}": 1.0 for i in range(200)}
+    _, line2 = bench.render_output_lines(bloated, None)
+    assert len(line2) < bench.SUMMARY_LINE_BUDGET
+    parsed2 = json.loads(line2)
+    assert "queries" in parsed2["truncated"]  # shedding is recorded, not silent

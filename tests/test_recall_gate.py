@@ -3,9 +3,10 @@
 The MinHash-LSH contract — recall 1.0 vs exact Jaccard >= 0.5 truth —
 is a property of the FIXTURE's similarity profile, not of the banding
 alone: at j ~= 0.503 the deterministic md5 hash family recalls only
-~0.1-0.25 of planted pairs (measured; the per-band collision probability
-falls off steeply below the S-curve knee), while the repo fixtures'
-truth pairs sit far above the knee. A regenerated fixture could
+0.7 of planted pairs (measured under the shipped 8x2 banding; the
+per-pair candidate probability plus the verify estimate both erode
+right at the threshold), while the repo fixtures' truth pairs sit far
+above the knee. A regenerated fixture could
 therefore silently drop recall with every per-operator oracle still
 green (both engines agree on the same low-recall candidate set). These
 tests pin the gate that makes that impossible:
@@ -14,11 +15,13 @@ tests pin the gate that makes that impossible:
 - a just-over-threshold corpus (j ~= 0.503) TRIPS the gate;
 - the adversarial fixture builder runs the gate as part of build().
 
-The banding is 4 bands x 4 rows (operators/minhash.py), so the
-candidate probability is 1 - (1 - j^4)^4: ~0.23 at j = 0.503,
-~0.991 at j = 0.919 — the pass corpus sits where all 40 planted
-pairs deterministically collide under the fixed family (verified),
-the trip corpus where most deterministically do not.
+The banding is minhash.N_BANDS x minhash.ROWS_PER_BAND (8 x 2 since
+the r11 reband; knee (1/8)^(1/2) ~= 0.354), so the candidate
+probability is 1 - (1 - j^2)^8: ~0.90 at j = 0.503, ~1 - 3e-10 at
+j = 0.919 — the pass corpus sits where all 40 planted pairs
+deterministically collide under the fixed family (verified); at the
+trip corpus the per-pair ~0.90 leaves several of the 40 pairs
+deterministically missed, so recall < 1.0 and the gate trips.
 
 Constructions are the recall-property test's closed-form block
 replacement (WORDS unique tokens, k replaced => exact word-3-gram

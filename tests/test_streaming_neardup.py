@@ -19,7 +19,9 @@ OTHER = (
 )
 
 
-def _run_stream(spark, tmp, batches, threshold=0.7, cap=64, family="xxhash"):
+def _run_stream(
+    spark, tmp, batches, threshold=0.7, cap=64, family="xxhash", wide=False
+):
     """Feed batches of (doc_id, text) as one parquet file each, process
     with maxFilesPerTrigger=1 so state genuinely crosses micro-batches."""
     from etl_pipeline_spark.streaming.neardup import streaming_neardup_flags
@@ -34,7 +36,9 @@ def _run_stream(spark, tmp, batches, threshold=0.7, cap=64, family="xxhash"):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(tmp / "data"))
     )
-    flags = streaming_neardup_flags(stream, threshold=threshold, cap=cap, family=family)
+    flags = streaming_neardup_flags(
+        stream, threshold=threshold, cap=cap, family=family, _wide_state=wide
+    )
     name = f"t_neardup_{abs(hash(str(tmp))) % 10_000}"
     q = (
         flags.writeStream.format("memory")
@@ -168,3 +172,78 @@ def test_streaming_md5_family_matches_batch_parity_query(spark, tmp_path_factory
         (r["doc_id"], r["matched_id"], r["est_sim"], r["band"]) for r in rows
     }
     assert got == want
+
+
+def test_compact_state_equivalent_to_wide_state(spark, tmp_path_factory):
+    """r12 state-cost cut equivalence pin (r11 verdict #6): the 31-bit
+    compact state form must emit exactly the flag rows of the pre-r12
+    wide (bigint) form, per family, on a corpus crossing micro-batches.
+    For md5 the mask is the identity (components < 2^31), so equality
+    is a theorem; for xxhash a divergence needs a 2^-31 low-bits
+    collision — this pin would catch a masking/slicing bug, not lose to
+    chance."""
+    batches = [
+        [(1, BASE), (3, OTHER)],
+        [(2, NEAR)],
+        [(4, BASE), (5, OTHER + " with a small tail appended here")],
+    ]
+    for family in ("xxhash", "md5"):
+        compact = _run_stream(
+            spark, tmp_path_factory.mktemp(f"cmp_{family}"), batches, family=family
+        )
+        wide = _run_stream(
+            spark,
+            tmp_path_factory.mktemp(f"wid_{family}"),
+            batches,
+            family=family,
+            wide=True,
+        )
+        key = lambda r: (r["doc_id"], r["matched_id"], r["est_sim"], r["band"])
+        assert {key(r) for r in compact} == {key(r) for r in wide}, family
+        assert compact, family  # non-vacuous: the corpus produces flags
+
+
+def test_stale_geometry_checkpoint_fails_loudly(spark, tmp_path_factory, monkeypatch):
+    """r11 advisor #2: a banding retune used to orphan a checkpoint's
+    registered state SILENTLY (old bucket keys never probed again). Now
+    the stored geometry sentinel makes the restart fail with a named
+    error telling the operator to start a fresh checkpoint."""
+    import pyspark.errors
+
+    import etl_pipeline_spark.streaming.neardup as nd
+
+    tmp = tmp_path_factory.mktemp("sneardup_geom")
+    schema = "doc_id long, text string"
+
+    def restartable(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(tmp / "data"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp / "data"))
+        )
+        return (
+            nd.streaming_neardup_flags(stream)
+            .writeStream.format("parquet")  # memory sink can't recover
+            .outputMode("append")
+            .option("path", str(tmp / "out"))
+            .option("checkpointLocation", str(tmp / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # run 1: registers state under the current geometry
+    restartable([(1, BASE), (3, OTHER)]).awaitTermination(180)
+    # simulate a future retune WITHOUT a schema change: same state
+    # schema, different banding -> sentinel mismatch on the same buckets
+    monkeypatch.setattr(nd, "_STATE_GEOM", nd._STATE_GEOM + 1)
+    import pytest
+
+    q = restartable([(2, NEAR)])
+    with pytest.raises(
+        pyspark.errors.exceptions.base.PySparkException,
+        match="geometry mismatch",
+    ):
+        q.awaitTermination(180)
