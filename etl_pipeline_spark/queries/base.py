@@ -58,65 +58,15 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-11 prefix (regenerated via rotate_window.py): the r10-changed/
-# never-attested four; the two md5-LSH queries rebanded 4x4 -> 8x2 (recall
-# gate found the deterministic j=0.8 miss at sf0.1); the new
-# q_streaming_neardup_parity (streaming semantics under the driver's hash);
-# and q_dedup_simhash_pairs (Hamming radius aligned to the 4-band pigeonhole
-# guarantee, 6 -> 3 — same knee-vs-contract defect class). Then
-# oldest-attestation-first backfill. first-50 window: 50 entries; oldest-attested in window: r3; left out: 225
+# Round-12 prefix (regenerated via rotate_window.py): the one changed
+# query — q_embedding_centroid_health (stable_round retires the
+# registry's last cross-engine hash waiver; the driver must attest the
+# order-stable form). Then oldest-attestation-first backfill, which this
+# round fully drains the r4 cohort and bites into r5 (judge r11 #2).
+# first-50 window: 50 entries; oldest-attested in window: r4; left out: 225
 CHECK_PRIORITY: tuple[str, ...] = (
-    "q_node_clustering",  # --- code changed this round: attest first ---
-    "q_kcore_nodes",
-    "q_kcore_support1",
-    "q_multimodal_avi_frames",
-    "q_dedup_minhash_pairs",
-    "q_lsh_recall_report",
-    "q_streaming_neardup_parity",
-    "q_dedup_simhash_pairs",
-    "q_doc_chunking",  # --- backfill: oldest attestation first ---
-    "q_token_entropy",
-    "q_mix_weights",
-    "q_vocab_coverage",
-    "q_corpus_domain_cap",
-    "q01_pricing_summary",
-    "q06_revenue_delta",
-    "q_cube_orders",
-    "q03_order_revenue_topk",
-    "q05_nation_revenue",
-    "q_join_salted_skew",
-    "q_window_tumbling_events",
-    "q_join_full_outer_reconcile",
-    "q_hof_array_pipeline",
-    "q07_nation_volume",
-    "q09_product_profit",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q22_idle_high_balance",
-    "q08_market_share",
-    "q10_returned_revenue",
-    "q15_top_supplier",
-    "q11_value_concentration",
-    "q04_order_priority",
-    "q13_order_count_distribution",
-    "q_target_encoding",
-    "q_rake_keywords",
-    "q_wordpiece_tokenize",
-    "q_rare_category_other",
-    "q_woe_encoding",
-    "q_psi_drift",
-    "q_degree_powerlaw",
-    "q_tokenizer_fertility",
-    "q_url_canonical_dedup",
-    "q_dataset_card",
-    "q_data_skew_report",
-    "q_join_cardinality_audit",
-    "q_revenue_delta_decomposition",
-    "q_fifo_allocation",
-    "q_shapley_attribution",
-    "q_entity_resolution_fs",
-    "q_gaps_islands",  # ---------------- first-50 window ends above ----------------
+    "q_embedding_centroid_health",  # --- code changed this round: attest first ---
+    "q_gaps_islands",  # --- backfill: oldest attestation first ---
     "q_equidepth_histogram",
     "q_udtf_span_days",
     "q_weighted_median",
@@ -139,7 +89,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_interval_merge",
     "q_seasonal_anomaly_days",
     "q_multimodal_shot_cuts",
-    "q_embedding_centroid_health",
     "q_rfm_segments",
     "q_lateral_top_orders",
     "q_recursive_month_spine",
@@ -166,7 +115,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_cms_heavy_hitters",
     "q_bom_explosion",
     "q_spatial_radius_join",
-    "q_hapax_vocabulary",
+    "q_hapax_vocabulary",  # ---------------- first-50 window ends above ----------------
     "q_heaps_law_fit",
     "q_dedup_chunk_rewrite",
     "q_dedup_repeated_spans",
@@ -341,6 +290,56 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_repetition_score",
     "q_multimodal_features",
     "q_multimodal_frame_sample",
+    "q_node_clustering",
+    "q_target_encoding",
+    "q_rake_keywords",
+    "q_wordpiece_tokenize",
+    "q_rare_category_other",
+    "q_woe_encoding",
+    "q_psi_drift",
+    "q_degree_powerlaw",
+    "q_tokenizer_fertility",
+    "q_kcore_nodes",
+    "q_kcore_support1",
+    "q_url_canonical_dedup",
+    "q_dataset_card",
+    "q_data_skew_report",
+    "q_join_cardinality_audit",
+    "q_revenue_delta_decomposition",
+    "q_fifo_allocation",
+    "q_shapley_attribution",
+    "q_entity_resolution_fs",
+    "q_dedup_simhash_pairs",
+    "q_dedup_minhash_pairs",
+    "q_lsh_recall_report",
+    "q_doc_chunking",
+    "q_token_entropy",
+    "q_mix_weights",
+    "q_vocab_coverage",
+    "q_corpus_domain_cap",
+    "q_streaming_neardup_parity",
+    "q_multimodal_avi_frames",
+    "q01_pricing_summary",
+    "q06_revenue_delta",
+    "q_cube_orders",
+    "q03_order_revenue_topk",
+    "q05_nation_revenue",
+    "q_join_salted_skew",
+    "q_window_tumbling_events",
+    "q_join_full_outer_reconcile",
+    "q_hof_array_pipeline",
+    "q07_nation_volume",
+    "q09_product_profit",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q22_idle_high_balance",
+    "q08_market_share",
+    "q10_returned_revenue",
+    "q15_top_supplier",
+    "q11_value_concentration",
+    "q04_order_priority",
+    "q13_order_count_distribution",
 )
 
 

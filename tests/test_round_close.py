@@ -91,3 +91,37 @@ def test_changed_queries_inside_window(registry, manifest):
         f"attestation window: {drifted}; re-run tools/rotate_window.py "
         f"--changed {' '.join(drifted)} and splice the result into base.py"
     )
+
+
+def test_approx_family_sf01_sweep_fresh_and_green(registry):
+    """r11 judge #4: both knee bugs were invisible at the driver's
+    sf0.01 gate and the sf0.1 sweep that caught them was manual. The
+    sweep is now a committed artifact (tools/approx_sweep.json, written
+    by tools/approx_sweep.py, auto-run by rotate_window when stale);
+    this test fails the suite when the artifact is missing, red, or
+    STALE — i.e. any approximate-family query changed after its last
+    sf0.1 sweep. Pure file/registry check: the sweep itself runs out of
+    band, like the rotation tool."""
+    from tools.approx_sweep import ARTIFACT, family_queries
+    from tools.rotate_window import query_fingerprint
+
+    fam = family_queries()
+    assert fam, "approx family selector matched nothing — tags renamed?"
+    assert os.path.exists(ARTIFACT), (
+        "tools/approx_sweep.json missing — run python tools/approx_sweep.py"
+    )
+    with open(ARTIFACT) as fh:
+        report = json.load(fh)
+    assert report["all_ok"], (
+        f"approx-family sf0.1 sweep is RED: "
+        f"{[q for q, r in report['results'].items() if r['status'] == 'FAIL']}"
+    )
+    stale = [
+        q for q, spec in fam.items()
+        if report["results"].get(q, {}).get("fingerprint")
+        != query_fingerprint(spec)
+    ]
+    assert not stale, (
+        f"approx-family queries changed after their last sf0.1 sweep: "
+        f"{stale}; re-run python tools/approx_sweep.py"
+    )

@@ -80,6 +80,81 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
+def open_oracle(sf_dir: str):
+    """DuckDB connection with the fixture tables registered as views."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con
+
+
+def check_query(spark, con, spec, sf_dir: str) -> dict:
+    """One query through the driver's gate: returns {"status": "ok" |
+    "rows" | "FAIL", "rows": n, "secs": s, "detail": str}. Extracted
+    from main() so tools/approx_sweep.py runs the IDENTICAL comparison
+    (rowcount + schema + order-insensitive value hash) at other SFs."""
+    t0 = time.time()
+    try:
+        sdf = spec.fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception:
+        return {
+            "status": "FAIL", "rows": 0, "secs": round(time.time() - t0, 1),
+            "detail": "spark error: " + traceback.format_exc(limit=3),
+        }
+    if spec.oracle is None:
+        return {
+            "status": "rows", "rows": len(srows),
+            "secs": round(time.time() - t0, 1), "detail": "no oracle",
+        }
+    try:
+        tbl = con.execute(spec.oracle).fetch_arrow_table()
+        ocols = tbl.column_names
+        ocolumns = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+        orows = list(zip(*ocolumns)) if ocolumns else []
+        if tbl.num_rows and not ocolumns:
+            orows = [()] * tbl.num_rows
+    except Exception as exc:
+        return {
+            "status": "FAIL", "rows": len(srows),
+            "secs": round(time.time() - t0, 1), "detail": f"duckdb error: {exc}",
+        }
+    problems = []
+    flagged = risky_oracle_types(tbl.schema)
+    if flagged:
+        problems.append(f"risky oracle types: {flagged}")
+    sflagged = [
+        f"{fname}: {ftype}"
+        for fname, ftype in sdf.dtypes
+        if ftype.startswith("timestamp") or ftype.startswith("decimal")
+    ]
+    if sflagged:
+        problems.append(f"risky spark types: {sflagged}")
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
+    if not problems:
+        sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
+        if sh != oh:
+            problems.append(f"valuehash spark={sh} oracle={oh}")
+            ss = sorted("\x1f".join(map(normalize_cell, r)) for r in srows)
+            oo = sorted("\x1f".join(map(normalize_cell, r)) for r in orows)
+            for a, b in zip(ss, oo):
+                if a != b:
+                    problems.append(f"first diff: spark {a[:200]} | oracle {b[:200]}")
+                    break
+    return {
+        "status": "FAIL" if problems else "ok",
+        "rows": len(srows),
+        "secs": round(time.time() - t0, 1),
+        "detail": "; ".join(problems),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -87,74 +162,21 @@ def main() -> int:
     args = ap.parse_args()
 
     spark = get_spark("check_oracle")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(args.sf_dir, t)}')"
-        )
-
+    con = open_oracle(args.sf_dir)
     specs = all_specs()
     names = args.names or list(specs)
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
-        spec = specs[name]
-        t0 = time.time()
-        try:
-            sdf = spec.fn(spark, args.sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception:
-            print(f"FAIL  {name}: spark error")
-            traceback.print_exc()
-            n_fail += 1
-            continue
-        if spec.oracle is None:
-            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
-            n_rowsonly += 1
-            continue
-        try:
-            tbl = con.execute(spec.oracle).fetch_arrow_table()
-            ocols = tbl.column_names
-            ocolumns = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
-            orows = list(zip(*ocolumns)) if ocolumns else []
-            if tbl.num_rows and not ocolumns:
-                orows = [()] * tbl.num_rows
-        except Exception as exc:
-            print(f"FAIL  {name}: duckdb error: {exc}")
-            n_fail += 1
-            continue
-        problems = []
-        flagged = risky_oracle_types(tbl.schema)
-        if flagged:
-            problems.append(f"risky oracle types: {flagged}")
-        sflagged = [
-            f"{fname}: {ftype}"
-            for fname, ftype in sdf.dtypes
-            if ftype.startswith("timestamp") or ftype.startswith("decimal")
-        ]
-        if sflagged:
-            problems.append(f"risky spark types: {sflagged}")
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
-        if not problems:
-            sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
-            if sh != oh:
-                problems.append(f"valuehash spark={sh} oracle={oh}")
-                # show first differing rows for debugging
-                ss = sorted("\x1f".join(map(normalize_cell, r)) for r in srows)
-                oo = sorted("\x1f".join(map(normalize_cell, r)) for r in orows)
-                for a, b in zip(ss, oo):
-                    if a != b:
-                        print(f"      spark : {a[:200]}\n      oracle: {b[:200]}")
-                        break
-        if problems:
-            print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
-            n_fail += 1
-        else:
-            print(f"ok    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+        r = check_query(spark, con, specs[name], args.sf_dir)
+        if r["status"] == "ok":
+            print(f"ok    {name}: {r['rows']} rows [{r['secs']}s]")
             n_pass += 1
+        elif r["status"] == "rows":
+            print(f"rows  {name}: {r['rows']} rows (no oracle) [{r['secs']}s]")
+            n_rowsonly += 1
+        else:
+            print(f"FAIL  {name}: {r['detail']} [{r['secs']}s]")
+            n_fail += 1
     print(f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} FAIL")
     return 1 if n_fail else 0
 
