@@ -136,3 +136,28 @@ def test_banded_operator_knees_sit_below_their_thresholds():
     assert dedup.SNP_THRESHOLD == 0.7
     # SimHash: the radius IS the pigeonhole guarantee, never beyond
     assert simhash.MAX_HAMMING == simhash.N_BANDS - 1
+
+
+def test_gate_runs_simhash_audits_and_trips_on_rewidened_radius(
+    tmp_path, monkeypatch
+):
+    """r11 verdict #8: the fixture-regen gate now audits the SimHash
+    family too. A pass run reports both audits; re-widening MAX_HAMMING
+    past the pigeonhole guarantee (the exact r11 defect, 6 vs 4 bands)
+    makes the gate raise — at gate time, not in a later hand sweep."""
+    import pytest
+
+    from etl_pipeline_spark.operators import simhash
+    from tools.recall_gate import assert_lsh_recall, simhash_planted_audit
+
+    j = _write_pair_corpus(str(tmp_path), "sga", k=3)
+    assert j > 0.9
+    rep = assert_lsh_recall(str(tmp_path))
+    assert rep["simhash"]["radius"] == simhash.MAX_HAMMING
+    assert rep["simhash"]["bands"] == simhash.N_BANDS
+    # near-identical pair corpus: the in-radius truth audit is non-vacuous
+    assert rep["simhash"]["n_in_radius_pairs"] > 0
+
+    monkeypatch.setattr(simhash, "MAX_HAMMING", simhash.N_BANDS + 2)
+    with pytest.raises(AssertionError, match="pigeonhole"):
+        simhash_planted_audit()

@@ -14,7 +14,15 @@ The gate reuses q_lsh_recall_report's DuckDB oracle SQL verbatim. The
 hash family is engine-portable by construction (md5-derived MinHash,
 seed-free), so DuckDB recall IS Spark recall — the oracle sweep
 cross-checks that equality query-by-query; this gate only needs the
-cheap engine. Import `assert_lsh_recall(sf_dir)` or run:
+cheap engine.
+
+r12 (r11 verdict #8): the same gate run also audits the SIMHASH
+family — the pigeonhole precondition MAX_HAMMING <= N_BANDS - 1, a
+planted-distance check at every in-radius d plus the all-bands-touched
+exclusion, and an all-pairs truth audit on the fixture — so a future
+banding edit that silently re-widens the radius past the guarantee
+(the exact r11 defect) trips at fixture-regeneration time, not in a
+later round's hand sweep. Import `assert_lsh_recall(sf_dir)` or run:
 
     python tools/recall_gate.py <sf_dir> [min_recall]
 """
@@ -45,9 +53,111 @@ def lsh_recall(sf_dir: str) -> dict:
     return dict(zip(cols, row))
 
 
+def simhash_planted_audit() -> dict:
+    """Fixture-independent SimHash radius audit (r11 verdict #8): the
+    banded join's exactness is a pigeonhole THEOREM only while
+    MAX_HAMMING <= N_BANDS - 1; a future N_BANDS edit could silently
+    re-widen the radius past the guarantee (exactly the r11 defect,
+    where MAX_HAMMING=6 against 4 bands missed truth pairs at d 4..6 on
+    both engines). Checks, on DuckDB (the banded SQL is engine-identical
+    by construction): (a) the precondition MAX_HAMMING == N_BANDS - 1;
+    (b) planted signatures at every d in 1..MAX_HAMMING with
+    band-spread bit flips are all emitted; (c) the all-bands-touched
+    d = N_BANDS pair is excluded by contract. Raises AssertionError."""
+    import duckdb
+
+    from etl_pipeline_spark.operators import simhash as sh
+
+    if sh.MAX_HAMMING > sh.N_BANDS - 1:
+        raise AssertionError(
+            f"SimHash radius audit FAILED: MAX_HAMMING={sh.MAX_HAMMING} "
+            f"exceeds the {sh.N_BANDS}-band pigeonhole guarantee "
+            f"(d <= {sh.N_BANDS - 1}); pairs past the guarantee are "
+            "silently missed on BOTH engines (r11). Either restore "
+            "MAX_HAMMING = N_BANDS - 1 or re-band so the guarantee "
+            "covers the radius."
+        )
+    base = 0x2F_5A3C_9E14
+    rows = [(0, base)]
+    for d in range(1, sh.MAX_HAMMING + 1):
+        sig = base
+        for b in range(d):
+            sig ^= 1 << (b * sh.BAND_BITS + 5)
+        rows.append((d, sig))
+    sig_all = base  # one flipped bit in EVERY band: no band can match
+    for b in range(sh.N_BANDS):
+        sig_all ^= 1 << (b * sh.BAND_BITS + 7)
+    rows.append((sh.N_BANDS, sig_all))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE planted_sim(doc_id BIGINT, simhash BIGINT)")
+    con.executemany("INSERT INTO planted_sim VALUES (?, ?)", rows)
+    got = {
+        (a, b)
+        for a, b, _ in con.execute(
+            sh.pairs_over_signatures_sql("planted_sim", "duckdb")
+        ).fetchall()
+    }
+    want = {(0, d) for d in range(1, sh.MAX_HAMMING + 1)}
+    missed = want - got
+    if missed:
+        raise AssertionError(
+            f"SimHash radius audit FAILED: planted in-radius pairs "
+            f"missed by the banded join: {sorted(missed)} — banding no "
+            "longer covers its own radius"
+        )
+    if (0, sh.N_BANDS) in got:
+        raise AssertionError(
+            "SimHash radius audit FAILED: the all-bands-touched "
+            f"d={sh.N_BANDS} pair was emitted — the Hamming filter no "
+            "longer enforces the contract radius"
+        )
+    return {"n_planted": len(rows), "radius": sh.MAX_HAMMING,
+            "bands": sh.N_BANDS}
+
+
+def simhash_fixture_recall(sf_dir: str) -> dict:
+    """All-pairs truth audit of the banded SimHash join on ``sf_dir``:
+    every pair within the Hamming radius (computed WITHOUT banding) must
+    be emitted by the banded form. With MAX_HAMMING <= N_BANDS - 1 this
+    holds by theorem; the audit catches implementation drift (band
+    masks, xor spelling) on real text. Raises on any miss."""
+    import duckdb
+
+    from etl_pipeline_spark.catalog import table_path
+    from etl_pipeline_spark.operators import simhash as sh
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{table_path(sf_dir, 'documents')}')"
+    )
+    truth = set(
+        con.execute(
+            f"""WITH s AS ({sh.simhash_sql('duckdb')})
+            SELECT a.doc_id, b.doc_id FROM s a JOIN s b
+            ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {sh.MAX_HAMMING}"""
+        ).fetchall()
+    )
+    got = {
+        (a, b)
+        for a, b, _ in con.execute(sh.simhash_pairs_sql("duckdb")).fetchall()
+    }
+    if got != truth:
+        raise AssertionError(
+            f"SimHash fixture audit FAILED at {sf_dir}: banded join != "
+            f"all-pairs truth (missed {len(truth - got)}, spurious "
+            f"{len(got - truth)})"
+        )
+    return {"n_in_radius_pairs": len(truth)}
+
+
 def assert_lsh_recall(sf_dir: str, min_recall: float = 1.0) -> dict:
     """Gate: raise if the banded candidate generation recalls fewer than
-    ``min_recall`` of the exact near-dup truth pairs on this fixture."""
+    ``min_recall`` of the exact near-dup truth pairs on this fixture —
+    and (r11 verdict #8) run the SimHash planted-distance + fixture
+    truth audits in the same breath, so every fixture regeneration
+    checks BOTH approximate families' contracts."""
     rep = lsh_recall(sf_dir)
     if rep["n_true_pairs"] and (rep["recall"] or 0.0) < min_recall:
         raise AssertionError(
@@ -57,6 +167,7 @@ def assert_lsh_recall(sf_dir: str, min_recall: float = 1.0) -> dict:
             "drifted; retune the banding (bands x rows) in "
             "queries/dedup.py before trusting the sub-quadratic path"
         )
+    rep["simhash"] = {**simhash_planted_audit(), **simhash_fixture_recall(sf_dir)}
     return rep
 
 
