@@ -84,15 +84,54 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     edges = co_purchase_edges(li, TRI_SUPPORT).localCheckpoint(eager=False)
+    return triangle_census(edges)
+
+
+def triangle_census(edges: DataFrame, orient_by_degree: bool = False) -> DataFrame:
+    """The census over a CANONICALLY ORIENTED (u < v) undirected edge
+    frame — extracted from q_triangle_count so the scale soak can run it
+    on the stamped parquet edge frames (tools/scale_soak.py
+    --sf50-graph; a directed both-ways frame filters u < v to recover
+    this form exactly). Caller owns the frame's persistence; the census
+    reads it five times.
+
+    ``orient_by_degree`` (r12) wires the mitigation the q_triangle_count
+    docstring previously only NAMED: re-orient every edge from its
+    lower-(degree, id) endpoint to the higher one before the wedge
+    join. Any acyclic orientation enumerates each triangle exactly once
+    (the triangle's three edges form one length-2 path from its
+    smallest endpoint under the order), so n_triangles is INVARIANT —
+    equivalence-pinned on fixtures — while the wedge join's row count
+    drops from sum(d^2) to the out-degree form bounded by O(m^1.5)
+    (Chiba-Nishizeki): under the degree order every out-degree is at
+    most ~sqrt(2m), because a node of degree d only points to
+    neighbors of degree >= d and there can be at most 2m/d of those.
+    The id order has no such bound — one high-degree hub whose
+    neighbors carry larger ids contributes d^2 wedges. The degree/id
+    re-orientation is one extra edge-sized broadcast-degree join, so
+    the default stays id-order for the small fixtures and the scale
+    soak turns it on. n_vertices/n_edges/n_wedges read the UNDIRECTED
+    structure and are orientation-independent by construction."""
     deg = (
         edges.select(F.col("u").alias("k"))
         .unionAll(edges.select(F.col("v").alias("k")))
         .groupBy("k")
         .agg(F.count("*").alias("d"))
     )
-    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
-    e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    if orient_by_degree:
+        du = deg.select(F.col("k").alias("u"), F.col("d").alias("du"))
+        dv = deg.select(F.col("k").alias("v"), F.col("d").alias("dv"))
+        keyed = edges.join(du, "u").join(dv, "v")
+        fwd = F.struct("du", "u") < F.struct("dv", "v")
+        oriented = keyed.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("u"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("v"),
+        ).localCheckpoint(eager=False)
+    else:
+        oriented = edges
+    e1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
     tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(F.count("*").alias("n_triangles"))
     stats = deg.agg(
         F.count("*").alias("n_vertices"),

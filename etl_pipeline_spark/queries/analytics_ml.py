@@ -250,9 +250,10 @@ def pagerank_edges(li: DataFrame, support: int = PR_SUPPORT) -> DataFrame:
 
 
 def pagerank_ranks_lazy(
-    li: DataFrame,
+    li: DataFrame | None,
     checkpoint_last: bool = True,
     hub_broadcast_degree: int | None = None,
+    edges: DataFrame | None = None,
 ):
     """Full (un-limited) rank table behind q_pagerank: every node with
     its degree and final integer rank. Exposed separately so invariants
@@ -302,7 +303,14 @@ def pagerank_ranks_lazy(
     A/B in BASELINE.md records the numbers — same rejection class as the
     r10 triangle-count revert); at a real power-law 100 TB graph, set
     the threshold from the degree distribution (e.g. p99.9)."""
-    edges = pagerank_edges(li)
+    # ``edges``: a pre-built directed both-ways (u, v) frame — the
+    # scale soak's stamped parquet frames (tools/scale_soak.py
+    # --sf50-graph) skip the lineitem-sized edge build this way. The
+    # caller owns the provided frame's partitioning (u-repartition +
+    # persist for the exchange budget below) and persistence; ``li`` is
+    # ignored when set.
+    if edges is None:
+        edges = pagerank_edges(li)
     outdeg = edges.groupBy("u").agg(F.count("*").alias("od"))
     nn = outdeg.agg(F.count("*").alias("n"))
     # (node, od, r): od rides the vector so no per-iteration degree join
@@ -567,13 +575,27 @@ def q_label_propagation_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lpa_labels(
-    edges: DataFrame, iters: int = LPA_ITERS, checkpoint_last: bool = True
+    edges: DataFrame,
+    iters: int = LPA_ITERS,
+    checkpoint_last: bool = True,
+    eager_rounds: bool = False,
 ) -> DataFrame:
     """Full (node, label) table after ``iters`` synchronous LPA rounds
     over a directed both-ways edge frame (u, v) — the loop behind
     q_label_propagation, exposed so invariants over the whole labeling
     (partition coverage, component containment) are testable without
-    the top-k cut. Caller owns the edge frame's persistence."""
+    the top-k cut. Caller owns the edge frame's persistence.
+
+    ``eager_rounds`` (r12, for billion-edge runs): with the default
+    LAZY per-round checkpoints the consumer's first action materializes
+    all ``iters`` rounds as ONE job, so every round's edge-sized
+    groupBy shuffle is simultaneously live on disk — ~iters x |E| of
+    shuffle files, the single-host ENOSPC class the sf100 k-core ladder
+    documents. Eager rounds materialize each round as its own job;
+    earlier rounds' shuffles become unreferenced and the context
+    cleaner reclaims them, bounding simultaneous spill at ~one round
+    (the mechanism behind the k-core peel's sf50 feasibility). Results
+    are identical — the rounds are the same computation either way."""
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
@@ -597,7 +619,7 @@ def lpa_labels(
         # see pagerank_ranks_lazy: the audit form leaves the final round
         # un-checkpointed so the plan shows the real per-round shape
         if checkpoint_last or it < iters - 1:
-            labels = labels.localCheckpoint(eager=False)
+            labels = labels.localCheckpoint(eager=eager_rounds)
     return labels
 
 

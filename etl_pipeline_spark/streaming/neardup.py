@@ -19,9 +19,10 @@ state spreads evenly across executors; per-bucket state is capped at
 number of DISTINCT buckets touched, never in stream length. Exactly the
 keyed-DoFn-with-state design the reference's Beam pipeline uses for
 running counts (dataflow_transform.py:75-89), applied to LSH buckets.
-For unbounded multi-day runs, add a state TTL (GroupStateTimeout /
-transformWithState per-key TTL) so cold buckets age out — dedup then
-holds within the TTL horizon, the standard trade on an infinite stream.
+For unbounded multi-day runs, ``state_ttl_minutes`` (r12 — wired, not
+just named) ages out cold buckets via processing-time timeouts — dedup
+then holds within the TTL horizon, the standard trade on an infinite
+stream.
 
 Tuning: P=32 permutations in B=16 bands of R=2 rows. A pair colliding
 in some band has banded-LSH probability 1-(1-j^R)^B of being a
@@ -191,10 +192,22 @@ def process_bucket_rows(
     return out
 
 
-def _make_bucket_processor(threshold: float, cap: int, wide_state: bool = False):
+def _make_bucket_processor(
+    threshold: float,
+    cap: int,
+    wide_state: bool = False,
+    ttl_ms: int | None = None,
+):
     def process(
         key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            # cold-bucket expiry (state_ttl_minutes): drop the bucket's
+            # registered signatures; a later near-copy of an expired doc
+            # re-REGISTERS instead of flagging — the documented horizon
+            # trade on an unbounded stream. No output rows here.
+            state.remove()
+            return
         if state.exists:
             if wide_state:
                 ids, sigs = state.get
@@ -228,6 +241,13 @@ def _make_bucket_processor(threshold: float, cap: int, wide_state: bool = False)
             # of unchanged state to the store every micro-batch it
             # appears in — pure checkpoint write amplification
             state.update((ids, sigs) if wide_state else (ids, sigs, _STATE_GEOM))
+        if ttl_ms is not None and (state.exists or len(ids) != n_before):
+            # refresh the inactivity clock on EVERY touch (not only on
+            # growth): a bucket that keeps matching incoming docs is hot
+            # and must not expire under it. setTimeoutDuration is per
+            # batch — unrefreshed (cold) buckets keep their old deadline
+            # and get the hasTimedOut call above once it passes.
+            state.setTimeoutDuration(ttl_ms)
         if out:
             yield pd.DataFrame(
                 {
@@ -246,6 +266,7 @@ def streaming_neardup_flags(
     threshold: float = 0.7,
     cap: int = 64,
     family: str = "xxhash",
+    state_ttl_minutes: float | None = None,
     _wide_state: bool = False,
 ) -> DataFrame:
     """Streaming near-dup flags for docs(doc_id, text): one output row
@@ -254,6 +275,26 @@ def streaming_neardup_flags(
     flagged in ANY band is a near-duplicate; reduce per doc_id
     downstream (e.g. in foreachBatch: groupBy(doc_id).max(est_sim)) —
     the per-band rows are kept so the sink can audit which band fired.
+
+    ``state_ttl_minutes`` (r12 — previously only NAMED in the module
+    docstring) bounds total state on an UNBOUNDED stream: a bucket
+    untouched for the TTL is dropped (processing-time timeout), so
+    dedup holds exactly within the inactivity horizon — a later
+    near-copy of an expired document re-registers instead of flagging,
+    the standard trade on an infinite stream. The clock refreshes on
+    every bucket touch (match or registration), so hot buckets never
+    expire under their traffic. None (default) keeps state forever —
+    equivalence with the TTL form inside the horizon is pytest-pinned.
+
+    TTL is for CONTINUOUS triggers (processingTime) only — the
+    unbounded-run deployment it exists for. Do NOT combine it with
+    Trigger.AvailableNow/Once backfills: a processing-time-timeout
+    stateful operator reports "needs another batch" whenever processing
+    time advanced (which every batch does), so an availableNow query
+    never terminates — it burns batches until externally stopped
+    (measured: 83 empty micro-batches in the 120 s it was allowed).
+    Bounded backfills don't outlive any sane TTL anyway; leave it None
+    there.
 
     ``_wide_state=True`` runs the pre-r12 layout (unmasked bigint
     signatures in state) — kept ONLY so the compact/wide equivalence
@@ -280,10 +321,19 @@ def streaming_neardup_flags(
     banded = docs.select("doc_id", sig.alias("sig")).select(
         "doc_id", "sig", F.posexplode(band_hashes(F.col("sig"))).alias("band", "bh")
     )
+    ttl_ms = (
+        int(state_ttl_minutes * 60_000) if state_ttl_minutes is not None else None
+    )
     return banded.groupBy("band", "bh").applyInPandasWithState(
-        _make_bucket_processor(threshold, cap, wide_state=_wide_state),
+        _make_bucket_processor(
+            threshold, cap, wide_state=_wide_state, ttl_ms=ttl_ms
+        ),
         outputStructType=FLAG_SCHEMA,
         stateStructType=_WIDE_STATE_SCHEMA if _wide_state else _STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

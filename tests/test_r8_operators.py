@@ -259,7 +259,37 @@ def test_node_clustering_matches_sequential_and_global(spark):
     assert total_corners == 3 * n_tri
 
 
-def test_degree_assortativity_matches_sequential(spark):
+def test_triangle_census_degree_orientation_invariant(spark):
+    """r12: orient_by_degree re-orients the wedge join by (degree, id)
+    to cap the wedge stream at O(m^1.5) (the mitigation the
+    q_triangle_count docstring names for hub graphs). Any acyclic
+    orientation enumerates each triangle exactly once, so the WHOLE
+    census row must be identical — pinned on the real fixture graph AND
+    on a hub graph where the id order is adversarial (the hub has the
+    LOWEST id, so id-orientation fans every wedge out of it)."""
+    from etl_pipeline_spark.catalog import load_tables
+    from etl_pipeline_spark.queries.advanced_behavioral import (
+        TRI_SUPPORT,
+        triangle_census,
+    )
+    from etl_pipeline_spark.queries.analytics_ml import co_purchase_edges
+
+    li = load_tables(spark, "/root/testdata/sf0.001", ("lineitem",))["lineitem"]
+    edges = co_purchase_edges(li, TRI_SUPPORT).localCheckpoint(eager=True)
+    plain = triangle_census(edges).collect()[0].asDict()
+    oriented = triangle_census(edges, orient_by_degree=True).collect()[0].asDict()
+    assert oriented == plain
+    assert plain["n_triangles"] > 0  # non-vacuous on the fixture
+
+    # hub graph: node 0 connects to 1..10, plus rim edges (1,2), (3,4),
+    # (9,10) -> 3 triangles through the hub, wedges dominated by the hub
+    rim = [(1, 2), (3, 4), (9, 10)]
+    hub = [(0, i) for i in range(1, 11)] + rim
+    hdf = spark.createDataFrame(hub, "u long, v long").localCheckpoint(eager=True)
+    hp = triangle_census(hdf).collect()[0].asDict()
+    ho = triangle_census(hdf, orient_by_degree=True).collect()[0].asDict()
+    assert hp == ho
+    assert hp["n_triangles"] == 3 and hp["n_vertices"] == 11
     """The one-row assortativity equals a pure-Python Pearson over the
     ordered edge endpoint degrees."""
     import math

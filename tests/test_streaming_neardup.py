@@ -203,6 +203,103 @@ def test_compact_state_equivalent_to_wide_state(spark, tmp_path_factory):
         assert compact, family  # non-vacuous: the corpus produces flags
 
 
+def test_state_ttl_expires_cold_buckets_and_preserves_hot_semantics(
+    spark, tmp_path_factory
+):
+    """r12: state_ttl_minutes wires the TTL the module docstring only
+    named. Within the horizon the operator is UNCHANGED (a long-TTL run
+    emits exactly the default run's flags); past it, a cold bucket's
+    registrations are dropped, so a later near-copy re-registers
+    instead of flagging — and becomes the match target for docs after
+    it. TTL is a CONTINUOUS-trigger feature (processing-time timeouts
+    make an availableNow query loop forever — see the operator
+    docstring), so the test drives ONE live processingTime query and
+    feeds it files in real time."""
+    import time
+
+    from etl_pipeline_spark.streaming.neardup import streaming_neardup_flags
+
+    # equivalence inside the horizon: long TTL == no TTL
+    batches = [[(1, BASE), (3, OTHER)], [(2, NEAR)], [(4, BASE)]]
+    base_rows = _run_stream(spark, tmp_path_factory.mktemp("ttl_base"), batches)
+    key = lambda r: (r["doc_id"], r["matched_id"], r["est_sim"], r["band"])
+    want = {key(r) for r in base_rows}
+    assert want
+
+    schema = "doc_id long, text string"
+
+    def live_query(tdir, ttl_min):
+        (tdir / "out").mkdir()
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tdir / "data"))
+        )
+        return (
+            streaming_neardup_flags(stream, state_ttl_minutes=ttl_min)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(tdir / "out"))
+            .option("checkpointLocation", str(tdir / "ckpt"))
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+    def feed(tdir, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(tdir / "data"))
+
+    def flags(tdir):
+        return {
+            key(r) for r in spark.read.parquet(str(tdir / "out")).collect()
+        }
+
+    def wait_until(pred, secs=60):
+        deadline = time.time() + secs
+        while time.time() < deadline:
+            if pred():
+                return True
+            time.sleep(1)
+        return False
+
+    tmp = tmp_path_factory.mktemp("ttl_long")
+    (tmp / "data").mkdir()
+    feed(tmp, batches[0])
+    q = live_query(tmp, ttl_min=60.0)
+    try:
+        for b in batches[1:]:
+            feed(tmp, b)
+        assert wait_until(lambda: flags(tmp) == want)
+        assert flags(tmp) == want  # long TTL == the default form's flags
+    finally:
+        q.stop()
+
+    # expiry: register doc 1, let its buckets go cold past the TTL
+    # (the live trigger keeps batching, so timeouts fire on their own),
+    # then a near-copy re-REGISTERS and becomes the next match target
+    tmp2 = tmp_path_factory.mktemp("ttl_exp")
+    (tmp2 / "data").mkdir()
+    feed(tmp2, [(1, BASE), (3, OTHER)])
+    q = live_query(tmp2, ttl_min=5 / 60.0)  # 5 s
+    try:
+        time.sleep(12)  # register -> cold -> expired, batches keep running
+        feed(tmp2, [(12, NEAR)])  # near-copy of expired doc 1
+        time.sleep(3)  # well inside doc 12's fresh 5 s horizon
+        feed(tmp2, [(13, NEAR)])  # exact copy of doc 12, inside horizon
+        assert wait_until(lambda: any(d == 13 for d, *_ in flags(tmp2)))
+        got = flags(tmp2)
+    finally:
+        q.stop()
+    per_doc = {}
+    for d, m, e, _b in got:
+        per_doc.setdefault(d, set()).add((m, e))
+    # doc 12 flagged nothing (doc 1's registrations expired) ...
+    assert 12 not in per_doc, got
+    # ... and doc 13 matched the RE-REGISTERED doc 12 at est 1.0
+    assert per_doc == {13: {(12, 1.0)}}, got
+
+
 def test_stale_geometry_checkpoint_fails_loudly(spark, tmp_path_factory, monkeypatch):
     """r11 advisor #2: a banding retune used to orphan a checkpoint's
     registered state SILENTLY (old bucket keys never probed again). Now

@@ -642,6 +642,114 @@ def main_sf100_peel() -> None:
     )
 
 
+def main_sf50_graph() -> None:
+    """One sf50 rep each for the REST of the graph family (r11 judge
+    #7): pagerank, LPA, and the triangle census reuse the SAME stamped
+    edge frames the k-core peel proved feasible (sf10 239M / sf50 1.196B
+    directed edges; run --sf100-peel first, or --skip-build here reuses
+    the parquet dirs on disk). Each operator runs at sf10 and sf50 from
+    the materialized frames, so the recorded slope isolates the
+    iterate/join machinery from the (already-laddered) edge build.
+
+    Built-in correctness at scale: the fixture copies are node-disjoint,
+    so every count (vertices, edges, wedges, triangles, communities,
+    rank rows) must be EXACTLY 5x the sf10 value and the global
+    clustering coefficient must be bit-equal — any drift is a real
+    defect in the operator at the billion-edge regime, not noise.
+
+    Memory regime: the k-core sf50 lesson verbatim — 512 reduce
+    partitions, 32m scan splits, DISK_ONLY edge persistence, and run
+    under SPARK_GRAFT_CPUS=8 (32 threads starve the SMJ sorters at this
+    scale; see BASELINE.md r11 ladder)."""
+    spark = get_spark("scale_soak_sf50_graph")
+    spark.conf.set("spark.sql.shuffle.partitions", "512")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "32m")
+
+    from pyspark.storagelevel import StorageLevel
+
+    from etl_pipeline_spark.queries.advanced_behavioral import triangle_census
+    from etl_pipeline_spark.queries.analytics_ml import lpa_labels, pagerank_ranks_lazy
+
+    def run_pagerank(edges, und):
+        out, _e, _x = pagerank_ranks_lazy(None, edges=edges)
+        return {"rows": out.localCheckpoint(eager=True).count()}
+
+    def run_triangle(edges, und):
+        # degree orientation caps the wedge stream at O(m^1.5)
+        # (id-order is sum(d^2) — hub-quadratic); counts invariant,
+        # equivalence pinned in tests/test_session6_operators.py
+        return triangle_census(und, orient_by_degree=True).collect()[0].asDict()
+
+    def run_lpa(edges, und):
+        # eager rounds: one round's shuffle on disk at a time, not all
+        # four — the lazy form's ~iters x |E| simultaneous shuffle
+        # files are the documented single-host ENOSPC class
+        labels = lpa_labels(edges, eager_rounds=True)
+        return {"communities": labels.select("label").distinct().count()}
+
+    # one op's failure (the boundary being probed) must not cost the
+    # others their rep. Triangle runs LAST: its internal orientation
+    # checkpoint is edge-sized and lingers until the end-of-leg block
+    # release (release_session_blocks unpersists EVERYTHING, so it can
+    # only run once the leg's shared frames are done).
+    ops = [("pagerank", run_pagerank), ("lpa", run_lpa),
+           ("triangle", run_triangle)]
+    results: dict[str, dict[str, dict]] = {}
+    for sf_label, d in [("10", SF10_EDGE_DIR), ("50", SF50_EDGE_DIR)]:
+        # one DISK_ONLY u-partitioned frame serves pagerank AND LPA
+        # (both join on edges.u); the census gets its own canonical
+        # u<v half. Materialization happens outside each timed window.
+        edges = (
+            spark.read.parquet(d)
+            .repartition(F.col("u"))
+            .persist(StorageLevel.DISK_ONLY)
+        )
+        edges.count()
+        und = (
+            spark.read.parquet(d)
+            .filter(F.col("u") < F.col("v"))
+            .persist(StorageLevel.DISK_ONLY)
+        )
+        und.count()
+        for op, fn in ops:
+            t0 = time.perf_counter()
+            try:
+                rec = fn(edges, und)
+            except Exception as exc:  # record the boundary, keep going
+                rec = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+            rec["sec"] = round(time.perf_counter() - t0, 2)
+            results.setdefault(op, {})[sf_label] = rec
+            print(json.dumps({"sf": sf_label, "op": op, **rec}), flush=True)
+        edges.unpersist()
+        und.unpersist()
+        release_session_blocks(spark)
+
+    summary = {}
+    for op, by_sf in results.items():
+        r10, r50 = by_sf["10"], by_sf["50"]
+        summary[op] = {
+            "sf10_sec": r10["sec"],
+            "sf50_sec": r50["sec"],
+            "t_ratio_5x": round(r50["sec"] / max(r10["sec"], 1e-9), 2),
+            "errors": {s: r["error"] for s, r in by_sf.items() if "error" in r},
+        }
+
+    def lin(op, key):
+        a, b = results[op]["10"].get(key), results[op]["50"].get(key)
+        return a is not None and b is not None and b == 5 * a
+
+    tri10, tri50 = results["triangle"]["10"], results["triangle"]["50"]
+    summary["linearity_5x_exact"] = {
+        "rank_rows": lin("pagerank", "rows"),
+        "communities": lin("lpa", "communities"),
+        "triangles": lin("triangle", "n_triangles"),
+        "wedges": lin("triangle", "n_wedges"),
+        "clustering_equal": tri50.get("global_clustering")
+        == tri10.get("global_clustering"),
+    }
+    print(json.dumps({"summary_sf50_graph": summary}), flush=True)
+
+
 def main_sf100_graph() -> None:
     """Two-decades graph campaign (r9): sf10 -> sf100 slope for the
     co-purchase graph family leads. Memory regime per the r7 sf100
@@ -765,6 +873,9 @@ def main() -> None:
         return
     if "--sf100-peel" in sys.argv:
         main_sf100_peel()
+        return
+    if "--sf50-graph" in sys.argv:
+        main_sf50_graph()
         return
     if "--sf100-graph" in sys.argv:
         main_sf100_graph()
