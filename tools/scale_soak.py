@@ -26,6 +26,7 @@ summary table is appended to BASELINE.md by hand from the JSON.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -547,6 +548,16 @@ def build_sf100_lineitem(spark) -> None:
 
 SF50_EDGE_DIR = "/root/repo/.scratch/scale/sf50_edges_s1"
 SF10_EDGE_DIR = "/root/repo/.scratch/scale/sf10_edges_s1"
+# support-2 canonical (u < v) frames for the triangle census — the
+# census's OWN contract graph (TRI_SUPPORT = 2). The support-1 frames
+# above are ~40x denser; their wedge volume is intrinsic (sum of
+# oriented out-deg^2) and exceeds one host's disk at sf10 already —
+# measured r12: the degree-oriented wedge join spilled past 68 GB into
+# 66 GB free before being killed at 87% host disk (boundary recorded
+# in BASELINE.md). k-core/pagerank/LPA stay on support-1, where their
+# per-round work is edge-LINEAR and feasible.
+SF50_EDGE2_DIR = "/root/repo/.scratch/scale/sf50_edges_s2"
+SF10_EDGE2_DIR = "/root/repo/.scratch/scale/sf10_edges_s2"
 PEEL_COPIES = 5  # sf50: the largest slice one host's disk carries (see below)
 
 
@@ -667,17 +678,41 @@ def main_sf50_graph() -> None:
 
     from pyspark.storagelevel import StorageLevel
 
-    from etl_pipeline_spark.queries.advanced_behavioral import triangle_census
-    from etl_pipeline_spark.queries.analytics_ml import lpa_labels, pagerank_ranks_lazy
+    from etl_pipeline_spark.queries.advanced_behavioral import (
+        TRI_SUPPORT,
+        triangle_census,
+    )
+    from etl_pipeline_spark.queries.analytics_ml import (
+        co_purchase_edges,
+        lpa_labels,
+        pagerank_ranks_lazy,
+    )
+
+    if not os.path.isdir(SF10_EDGE2_DIR):
+        # stamp the census's support-2 canonical frames once (same
+        # disjoint-copy construction as the support-1 peel frames)
+        li = load_tables(spark, SF10_DIR, ("lineitem",))["lineitem"]
+        e2 = co_purchase_edges(li, TRI_SUPPORT).localCheckpoint(eager=True)
+        e2.write.mode("overwrite").parquet(SF10_EDGE2_DIR)
+        e2r = spark.read.parquet(SF10_EDGE2_DIR)
+        for k in range(PEEL_COPIES):
+            e2r.select(
+                (F.col("u") + k * 100 * ID_OFFSET).alias("u"),
+                (F.col("v") + k * 100 * ID_OFFSET).alias("v"),
+            ).write.mode("overwrite" if k == 0 else "append").parquet(
+                SF50_EDGE2_DIR
+            )
+        e2.unpersist()
 
     def run_pagerank(edges, und):
         out, _e, _x = pagerank_ranks_lazy(None, edges=edges)
         return {"rows": out.localCheckpoint(eager=True).count()}
 
     def run_triangle(edges, und):
+        # support-2 canonical frame (the census's contract graph);
         # degree orientation caps the wedge stream at O(m^1.5)
         # (id-order is sum(d^2) — hub-quadratic); counts invariant,
-        # equivalence pinned in tests/test_session6_operators.py
+        # equivalence pinned in tests/test_r8_operators.py
         return triangle_census(und, orient_by_degree=True).collect()[0].asDict()
 
     def run_lpa(edges, und):
@@ -694,24 +729,64 @@ def main_sf50_graph() -> None:
     # only run once the leg's shared frames are done).
     ops = [("pagerank", run_pagerank), ("lpa", run_lpa),
            ("triangle", run_triangle)]
+
+    # Disk preflight (r12, measured the hard way): an op whose scratch
+    # exceeds free disk doesn't fail cleanly at this scale — it drives
+    # the HOST to 100% (checkpoint writes, git, everything corrupts)
+    # before Spark surfaces ENOSPC; both r12 kill-at-87% incidents were
+    # this. Required scratch as a multiple of the input frame's parquet
+    # bytes, measured on this host class: DISK_ONLY persist of the
+    # deserialized both-ways frame is ~5.5x parquet; pagerank adds
+    # ~3x transient spill (sf50 leg completed inside 8x total); LPA's
+    # per-round nbr shuffle is edge-sized even with eager rounds and
+    # blew past 9x (kill point) — 14x is the recorded lower bound for a
+    # safe run. Triangle's wedge mass is DENSITY-driven: the support-2
+    # census is trivial, but the support-1 attempt burned >48x its
+    # parquet before the kill, so the factor stays defensive. Below the
+    # bar the op records a skip with numbers — the mechanical form of
+    # the feasibility ladder.
+    DISK_FACTOR = {"pagerank": 8, "lpa": 14, "triangle": 50}
+
+    def _dir_bytes(path: str) -> int:
+        total = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
     results: dict[str, dict[str, dict]] = {}
-    for sf_label, d in [("10", SF10_EDGE_DIR), ("50", SF50_EDGE_DIR)]:
-        # one DISK_ONLY u-partitioned frame serves pagerank AND LPA
-        # (both join on edges.u); the census gets its own canonical
-        # u<v half. Materialization happens outside each timed window.
+    for sf_label, d, d2 in [
+        ("10", SF10_EDGE_DIR, SF10_EDGE2_DIR),
+        ("50", SF50_EDGE_DIR, SF50_EDGE2_DIR),
+    ]:
+        # one DISK_ONLY u-partitioned support-1 frame serves pagerank
+        # AND LPA (both join on edges.u); the census reads its own
+        # support-2 canonical frame. Materialization happens outside
+        # each timed window.
         edges = (
             spark.read.parquet(d)
             .repartition(F.col("u"))
             .persist(StorageLevel.DISK_ONLY)
         )
         edges.count()
-        und = (
-            spark.read.parquet(d)
-            .filter(F.col("u") < F.col("v"))
-            .persist(StorageLevel.DISK_ONLY)
-        )
+        und = spark.read.parquet(d2).persist(StorageLevel.DISK_ONLY)
         und.count()
+        frame_bytes = {"triangle": _dir_bytes(d2)}
+        frame_bytes["pagerank"] = frame_bytes["lpa"] = _dir_bytes(d)
         for op, fn in ops:
+            need = DISK_FACTOR[op] * frame_bytes[op]
+            free = __import__("shutil").disk_usage("/").free
+            if free < need:
+                rec = {
+                    "skipped": (
+                        f"insufficient free disk: need ~{need >> 30} GiB "
+                        f"({DISK_FACTOR[op]}x {frame_bytes[op] >> 20} MiB "
+                        f"parquet), have {free >> 30} GiB"
+                    )
+                }
+                rec["sec"] = 0.0
+                results.setdefault(op, {})[sf_label] = rec
+                print(json.dumps({"sf": sf_label, "op": op, **rec}), flush=True)
+                continue
             t0 = time.perf_counter()
             try:
                 rec = fn(edges, und)
@@ -732,6 +807,7 @@ def main_sf50_graph() -> None:
             "sf50_sec": r50["sec"],
             "t_ratio_5x": round(r50["sec"] / max(r10["sec"], 1e-9), 2),
             "errors": {s: r["error"] for s, r in by_sf.items() if "error" in r},
+            "skips": {s: r["skipped"] for s, r in by_sf.items() if "skipped" in r},
         }
 
     def lin(op, key):
