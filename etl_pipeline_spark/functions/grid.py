@@ -62,10 +62,21 @@ def sat_quantize(
 def sat_quantize_sql(
     expr: str, scale: float | int = 1, abs_max: float | int = GRID_ABS_MAX
 ) -> str:
-    """DuckDB twin of :func:`sat_quantize` — interpolate into oracle SQL."""
+    """DuckDB twin of :func:`sat_quantize` — interpolate into oracle SQL.
+
+    CAST(expr AS DOUBLE) FIRST (r12, found by the full sf0.1 sweep):
+    the Spark side widens to double before scaling, but DuckDB
+    evaluates ``REAL * literal`` in FLOAT, where e.g. float32
+    0.31949999928474426 * 1000 rounds to exactly 319.5 — the half-up
+    boundary — and quantizes one grid unit away from the double
+    computation (319.49999928... -> 319). Only float32 inputs
+    (embedding components) can hit this; the cast is a no-op for the
+    double money/value columns. Two such components existed in the
+    sf0.1 fixture and zero in the driver's sf0.01 — exactly the
+    bug-hiding-tier class the sweep exists for."""
     g = float(abs_max)
     return (
-        f"CAST(FLOOR(LEAST(GREATEST(({expr}) * {float(scale)} + 0.5, "
+        f"CAST(FLOOR(LEAST(GREATEST(CAST({expr} AS DOUBLE) * {float(scale)} + 0.5, "
         f"-{g}), {g})) AS BIGINT)"
     )
 

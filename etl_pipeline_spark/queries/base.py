@@ -58,14 +58,27 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-12 prefix (regenerated via rotate_window.py): the one changed
-# query — q_embedding_centroid_health (stable_round retires the
-# registry's last cross-engine hash waiver; the driver must attest the
-# order-stable form). Then oldest-attestation-first backfill, which this
-# round fully drains the r4 cohort and bites into r5 (judge r11 #2).
+# Round-12 prefix (regenerated via rotate_window.py): ten changed
+# queries lead — q_embedding_centroid_health (stable_round retires the
+# last cross-engine hash waiver), q_triangle_count (census extracted to
+# triangle_census() for the sf50 soak; same plan), and the eight
+# sat_quantize-oracle queries whose DuckDB SQL gained CAST(.. AS DOUBLE)
+# (the full sf0.1 sweep caught DuckDB evaluating REAL * literal in
+# float32, quantizing half-up boundary components one grid unit away
+# from Spark's double-space contract). Then oldest-attestation-first
+# backfill draining the r4 cohort (judge r11 #2).
 # first-50 window: 50 entries; oldest-attested in window: r4; left out: 225
 CHECK_PRIORITY: tuple[str, ...] = (
     "q_embedding_centroid_health",  # --- code changed this round: attest first ---
+    "q_triangle_count",
+    "q_dbscan_classify",
+    "q_embedding_dim_profile",
+    "q_kmeans_lloyd",
+    "q_knn_classifier_eval",
+    "q_mmr_rerank",
+    "q_pca_top_component",
+    "q_semdedup_clusters",
+    "q_winsorized_stats",
     "q_gaps_islands",  # --- backfill: oldest attestation first ---
     "q_equidepth_histogram",
     "q_udtf_span_days",
@@ -106,7 +119,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_table_profile",
     "q_rolling_active_users",
     "q_funnel_time_to_convert",
-    "q_seasonal_forecast_eval",
+    "q_seasonal_forecast_eval",  # ---------------- first-50 window ends above ----------------
     "q_funnel_three_step",
     "q_ab_test_proportions",
     "q_audience_flags",
@@ -115,7 +128,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_cms_heavy_hitters",
     "q_bom_explosion",
     "q_spatial_radius_join",
-    "q_hapax_vocabulary",  # ---------------- first-50 window ends above ----------------
+    "q_hapax_vocabulary",
     "q_heaps_law_fit",
     "q_dedup_chunk_rewrite",
     "q_dedup_repeated_spans",
@@ -128,7 +141,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_sample_hash_10pct",
     "q_posexplode_tokens",
     "q_union_by_name_missing",
-    "q_triangle_count",
     "q_market_basket_rules",
     "q_item_cf_similar",
     "q_dedup_doc_stitching",
@@ -246,7 +258,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_knn_lsh_approx",
     "q_knn_pq",
     "q_hard_negatives",
-    "q_embedding_dim_profile",
     "q_knn_block_matrix",
     "q_knn_ivf",
     "q_udaf_trimmed_mean",
@@ -258,8 +269,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_seasonal_hour_profile",
     "q_attribution_multi_touch",
     "q_changepoint_mean_shift",
-    "q_pca_top_component",
-    "q_winsorized_stats",
     "q_time_weighted_average",
     "q_degree_assortativity",
     "q_link_prediction_aa",
@@ -269,11 +278,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_histogram_values",
     "q_pagerank",
     "q_label_propagation",
-    "q_kmeans_lloyd",
-    "q_dbscan_classify",
     "q_clamped_running_balance",
-    "q_mmr_rerank",
-    "q_knn_classifier_eval",
     "q_mann_whitney",
     "q_cliffs_delta",
     "q_pairwise_tests_bonferroni",
@@ -282,7 +287,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_dedup_canonical_docs",
     "q_dedup_soft_weights",
     "q_dedup_embedding_cosine",
-    "q_semdedup_clusters",
     "q_hybrid_rrf_search",
     "q_pii_scrub",
     "q_stratified_sample",

@@ -271,3 +271,51 @@ def test_centroid_health_order_stable_and_still_detecting(spark, adv_dir):
                 assert sv == ov, (lb, col)
                 continue
             assert float(sv) == float(ov), (lb, col, sv, ov)
+
+
+def test_sat_quantize_float32_boundary_parity(spark):
+    """r12, found by the first FULL sf0.1 oracle sweep: DuckDB evaluates
+    REAL * literal in FLOAT32, where e.g. 0.31949999928474426f * 1000
+    rounds to exactly 319.5 — the half-up boundary — and the oracle
+    quantized one grid unit away from Spark's documented double-space
+    computation (319.4999... -> 319). sat_quantize_sql now casts to
+    DOUBLE first. This pins both engines to the double answer on the
+    two real fixture components that exposed it, plus exact-boundary
+    values where .5 genuinely rounds up on both sides."""
+    import struct
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_spark.functions.grid import sat_quantize, sat_quantize_sql
+
+    def f32(x: float) -> float:
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    # (float32 value, expected q at scale 1000 under DOUBLE semantics)
+    cases = [
+        (f32(0.31949999928474426), 319),   # f32*1000 == 319.5 in FLOAT, 319.4999... in DOUBLE
+        (f32(-0.2345000058412552), -235),  # f32*1000 == -234.5 in FLOAT, -234.50000584 in DOUBLE
+        (f32(0.5115), 512),                # f32(0.5115)*1000 = 511.50000476837158 -> floor(+0.5) = 512
+        (f32(-0.5115), -512),              # -511.5000010 + 0.5 = -511.0000010 -> floor = -512
+    ]
+    sdf = spark.createDataFrame(
+        [(i, float(v)) for i, (v, _) in enumerate(cases)], "i long, x float"
+    ).select("i", sat_quantize(F.col("x"), 1000).alias("q"))
+    got_spark = {r["i"]: r["q"] for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, x REAL)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, v) for i, (v, _) in enumerate(cases)]
+    )
+    got_duck = {
+        i: q
+        for i, q in con.execute(
+            f"SELECT i, {sat_quantize_sql('x', 1000)} FROM t"
+        ).fetchall()
+    }
+    for i, (v, want) in enumerate(cases):
+        assert got_spark[i] == want, (v, got_spark[i], want)
+        assert got_duck[i] == want, (v, got_duck[i], want)

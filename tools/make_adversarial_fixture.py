@@ -109,6 +109,15 @@ def build(out_dir: Path) -> None:
         # are observed in exactly one vector).
         (None, 6),                               # NULL embedding
         ([0.5] * (dim + 6), 7),                  # 70-dim drift vector
+        # r12 (found by the first full sf0.1 sweep): float32 components
+        # whose f32 product with the milli scale lands EXACTLY on the
+        # half-up boundary (0.3195f * 1000 == 319.5 in FLOAT but
+        # 319.4999... in DOUBLE) — the class where a missing
+        # CAST(... AS DOUBLE) in oracle SQL quantizes one grid unit
+        # away from Spark's double-space sat_quantize. Planting them
+        # keeps every engine-vs-oracle run on this fixture sensitive to
+        # a reintroduced float-precision oracle path.
+        ([0.3195, -0.2345] * (dim // 2), 8),     # grid half-up boundary straddle
     ]
     et = {
         "vec_id": [vbase + i for i in range(len(adv_vecs))],
