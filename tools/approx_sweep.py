@@ -6,10 +6,14 @@ sf0.01 gate and only surfaced at sf0.1 — and the sweep that caught them
 was run by hand. This tool makes that sweep part of round-close (r11
 verdict #4):
 
-- the family is selected MECHANICALLY by tag (any registered query
+- the family is selected MECHANICALLY: by tag (any registered query
   tagged approx / approx-exactly-checked / lsh / minhash / simhash /
-  sketch / bloom / cms), so new approximate operators join the sweep at
-  registration, not by memory;
+  sketch / bloom / cms) PLUS any query whose oracle SQL uses the
+  saturating integer-grid quantizer (detected by its FLOOR(LEAST(
+  GREATEST pattern) — r12 added the second class after this sweep
+  caught a float32 half-up boundary divergence in a grid oracle
+  (q_embedding_dim_profile) that the sf0.01 gate could not see. New
+  operators join the sweep at registration, not by memory;
 - results go to tools/approx_sweep.json together with each family
   query's attestation fingerprint at sweep time;
 - tests/test_round_close.py fails the suite when the artifact is
@@ -45,11 +49,20 @@ FAMILY_TAGS = {
 }
 
 
+# sat_quantize_sql's structural signature — queries whose oracles fold
+# through the integer grid are exactly the class where a float32
+# boundary component can diverge cross-engine (r12 find)
+GRID_ORACLE_PATTERN = "FLOOR(LEAST(GREATEST"
+
+
 def family_queries() -> dict:
     from etl_pipeline_spark.queries.base import all_specs
 
     return {
-        n: s for n, s in all_specs().items() if FAMILY_TAGS & set(s.tags)
+        n: s
+        for n, s in all_specs().items()
+        if FAMILY_TAGS & set(s.tags)
+        or (s.oracle and GRID_ORACLE_PATTERN in s.oracle)
     }
 
 
