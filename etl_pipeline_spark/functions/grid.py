@@ -116,8 +116,25 @@ def stable_round(x: Column, dec: int = 4) -> Column:
 
 
 def stable_round_sql(expr: str, dec: int = 4) -> str:
-    """DuckDB twin of :func:`stable_round` — interpolate into oracle SQL."""
+    """DuckDB twin of :func:`stable_round` — interpolate into oracle SQL.
+
+    Past float32 range the engines disagree on the snap itself: Spark's
+    ``cast('float')`` follows IEEE round-to-nearest and yields
+    ``Infinity`` for |x| above FLT_MAX + half-ULP, while DuckDB's
+    ``CAST(.. AS REAL)`` raises a conversion error at exactly that same
+    boundary (measured: 3.4028235344e38 snaps to FLT_MAX in both,
+    3.4028238067e38 is Infinity in Spark / error in DuckDB). TRY_CAST
+    turns the error into NULL, which we resolve to the signed Infinity
+    Spark produced; a genuinely-NULL input is guarded first so it stays
+    NULL instead of becoming -Infinity through the sign fallback.
+    """
+    snapped = (
+        f"COALESCE(TRY_CAST({expr} AS REAL), "
+        f"CASE WHEN ({expr}) > 0 THEN CAST('infinity' AS REAL) "
+        f"ELSE CAST('-infinity' AS REAL) END)"
+    )
     return (
         f"CASE WHEN ABS({expr}) < {STABLE_SANE_ABS} THEN ROUND({expr}, {dec}) "
-        f"ELSE CAST(CAST({expr} AS REAL) AS DOUBLE) END"
+        f"WHEN ({expr}) IS NULL THEN NULL "
+        f"ELSE CAST({snapped} AS DOUBLE) END"
     )

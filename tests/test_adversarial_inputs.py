@@ -264,6 +264,16 @@ def test_centroid_health_order_stable_and_still_detecting(spark, adv_dir):
     # detected: the 1e30 vector's label (fixture label 2) explodes
     assert srows[2]["max_dist"] > 1e29
 
+    # r13 (advisor): the [1e38]*64 singleton (label 10) has an L2 norm
+    # of 8e38 — past FLT_MAX — so the float32 snap must yield Infinity
+    # in BOTH engines (Spark via IEEE cast, the oracle via TRY_CAST's
+    # signed-Infinity fallback; a plain CAST would ERROR in DuckDB and
+    # kill the whole oracle run for this query).
+    import math
+
+    assert math.isinf(srows[10]["centroid_norm"]) and srows[10]["centroid_norm"] > 0
+    assert math.isinf(orows[10][2]) and orows[10][2] > 0
+
     for lb, sr in srows.items():
         for i, col in enumerate(("n_vecs", "centroid_norm", "avg_dist", "max_dist")):
             sv, ov = sr[col], orows[lb][i + 1]
@@ -319,3 +329,59 @@ def test_sat_quantize_float32_boundary_parity(spark):
     for i, (v, want) in enumerate(cases):
         assert got_spark[i] == want, (v, got_spark[i], want)
         assert got_duck[i] == want, (v, got_duck[i], want)
+
+
+def test_stable_round_float32_overflow_parity(spark):
+    """r13 (advisor): stable_round's float32 snap diverged past float32
+    range — Spark cast('float') yields Infinity for |x| beyond FLT_MAX
+    + half-ULP while DuckDB CAST(.. AS REAL) raises a conversion error,
+    so an extreme aggregate made the ORACLE error instead of matching.
+    stable_round_sql now uses TRY_CAST with a signed-Infinity fallback.
+    Pin the whole magnitude ladder on both engines, including the exact
+    IEEE rounding boundary (values below FLT_MAX + half-ULP snap DOWN
+    to FLT_MAX, values above become Infinity), NULL (must stay NULL,
+    not become -Infinity through the sign fallback), and NaN."""
+    import math
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_spark.functions.grid import stable_round, stable_round_sql
+
+    FLT_MAX = 3.4028234663852886e38
+    # straddle the round-to-nearest boundary between FLT_MAX and 2**128
+    below_boundary = 3.402823534441758e38   # snaps DOWN to FLT_MAX
+    above_boundary = 3.402823806667635e38   # snaps UP -> Infinity
+    cases = [
+        (0, 123.456789, 123.4568),          # sane region: ROUND(x, 4)
+        (1, 1e30, 1.0000000150474662e30),   # relative f32 grid, finite
+        (2, FLT_MAX, FLT_MAX),
+        (3, below_boundary, FLT_MAX),
+        (4, above_boundary, float("inf")),
+        (5, 1e39, float("inf")),
+        (6, -1e39, float("-inf")),
+        (7, None, None),
+        (8, float("nan"), float("nan")),
+    ]
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v, _ in cases], "i long, x double"
+    ).select("i", stable_round(F.col("x")).alias("r"))
+    got_spark = {r["i"]: r["r"] for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, x DOUBLE)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, v) for i, v, _ in cases]
+    )
+    got_duck = dict(
+        con.execute(f"SELECT i, {stable_round_sql('x')} FROM t").fetchall()
+    )
+    for i, v, want in cases:
+        for eng, got in (("spark", got_spark[i]), ("duckdb", got_duck[i])):
+            if want is None:
+                assert got is None, (eng, v, got)
+            elif isinstance(want, float) and math.isnan(want):
+                assert math.isnan(got), (eng, v, got)
+            else:
+                assert got == want, (eng, v, got, want)

@@ -290,6 +290,9 @@ def test_triangle_census_degree_orientation_invariant(spark):
     ho = triangle_census(hdf, orient_by_degree=True).collect()[0].asDict()
     assert hp == ho
     assert hp["n_triangles"] == 3 and hp["n_vertices"] == 11
+
+
+def test_degree_assortativity_matches_sequential(spark):
     """The one-row assortativity equals a pure-Python Pearson over the
     ordered edge endpoint degrees."""
     import math

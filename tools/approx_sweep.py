@@ -49,10 +49,14 @@ FAMILY_TAGS = {
 }
 
 
-# sat_quantize_sql's structural signature — queries whose oracles fold
-# through the integer grid are exactly the class where a float32
-# boundary component can diverge cross-engine (r12 find)
-GRID_ORACLE_PATTERN = "FLOOR(LEAST(GREATEST"
+# Structural signatures of oracles that fold floats through an
+# engine-sensitive grid — exactly the class where a float32 boundary
+# component can diverge cross-engine and only at higher SFs (r12 find):
+#  - sat_quantize_sql: FLOOR(LEAST(GREATEST(... integer grid
+#  - stable_round_sql: TRY_CAST(... AS REAL) float32 snap past the sane
+#    region (r13 advisor: q_embedding_centroid_health was excluded from
+#    the sweep because only the sat pattern was matched)
+GRID_ORACLE_PATTERNS = ("FLOOR(LEAST(GREATEST", "AS REAL), CASE WHEN")
 
 
 def family_queries() -> dict:
@@ -62,7 +66,7 @@ def family_queries() -> dict:
         n: s
         for n, s in all_specs().items()
         if FAMILY_TAGS & set(s.tags)
-        or (s.oracle and GRID_ORACLE_PATTERN in s.oracle)
+        or (s.oracle and any(p in s.oracle for p in GRID_ORACLE_PATTERNS))
     }
 
 

@@ -118,6 +118,14 @@ def build(out_dir: Path) -> None:
         # keeps every engine-vs-oracle run on this fixture sensitive to
         # a reintroduced float-precision oracle path.
         ([0.3195, -0.2345] * (dim // 2), 8),     # grid half-up boundary straddle
+        # r13 (advisor): a finite-float32 component whose 64-dim L2 norm
+        # (8e38) exceeds FLT_MAX, so stable_round's float32 snap must
+        # produce Infinity in BOTH engines. Spark cast('float') yields
+        # Infinity; DuckDB CAST(.. AS REAL) raises — stable_round_sql's
+        # TRY_CAST + signed-Infinity fallback is what keeps the oracle
+        # alive on this row. Label 10 is unused by the base table, so the
+        # group is a singleton and the Infinity lands on centroid_norm.
+        ([1e38] * dim, 10),                      # >FLT_MAX aggregate magnitude
     ]
     et = {
         "vec_id": [vbase + i for i in range(len(adv_vecs))],

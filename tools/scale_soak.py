@@ -820,8 +820,15 @@ def main_sf50_graph() -> None:
         "communities": lin("lpa", "communities"),
         "triangles": lin("triangle", "n_triangles"),
         "wedges": lin("triangle", "n_wedges"),
-        "clustering_equal": tri50.get("global_clustering")
-        == tri10.get("global_clustering"),
+        # r13 advisor: only report equality when BOTH legs measured the
+        # key — a skipped/errored op on both sides is null, never a
+        # vacuous True (skipped-vs-measured conflation).
+        "clustering_equal": (
+            tri10.get("global_clustering") == tri50.get("global_clustering")
+            if tri10.get("global_clustering") is not None
+            and tri50.get("global_clustering") is not None
+            else None
+        ),
     }
     print(json.dumps({"summary_sf50_graph": summary}), flush=True)
 
