@@ -87,6 +87,30 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_census(edges)
 
 
+def orient_edges_by_degree(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+    """Re-orient an undirected (canonical u < v) edge frame from the
+    lower-(degree, id) endpoint to the higher — the Chiba-Nishizeki
+    wedge-mass cap shared by the exact census below and the DOULION
+    sampled census (queries/graph_sampling.py). ``deg`` is the (k, d)
+    degree frame if the caller already built it. Returns a lazily
+    checkpointed frame (read multiple times by every wedge join)."""
+    if deg is None:
+        deg = (
+            edges.select(F.col("u").alias("k"))
+            .unionAll(edges.select(F.col("v").alias("k")))
+            .groupBy("k")
+            .agg(F.count("*").alias("d"))
+        )
+    du = deg.select(F.col("k").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("k").alias("v"), F.col("d").alias("dv"))
+    keyed = edges.join(du, "u").join(dv, "v")
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    return keyed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("u"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("v"),
+    ).localCheckpoint(eager=False)
+
+
 def triangle_census(edges: DataFrame, orient_by_degree: bool = False) -> DataFrame:
     """The census over a CANONICALLY ORIENTED (u < v) undirected edge
     frame — extracted from q_triangle_count so the scale soak can run it
@@ -118,17 +142,7 @@ def triangle_census(edges: DataFrame, orient_by_degree: bool = False) -> DataFra
         .groupBy("k")
         .agg(F.count("*").alias("d"))
     )
-    if orient_by_degree:
-        du = deg.select(F.col("k").alias("u"), F.col("d").alias("du"))
-        dv = deg.select(F.col("k").alias("v"), F.col("d").alias("dv"))
-        keyed = edges.join(du, "u").join(dv, "v")
-        fwd = F.struct("du", "u") < F.struct("dv", "v")
-        oriented = keyed.select(
-            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("u"),
-            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("v"),
-        ).localCheckpoint(eager=False)
-    else:
-        oriented = edges
+    oriented = orient_edges_by_degree(edges, deg) if orient_by_degree else edges
     e1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
     e2 = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
     e3 = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))

@@ -360,6 +360,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_ts,
         dedup,
         etl,
+        graph_sampling,
         llm_ops,
         multimodal,
         privacy,

@@ -562,6 +562,25 @@ def test_bench_summary_line_fits_driver_tail_capture():
             "scale_value": 111.206,
             "scale_queries": dict(scale),
         },
+        "official_attempt": 3,
+        "n_attempts": 3,
+        "attempts": [
+            {
+                "value": 146.321 + i,
+                "value_per_mt_canary": 3.2 + i,
+                "mt_canary_idle": False,
+                "idle_basis": "contended",
+                "idle_precheck": [2.345] * bench.IDLE_WAIT_MAX_ATTEMPTS,
+                "mt_canary_end_sec": 2.5,
+                "queries": dict(core),
+                "canary_sec": 10.641,
+                "mt_canary_sec": 11.954,
+                "scale_value": 111.206,
+                "scale_queries": dict(scale),
+                "pagerank_phases": {"edge_build": 11.288, "iterate": 10.064},
+            }
+            for i in range(3)
+        ],
         "mt_canary_end_sec": 12.308,
         "loadavg_1m": 35.55,
         "value": 146.321,
@@ -585,8 +604,11 @@ def test_bench_summary_line_fits_driver_tail_capture():
     # the driver-contract fields survive in the final line
     for key in ("metric", "value", "unit", "queries", "sf",
                 "value_per_mt_canary", "scale_value", "mt_canary_idle",
-                "idle_basis", "mt_canary_end_sec"):
+                "idle_basis", "mt_canary_end_sec", "official_attempt",
+                "n_attempts"):
         assert key in summary, key
+    # the per-attempt audit trail is bulky and detail-only (r13)
+    assert "attempts" not in summary
     assert summary["queries"] == core
     assert "truncated" not in summary  # nothing shed in the realistic case
     # idle_rerun survives as scalars only; its bulky maps are detail-only

