@@ -59,6 +59,8 @@ SCALE_QUERIES = [
     "q_pagerank",
     # r8 session-2: Gopher repetition rules (map-side n-gram stream)
     "q_text_gopher_repetition",
+    # r13: DOULION sampled census (exact + sampled wedge joins side by side)
+    "q_triangle_census_sampled",
 ]
 
 

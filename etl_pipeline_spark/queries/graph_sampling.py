@@ -103,6 +103,49 @@ def sampled_triangles(
     )
 
 
+def oriented_wedge_mass(edges: DataFrame) -> DataFrame:
+    """One-row preflight for any wedge-join launch: the EXACT number of
+    wedge rows the degree-oriented join will emit (sum over nodes of
+    out-degree-choose-2 under the (degree, id) orientation) next to the
+    undirected wedge count sum(d(d-1)/2). One cheap aggregate over the
+    edge frame — the pre-launch estimate SCALING.md §15 prescribes so a
+    disk-infeasible census is rejected from the degree histogram instead
+    of discovered via ENOSPC at 87% host disk (the r12 support-1 kill).
+    Columns: n_edges, n_wedges_undirected, n_wedges_oriented; the
+    oriented count is the shuffle-row volume to provision for."""
+    deg = (
+        edges.select(F.col("u").alias("k"))
+        .unionAll(edges.select(F.col("v").alias("k")))
+        .groupBy("k")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("k").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("k").alias("v"), F.col("d").alias("dv"))
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    src = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"))
+    )
+    outdeg = src.groupBy("src").agg(F.count("*").alias("od"))
+    return (
+        outdeg.agg(
+            F.sum(F.col("od") * (F.col("od") - 1) / 2)
+            .cast("long")
+            .alias("n_wedges_oriented")
+        )
+        .crossJoin(edges.agg(F.count("*").alias("n_edges")))
+        .crossJoin(
+            deg.agg(
+                F.sum(F.col("d") * (F.col("d") - 1) / 2)
+                .cast("long")
+                .alias("n_wedges_undirected")
+            )
+        )
+        .select("n_edges", "n_wedges_undirected", "n_wedges_oriented")
+    )
+
+
 @query(
     "q_triangle_census_sampled",
     oracle=f"""

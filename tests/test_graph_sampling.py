@@ -70,3 +70,33 @@ def test_sampled_census_registry_row_is_consistent(spark):
     n, k = r["n_edges"], r["n_edges_sampled"]
     assert abs(k - n / 2) < 4 * (n**0.5)  # ~4 sigma of Binomial(n, 1/2)
     assert r["n_triangles_exact"] > 0  # non-vacuous on the fixture
+
+
+def test_oriented_wedge_mass_matches_python(spark):
+    """The preflight aggregate equals the pure-Python computation on the
+    hub graph (where degree orientation matters most): undirected wedges
+    count the hub's d(d-1)/2, oriented wedges cap at the rim."""
+    from collections import Counter
+
+    from etl_pipeline_spark.queries.graph_sampling import oriented_wedge_mass
+
+    rim = [(1, 2), (3, 4), (9, 10)]
+    hub = [(0, i) for i in range(1, 11)] + rim
+    df = spark.createDataFrame(hub, "u long, v long")
+    r = oriented_wedge_mass(df).collect()[0]
+
+    deg = Counter()
+    for u, v in hub:
+        deg[u] += 1
+        deg[v] += 1
+    und = sum(d * (d - 1) // 2 for d in deg.values())
+    od = Counter()
+    for u, v in hub:
+        src = u if (deg[u], u) < (deg[v], v) else v
+        od[src] += 1
+    ori = sum(d * (d - 1) // 2 for d in od.values())
+
+    assert r["n_edges"] == len(hub)
+    assert r["n_wedges_undirected"] == und
+    assert r["n_wedges_oriented"] == ori
+    assert ori < und  # orientation must actually cap the hub fan-out
