@@ -58,68 +58,22 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-12 prefix (regenerated via rotate_window.py): ten changed
-# queries lead — q_embedding_centroid_health (stable_round retires the
-# last cross-engine hash waiver), q_triangle_count (census extracted to
-# triangle_census() for the sf50 soak; same plan), and the eight
-# sat_quantize-oracle queries whose DuckDB SQL gained CAST(.. AS DOUBLE)
-# (the full sf0.1 sweep caught DuckDB evaluating REAL * literal in
-# float32, quantizing half-up boundary components one grid unit away
-# from Spark's double-space contract). Then oldest-attestation-first
-# backfill draining the r4 cohort (judge r11 #2).
-# first-50 window: 50 entries; oldest-attested in window: r4; left out: 225
+# Round-13 prefix (regenerated via rotate_window.py): four changed
+# queries lead — q_embedding_centroid_health (stable_round_sql gained
+# the TRY_CAST Infinity fallback past float32 range, advisor r12 #2),
+# q_triangle_census_sampled (NEW: DOULION sampled census), and
+# q_triangle_count / q_label_propagation (shared helpers refactored:
+# orient_edges_by_degree extraction, lpa_labels round_splits — default
+# paths semantically unchanged, re-attested out of caution). Then
+# oldest-attestation-first backfill draining the r5 cohort (judge r12
+# #3).
+# first-50 window: 50 entries; oldest-attested in window: r5; left out: 226
 CHECK_PRIORITY: tuple[str, ...] = (
     "q_embedding_centroid_health",  # --- code changed this round: attest first ---
+    "q_triangle_census_sampled",
     "q_triangle_count",
-    "q_dbscan_classify",
-    "q_embedding_dim_profile",
-    "q_kmeans_lloyd",
-    "q_knn_classifier_eval",
-    "q_mmr_rerank",
-    "q_pca_top_component",
-    "q_semdedup_clusters",
-    "q_winsorized_stats",
-    "q_gaps_islands",  # --- backfill: oldest attestation first ---
-    "q_equidepth_histogram",
-    "q_udtf_span_days",
-    "q_weighted_median",
-    "q_snapshot_diff",
-    "q_setop_bag_semantics",
-    "q_try_arithmetic_safe",
-    "q_nested_json_assembly",
-    "q_collation_groupby",
-    "q_poisson_bootstrap_ci",
-    "q_survival_km",
-    "q_moments_skew_kurtosis",
-    "q_theil_sen_trend",
-    "q_correlation_matrix",
-    "q_chi_square_contingency",
-    "q_sample_size_power",
-    "q_anova_weekday",
-    "q_autocorr_daily",
-    "q_sax_symbols",
-    "q_seasonal_decompose",
-    "q_interval_merge",
-    "q_seasonal_anomaly_days",
-    "q_multimodal_shot_cuts",
-    "q_rfm_segments",
-    "q_lateral_top_orders",
-    "q_recursive_month_spine",
-    "q_event_transitions",
-    "q_markov_stationary",
-    "q_interval_concurrency",
-    "q_interval_window_join",
-    "q_zorder_locality",
-    "q_ewma_smoothing",
-    "q_attribution_last_touch",
-    "q_ab_test_ttest",
-    "q_dq_referential_integrity",
-    "q_skyline_parts",
-    "q_top_paths",
-    "q_table_profile",
-    "q_rolling_active_users",
-    "q_funnel_time_to_convert",
-    "q_seasonal_forecast_eval",  # ---------------- first-50 window ends above ----------------
+    "q_label_propagation",
+    "q_seasonal_forecast_eval",  # --- backfill: oldest attestation first ---
     "q_funnel_three_step",
     "q_ab_test_proportions",
     "q_audience_flags",
@@ -165,7 +119,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_k_anonymity",
     "q_dp_noisy_counts",
     "q_pseudonymize_consistent",
-    "q_erasure_cascade",
+    "q_erasure_cascade",  # ---------------- first-50 window ends above ----------------
     "q_variant_json_stats",
     "q_null_semantics",
     "q_scalar_maps",
@@ -277,7 +231,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_agg_bitwise",
     "q_histogram_values",
     "q_pagerank",
-    "q_label_propagation",
     "q_clamped_running_balance",
     "q_mann_whitney",
     "q_cliffs_delta",
@@ -344,6 +297,54 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q11_value_concentration",
     "q04_order_priority",
     "q13_order_count_distribution",
+    "q_embedding_dim_profile",
+    "q_rfm_segments",
+    "q_lateral_top_orders",
+    "q_recursive_month_spine",
+    "q_event_transitions",
+    "q_markov_stationary",
+    "q_interval_concurrency",
+    "q_interval_window_join",
+    "q_zorder_locality",
+    "q_ewma_smoothing",
+    "q_attribution_last_touch",
+    "q_ab_test_ttest",
+    "q_dq_referential_integrity",
+    "q_skyline_parts",
+    "q_top_paths",
+    "q_table_profile",
+    "q_rolling_active_users",
+    "q_funnel_time_to_convert",
+    "q_pca_top_component",
+    "q_winsorized_stats",
+    "q_kmeans_lloyd",
+    "q_dbscan_classify",
+    "q_mmr_rerank",
+    "q_knn_classifier_eval",
+    "q_gaps_islands",
+    "q_equidepth_histogram",
+    "q_udtf_span_days",
+    "q_weighted_median",
+    "q_snapshot_diff",
+    "q_setop_bag_semantics",
+    "q_try_arithmetic_safe",
+    "q_nested_json_assembly",
+    "q_collation_groupby",
+    "q_poisson_bootstrap_ci",
+    "q_survival_km",
+    "q_moments_skew_kurtosis",
+    "q_theil_sen_trend",
+    "q_correlation_matrix",
+    "q_chi_square_contingency",
+    "q_sample_size_power",
+    "q_anova_weekday",
+    "q_autocorr_daily",
+    "q_sax_symbols",
+    "q_seasonal_decompose",
+    "q_interval_merge",
+    "q_seasonal_anomaly_days",
+    "q_semdedup_clusters",
+    "q_multimodal_shot_cuts",
 )
 
 
