@@ -147,6 +147,55 @@ def oriented_wedge_mass(edges: DataFrame) -> DataFrame:
 
 
 @query(
+    "q_wedge_mass_preflight",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_SUPPORT}
+    ),
+    deg AS (
+        SELECT k, COUNT(*) AS d FROM (
+            SELECT u AS k FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY k
+    ),
+    ori AS (
+        SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                    THEN e.u ELSE e.v END AS src
+        FROM edges e JOIN deg du ON du.k = e.u JOIN deg dv ON dv.k = e.v
+    ),
+    od AS (SELECT src, COUNT(*) AS od FROM ori GROUP BY src)
+    SELECT (SELECT COUNT(*) FROM edges)                           AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges_undirected,
+           (SELECT CAST(SUM(od * (od - 1) / 2) AS BIGINT) FROM od) AS n_wedges_oriented
+    """,
+    tags=("graph", "triangle", "preflight", "custom-op"),
+)
+def q_wedge_mass_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The census launch preflight as a first-class query: the EXACT
+    wedge-row volume the degree-oriented triangle join would emit on the
+    co-purchase graph, next to the undirected wedge count — the one
+    cheap aggregate SCALING.md §15 prescribes running BEFORE any wedge
+    join, so a disk-infeasible census (the r12 support-1 kill: >68 GB of
+    wedge spill discovered via ENOSPC at 87% host disk) is rejected from
+    the degree histogram instead. n_wedges_oriented x ~32 bytes is the
+    shuffle provisioning number; at 100 TB this query is the difference
+    between a capacity plan and an outage.
+
+    Scale: two edge-sized shuffles (degree fold, oriented-source fold)
+    and a broadcast-sized degree join — linear in |E| regardless of how
+    quadratic the census it gates would be.
+    """
+    from etl_pipeline_spark.queries.analytics_ml import co_purchase_edges
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    edges = co_purchase_edges(li, TRI_SUPPORT).localCheckpoint(eager=False)
+    return oriented_wedge_mass(edges)
+
+
+@query(
     "q_triangle_census_sampled",
     oracle=f"""
     WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
