@@ -87,13 +87,19 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_census(edges)
 
 
-def orient_edges_by_degree(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+def orient_edges_by_degree(
+    edges: DataFrame, deg: DataFrame | None = None, checkpoint: bool = True
+) -> DataFrame:
     """Re-orient an undirected (canonical u < v) edge frame from the
     lower-(degree, id) endpoint to the higher — the Chiba-Nishizeki
     wedge-mass cap shared by the exact census below and the DOULION
     sampled census (queries/graph_sampling.py). ``deg`` is the (k, d)
     degree frame if the caller already built it. Returns a lazily
-    checkpointed frame (read multiple times by every wedge join)."""
+    checkpointed frame (read multiple times by every wedge join);
+    ``checkpoint=False`` hands back the raw plan so a caller that owns
+    its own materialization (e.g. sampled_triangles' DISK_ONLY persist
+    at billion-edge scale, where two MEMORY_AND_DISK block sets OOMed
+    an 8 GB heap — r13 sf50 leg) doesn't double-store the frame."""
     if deg is None:
         deg = (
             edges.select(F.col("u").alias("k"))
@@ -105,10 +111,11 @@ def orient_edges_by_degree(edges: DataFrame, deg: DataFrame | None = None) -> Da
     dv = deg.select(F.col("k").alias("v"), F.col("d").alias("dv"))
     keyed = edges.join(du, "u").join(dv, "v")
     fwd = F.struct("du", "u") < F.struct("dv", "v")
-    return keyed.select(
+    out = keyed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("u"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("v"),
-    ).localCheckpoint(eager=False)
+    )
+    return out.localCheckpoint(eager=False) if checkpoint else out
 
 
 def triangle_census(edges: DataFrame, orient_by_degree: bool = False) -> DataFrame:

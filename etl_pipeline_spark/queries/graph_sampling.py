@@ -61,7 +61,10 @@ def doulion_keep_sql(u: str, v: str, keep_nibbles: int) -> str:
 
 
 def sampled_triangles(
-    edges: DataFrame, keep_nibbles: int, orient_by_degree: bool = False
+    edges: DataFrame,
+    keep_nibbles: int,
+    orient_by_degree: bool = False,
+    disk_only: bool = False,
 ) -> DataFrame:
     """One-row frame: sampled-edge count, sampled triangle count, and the
     DOULION estimate scaled by (16/keep)^3. ``edges`` must be canonically
@@ -74,7 +77,15 @@ def sampled_triangles(
     kept-edge set is hashed on the canonical (u, v) pair so the sample
     is orientation-independent, and any acyclic orientation counts each
     surviving triangle exactly once — the soak's dense support-1 runs
-    turn both mitigations on together."""
+    turn both mitigations on together.
+
+    ``disk_only`` stores the (single) materialization of the sampled
+    frame at StorageLevel.DISK_ONLY instead of a localCheckpoint's
+    MEMORY_AND_DISK blocks — the billion-edge lever: at the sf50 leg,
+    deserialized blocks of the ~75M-edge sample plus 32 concurrent sort
+    buffers OOMed the 8 GB heap (r13); DISK_ONLY keeps the heap for the
+    wedge sort. Caller owns the unpersist (the frame is consumed by the
+    returned plan's single action in practice)."""
     assert 16 % keep_nibbles == 0, "scale p^-3 must stay integer-exact"
     scale = (16 // keep_nibbles) ** 3
     s = edges.filter(doulion_keep(F.col("u"), F.col("v"), keep_nibbles))
@@ -83,8 +94,15 @@ def sampled_triangles(
             orient_edges_by_degree,
         )
 
-        s = orient_edges_by_degree(s)
-    s = s.localCheckpoint(eager=False)  # read 4x below; materialize once
+        # checkpoint=False: the materialization below is the ONE store
+        # of this frame (a second block set OOMed the sf50 leg)
+        s = orient_edges_by_degree(s, checkpoint=False)
+    if disk_only:
+        from pyspark.storagelevel import StorageLevel
+
+        s = s.persist(StorageLevel.DISK_ONLY)
+    else:
+        s = s.localCheckpoint(eager=False)  # read 4x below; materialize once
     e1 = s.select(F.col("u").alias("x"), F.col("v").alias("y"))
     e2 = s.select(F.col("u").alias("y"), F.col("v").alias("z"))
     e3 = s.select(F.col("u").alias("x"), F.col("v").alias("z"))

@@ -1010,6 +1010,60 @@ def main_sf10_tri_sampled() -> None:
             "within_3sigma": err10 <= sigma_bound(truth10),
         }
     print(json.dumps({"leg": "sf10", **out["sf10"]}), flush=True)
+
+    # --- optional sf50 leg (--sf50): the 5x-denser frame needs harder
+    # sampling — keep=2 (p = 1/8) cuts wedge mass 64x, so the >48x/
+    # parquet exact burn translates to ~4x of the 7 GB frame; 6x is the
+    # defensive bar. Scale factor 512 stays integer-exact; truth is
+    # 50 x the sf1 exact count (disjoint-copy construction). Predicted
+    # rel_err ~ sqrt((512-1)/T) ~ 0.07% at T ~ 9.4e8 — a near-billion-
+    # triangle census estimated on one host.
+    if "--sf50" in sys.argv:
+        KEEP50 = 2
+        scale50 = (16 // KEEP50) ** 3
+
+        def sigma_bound50(t_exact: int) -> int:
+            import math
+
+            return math.ceil(3 * math.sqrt((scale50 - 1) * max(t_exact, 0))) + scale50
+
+        frame_bytes = _dir_bytes(SF50_EDGE_DIR)
+        need = 6 * frame_bytes
+        free = __import__("shutil").disk_usage("/").free
+        if free < need:
+            out["sf50"] = {
+                "skipped": (
+                    f"insufficient free disk: need ~{need >> 30} GiB "
+                    f"(6x {frame_bytes >> 20} MiB parquet), have {free >> 30} GiB"
+                )
+            }
+        else:
+            # 512 reduce partitions + DISK_ONLY sample store: the 256/
+            # localCheckpoint combination OOMed the heap mid-wedge-sort
+            # (deserialized sample blocks + 32 concurrent sorts)
+            spark.conf.set("spark.sql.shuffle.partitions", "512")
+            edges50 = spark.read.parquet(SF50_EDGE_DIR).filter("u < v")
+            t0 = time.perf_counter()
+            samp50 = sampled_triangles(
+                edges50, KEEP50, orient_by_degree=True, disk_only=True
+            ).collect()[0].asDict()
+            t_samp50 = round(time.perf_counter() - t0, 2)
+            release_session_blocks(spark)
+            truth50 = 50 * t1
+            err50 = abs(samp50["est_triangles"] - truth50)
+            out["sf50"] = {
+                "keep_nibbles": KEEP50,
+                "p": KEEP50 / 16.0,
+                "sampled_sec": t_samp50,
+                "n_edges_sampled": samp50["n_edges_sampled"],
+                "n_triangles_sampled": samp50["n_triangles_sampled"],
+                "est_triangles": samp50["est_triangles"],
+                "exact_triangles_by_construction": truth50,
+                "rel_err": round(err50 / max(truth50, 1), 6),
+                "within_3sigma": err50 <= sigma_bound50(truth50),
+            }
+        print(json.dumps({"leg": "sf50", **out["sf50"]}), flush=True)
+
     print(json.dumps({"summary_tri_sampled": out}), flush=True)
 
 
