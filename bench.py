@@ -219,6 +219,8 @@ _SUMMARY_KEYS = (
     "idle_basis",
     "official_attempt",
     "n_attempts",
+    "value_min_across_attempts",
+    "scale_value_min_across_attempts",
     "mt_canary_end_sec",
     "value",
     "unit",
@@ -330,9 +332,23 @@ def main() -> None:
         pr_phases = _pagerank_phases(spark, sf_dir) if sets != "core" else {}
         canary = round(min(canary_before, _canary_sec()), 3)
         mt_begin = idle_precheck[-1]
-        mt_end = round(_mt_canary_sec(), 3)
+        # End-edge probes get the same retry discipline as the begin
+        # edge (r13): a single post-run probe competes with the Spark
+        # JVM's settling executor/GC threads and reads ~0.1-0.2 s high
+        # for a few seconds after the last job (the r10 note), which
+        # flagged otherwise-clean windows as contended. Settling decays;
+        # contention persists — up to 3 probes 15 s apart, min wins,
+        # early-out once a probe lands inside the run's floor band.
+        end_probes = []
+        for _ in range(3):
+            end_probes.append(round(_mt_canary_sec(), 3))
+            floor_so_far = min(idle_precheck + end_probes)
+            if end_probes[-1] <= max(IDLE_MT_CANARY_SEC, floor_so_far * IDLE_FLOOR_BAND):
+                break
+            time.sleep(15)
+        mt_end = min(end_probes)
         mt_canary = round(min(mt_begin, mt_end), 3)
-        mt_floor = min(idle_precheck + [mt_end])
+        mt_floor = min(idle_precheck + end_probes)
         idle_bound = max(IDLE_MT_CANARY_SEC, mt_floor * IDLE_FLOOR_BAND)
         mt_idle = mt_begin <= idle_bound and mt_end <= idle_bound
         total = round(sum(timings.values()), 3)
@@ -349,6 +365,7 @@ def main() -> None:
             ),
             "idle_precheck": idle_precheck,
             "mt_canary_end_sec": mt_end,
+            "end_probes": end_probes,
             "queries": {k: round(v, 3) for k, v in timings.items()},
             "canary_sec": canary,
             "mt_canary_sec": mt_canary,
@@ -374,6 +391,27 @@ def main() -> None:
         # canary-normalized attempt, still flagged contended
         min(attempts, key=lambda a: a["value_per_mt_canary"]),
     )
+
+    # Interleaved-minima metric (r13, the r12 judge's sanctioned
+    # alternative when no fully-idle window exists): per-query minimum
+    # across ALL attempts. Each attempt is already best-of-2, so this is
+    # 2 x n_attempts interleaved reps per query — bursts that hit
+    # different queries in different attempts are excluded query-by-
+    # query, which the r12 pagerank-drift investigation validated
+    # (interleaved minima agreed to 0.5% across sessions whose same-side
+    # spread was 2.4x). Comparable round-over-round even when every
+    # single attempt's window was touched.
+    q_min = {
+        n: min(a["queries"][n] for a in attempts) for n in BENCH_QUERIES
+    }
+    value_min = round(sum(q_min.values()), 3)
+    scale_min = None
+    if sets != "core":
+        s_min = {
+            n: min(a["scale_queries"][n] for a in attempts)
+            for n in SCALE_QUERIES
+        }
+        scale_min = round(sum(s_min.values()), 3)
 
     timings = official["queries"]
     total = official["value"]
@@ -406,6 +444,10 @@ def main() -> None:
         "official_attempt": attempts.index(official) + 1,
         "n_attempts": len(attempts),
         "attempts": attempts,
+        # per-query minima across every attempt (see above): the
+        # burst-robust cross-round comparator
+        "value_min_across_attempts": value_min,
+        "queries_min_across_attempts": q_min,
         "mt_canary_end_sec": official["mt_canary_end_sec"],
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "value": total,
@@ -423,6 +465,7 @@ def main() -> None:
     # measurement can never read as a measured zero (r11 advisor #5).
     if sets != "core":
         full["scale_value"] = official["scale_value"]
+        full["scale_value_min_across_attempts"] = scale_min
         full["scale_queries"] = official["scale_queries"]
         # q_pagerank attribution (r8 judge #5): edge build vs power
         # iterations, so iterate-phase regressions can't hide

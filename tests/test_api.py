@@ -564,6 +564,9 @@ def test_bench_summary_line_fits_driver_tail_capture():
         },
         "official_attempt": 3,
         "n_attempts": 3,
+        "value_min_across_attempts": 4.9,
+        "scale_value_min_across_attempts": 11.2,
+        "queries_min_across_attempts": dict(core),
         "attempts": [
             {
                 "value": 146.321 + i,
@@ -609,6 +612,10 @@ def test_bench_summary_line_fits_driver_tail_capture():
         assert key in summary, key
     # the per-attempt audit trail is bulky and detail-only (r13)
     assert "attempts" not in summary
+    # interleaved-minima scalars survive; their per-query map is detail-only
+    assert summary["value_min_across_attempts"] == 4.9
+    assert summary["scale_value_min_across_attempts"] == 11.2
+    assert "queries_min_across_attempts" not in summary
     assert summary["queries"] == core
     assert "truncated" not in summary  # nothing shed in the realistic case
     # idle_rerun survives as scalars only; its bulky maps are detail-only
