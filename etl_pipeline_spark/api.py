@@ -934,3 +934,7 @@ from etl_pipeline_spark.operators.zorder import (  # noqa: E402,F401
 from etl_pipeline_spark.queries.analytics_ml import (  # noqa: E402,F401
     dbscan_classify,
 )
+from etl_pipeline_spark.queries.graph_sampling import (  # noqa: E402,F401
+    oriented_wedge_mass,
+    sampled_triangles,
+)
