@@ -1,0 +1,283 @@
+"""MJPEG-in-MP4 (ISO BMFF) container codec — closes the MP4 half of the
+X5 video-container guard the same way r10's avi_codec.py closed the AVI
+half: the frames ARE baseline JPEGs (a 'jpeg' VisualSampleEntry is legal
+ISO 14496-12/14496-14 — the classic "Photo JPEG in MP4"), so the
+container work is box walking plus the sample-table arithmetic, and the
+frame decode reuses the in-repo T.81 decoder
+(operators/jpeg_codec.py) unchanged.
+
+Format source: the PUBLIC ISO base-media file format layout
+(ISO/IEC 14496-12; the box structure is also documented in Apple's
+QuickTime File Format spec) —
+``ftyp | mdat(sample bytes) | moov(mvhd trak(tkhd mdia(mdhd hdlr minf(
+vmhd dinf(dref) stbl(stsd stts stsc stsz stco)))))``. The encoder
+builds minimal spec-valid files for fixtures (one video track, one
+chunk, no stss — absent stss means every sample is a sync sample,
+which is true for MJPEG). The decoder walks boxes tolerating unknown
+siblings (real files carry 'free', 'udta', 'meta' boxes), resolves the
+full stsc/stco/stsz sample-to-offset mapping (not just the single-chunk
+case it writes), and slices each sample out of the file bytes.
+
+Deliberately OUT of scope (still guarded in multimodal dispatch):
+entropy-coded codecs — an 'avc1'/'hev1'/'mp4v' sample entry raises
+NotImplementedError naming the fourcc; a production deployment plugs a
+codec library into the same mapInPandas seam. Fragmented MP4 (moof) is
+also out of scope and raises by name: its sample tables live in
+per-fragment 'trun' boxes, a different walk.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from etl_pipeline_spark.operators.jpeg_codec import (
+    decode_jpeg,
+    encode_jpeg_baseline,
+)
+
+MP4_TIMESCALE = 1000  # movie + media timescale: 1 unit = 1 ms
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def _full(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(fourcc, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload)
+
+
+def encode_mp4_mjpeg(
+    frames: list[np.ndarray], fps: int = 10, quality: int = 90
+) -> bytes:
+    """Pack RGB frames as baseline JPEGs inside a minimal valid MP4
+    (single 'jpeg'-codec video track, one chunk, ms timescale). All
+    frames must share one (height, width)."""
+    if not frames:
+        raise ValueError("encode_mp4_mjpeg: no frames")
+    h, w = frames[0].shape[:2]
+    jpegs = [encode_jpeg_baseline(f, quality=quality) for f in frames]
+    n = len(jpegs)
+    delta = MP4_TIMESCALE // fps
+    duration = n * delta
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"mp41")
+    mdat_payload = b"".join(jpegs)
+    mdat = _box(b"mdat", mdat_payload)
+    chunk_offset = len(ftyp) + 8  # absolute offset of first sample byte
+
+    mvhd = _full(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(
+            ">IIII",
+            0,  # creation_time (fixture: epoch)
+            0,  # modification_time
+            MP4_TIMESCALE,
+            duration,
+        )
+        + struct.pack(">iH", 0x00010000, 0x0100)  # rate 1.0, volume 1.0
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    tkhd = _full(
+        b"tkhd",
+        0,
+        0x7,  # enabled | in movie | in preview
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)  # track_ID 1
+        + b"\x00" * 8  # reserved
+        + struct.pack(">hhhH", 0, 0, 0, 0)  # layer, alt group, volume, reserved
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed
+    )
+    mdhd = _full(
+        b"mdhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, MP4_TIMESCALE, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und', pre_defined
+    )
+    hdlr = _full(
+        b"hdlr",
+        0,
+        0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    # 'jpeg' VisualSampleEntry (14496-12 §12.1.3): the codec declaration
+    sample_entry = _box(
+        b"jpeg",
+        b"\x00" * 6  # reserved
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # pre_defined/reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)  # reserved
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname (empty pascal string)
+        + struct.pack(">Hh", 24, -1),  # depth, pre_defined
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(
+        b"stsz",
+        0,
+        0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(j)) for j in jpegs),
+    )
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+# ---------------------------------------------------------------- parsing
+
+
+def _walk(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for sibling boxes in
+    [start, end) — tolerant of unknown boxes, strict on truncation."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", data, pos)[0]
+        fourcc = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            hdr = 16
+        elif size == 0:  # box extends to end of file
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(
+                f"mp4: corrupt box {fourcc!r} at {pos} (size {size})"
+            )
+        yield fourcc, pos + hdr, pos + size
+        pos += size
+
+
+def _find(data: bytes, start: int, end: int, fourcc: bytes):
+    for fc, s, e in _walk(data, start, end):
+        if fc == fourcc:
+            return s, e
+    raise ValueError(f"mp4: missing {fourcc!r} box")
+
+
+def _video_trak(data: bytes, moov_s: int, moov_e: int):
+    """The first trak whose hdlr handler_type is 'vide'."""
+    for fc, s, e in _walk(data, moov_s, moov_e):
+        if fc != b"trak":
+            continue
+        mdia_s, mdia_e = _find(data, s, e, b"mdia")
+        hdlr_s, _ = _find(data, mdia_s, mdia_e, b"hdlr")
+        if data[hdlr_s + 8 : hdlr_s + 12] == b"vide":
+            return s, e, mdia_s, mdia_e
+    raise ValueError("mp4: no video ('vide' handler) track")
+
+
+def mp4_movie_header(data: bytes) -> dict:
+    """Container-level metadata the feature extractor reports: movie
+    timescale/duration (ms with the fixture timescale), video dims from
+    tkhd, sample count and codec fourcc from the sample table."""
+    if data[4:8] != b"ftyp":
+        raise ValueError("mp4: missing ftyp")
+    if any(fc == b"moof" for fc, _, _ in _walk(data, 0, len(data))):
+        raise NotImplementedError(
+            "mp4: fragmented (moof) files are out of scope — sample "
+            "tables live in per-fragment trun boxes"
+        )
+    moov_s, moov_e = _find(data, 0, len(data), b"moov")
+    mvhd_s, _ = _find(data, moov_s, moov_e, b"mvhd")
+    version = data[mvhd_s]
+    if version == 1:
+        timescale, duration = struct.unpack_from(">IQ", data, mvhd_s + 4 + 16)
+    else:
+        _, _, timescale, duration = struct.unpack_from(">IIII", data, mvhd_s + 4)
+    trak_s, trak_e, mdia_s, mdia_e = _video_trak(data, moov_s, moov_e)
+    tkhd_s, _ = _find(data, trak_s, trak_e, b"tkhd")
+    tk_version = data[tkhd_s]
+    # ver/flags 4 | times+id+reserved+duration (20 v0 / 32 v1) |
+    # reserved 8 | layer+altgroup+volume+reserved 8 | matrix 36
+    dims_off = tkhd_s + 4 + (20 if tk_version == 0 else 32) + 8 + 8 + 36
+    w_fixed, h_fixed = struct.unpack_from(">II", data, dims_off)
+    minf_s, minf_e = _find(data, mdia_s, mdia_e, b"minf")
+    stbl_s, stbl_e = _find(data, minf_s, minf_e, b"stbl")
+    stsd_s, _ = _find(data, stbl_s, stbl_e, b"stsd")
+    codec = data[stsd_s + 8 + 4 : stsd_s + 8 + 8]
+    stsz_s, _ = _find(data, stbl_s, stbl_e, b"stsz")
+    _, n_samples = struct.unpack_from(">II", data, stsz_s + 4)
+    return {
+        "timescale": timescale,
+        "duration": duration,
+        "duration_ms": duration * 1000 // max(timescale, 1),
+        "width": w_fixed >> 16,
+        "height": h_fixed >> 16,
+        "n_samples": n_samples,
+        "codec": codec.decode("latin-1"),
+    }
+
+
+def mp4_sample_slices(data: bytes) -> list[tuple[int, int]]:
+    """(offset, size) of every sample in the video track, resolved from
+    the full stsc/stco/stsz tables (handles multi-chunk layouts the
+    in-repo encoder never writes — real muxers interleave chunks)."""
+    moov_s, moov_e = _find(data, 0, len(data), b"moov")
+    _, _, mdia_s, mdia_e = _video_trak(data, moov_s, moov_e)
+    minf_s, minf_e = _find(data, mdia_s, mdia_e, b"minf")
+    stbl_s, stbl_e = _find(data, minf_s, minf_e, b"stbl")
+
+    stsz_s, stsz_e = _find(data, stbl_s, stbl_e, b"stsz")
+    fixed_size, n = struct.unpack_from(">II", data, stsz_s + 4)
+    if fixed_size:
+        sizes = [fixed_size] * n
+    else:
+        sizes = list(struct.unpack_from(f">{n}I", data, stsz_s + 12))
+
+    stco_s, stco_e = _find(data, stbl_s, stbl_e, b"stco")
+    (n_chunks,) = struct.unpack_from(">I", data, stco_s + 4)
+    offsets = list(struct.unpack_from(f">{n_chunks}I", data, stco_s + 8))
+
+    stsc_s, stsc_e = _find(data, stbl_s, stbl_e, b"stsc")
+    (n_runs,) = struct.unpack_from(">I", data, stsc_s + 4)
+    runs = [
+        struct.unpack_from(">III", data, stsc_s + 8 + 12 * i) for i in range(n_runs)
+    ]  # (first_chunk 1-based, samples_per_chunk, sample_desc_idx)
+
+    slices: list[tuple[int, int]] = []
+    sample = 0
+    for ri, (first, per_chunk, _) in enumerate(runs):
+        last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
+        for chunk in range(first, last + 1):
+            pos = offsets[chunk - 1]
+            for _ in range(per_chunk):
+                if sample >= n:
+                    break
+                slices.append((pos, sizes[sample]))
+                pos += sizes[sample]
+                sample += 1
+    if sample != n:
+        raise ValueError(f"mp4: sample table mismatch ({sample} != {n})")
+    return slices
+
+
+def decode_mp4_mjpeg(data: bytes) -> list[np.ndarray]:
+    """Every video sample decoded to an RGB array via the in-repo T.81
+    decoder. Non-JPEG sample entries raise with the fourcc named — the
+    honest boundary: entropy decoders (avc1/hev1/mp4v) have no operator
+    semantics of their own here."""
+    hdr = mp4_movie_header(data)
+    if hdr["codec"] not in ("jpeg", "mjpa"):
+        raise NotImplementedError(
+            f"mp4: codec {hdr['codec']!r} needs an entropy decoder; only "
+            "'jpeg'/'mjpa' (Photo-JPEG) samples decode here"
+        )
+    return [decode_jpeg(bytes(data[o : o + s])) for o, s in mp4_sample_slices(data)]

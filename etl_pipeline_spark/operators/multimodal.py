@@ -19,9 +19,11 @@ de-padding, BGR/bottom-up flips, RIFF chunk walking all execute on every
 row, and the DuckDB oracle reproduces the decoded statistics (including
 the md5 of the full decoded RGB array) analytically. JPEG/PNG/GIF data
 dispatches on magic bytes in ``_extract_features`` (pytest-verified
-against real libjpeg/libpng/GIF-encoder fixtures); a deployment with
-MP4 data extends the same dispatch; the
-plumbing — schema, partitioning, batch shape — is unchanged.
+against real libjpeg/libpng/GIF-encoder fixtures); MJPEG-in-MP4
+(ISO BMFF box walk + sample tables, operators/mp4_codec.py — r13) and
+MJPEG-in-AVI ride the same dispatch; entropy-coded codecs (avc1 et al.)
+raise by name at the same seam a deployment would plug a codec library
+into — the plumbing (schema, partitioning, batch shape) is unchanged.
 """
 
 from __future__ import annotations
@@ -196,6 +198,28 @@ def _synth_video_avi(doc_id: int, text: str) -> bytes:
     return encode_avi_mjpeg(frames, fps=10, quality=90)
 
 
+def _synth_video_mp4(doc_id: int, text: str) -> bytes:
+    """Same frame content as _synth_video_avi (constant-valued 8x4
+    frames, frame j's value = md5-hex byte j%32) packed as
+    MJPEG-in-MP4 — so the identical analytic frame oracle checks the
+    ISO-BMFF box walk + sample-table slicing + JPEG decode + resize
+    pipeline byte-for-byte (r13, closing the MP4 container guard)."""
+    from etl_pipeline_spark.operators.mp4_codec import encode_mp4_mjpeg
+
+    hexd = hashlib.md5(text.encode("utf-8")).hexdigest().encode("ascii")
+    n_frames = 2 + doc_id % 5
+    frames = [np.full((4, 8, 3), hexd[j % 32], dtype=np.uint8) for j in range(n_frames)]
+    return encode_mp4_mjpeg(frames, fps=10, quality=90)
+
+
+def synthesize_video_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MJPEG-in-MP4 payloads from documents — real ISO
+    BMFF containers holding real baseline JPEGs."""
+    return _synth_media_df(
+        spark, sf_dir, _synth_video_mp4, F.lit("video"), "video/mp4"
+    )
+
+
 def synthesize_video_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic MJPEG-in-AVI payloads from documents — real RIFF
     containers holding real baseline JPEGs."""
@@ -234,10 +258,13 @@ def _extract_features(payload: bytes | None, kind: str | None) -> dict:
     Emits decoded statistics — dimensions from the parsed
     header, the integer sum of all decoded pixel bytes / sample values,
     and (images) the md5 of the decoded RGB array, so a wrong de-pad,
-    row flip, or channel order changes the output. Remaining unknown
-    formats (MP4; arithmetic-coded JPEG and sub-byte-depth PNG inside
-    the decoders) raise NotImplementedError — those need native libs or
-    further spec work; a real deployment extends this dispatch."""
+    row flip, or channel order changes the output. ftyp -> MP4
+    (ISO-BMFF box walk + full stsc/stco/stsz sample resolution,
+    operators/mp4_codec.py — r13; 'jpeg' samples decode, entropy codecs
+    raise with the fourcc named). Remaining unknown formats
+    (arithmetic-coded JPEG and sub-byte-depth PNG inside the decoders;
+    fragmented MP4) raise NotImplementedError — those need native libs
+    or further spec work; a real deployment extends this dispatch."""
     if payload is None:
         return dict(_NULL_FEATURES)
     n = len(payload)
@@ -303,6 +330,30 @@ def _extract_features(payload: bytes | None, kind: str | None) -> dict:
             "content_sum": int(samples.astype(np.int64).sum()),
             "content_md5": None,
         }
+    if payload[4:8] == b"ftyp":
+        # ISO BMFF (MP4) — r13 closes the container half of the guard:
+        # box walk + sample-table slicing here, frame decode via the
+        # in-repo T.81 decoder; entropy codecs (avc1/...) still raise by
+        # name inside decode_mp4_mjpeg
+        from etl_pipeline_spark.operators.mp4_codec import (
+            decode_mp4_mjpeg,
+            mp4_movie_header,
+        )
+
+        hdr = mp4_movie_header(payload)
+        frames = decode_mp4_mjpeg(payload)
+        if not frames:
+            raise ValueError("mp4 with no video samples")
+        all_px = np.concatenate([f.reshape(-1) for f in frames])
+        return {
+            "format": "mp4-mjpeg",
+            "n_bytes": n,
+            "width": int(hdr["width"]),
+            "height": int(hdr["height"]),
+            "duration_ms": int(hdr["duration_ms"]),
+            "content_sum": int(all_px.astype(np.int64).sum()),
+            "content_md5": hashlib.md5(all_px.tobytes()).hexdigest(),
+        }
     raise NotImplementedError(
         f"no decoder for payload magic {payload[:4]!r} (kind={kind!r})"
     )
@@ -348,6 +399,10 @@ def _video_frames(payload: bytes | None) -> list:
         from etl_pipeline_spark.operators.avi_codec import decode_avi_mjpeg
 
         return decode_avi_mjpeg(payload)
+    if payload[4:8] == b"ftyp":
+        from etl_pipeline_spark.operators.mp4_codec import decode_mp4_mjpeg
+
+        return decode_mp4_mjpeg(payload)
     return decode_ppm_stream(payload)
 
 

@@ -62,19 +62,21 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 # queries lead — q_embedding_centroid_health (stable_round_sql gained
 # the TRY_CAST Infinity fallback past float32 range, advisor r12 #2),
 # q_triangle_census_sampled (NEW: DOULION sampled census; its sibling
-# q_wedge_mass_preflight follows as never-attested), and
+# q_wedge_mass_preflight and q_multimodal_mp4_frames — the r13 MP4
+# container-guard closure — follow as never-attested), and
 # q_triangle_count / q_label_propagation (shared helpers refactored:
 # orient_edges_by_degree extraction, lpa_labels round_splits — default
 # paths semantically unchanged, re-attested out of caution). Then
 # oldest-attestation-first backfill draining the r5 cohort (judge r12
 # #3).
-# first-50 window: 50 entries; oldest-attested in window: r5; left out: 227
+# first-50 window: 50 entries; oldest-attested in window: r5; left out: 228
 CHECK_PRIORITY: tuple[str, ...] = (
     "q_embedding_centroid_health",  # --- code changed this round: attest first ---
     "q_triangle_census_sampled",
     "q_triangle_count",
     "q_label_propagation",
     "q_wedge_mass_preflight",  # --- never driver-attested ---
+    "q_multimodal_mp4_frames",
     "q_seasonal_forecast_eval",  # --- backfill: oldest attestation first ---
     "q_funnel_three_step",
     "q_ab_test_proportions",
@@ -119,8 +121,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_dq_benford_check",
     "q_multimodal_audio_energy",
     "q_k_anonymity",
-    "q_dp_noisy_counts",
-    "q_pseudonymize_consistent",  # ---------------- first-50 window ends above ----------------
+    "q_dp_noisy_counts",  # ---------------- first-50 window ends above ----------------
+    "q_pseudonymize_consistent",
     "q_erasure_cascade",
     "q_variant_json_stats",
     "q_null_semantics",

@@ -188,6 +188,57 @@ def q_multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_multimodal_mp4_frames",
+    # Identical analytic oracle to q_multimodal_avi_frames: same
+    # constant-valued frame CONTENT (frame j's value = md5-hex byte
+    # j%32, exact through the JPEG round trip), different CONTAINER —
+    # MJPEG-in-MP4 (ISO BMFF), so a correct answer requires the real
+    # box walk, the stsc/stco/stsz sample-table resolution, and the
+    # per-sample T.81 decode to all be byte-exact (r13, closing the MP4
+    # half of the X5 container guard the way r10 closed the AVI half).
+    oracle="""
+    WITH m AS (SELECT doc_id, md5(text) AS hx, 2 + doc_id % 5 AS nf FROM documents
+               WHERE text IS NOT NULL),
+    f AS (SELECT doc_id, hx, UNNEST(generate_series(0, nf - 1)) AS frame_idx FROM m)
+    SELECT doc_id AS media_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           md5(repeat(substr(hx, CAST(frame_idx % 32 AS INTEGER) + 1, 1), 24)) AS frame_md5,
+           CAST(4 AS INTEGER) AS width,
+           CAST(2 AS INTEGER) AS height,
+           CAST(unicode(substr(hx, CAST(frame_idx % 32 AS INTEGER) + 1, 1)) * 24 AS BIGINT) AS pixel_sum
+    FROM f
+    WHERE frame_idx % 2 = 0
+    """,
+    tags=("multimodal", "X5", "pandas-udf", "frames", "real-decode", "container"),
+)
+def q_multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling from MJPEG-in-MP4 (ISO BMFF) containers — the r13
+    closure of the MP4 half of the X5 video-container guard: real box
+    walk, real sample-table arithmetic (stsc/stco/stsz), real T.81 JPEG
+    decode per sample, every-2nd-frame sampling, real nearest-neighbor
+    resize — the same mapInPandas pipeline as the AVI and PPM-stream
+    paths, dispatched on the ftyp magic.
+
+    Scale: identical posture to the AVI path — payloads never leave
+    executors, decode is Arrow-batched, output rows are small and
+    columnar. Entropy codecs (avc1/hev1/mp4v) and fragmented MP4 remain
+    guarded with named errors (operators/mp4_codec.py): they need
+    entropy decoders with no operator semantics of their own; a
+    deployment plugs a codec library into this exact seam."""
+    from etl_pipeline_spark.operators.multimodal import synthesize_video_mp4
+
+    frames = sample_frames(
+        synthesize_video_mp4(spark, sf_dir),
+        every_kth=2,
+        out_width=4,
+        out_height=2,
+    )
+    return frames.select(
+        "media_id", "frame_idx", "frame_md5", "width", "height", "pixel_sum"
+    )
+
+
 SHOT_CUT_MILLI = 16_000  # |mean delta| >= 16 intensity units flags a cut
 
 

@@ -1151,3 +1151,137 @@ def test_avi_with_no_video_frames_raises_named_error(spark):
     assert decode_avi_mjpeg(empty) == []  # container walk itself is fine
     with pytest.raises(ValueError, match="no video frames"):
         _extract_features(empty, "video")
+
+
+def test_mp4_mjpeg_roundtrip_exact_for_constant_frames():
+    """r13 (MP4 half of the container guard): constant frames survive
+    the MJPEG-in-MP4 round trip EXACTLY for every value the synthesis
+    emits, and the movie header reports the box-level truth the feature
+    extractor publishes."""
+    from etl_pipeline_spark.operators.mp4_codec import (
+        decode_mp4_mjpeg,
+        encode_mp4_mjpeg,
+        mp4_movie_header,
+    )
+
+    values = [ord(c) for c in "0123456789abcdef"]
+    frames = [np.full((4, 8, 3), v, dtype=np.uint8) for v in values]
+    mp4 = encode_mp4_mjpeg(frames, fps=10, quality=90)
+    hdr = mp4_movie_header(mp4)
+    assert (hdr["width"], hdr["height"], hdr["n_samples"]) == (8, 4, 16)
+    assert hdr["codec"] == "jpeg"
+    assert hdr["timescale"] == 1000 and hdr["duration_ms"] == 1600  # 16 @ 10fps
+    dec = decode_mp4_mjpeg(mp4)
+    assert len(dec) == 16
+    assert all(np.array_equal(a, b) for a, b in zip(dec, frames))
+
+
+def test_mp4_sample_table_multi_chunk_and_guards():
+    """The decoder resolves the FULL stsc/stco/stsz mapping, not just
+    the single-chunk layout the in-repo encoder writes: a hand-built
+    two-chunk file (2 samples + 1 sample, chunks in swapped byte order)
+    must slice the exact payloads. Entropy codecs and fragmented files
+    raise by name; corrupt boxes raise ValueError."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from etl_pipeline_spark.operators.mp4_codec import (
+        decode_mp4_mjpeg,
+        encode_mp4_mjpeg,
+        mp4_movie_header,
+        mp4_sample_slices,
+    )
+    from etl_pipeline_spark.operators.jpeg_codec import encode_jpeg_baseline
+
+    frames = [np.full((4, 8, 3), v, dtype=np.uint8) for v in (10, 20, 30)]
+    mp4 = bytearray(encode_mp4_mjpeg(frames, quality=90))
+    want = [encode_jpeg_baseline(f, quality=90) for f in frames]
+
+    # rewrite stsc (1 run, 3-per-chunk) into 2 runs over 2 chunks
+    # [2 samples, 1 sample] and stco into 2 offsets, preserving box
+    # sizes by rebuilding the file: easiest exact construction is to
+    # re-emit the container by hand around the SAME jpeg payloads.
+    def full(fourcc, payload):
+        return _struct.pack(">I", 12 + len(payload)) + fourcc + b"\x00\x00\x00\x00" + payload
+
+    raw = bytes(mp4)
+    stsc2 = full(b"stsc", _struct.pack(">I", 2)
+                 + _struct.pack(">III", 1, 2, 1)
+                 + _struct.pack(">III", 2, 1, 1))
+    # chunk 1 = samples 0,1 contiguous; chunk 2 = sample 2. Place chunk 2
+    # BEFORE chunk 1 in the mdat to prove offsets, not order, drive it.
+    mdat_payload = want[2] + want[0] + want[1]
+    ftyp = raw[: raw.index(b"mdat") - 4]
+    mdat = _struct.pack(">I", 8 + len(mdat_payload)) + b"mdat" + mdat_payload
+    c2_off = len(ftyp) + 8
+    c1_off = c2_off + len(want[2])
+    stco2 = full(b"stco", _struct.pack(">III", 2, c1_off, c2_off))
+    stsz2 = full(b"stsz", _struct.pack(">II", 0, 3)
+                 + b"".join(_struct.pack(">I", len(j)) for j in want))
+    # splice: reuse the encoder's moov but swap stsc/stco/stsz
+    moov_start = raw.index(b"moov") - 4
+    moov = raw[moov_start:]
+    for tag, newbox in ((b"stsc", stsc2), (b"stco", stco2), (b"stsz", stsz2)):
+        i = moov.index(tag) - 4
+        size = _struct.unpack_from(">I", moov, i)[0]
+        moov = moov[:i] + newbox + moov[i + size:]
+    # fix ancestor box sizes (moov/trak/mdia/minf/stbl) for the delta
+    delta = len(moov) - (len(raw) - moov_start)
+    for tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        i = moov.index(tag) - 4
+        size = _struct.unpack_from(">I", moov, i)[0]
+        moov = moov[:i] + _struct.pack(">I", size + delta) + moov[i + 4:]
+    two_chunk = ftyp + mdat + moov
+
+    assert [two_chunk[o:o + s] for o, s in mp4_sample_slices(two_chunk)] == want
+    dec = decode_mp4_mjpeg(two_chunk)
+    assert all(np.array_equal(a, b) for a, b in zip(dec, frames))
+
+    # entropy-codec guard: rename the sample entry to avc1
+    avc = bytes(mp4).replace(b"jpeg", b"avc1", 1)
+    with _pytest.raises(NotImplementedError, match="avc1"):
+        decode_mp4_mjpeg(avc)
+    # fragmented guard
+    frag = bytes(mp4) + _struct.pack(">I", 8) + b"moof"
+    with _pytest.raises(NotImplementedError, match="moof"):
+        mp4_movie_header(frag)
+    # corrupt box size
+    bad = bytearray(mp4)
+    bad[0:4] = _struct.pack(">I", 3)
+    with _pytest.raises(ValueError):
+        mp4_movie_header(bytes(bad))
+
+
+def test_mp4_features_and_frame_pipeline(spark):
+    """End-to-end through the Spark seam: _extract_features reports the
+    box-level header truth + decoded pixel stats for an MP4 payload, and
+    the frame-sampling pipeline over synthesized MP4 media matches the
+    analytic expectation (same content contract as the AVI twin)."""
+    import hashlib as _hashlib
+
+    from etl_pipeline_spark.operators.mp4_codec import encode_mp4_mjpeg
+    from etl_pipeline_spark.operators.multimodal import (
+        _extract_features,
+        sample_frames,
+        synthesize_video_mp4,
+    )
+
+    frames = [np.full((4, 8, 3), v, dtype=np.uint8) for v in (7, 200)]
+    mp4 = encode_mp4_mjpeg(frames, fps=10, quality=90)
+    feats = _extract_features(mp4, "video")
+    assert feats["format"] == "mp4-mjpeg"
+    assert (feats["width"], feats["height"]) == (8, 4)
+    assert feats["duration_ms"] == 200
+    assert feats["content_sum"] == (7 + 200) * 4 * 8 * 3
+    all_px = np.concatenate([f.reshape(-1) for f in frames])
+    assert feats["content_md5"] == _hashlib.md5(all_px.tobytes()).hexdigest()
+
+    media = synthesize_video_mp4(spark, "/root/testdata/sf0.001").limit(6)
+    rows = sample_frames(media, every_kth=2, out_width=4, out_height=2).collect()
+    assert rows
+    for r in rows:
+        assert r["frame_idx"] % 2 == 0
+        assert (r["width"], r["height"]) == (4, 2)
+        # constant frame: pixel_sum = value * 4*2*3
+        assert r["pixel_sum"] % 24 == 0
