@@ -86,8 +86,15 @@ def test_extract_features_dispatch_and_unknown_format():
     assert g["format"] == "bmp" and g["content_md5"] == f["content_md5"]
     w = _extract_features(encode_wav(np.full(8000, 3, dtype=np.int16), 8000), "audio")
     assert w["format"] == "wav" and w["duration_ms"] == 1000 and w["content_sum"] == 24000
+    # r13: MP4 now DECODES (MJPEG samples; see the mp4 tests below) —
+    # the guard moved inward: a truncated ftyp-only snippet is a corrupt
+    # container (ValueError), entropy codecs raise NotImplementedError
+    # by fourcc (test_mp4_sample_table_multi_chunk_and_guards), and a
+    # genuinely unknown magic still raises NotImplementedError.
+    with pytest.raises(ValueError):
+        _extract_features(b"\x00\x00\x00\x20ftypmp42", "video")
     with pytest.raises(NotImplementedError):
-        _extract_features(b"\x00\x00\x00\x20ftypmp42", "video")  # MP4 stays undecoded
+        _extract_features(b"\x00\x01\x02\x03unknown-magic", "video")
 
 
 # -------------------------------------------------------- Spark-side paths
