@@ -1064,6 +1064,77 @@ def main_sf10_tri_sampled() -> None:
             }
         print(json.dumps({"leg": "sf50", **out["sf50"]}), flush=True)
 
+    # --- optional sf100 leg (--sf100): a FOURTH decade. The sf100 edge
+    # frame is stamped as 10 node-offset copies of the sf10 frame (the
+    # r10 peel construction — map-only appends, no global shuffle;
+    # ~14 GB parquet), and the census samples at keep=1 (p = 1/16,
+    # integer scale 4096): the kept canonical edge count (~75M) matches
+    # the sf50 leg's, so the wedge join cost stays flat while the TRUE
+    # count doubles to ~1.88B. Truth = 100 x sf1 exact (disjoint
+    # copies). Predicted rel_err ~ sqrt(4095/1.88e9) ~ 0.15%.
+    if "--sf100" in sys.argv:
+        SF100_EDGE_DIR = "/root/repo/.scratch/scale/sf100_edges_s1"
+        KEEP100 = 1
+        scale100 = (16 // KEEP100) ** 3
+
+        def sigma_bound100(t_exact: int) -> int:
+            import math
+
+            return math.ceil(3 * math.sqrt((scale100 - 1) * max(t_exact, 0))) + scale100
+
+        if not os.path.isdir(SF100_EDGE_DIR):
+            t0 = time.perf_counter()
+            e10 = spark.read.parquet(SF10_EDGE_DIR)
+            for k in range(10):
+                e10.select(
+                    (F.col("u") + k * 1000 * ID_OFFSET).alias("u"),
+                    (F.col("v") + k * 1000 * ID_OFFSET).alias("v"),
+                ).write.mode("overwrite" if k == 0 else "append").parquet(
+                    SF100_EDGE_DIR
+                )
+            print(
+                json.dumps(
+                    {"built_sf100_edges_sec": round(time.perf_counter() - t0, 1)}
+                ),
+                flush=True,
+            )
+        frame_bytes = _dir_bytes(SF100_EDGE_DIR)
+        # kept sample ~ sf50's (~1.2 GB DISK_ONLY) + sampled wedge
+        # shuffle ~ p^2 x (10 x the sf10 >68 GB burn) ~ 2.7 GB: real
+        # expectation ~5 GB; 2x the 14 GB parquet is a 5x safety margin
+        need = 2 * frame_bytes
+        free = __import__("shutil").disk_usage("/").free
+        if free < need:
+            out["sf100"] = {
+                "skipped": (
+                    f"insufficient free disk: need ~{need >> 30} GiB "
+                    f"(4x {frame_bytes >> 20} MiB parquet), have {free >> 30} GiB"
+                )
+            }
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", "512")
+            edges100 = spark.read.parquet(SF100_EDGE_DIR).filter("u < v")
+            t0 = time.perf_counter()
+            samp100 = sampled_triangles(
+                edges100, KEEP100, orient_by_degree=True, disk_only=True
+            ).collect()[0].asDict()
+            t_samp100 = round(time.perf_counter() - t0, 2)
+            release_session_blocks(spark)
+            truth100 = 100 * t1
+            err100 = abs(samp100["est_triangles"] - truth100)
+            out["sf100"] = {
+                "keep_nibbles": KEEP100,
+                "p": KEEP100 / 16.0,
+                "sampled_sec": t_samp100,
+                "n_edges_sampled": samp100["n_edges_sampled"],
+                "n_triangles_sampled": samp100["n_triangles_sampled"],
+                "est_triangles": samp100["est_triangles"],
+                "exact_triangles_by_construction": truth100,
+                "rel_err": round(err100 / max(truth100, 1), 6),
+                "within_3sigma": err100 <= sigma_bound100(truth100),
+            }
+        print(json.dumps({"leg": "sf100", **out["sf100"]}), flush=True)
+
     print(json.dumps({"summary_tri_sampled": out}), flush=True)
 
 
