@@ -169,6 +169,43 @@ def _wait_for_idle() -> list[float]:
     return history
 
 
+def classify_idle_window(
+    idle_precheck: list[float], end_probes: list[float]
+) -> dict:
+    """Pure idle-bracket verdict for one official attempt (r13 advisor
+    #1). The end-edge min-over-3-probes retry cannot distinguish JVM
+    settling from a real short burst that DECAYED across the 15 s gaps —
+    both pass on a later probe. When only a later end probe landed in
+    band, the idle verdict stands (the end edge was clean by the time it
+    could be observed cleanly) but the basis is labeled 'settled',
+    distinct from the strict first-probe 'threshold'/'host-floor'
+    semantics, and end_probe_pass_idx records WHICH probe passed so the
+    evidence class is auditable without re-deriving it from end_probes.
+    """
+    mt_begin = idle_precheck[-1]
+    mt_end = min(end_probes)
+    mt_floor = min(idle_precheck + end_probes)
+    idle_bound = max(IDLE_MT_CANARY_SEC, mt_floor * IDLE_FLOOR_BAND)
+    mt_idle = mt_begin <= idle_bound and mt_end <= idle_bound
+    end_pass_idx = next(
+        (i for i, p in enumerate(end_probes) if p <= idle_bound), None
+    )
+    return {
+        "mt_canary_idle": mt_idle,
+        "idle_basis": (
+            "contended"
+            if not mt_idle
+            else "settled"
+            if end_pass_idx != 0
+            else "threshold"
+            if mt_floor <= IDLE_MT_CANARY_SEC
+            else "host-floor"
+        ),
+        "end_probe_pass_idx": end_pass_idx,
+        "mt_canary_end_sec": mt_end,
+    }
+
+
 def _pagerank_phases(spark, sf_dir: str) -> dict[str, float]:
     """Edge-build vs iterate attribution for q_pagerank (r8 judge
     finding #5): both best-of-two reps pay the full co-purchase edge
@@ -217,6 +254,7 @@ _SUMMARY_KEYS = (
     "value_per_mt_canary",
     "mt_canary_idle",
     "idle_basis",
+    "end_probe_pass_idx",
     "official_attempt",
     "n_attempts",
     "value_min_across_attempts",
@@ -346,23 +384,17 @@ def main() -> None:
             if end_probes[-1] <= max(IDLE_MT_CANARY_SEC, floor_so_far * IDLE_FLOOR_BAND):
                 break
             time.sleep(15)
-        mt_end = min(end_probes)
+        verdict = classify_idle_window(idle_precheck, end_probes)
+        mt_end = verdict["mt_canary_end_sec"]
         mt_canary = round(min(mt_begin, mt_end), 3)
-        mt_floor = min(idle_precheck + end_probes)
-        idle_bound = max(IDLE_MT_CANARY_SEC, mt_floor * IDLE_FLOOR_BAND)
-        mt_idle = mt_begin <= idle_bound and mt_end <= idle_bound
+        mt_idle = verdict["mt_canary_idle"]
         total = round(sum(timings.values()), 3)
         a = {
             "value": total,
             "value_per_mt_canary": round(total / mt_canary, 3),
             "mt_canary_idle": mt_idle,
-            "idle_basis": (
-                "threshold"
-                if mt_idle and mt_floor <= IDLE_MT_CANARY_SEC
-                else "host-floor"
-                if mt_idle
-                else "contended"
-            ),
+            "idle_basis": verdict["idle_basis"],
+            "end_probe_pass_idx": verdict["end_probe_pass_idx"],
             "idle_precheck": idle_precheck,
             "mt_canary_end_sec": mt_end,
             "end_probes": end_probes,
@@ -434,6 +466,9 @@ def main() -> None:
         # threshold or is this host's own (slower) idle speed.
         "mt_canary_idle": official["mt_canary_idle"],
         "idle_basis": official["idle_basis"],
+        # which end probe passed the band on the official attempt
+        # (0 = first = strict edge semantics; >0 = the 'settled' basis)
+        "end_probe_pass_idx": official["end_probe_pass_idx"],
         # official attempt's pre-measurement retry-until-idle probe
         # history (r9 judge #3): the last entry is the canary under
         # which timing began

@@ -242,9 +242,18 @@ def mp4_sample_slices(data: bytes) -> list[tuple[int, int]]:
     else:
         sizes = list(struct.unpack_from(f">{n}I", data, stsz_s + 12))
 
-    stco_s, stco_e = _find(data, stbl_s, stbl_e, b"stco")
-    (n_chunks,) = struct.unpack_from(">I", data, stco_s + 4)
-    offsets = list(struct.unpack_from(f">{n_chunks}I", data, stco_s + 8))
+    # Chunk offsets: 32-bit stco, or the 64-bit co64 twin real muxers
+    # emit for >4 GiB files (r13 advisor #2 — the old stco-only lookup
+    # raised a misleading "missing stco" on co64 layouts). Identical
+    # table layout, only the entry width differs.
+    try:
+        stco_s, stco_e = _find(data, stbl_s, stbl_e, b"stco")
+        (n_chunks,) = struct.unpack_from(">I", data, stco_s + 4)
+        offsets = list(struct.unpack_from(f">{n_chunks}I", data, stco_s + 8))
+    except ValueError:
+        co64_s, _ = _find(data, stbl_s, stbl_e, b"co64")
+        (n_chunks,) = struct.unpack_from(">I", data, co64_s + 4)
+        offsets = list(struct.unpack_from(f">{n_chunks}Q", data, co64_s + 8))
 
     stsc_s, stsc_e = _find(data, stbl_s, stbl_e, b"stsc")
     (n_runs,) = struct.unpack_from(">I", data, stsc_s + 4)
@@ -275,9 +284,15 @@ def decode_mp4_mjpeg(data: bytes) -> list[np.ndarray]:
     honest boundary: entropy decoders (avc1/hev1/mp4v) have no operator
     semantics of their own here."""
     hdr = mp4_movie_header(data)
-    if hdr["codec"] not in ("jpeg", "mjpa"):
+    # Only 'jpeg' (Photo-JPEG) sample entries decode here. 'mjpa'
+    # (QuickTime Motion-JPEG A) was dropped from the accepted set (r13
+    # advisor #3): its samples carry field-split APP1 markers the
+    # in-repo baseline T.81 decoder was never built for, so accepting
+    # them traded the named codec guard for an unnamed decode failure
+    # (or a wrong interlaced decode) on real mjpa files.
+    if hdr["codec"] != "jpeg":
         raise NotImplementedError(
             f"mp4: codec {hdr['codec']!r} needs an entropy decoder; only "
-            "'jpeg'/'mjpa' (Photo-JPEG) samples decode here"
+            "'jpeg' (Photo-JPEG) samples decode here"
         )
     return [decode_jpeg(bytes(data[o : o + s])) for o, s in mp4_sample_slices(data)]

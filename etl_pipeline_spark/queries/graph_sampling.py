@@ -242,8 +242,11 @@ def q_wedge_mass_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(t AS BIGINT) FROM tri)              AS n_triangles_exact,
            (SELECT CAST(t AS BIGINT) FROM stri)             AS n_triangles_sampled,
            (SELECT CAST(t * 8 AS BIGINT) FROM stri)         AS est_triangles,
-           ROUND(ABS((SELECT t * 8 FROM stri) - (SELECT t FROM tri)) * 1.0
-                 / NULLIF((SELECT t FROM tri), 0), 6)       AS rel_err,
+           ABS((SELECT t * 8 FROM stri) - (SELECT t FROM tri))
+                                                            AS abs_err,
+           CASE WHEN (SELECT t FROM tri) > 0 THEN
+             ABS((SELECT t * 8 FROM stri) - (SELECT t FROM tri))
+               * 1000000 // (SELECT t FROM tri) END         AS rel_err_ppm,
            ABS((SELECT t * 8 FROM stri) - (SELECT t FROM tri))
              <= CAST(CEIL(3 * SQRT(7.0 * (SELECT t FROM tri))) AS BIGINT) + 8
                                                             AS within_3sigma
@@ -289,23 +292,36 @@ def q_triangle_census_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = edges.agg(F.count("*").alias("n_edges"))
     est = sampled_triangles(edges, DOULION_KEEP_NIBBLES)
 
-    err = F.abs(F.col("est_triangles") - F.col("n_triangles_exact"))
     bound = (
         F.ceil(3 * F.sqrt(7.0 * F.col("n_triangles_exact"))).cast("long")
         + F.lit(8)
     )
+    # rel_err as integer PARTS-PER-MILLION via integer division (r13
+    # advisor #5): ROUND(err/exact, 6) needed bit-identical double
+    # rounding across Spark (BigDecimal HALF_UP) and DuckDB
+    # (multiply-round-divide) on an arbitrary integer ratio — a 1-ulp
+    # boundary at an unattested SF could flip the 6th decimal for a
+    # semantically correct result. abs_err*1000000 div exact is exact
+    # integer arithmetic on both engines (operands non-negative, so
+    # Spark's trunc-div and DuckDB's floor-div agree); the double ratio
+    # is derivable by the reader from the integer columns in the row.
     return (
         n_edges.crossJoin(exact)
         .crossJoin(est)
+        .withColumn(
+            "abs_err", F.abs(F.col("est_triangles") - F.col("n_triangles_exact"))
+        )
         .select(
             "n_edges",
             "n_edges_sampled",
             "n_triangles_exact",
             "n_triangles_sampled",
             "est_triangles",
-            F.round(
-                F.try_divide(err, F.nullif(F.col("n_triangles_exact"), F.lit(0))), 6
-            ).alias("rel_err"),
-            (err <= bound).alias("within_3sigma"),
+            "abs_err",
+            F.expr(
+                "CASE WHEN n_triangles_exact > 0 THEN "
+                "(abs_err * 1000000) div n_triangles_exact END"
+            ).alias("rel_err_ppm"),
+            (F.col("abs_err") <= bound).alias("within_3sigma"),
         )
     )

@@ -532,6 +532,38 @@ def test_bench_idle_floor_requires_last_three_probe_band(monkeypatch):
     assert len(bench._wait_for_idle()) == 1
 
 
+def test_bench_idle_basis_settled_when_only_later_end_probe_passes():
+    """r13 advisor #1: the end-edge retry (min over up to 3 probes 15 s
+    apart) can promote a window whose end edge was actually contended —
+    a real short burst decays across the gaps just like JVM settling.
+    The verdict may stand, but the basis must say 'settled' (not the
+    strict first-probe 'threshold') and record which probe passed."""
+    import bench
+
+    # first end probe in band -> strict semantics, basis=threshold
+    v = bench.classify_idle_window([1.75], [1.76])
+    assert v["mt_canary_idle"] and v["idle_basis"] == "threshold"
+    assert v["end_probe_pass_idx"] == 0
+    # first end probe elevated, third in band -> idle but SETTLED
+    v = bench.classify_idle_window([1.75], [2.9, 2.2, 1.78])
+    assert v["mt_canary_idle"] and v["idle_basis"] == "settled"
+    assert v["end_probe_pass_idx"] == 2
+    # host-floor variant of the same distinction (floor above threshold)
+    v = bench.classify_idle_window([1.92, 1.90, 1.91], [1.91])
+    assert v["mt_canary_idle"] and v["idle_basis"] == "host-floor"
+    assert v["end_probe_pass_idx"] == 0
+    v = bench.classify_idle_window([1.92, 1.90, 1.91], [2.8, 1.93])
+    assert v["mt_canary_idle"] and v["idle_basis"] == "settled"
+    assert v["end_probe_pass_idx"] == 1
+    # every end probe elevated -> contended, no probe in band
+    v = bench.classify_idle_window([1.75], [2.9, 2.8, 2.85])
+    assert not v["mt_canary_idle"] and v["idle_basis"] == "contended"
+    assert v["end_probe_pass_idx"] is None
+    # begin edge elevated -> contended even with a clean end edge
+    v = bench.classify_idle_window([2.9], [1.76])
+    assert not v["mt_canary_idle"] and v["idle_basis"] == "contended"
+
+
 def test_bench_summary_line_fits_driver_tail_capture():
     """r11 judge #1: BENCH_r11.json shipped parsed:null because the one
     self-describing JSON line grew past the driver's 2000-char stdout
@@ -550,6 +582,7 @@ def test_bench_summary_line_fits_driver_tail_capture():
         "value_per_mt_canary": 3.235,
         "mt_canary_idle": False,
         "idle_basis": "contended",
+        "end_probe_pass_idx": None,
         "idle_precheck": [2.345] * bench.IDLE_WAIT_MAX_ATTEMPTS,
         "idle_rerun": {
             "value": 44.244,
@@ -607,7 +640,8 @@ def test_bench_summary_line_fits_driver_tail_capture():
     # the driver-contract fields survive in the final line
     for key in ("metric", "value", "unit", "queries", "sf",
                 "value_per_mt_canary", "scale_value", "mt_canary_idle",
-                "idle_basis", "mt_canary_end_sec", "official_attempt",
+                "idle_basis", "end_probe_pass_idx", "mt_canary_end_sec",
+                "official_attempt",
                 "n_attempts"):
         assert key in summary, key
     # the per-attempt audit trail is bulky and detail-only (r13)

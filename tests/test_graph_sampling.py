@@ -67,6 +67,10 @@ def test_sampled_census_registry_row_is_consistent(spark):
     r = q_triangle_census_sampled(spark, "/root/testdata/sf0.001").collect()[0]
     assert r["est_triangles"] == r["n_triangles_sampled"] * 8
     assert r["within_3sigma"]
+    # the grid-safe error columns (r13 advisor #5) are exact integer
+    # arithmetic — replayable in pure Python from the row itself
+    assert r["abs_err"] == abs(r["est_triangles"] - r["n_triangles_exact"])
+    assert r["rel_err_ppm"] == r["abs_err"] * 1_000_000 // r["n_triangles_exact"]
     n, k = r["n_edges"], r["n_edges_sampled"]
     assert abs(k - n / 2) < 4 * (n**0.5)  # ~4 sigma of Binomial(n, 1/2)
     assert r["n_triangles_exact"] > 0  # non-vacuous on the fixture

@@ -1245,10 +1245,36 @@ def test_mp4_sample_table_multi_chunk_and_guards():
     dec = decode_mp4_mjpeg(two_chunk)
     assert all(np.array_equal(a, b) for a, b in zip(dec, frames))
 
+    # co64 fallback (r13 advisor): same chunk table with 64-bit entries
+    # — rewrite the spliced file's stco into a co64 twin and the decode
+    # must be identical. Real >4 GiB muxer output uses co64; here the
+    # offsets just happen to fit in 32 bits too.
+    co64 = full(b"co64", _struct.pack(">IQQ", 2, c1_off, c2_off))
+    mv = two_chunk.index(b"moov") - 4  # search box tags inside moov only
+    i = two_chunk.index(b"stco", mv) - 4
+    size = _struct.unpack_from(">I", two_chunk, i)[0]
+    co64_file = bytearray(two_chunk[:i] + co64 + two_chunk[i + size:])
+    delta64 = len(co64) - size
+    for tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        j = co64_file.index(tag, mv) - 4
+        sz = _struct.unpack_from(">I", co64_file, j)[0]
+        co64_file[j:j + 4] = _struct.pack(">I", sz + delta64)
+    co64_file = bytes(co64_file)
+    assert [co64_file[o:o + s] for o, s in mp4_sample_slices(co64_file)] == want
+    dec64 = decode_mp4_mjpeg(co64_file)
+    assert all(np.array_equal(a, b) for a, b in zip(dec64, frames))
+
     # entropy-codec guard: rename the sample entry to avc1
     avc = bytes(mp4).replace(b"jpeg", b"avc1", 1)
     with _pytest.raises(NotImplementedError, match="avc1"):
         decode_mp4_mjpeg(avc)
+    # mjpa guard (r13 advisor #3): QuickTime Motion-JPEG A carries
+    # field-split APP1 structure the baseline T.81 decoder was never
+    # built for — it must hit the NAMED codec guard, not an unnamed
+    # decode failure downstream.
+    mjpa = bytes(mp4).replace(b"jpeg", b"mjpa", 1)
+    with _pytest.raises(NotImplementedError, match="mjpa"):
+        decode_mp4_mjpeg(mjpa)
     # fragmented guard
     frag = bytes(mp4) + _struct.pack(">I", 8) + b"moof"
     with _pytest.raises(NotImplementedError, match="moof"):

@@ -1102,13 +1102,17 @@ def main_sf10_tri_sampled() -> None:
         # kept sample ~ sf50's (~1.2 GB DISK_ONLY) + sampled wedge
         # shuffle ~ p^2 x (10 x the sf10 >68 GB burn) ~ 2.7 GB: real
         # expectation ~5 GB; 2x the 14 GB parquet is a 5x safety margin
-        need = 2 * frame_bytes
+        # (r13 advisor #4: the factor lives in ONE constant so the skip
+        # message can never again report a different bar than applied)
+        SF100_DISK_FACTOR = 2
+        need = SF100_DISK_FACTOR * frame_bytes
         free = __import__("shutil").disk_usage("/").free
         if free < need:
             out["sf100"] = {
                 "skipped": (
                     f"insufficient free disk: need ~{need >> 30} GiB "
-                    f"(4x {frame_bytes >> 20} MiB parquet), have {free >> 30} GiB"
+                    f"({SF100_DISK_FACTOR}x {frame_bytes >> 20} MiB "
+                    f"parquet), have {free >> 30} GiB"
                 )
             }
         else:
