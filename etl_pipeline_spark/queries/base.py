@@ -58,70 +58,20 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-13 prefix (regenerated via rotate_window.py): four changed
-# queries lead — q_embedding_centroid_health (stable_round_sql gained
-# the TRY_CAST Infinity fallback past float32 range, advisor r12 #2),
-# q_triangle_census_sampled (NEW: DOULION sampled census; its sibling
-# q_wedge_mass_preflight and q_multimodal_mp4_frames — the r13 MP4
-# container-guard closure — follow as never-attested), and
-# q_triangle_count / q_label_propagation (shared helpers refactored:
-# orient_edges_by_degree extraction, lpa_labels round_splits — default
-# paths semantically unchanged, re-attested out of caution). Then
-# oldest-attestation-first backfill draining the r5 cohort (judge r12
-# #3).
-# first-50 window: 50 entries; oldest-attested in window: r5; left out: 228
+# Round-14 prefix (regenerated via rotate_window.py): two changed
+# queries lead — q_triangle_census_sampled (rel_err ROUND(x,6) replaced
+# by grid-safe integer abs_err/rel_err_ppm, advisor r13 #5) and
+# q_connected_components (NEW: giant-component WCC census with the
+# bounded K-round synchronized min-label oracle). Then oldest-
+# attestation-first backfill draining the r6/r7 cohort — the r13
+# verdict's named soft spot (47 queries whose latest driver attestation
+# was 6-7 rounds old).
+# first-50 window: 50 entries; oldest-attested in window: r6/r7 cohort
+# drained; left out: 229
 CHECK_PRIORITY: tuple[str, ...] = (
-    "q_embedding_centroid_health",  # --- code changed this round: attest first ---
-    "q_triangle_census_sampled",
-    "q_triangle_count",
-    "q_label_propagation",
-    "q_wedge_mass_preflight",  # --- never driver-attested ---
-    "q_multimodal_mp4_frames",
-    "q_seasonal_forecast_eval",  # --- backfill: oldest attestation first ---
-    "q_funnel_three_step",
-    "q_ab_test_proportions",
-    "q_audience_flags",
-    "q_ship_latency_percentiles",
-    "q_asof_tolerance",
-    "q_cms_heavy_hitters",
-    "q_bom_explosion",
-    "q_spatial_radius_join",
-    "q_hapax_vocabulary",
-    "q_heaps_law_fit",
-    "q_dedup_chunk_rewrite",
-    "q_dedup_repeated_spans",
-    "q_scalar_multiformat_ts",
-    "q_asof_last_signup",
-    "q_grouping_sets_revenue",
-    "q_window_range_frame",
-    "q_window_first_last_nth",
-    "q_ordered_string_agg",
-    "q_sample_hash_10pct",
-    "q_posexplode_tokens",
-    "q_union_by_name_missing",
-    "q_market_basket_rules",
-    "q_item_cf_similar",
-    "q_dedup_doc_stitching",
-    "q_tfidf_top_terms",
-    "q_tfidf_nearest_docs",
-    "q_text_zipf_fit",
-    "q_pmi_collocations",
-    "q_bpe_merge_candidates",
-    "q_bm25_top_terms",
-    "q_corpus_gini",
-    "q_lm_bigram_score",
-    "q_weighted_sample",
-    "q_curriculum_buckets",
-    "q_span_corruption_plan",
-    "q_token_budget_allocation",
-    "q_filter_funnel",
-    "q_hashed_linear_score",
-    "q_dq_outlier_mad",
-    "q_dq_ks_drift",
-    "q_dq_benford_check",
-    "q_multimodal_audio_energy",
-    "q_k_anonymity",
-    "q_dp_noisy_counts",  # ---------------- first-50 window ends above ----------------
+    "q_triangle_census_sampled",  # --- code changed this round: attest first ---
+    "q_connected_components",
+    "q_dp_noisy_counts",  # --- backfill: oldest attestation first ---
     "q_pseudonymize_consistent",
     "q_erasure_cascade",
     "q_variant_json_stats",
@@ -169,7 +119,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_join_semi_big_orders",
     "q_training_data_prep",
     "q_window_range_frame_partitioned",
-    "q_dq_embedding_contract",
+    "q_dq_embedding_contract",  # ---------------- first-50 window ends above ----------------
     "q_hll_sketch_union",
     "q_window_distribution_ranks_partitioned",
     "q_timeseries_gapfill",
@@ -349,6 +299,55 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_seasonal_anomaly_days",
     "q_semdedup_clusters",
     "q_multimodal_shot_cuts",
+    "q_asof_last_signup",
+    "q_grouping_sets_revenue",
+    "q_window_range_frame",
+    "q_window_first_last_nth",
+    "q_ordered_string_agg",
+    "q_sample_hash_10pct",
+    "q_posexplode_tokens",
+    "q_union_by_name_missing",
+    "q_embedding_centroid_health",
+    "q_triangle_count",
+    "q_market_basket_rules",
+    "q_seasonal_forecast_eval",
+    "q_funnel_three_step",
+    "q_ab_test_proportions",
+    "q_audience_flags",
+    "q_ship_latency_percentiles",
+    "q_asof_tolerance",
+    "q_cms_heavy_hitters",
+    "q_label_propagation",
+    "q_item_cf_similar",
+    "q_bom_explosion",
+    "q_spatial_radius_join",
+    "q_hapax_vocabulary",
+    "q_heaps_law_fit",
+    "q_dedup_chunk_rewrite",
+    "q_dedup_repeated_spans",
+    "q_dedup_doc_stitching",
+    "q_tfidf_top_terms",
+    "q_tfidf_nearest_docs",
+    "q_text_zipf_fit",
+    "q_pmi_collocations",
+    "q_bpe_merge_candidates",
+    "q_bm25_top_terms",
+    "q_corpus_gini",
+    "q_lm_bigram_score",
+    "q_weighted_sample",
+    "q_curriculum_buckets",
+    "q_span_corruption_plan",
+    "q_token_budget_allocation",
+    "q_filter_funnel",
+    "q_hashed_linear_score",
+    "q_dq_outlier_mad",
+    "q_dq_ks_drift",
+    "q_dq_benford_check",
+    "q_wedge_mass_preflight",
+    "q_multimodal_mp4_frames",
+    "q_multimodal_audio_energy",
+    "q_k_anonymity",
+    "q_scalar_multiformat_ts",
 )
 
 
@@ -365,6 +364,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_ts,
         dedup,
         etl,
+        graph_components,
         graph_sampling,
         llm_ops,
         multimodal,

@@ -103,6 +103,9 @@ def _lazy_forms():
         q_label_propagation_lazy,
         q_pagerank_lazy,
     )
+    from etl_pipeline_spark.queries.graph_components import (
+        q_connected_components_lazy,
+    )
 
     return {
         "q_pagerank": q_pagerank_lazy,
@@ -115,6 +118,9 @@ def _lazy_forms():
         # fourth blind query): the CC fixpoint eagerly checkpoints per
         # round for convergence observation
         "q_dedup_clusters": dedup_clusters_lazy,
+        # r14: the co-purchase WCC census shares the CC fixpoint's eager
+        # per-round checkpoints; audit the one-round + summary twin
+        "q_connected_components": q_connected_components_lazy,
         # r9: rewritten onto the persisted edge frame after its sf10
         # slope exposed the lazily-checkpointed triple-shuffle form
         "q_degree_assortativity": q_degree_assortativity_lazy,
