@@ -61,6 +61,8 @@ SCALE_QUERIES = [
     "q_text_gopher_repetition",
     # r13: DOULION sampled census (exact + sampled wedge joins side by side)
     "q_triangle_census_sampled",
+    # r14: WCC census (iterative min-label fixpoint + structural verdict)
+    "q_connected_components",
 ]
 
 

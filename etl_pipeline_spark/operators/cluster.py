@@ -84,7 +84,13 @@ def shingle_scan_split_cap(spark: SparkSession, sf_dir: str):
         spark.conf.set(key, old)
 
 
-def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = MAX_ITER) -> DataFrame:
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = MAX_ITER,
+    disk_only: bool = False,
+    round_splits: int = 1,
+) -> DataFrame:
     """nodes(node), edges(src, dst) undirected -> (node, cluster_id) with
     cluster_id = min node id reachable.
 
@@ -92,8 +98,26 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = MAX
     ``max_iter`` with labels still changing (a component deeper than
     max_iter), the partial labels would be silently wrong — so that case
     falls back to :func:`connected_components_two_phase`, which converges
-    in O(log n) rounds on any topology and has the same fixpoint."""
+    in O(log n) rounds on any topology and has the same fixpoint.
+
+    ``disk_only`` (r14, billion-edge soaks): persist the symmetric edge
+    frame DISK_ONLY — the deserialized default holds ~2x|E| two-long
+    rows on-heap, which starves execution memory at the sf10+ frames
+    exactly as the r13 census OOM documented; what every round reuses
+    is the dst partitioning, not block residency.
+
+    ``round_splits`` (r14, same lever as lpa_labels' r13 closure): a
+    node's neighborhood minimum depends only on edges with that node as
+    the propagation TARGET (cc_round's src after symmetrization), so the
+    round partitions exactly by pmod(src, K). Pass k computes and
+    eagerly materializes the neighbor-min for its src slice; the round's
+    neighbor-min table is the disjoint union of the K passes, so
+    simultaneous shuffle scratch drops ~K-fold for K-fold more passes
+    over the map-side filter. The label table per round is identical by
+    construction; set-equality pinned in tests/test_graph_components.py.
+    """
     from pyspark.sql import Observation
+    from pyspark.storagelevel import StorageLevel
 
     # persist, not localCheckpoint: the edge frame is the BIG side of
     # every round's join and persist keeps the dst-key partitioning
@@ -106,8 +130,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = MAX
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .repartition(F.col("dst"))
-        .persist()
     )
+    sym = sym.persist(StorageLevel.DISK_ONLY) if disk_only else sym.persist()
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
     converged = False
     for _ in range(max_iter):
@@ -115,7 +139,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = MAX
         # new labels AND fills the changed-count observation
         obs = Observation()
         new_labels = (
-            cc_round(sym, labels)
+            cc_round(sym, labels, round_splits=round_splits)
             .observe(
                 obs, F.sum((F.col("label") != F.col("_old")).cast("long")).alias("changed")
             )
@@ -140,17 +164,33 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = MAX
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
-def cc_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+def cc_round(sym: DataFrame, labels: DataFrame, round_splits: int = 1) -> DataFrame:
     """One synchronous min-label propagation round: every node adopts the
     minimum of its own label and its neighbors' labels. Returns (node,
     label, _old) — the production loop observes `label != _old` for
     convergence then checkpoints; the plan-audit twin reads the round
-    lazily. Factored out so both see the identical plan shape."""
-    neighbor_min = (
-        sym.join(labels, sym.dst == labels.node)
-        .groupBy(F.col("src").alias("node"))
-        .agg(F.min("label").alias("nbr_label"))
-    )
+    lazily (with the default single split, so the audited plan is the
+    unsplit shape). With ``round_splits`` > 1 the neighbor-min is the
+    disjoint union of K eagerly-materialized pmod(src, K) passes — see
+    connected_components' docstring for the scratch-for-passes trade."""
+    if round_splits > 1:
+        parts = [
+            sym.filter(F.pmod(F.col("src"), round_splits) == k)
+            .join(labels, F.col("dst") == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+            .localCheckpoint(eager=True)
+            for k in range(round_splits)
+        ]
+        neighbor_min = parts[0]
+        for p in parts[1:]:
+            neighbor_min = neighbor_min.unionAll(p)
+    else:
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
     return (
         labels.withColumnRenamed("label", "_old")
         .join(neighbor_min, "node", "left_outer")

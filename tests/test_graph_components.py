@@ -61,6 +61,34 @@ def test_wcc_is_fixpoint_flips_on_wrong_labels(spark):
     assert not r2["is_fixpoint"]
 
 
+def test_wcc_round_splits_and_disk_only_equivalence(spark):
+    """round_splits partitions each propagation round by pmod(src, K):
+    the label set per round — and therefore the fixpoint — is identical
+    by construction; disk_only only changes the edge frame's storage
+    level. Pinned at K=3 and K=4 against the single-pass labels on the
+    two-component graph plus a path long enough to need several rounds."""
+    from etl_pipeline_spark.operators.cluster import connected_components
+
+    path = [(i, i + 1) for i in range(20, 27)]  # 8-node path, diameter 7
+    edges = spark.createDataFrame(EDGES + path, "src long, dst long")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    want = sorted(
+        tuple(r) for r in connected_components(nodes, edges).collect()
+    )
+    for k in (3, 4):
+        got = sorted(
+            tuple(r)
+            for r in connected_components(
+                nodes, edges, round_splits=k, disk_only=True
+            ).collect()
+        )
+        assert got == want, f"round_splits={k} diverged"
+
+
 def test_wcc_registry_row_on_fixture(spark):
     """sf0.001's support-2 co-purchase graph is one giant component of
     all 200 parts (measured when the query was built) — the census row

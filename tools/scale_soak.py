@@ -833,6 +833,121 @@ def main_sf50_graph() -> None:
     print(json.dumps({"summary_sf50_graph": summary}), flush=True)
 
 
+def main_wcc_graph() -> None:
+    """r14: the WCC census (q_connected_components' machinery) at sf10
+    and sf50 on the stamped support-1 edge frames — the same disjoint-
+    copy ladder as pagerank/LPA/k-core, with the same built-in oracle:
+    the copies are node-disjoint, so n_components and sum_sq_sizes must
+    be EXACTLY 5x the sf10 values and giant_size bit-equal; is_fixpoint
+    must hold at both scales (the census's structural verdict — edge-
+    endpoint label agreement + per-component min-member — is itself
+    computed distributed, so the oracle runs IN the soak).
+
+    Memory regime: disk_only=True persists the symmetric frame's blocks
+    on disk (the deserialized default is the r13 census-OOM class), and
+    the sf50 leg runs round_splits=4 — the lever that closed sf50 LPA
+    (pmod(src, K) passes, one pass's join+groupBy scratch at a time).
+    Disk preflight factors are LPA-derived priors (14x unsplit / 7x
+    split-4 of the input parquet: 5.5x DISK_ONLY frame + per-pass
+    transient), recorded against measurement in BASELINE.md."""
+    spark = get_spark("scale_soak_wcc")
+    spark.conf.set("spark.sql.shuffle.partitions", "512")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "32m")
+
+    from etl_pipeline_spark.operators.cluster import connected_components
+    from etl_pipeline_spark.queries.graph_components import wcc_summary
+
+    DISK_FACTOR_WCC = {1: 14, 4: 7}
+
+    def _dir_bytes(path: str) -> int:
+        total = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    results: dict[str, dict] = {}
+    for sf_label, d, splits in [
+        ("10", SF10_EDGE_DIR, 1),
+        ("50", SF50_EDGE_DIR, 4),
+    ]:
+        frame_bytes = _dir_bytes(d)
+        need = DISK_FACTOR_WCC[splits] * frame_bytes
+        free = __import__("shutil").disk_usage("/").free
+        if free < need:
+            rec = {
+                "skipped": (
+                    f"insufficient free disk: need ~{need >> 30} GiB "
+                    f"({DISK_FACTOR_WCC[splits]}x {frame_bytes >> 20} MiB "
+                    f"parquet), have {free >> 30} GiB"
+                ),
+                "sec": 0.0,
+            }
+            results[sf_label] = rec
+            print(json.dumps({"sf": sf_label, "op": "wcc", **rec}), flush=True)
+            continue
+        directed = spark.read.parquet(d)
+        # canonical half of the stamped both-ways frame; the operator
+        # re-symmetrizes internally (its sym frame is dst-partitioned
+        # and DISK_ONLY under disk_only=True)
+        edges = directed.filter(F.col("u") < F.col("v")).select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        )
+        # every node appears as u in the both-ways frame: one distinct,
+        # no union
+        nodes = directed.select(F.col("u").alias("node")).distinct()
+        t0 = time.perf_counter()
+        try:
+            comp = connected_components(
+                nodes, edges, disk_only=True, round_splits=splits
+            )
+            rec = wcc_summary(edges, comp).collect()[0].asDict()
+        except Exception as exc:  # record the boundary, keep going
+            rec = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+        rec["sec"] = round(time.perf_counter() - t0, 2)
+        rec["round_splits"] = splits
+        results[sf_label] = rec
+        print(json.dumps({"sf": sf_label, "op": "wcc", **rec}), flush=True)
+        release_session_blocks(spark)
+
+    r10, r50 = results.get("10", {}), results.get("50", {})
+
+    def lin(key, mult):
+        a, b = r10.get(key), r50.get(key)
+        return a is not None and b is not None and b == mult * a
+
+    summary = {
+        "sf10_sec": r10.get("sec"),
+        "sf50_sec": r50.get("sec"),
+        "t_ratio_5x": (
+            round(r50["sec"] / max(r10["sec"], 1e-9), 2)
+            if "sec" in r10 and "sec" in r50
+            else None
+        ),
+        "linearity_5x_exact": {
+            "n_components": lin("n_components", 5),
+            "sum_sq_sizes": lin("sum_sq_sizes", 5),
+            "n_edges": lin("n_edges", 5),
+            # disjoint copies: the giant component is a COPY, not 5x
+            "giant_size_equal": (
+                r10.get("giant_size") == r50.get("giant_size")
+                if r10.get("giant_size") is not None
+                and r50.get("giant_size") is not None
+                else None
+            ),
+        },
+        "is_fixpoint_both": (
+            bool(r10.get("is_fixpoint")) and bool(r50.get("is_fixpoint"))
+            if r10.get("is_fixpoint") is not None
+            and r50.get("is_fixpoint") is not None
+            else None
+        ),
+        "errors": {s: r["error"] for s, r in results.items() if "error" in r},
+        "skips": {s: r["skipped"] for s, r in results.items() if "skipped" in r},
+    }
+    print(json.dumps({"summary_wcc_graph": summary}), flush=True)
+
+
 def main_sf50_lpa_split() -> None:
     """r13 judge #6: LPA at sf50 with round splitting. Eager rounds
     alone left LPA's disk factor at 14x parquet (the 9x attempt was
@@ -1277,6 +1392,9 @@ def main() -> None:
         return
     if "--sf50-lpa-split" in sys.argv:
         main_sf50_lpa_split()
+        return
+    if "--wcc" in sys.argv:
+        main_wcc_graph()
         return
     if "--sf100" in sys.argv:
         main_sf100()
