@@ -298,6 +298,15 @@ def connected_components_two_phase(
       small-star: every node connects its smaller-or-equal neighbors
                   (and itself) to that minimum.
     Edges shrink toward a star centered on each component's minimum.
+
+    Raises ``RuntimeError`` if the edge set is still changing after
+    ``max_iter`` rounds (r14): this function is the LAST-resort fallback
+    — the labels computed from a non-converged edge set can map a node
+    to an intermediate parent and silently split a true component, and
+    no caller downstream re-checks them. Convergence needs ~log2(n)
+    alternating rounds on adversarial (path) topologies, so a deep
+    graph past ``2^max_iter`` nodes must raise, not lie; callers at
+    that scale pass a larger ``max_iter`` explicitly.
     """
     # parent(u) starts as u; edge list is kept as parent pointers (u -> p)
     sym = edges.select("src", "dst").union(
@@ -306,6 +315,7 @@ def connected_components_two_phase(
     # include self-loops so isolated nodes survive the iterations
     e = sym.union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
     e = e.distinct().localCheckpoint(eager=True)
+    star_converged = False
     for _ in range(max_iter):
         # large-star: group by src over symmetric edges, m = min(dst, src)
         sym_e = e.select("src", "dst").union(
@@ -333,8 +343,16 @@ def connected_components_two_phase(
         sym_diff = new_e.exceptAll(e).union(e.exceptAll(new_e))
         if sym_diff.limit(1).count() == 0:
             e = new_e
+            star_converged = True
             break
         e = new_e
+    if not star_converged:
+        raise RuntimeError(
+            f"connected_components_two_phase did not converge in {max_iter} "
+            "rounds — labels from a non-converged star contraction can "
+            "silently split components; pass a larger max_iter "
+            "(~log2(n) rounds on path-like topologies)"
+        )
     comp = (
         e.select("src", "dst")
         .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

@@ -89,6 +89,32 @@ def test_wcc_round_splits_and_disk_only_equivalence(spark):
         assert got == want, f"round_splits={k} diverged"
 
 
+def test_two_phase_raises_on_exhaustion_not_wrong_labels(spark):
+    """r14: on max_iter exhaustion the star contraction's intermediate
+    edge set can label a node with a non-minimal parent — splitting a
+    true component SILENTLY. The last-resort fallback must raise by
+    name instead. A 40-node path needs several alternating rounds;
+    max_iter=1 must raise, a roomy max_iter must converge to the single
+    true component."""
+    import pytest
+
+    from etl_pipeline_spark.operators.cluster import (
+        connected_components_two_phase,
+    )
+
+    path = [(i, i + 1) for i in range(39)]
+    edges = spark.createDataFrame(path, "src long, dst long")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_two_phase(nodes, edges, max_iter=1)
+    got = connected_components_two_phase(nodes, edges, max_iter=12).collect()
+    assert len(got) == 40 and all(r["cluster_id"] == 0 for r in got)
+
+
 def test_wcc_registry_row_on_fixture(spark):
     """sf0.001's support-2 co-purchase graph is one giant component of
     all 200 parts (measured when the query was built) — the census row
