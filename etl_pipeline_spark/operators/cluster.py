@@ -284,58 +284,96 @@ def clusters_oracle(pairs_sql: str) -> str:
 
 
 def connected_components_two_phase(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = MAX_ITER
-) -> DataFrame:
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = MAX_ITER,
+    with_rounds: bool = False,
+):
     """Alternating large-star/small-star connected components (Kiveris et
     al., "Connected Components in MapReduce and Beyond") — converges in
     O(log n) rounds even on long path graphs, where plain min-label
     propagation needs O(diameter) rounds. Same fixpoint: every node maps
     to the minimum node id in its component.
 
-    Each round:
-      large-star: every node connects its strictly-larger neighbors to
-                  the minimum of its closed neighborhood;
-      small-star: every node connects its smaller-or-equal neighbors
-                  (and itself) to that minimum.
-    Edges shrink toward a star centered on each component's minimum.
+    Each round applies the two stars SEQUENTIALLY — small-star consumes
+    large-star's output, never the round's input:
+      large-star: every node u connects its strictly-larger neighbors to
+                  m = min(N(u) + {u});
+      small-star: over the (hi > lo)-oriented result, every node hi
+                  re-points its (all-smaller) neighbors AND itself to
+                  min(N(hi) + {hi}).
+    Edges contract toward a star forest centered on each component's
+    minimum, and each star's output is at most one edge per input edge
+    (plus the per-node self-pointer), so |E| stays O(|E0|) throughout.
+
+    r14 REWRITE — the prior form unioned both stars' outputs computed
+    from the SAME input edge set, which is not the Kiveris alternation:
+    on long paths the union kept both rewirings and the edge set
+    DOUBLED per round (measured: a 10,000-node path grew 30k -> 28.4M
+    edges by round 11, then died in AGGREGATE_OUT_OF_MEMORY) — the
+    fallback failed at exactly the deep topologies it exists for. Small
+    near-dup components never exposed it. The sequential form is pinned
+    against pure-Python union-find on paths, reversed paths, and random
+    graphs, with the O(log n) round count and the bounded edge count
+    asserted (tests/test_graph_components.py).
 
     Raises ``RuntimeError`` if the edge set is still changing after
     ``max_iter`` rounds (r14): this function is the LAST-resort fallback
-    — the labels computed from a non-converged edge set can map a node
-    to an intermediate parent and silently split a true component, and
-    no caller downstream re-checks them. Convergence needs ~log2(n)
-    alternating rounds on adversarial (path) topologies, so a deep
-    graph past ``2^max_iter`` nodes must raise, not lie; callers at
-    that scale pass a larger ``max_iter`` explicitly.
+    — the labels computed from a non-converged star contraction can map
+    a node to an intermediate parent and silently split a true
+    component, and no caller downstream re-checks them. Convergence
+    needs ~log2(n) rounds on path topologies (measured: 15 rounds at
+    10^4, 18 at 10^5), so a deeper graph than ``2^max_iter`` must
+    raise, not lie; callers at that scale pass a larger ``max_iter``.
+
+    ``with_rounds=True`` returns ``(comp, rounds_used)`` — the observed
+    contraction depth, which the deep-topology soak records against the
+    O(log n) bound (tools/scale_soak.py --wcc-deep).
     """
-    # parent(u) starts as u; edge list is kept as parent pointers (u -> p)
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # canonical (hi > lo) orientation, self-loops dropped; isolated
+    # nodes re-enter at the end via the left join (they never need to
+    # move — their component is themselves)
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    # include self-loops so isolated nodes survive the iterations
-    e = sym.union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
-    e = e.distinct().localCheckpoint(eager=True)
     star_converged = False
+    rounds_used = 0
     for _ in range(max_iter):
-        # large-star: group by src over symmetric edges, m = min(dst, src)
-        sym_e = e.select("src", "dst").union(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        rounds_used += 1
+        # large-star over the symmetric view: m = min of the closed
+        # neighborhood; every strictly-larger neighbor points to m
+        sym_e = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
-        m = sym_e.groupBy("src").agg(F.min("dst").alias("m"))
-        m = m.select("src", F.least("src", "m").alias("m"))
+        m = (
+            sym_e.groupBy("u")
+            .agg(F.min("v").alias("m"))
+            .select("u", F.least("u", "m").alias("m"))
+        )
         large = (
-            sym_e.join(m, "src")
-            .filter(F.col("dst") > F.col("src"))
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            sym_e.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
         )
-        # small-star: neighbors <= src (and self) link to m
-        small = (
-            sym_e.join(m, "src")
-            .filter(F.col("dst") <= F.col("src"))
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .union(m.select(F.col("src"), F.col("m").alias("dst")))
+        # small-star over large's OUTPUT (hi > lo by construction:
+        # v > u >= m): every hi re-points its smaller neighbors and
+        # itself to the minimum
+        m2 = large.groupBy("hi").agg(F.min("lo").alias("m2"))
+        new_e = (
+            large.join(m2, "hi")
+            .select(F.col("lo").alias("hi"), F.col("m2").alias("lo"))
+            .union(m2.select(F.col("hi"), F.col("m2").alias("lo")))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        new_e = large.union(small).distinct().localCheckpoint(eager=True)
         # converged when the edge set is fixed: ONE symmetric-difference
         # job per round (both sides are distinct sets, so the union of the
         # two exceptAlls is empty iff the sets are equal) instead of two
@@ -353,11 +391,14 @@ def connected_components_two_phase(
             "silently split components; pass a larger max_iter "
             "(~log2(n) rounds on path-like topologies)"
         )
+    # the converged set is a star forest: every non-root appears as hi
+    # with lo = its component's minimum; roots and isolated nodes keep
+    # themselves
     comp = (
-        e.select("src", "dst")
-        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .groupBy(F.col("src").alias("node"))
-        .agg(F.min("dst").alias("m"))
-        .select("node", F.least("node", "m").alias("cluster_id"))
+        nodes.join(
+            e.groupBy(F.col("hi").alias("node")).agg(F.min("lo").alias("m")),
+            "node",
+            "left_outer",
+        ).select("node", F.coalesce("m", "node").alias("cluster_id"))
     )
-    return comp
+    return (comp, rounds_used) if with_rounds else comp

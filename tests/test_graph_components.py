@@ -115,6 +115,55 @@ def test_two_phase_raises_on_exhaustion_not_wrong_labels(spark):
     assert len(got) == 40 and all(r["cluster_id"] == 0 for r in got)
 
 
+def test_two_phase_matches_union_find_on_random_and_path(spark):
+    """r14 rewrite pin: the alternating large-star/small-star (stars
+    applied SEQUENTIALLY — the prior same-input union doubled the edge
+    set per round on paths and OOMed at 10^4 nodes) must match pure-
+    Python union-find exactly on a random multigraph and a reversed-id
+    path, with the O(log n) round count observed."""
+    import random
+
+    from etl_pipeline_spark.operators.cluster import (
+        connected_components_two_phase,
+    )
+
+    def truth(pairs, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    rng = random.Random(7)
+    rand_pairs = [
+        (rng.randrange(500), rng.randrange(500)) for _ in range(320)
+    ]
+    rand_pairs = [p for p in rand_pairs if p[0] != p[1]]
+    rev_path = [(200 - i, 199 - i) for i in range(199)]  # ids 1..200
+    for pairs, node_set, max_rounds in [
+        (rand_pairs, set(range(500)), 10),
+        (rev_path, set(range(1, 201)), 12),
+    ]:
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        nodes = spark.createDataFrame(
+            [(n,) for n in sorted(node_set)], "node long"
+        )
+        comp, rounds = connected_components_two_phase(
+            nodes, edges, max_iter=20, with_rounds=True
+        )
+        got = {r["node"]: r["cluster_id"] for r in comp.collect()}
+        assert got == truth(pairs, node_set)
+        assert rounds <= max_rounds  # O(log n), not O(diameter)
+
+
 def test_wcc_registry_row_on_fixture(spark):
     """sf0.001's support-2 co-purchase graph is one giant component of
     all 200 parts (measured when the query was built) — the census row
