@@ -948,6 +948,90 @@ def main_wcc_graph() -> None:
     print(json.dumps({"summary_wcc_graph": summary}), flush=True)
 
 
+def main_wcc_deep() -> None:
+    """r14: the two-phase (alternating star) fallback at the topology it
+    exists for — PATH graphs, where min-label needs O(diameter) = O(n)
+    rounds and is categorically infeasible. Paths of 10M and 100M nodes
+    (built map-only from spark.range; the monotone-id path is also the
+    star contraction's worst case measured in rounds), max_iter=40
+    against the predicted ~log2(n)+constant rounds (pure-Python replay:
+    15 @ 10^4, 18 @ 10^5, 21 @ 10^6; Spark matched all three exactly in
+    the r14 calibration). Verdict per leg: exactly ONE component labeled
+    0 covering all n nodes — exact, not banded. This leg would have been
+    impossible before the r14 rewrite: the prior same-input star union
+    DOUBLED the edge set per round and OOMed at 10^4 nodes.
+
+    Scratch per round is star-bounded (each star emits at most one edge
+    per input edge): ~2 live checkpoint generations of <= 2n rows. The
+    100M leg gates on a conservative 30 GiB free-disk bar and records
+    the skip mechanically if the host can't carry it."""
+    spark = get_spark("scale_soak_wcc_deep")
+    # 512 reduce partitions at the 100M leg (200M-row symmetric view):
+    # the first 256-partition, 32-thread attempt died in the JVM's
+    # NativeThreadSet spill-reader race right after TaskMemoryManager
+    # page-allocation failures — per-task input, not heap, is the lever
+    # (the sf100 lesson again); run under SPARK_GRAFT_CPUS=16 for the
+    # 100M leg
+    spark.conf.set("spark.sql.shuffle.partitions", "512")
+
+    from etl_pipeline_spark.operators.cluster import (
+        connected_components_two_phase,
+    )
+
+    legs = [("10M", 10_000_000), ("100M", 100_000_000)]
+    for i, a in enumerate(sys.argv):
+        if a == "--legs":  # e.g. --legs 100M  (rerun one leg alone)
+            want = set(sys.argv[i + 1].split(","))
+            legs = [(lb, n) for lb, n in legs if lb in want]
+
+    results: dict[str, dict] = {}
+    for label, n in legs:
+        if label == "100M":
+            free = __import__("shutil").disk_usage("/").free
+            if free < 30 << 30:
+                rec = {
+                    "skipped": (
+                        f"insufficient free disk: need ~30 GiB "
+                        f"(conservative 2-generation checkpoint bar), "
+                        f"have {free >> 30} GiB"
+                    ),
+                    "sec": 0.0,
+                }
+                results[label] = rec
+                print(json.dumps({"leg": label, "op": "wcc_deep", **rec}), flush=True)
+                continue
+        edges = spark.range(n - 1).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        nodes = spark.range(n).select(F.col("id").alias("node"))
+        t0 = time.perf_counter()
+        try:
+            comp, rounds = connected_components_two_phase(
+                nodes, edges, max_iter=40, with_rounds=True
+            )
+            s = comp.agg(
+                F.count("*").alias("n_nodes"),
+                F.countDistinct("cluster_id").alias("n_components"),
+                F.max("cluster_id").alias("max_label"),
+            ).collect()[0]
+            rec = {
+                "n_nodes": s["n_nodes"],
+                "n_components": s["n_components"],
+                "max_label": s["max_label"],
+                "rounds": rounds,
+                "exact": s["n_nodes"] == n
+                and s["n_components"] == 1
+                and s["max_label"] == 0,
+            }
+        except Exception as exc:  # record the boundary, keep going
+            rec = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+        rec["sec"] = round(time.perf_counter() - t0, 2)
+        results[label] = rec
+        print(json.dumps({"leg": label, "op": "wcc_deep", **rec}), flush=True)
+        release_session_blocks(spark)
+    print(json.dumps({"summary_wcc_deep": results}), flush=True)
+
+
 def main_sf50_lpa_split() -> None:
     """r13 judge #6: LPA at sf50 with round splitting. Eager rounds
     alone left LPA's disk factor at 14x parquet (the 9x attempt was
@@ -1392,6 +1476,9 @@ def main() -> None:
         return
     if "--sf50-lpa-split" in sys.argv:
         main_sf50_lpa_split()
+        return
+    if "--wcc-deep" in sys.argv:
+        main_wcc_deep()
         return
     if "--wcc" in sys.argv:
         main_wcc_graph()
