@@ -160,7 +160,7 @@ def connected_components(
             "large-star/small-star",
             stacklevel=2,
         )
-        return connected_components_two_phase(nodes, edges)
+        return connected_components_two_phase(nodes, edges, disk_only=disk_only)
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
@@ -288,6 +288,7 @@ def connected_components_two_phase(
     edges: DataFrame,
     max_iter: int = MAX_ITER,
     with_rounds: bool = False,
+    disk_only: bool = False,
 ):
     """Alternating large-star/small-star connected components (Kiveris et
     al., "Connected Components in MapReduce and Beyond") — converges in
@@ -329,7 +330,24 @@ def connected_components_two_phase(
     ``with_rounds=True`` returns ``(comp, rounds_used)`` — the observed
     contraction depth, which the deep-topology soak records against the
     O(log n) bound (tools/scale_soak.py --wcc-deep).
+
+    ``disk_only`` (r14): store the per-round checkpoint generations
+    DISK_ONLY. Two generations are live at once (the round's input and
+    output, compared by the convergence probe), and the edge set stays
+    ~|V| rows through the whole contraction — at the 100M-node deep
+    leg that is 2 x ~5-6 GB deserialized, which OOMed the 8 GB heap
+    (measured: heap death in round 2 right after 'Not enough space to
+    cache rdd_6_11'). On disk the generations cost the heap nothing;
+    what each round reuses is the row set, not block residency — the
+    same lever as connected_components(disk_only=True).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    ckpt_level = (
+        StorageLevel.DISK_ONLY
+        if disk_only
+        else StorageLevel.MEMORY_AND_DISK_DESER
+    )
     # canonical (hi > lo) orientation, self-loops dropped; isolated
     # nodes re-enter at the end via the left join (they never need to
     # move — their component is themselves)
@@ -339,7 +357,7 @@ def connected_components_two_phase(
         )
         .filter(F.col("hi") != F.col("lo"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=ckpt_level)
     )
     star_converged = False
     rounds_used = 0
@@ -372,7 +390,7 @@ def connected_components_two_phase(
             .union(m2.select(F.col("hi"), F.col("m2").alias("lo")))
             .filter(F.col("hi") != F.col("lo"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=ckpt_level)
         )
         # converged when the edge set is fixed: ONE symmetric-difference
         # job per round (both sides are distinct sets, so the union of the
@@ -384,6 +402,16 @@ def connected_components_two_phase(
             star_converged = True
             break
         e = new_e
+        # drop the previous generation's driver-side references NOW:
+        # Spark's ContextCleaner reclaims shuffle files/metadata via
+        # weak refs, so a ~30-round contraction in one JVM accumulates
+        # every round's shuffle state until a GC happens to run — the
+        # r14 100M-path leg died of heap creep at round ~25 (measured;
+        # DISK_ONLY generations alone fixed only the block-storage
+        # half). Per-round collection keeps the live set at ~2 rounds.
+        import gc
+
+        gc.collect()
     if not star_converged:
         raise RuntimeError(
             f"connected_components_two_phase did not converge in {max_iter} "

@@ -964,8 +964,22 @@ def main_wcc_deep() -> None:
     Scratch per round is star-bounded (each star emits at most one edge
     per input edge): ~2 live checkpoint generations of <= 2n rows. The
     100M leg gates on a conservative 30 GiB free-disk bar and records
-    the skip mechanically if the host can't carry it."""
-    spark = get_spark("scale_soak_wcc_deep")
+    the skip mechanically if the host can't carry it.
+
+    Single-JVM longevity (r14, measured the hard way): a ~30-round
+    contraction runs ~300 jobs / 800+ stages in ONE JVM, and Spark's
+    ContextCleaner reclaims old shuffles only when a driver GC happens
+    to collect their weak refs — the first 100M attempts died of heap
+    creep at round ~25 even after DISK_ONLY generations. Mitigations:
+    per-round gc.collect() in the operator loop, a 3-minute
+    spark.cleaner.periodicGC.interval (default 30min — only ~3 GCs in
+    a 90-minute leg), and SPARK_GRAFT_DRIVER_MEM=16g for this leg (the
+    8 GB default is the right CLUSTER story; the accumulation is a
+    single-JVM soak artifact a per-job-session deployment never sees)."""
+    spark = get_spark(
+        "scale_soak_wcc_deep",
+        extra_conf={"spark.cleaner.periodicGC.interval": "3min"},
+    )
     # 512 reduce partitions at the 100M leg (200M-row symmetric view):
     # the first 256-partition, 32-thread attempt died in the JVM's
     # NativeThreadSet spill-reader race right after TaskMemoryManager
@@ -1007,7 +1021,15 @@ def main_wcc_deep() -> None:
         t0 = time.perf_counter()
         try:
             comp, rounds = connected_components_two_phase(
-                nodes, edges, max_iter=40, with_rounds=True
+                nodes,
+                edges,
+                max_iter=40,
+                with_rounds=True,
+                # two ~|V|-row checkpoint generations live at once; at
+                # 100M nodes that is 2 x ~5-6 GB deserialized — heap
+                # death in round 2 on the 8 GB JVM (measured). DISK_ONLY
+                # generations cost the heap nothing.
+                disk_only=(n >= 50_000_000),
             )
             s = comp.agg(
                 F.count("*").alias("n_nodes"),
