@@ -110,8 +110,8 @@ def connected_components(
     node's neighborhood minimum depends only on edges with that node as
     the propagation TARGET (cc_round's src after symmetrization), so the
     round partitions exactly by pmod(src, K). Pass k computes and
-    eagerly materializes the neighbor-min for its src slice; the round's
-    neighbor-min table is the disjoint union of the K passes, so
+    eagerly materializes the closed-neighborhood min for its src slice;
+    the round's label table is the disjoint union of the K passes, so
     simultaneous shuffle scratch drops ~K-fold for K-fold more passes
     over the map-side filter. The label table per round is identical by
     construction; set-equality pinned in tests/test_graph_components.py.
@@ -126,30 +126,45 @@ def connected_components(
     # tests/test_plan_assertions.py), so only the node-sized label frame
     # shuffles per round. Unpersisted before return: every consumer
     # reads the eagerly-checkpointed labels, never this frame.
+    # Self-loops ride the symmetric frame (r14 optimization round): with
+    # (node, node) present, one join + MIN over the CLOSED neighborhood
+    # IS the new label, so the old cc_round's second join back to the
+    # previous labels (the least/coalesce re-attach) and its node-sized
+    # exchange are gone — 3 exchanges per round -> 2. This is also
+    # exactly the oracle's `adj` construction (graph_components.py), so
+    # both engines now run the identical per-round recurrence.
     sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
         .repartition(F.col("dst"))
     )
     sym = sym.persist(StorageLevel.DISK_ONLY) if disk_only else sym.persist()
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
+    # Convergence probe without the _old column: labels are elementwise
+    # non-increasing round over round (each new label is a min over a
+    # set containing the old label), so the label SUM strictly decreases
+    # until the fixpoint and an unchanged sum certifies an unchanged
+    # label set. One node-sized aggregate seeds the comparison; each
+    # round's sum rides the checkpoint action as an Observation, keeping
+    # the loop at one job per round.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
     for _ in range(max_iter):
         # one action per round: the eager localCheckpoint materializes the
-        # new labels AND fills the changed-count observation
+        # new labels AND fills the label-sum observation
         obs = Observation()
         new_labels = (
             cc_round(sym, labels, round_splits=round_splits)
-            .observe(
-                obs, F.sum((F.col("label") != F.col("_old")).cast("long")).alias("changed")
-            )
-            .drop("_old")
+            .observe(obs, F.sum("label").alias("label_sum"))
             .localCheckpoint(eager=True)
         )
         labels = new_labels
-        if int(obs.get["changed"] or 0) == 0:
+        cur_sum = obs.get["label_sum"]
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     sym.unpersist()
     if not converged:
         import warnings
@@ -165,40 +180,33 @@ def connected_components(
 
 
 def cc_round(sym: DataFrame, labels: DataFrame, round_splits: int = 1) -> DataFrame:
-    """One synchronous min-label propagation round: every node adopts the
-    minimum of its own label and its neighbors' labels. Returns (node,
-    label, _old) — the production loop observes `label != _old` for
-    convergence then checkpoints; the plan-audit twin reads the round
-    lazily (with the default single split, so the audited plan is the
-    unsplit shape). With ``round_splits`` > 1 the neighbor-min is the
-    disjoint union of K eagerly-materialized pmod(src, K) passes — see
+    """One synchronous min-label propagation round over a symmetric edge
+    frame that INCLUDES per-node self-loops: every node adopts the
+    minimum label of its CLOSED neighborhood, so one join + one
+    aggregation is the whole round (two node-sized exchanges; the r13
+    form re-attached the previous labels with a second join —
+    least/coalesce — costing a third exchange per round). Returns
+    (node, label). A node's full closed neighborhood shares one src
+    value, so with ``round_splits`` > 1 the round is the disjoint union
+    of K eagerly-materialized pmod(src, K) passes — see
     connected_components' docstring for the scratch-for-passes trade."""
     if round_splits > 1:
         parts = [
             sym.filter(F.pmod(F.col("src"), round_splits) == k)
             .join(labels, F.col("dst") == labels.node)
             .groupBy(F.col("src").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
+            .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
             for k in range(round_splits)
         ]
-        neighbor_min = parts[0]
+        out = parts[0]
         for p in parts[1:]:
-            neighbor_min = neighbor_min.unionAll(p)
-    else:
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
+            out = out.unionAll(p)
+        return out
     return (
-        labels.withColumnRenamed("label", "_old")
-        .join(neighbor_min, "node", "left_outer")
-        .select(
-            "node",
-            F.least(F.col("_old"), F.coalesce("nbr_label", "_old")).alias("label"),
-            "_old",
-        )
+        sym.join(labels, sym.dst == labels.node)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.min("label").alias("label"))
     )
 
 
@@ -245,12 +253,14 @@ def dedup_clusters_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    sym = pairs.select("src", "dst").union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
     nodes = d.select(F.col("doc_id").alias("node"))
+    sym = (
+        pairs.select("src", "dst")
+        .union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
+    )
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
-    comp = cc_round(sym, labels).drop("_old")
+    comp = cc_round(sym, labels)
     return comp.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),

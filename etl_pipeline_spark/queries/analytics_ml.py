@@ -237,11 +237,34 @@ def pagerank_edges(li: DataFrame, support: int = PR_SUPPORT) -> DataFrame:
     localCheckpoint would lose it; plan-asserted in
     tests/test_plan_assertions.py). pagerank_ranks unpersists this frame
     after materializing its final vector; any OTHER direct caller owns
-    the release (`.unpersist()` when done)."""
-    und = co_purchase_edges(li, support)
+    the release (`.unpersist()` when done).
+
+    r14 optimization round — 3 exchanges -> 2: the r13 form built the
+    canonical u < v pairs (exchange on (u, v) for the co-order count),
+    unioned the reversed copy, and re-exchanged on u. Directed pairs are
+    instead generated MAP-SIDE in both directions (two streamed explodes
+    of each order's part set — the same O(basket) peak-memory shape as
+    co_occurrence_pairs, just without the tail slice), so the
+    u-repartition the iterations reuse is ALSO the exchange feeding the
+    co-order count: Spark accepts hash(u) partitioning for the (u, v)
+    groupBy because the partitioning expressions are a subset of the
+    grouping keys, and the aggregate's output keeps that partitioning
+    for the persisted relation. The directed pair stream entering the
+    exchange is 2x the undirected form's, but it replaces a whole
+    (u, v)-keyed exchange + stage; the edge SET is identical (each
+    direction's co-order count equals the undirected count)."""
+    ps = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    pairs = (
+        ps.select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode("ps").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
     return (
-        und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .repartition(F.col("u"))
+        pairs.repartition(F.col("u"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= support)
+        .select("u", "v")
         # plain default persist (MEMORY_AND_DISK, deserialized): the edge
         # rows are two longs — the wide-checkpoint storage switch is for
         # shingle/feature arrays and does not apply here

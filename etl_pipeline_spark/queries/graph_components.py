@@ -64,6 +64,11 @@ def wcc_summary(edges: DataFrame, comp: DataFrame) -> DataFrame:
     counts, the giant component's size, Sum sz^2 (a partition-structure
     checksum: any node moving between components changes it), the label
     checksum, and the structural fixpoint verdict."""
+    # One pass over the label frame (r14 optimization round): the global
+    # node stats are exact functions of the per-component rollup —
+    # n_nodes = SUM(sz), label_checksum = SUM(cluster_id * sz) — so the
+    # separate whole-frame aggregate (a second scan of comp) is derived
+    # from per_comp instead of recomputed.
     per_comp = comp.groupBy("cluster_id").agg(
         F.count("*").alias("sz"), F.min("node").alias("min_node")
     )
@@ -74,9 +79,8 @@ def wcc_summary(edges: DataFrame, comp: DataFrame) -> DataFrame:
         F.sum((F.col("min_node") != F.col("cluster_id")).cast("long")).alias(
             "_bad_labels"
         ),
-    )
-    node_stats = comp.agg(
-        F.count("*").alias("n_nodes"), F.sum("cluster_id").alias("label_checksum")
+        F.sum("sz").alias("n_nodes"),
+        F.sum(F.col("cluster_id") * F.col("sz")).alias("label_checksum"),
     )
     la = comp.select(F.col("node").alias("src"), F.col("cluster_id").alias("_la"))
     lb = comp.select(F.col("node").alias("dst"), F.col("cluster_id").alias("_lb"))
@@ -89,8 +93,7 @@ def wcc_summary(edges: DataFrame, comp: DataFrame) -> DataFrame:
         )
     )
     return (
-        node_stats.crossJoin(edge_stats)
-        .crossJoin(comp_stats)
+        edge_stats.crossJoin(comp_stats)
         .select(
             "n_nodes",
             "n_edges",
@@ -201,11 +204,13 @@ def q_connected_components_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edges.select("dst"))
         .distinct()
     )
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
     )
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
-    comp = cc_round(sym, labels).drop("_old").select(
+    comp = cc_round(sym, labels).select(
         "node", F.col("label").alias("cluster_id")
     )
     return wcc_summary(edges, comp)
