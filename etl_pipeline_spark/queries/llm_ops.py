@@ -695,6 +695,22 @@ def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins; V is a 1-row broadcast. The bigram stream is materialized once
     (lazily) because it feeds both count tables AND the score join — at
     100 TB this becomes persist(DISK) exactly like the dedup indexes.
+
+    r14 optimization round — the stream-side join count drops from 2 to
+    1: the r13 form joined the bigram stream to c12 on (w1, w2) and then
+    to c1 on (w1), so the corpus-sized stream crossed a join boundary
+    for each count table. The per-bigram score is a pure function of the
+    DISTINCT bigram, so the two vocabulary-sized tables are joined first
+    (c12 ⨝ c1 on w1) into one scored table and the stream is joined
+    ONCE on (w1, w2). At local/sf scale both forms broadcast the count
+    tables, so the saving is one whole probe pass over the stream; at
+    cluster scale (count tables past the broadcast threshold, planner
+    falls back to shuffle joins) the stream-sized exchange budget drops
+    3 -> 2: (w1, w2) for the score join and doc_id for the final
+    aggregate — the r13 form re-exchanged the stream again on (w1). No
+    broadcast is forced: the scored table is distinct-bigram-sized,
+    which is unbounded at 100 TB, so the strategy stays planner/AQE-
+    chosen (plans/r14/q_lm_bigram_score_{before,after}.txt).
     """
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     toks = F.filter(F.split("text", " "), lambda t: t != "")
@@ -720,15 +736,18 @@ def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("t").alias("v")
     )
     nll = -F.log2((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
-    return (
-        bg.join(c12, ["w1", "w2"])
-        .join(c1, ["w1"])
+    scored = (
+        c12.join(c1, ["w1"])
         .crossJoin(F.broadcast(vocab))
+        .select("w1", "w2", nll.alias("nll"))
+    )
+    return (
+        bg.join(scored, ["w1", "w2"])
         .groupBy("doc_id", "lang")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.avg(nll), 4).alias("nll_bits"),
-            F.round(F.pow(F.lit(2.0), F.avg(nll)), 2).alias("ppl"),
+            F.round(F.avg("nll"), 4).alias("nll_bits"),
+            F.round(F.pow(F.lit(2.0), F.avg("nll")), 2).alias("ppl"),
         )
     )
 
