@@ -58,19 +58,33 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-14 prefix (regenerated via rotate_window.py): two changed
-# queries lead — q_triangle_census_sampled (rel_err ROUND(x,6) replaced
-# by grid-safe integer abs_err/rel_err_ppm, advisor r13 #5) and
-# q_connected_components (NEW: giant-component WCC census with the
-# bounded K-round synchronized min-label oracle). Then oldest-
-# attestation-first backfill draining the r6/r7 cohort — the r13
-# verdict's named soft spot (47 queries whose latest driver attestation
-# was 6-7 rounds old).
-# first-50 window: 50 entries; oldest-attested in window: r6/r7 cohort
-# drained; left out: 229
+# Round-14 optimization-round prefix (regenerated via rotate_window.py):
+# fifteen changed queries lead — the r14 optimization rewrites
+# (q_lm_bigram_score join-before-stream; q_join_outer_order_counts
+# pre-aggregated outer join; q_text_gopher_repetition shuffle-free
+# run-length fold; q_training_data_prep metadata-only exchange) plus
+# every query riding the changed shared helpers (pagerank_edges
+# 3->2-exchange edge build; cc_round 3->2 exchanges/round:
+# pagerank/LPA/k-core x2/assortativity/link-prediction/WCC/dedup-
+# cluster consumers) and q_triangle_census_sampled (grid-safe rel_err
+# carried from the r14 build leg). Then oldest-attestation-first
+# backfill.
 CHECK_PRIORITY: tuple[str, ...] = (
-    "q_triangle_census_sampled",  # --- code changed this round: attest first ---
+    "q_lm_bigram_score",  # --- code changed this round: attest first ---
     "q_connected_components",
+    "q_pagerank",
+    "q_label_propagation",
+    "q_kcore_nodes",
+    "q_kcore_support1",
+    "q_degree_assortativity",
+    "q_link_prediction_aa",
+    "q_dedup_canonical_docs",
+    "q_dedup_soft_weights",
+    "q_leakage_safe_split",
+    "q_join_outer_order_counts",
+    "q_text_gopher_repetition",
+    "q_training_data_prep",
+    "q_triangle_census_sampled",
     "q_dp_noisy_counts",  # --- backfill: oldest attestation first ---
     "q_pseudonymize_consistent",
     "q_erasure_cascade",
@@ -78,7 +92,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_null_semantics",
     "q_scalar_maps",
     "q_length_band_filter",
-    "q_leakage_safe_split",
     "q_window_sliding_events",
     "q_session_windows_batch",
     "q_embedding_quantization",
@@ -107,7 +120,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_etl_clean_cast_filter",
     "q_etl_quarantine_conservation",
     "q_etl_audit_row",
-    "q_etl_dirty_input_quarantine",
+    "q_etl_dirty_input_quarantine",  # ---------------- first-50 window ends above ----------------
     "q_dq_outlier_zscore",
     "q_multimodal_binary_meta",
     "q_agg_stats_acctbal",
@@ -115,16 +128,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_conditional_split_counts",
     "q_pivot_qty_by_status",
     "q_distinct_nation_segments",
-    "q_join_outer_order_counts",
     "q_join_semi_big_orders",
-    "q_training_data_prep",
     "q_window_range_frame_partitioned",
-    "q_dq_embedding_contract",  # ---------------- first-50 window ends above ----------------
+    "q_dq_embedding_contract",
     "q_hll_sketch_union",
     "q_window_distribution_ranks_partitioned",
     "q_timeseries_gapfill",
     "q_text_quality_score",
-    "q_text_gopher_repetition",
     "q_text_fingerprint",
     "q_text_edit_distance_pairs",
     "q_dq_text_contract",
@@ -178,21 +188,16 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_attribution_multi_touch",
     "q_changepoint_mean_shift",
     "q_time_weighted_average",
-    "q_degree_assortativity",
-    "q_link_prediction_aa",
     "q_agg_regression",
     "q_agg_extrema_by",
     "q_agg_bitwise",
     "q_histogram_values",
-    "q_pagerank",
     "q_clamped_running_balance",
     "q_mann_whitney",
     "q_cliffs_delta",
     "q_pairwise_tests_bonferroni",
     "q_linear_interp_gapfill",
     "q_dedup_clusters",
-    "q_dedup_canonical_docs",
-    "q_dedup_soft_weights",
     "q_dedup_embedding_cosine",
     "q_hybrid_rrf_search",
     "q_pii_scrub",
@@ -210,8 +215,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_psi_drift",
     "q_degree_powerlaw",
     "q_tokenizer_fertility",
-    "q_kcore_nodes",
-    "q_kcore_support1",
     "q_url_canonical_dedup",
     "q_dataset_card",
     "q_data_skew_report",
@@ -317,7 +320,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_ship_latency_percentiles",
     "q_asof_tolerance",
     "q_cms_heavy_hitters",
-    "q_label_propagation",
     "q_item_cf_similar",
     "q_bom_explosion",
     "q_spatial_radius_join",
@@ -333,7 +335,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_bpe_merge_candidates",
     "q_bm25_top_terms",
     "q_corpus_gini",
-    "q_lm_bigram_score",
     "q_weighted_sample",
     "q_curriculum_buckets",
     "q_span_corruption_plan",

@@ -419,15 +419,26 @@ def q_join_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution including zero-order customers (the outer-ness matters).
 
     Scale: shuffle join on custkey, then a cheap re-agg on the tiny
-    c_count domain.
+    c_count domain. r14 optimization round — aggregate before the
+    shuffle (guide §2.3): orders are counted per custkey FIRST, so the
+    custkey exchange feeding the join carries one map-side-combined
+    (custkey, count) row per customer instead of every order row; the
+    left join then re-attaches the counts with COALESCE 0 for
+    zero-order customers — by construction identical to
+    COUNT(o_orderkey) over the row-level outer join, because o_orderkey
+    is never NULL on a matched order row.
     """
     t = load_tables(spark, sf_dir, ("customer", "orders"))
-    o = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    o_counts = (
+        t["orders"]
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("c_count"))
+    )
     per_cust = (
         t["customer"]
-        .join(o, t["customer"].c_custkey == o.o_custkey, "left_outer")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        .join(o_counts, t["customer"].c_custkey == o_counts.o_custkey, "left_outer")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
 

@@ -264,13 +264,23 @@ def gopher_repetition(
     lexicographically largest gram so the report is deterministic across
     engines and partitionings.
 
-    Scale: the n-gram stream is generated map-side from each document's
-    token array (two streamed transforms, no self-join) and aggregated
-    on the (doc_id, n, gram) key — one well-distributed shuffle, then a
-    doc-keyed rollup. No UDFs; everything stays in whole-stage codegen.
-    Docs shorter than the gram width contribute no gram rows and are
-    re-attached by the final left join with fractions of 0.0 (that also
-    covers NULL/empty text, which adversarial corpora do contain).
+    Scale (r14 optimization round — shuffle-free): every output column
+    is a pure per-document function, so the former
+    explode -> (doc_id, n, gram) aggregation -> doc-keyed rollup ->
+    doc-keyed re-attach join (two corpus-sized exchanges plus a join)
+    is replaced by a run-length pass over each document's SORTED gram
+    array — the whole operator is now one map-side projection, zero
+    exchanges, and the gram stream never leaves its scan task (guide
+    §2.4: remove shuffles outright). Gram char counts come from the
+    gram string itself (tokens are non-empty and joined by single
+    spaces, so c = length(g) - (n-1)). Tie-break parity with the old
+    groupBy form (max cnt, then lexicographically greatest gram): the
+    array is sorted ascending and a closing run replaces the best on
+    `run >= best_cnt`, so among equal counts the latest — greatest —
+    gram wins, the same comparator as max(struct(cnt, g)). Docs shorter
+    than the gram width have empty gram arrays and fall out as
+    fractions of 0.0 (that also covers NULL/empty text, which
+    adversarial corpora do contain).
     """
     base = (
         d.select(
@@ -290,47 +300,53 @@ def gopher_repetition(
         )
     )
 
-    def grams(n: int):
+    def sorted_grams(n: int) -> str:
         # CASE guard: sequence(1, k) with k <= 0 would DESCEND in Spark,
         # fabricating grams for sub-width docs; the typed-empty branch
-        # keeps them gram-free (array() coerces to the struct type).
-        return F.expr(
-            f"CASE WHEN nw >= {n} THEN transform(sequence(1, nw - {n - 1}), "
-            f"i -> struct({n} AS n, concat_ws(' ', slice(t, i, {n})) AS g, "
-            f"aggregate(slice(t, i, {n}), 0L, (a, x) -> a + length(x)) AS c)) "
-            f"ELSE array() END"
+        # keeps them gram-free.
+        return (
+            f"CASE WHEN nw >= {n} THEN array_sort(transform(sequence(1, nw - {n - 1}), "
+            f"i -> concat_ws(' ', slice(t, i, {n})))) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END"
         )
 
-    counted = (
-        base.select("doc_id", F.explode(F.concat(grams(2), grams(5))).alias("gr"))
-        .select("doc_id", "gr.n", "gr.g", "gr.c")
-        .groupBy("doc_id", "n", "g")
-        .agg(F.count("*").alias("cnt"), F.min("c").alias("c"))
+    # Most-frequent 2-gram's character coverage: one run-length fold.
+    # State: current run (prev gram, length) + best closed run. The
+    # empty-array fold closes a zero-length run into best_cnt = 0 and
+    # the finisher then yields 0 chars — no NULL path.
+    top2_chars = F.expr(
+        f"""aggregate(
+          {sorted_grams(2)},
+          struct(CAST('' AS STRING) AS prev, 0L AS run, 0L AS best_cnt,
+                 CAST('' AS STRING) AS best_g),
+          (a, x) -> IF(x = a.prev,
+                       struct(a.prev AS prev, a.run + 1L AS run,
+                              a.best_cnt AS best_cnt, a.best_g AS best_g),
+                       struct(x AS prev, 1L AS run,
+                              IF(a.run > 0L AND a.run >= a.best_cnt, a.run, a.best_cnt) AS best_cnt,
+                              IF(a.run > 0L AND a.run >= a.best_cnt, a.prev, a.best_g) AS best_g)),
+          a -> IF(a.run > 0L AND a.run >= a.best_cnt,
+                  a.run * (length(a.prev) - 1L),
+                  a.best_cnt * (length(a.best_g) - 1L))
+        )"""
     )
-    # One doc-keyed rollup for both rules: struct-max picks (max cnt,
-    # then max gram) for the top-2-gram — its chars ride as the third
-    # field and never influence the ordering (cnt+g is already unique).
-    metrics = (
-        counted.groupBy("doc_id")
-        .agg(
-            F.max(
-                F.when(
-                    F.col("n") == 2,
-                    F.struct(
-                        F.col("cnt"),
-                        F.col("g"),
-                        (F.col("cnt") * F.col("c")).alias("chars"),
-                    ),
-                )
-            ).alias("top2"),
-            F.sum(
-                F.when(
-                    (F.col("n") == 5) & (F.col("cnt") >= 2),
-                    F.col("cnt") * F.col("c"),
-                )
-            ).alias("dup5_chars"),
-        )
-        .select("doc_id", F.col("top2.chars").alias("top2_chars"), "dup5_chars")
+    # Duplicate 5-grams' character coverage: same fold, summing
+    # cnt * chars over every run of length >= 2.
+    dup5_chars = F.expr(
+        f"""aggregate(
+          {sorted_grams(5)},
+          struct(CAST('' AS STRING) AS prev, 0L AS run, 0L AS tot),
+          (a, x) -> IF(x = a.prev,
+                       struct(a.prev AS prev, a.run + 1L AS run, a.tot AS tot),
+                       struct(x AS prev, 1L AS run,
+                              a.tot + IF(a.run >= 2L, a.run * (length(a.prev) - 4L), 0L) AS tot)),
+          a -> a.tot + IF(a.run >= 2L, a.run * (length(a.prev) - 4L), 0L)
+        )"""
+    )
+    m = base.select(
+        "doc_id", "nw", "wc",
+        top2_chars.alias("top2_chars"),
+        dup5_chars.alias("dup5_chars"),
     )
     top2f = F.round(
         F.coalesce(F.try_divide(F.col("top2_chars"), F.col("wc")), F.lit(0.0)), 4
@@ -338,7 +354,7 @@ def gopher_repetition(
     dup5f = F.round(
         F.coalesce(F.try_divide(F.col("dup5_chars"), F.col("wc")), F.lit(0.0)), 4
     )
-    return base.join(metrics, "doc_id", "left").select(
+    return m.select(
         "doc_id",
         F.col("nw").cast("long").alias("n_words"),
         top2f.alias("top2_char_frac"),

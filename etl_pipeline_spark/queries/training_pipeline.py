@@ -161,28 +161,41 @@ def q_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, ("documents",))["documents"], spark
     )
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    wfp = W.partitionBy(F.md5(norm)).orderBy("doc_id")
-    exact_kept = (
-        d.withColumn("rn", F.row_number().over(wfp)).filter(F.col("rn") == 1).drop("rn")
-    )
-    drop_ids = _neardup_pairs(spark, sf_dir).select(
-        F.col("doc_b").alias("doc_id")
-    ).distinct()
-    neardup_kept = exact_kept.join(drop_ids, "doc_id", "left_anti")
     n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     bpe = F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0))
     punct_ratio = (
         F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)).cast("double")
         / F.greatest(F.length("text"), F.lit(1))
     )
+    # r14 optimization round — shuffle scalars, not documents (guide
+    # §2.3/§8): every post-dedup decision is a pure per-doc function of
+    # text, so the fingerprint and the three quality metrics are
+    # computed MAP-SIDE in the scan stage and `text` never crosses an
+    # exchange — the dedup window's shuffle carries ~40 bytes/row
+    # instead of the document body. The metrics are computed for
+    # soon-to-be-dropped duplicates too; that map-side CPU is the price
+    # of shrinking the corpus-sized exchange and is the right trade at
+    # any dup rate worth deduping.
+    per_doc = d.select(
+        "doc_id",
+        "lang",
+        F.md5(norm).alias("fp"),
+        n_tok.alias("n_tok"),
+        bpe.alias("bpe_tokens"),
+        punct_ratio.alias("punct_ratio"),
+    )
+    wfp = W.partitionBy("fp").orderBy("doc_id")
+    exact_kept = (
+        per_doc.withColumn("rn", F.row_number().over(wfp))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+    drop_ids = _neardup_pairs(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    neardup_kept = exact_kept.join(drop_ids, "doc_id", "left_anti")
     sampled = (
-        neardup_kept.select(
-            "doc_id",
-            "lang",
-            n_tok.alias("n_tok"),
-            bpe.alias("bpe_tokens"),
-            punct_ratio.alias("punct_ratio"),
-        )
+        neardup_kept
         .filter(F.col("n_tok").between(10, 1000) & (F.col("punct_ratio") < 0.2))
         .filter(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
