@@ -89,6 +89,48 @@ def test_wcc_round_splits_and_disk_only_equivalence(spark):
         assert got == want, f"round_splits={k} diverged"
 
 
+def test_wcc_rounds_per_job_equivalence(spark):
+    """r14 optimization round: rounds_per_job chains B propagation
+    rounds into one job per checkpoint — pure scheduling, identical
+    recurrence. Labels must equal the B=1 fixpoint for B that divides,
+    straddles, and exceeds the convergence depth (path diameter 7 needs
+    8 rounds incl. the confirming one), and the max_iter exhaustion
+    fallback must still fire when a batch ends exactly at max_iter."""
+    import pytest
+
+    from etl_pipeline_spark.operators.cluster import connected_components
+
+    path = [(i, i + 1) for i in range(20, 27)]  # 8-node path, diameter 7
+    edges = spark.createDataFrame(EDGES + path, "src long, dst long")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    want = sorted(
+        tuple(r) for r in connected_components(nodes, edges).collect()
+    )
+    for b in (2, 3, 8, 32):
+        got = sorted(
+            tuple(r)
+            for r in connected_components(
+                nodes, edges, rounds_per_job=b
+            ).collect()
+        )
+        assert got == want, f"rounds_per_job={b} diverged"
+    # exhaustion still detected across batch boundaries: diameter 7
+    # needs 8 rounds; max_iter=4 with B=2 must fall back (and the
+    # two-phase fallback converges to the same fixpoint)
+    with pytest.warns(UserWarning, match="did not converge"):
+        got = sorted(
+            tuple(r)
+            for r in connected_components(
+                nodes, edges, max_iter=4, rounds_per_job=2
+            ).collect()
+        )
+    assert got == want
+
+
 def test_two_phase_raises_on_exhaustion_not_wrong_labels(spark):
     """r14: on max_iter exhaustion the star contraction's intermediate
     edge set can label a node with a non-minimal parent — splitting a
