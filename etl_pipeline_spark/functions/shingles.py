@@ -42,10 +42,21 @@ def tokenized(
 
 def word_shingles(width: int, tok_col: str = "toks") -> Column:
     """array<string> of distinct space-joined word ``width``-grams over
-    the hoisted token column."""
+    the hoisted token column; typed-empty for sub-width docs.
+
+    The CASE guard makes the expression TOTAL (r14 optimization round):
+    without it, sequence(0, size - width) DESCENDS for sub-width docs
+    and element_at throws under ANSI. Callers always pair this with a
+    ``min_tokens >= width`` filter, but the guard cannot live only in
+    the filter: Generate (explode) pushdown infers a ``size(...) > 0``
+    predicate containing this whole expression, and codegen's
+    subexpression elimination evaluates it BEFORE the filter's
+    short-circuiting AND — measured on the adversarial fixture, a
+    1-token doc reached element_at(toks, 2) despite the width filter
+    sitting left of it in the same Filter node."""
     toks = F.col(tok_col)
     idx = F.sequence(F.lit(0), F.size(toks) - width)
-    return F.array_distinct(
+    grams = F.array_distinct(
         F.transform(
             idx,
             lambda i: F.concat_ws(
@@ -53,16 +64,20 @@ def word_shingles(width: int, tok_col: str = "toks") -> Column:
             ),
         )
     )
+    return F.when(F.size(toks) >= width, grams).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def hashed_word_shingles(width: int, tok_col: str = "toks") -> Column:
     """array<bigint> of distinct xxhash64'd word ``width``-grams — the
     8-byte shingle representation the MinHash family consumes
     (operators/minhash.py). Hash BEFORE array_distinct so the dedup
-    compares longs, not strings."""
+    compares longs, not strings. Same totality guard as
+    :func:`word_shingles`."""
     toks = F.col(tok_col)
     idx = F.sequence(F.lit(0), F.size(toks) - width)
-    return F.array_distinct(
+    grams = F.array_distinct(
         F.transform(
             idx,
             lambda i: F.xxhash64(
@@ -71,4 +86,7 @@ def hashed_word_shingles(width: int, tok_col: str = "toks") -> Column:
                 )
             ),
         )
+    )
+    return F.when(F.size(toks) >= width, grams).otherwise(
+        F.array().cast("array<bigint>")
     )
