@@ -339,6 +339,8 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.count()
 
+    from etl_pipeline_spark.session import release_session_blocks
+
     def time_set(names: list[str]) -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in names:
@@ -351,6 +353,15 @@ def main() -> None:
                 specs[name].fn(spark, sf_dir).count()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
+            # r14 optimization round (measurement hygiene, guide §5):
+            # each rep's lazy localCheckpoints pin fresh blocks that are
+            # never reused by later plans; across 22 queries x 2 reps x
+            # up to 3 attempts they accumulate against the same 8 GB
+            # heap the LAST queries (the scale set) execute in. Released
+            # BETWEEN queries: what each rep computes, and best-of-2
+            # within a query, are unchanged — later queries just stop
+            # inheriting earlier queries' dead blocks.
+            release_session_blocks(spark)
         return timings
 
     sets = os.environ.get("SPARK_GRAFT_BENCH_SETS", "all")  # "core" skips scale set
@@ -370,6 +381,12 @@ def main() -> None:
         timings = time_set(BENCH_QUERIES)
         scale_timings = time_set(SCALE_QUERIES) if sets != "core" else {}
         pr_phases = _pagerank_phases(spark, sf_dir) if sets != "core" else {}
+        if sets != "core":
+            # drop the phase probe's checkpoint blocks before the next
+            # attempt (same hygiene as time_set)
+            from etl_pipeline_spark.session import release_session_blocks
+
+            release_session_blocks(spark)
         canary = round(min(canary_before, _canary_sec()), 3)
         mt_begin = idle_precheck[-1]
         # End-edge probes get the same retry discipline as the begin

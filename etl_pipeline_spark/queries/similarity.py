@@ -357,20 +357,56 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
-    assign = (
-        sub.join(F.broadcast(cent), "m")
-        .select("vec_id", "m", "cent_id", F.round(_d2(F.col("sub"), F.col("csub")), 4).alias("d2r"))
-    )
-    wa = W.partitionBy("vec_id", "m").orderBy("d2r", "cent_id")
-    codes = (
-        assign.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .groupBy("vec_id")
+    # r14 optimization round (guide §2.4 — remove shuffles outright):
+    # the encode step's per-(vec, subspace) argmin was a corpus-wide
+    # window (row_number over (vec_id, m) ORDER BY d2r, cent_id) — the
+    # full n_vec x PQ_M x n_cent assign stream crossed an exchange and a
+    # sort, then a second exchange rebuilt the per-vec code map. The
+    # codebook is metadata-sized BY CONSTRUCTION (<= PQ_CENT_CAP /
+    # PQ_CENT_MOD centroids), so it now rides a one-row broadcast as a
+    # map m -> sorted [(cent_id, csub)...], and each corpus row computes
+    # all PQ_M codes in the scan stage: array_min over
+    # struct(round(d2, 4), cent_id) is EXACTLY the window's
+    # (d2r asc, cent_id asc) comparator — lexicographic struct order —
+    # so the assigned codes are identical and the corpus never shuffles
+    # for encoding (plans/r14/q_knn_pq_{before,after}.txt: the encode
+    # window, its sort, and two corpus-sized exchanges are gone).
+    cbmap = (
+        cent.groupBy("m")
+        .agg(F.array_sort(F.collect_list(F.struct("cent_id", "csub"))).alias("cents"))
+        .groupBy()
         .agg(
             F.map_from_entries(
-                F.collect_list(F.struct(F.col("m").cast("int"), F.col("cent_id")))
-            ).alias("codes")
+                F.collect_list(F.struct(F.col("m").cast("int"), F.col("cents")))
+            ).alias("cb")
         )
+    )
+
+    def _code(m):  # argmin centroid of subspace m for the row's emb
+        return F.array_min(
+            F.transform(
+                F.element_at(F.col("cb"), m.cast("int")),
+                lambda c: F.struct(
+                    F.round(
+                        _d2(
+                            F.slice(F.col("emb"), m * PQ_DSUB + 1, PQ_DSUB),
+                            c["csub"],
+                        ),
+                        4,
+                    ).alias("d2r"),
+                    c["cent_id"].alias("cent_id"),
+                ),
+            )
+        )["cent_id"]
+
+    codes = ed.crossJoin(F.broadcast(cbmap)).select(
+        "vec_id",
+        F.map_from_entries(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.struct(m.cast("int"), _code(m)),
+            )
+        ).alias("codes"),
     )
     dtab = (
         sub.filter(F.col("vec_id") < N_QUERIES)
