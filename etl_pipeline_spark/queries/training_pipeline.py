@@ -184,11 +184,23 @@ def q_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.alias("bpe_tokens"),
         punct_ratio.alias("punct_ratio"),
     )
-    wfp = W.partitionBy("fp").orderBy("doc_id")
+    # r14 optimization round, second pass (guide §2.3 — aggregate before
+    # you shuffle): keep-min-doc_id-per-fingerprint was a row_number
+    # window (full sort + every row crossing the fp exchange); as
+    # min(struct(doc_id, ...)) it is a hash aggregate with MAP-SIDE
+    # partial combine — duplicates collapse before the exchange (the
+    # whole point of dedup: the dup mass is exactly what no longer
+    # moves) and the sort is gone. Identical keeper row: doc_id leads
+    # the struct and is unique, so lexicographic struct-min == the
+    # window's ORDER BY doc_id first row.
     exact_kept = (
-        per_doc.withColumn("rn", F.row_number().over(wfp))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "fp")
+        per_doc.groupBy("fp")
+        .agg(
+            F.min(
+                F.struct("doc_id", "lang", "n_tok", "bpe_tokens", "punct_ratio")
+            ).alias("k")
+        )
+        .select("k.doc_id", "k.lang", "k.n_tok", "k.bpe_tokens", "k.punct_ratio")
     )
     drop_ids = _neardup_pairs(spark, sf_dir).select(
         F.col("doc_b").alias("doc_id")
