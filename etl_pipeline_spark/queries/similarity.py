@@ -104,17 +104,49 @@ def q_knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "vec_id",
     )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+
+    # r14 optimization round (guide §1.2 per-task work): norms hoisted
+    # out of the pair projection — the corpus row's ||e|| was recomputed
+    # once PER QUERY after the crossJoin, and the broadcast row's ||q||
+    # once per corpus row; each is now computed once on its own side.
+    # Bit-identical values: the sqrt-of-sequential-fold expression and
+    # the na * nb product are unchanged, only evaluated earlier, so the
+    # rounded cos_sim (and the oracle hash) cannot move. Per-pair float
+    # work drops from 3 to ~1 array folds (the dot product).
+    def _norm(col):
+        return F.sqrt(
+            F.aggregate(
+                col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+            )
+        )
+
+    en = e.select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("e_norm")
+    )
+    q = en.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("e_norm").alias("q_norm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"),
+            F.col("embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     scored = (
-        e.crossJoin(F.broadcast(q))
+        en.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("neighbor_label"),
-            F.round(_cosine(F.col("q_emb"), F.col("embedding")), 4).alias("cos_sim"),
+            F.round(
+                F.try_divide(dot, F.col("q_norm") * F.col("e_norm")), 4
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
