@@ -154,11 +154,19 @@ def connected_components(
     # exchange are gone — 3 exchanges per round -> 2. This is also
     # exactly the oracle's `adj` construction (graph_components.py), so
     # both engines now run the identical per-round recurrence.
+    # sortWithinPartitions (r14 optimization round, guide §2.4): the
+    # per-round join is a sort-merge join whenever the label side is too
+    # big to broadcast (every at-scale round), and an UNSORTED persisted
+    # frame pays a full edge-sized sort EVERY round — the cached
+    # relation reports its child's outputOrdering, so sorting by the
+    # join key once at build time makes each round's big-side Sort
+    # vanish (plan-pinned in tests/test_plan_assertions.py).
     sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
         .repartition(F.col("dst"))
+        .sortWithinPartitions("dst")
     )
     sym = sym.persist(StorageLevel.DISK_ONLY) if disk_only else sym.persist()
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))

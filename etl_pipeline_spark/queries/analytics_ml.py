@@ -265,6 +265,16 @@ def pagerank_edges(li: DataFrame, support: int = PR_SUPPORT) -> DataFrame:
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= support)
         .select("u", "v")
+        # sortWithinPartitions (r14 optimization round, guide §2.4):
+        # every power iteration's edges-contrib join is a sort-merge
+        # join once the contribution side outgrows the broadcast
+        # threshold, and an unsorted cache re-sorts the EDGE side every
+        # iteration; sorting by the join key once at build time (the
+        # cached relation reports its child's outputOrdering) elides
+        # that per-iteration Sort. Partitioning is unchanged —
+        # sortWithinPartitions is a narrow op, so the hash(u) reuse the
+        # plan contract pins still holds.
+        .sortWithinPartitions("u")
         # plain default persist (MEMORY_AND_DISK, deserialized): the edge
         # rows are two longs — the wide-checkpoint storage switch is for
         # shingle/feature arrays and does not apply here

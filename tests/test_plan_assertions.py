@@ -435,3 +435,54 @@ def test_pagerank_edges_are_persisted_and_reuse_partitioning(spark):
         assert ensure == [], f"edge partitioning not reused: {ensure}"
     finally:
         edges.unpersist()
+
+
+def test_sorted_persist_elides_per_round_big_side_sort(spark):
+    """r14 optimization round: the WCC/pagerank iteration frames persist
+    SORTED by their join key, so each round's sort-merge join (the
+    at-scale strategy once the node side outgrows the broadcast
+    threshold) reads the cached ordering instead of re-sorting the
+    edge-sized side every round. Pin: with broadcast disabled, the round
+    join's cache side has NO Sort between the InMemoryTableScan and the
+    SortMergeJoin — the only Sort in the round plans the node-sized
+    label side."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
+        .repartition(F.col("dst"))
+        .sortWithinPartitions("dst")
+        .persist()
+    )
+    try:
+        sym.count()
+        labels = nodes.select(F.col("node"), F.col("node").alias("label"))
+        out = (
+            sym.join(labels, F.col("dst") == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("label"))
+        )
+        out.collect()
+        final = out._jdf.queryExecution().executedPlan().toString()
+        # the top-level (round) plan: everything above the cached
+        # relation's own build plan
+        round_part = final.split("InMemoryRelation")[0]
+        assert "SortMergeJoin" in round_part, round_part[:800]
+        cache_side = round_part.split("SortMergeJoin")[1]
+        # between the join and the cache scan: a Filter is fine, a Sort
+        # means the cached ordering was not picked up
+        upto_cache = cache_side.split("InMemoryTableScan")[0]
+        assert "Sort [" not in upto_cache, round_part[:1200]
+    finally:
+        sym.unpersist()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
