@@ -172,38 +172,42 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus grows (measured at sf10: a 4.2 GiB broadcast build OOM via
     # dedup_clusters' eager checkpoint) — the q_dedup_minhash_lsh /
     # capped-variant incident class, same fix.
-    # r14 optimization round (guide §2.3 — shuffle a few extra bytes to
-    # remove whole exchanges): each posting row carries its document's
-    # shingle count (n_shingles = size of the per-doc DISTINCT shingle
-    # array, known map-side at explode time), so the per-pair union size
-    # rides the self-join groupBy as MIN(na)/MIN(nb) — constant within a
-    # (doc_a, doc_b) group — and the former separate sizes aggregate
-    # plus the two pair-keyed size joins (3 extra exchanges + 1 extra
-    # pass over the posting checkpoint) are gone. The posting exchange
-    # widens by one int per row against ~20-char shingle strings.
-    sh_arr = tokenized(
-        scan_parallel(d, spark), "doc_id", min_tokens=SHINGLE_WIDTH
-    ).select("doc_id", word_shingles(SHINGLE_WIDTH).alias("sh"))
+    # r14 optimization round, POSTMORTEM of a reverted attempt: carrying
+    # n_shingles on each posting row (computed as size(sh) next to
+    # explode(sh) over a named array column) removes the sizes aggregate
+    # and both pair-keyed size joins (7 Exchanges -> 3)… and measured
+    # 13x SLOWER (0.56 s -> 7.6 s for the posting build at sf0.1):
+    # InferFiltersFromGenerate derives `size(<generator child>) > 0 AND
+    # isnotnull(...)` predicates containing the WHOLE shingle
+    # expression, predicate pushdown substitutes them through the
+    # token-array projection, and the per-element `element_at(toks, i)`
+    # references degrade to `element_at(split(text), i)` — the
+    # O(tokens^2)-per-doc trap functions/shingles.py documents, now
+    # manufactured by the optimizer inside a Filter. The sizes aggregate
+    # over the checkpointed postings is the CHEAPER plan; the extra
+    # exchanges are doc-count-sized and the posting explode runs once.
     shingles = (
-        sh_arr.select(
-            "doc_id",
-            F.size("sh").alias("n_shingles"),
-            F.explode("sh").alias("shingle"),
+        tokenized(
+            scan_parallel(d, spark), "doc_id", min_tokens=SHINGLE_WIDTH
         )
+        .select("doc_id", F.explode(word_shingles(SHINGLE_WIDTH)).alias("shingle"))
         .localCheckpoint(eager=False, storageLevel=wide_ckpt_level())
         .hint("merge")
     )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = shingles.alias("a")
     b = shingles.alias("b")
-    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
-    return (
+    pair_inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.count("*").alias("n_inter"),
-            F.min("a.n_shingles").alias("na"),
-            F.min("b.n_shingles").alias("nb"),
-        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        pair_inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )

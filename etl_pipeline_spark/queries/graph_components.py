@@ -187,10 +187,17 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .localCheckpoint(eager=True)
     )
+    # lazy checkpoint (r14 optimization round): the node set feeds the
+    # symmetric frame's self-loop union, the label init, AND the
+    # convergence seed aggregate — without it the union+distinct over
+    # the edge frame re-executes per consumer (an edge-sized scan +
+    # exchange each, at any scale); with it the first action
+    # materializes it once.
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select("dst"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     # size-adaptive round batching (see WCC_ROUNDS_PER_JOB_SMALL): the
     # count is metadata-cheap on the just-checkpointed frame
