@@ -59,16 +59,20 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
 # Round-14 optimization-round prefix (regenerated via rotate_window.py):
-# fifteen changed queries lead — the r14 optimization rewrites
+# twenty-nine changed queries lead — the r14 optimization rewrites
 # (q_lm_bigram_score join-before-stream; q_join_outer_order_counts
 # pre-aggregated outer join; q_text_gopher_repetition shuffle-free
-# run-length fold; q_training_data_prep metadata-only exchange) plus
-# every query riding the changed shared helpers (pagerank_edges
-# 3->2-exchange edge build; cc_round 3->2 exchanges/round:
+# run-length fold; q_training_data_prep metadata-only exchange +
+# window->aggregate exact dedup; q_connected_components batched
+# propagation rounds; q_knn_pq broadcast-codebook encode;
+# q_knn_bruteforce_cosine hoisted norms) plus every query riding the
+# changed shared helpers (pagerank_edges sorted persist + 3->2-exchange
+# edge build; cc_round 3->2 exchanges/round + sorted symmetric persist:
 # pagerank/LPA/k-core x2/assortativity/link-prediction/WCC/dedup-
-# cluster consumers) and q_triangle_census_sampled (grid-safe rel_err
-# carried from the r14 build leg). Then oldest-attestation-first
-# backfill.
+# cluster consumers; word_shingles/hashed_word_shingles totality guard:
+# the whole shingle family incl. contamination/novelty/bloom-decontam)
+# and q_triangle_census_sampled (grid-safe rel_err carried from the r14
+# build leg). Then oldest-attestation-first backfill.
 CHECK_PRIORITY: tuple[str, ...] = (
     "q_lm_bigram_score",  # --- code changed this round: attest first ---
     "q_connected_components",
@@ -85,6 +89,20 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_text_gopher_repetition",
     "q_training_data_prep",
     "q_triangle_census_sampled",
+    "q_dedup_ngram_jaccard",
+    "q_knn_pq",
+    "q_dedup_minhash_lsh",
+    "q_dedup_clusters",
+    "q_dedup_ngram_jaccard_capped",
+    "q_dedup_prefix_filter",
+    "q_snm_recall_report",
+    "q_winnowing_pairs",
+    "q_lsh_recall_report",
+    "q_dedup_containment",
+    "q_contamination_check",
+    "q_shingle_novelty",
+    "q_bloom_decontaminate",
+    "q_knn_bruteforce_cosine",
     "q_dp_noisy_counts",  # --- backfill: oldest attestation first ---
     "q_pseudonymize_consistent",
     "q_erasure_cascade",
@@ -102,25 +120,16 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_window_distribution_ranks",
     "q_scalar_dates_extended",
     "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_minhash_lsh",
     "q_dedup_simhash",
     "q_dedup_minhash_signatures",
-    "q_dedup_ngram_jaccard_capped",
-    "q_dedup_containment",
-    "q_dedup_prefix_filter",
-    "q_snm_recall_report",
     "q_text_stats_by_lang",
     "q_text_token_counts",
-    "q_text_lang_id",
+    "q_text_lang_id",  # ---------------- first-50 window ends above ----------------
     "q_text_top_bigrams",
-    "q_contamination_check",
-    "q_shingle_novelty",
-    "q_bloom_decontaminate",
     "q_etl_clean_cast_filter",
     "q_etl_quarantine_conservation",
     "q_etl_audit_row",
-    "q_etl_dirty_input_quarantine",  # ---------------- first-50 window ends above ----------------
+    "q_etl_dirty_input_quarantine",
     "q_dq_outlier_zscore",
     "q_multimodal_binary_meta",
     "q_agg_stats_acctbal",
@@ -142,7 +151,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_quality_calibrated",
     "q_dsir_importance",
     "q_unimax_allocation",
-    "q_winnowing_pairs",
     "q_dq_pk_uniqueness",
     "q_join_anti_idle_customers",
     "q_join_cross_region_nation",
@@ -172,9 +180,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q20_excess_shippers",
     "q21_sole_late_shipper",
     "q_embedding_norms",
-    "q_knn_bruteforce_cosine",
     "q_knn_lsh_approx",
-    "q_knn_pq",
     "q_hard_negatives",
     "q_knn_block_matrix",
     "q_knn_ivf",
@@ -197,7 +203,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_cliffs_delta",
     "q_pairwise_tests_bonferroni",
     "q_linear_interp_gapfill",
-    "q_dedup_clusters",
     "q_dedup_embedding_cosine",
     "q_hybrid_rrf_search",
     "q_pii_scrub",
@@ -225,7 +230,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_entity_resolution_fs",
     "q_dedup_simhash_pairs",
     "q_dedup_minhash_pairs",
-    "q_lsh_recall_report",
     "q_doc_chunking",
     "q_token_entropy",
     "q_mix_weights",
