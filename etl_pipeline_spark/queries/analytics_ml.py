@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_pipeline_spark.catalog import EMB_DOOR_SQL, embedding_door, load_tables
+from etl_pipeline_spark.catalog import (
+    EMB_DOOR_SQL,
+    embedding_door,
+    load_tables,
+    scan_parallel,
+)
 from etl_pipeline_spark.functions.grid import sat_cents, sat_quantize, sat_quantize_sql
 from etl_pipeline_spark.queries.base import query
 
@@ -206,8 +211,22 @@ def co_occurrence_pairs(
     instead of allocating one 50M-struct array (property-tested in
     tests/test_session6_operators.py). Total pair work is inherently
     quadratic per basket in ANY exact formulation — the support filter
-    after the count is what bounds the output at retail scale."""
-    ps = li.groupBy("l_orderkey").agg(
+    after the count is what bounds the output at retail scale.
+
+    scan_parallel before the basket groupBy (r14 optimization round,
+    guide §1.2/§2.5 — measured: the sf0.1 lineitem fixture is ONE
+    parquet row group, so the collect_set's map-side partial aggregate
+    built its 150k-basket hash map inside the single serial scan task;
+    hash-repartitioning the raw (orderkey, partkey) rows first moves
+    every aggregate byte of work past the exchange, parallel across the
+    session — full edge build 1.41-1.52 s -> 0.96-1.15 s interleaved
+    A/B at sf0.1. The exchange the repartition adds IS the exchange the
+    groupBy needed (hash on the grouping key — no second shuffle), so
+    the plan's exchange count is unchanged. At production scale
+    scan_parallel is a pass-through: a many-split scan wants the
+    map-side partial aggregate, which collapses clustered orderkeys
+    ~4:1 before the wire.)"""
+    ps = scan_parallel(li, li.sparkSession, "l_orderkey").groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
     anchored = ps.select("ps", F.posexplode("ps").alias("i", "u"))
@@ -252,8 +271,17 @@ def pagerank_edges(li: DataFrame, support: int = PR_SUPPORT) -> DataFrame:
     for the persisted relation. The directed pair stream entering the
     exchange is 2x the undirected form's, but it replaces a whole
     (u, v)-keyed exchange + stage; the edge SET is identical (each
-    direction's co-order count equals the undirected count)."""
-    ps = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    direction's co-order count equals the undirected count).
+
+    scan_parallel before the basket groupBy: same measured fix as
+    co_occurrence_pairs (see its docstring) — keeps the serial
+    single-row-group scan task from building the whole partial
+    collect_set map; pass-through on many-split production scans."""
+    ps = (
+        scan_parallel(li, li.sparkSession, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+    )
     pairs = (
         ps.select(F.explode("ps").alias("u"), "ps")
         .select("u", F.explode("ps").alias("v"))

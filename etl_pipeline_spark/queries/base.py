@@ -74,35 +74,19 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 # and q_triangle_census_sampled (grid-safe rel_err carried from the r14
 # build leg). Then oldest-attestation-first backfill.
 CHECK_PRIORITY: tuple[str, ...] = (
-    "q_lm_bigram_score",  # --- code changed this round: attest first ---
-    "q_connected_components",
-    "q_pagerank",
-    "q_label_propagation",
+    "q_connected_components",  # --- code changed this round: attest first ---
+    "q_degree_assortativity",
+    "q_item_cf_similar",
     "q_kcore_nodes",
     "q_kcore_support1",
-    "q_degree_assortativity",
+    "q_label_propagation",
     "q_link_prediction_aa",
-    "q_dedup_canonical_docs",
-    "q_dedup_soft_weights",
-    "q_leakage_safe_split",
-    "q_join_outer_order_counts",
-    "q_text_gopher_repetition",
-    "q_training_data_prep",
+    "q_market_basket_rules",
+    "q_node_clustering",
+    "q_pagerank",
     "q_triangle_census_sampled",
-    "q_dedup_ngram_jaccard",
-    "q_knn_pq",
-    "q_dedup_minhash_lsh",
-    "q_dedup_clusters",
-    "q_dedup_ngram_jaccard_capped",
-    "q_dedup_prefix_filter",
-    "q_snm_recall_report",
-    "q_winnowing_pairs",
-    "q_lsh_recall_report",
-    "q_dedup_containment",
-    "q_contamination_check",
-    "q_shingle_novelty",
-    "q_bloom_decontaminate",
-    "q_knn_bruteforce_cosine",
+    "q_triangle_count",
+    "q_wedge_mass_preflight",
     "q_dp_noisy_counts",  # --- backfill: oldest attestation first ---
     "q_pseudonymize_consistent",
     "q_erasure_cascade",
@@ -110,6 +94,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_null_semantics",
     "q_scalar_maps",
     "q_length_band_filter",
+    "q_leakage_safe_split",
     "q_window_sliding_events",
     "q_session_windows_batch",
     "q_embedding_quantization",
@@ -120,30 +105,42 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_window_distribution_ranks",
     "q_scalar_dates_extended",
     "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh",
     "q_dedup_simhash",
     "q_dedup_minhash_signatures",
+    "q_dedup_ngram_jaccard_capped",
+    "q_dedup_containment",
+    "q_dedup_prefix_filter",
+    "q_snm_recall_report",
     "q_text_stats_by_lang",
     "q_text_token_counts",
-    "q_text_lang_id",  # ---------------- first-50 window ends above ----------------
+    "q_text_lang_id",
     "q_text_top_bigrams",
+    "q_contamination_check",
+    "q_shingle_novelty",
+    "q_bloom_decontaminate",
     "q_etl_clean_cast_filter",
     "q_etl_quarantine_conservation",
     "q_etl_audit_row",
     "q_etl_dirty_input_quarantine",
-    "q_dq_outlier_zscore",
+    "q_dq_outlier_zscore",  # ---------------- first-50 window ends above ----------------
     "q_multimodal_binary_meta",
     "q_agg_stats_acctbal",
     "q_rollup_returns",
     "q_conditional_split_counts",
     "q_pivot_qty_by_status",
     "q_distinct_nation_segments",
+    "q_join_outer_order_counts",
     "q_join_semi_big_orders",
+    "q_training_data_prep",
     "q_window_range_frame_partitioned",
     "q_dq_embedding_contract",
     "q_hll_sketch_union",
     "q_window_distribution_ranks_partitioned",
     "q_timeseries_gapfill",
     "q_text_quality_score",
+    "q_text_gopher_repetition",
     "q_text_fingerprint",
     "q_text_edit_distance_pairs",
     "q_dq_text_contract",
@@ -151,6 +148,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_quality_calibrated",
     "q_dsir_importance",
     "q_unimax_allocation",
+    "q_winnowing_pairs",
     "q_dq_pk_uniqueness",
     "q_join_anti_idle_customers",
     "q_join_cross_region_nation",
@@ -180,7 +178,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q20_excess_shippers",
     "q21_sole_late_shipper",
     "q_embedding_norms",
+    "q_knn_bruteforce_cosine",
     "q_knn_lsh_approx",
+    "q_knn_pq",
     "q_hard_negatives",
     "q_knn_block_matrix",
     "q_knn_ivf",
@@ -203,6 +203,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_cliffs_delta",
     "q_pairwise_tests_bonferroni",
     "q_linear_interp_gapfill",
+    "q_dedup_clusters",
+    "q_dedup_canonical_docs",
+    "q_dedup_soft_weights",
     "q_dedup_embedding_cosine",
     "q_hybrid_rrf_search",
     "q_pii_scrub",
@@ -211,7 +214,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_repetition_score",
     "q_multimodal_features",
     "q_multimodal_frame_sample",
-    "q_node_clustering",
     "q_target_encoding",
     "q_rake_keywords",
     "q_wordpiece_tokenize",
@@ -230,6 +232,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_entity_resolution_fs",
     "q_dedup_simhash_pairs",
     "q_dedup_minhash_pairs",
+    "q_lsh_recall_report",
     "q_doc_chunking",
     "q_token_entropy",
     "q_mix_weights",
@@ -315,8 +318,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_posexplode_tokens",
     "q_union_by_name_missing",
     "q_embedding_centroid_health",
-    "q_triangle_count",
-    "q_market_basket_rules",
     "q_seasonal_forecast_eval",
     "q_funnel_three_step",
     "q_ab_test_proportions",
@@ -324,7 +325,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_ship_latency_percentiles",
     "q_asof_tolerance",
     "q_cms_heavy_hitters",
-    "q_item_cf_similar",
     "q_bom_explosion",
     "q_spatial_radius_join",
     "q_hapax_vocabulary",
@@ -339,6 +339,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_bpe_merge_candidates",
     "q_bm25_top_terms",
     "q_corpus_gini",
+    "q_lm_bigram_score",
     "q_weighted_sample",
     "q_curriculum_buckets",
     "q_span_corruption_plan",
@@ -348,7 +349,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_dq_outlier_mad",
     "q_dq_ks_drift",
     "q_dq_benford_check",
-    "q_wedge_mass_preflight",
     "q_multimodal_mp4_frames",
     "q_multimodal_audio_energy",
     "q_k_anonymity",
