@@ -29,6 +29,11 @@ from etl_pipeline_spark.catalog import load_tables
 
 MAX_ITER = 20
 
+# Sentinel for "round-1 seed not yet harvested" in connected_components'
+# convergence loop — None is a legitimate sum on an empty node set, so
+# it cannot double as the marker.
+_SEED_PENDING = object()
+
 # Scan-split cap for the shingle build over LARGE document corpora (r9
 # sf10 A/B, judge #7->r10 #4): the soft-dedup GCLocker retry warnings
 # are G1 humongous allocations from ~64 MB decompressed shingle batches
@@ -174,10 +179,14 @@ def connected_components(
     # non-increasing round over round (each new label is a min over a
     # set containing the old label), so the label SUM strictly decreases
     # until the fixpoint and an unchanged sum certifies an unchanged
-    # label set. One node-sized aggregate seeds the comparison; each
-    # round's sum rides the checkpoint action as an Observation, keeping
-    # the loop at one job per round.
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # label set. Each round's sum rides the checkpoint action as an
+    # Observation, keeping the loop at one job per round. The seed for
+    # the round-1 comparison needs no job of its own (r14 optimization
+    # round — it was a node-sized aggregate job before every loop):
+    # self-loops put EVERY node in every round's output exactly once,
+    # so round 1's SUM(node) equals the initial labels' sum (labels
+    # init is node = label) and both sums ride round 1's observation.
+    prev_sum: object = _SEED_PENDING
     converged = False
     batch = rounds_per_job if round_splits == 1 else 1
     rounds_done = 0
@@ -189,14 +198,18 @@ def connected_components(
         cur = labels
         for _ in range(min(batch, max_iter - rounds_done)):
             obs = Observation()
-            cur = cc_round(sym, cur, round_splits=round_splits).observe(
-                obs, F.sum("label").alias("label_sum")
-            )
+            metrics = [F.sum("label").alias("label_sum")]
+            if rounds_done == 0 and not obs_list:
+                metrics.append(F.sum("node").alias("node_sum"))
+            cur = cc_round(sym, cur, round_splits=round_splits).observe(obs, *metrics)
             obs_list.append(obs)
         labels = cur.localCheckpoint(eager=True)
         for obs in obs_list:
             rounds_done += 1
-            cur_sum = obs.get["label_sum"]
+            row = obs.get
+            if prev_sum is _SEED_PENDING:
+                prev_sum = row["node_sum"]
+            cur_sum = row["label_sum"]
             if cur_sum == prev_sum:
                 converged = True
                 break

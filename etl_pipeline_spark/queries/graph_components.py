@@ -178,13 +178,20 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_spark.operators.cluster import connected_components
     from etl_pipeline_spark.queries.analytics_ml import co_purchase_edges
 
+    from pyspark.sql import Observation
+
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     # eager checkpoint: the edge frame feeds the propagation loop AND the
     # summary's edge-consistency join — materialize the co-purchase
-    # derivation once (dedup_clusters does the same for its pair frame)
+    # derivation once (dedup_clusters does the same for its pair frame).
+    # The edge count the batching decision needs rides the checkpoint
+    # job as an Observation (r14 optimization round — it was a separate
+    # count job on the just-checkpointed frame before).
+    n_obs = Observation()
     edges = (
         co_purchase_edges(li, TRI_SUPPORT)
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .observe(n_obs, F.count(F.lit(1)).alias("n_edges"))
         .localCheckpoint(eager=True)
     )
     # lazy checkpoint (r14 optimization round): the node set feeds the
@@ -199,10 +206,12 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    # size-adaptive round batching (see WCC_ROUNDS_PER_JOB_SMALL): the
-    # count is metadata-cheap on the just-checkpointed frame
+    # size-adaptive round batching (see WCC_ROUNDS_PER_JOB_SMALL); the
+    # count was observed on the checkpoint job above
     rounds_per_job = (
-        WCC_ROUNDS_PER_JOB_SMALL if edges.count() <= WCC_BATCH_MAX_EDGES else 1
+        WCC_ROUNDS_PER_JOB_SMALL
+        if n_obs.get["n_edges"] <= WCC_BATCH_MAX_EDGES
+        else 1
     )
     comp = connected_components(nodes, edges, rounds_per_job=rounds_per_job)
     return wcc_summary(edges, comp)
