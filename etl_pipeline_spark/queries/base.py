@@ -75,6 +75,9 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 # build leg). Then oldest-attestation-first backfill.
 CHECK_PRIORITY: tuple[str, ...] = (
     "q_connected_components",  # --- code changed this round: attest first ---
+    "q_dedup_canonical_docs",
+    "q_dedup_soft_weights",
+    "q_leakage_safe_split",
     "q_degree_assortativity",
     "q_item_cf_similar",
     "q_kcore_nodes",
@@ -94,7 +97,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_null_semantics",
     "q_scalar_maps",
     "q_length_band_filter",
-    "q_leakage_safe_split",
     "q_window_sliding_events",
     "q_session_windows_batch",
     "q_embedding_quantization",
@@ -122,9 +124,9 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_bloom_decontaminate",
     "q_etl_clean_cast_filter",
     "q_etl_quarantine_conservation",
-    "q_etl_audit_row",
+    "q_etl_audit_row",  # ---------------- first-50 window ends above ----------------
     "q_etl_dirty_input_quarantine",
-    "q_dq_outlier_zscore",  # ---------------- first-50 window ends above ----------------
+    "q_dq_outlier_zscore",
     "q_multimodal_binary_meta",
     "q_agg_stats_acctbal",
     "q_rollup_returns",
@@ -204,8 +206,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_pairwise_tests_bonferroni",
     "q_linear_interp_gapfill",
     "q_dedup_clusters",
-    "q_dedup_canonical_docs",
-    "q_dedup_soft_weights",
     "q_dedup_embedding_cosine",
     "q_hybrid_rrf_search",
     "q_pii_scrub",
