@@ -131,6 +131,39 @@ def test_wcc_rounds_per_job_equivalence(spark):
     assert got == want
 
 
+def test_wcc_seed_free_convergence_edge_cases(spark):
+    """r14 optimization round, session 3: the convergence seed no longer
+    runs as its own aggregate job — round 1's observation carries both
+    SUM(label) and SUM(node), and SUM(node) equals the initial labels'
+    sum because self-loops put every node in every round's output. The
+    two inputs that exercise the seed comparison directly:
+    already-at-fixpoint graphs (round 1 changes nothing, so the FIRST
+    comparison must detect convergence — an off-by-one here would spin
+    to max_iter and fall back) and an empty node set (sums are NULL on
+    both sides; the sentinel keeps NULL==NULL meaning converged, the
+    pre-change behavior)."""
+    from etl_pipeline_spark.operators.cluster import connected_components
+
+    # isolated nodes, no edges: labels are the fixpoint at round 0
+    nodes = spark.createDataFrame([(7,), (9,), (42,)], "node long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    got = sorted(tuple(r) for r in connected_components(nodes, edges).collect())
+    assert got == [(7, 7), (9, 9), (42, 42)]
+
+    # empty node set: converges immediately, returns zero rows
+    empty = spark.createDataFrame([], "node long")
+    assert connected_components(empty, edges).count() == 0
+
+    # already-canonical labels (star from the minimum): converged is
+    # detected at round 2 (round 1 confirms nothing changed)
+    star = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "src long, dst long")
+    snodes = (
+        star.select(F.col("src").alias("node")).union(star.select("dst")).distinct()
+    )
+    got = sorted(tuple(r) for r in connected_components(snodes, star).collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 1)]
+
+
 def test_two_phase_raises_on_exhaustion_not_wrong_labels(spark):
     """r14: on max_iter exhaustion the star contraction's intermediate
     edge set can label a node with a non-minimal parent — splitting a
