@@ -58,73 +58,23 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-14 optimization-round prefix (regenerated via rotate_window.py):
-# twenty-nine changed queries lead — the r14 optimization rewrites
-# (q_lm_bigram_score join-before-stream; q_join_outer_order_counts
-# pre-aggregated outer join; q_text_gopher_repetition shuffle-free
-# run-length fold; q_training_data_prep metadata-only exchange +
-# window->aggregate exact dedup; q_connected_components batched
-# propagation rounds; q_knn_pq broadcast-codebook encode;
-# q_knn_bruteforce_cosine hoisted norms) plus every query riding the
-# changed shared helpers (pagerank_edges sorted persist + 3->2-exchange
-# edge build; cc_round 3->2 exchanges/round + sorted symmetric persist:
-# pagerank/LPA/k-core x2/assortativity/link-prediction/WCC/dedup-
-# cluster consumers; word_shingles/hashed_word_shingles totality guard:
-# the whole shingle family incl. contamination/novelty/bloom-decontam)
-# and q_triangle_census_sampled (grid-safe rel_err carried from the r14
-# build leg). Then oldest-attestation-first backfill.
+# Round-15 optimization-round prefix (regenerated via rotate_window.py,
+# now keyed off fingerprint-at-last-DRIVER-attestation): the six r14
+# rewrites the session-3 re-rotation evicted lead the window
+# (q_knn_bruteforce_cosine, q_knn_pq, q_lm_bigram_score,
+# q_join_outer_order_counts, q_training_data_prep auto-detected from
+# the harvested attested fingerprints; q_text_gopher_repetition
+# hand-declared — its rewrite lives in the shared helper text.py, the
+# manifest's documented fn-source-only caveat), then the r7/r8 stale
+# cohort as oldest-attestation-first backfill.
 CHECK_PRIORITY: tuple[str, ...] = (
-    "q_connected_components",  # --- code changed this round: attest first ---
-    "q_dedup_canonical_docs",
-    "q_dedup_soft_weights",
-    "q_leakage_safe_split",
-    "q_degree_assortativity",
-    "q_item_cf_similar",
-    "q_kcore_nodes",
-    "q_kcore_support1",
-    "q_label_propagation",
-    "q_link_prediction_aa",
-    "q_market_basket_rules",
-    "q_node_clustering",
-    "q_pagerank",
-    "q_triangle_census_sampled",
-    "q_triangle_count",
-    "q_wedge_mass_preflight",
-    "q_dp_noisy_counts",  # --- backfill: oldest attestation first ---
-    "q_pseudonymize_consistent",
-    "q_erasure_cascade",
-    "q_variant_json_stats",
-    "q_null_semantics",
-    "q_scalar_maps",
-    "q_length_band_filter",
-    "q_window_sliding_events",
-    "q_session_windows_batch",
-    "q_embedding_quantization",
-    "q_approx_aggregates",
-    "q_unpivot_balance_metrics",
-    "q_funnel_conversion",
-    "q_retention_cohorts",
-    "q_window_distribution_ranks",
-    "q_scalar_dates_extended",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
-    "q_dedup_minhash_signatures",
-    "q_dedup_ngram_jaccard_capped",
-    "q_dedup_containment",
-    "q_dedup_prefix_filter",
-    "q_snm_recall_report",
-    "q_text_stats_by_lang",
-    "q_text_token_counts",
-    "q_text_lang_id",
-    "q_text_top_bigrams",
-    "q_contamination_check",
-    "q_shingle_novelty",
-    "q_bloom_decontaminate",
-    "q_etl_clean_cast_filter",
-    "q_etl_quarantine_conservation",
-    "q_etl_audit_row",  # ---------------- first-50 window ends above ----------------
+    "q_knn_bruteforce_cosine",  # --- code changed this round: attest first ---
+    "q_knn_pq",
+    "q_lm_bigram_score",
+    "q_join_outer_order_counts",
+    "q_training_data_prep",
+    "q_text_gopher_repetition",
+    "q_etl_audit_row",  # --- backfill: oldest attestation first ---
     "q_etl_dirty_input_quarantine",
     "q_dq_outlier_zscore",
     "q_multimodal_binary_meta",
@@ -133,16 +83,13 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_conditional_split_counts",
     "q_pivot_qty_by_status",
     "q_distinct_nation_segments",
-    "q_join_outer_order_counts",
     "q_join_semi_big_orders",
-    "q_training_data_prep",
     "q_window_range_frame_partitioned",
     "q_dq_embedding_contract",
     "q_hll_sketch_union",
     "q_window_distribution_ranks_partitioned",
     "q_timeseries_gapfill",
     "q_text_quality_score",
-    "q_text_gopher_repetition",
     "q_text_fingerprint",
     "q_text_edit_distance_pairs",
     "q_dq_text_contract",
@@ -171,7 +118,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_scalar_arrays",
     "q_scalar_conditional_nonempty",
     "q_scalar_file_lineage",
-    "q_scalar_string_extras",
+    "q_scalar_string_extras",  # ---------------- first-50 window ends above ----------------
     "q18_large_orders",
     "q_agg_percentiles",
     "q12_late_shipments",
@@ -180,9 +127,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q20_excess_shippers",
     "q21_sole_late_shipper",
     "q_embedding_norms",
-    "q_knn_bruteforce_cosine",
     "q_knn_lsh_approx",
-    "q_knn_pq",
     "q_hard_negatives",
     "q_knn_block_matrix",
     "q_knn_ivf",
@@ -339,7 +284,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_bpe_merge_candidates",
     "q_bm25_top_terms",
     "q_corpus_gini",
-    "q_lm_bigram_score",
     "q_weighted_sample",
     "q_curriculum_buckets",
     "q_span_corruption_plan",
@@ -353,6 +297,56 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_multimodal_audio_energy",
     "q_k_anonymity",
     "q_scalar_multiformat_ts",
+    "q_window_sliding_events",
+    "q_session_windows_batch",
+    "q_embedding_quantization",
+    "q_approx_aggregates",
+    "q_unpivot_balance_metrics",
+    "q_funnel_conversion",
+    "q_retention_cohorts",
+    "q_window_distribution_ranks",
+    "q_scalar_dates_extended",
+    "q_triangle_count",
+    "q_market_basket_rules",
+    "q_node_clustering",
+    "q_degree_assortativity",
+    "q_link_prediction_aa",
+    "q_pagerank",
+    "q_label_propagation",
+    "q_item_cf_similar",
+    "q_kcore_nodes",
+    "q_kcore_support1",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_dedup_canonical_docs",
+    "q_dedup_soft_weights",
+    "q_dedup_minhash_signatures",
+    "q_dedup_ngram_jaccard_capped",
+    "q_dedup_containment",
+    "q_dedup_prefix_filter",
+    "q_snm_recall_report",
+    "q_text_stats_by_lang",
+    "q_text_token_counts",
+    "q_text_lang_id",
+    "q_text_top_bigrams",
+    "q_contamination_check",
+    "q_shingle_novelty",
+    "q_bloom_decontaminate",
+    "q_etl_clean_cast_filter",
+    "q_etl_quarantine_conservation",
+    "q_connected_components",
+    "q_wedge_mass_preflight",
+    "q_triangle_census_sampled",
+    "q_dp_noisy_counts",
+    "q_pseudonymize_consistent",
+    "q_erasure_cascade",
+    "q_variant_json_stats",
+    "q_null_semantics",
+    "q_scalar_maps",
+    "q_length_band_filter",
+    "q_leakage_safe_split",
 )
 
 

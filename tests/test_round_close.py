@@ -93,6 +93,50 @@ def test_changed_queries_inside_window(registry, manifest):
     )
 
 
+def test_attestation_drift_inside_window(registry, manifest):
+    """Judge r14 finding #1: the rotation-keyed drift check (above) is
+    evadable — re-rotating refreshes every fingerprint, so a query
+    rewritten in one session and evicted by a later session's rotation
+    shipped with the driver's attestation covering only its OLD code.
+    This invariant keys off the last DRIVER ATTESTATION instead: any
+    query whose live fingerprint differs from the fingerprint it had
+    when the driver last attested it (manifest['attested'], harvested
+    from each round-close tree in git) must sit inside the first-50
+    window, no matter how many rotations happened in between. It stays
+    red until the driver re-attests the new code."""
+    import glob as _glob
+
+    from tools.rotate_window import query_fingerprint
+
+    attested = manifest.get("attested")
+    assert attested, (
+        "attest_manifest.json has no 'attested' map — re-run "
+        "tools/rotate_window.py (r15+ schema)"
+    )
+    # the harvest must cover every driver round present in the repo,
+    # else the attested map silently goes stale one round after landing
+    rounds = [
+        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for p in _glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    ]
+    assert manifest.get("attested_through", 0) >= max(rounds), (
+        f"attested fingerprints harvested through "
+        f"r{manifest.get('attested_through', 0)} but CORRECTNESS_r"
+        f"{max(rounds)} exists — re-run tools/rotate_window.py"
+    )
+    unattested_drift = [
+        q for q, spec in registry.items()
+        if q in attested and query_fingerprint(spec) != attested[q]
+        and q not in CHECK_PRIORITY[:WINDOW]
+    ]
+    assert not unattested_drift, (
+        f"queries changed since their last DRIVER attestation but outside "
+        f"the first-50 window: {unattested_drift}; re-run "
+        f"tools/rotate_window.py (they are auto-prepended) and splice the "
+        f"result into queries/base.py"
+    )
+
+
 def test_approx_family_sf01_sweep_fresh_and_green(registry):
     """r11 judge #4: both knee bugs were invisible at the driver's
     sf0.01 gate and the sf0.1 sweep that caught them was manual. The

@@ -24,6 +24,21 @@ rotation must re-appear in the first-50 window (re-run this tool with
 (judge r10 finding #1). The fingerprint covers the registered function
 body and oracle only — a behavior change made purely in a shared helper
 must still be declared via --changed by hand.
+
+r15 (judge r14 finding #1): the rotation-time snapshot alone is NOT the
+invariant that matters — re-rotating mid-round refreshed every
+fingerprint, so a query rewritten in session 2 and evicted by session
+3's rotation went back out of the window with its drift erased, and six
+rewrites shipped attested only for their OLD code. The manifest now
+additionally carries `attested`: per query, the fingerprint its code
+had at its LAST DRIVER ATTESTATION (harvested from git — each
+CORRECTNESS_rN.json was produced against the parent tree of the
+"round N: verdict" commit). Queries whose live fingerprint differs
+from `attested[q]` are auto-prepended to the changed list here, and
+tests/test_round_close.py fails while any such query sits outside the
+first-50 window, no matter how many rotations happen in between. The
+drift signal stays fn-source+oracle only, so the shared-helper caveat
+above still applies to --changed.
 """
 
 from __future__ import annotations
@@ -47,6 +62,95 @@ def query_fingerprint(spec) -> str:
     return hashlib.sha256((src + "\x00" + (spec.oracle or "-")).encode()).hexdigest()
 
 
+# Self-contained fingerprint dumper run inside a historical worktree:
+# it must use THAT tree's registry and sources, so it cannot import
+# anything from the live repo.
+_DUMP_SRC = """\
+import hashlib, inspect, json, sys
+sys.path.insert(0, ".")
+from etl_pipeline_spark.queries.base import REGISTRY, all_specs
+all_specs()
+out = {}
+for name, spec in REGISTRY.items():
+    src = inspect.getsource(spec.fn)
+    out[name] = hashlib.sha256(
+        (src + "\\x00" + (spec.oracle or "-")).encode()).hexdigest()
+json.dump(out, sys.stdout)
+"""
+
+
+def _round_close_commits() -> dict[int, str]:
+    """round number -> sha of the tree the driver attested (the PARENT
+    of each 'round N: verdict' commit: that commit only adds the
+    driver's artifacts on top of the tree the bench/oracle ran on)."""
+    import subprocess
+
+    log = subprocess.run(
+        ["git", "-C", "/root/repo", "log", "--format=%H %s"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    out: dict[int, str] = {}
+    for line in log.splitlines():
+        sha, _, subject = line.partition(" ")
+        m = re.match(r"round (\d+): verdict", subject)
+        if m:
+            out.setdefault(int(m.group(1)), sha + "^")
+    return out
+
+
+def harvest_attested(manifest: dict) -> dict:
+    """Update manifest['attested'] (query -> fingerprint at its last
+    driver attestation) with every round newer than
+    manifest['attested_through']. Walks rounds ASCENDING so a later
+    attestation overwrites an earlier one; incremental, so each
+    rotation pays at most one worktree per new round."""
+    import os
+    import subprocess
+    import tempfile
+
+    attested: dict[str, str] = dict(manifest.get("attested", {}))
+    through = int(manifest.get("attested_through", 0))
+    commits = _round_close_commits()
+    new_rounds = sorted(r for r in commits if r > through)
+    for rnd in new_rounds:
+        corr = f"/root/repo/CORRECTNESS_r{rnd:02d}.json"
+        if not os.path.exists(corr):
+            corr = f"/root/repo/CORRECTNESS_r{rnd}.json"
+        try:
+            names = list(json.load(open(corr)))
+        except (OSError, ValueError):
+            print(f"# harvest: no readable CORRECTNESS for r{rnd}; skipped",
+                  file=sys.stderr)
+            continue
+        with tempfile.TemporaryDirectory(prefix=f"attest_r{rnd}_") as wt:
+            tree = os.path.join(wt, "tree")
+            subprocess.run(
+                ["git", "-C", "/root/repo", "worktree", "add", "--detach",
+                 tree, commits[rnd]],
+                check=True, capture_output=True,
+            )
+            try:
+                dump = subprocess.run(
+                    [sys.executable, "-c", _DUMP_SRC], cwd=tree,
+                    capture_output=True, text=True, check=True,
+                ).stdout
+                fps = json.loads(dump)
+            finally:
+                subprocess.run(
+                    ["git", "-C", "/root/repo", "worktree", "remove",
+                     "--force", tree],
+                    check=False, capture_output=True,
+                )
+        got = [q for q in names if q in fps]
+        for q in got:
+            attested[q] = fps[q]
+        print(f"# harvest r{rnd}: {len(got)}/{len(names)} attested "
+              f"fingerprints from {commits[rnd]}", file=sys.stderr)
+    manifest["attested"] = attested
+    manifest["attested_through"] = max([through, *new_rounds], default=through)
+    return manifest
+
+
 def main() -> None:
     changed = []
     if "--changed" in sys.argv:
@@ -66,6 +170,25 @@ def main() -> None:
     unknown = [q for q in changed if q not in REGISTRY]
     if unknown:
         raise SystemExit(f"--changed names not registered: {unknown}")
+
+    # r15: changed-query detection keys off the last DRIVER ATTESTATION,
+    # not the last rotation — auto-prepend every query whose live
+    # fingerprint differs from the fingerprint the driver attested.
+    try:
+        prior = json.load(open(MANIFEST))
+    except (OSError, ValueError):
+        prior = {}
+    prior = harvest_attested(prior)
+    attested = prior["attested"]
+    drifted = [
+        q for q in names
+        if q in attested and query_fingerprint(REGISTRY[q]) != attested[q]
+        and q not in changed
+    ]
+    if drifted:
+        print(f"# auto-changed (live fp != last-attested fp): {drifted}",
+              file=sys.stderr)
+    changed = drifted + changed
 
     never = [q for q in names if q not in latest and q not in changed]
     backfill = sorted(
@@ -95,8 +218,18 @@ def main() -> None:
 
     manifest = {q: query_fingerprint(REGISTRY[q]) for q in names}
     with open(MANIFEST, "w") as fh:
-        json.dump({"window": order[:WINDOW], "fingerprints": manifest}, fh, indent=1, sort_keys=True)
-    print(f"# wrote {MANIFEST}: {len(manifest)} fingerprints", file=sys.stderr)
+        json.dump(
+            {
+                "window": order[:WINDOW],
+                "fingerprints": manifest,
+                "attested": attested,
+                "attested_through": prior["attested_through"],
+            },
+            fh, indent=1, sort_keys=True,
+        )
+    print(f"# wrote {MANIFEST}: {len(manifest)} fingerprints, "
+          f"{len(attested)} attested (through r{prior['attested_through']})",
+          file=sys.stderr)
 
     # Round-close path for the approx-family sf0.1 sweep (r11 judge #4):
     # both r11 knee bugs were invisible at sf0.01 and the sweep that
