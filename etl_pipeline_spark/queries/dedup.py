@@ -192,11 +192,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.explode(word_shingles(SHINGLE_WIDTH)).alias("shingle"))
         .localCheckpoint(eager=False, storageLevel=wide_ckpt_level())
-        .hint("merge")
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    # r15 optimization round: the merge hint moved from the checkpointed
+    # frame to the SELF-JOIN sides only. The static-broadcast hazard the
+    # hint guards (checkpoint preserves the origin scan's ~100:1-
+    # optimistic size estimate) exists only where the checkpoint feeds a
+    # join DIRECTLY — no exchange below it, so the strategy is fixed at
+    # static-planning time. The two size joins below sit above exchanges
+    # on BOTH sides (pair_inter and sizes are aggregates), so AQE
+    # re-plans them from runtime stage stats: tiny here (broadcast,
+    # measured min 1.327 -> 0.944 interleaved at sf0.1 — the leaf-level
+    # hint was forcing two sorts of the million-row pair table), real
+    # sizes at 100 TB (falls back to SMJ on actual bytes, never the
+    # static estimate).
+    a = shingles.hint("merge").alias("a")
+    b = shingles.hint("merge").alias("b")
     pair_inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -737,10 +748,13 @@ def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= DF_CAP)
         .select("doc_id", "shingle")
         .localCheckpoint(eager=False, storageLevel=wide_ckpt_level())
-        .hint("merge")
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a, b = shingles.alias("a"), shingles.alias("b")
+    # r15: merge hint scoped to the self-join sides only — the size
+    # joins sit above exchanges on both sides, so AQE plans them from
+    # runtime stats (see q_dedup_ngram_jaccard for the measurement and
+    # the static-vs-runtime argument).
+    a, b = shingles.hint("merge").alias("a"), shingles.hint("merge").alias("b")
     pair_inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

@@ -486,3 +486,23 @@ def test_sorted_persist_elides_per_round_big_side_sort(spark):
     finally:
         sym.unpersist()
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ngram_jaccard_merge_hint_scoped_to_self_join(spark):
+    """r15: the merge hint guards the static-broadcast hazard only where
+    the checkpointed posting frame feeds a join DIRECTLY (the inverted-
+    index self-join — no exchange below it, so its strategy is fixed at
+    static-planning time). The two size joins sit above exchanges on
+    both sides and are AQE-planned from runtime stats; pinning them to
+    sort-merge cost two corpus-pair-table sorts (measured 1.327 ->
+    0.944 s at sf0.1). Assert: the self-join on `shingle` stays
+    SortMergeJoin, and no Sort-Merge machinery is forced onto the
+    doc-keyed size joins at fixture scale (they plan as broadcast)."""
+    for name in ("q_dedup_ngram_jaccard", "q_dedup_ngram_jaccard_capped"):
+        df = contract.queries()[name](spark, SF)
+        plan = plans.executed(df)
+        smj = plan.count("SortMergeJoin")
+        assert smj == 1, f"{name}: expected exactly the posting self-join as SMJ, got {smj}:\n{plan[:1200]}"
+        # the SMJ must be the shingle-keyed join, not a size join
+        smj_line = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln][0]
+        assert "shingle" in smj_line, smj_line
