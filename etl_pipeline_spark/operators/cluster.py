@@ -100,6 +100,14 @@ def connected_components(
     """nodes(node), edges(src, dst) undirected -> (node, cluster_id) with
     cluster_id = min node id reachable.
 
+    Contract (load-bearing for the seed-free convergence probe): every
+    edge src/dst value must be drawn from ``nodes`` — the self-loop
+    union then puts each such node in every round's output exactly
+    once, which is what makes round-1 SUM(node) equal the initial
+    labels' sum. All current callers derive ``nodes`` from the edge
+    endpoints; a violation still terminates correctly (the seed is
+    self-consistent), it just weakens that identity.
+
     Min-label propagation needs O(diameter) rounds; if the loop exhausts
     ``max_iter`` with labels still changing (a component deeper than
     max_iter), the partial labels would be silently wrong — so that case

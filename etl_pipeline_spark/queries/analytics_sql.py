@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_pipeline_spark.catalog import load_tables
+from etl_pipeline_spark.catalog import load_tables, scan_parallel
 from etl_pipeline_spark.queries.base import EPOCH, query
 
 
@@ -534,7 +534,17 @@ def q_nested_json_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange-free on a 100 TB fact table.
     """
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    rows = li.select(
+    # r15 optimization round (the r14 edge-build rule applied): the
+    # per-order collect_list is an OBJECT aggregate whose map-side
+    # partial otherwise builds the whole 150k-order hash map inside the
+    # single serial scan task of a one-row-group fixture. Routing the
+    # raw rows through scan_parallel's layout-adaptive hash repartition
+    # on the GROUPING key moves both aggregate phases past the exchange
+    # — the exchange the repartition adds IS the exchange the groupBy
+    # needed, so the exchange count is unchanged, and at production
+    # scale (many-split scans) scan_parallel is a pass-through and the
+    # map-side partial stays where it pays.
+    rows = scan_parallel(li, spark, key="l_orderkey").select(
         "l_orderkey",
         "l_linenumber",
         F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),

@@ -899,7 +899,16 @@ def q_dedup_chunk_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     in total chunks, and hot chunks (boilerplate) are exactly the rows
     the min-combine collapses early.
     """
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # r15 optimization round: scan_parallel — the chunk transform
+    # (split + per-chunk slice/join) is the CPU-heavy per-row projection
+    # class the helper exists for, and on a one-row-group fixture it ran
+    # serially in the single scan task, as did the map-side partials of
+    # both object aggregates above it. The repartition key is doc_id, so
+    # when AQE broadcasts first_seen the per-doc rewrite aggregate needs
+    # no further exchange; pass-through on many-split production scans.
+    d = scan_parallel(
+        load_tables(spark, sf_dir, ("documents",))["documents"], spark
+    )
     toks = F.split("text", " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(CHUNK_WORDS)).cast("int")
     chunk_arr = F.transform(
