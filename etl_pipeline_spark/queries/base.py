@@ -58,22 +58,37 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 #   3. then backfill, oldest latest-attestation first, so the window
 #      cycles through all queries in ~N/50 rounds;
 #   4. the rest keep registration order after the prefix.
-# Round-15 optimization-round prefix (regenerated via rotate_window.py,
-# now keyed off fingerprint-at-last-DRIVER-attestation): the six r14
-# rewrites the session-3 re-rotation evicted lead the window
-# (q_knn_bruteforce_cosine, q_knn_pq, q_lm_bigram_score,
-# q_join_outer_order_counts, q_training_data_prep auto-detected from
-# the harvested attested fingerprints; q_text_gopher_repetition
-# hand-declared — its rewrite lives in the shared helper text.py, the
-# manifest's documented fn-source-only caveat), then the r7/r8 stale
-# cohort as oldest-attestation-first backfill.
+# Round-15 optimization-round prefix (regenerated mid-round via
+# rotate_window.py; the attested-fingerprint invariant keeps every
+# changed-but-unattested query pinned in the window across rotations):
+# the six evicted r14 rewrites plus this round's changed queries
+# (posting size-join hint scoping: ngram_jaccard/capped/containment;
+# verify first-attach SHJ: minhash_lsh/prefix_filter; serial basket
+# partials: nested_json_assembly/chunk_rewrite) and their fn-callers
+# hand-declared (clusters/canonical/soft_weights/leakage_split/
+# lsh_recall/snm_recall ride q_dedup_ngram_jaccard's fn;
+# q_text_gopher_repetition's r14 rewrite lives in text.py). Backfill
+# stays oldest-attestation-first (r7/r8 cohort).
 CHECK_PRIORITY: tuple[str, ...] = (
     "q_knn_bruteforce_cosine",  # --- code changed this round: attest first ---
     "q_knn_pq",
+    "q_nested_json_assembly",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard_capped",
+    "q_dedup_chunk_rewrite",
+    "q_dedup_containment",
+    "q_dedup_prefix_filter",
     "q_lm_bigram_score",
     "q_join_outer_order_counts",
     "q_training_data_prep",
     "q_text_gopher_repetition",
+    "q_dedup_clusters",
+    "q_dedup_canonical_docs",
+    "q_dedup_soft_weights",
+    "q_leakage_safe_split",
+    "q_lsh_recall_report",
+    "q_snm_recall_report",
     "q_etl_audit_row",  # --- backfill: oldest attestation first ---
     "q_etl_dirty_input_quarantine",
     "q_dq_outlier_zscore",
@@ -105,7 +120,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_window_rank_orders",
     "q_window_running_spend",
     "q_window_lag_events",
-    "q_topk_expensive_orders",
+    "q_topk_expensive_orders",  # ---------------- first-50 window ends above ----------------
     "q_setop_union_parties",
     "q_setop_intersect_nations",
     "q_setop_except_nations",
@@ -118,7 +133,7 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_scalar_arrays",
     "q_scalar_conditional_nonempty",
     "q_scalar_file_lineage",
-    "q_scalar_string_extras",  # ---------------- first-50 window ends above ----------------
+    "q_scalar_string_extras",
     "q18_large_orders",
     "q_agg_percentiles",
     "q12_late_shipments",
@@ -150,7 +165,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_cliffs_delta",
     "q_pairwise_tests_bonferroni",
     "q_linear_interp_gapfill",
-    "q_dedup_clusters",
     "q_dedup_embedding_cosine",
     "q_hybrid_rrf_search",
     "q_pii_scrub",
@@ -177,7 +191,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_entity_resolution_fs",
     "q_dedup_simhash_pairs",
     "q_dedup_minhash_pairs",
-    "q_lsh_recall_report",
     "q_doc_chunking",
     "q_token_entropy",
     "q_mix_weights",
@@ -237,7 +250,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_snapshot_diff",
     "q_setop_bag_semantics",
     "q_try_arithmetic_safe",
-    "q_nested_json_assembly",
     "q_collation_groupby",
     "q_poisson_bootstrap_ci",
     "q_survival_km",
@@ -274,7 +286,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_spatial_radius_join",
     "q_hapax_vocabulary",
     "q_heaps_law_fit",
-    "q_dedup_chunk_rewrite",
     "q_dedup_repeated_spans",
     "q_dedup_doc_stitching",
     "q_tfidf_top_terms",
@@ -317,16 +328,8 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_kcore_nodes",
     "q_kcore_support1",
     "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_minhash_lsh",
     "q_dedup_simhash",
-    "q_dedup_canonical_docs",
-    "q_dedup_soft_weights",
     "q_dedup_minhash_signatures",
-    "q_dedup_ngram_jaccard_capped",
-    "q_dedup_containment",
-    "q_dedup_prefix_filter",
-    "q_snm_recall_report",
     "q_text_stats_by_lang",
     "q_text_token_counts",
     "q_text_lang_id",
@@ -346,7 +349,6 @@ CHECK_PRIORITY: tuple[str, ...] = (
     "q_null_semantics",
     "q_scalar_maps",
     "q_length_band_filter",
-    "q_leakage_safe_split",
 )
 
 

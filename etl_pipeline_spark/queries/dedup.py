@@ -442,16 +442,27 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_shingles^2 * 2^-64 per doc, the same epsilon class as LSH
     # recall itself, and the exact-SQL oracle would surface it as a
     # hash mismatch at the test SFs.
+    # r15 optimization round, first attach only (guide §3.1): the
+    # doc_a attach is a SHUFFLED HASH join BUILDING THE CANDIDATE side —
+    # candidates are (doc_a, doc_b) longs, so the per-partition hash
+    # table is candidate-count/200 x 16 B (KBs at any dup rate worth
+    # deduping), while the array side STREAMS: never sorted, never in a
+    # hash table, never broadcast — strictly less array handling than
+    # the SMJ it replaces (which sorted the member arrays by doc_a).
+    # The second attach stays merge-pinned: both of its sides carry
+    # arrays, so a hash build there is exactly the r14-documented heap
+    # hazard (32 concurrent builds OOMed the prefix-filter verify at
+    # sf10) and SMJ's graceful spill is the at-scale-correct choice.
     h_a = docs_cand.select(
         F.col("doc_id").alias("doc_a"), F.col("hsh").alias("h_a")
-    ).hint("merge")
+    )
     h_b = docs_cand.select(
         F.col("doc_id").alias("doc_b"), F.col("hsh").alias("h_b")
     ).hint("merge")
     n_inter_h = F.size(F.array_intersect("h_a", "h_b"))
     jac_h = n_inter_h.cast("double") / (F.size("h_a") + F.size("h_b") - n_inter_h)
     pre = (
-        cand.join(h_a, "doc_a")
+        cand.hint("shuffle_hash").join(h_a, "doc_a")
         .join(h_b, "doc_b")
         .filter(jac_h >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
@@ -477,16 +488,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(surv_ids), "doc_id", "semi")
         .select("doc_id", word_shingles(SHINGLE_WIDTH).alias("shingles"))
     )
+    # Same first-attach shape as stage 1: build the survivor-pair side
+    # (narrow longs) in a shuffled hash join, stream the string arrays;
+    # the second attach stays merge-pinned (both sides carry arrays).
     sh_a = sdocs.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
-    ).hint("merge")
+    )
     sh_b = sdocs.select(
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
     ).hint("merge")
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_inter)
     return (
-        pre.join(sh_a, "doc_a")
+        pre.hint("shuffle_hash").join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jac"))
         .filter(F.col("jac") >= JACCARD_THRESHOLD)
@@ -1052,11 +1066,13 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokenized(d, "doc_id", min_tokens=SHINGLE_WIDTH)
         .select("doc_id", F.explode(word_shingles(SHINGLE_WIDTH)).alias("shingle"))
         .localCheckpoint(eager=False, storageLevel=wide_ckpt_level())
-        .hint("merge")
     )
+    # r15: merge hint scoped to the self-join sides only — the size
+    # join sits above exchanges on both sides, so AQE plans it from
+    # runtime stats (see q_dedup_ngram_jaccard).
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
+    a = shingles.hint("merge").alias("a")
+    b = shingles.hint("merge").alias("b")
     pair_inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") != F.col("b.doc_id")))
         .groupBy(
@@ -1408,11 +1424,16 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(member_ids), "doc_id", "semi")
         .localCheckpoint(eager=False)
     )
+    # r15, first attach only (the q_dedup_minhash_lsh verify shape): a
+    # shuffled hash join BUILDING THE CANDIDATE side — narrow longs in
+    # the per-partition hash table, the shingle-set arrays STREAM
+    # (never sorted, never hash-built, never broadcast). The second
+    # attach stays merge-pinned: both of its sides carry arrays, and a
+    # hash build there is the r14-documented sf10 heap hazard.
     verified = (
-        cand.join(
-            sets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a")).hint(
-                "merge"
-            ),
+        cand.hint("shuffle_hash")
+        .join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a")),
             "doc_a",
         )
         .join(

@@ -506,3 +506,25 @@ def test_ngram_jaccard_merge_hint_scoped_to_self_join(spark):
         # the SMJ must be the shingle-keyed join, not a size join
         smj_line = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln][0]
         assert "shingle" in smj_line, smj_line
+
+
+def test_verify_first_attach_builds_pair_side(spark):
+    """r15: in the minhash-LSH and prefix-filter verifies, the FIRST
+    array attach is a shuffled hash join whose build side is the narrow
+    candidate-pair frame (left) — arrays stream, never sorted, never
+    hash-built; the SECOND attach (both sides carry arrays) stays
+    sort-merge, the r14-documented heap-safe choice."""
+    for name in ("q_dedup_minhash_lsh", "q_dedup_prefix_filter"):
+        df = contract.queries()[name](spark, SF)
+        plan = plans.executed(df)
+        assert "ShuffledHashJoin" in plan and "BuildLeft" in plan, (
+            f"{name}: expected a ShuffledHashJoin building the pair side:\n{plan[:900]}"
+        )
+        assert "SortMergeJoin" in plan, f"{name}: second attach must stay SMJ"
+        # arrays must never sit under a BroadcastExchange (r6 incident class)
+        import re as _re
+        for m in _re.finditer(r"BroadcastExchange", plan):
+            window = plan[m.start():m.start() + 400]
+            assert not _re.search(r"\b(hsh|shset|sh_a|sh_b|h_a|h_b|shingles)\b", window), (
+                f"{name}: array column near a BroadcastExchange:\n{window}"
+            )
